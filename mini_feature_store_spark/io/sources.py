@@ -1,0 +1,143 @@
+"""Sources: parquet / JSON / CSV / managed-table scans + in-memory test seam.
+
+Re-expresses the reference's ``platform/Fetchers.scala`` trait surface
+(readParquet :79-90, readJson :92-103, readCsv :105-120, readIcebergTable
+:122-128) as plain functions. An explicit schema is always accepted and always
+passed by pipelines (schema-on-write regime, SURVEY.md §1.3); inference is the
+``schema=None`` fallback, exactly like ``Fetchers.scala:85-89``.
+
+Scale notes:
+- An explicit schema skips the file-footer sampling pass entirely — on a
+  100 TB path that inference pass is itself a large job.
+- These return *lazy* DataFrames; filters/projections applied by callers reach
+  the parquet scan via Catalyst pushdown (verify with
+  ``df.explain('formatted')`` → ``PushedFilters`` / ``ReadSchema``).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_parquet(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """Parquet scan with optional explicit schema (Fetchers.scala:79-90)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """JSON-lines scan (Fetchers.scala:92-103)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    header: bool = True,
+    delimiter: str = ",",
+) -> DataFrame:
+    """CSV scan (Fetchers.scala:105-120)."""
+    reader = spark.read.option("header", header).option("delimiter", delimiter)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.csv(path)
+
+
+def read_table(spark: SparkSession, name_or_path: str) -> DataFrame:
+    """Managed-table scan (Fetchers.scala:122-128 reads Iceberg tables).
+
+    Resolution: session-catalog table name first (covers Delta/parquet
+    ``saveAsTable`` output), else treated as a parquet/Delta directory path.
+    """
+    if spark.catalog.tableExists(name_or_path):
+        return spark.table(name_or_path)
+    from mini_feature_store_spark.session import HAVE_DELTA
+
+    if HAVE_DELTA and os.path.isdir(os.path.join(name_or_path, "_delta_log")):
+        return spark.read.format("delta").load(name_or_path)
+    return spark.read.parquet(name_or_path)
+
+
+def load_testdata(
+    spark: SparkSession, sf_dir: str, *names: str
+) -> dict[str, DataFrame]:
+    """Load driver testdata tables (TESTDATA.md) from a scale-factor dir.
+
+    ``events.ts`` is physically TIMESTAMP(NANOS) parquet, which Spark 4
+    refuses by default; we read it as long ns (legacy conf, runtime-settable)
+    and floor-convert to a µs timestamp — bit-identical to DuckDB's own
+    ns→µs truncation, so oracle comparisons stay exact.
+    """
+    from pyspark.sql import functions as F
+
+    from mini_feature_store_spark.schemas import TESTDATA_TABLES
+
+    names = names or TESTDATA_TABLES
+    out: dict[str, DataFrame] = {}
+    for n in names:
+        path = os.path.join(sf_dir, f"{n}.parquet")
+        if n == "events":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path).withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        else:
+            df = spark.read.parquet(path)
+        out[n] = df
+    return out
+
+
+@dataclass
+class MemoryStore:
+    """In-memory storage seam for tests.
+
+    Plays the role of the reference's dependency-injected
+    ``TestWriter``/``TestFetcher`` pair (``suit/TestWriter.scala:16-92``,
+    ``suit/TestFetcher.scala:17-89``): writes materialize rows + schema into a
+    dict keyed by path/table name; reads rebuild DataFrames from them. Honors
+    overwrite / append / ignore / error modes (TestWriter.scala:40-59).
+
+    Test-only by design — production sinks never collect (SURVEY.md §4.3).
+    """
+
+    rows: dict[str, list] = field(default_factory=dict)
+    schemas: dict[str, T.StructType] = field(default_factory=dict)
+
+    def write(self, df: DataFrame, key: str, mode: str = "overwrite") -> None:
+        if key in self.rows:
+            if mode == "ignore":
+                return
+            if mode in ("error", "errorifexists"):
+                raise ValueError(f"key already exists: {key}")
+        collected = df.collect()
+        if mode == "append" and key in self.rows:
+            self.rows[key].extend(collected)
+        else:
+            self.rows[key] = list(collected)
+            self.schemas[key] = df.schema
+
+    def read(self, spark: SparkSession, key: str) -> DataFrame:
+        if key not in self.rows:
+            raise KeyError(f"no such key in MemoryStore: {key}")
+        return spark.createDataFrame(self.rows[key], self.schemas[key])
+
+    def keys(self) -> list[str]:
+        return sorted(self.rows)
+
+    def clear(self) -> None:
+        self.rows.clear()
+        self.schemas.clear()

@@ -1,0 +1,184 @@
+"""Rolling-window daily feature backfill (events → features_daily).
+
+Semantics pinned by the reference (``pipelines/BackfillPipeline.scala:81-169``
+and its golden tests ``TestBackfillPipeline.scala:34-39,214-235``): for every
+user and every day D in [start, end] (dense — a row even on zero-event days):
+
+- ``event_count_7d``   events with ``D-7  <= event_date <= D`` (8 calendar
+  days inclusive — the reference's deliberate edge, BackfillPipeline.scala:137-139)
+- ``event_count_30d``  events with ``D-30 <= event_date <= D``
+- ``last_event_days_ago``  ``min(datediff(D, event_date))`` over the 30-day
+  window, null when no event (intra-day time ignored, :151-157)
+- ``event_type_counts``  distinct event types in the 30-day window, cast to
+  string (:159,167)
+
+Two physical formulations, asserted equal in tests:
+
+1. ``backfill_features_join_form`` — the reference's own plan shape
+   (crossJoin scaffold + 0..30-day range left join + conditional aggregation,
+   BackfillPipeline.scala:110-160). Correctness oracle; up-to-31× row fanout
+   makes it the wrong plan at 100 TB.
+
+2. ``backfill_features_window_form`` — the scale plan (SURVEY.md §4.4):
+   pre-aggregate one row per (user, day-with-events) — the map-side-combinable
+   shuffle — densify against the scaffold with a cheap equi join, then compute
+   every rolling stat with ``rangeBetween`` window frames over day numbers.
+   ONE shuffle by user_id replaces the 31× fanout join, and the per-user
+   partition is the only sort. Skew note: a celebrity user is one partition's
+   worth of *daily* rows (≤ range length), not raw events — bounded by design.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mini_feature_store_spark.functions import date_range
+
+#: Rolling windows in days, inclusive of both endpoints (8 / 31 calendar days).
+SHORT_WINDOW_DAYS = 7
+LONG_WINDOW_DAYS = 30
+
+_FEATURE_COLS = [
+    "event_count_7d",
+    "event_count_30d",
+    "last_event_days_ago",
+    "event_type_counts",
+]
+
+
+def _scaffold(events: DataFrame, start, end, user_col: str, day_col: str) -> DataFrame:
+    """Dense (user × day) grid: every user gets a row for every day even with
+    zero events (rationale: BackfillPipeline.scala:30-32).
+
+    The date side is ≤ a few thousand rows → broadcast, so the grid is built
+    without shuffling the user list.
+    """
+    days = date_range(events.sparkSession, start, end, day_col)
+    users = events.select(user_col).distinct()
+    return users.crossJoin(F.broadcast(days))
+
+
+def backfill_features_join_form(
+    events: DataFrame,
+    start: str | dt.date,
+    end: str | dt.date,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Reference-shaped plan: scaffold ⟕ events on equi user + 0..30-day range
+    residual, then conditional aggregation (BackfillPipeline.scala:117-160)."""
+    day, event_date = F.col("day"), F.col("event_date")
+    dist = F.datediff(day, event_date)
+
+    ev = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(type_col).alias("event_type"),
+        F.to_date(F.col(ts_col)).alias("event_date"),
+    )
+    # Alias both sides: the grid derives from `ev`, so unqualified user_id
+    # columns would resolve to the same lineage attribute (self-join trap).
+    grid = _scaffold(ev, start, end, "user_id", "day").alias("g")
+
+    joined = grid.join(
+        ev.alias("e"),
+        (F.col("g.user_id") == F.col("e.user_id"))
+        & (event_date <= day)
+        & (event_date >= F.date_sub(day, LONG_WINDOW_DAYS)),
+        "left",
+    )
+
+    in_short = (dist >= 0) & (dist <= SHORT_WINDOW_DAYS)
+    in_long = (dist >= 0) & (dist <= LONG_WINDOW_DAYS)
+    return joined.groupBy(F.col("g.user_id").alias("user_id"), F.col("g.day").alias("day")).agg(
+        F.sum(F.when(in_short, 1).otherwise(0)).alias("event_count_7d"),
+        F.sum(F.when(in_long, 1).otherwise(0)).alias("event_count_30d"),
+        F.min(F.when(event_date.isNotNull() & (dist >= 0), dist))
+        .cast("int")
+        .alias("last_event_days_ago"),
+        F.count_distinct(F.col("event_type"))
+        .cast("string")
+        .alias("event_type_counts"),
+    )
+
+
+def backfill_features_window_form(
+    events: DataFrame,
+    start: str | dt.date,
+    end: str | dt.date,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Scale plan: daily pre-aggregation + range-frame windows (SURVEY.md §4.4).
+
+    Events older than ``start`` by up to 30 days still influence early rows, so
+    the daily pre-agg keeps [start-30, end] and the scaffold join trims to
+    [start, end] afterwards.
+    """
+    spark = events.sparkSession
+
+    daily = (
+        events.select(
+            F.col(user_col).alias("user_id"),
+            F.col(type_col).alias("event_type"),
+            F.to_date(F.col(ts_col)).alias("day"),
+        )
+        .where(
+            (F.col("day") >= F.date_sub(F.lit(start).cast("date"), LONG_WINDOW_DAYS))
+            & (F.col("day") <= F.lit(end).cast("date"))
+        )
+        .groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.collect_set("event_type").alias("types"),
+        )
+    )
+
+    grid = _scaffold(
+        events.select(F.col(user_col).alias("user_id")), start, end, "user_id", "day"
+    )
+    start_lit = F.lit(start).cast("date")
+    # Rows before `start` must still be visible to the range frames of early
+    # days: route them through the window as extra rows, filtered out at the
+    # end (they are outside the grid, so the left join alone would drop them).
+    dense = grid.join(daily.where(F.col("day") >= start_lit), ["user_id", "day"], "left")
+    pre = daily.where(F.col("day") < start_lit).select(*dense.columns)
+    dense = dense.unionByName(pre)
+
+    day_no = F.unix_date(F.col("day"))
+    w7 = (
+        Window.partitionBy("user_id")
+        .orderBy(day_no)
+        .rangeBetween(-SHORT_WINDOW_DAYS, 0)
+    )
+    w30 = (
+        Window.partitionBy("user_id")
+        .orderBy(day_no)
+        .rangeBetween(-LONG_WINDOW_DAYS, 0)
+    )
+
+    last_event_day = F.max(F.when(F.col("n_events") > 0, F.col("day"))).over(w30)
+    return (
+        dense.select(
+            "user_id",
+            "day",
+            F.coalesce(F.sum("n_events").over(w7), F.lit(0)).alias("event_count_7d"),
+            F.coalesce(F.sum("n_events").over(w30), F.lit(0)).alias(
+                "event_count_30d"
+            ),
+            F.datediff(F.col("day"), last_event_day).cast("int").alias(
+                "last_event_days_ago"
+            ),
+            F.size(
+                F.array_distinct(F.flatten(F.collect_list("types").over(w30)))
+            )
+            .cast("long")
+            .cast("string")
+            .alias("event_type_counts"),
+        )
+        .where(F.col("day") >= start_lit)
+    )

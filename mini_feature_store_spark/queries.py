@@ -1,0 +1,282 @@
+"""Driver-facing query registry: Spark implementation + DuckDB oracle pairs.
+
+Every entry exercises operators from SURVEY.md §2 on the driver testdata
+(TESTDATA.md). Conventions that keep the driver's hash comparison exact:
+
+- every computed column is aliased identically in Spark and SQL;
+- floating aggregates are ``round(x, 2)`` on BOTH sides (double summation
+  order differs between engines; rounding absorbs the ulp gap);
+- DuckDB integer sums (HUGEINT) / date differences (BIGINT) are cast to the
+  Spark-side type explicitly;
+- timestamps are cast to µs precision in SQL (the raw events view is ns).
+
+Each Spark callable takes ``(spark, sf_dir)`` and returns a lazy DataFrame.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mini_feature_store_spark.io import load_testdata
+from mini_feature_store_spark.operators.latest import latest_per_key
+from mini_feature_store_spark.operators.point_in_time import point_in_time_join
+from mini_feature_store_spark.operators.rolling import (
+    backfill_features_window_form,
+)
+
+#: Events tables span exactly 2024-01-01 .. 2024-01-30 at every sf.
+EVENTS_START, EVENTS_END = "2024-01-01", "2024-01-30"
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def _utc(spark: SparkSession) -> None:
+    # Deterministic date truncation regardless of the caller session's tz.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+# ── feature-store core (SURVEY.md §2.4-§2.6) ────────────────────────────────
+
+_FEATURES_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_type, CAST(ts AS DATE) AS event_date FROM events
+),
+days AS (
+  SELECT CAST(unnest(generate_series(DATE '{EVENTS_START}', DATE '{EVENTS_END}',
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+),
+grid AS (
+  SELECT u.user_id, d.day
+  FROM (SELECT DISTINCT user_id FROM ev) u CROSS JOIN days d
+),
+features AS (
+  SELECT g.user_id, g.day,
+    CAST(SUM(CASE WHEN e.event_date >= g.day - 7 THEN 1 ELSE 0 END) AS BIGINT)
+      AS event_count_7d,
+    CAST(SUM(CASE WHEN e.event_date IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS event_count_30d,
+    CAST(MIN(g.day - e.event_date) AS INTEGER) AS last_event_days_ago,
+    CAST(CAST(COUNT(DISTINCT e.event_type) AS BIGINT) AS VARCHAR)
+      AS event_type_counts
+  FROM grid g
+  LEFT JOIN ev e
+    ON g.user_id = e.user_id
+   AND e.event_date <= g.day AND e.event_date >= g.day - 30
+  GROUP BY g.user_id, g.day
+)
+"""
+
+
+@_q(
+    "features_daily",
+    _FEATURES_SQL + "SELECT * FROM features",
+)
+def features_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window backfill (window-frame scale form; §4.4)."""
+    _utc(spark)
+    events = load_testdata(spark, sf_dir, "events")["events"]
+    return backfill_features_window_form(events, EVENTS_START, EVENTS_END)
+
+
+@_q(
+    "pit_training_data",
+    _FEATURES_SQL
+    + """
+, labels AS (
+  SELECT DISTINCT user_id, CAST(1.0 AS DOUBLE) AS label,
+         CAST(ts AS TIMESTAMP) AS as_of_ts
+  FROM events WHERE event_type = 'purchase'
+),
+cand AS (
+  SELECT l.user_id, l.label, l.as_of_ts, f.day, f.event_count_7d,
+         f.event_count_30d, f.last_event_days_ago, f.event_type_counts,
+         ROW_NUMBER() OVER (PARTITION BY l.user_id, l.as_of_ts
+                            ORDER BY f.day DESC) AS rk
+  FROM labels l
+  LEFT JOIN features f
+    ON l.user_id = f.user_id AND f.day <= CAST(l.as_of_ts AS DATE)
+)
+SELECT user_id, label, as_of_ts, day, event_count_7d, event_count_30d,
+       last_event_days_ago, event_type_counts
+FROM cand WHERE rk = 1
+""",
+)
+def pit_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe point-in-time join: labels (purchases) × features_daily."""
+    _utc(spark)
+    events = load_testdata(spark, sf_dir, "events")["events"]
+    features = backfill_features_window_form(events, EVENTS_START, EVENTS_END)
+    labels = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.lit(1.0).alias("label"),
+            F.col("ts").alias("as_of_ts"),
+        )
+        .distinct()
+    )
+    return point_in_time_join(labels, features, strategy="max_by")
+
+
+@_q(
+    "latest_event_per_user",
+    """
+SELECT user_id, event_id, ts, event_type, value, props FROM (
+  SELECT e.*, ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY ts DESC, event_id DESC) AS rk
+  FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+               value, props FROM events) e
+) WHERE rk = 1
+""",
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-per-key snapshot (online-sync operator, J4)."""
+    _utc(spark)
+    events = load_testdata(spark, sf_dir, "events")["events"]
+    return latest_per_key(
+        events, keys=["user_id"], order_cols=["ts", "event_id"], strategy="max_by"
+    )
+
+
+# ── relational core on TPC-H-ish tables (SURVEY.md §2.3/§2.5/§2.7) ──────────
+
+
+@_q(
+    "pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+  ROUND(SUM(l_quantity), 2) AS sum_qty,
+  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  ROUND(AVG(l_quantity), 2) AS avg_qty,
+  ROUND(AVG(l_discount), 4) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped hash aggregation with predicate pushdown."""
+    _utc(spark)
+    li = load_testdata(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "revenue_by_nation",
+    """
+SELECT n_name,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way equi-join; the dimension side is explicitly broadcast —
+    the 100 TB plan is three broadcast joins, zero fact-side shuffles before
+    the final aggregation."""
+    _utc(spark)
+    t = load_testdata(spark, sf_dir, "lineitem", "orders", "customer", "nation")
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@_q(
+    "top_orders_per_priority",
+    """
+SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders
+) WHERE rk <= 3
+""",
+)
+def top_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via ranking window (O2)."""
+    from pyspark.sql import Window
+
+    _utc(spark)
+    orders = load_testdata(spark, sf_dir, "orders")["orders"]
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rk"),
+        )
+        .where(F.col("rk") <= 3)
+    )
+
+
+@_q(
+    "customer_segment_stats",
+    """
+SELECT c_mktsegment,
+  CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+  COUNT(*) AS n_customers,
+  ROUND(AVG(c_acctbal), 2) AS avg_acctbal,
+  ROUND(MIN(c_acctbal), 2) AS min_acctbal,
+  ROUND(MAX(c_acctbal), 2) AS max_acctbal
+FROM customer
+GROUP BY c_mktsegment
+""",
+)
+def customer_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped exact distinct count + min/max/avg (A5 family)."""
+    _utc(spark)
+    c = load_testdata(spark, sf_dir, "customer")["customer"]
+    return c.groupBy("c_mktsegment").agg(
+        F.count_distinct("c_nationkey").alias("n_nations"),
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.avg("c_acctbal"), 2).alias("avg_acctbal"),
+        F.round(F.min("c_acctbal"), 2).alias("min_acctbal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_acctbal"),
+    )

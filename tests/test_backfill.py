@@ -1,0 +1,136 @@
+"""Golden tests for the rolling backfill, ported from the reference's suite
+(TestBackfillPipeline.scala via FIXTURES.md §5), run against BOTH physical
+forms — the join form is the correctness oracle, the window form the scale
+path; they must agree exactly (SURVEY.md §4.4)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from mini_feature_store_spark.operators.rolling import (
+    backfill_features_join_form,
+    backfill_features_window_form,
+)
+
+FORMS = [backfill_features_join_form, backfill_features_window_form]
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(u, t, dt.datetime.fromisoformat(ts)) for u, t, ts in rows],
+        "user_id string, event_type string, ts timestamp",
+    )
+
+
+def _rows(df):
+    return {
+        (r.user_id, r.day.isoformat()): (
+            r.event_count_7d,
+            r.event_count_30d,
+            r.last_event_days_ago,
+            r.event_type_counts,
+        )
+        for r in df.collect()
+    }
+
+
+@pytest.mark.parametrize("form", FORMS, ids=["join", "window"])
+def test_dense_backfill_golden(spark, form):
+    """FIXTURES.md §5.2 / TestBackfillPipeline.scala:40-81: 3 events over 5
+    days → exactly 5 rows, 7d counts 1,1,2,2,3, recency 0,1,0,1,0."""
+    events = _events(
+        spark,
+        [
+            ("user1", "click", "2024-01-01 10:00:00"),
+            ("user1", "purchase", "2024-01-03 14:30:00"),
+            ("user1", "click", "2024-01-05 16:45:00"),
+        ],
+    )
+    out = _rows(form(events, "2024-01-01", "2024-01-05"))
+    assert len(out) == 5
+    assert [out[("user1", f"2024-01-0{d}")][0] for d in range(1, 6)] == [1, 1, 2, 2, 3]
+    assert [out[("user1", f"2024-01-0{d}")][2] for d in range(1, 6)] == [0, 1, 0, 1, 0]
+    # distinct types: click only on day1-2; click+purchase from day 3
+    assert [out[("user1", f"2024-01-0{d}")][3] for d in range(1, 6)] == [
+        "1",
+        "1",
+        "2",
+        "2",
+        "2",
+    ]
+
+
+@pytest.mark.parametrize("form", FORMS, ids=["join", "window"])
+def test_window_edges_golden(spark, form):
+    """FIXTURES.md §5.3 / TestBackfillPipeline.scala:186-235: events on days
+    1, 5, 8 over days 1-10. Day 8 → 7d=3 (day-1 event exactly 7 days ago is
+    still IN — the inclusive 8-calendar-day edge); day 9 → 7d=2, 30d=3,
+    recency=1; day 10 → 7d=2, 30d=3, recency=2."""
+    events = _events(
+        spark,
+        [
+            ("user1", "click", "2024-01-01 10:00:00"),
+            ("user1", "view", "2024-01-05 11:00:00"),
+            ("user1", "click", "2024-01-08 12:00:00"),
+        ],
+    )
+    out = _rows(form(events, "2024-01-01", "2024-01-10"))
+    assert len(out) == 10
+    assert out[("user1", "2024-01-08")][:3] == (3, 3, 0)
+    assert out[("user1", "2024-01-09")][:3] == (2, 3, 1)
+    assert out[("user1", "2024-01-10")][:3] == (2, 3, 2)
+
+
+@pytest.mark.parametrize("form", FORMS, ids=["join", "window"])
+def test_multi_user_isolation(spark, form):
+    """TestBackfillPipeline.scala:125-179: users never see each other's events;
+    a user with zero events in range still gets dense zero rows."""
+    events = _events(
+        spark,
+        [
+            ("u1", "click", "2024-01-01 10:00:00"),
+            ("u2", "view", "2024-01-02 10:00:00"),
+            ("u2", "view", "2024-01-02 11:00:00"),
+        ],
+    )
+    out = _rows(form(events, "2024-01-01", "2024-01-03"))
+    assert len(out) == 6
+    assert out[("u1", "2024-01-01")] == (1, 1, 0, "1")
+    assert out[("u2", "2024-01-01")] == (0, 0, None, "0")
+    assert out[("u2", "2024-01-02")] == (2, 2, 0, "1")
+    assert out[("u1", "2024-01-03")] == (1, 1, 2, "1")
+
+
+@pytest.mark.parametrize("form", FORMS, ids=["join", "window"])
+def test_events_before_start_are_visible(spark, form):
+    """An event 3 days before the backfill start must count toward early days'
+    rolling windows (the reference reads the whole event log and bounds only
+    via the 30-day join residual, BackfillPipeline.scala:124-131)."""
+    events = _events(
+        spark,
+        [
+            ("u1", "click", "2024-01-02 10:00:00"),
+            ("u1", "view", "2024-01-06 10:00:00"),
+        ],
+    )
+    out = _rows(form(events, "2024-01-05", "2024-01-07"))
+    assert len(out) == 3
+    assert out[("u1", "2024-01-05")] == (1, 1, 3, "1")
+    assert out[("u1", "2024-01-06")] == (2, 2, 0, "2")
+    assert out[("u1", "2024-01-07")] == (2, 2, 1, "2")
+
+
+def test_forms_agree_on_testdata(spark, sf_dir):
+    """Property: join form ≡ window form on the real events table."""
+    from mini_feature_store_spark.io import load_testdata
+
+    events = load_testdata(spark, sf_dir, "events")["events"].withColumn(
+        "user_id", F.col("user_id").cast("string")
+    )
+    a = backfill_features_join_form(events, "2024-01-01", "2024-01-30")
+    b = backfill_features_window_form(events, "2024-01-01", "2024-01-30")
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+    assert a.count() == b.count()
