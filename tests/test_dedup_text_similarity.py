@@ -1,0 +1,124 @@
+"""Validation for the training-data-pipeline operators.
+
+The approximate operators (MinHash-LSH, SimHash, hyperplane-LSH ANN) cannot
+be value-checked against DuckDB (engine-specific hash functions), so they are
+validated statistically against their exact counterparts: recall on planted
+near-duplicates / true top-k."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mini_feature_store_spark.io import load_testdata
+from mini_feature_store_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from mini_feature_store_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    lsh_topk,
+)
+from mini_feature_store_spark.operators.text import lang_id, text_stats
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_testdata(spark, sf_dir, "documents")["documents"].cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_testdata(spark, sf_dir, "embeddings")["embeddings"].cache()
+
+
+def test_exact_dedup_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other text"), (4, "HELLO world ")],
+        "doc_id long, text string",
+    )
+    out = {r.keep_id: r.n_dupes for r in exact_dedup(df).collect()}
+    assert out == {1: 3, 3: 1}
+
+
+def test_ngram_jaccard_finds_planted_near_dups(docs):
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert len(pairs) > 0
+    assert all(0.5 <= r.jaccard <= 1.0 for r in pairs)
+    assert all(r.id_a < r.id_b for r in pairs)
+
+
+def test_minhash_lsh_recall_vs_exact(docs):
+    """Banded MinHash must recover ≥90% of true Jaccard≥0.6 pairs and
+    estimate Jaccard within 0.25 of exact on recovered pairs."""
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.6).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_lsh_pairs(docs, threshold=0.4).collect()
+    }
+    assert exact, "test data must contain planted near-dups"
+    recovered = set(exact) & set(approx)
+    assert len(recovered) / len(exact) >= 0.9
+    for k in recovered:
+        assert abs(exact[k] - approx[k]) < 0.25
+
+
+def test_simhash_finds_planted_near_dups(docs):
+    """SimHash Hamming≤3 must recover near-identical docs (Jaccard ≥ 0.98).
+
+    Hamming distance tracks similarity smoothly — measured on this corpus,
+    pairs at Jaccard 0.89-0.97 span Hamming 0-9 — so the ≤3 cutoff is only a
+    guarantee for the near-identical tier, which is what SimHash dedup is for.
+    """
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.98).collect()
+    }
+    sim = {(r.id_a, r.id_b) for r in simhash_pairs(docs, max_hamming=3).collect()}
+    assert exact
+    assert len(exact & sim) / len(exact) >= 0.85
+
+
+def test_lsh_topk_recall(emb):
+    """Multi-probe hyperplane LSH recovers ≥60% of exact top-5 neighbors."""
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_bruteforce(queries, emb, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id) for r in lsh_topk(queries, emb, k=5).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.6
+
+
+def test_text_stats_values(spark):
+    df = spark.createDataFrame(
+        [(1, "The quick Fox!"), (2, "")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in text_stats(df).collect()}
+    assert rows[1].n_tokens == 3
+    assert rows[1].n_chars == 14
+    assert rows[1].punct_ratio == round(1 / 14, 4)
+    assert rows[1].upper_ratio == round(2 / 14, 4)
+    assert rows[1].stopword_ratio == round(1 / 3, 4)
+    assert rows[2].n_tokens == 0
+    assert rows[2].chars_per_token == 0.0
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "der hund und die katze ist das"),
+            (2, "the cat of a dog and to"),
+            (3, "xyzzy plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.lang_guess for r in lang_id(df).collect()}
+    assert out == {1: "de", 2: "en", 3: "und"}
