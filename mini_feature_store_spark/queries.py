@@ -517,3 +517,332 @@ def embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     emb = load_testdata(spark, sf_dir, "embeddings")["embeddings"]
     return lsh_topk(emb.where(F.col("vec_id") < 10), emb, k=5)
+
+
+# ── relational surface completion (SURVEY.md §2.11) ─────────────────────────
+
+
+@_q(
+    "set_ops_users",
+    """
+SELECT user_id FROM (
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+  EXCEPT
+  SELECT user_id FROM events WHERE event_type = 'error'
+)
+UNION
+SELECT user_id FROM (
+  SELECT user_id FROM events WHERE event_type = 'view'
+  INTERSECT
+  SELECT user_id FROM events WHERE event_type = 'signup'
+)
+""",
+)
+def set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT set operators (distinct semantics)."""
+    _utc(spark)
+    ev = load_testdata(spark, sf_dir, "events")["events"]
+
+    def typed(t: str) -> DataFrame:
+        return ev.where(F.col("event_type") == t).select("user_id")
+
+    left = typed("purchase").exceptAll(typed("error")).distinct()
+    right = typed("view").intersect(typed("signup"))
+    return left.union(right).distinct()
+
+
+@_q(
+    "customers_without_orders",
+    """
+SELECT c_mktsegment, COUNT(*) AS n_customers
+FROM customer
+WHERE c_custkey NOT IN
+      (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+GROUP BY c_mktsegment
+""",
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join — customers with no large order (every customer has
+    *some* order in this data, so the unfiltered anti join would be empty).
+    NOT IN at 100 TB is a shuffled anti join; Catalyst picks broadcast when
+    the subquery side is small."""
+    _utc(spark)
+    t = load_testdata(spark, sf_dir, "customer", "orders")
+    big = t["orders"].where(F.col("o_totalprice") > 300000)
+    return (
+        t["customer"]
+        .join(big, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@_q(
+    "customers_with_big_orders",
+    """
+SELECT c_mktsegment, COUNT(*) AS n_customers
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+GROUP BY c_mktsegment
+""",
+)
+def customers_with_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join."""
+    _utc(spark)
+    t = load_testdata(spark, sf_dir, "customer", "orders")
+    big = t["orders"].where(F.col("o_totalprice") > 400000)
+    return (
+        t["customer"]
+        .join(big, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@_q(
+    "rollup_order_revenue",
+    """
+SELECT o_orderstatus, o_orderpriority,
+  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INTEGER)
+    AS grp_id,
+  ROUND(SUM(o_totalprice), 2) AS revenue,
+  COUNT(*) AS n_orders
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+)
+def rollup_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals with grouping-id disambiguation."""
+    _utc(spark)
+    orders = load_testdata(spark, sf_dir, "orders")["orders"]
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("int").alias("grp_id"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority", "grp_id", "revenue", "n_orders"
+        )
+    )
+
+
+@_q(
+    "cube_event_counts",
+    """
+SELECT event_type, CAST(ts AS DATE) AS day,
+  CAST(GROUPING(event_type) * 2 + GROUPING(CAST(ts AS DATE)) AS INTEGER)
+    AS grp_id,
+  COUNT(*) AS n_events
+FROM events
+GROUP BY CUBE (event_type, CAST(ts AS DATE))
+""",
+)
+def cube_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, day)."""
+    _utc(spark)
+    ev = load_testdata(spark, sf_dir, "events")["events"]
+    return (
+        ev.select("event_type", F.to_date("ts").alias("day"))
+        .cube("event_type", "day")
+        .agg(
+            F.grouping_id().cast("int").alias("grp_id"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@_q(
+    "grouping_sets_sql",
+    """
+SELECT o_orderstatus, o_orderpriority, ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+)
+def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the raw SQL entry point (SURVEY.md §2.9: every
+    table registered in the session catalog gets the full Spark SQL
+    surface)."""
+    _utc(spark)
+    orders = load_testdata(spark, sf_dir, "orders")["orders"]
+    orders.createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@_q(
+    "quantiles_by_returnflag",
+    """
+SELECT l_returnflag,
+  ROUND(quantile_cont(l_quantity, 0.25), 4) AS q25,
+  ROUND(quantile_cont(l_quantity, 0.5), 4) AS q50,
+  ROUND(quantile_cont(l_quantity, 0.75), 4) AS q75,
+  ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS price_p95
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def quantiles_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (the approx tier is
+    ``approx_distinct_stats``)."""
+    _utc(spark)
+    li = load_testdata(spark, sf_dir, "lineitem")["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", 0.25), 4).alias("q25"),
+        F.round(F.percentile("l_quantity", 0.5), 4).alias("q50"),
+        F.round(F.percentile("l_quantity", 0.75), 4).alias("q75"),
+        F.round(F.percentile("l_extendedprice", 0.95), 4).alias("price_p95"),
+    )
+
+
+@_q("approx_distinct_stats")  # estimator outputs are engine-specific → rows-only
+def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB approximate tier: HLL++ distinct counts + approximate
+    percentiles (vs the exact forms used at oracle scale)."""
+    _utc(spark)
+    t = load_testdata(spark, sf_dir, "lineitem", "orders")
+    return t["lineitem"].groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price"),
+    )
+
+
+@_q(
+    "json_props_stats",
+    """
+SELECT event_type,
+  ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+  COUNT(*) AS n
+FROM events
+GROUP BY event_type
+""",
+)
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column parsing (F8/F9: the reference round-trips JSON by hand;
+    we parse with get_json_object in-plan)."""
+    _utc(spark)
+    ev = load_testdata(spark, sf_dir, "events")["events"]
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@_q(
+    "user_event_type_arrays",
+    """
+SELECT user_id,
+  list_sort(list(DISTINCT event_type)) AS types,
+  CAST(len(list(DISTINCT event_type)) AS INTEGER) AS n_types
+FROM events
+GROUP BY user_id
+""",
+)
+def user_event_type_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation + array functions (collect_set / array_sort / size —
+    §2.11 array-function tier; the reference stringifies instead)."""
+    _utc(spark)
+    ev = load_testdata(spark, sf_dir, "events")["events"]
+    return ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types"),
+        F.size(F.collect_set("event_type")).cast("int").alias("n_types"),
+    )
+
+
+@_q(
+    "weekly_event_buckets",
+    """
+SELECT CAST(date_trunc('week', ts) AS DATE) AS week, event_type,
+  COUNT(*) AS n_events,
+  ROUND(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def weekly_event_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling calendar-week buckets (batch analog of the streaming window)."""
+    _utc(spark)
+    ev = load_testdata(spark, sf_dir, "events")["events"]
+    return (
+        ev.groupBy(
+            F.date_trunc("week", "ts").cast("date").alias("week"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@_q(
+    "user_running_value",
+    """
+SELECT user_id, event_id,
+  ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+    AS running_value,
+  ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+    AS moving_avg_3
+FROM events
+""",
+)
+def user_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit rowsBetween window frames (cumulative sum + 3-row moving
+    average) — the frame type the reference never uses (§2.6)."""
+    from pyspark.sql import Window
+
+    _utc(spark)
+    ev = load_testdata(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(
+            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("running_value"),
+        F.round(F.avg("value").over(w.rowsBetween(-2, 0)), 4).alias(
+            "moving_avg_3"
+        ),
+    )
+
+
+@_q(
+    "date_dimension",
+    f"""
+SELECT day,
+  CAST(EXTRACT(dow FROM day) AS INTEGER) AS day_of_week,
+  CAST(EXTRACT(dow FROM day) IN (0, 6) AS BOOLEAN) AS is_weekend,
+  CAST(date_trunc('month', day) AS DATE) AS month_start
+FROM (
+  SELECT CAST(unnest(generate_series(DATE '{EVENTS_START}', DATE '{EVENTS_END}',
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+)
+""",
+)
+def date_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-range generator (S7/F7: sequence+explode replaces the reference's
+    posexplode-split-space idiom) + calendar derivations."""
+    from mini_feature_store_spark.functions import date_range
+
+    _utc(spark)
+    days = date_range(spark, EVENTS_START, EVENTS_END)
+    dow = F.dayofweek("day") - 1  # Spark: Sun=1 → dow 0..6 like DuckDB
+    return days.select(
+        "day",
+        dow.cast("int").alias("day_of_week"),
+        dow.isin(0, 6).alias("is_weekend"),
+        F.date_trunc("month", "day").cast("date").alias("month_start"),
+    )
