@@ -1,0 +1,127 @@
+"""CLI entry point: ``python -m mini_feature_store_spark.cli <pipeline> ...``.
+
+Mirrors the reference's dispatch surface (``App.scala:40-115``: pipelines
+``backfill``, ``point-in-time-join``, ``online-sync`` with ``--key value``
+options) on argparse. Master resolution honors ``SPARK_MASTER`` like
+``App.scala:55-57``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from mini_feature_store_spark.session import get_spark
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="mini-feature-store-spark")
+    p.add_argument("--master", default=None, help="overrides $SPARK_MASTER")
+    sub = p.add_subparsers(dest="pipeline", required=True)
+
+    b = sub.add_parser("backfill", help="events parquet → features_daily table")
+    b.add_argument("--events-path", required=True)
+    b.add_argument("--output-table", required=True)
+    b.add_argument("--start-date", required=True)
+    b.add_argument("--end-date", required=True)
+    b.add_argument("--user-col", default="user_id")
+    b.add_argument("--ts-col", default="ts")
+    b.add_argument("--type-col", default="event_type")
+
+    j = sub.add_parser(
+        "point-in-time-join", help="labels + features → training data"
+    )
+    j.add_argument("--labels-path", required=True)
+    j.add_argument("--features-table", required=True)
+    j.add_argument("--output-path", required=True)
+    j.add_argument("--features-version", type=int, default=None)
+    j.add_argument("--lookback-days", type=int, default=None)
+
+    s = sub.add_parser("online-sync", help="features → online KV store")
+    s.add_argument("--features-table", required=True)
+    s.add_argument("--kv-dir", default=None, help="FileKVStore directory")
+    s.add_argument("--redis-url", default=None, help="redis:// URL (needs redis pkg)")
+    s.add_argument("--as-of", default=None, help="cutoff date YYYY-MM-DD")
+    s.add_argument("--lookback-days", type=int, default=7)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    from pyspark.sql import SparkSession
+
+    # Only stop the session if this invocation created it (getOrCreate may
+    # return a caller-owned session, e.g. under tests or a notebook).
+    owns_session = SparkSession.getActiveSession() is None
+    spark = get_spark(app_name=f"mfss-{args.pipeline}", master=args.master)
+    try:
+        if args.pipeline == "backfill":
+            from mini_feature_store_spark.pipelines.backfill import (
+                BackfillConfig,
+                run_backfill,
+            )
+
+            run_backfill(
+                spark,
+                BackfillConfig(
+                    events_path=args.events_path,
+                    output_table=args.output_table,
+                    start_date=args.start_date,
+                    end_date=args.end_date,
+                    user_col=args.user_col,
+                    ts_col=args.ts_col,
+                    type_col=args.type_col,
+                ),
+            )
+            print(f"backfill committed to {args.output_table}")
+        elif args.pipeline == "point-in-time-join":
+            from mini_feature_store_spark.pipelines.pit_join import (
+                PointInTimeJoinConfig,
+                run_pit_join,
+            )
+
+            run_pit_join(
+                spark,
+                PointInTimeJoinConfig(
+                    labels_path=args.labels_path,
+                    features_table=args.features_table,
+                    output_path=args.output_path,
+                    features_version=args.features_version,
+                    lookback_days=args.lookback_days,
+                ),
+            )
+            print(f"training data written to {args.output_path}")
+        elif args.pipeline == "online-sync":
+            from mini_feature_store_spark.pipelines.online_sync import (
+                FileKVStore,
+                OnlineSyncConfig,
+                redis_kv_factory,
+                run_online_sync,
+            )
+
+            if bool(args.kv_dir) == bool(args.redis_url):
+                print("exactly one of --kv-dir / --redis-url required", file=sys.stderr)
+                return 2
+            factory = (
+                (lambda: FileKVStore(args.kv_dir))
+                if args.kv_dir
+                else redis_kv_factory(args.redis_url)
+            )
+            n = run_online_sync(
+                spark,
+                OnlineSyncConfig(
+                    features_table=args.features_table,
+                    as_of=args.as_of,
+                    lookback_days=args.lookback_days,
+                ),
+                factory,
+            )
+            print(f"synced {n} keys")
+        return 0
+    finally:
+        if owns_session:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

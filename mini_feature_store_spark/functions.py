@@ -4,8 +4,20 @@ from __future__ import annotations
 
 import datetime as dt
 
+import contextlib
+import io
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def plan_text(df: DataFrame, mode: str = "formatted") -> str:
+    """The physical plan as a string (captured ``df.explain``) — used by
+    tests and plan audits to assert pushdown/pruning/codegen properties."""
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
 
 
 def date_range(

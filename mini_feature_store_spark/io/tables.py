@@ -1,0 +1,126 @@
+"""Versioned parquet tables: ACID-ish overwrite + time travel without Delta.
+
+BASELINE.json prescribes "Delta Lake for versioning"; this container has no
+delta-spark, so this module provides the same *capability surface* on plain
+parquet: every overwrite lands in a fresh ``v=N`` directory, committed by an
+atomic manifest rename, and reads resolve a version pin (Delta ``VERSION AS
+OF`` analog). When delta-spark IS installed, ``insert_overwrite_table``
+(sinks.py) should be preferred; this layer is the portable fallback and the
+reference's Iceberg-snapshot analog (the reference uses Iceberg but never
+queries snapshots — time travel here is a genuine capability add, SURVEY.md
+§2.11).
+
+Scale notes:
+- The commit is one driver-side JSON rename — O(1) regardless of data size.
+- Old versions are immutable → safe concurrent readers; ``vacuum()`` prunes.
+- Partition columns are preserved per version, so partition pruning works on
+  every version.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class VersionedTable:
+    path: str
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, "_manifest.json")
+
+    def _load_manifest(self) -> dict:
+        try:
+            with open(self._manifest_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"versions": []}
+
+    def versions(self) -> list[dict]:
+        """Commit log: [{version, timestamp, partition_by}]."""
+        return self._load_manifest()["versions"]
+
+    def write(
+        self,
+        df: DataFrame,
+        partition_by: Sequence[str] = (),
+        mode: str = "overwrite",
+    ) -> int:
+        """Write a new table version; returns the committed version number.
+
+        ``mode='overwrite'`` snapshots the full dataframe as the next
+        version (the reference's INSERT OVERWRITE, ProdWriter.scala:57-70);
+        ``mode='append'`` snapshots previous-version-plus-new-rows, keeping
+        every version self-contained (reads never stitch deltas).
+        """
+        manifest = self._load_manifest()
+        version = (
+            max((v["version"] for v in manifest["versions"]), default=-1) + 1
+        )
+        vdir = os.path.join(self.path, f"v={version}")
+        if mode == "append" and manifest["versions"]:
+            prev = self.read(df.sparkSession)
+            df = prev.unionByName(df)
+        writer = df.write.mode("errorifexists")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(vdir)
+        manifest["versions"].append(
+            {
+                "version": version,
+                "timestamp": time.time(),
+                "partition_by": list(partition_by),
+            }
+        )
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path())  # atomic commit point
+        return version
+
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        as_of_timestamp: float | None = None,
+    ) -> DataFrame:
+        """Read latest, ``VERSION AS OF`` or ``TIMESTAMP AS OF``."""
+        commits = self.versions()
+        if not commits:
+            raise FileNotFoundError(f"no committed versions at {self.path}")
+        if as_of_timestamp is not None:
+            eligible = [c for c in commits if c["timestamp"] <= as_of_timestamp]
+            if not eligible:
+                raise ValueError(
+                    f"no version at or before timestamp {as_of_timestamp}"
+                )
+            version = eligible[-1]["version"]
+        elif version is None:
+            version = commits[-1]["version"]
+        elif version not in {c["version"] for c in commits}:
+            raise ValueError(f"version {version} not in commit log")
+        return spark.read.parquet(os.path.join(self.path, f"v={version}"))
+
+    def vacuum(self, keep_last: int = 2) -> list[int]:
+        """Drop all but the last ``keep_last`` versions; returns dropped ids."""
+        import shutil
+
+        manifest = self._load_manifest()
+        keep = manifest["versions"][-keep_last:]
+        drop = manifest["versions"][:-keep_last] if keep_last else manifest["versions"]
+        for c in drop:
+            shutil.rmtree(
+                os.path.join(self.path, f"v={c['version']}"), ignore_errors=True
+            )
+        manifest["versions"] = keep
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path())
+        return [c["version"] for c in drop]

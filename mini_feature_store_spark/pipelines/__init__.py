@@ -1,0 +1,13 @@
+from mini_feature_store_spark.pipelines.backfill import (  # noqa: F401
+    BackfillConfig,
+    run_backfill,
+)
+from mini_feature_store_spark.pipelines.pit_join import (  # noqa: F401
+    PointInTimeJoinConfig,
+    run_pit_join,
+)
+from mini_feature_store_spark.pipelines.online_sync import (  # noqa: F401
+    FileKVStore,
+    OnlineSyncConfig,
+    run_online_sync,
+)

@@ -846,3 +846,35 @@ def date_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         dow.isin(0, 6).alias("is_weekend"),
         F.date_trunc("month", "day").cast("date").alias("month_start"),
     )
+
+
+# ── multimodal plumbing (operators/multimodal.py) ───────────────────────────
+
+
+@_q("multimodal_decode")  # binary payloads: no SQL oracle → rows-only check;
+# plumbing (batch shapes, error channel, pruning) is pinned in tests/test_multimodal.py
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize deterministic binary media from documents, then decode +
+    feature-extract through the Arrow-batched mapInPandas pipeline (codec
+    stubbed — see operators/multimodal.py docstring)."""
+    from pyspark.sql import types as T
+
+    from mini_feature_store_spark.operators.multimodal import (
+        decode_images,
+        encode_fake_image,
+    )
+
+    _utc(spark)
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+
+    @F.udf(T.BinaryType())
+    def make_blob(doc_id, n_chars):
+        w = 4 + int(doc_id) % 13
+        h = 3 + int(n_chars) % 7
+        return encode_fake_image(w, h, 3, seed=int(doc_id))
+
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        make_blob("doc_id", "n_chars").alias("payload"),
+    )
+    return decode_images(media)

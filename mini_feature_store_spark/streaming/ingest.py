@@ -1,0 +1,173 @@
+"""Structured Streaming ingestion: continuous feature freshness.
+
+The reference has NO streaming — "freshness" is a re-run batch sync
+(``README.md:67``, ``OnlineSyncPipeline.scala:50-99``). This module is the
+§2.11 capability add: a watermarked streaming pipeline whose windowed
+aggregates feed the online store continuously via ``foreachBatch``.
+
+Scale notes:
+- Watermarks bound state: a ``withWatermark(ts, '1 day')`` tumbling count
+  keeps ≤ (windows in flight × keys) state rows per executor; without it the
+  state store grows unboundedly.
+- ``foreachBatch`` reuses the batch ``latest_per_key`` + KV sink — one code
+  path for batch and streaming sync (no logic fork to keep consistent).
+- File-source streams checkpoint offsets; ``availableNow`` triggers give
+  exactly-once batch-boundary semantics for backfill-style catch-up runs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Schema of the driver's events table (streams can't infer schemas).
+EVENT_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = EVENT_STREAM_SCHEMA,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source event stream (new parquet files under ``path``)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 day",
+    watermark: str = "1 day",
+    ts_col: str = "ts",
+    key_cols: tuple[str, ...] = ("user_id",),
+) -> DataFrame:
+    """Tumbling-window event counts with late-data handling.
+
+    Events later than ``watermark`` behind the max seen ts are dropped and
+    their windows finalized — the lateness policy the reference's daily
+    batch contract implies (SURVEY.md §7.4: 1-day lateness, then backfill
+    repair).
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("win"), *key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *key_cols,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_event_counts(
+    events: DataFrame,
+    window: str = "1 day",
+    slide: str = "6 hours",
+    watermark: str = "1 day",
+    ts_col: str = "ts",
+    key_cols: tuple[str, ...] = ("user_id",),
+) -> DataFrame:
+    """Sliding-window counts (each event lands in window/slide windows)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window, slide).alias("win"), *key_cols)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *key_cols,
+            "n_events",
+        )
+    )
+
+
+def sessionized_activity(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 day",
+    ts_col: str = "ts",
+    key_cols: tuple[str, ...] = ("user_id",),
+) -> DataFrame:
+    """Session windows: activity bursts separated by ≥ ``gap`` of silence."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("win"), *key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("first_event"),
+            F.max(ts_col).alias("last_event"),
+        )
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            *key_cols,
+            "n_events",
+            "first_event",
+            "last_event",
+        )
+    )
+
+
+def stream_online_sync(
+    windowed: DataFrame,
+    kv_factory: Callable[[], object],
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+    key_prefix: str = "features:",
+    order_col: str = "window_start",
+    trigger_available_now: bool = True,
+):
+    """Continuously upsert the latest window per key into the online store.
+
+    ``foreachBatch`` routes each micro-batch through the *batch* sync path
+    (latest_per_key + partition-parallel KV writes) — the streaming analog
+    of OnlineSyncPipeline, with the driver-collect anti-pattern already
+    fixed in the shared code.
+    """
+    from mini_feature_store_spark.operators.latest import latest_per_key
+
+    def sync_batch(batch_df: DataFrame, batch_id: int) -> None:
+        latest = latest_per_key(
+            batch_df, keys=[key_col], order_cols=[order_col], strategy="max_by"
+        )
+        value_cols = [c for c in latest.columns if c != key_col]
+        payloads = latest.select(
+            F.concat(F.lit(key_prefix), F.col(key_col).cast("string")).alias("key"),
+            F.to_json(F.struct(key_col, *value_cols)).alias("payload"),
+        )
+
+        def write_partition(rows):
+            client = kv_factory()
+            client.mset((r["key"], r["payload"]) for r in rows)
+
+        payloads.foreachPartition(write_partition)
+
+    writer = (
+        windowed.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sync_batch)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

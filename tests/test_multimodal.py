@@ -1,0 +1,72 @@
+"""Multimodal plumbing tests: binary round-trip, Arrow batch shapes,
+row-level error channel, metadata-only projection pruning."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mini_feature_store_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    decode_images,
+    encode_fake_image,
+    media_metadata_stats,
+    resize_images,
+)
+
+
+def _media_df(spark):
+    rows = []
+    for i in range(8):
+        w, h = 4 + i, 3 + i
+        blob = encode_fake_image(w, h, 3, seed=i)
+        rows.append(
+            (i, "image", f"mem://img/{i}", bytearray(blob), (w, h, 3, len(blob)))
+        )
+    rows.append((99, "image", "mem://img/bad", bytearray(b"\x89PNG garbage"), None))
+    rows.append((100, "image", "mem://img/null", None, None))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_decode_extracts_features_and_errors(spark):
+    media = _media_df(spark)
+    got = {r.media_id: r for r in decode_images(media).collect()}
+    assert len(got) == 10
+    assert got[0].width == 4 and got[0].height == 3 and got[0].n_pixels == 12
+    assert got[0].error is None
+    assert 0 <= got[0].mean_intensity <= 255
+    # poisoned blob and null payload become rows, not job failures
+    assert got[99].error.startswith("NotImplementedError")
+    assert got[99].width is None
+    assert got[100].error.startswith("ValueError")
+
+
+def test_resize_roundtrip(spark):
+    media = _media_df(spark).where(F.col("media_id") < 8)
+    resized = resize_images(media, (2, 2))
+    decoded = {r.media_id: r for r in decode_images(resized).collect()}
+    assert all(r.width == 2 and r.height == 2 for r in decoded.values())
+    assert all(r.error is None for r in decoded.values())
+
+
+def test_metadata_stats_prune_payload(spark, tmp_path):
+    path = str(tmp_path / "media")
+    _media_df(spark).write.parquet(path)
+    media = spark.read.parquet(path)
+    from mini_feature_store_spark.functions import plan_text
+
+    stats = media_metadata_stats(media)
+    plan = plan_text(stats)
+    # binary payload column must not be in the parquet ReadSchema
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "payload" not in read_schema[0]
+    row = stats.collect()[0]
+    assert row.n_items == 10 and row.media_type == "image"
+
+
+def test_arrow_batching_respects_max_records(spark):
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        media = _media_df(spark).coalesce(1)
+        assert decode_images(media).count() == 10
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

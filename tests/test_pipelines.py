@@ -1,0 +1,205 @@
+"""End-to-end pipeline tests: backfill → versioned table → PIT join →
+training parquet → online sync → KV store, plus time travel."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from mini_feature_store_spark.io.tables import VersionedTable
+from mini_feature_store_spark.pipelines import (
+    BackfillConfig,
+    FileKVStore,
+    OnlineSyncConfig,
+    PointInTimeJoinConfig,
+    run_backfill,
+    run_online_sync,
+    run_pit_join,
+)
+
+
+@pytest.fixture()
+def events_path(spark, tmp_path):
+    path = str(tmp_path / "events")
+    spark.createDataFrame(
+        [
+            ("u1", "click", dt.datetime(2024, 1, 1, 10)),
+            ("u1", "purchase", dt.datetime(2024, 1, 3, 14, 30)),
+            ("u2", "view", dt.datetime(2024, 1, 2, 9)),
+        ],
+        "user_id string, event_type string, ts timestamp",
+    ).write.parquet(path)
+    return path
+
+
+def test_backfill_to_versioned_table(spark, tmp_path, events_path):
+    table = str(tmp_path / "features")
+    cfg = BackfillConfig(events_path, table, "2024-01-01", "2024-01-05")
+    run_backfill(spark, cfg)
+
+    vt = VersionedTable(table)
+    df = vt.read(spark)
+    assert df.count() == 10  # 2 users × 5 days, dense
+    row = df.where((F.col("user_id") == "u1") & (F.col("day") == "2024-01-03")).first()
+    assert row.event_count_7d == 2 and row.last_event_days_ago == 0
+    # partitioned by day on disk → partition pruning applies
+    assert any("day=" in str(p) for p in (tmp_path / "features" / "v=0").iterdir())
+
+
+def test_time_travel_versions(spark, tmp_path, events_path):
+    table = str(tmp_path / "features")
+    run_backfill(spark, BackfillConfig(events_path, table, "2024-01-01", "2024-01-03"))
+    run_backfill(spark, BackfillConfig(events_path, table, "2024-01-01", "2024-01-05"))
+
+    vt = VersionedTable(table)
+    assert [v["version"] for v in vt.versions()] == [0, 1]
+    assert vt.read(spark, version=0).count() == 6
+    assert vt.read(spark).count() == 10
+    dropped = vt.vacuum(keep_last=1)
+    assert dropped == [0]
+    with pytest.raises(ValueError):
+        vt.read(spark, version=0)
+
+
+def test_pit_join_pipeline(spark, tmp_path, events_path):
+    table = str(tmp_path / "features")
+    run_backfill(spark, BackfillConfig(events_path, table, "2024-01-01", "2024-01-05"))
+    labels_path = str(tmp_path / "labels")
+    spark.createDataFrame(
+        [("u1", 1.0, dt.datetime(2024, 1, 4, 12))],
+        "user_id string, label double, as_of_ts timestamp",
+    ).write.parquet(labels_path)
+
+    out = str(tmp_path / "training")
+    run_pit_join(
+        spark,
+        PointInTimeJoinConfig(
+            labels_path=labels_path, features_table=table, output_path=out
+        ),
+    )
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 1
+    assert got[0].day == dt.date(2024, 1, 4)
+    assert got[0].as_of_date == dt.date(2024, 1, 4)  # scale-safe partitioning
+
+
+def test_online_sync_to_file_kv(spark, tmp_path, events_path):
+    table = str(tmp_path / "features")
+    run_backfill(spark, BackfillConfig(events_path, table, "2024-01-01", "2024-01-05"))
+
+    kv_dir = str(tmp_path / "kv")
+    n = run_online_sync(
+        spark,
+        OnlineSyncConfig(features_table=table, as_of="2024-01-05"),
+        lambda: FileKVStore(kv_dir),
+    )
+    store = FileKVStore(kv_dir)
+    assert n == 2
+    assert store.keys() == ["features:u1", "features:u2"]
+    payload = store.get("features:u1")
+    assert payload["day"] == "2024-01-05"
+    assert payload["event_count_30d"] == 2
+    # typed JSON (documented deviation from the reference's stringly payloads)
+    assert isinstance(payload["event_count_7d"], int)
+
+
+def test_online_sync_cutoff_excludes_stale_users(spark, tmp_path):
+    events_path = str(tmp_path / "ev2")
+    spark.createDataFrame(
+        [
+            ("fresh", "click", dt.datetime(2024, 1, 9, 10)),
+            ("stale", "click", dt.datetime(2024, 1, 1, 10)),
+        ],
+        "user_id string, event_type string, ts timestamp",
+    ).write.parquet(events_path)
+    table = str(tmp_path / "features2")
+    run_backfill(spark, BackfillConfig(events_path, table, "2024-01-01", "2024-01-10"))
+
+    kv_dir = str(tmp_path / "kv2")
+    # Sync with a 0-day lookback at 2024-01-10: both users have dense rows
+    # through the 10th, so both sync — but pin as_of to the 9th with the
+    # window form: all users still have rows. The discriminating case is a
+    # features table whose stale user stops early:
+    VersionedTable(table).write(
+        VersionedTable(table)
+        .read(spark)
+        .where(
+            (F.col("user_id") == "fresh") | (F.col("day") <= "2024-01-03")
+        )
+    )
+    n = run_online_sync(
+        spark,
+        OnlineSyncConfig(features_table=table, as_of="2024-01-10", lookback_days=2),
+        lambda: FileKVStore(kv_dir),
+    )
+    assert n == 1
+    assert FileKVStore(kv_dir).keys() == ["features:fresh"]
+
+
+def test_cli_end_to_end(tmp_path, events_path, spark):
+    """Drive the CLI surface (argparse → pipelines) in-process."""
+    from mini_feature_store_spark import cli
+
+    table = str(tmp_path / "features")
+    out = str(tmp_path / "training")
+    labels_path = str(tmp_path / "labels")
+    spark.createDataFrame(
+        [("u2", 0.0, dt.datetime(2024, 1, 3, 8))],
+        "user_id string, label double, as_of_ts timestamp",
+    ).write.parquet(labels_path)
+
+    assert (
+        cli.main(
+            [
+                "--master",
+                "local[2]",
+                "backfill",
+                "--events-path",
+                events_path,
+                "--output-table",
+                table,
+                "--start-date",
+                "2024-01-01",
+                "--end-date",
+                "2024-01-05",
+            ]
+        )
+        == 0
+    )
+    assert (
+        cli.main(
+            [
+                "--master",
+                "local[2]",
+                "point-in-time-join",
+                "--labels-path",
+                labels_path,
+                "--features-table",
+                table,
+                "--output-path",
+                out,
+            ]
+        )
+        == 0
+    )
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 1 and got[0].user_id == "u2"
+    kv_dir = str(tmp_path / "kv")
+    assert (
+        cli.main(
+            [
+                "--master",
+                "local[2]",
+                "online-sync",
+                "--features-table",
+                table,
+                "--kv-dir",
+                kv_dir,
+            ]
+        )
+        == 0
+    )
+    assert len(FileKVStore(kv_dir).keys()) == 2

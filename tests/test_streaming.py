@@ -1,0 +1,180 @@
+"""Structured Streaming tests: file-source micro-batches, watermarked
+tumbling/sliding/session windows, late-data drops, and the foreachBatch
+online-sync path. All runs use availableNow triggers so they terminate."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mini_feature_store_spark.pipelines import FileKVStore
+from mini_feature_store_spark.streaming import (
+    read_event_stream,
+    sessionized_activity,
+    sliding_event_counts,
+    stream_online_sync,
+    windowed_event_counts,
+)
+
+SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+
+def _write_batch(spark, path, rows, name):
+    """Land one bare parquet FILE in the stream dir (the file source does not
+    recurse into the directory `df.write.parquet` would create)."""
+    import glob
+    import shutil
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as staging:
+        out = os.path.join(staging, "out")
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(out)
+        (part,) = glob.glob(os.path.join(out, "part-*.parquet"))
+        shutil.copy(part, os.path.join(path, f"{name}.parquet"))
+
+
+def _run_to_memory(stream_df, name, mode="append"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+@pytest.fixture()
+def stream_dir(spark, tmp_path):
+    path = str(tmp_path / "stream")
+    os.makedirs(path, exist_ok=True)
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 1), 1, "click", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 2), 1, "view", 2.0, "{}"),
+        (3, dt.datetime(2024, 1, 2, 1), 1, "click", 3.0, "{}"),
+        (4, dt.datetime(2024, 1, 2, 2), 2, "click", 4.0, "{}"),
+    ]
+    _write_batch(spark, path, rows, "part1")
+    return path
+
+
+def test_tumbling_window_counts(spark, stream_dir):
+    stream = read_event_stream(spark, stream_dir)
+    assert stream.isStreaming
+    # complete mode: append only emits watermark-closed windows, and an
+    # availableNow run ends before the watermark passes the last window
+    _run_to_memory(
+        windowed_event_counts(stream, window="1 day"), "tumbling", mode="complete"
+    )
+    got = {
+        (r.window_start.date().isoformat(), r.user_id): (r.n_events, r.sum_value)
+        for r in spark.table("tumbling").collect()
+    }
+    assert got == {
+        ("2024-01-01", 1): (2, 3.0),
+        ("2024-01-02", 1): (1, 3.0),
+        ("2024-01-02", 2): (1, 4.0),
+    }
+
+
+def test_sliding_windows_multiply_membership(spark, stream_dir):
+    stream = read_event_stream(spark, stream_dir)
+    _run_to_memory(
+        sliding_event_counts(stream, window="1 day", slide="12 hours"),
+        "sliding",
+        mode="complete",
+    )
+    rows = spark.table("sliding").collect()
+    # every event belongs to window/slide = 2 windows
+    assert sum(r.n_events for r in rows) == 8
+
+
+def test_session_windows(spark, tmp_path):
+    path = str(tmp_path / "sess")
+    os.makedirs(path, exist_ok=True)
+    _write_batch(
+        spark,
+        path,
+        [
+            (1, dt.datetime(2024, 1, 1, 1, 0), 1, "click", 1.0, "{}"),
+            (2, dt.datetime(2024, 1, 1, 1, 10), 1, "view", 1.0, "{}"),
+            (3, dt.datetime(2024, 1, 1, 3, 0), 1, "click", 1.0, "{}"),
+        ],
+        "part1",
+    )
+    stream = read_event_stream(spark, path)
+    _run_to_memory(
+        sessionized_activity(stream, gap="30 minutes"), "sessions", mode="complete"
+    )
+    rows = sorted(spark.table("sessions").collect(), key=lambda r: r.session_start)
+    assert len(rows) == 2
+    assert rows[0].n_events == 2 and rows[1].n_events == 1
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """An event > watermark behind the stream's max ts must be excluded from
+    its (already finalized) window. Two runs sharing one checkpoint: run 1
+    advances the watermark to Jan 4 (max ts Jan 5 − 1 day) and finalizes the
+    Jan-1 window; run 2 delivers a Jan-1 straggler, which is dropped."""
+    path = str(tmp_path / "late")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(path, exist_ok=True)
+
+    emitted: list = []
+
+    def run_once():
+        # foreachBatch sink: the memory sink cannot recover from a checkpoint
+        agg = windowed_event_counts(
+            read_event_stream(spark, path), window="1 day", watermark="1 day"
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(lambda df, _id: emitted.extend(df.collect()))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _write_batch(
+        spark,
+        path,
+        [
+            (1, dt.datetime(2024, 1, 1, 1), 1, "click", 1.0, "{}"),
+            (2, dt.datetime(2024, 1, 5, 1), 1, "click", 1.0, "{}"),
+        ],
+        "part1",
+    )
+    run_once()
+    _write_batch(
+        spark,
+        path,
+        [(3, dt.datetime(2024, 1, 1, 2), 1, "click", 9.0, "{}")],
+        "part2",
+    )
+    run_once()
+    jan1 = [r for r in emitted if r.window_start == dt.datetime(2024, 1, 1)]
+    # finalized with only the on-time event; the straggler was dropped
+    assert len(jan1) == 1 and jan1[0].n_events == 1
+
+
+def test_stream_online_sync_foreachbatch(spark, stream_dir, tmp_path):
+    kv_dir = str(tmp_path / "kv")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_event_stream(spark, stream_dir)
+    q = stream_online_sync(
+        windowed_event_counts(stream, window="1 day"),
+        lambda: FileKVStore(kv_dir),
+        checkpoint_dir=ckpt,
+    )
+    q.awaitTermination(120)
+    store = FileKVStore(kv_dir)
+    assert store.keys() == ["features:1", "features:2"]
+    # user 1's latest window is Jan 2
+    payload = store.get("features:1")
+    assert payload["window_start"].startswith("2024-01-02")
+    assert payload["n_events"] == 1
