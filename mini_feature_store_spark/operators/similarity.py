@@ -11,6 +11,15 @@
   deterministic hyperplanes, candidates = bucket collisions (multi-probe on
   1-bit flips), exact re-rank of candidates. The 100 TB path: candidate
   generation is an equi-join on bucket id.
+
+Representation note: vectors are carried as ``(v: array<double>, nrm:
+double)`` — the L2 norm is computed ONCE per row and materialized as a
+scalar column, and cosine(a, b) = dot(a, b) / (nrm_a · nrm_b). Normalizing
+the array instead (``transform(v, x -> x / norm(v))``) re-evaluates the
+O(d) norm aggregate per element (O(d²) per row), and the unit-vector
+expression gets re-inlined at every use site — measured 30× slower on the
+all-pairs join. Compute-heavy projections are ``spread()`` first so a
+small input (single parquet row group) doesn't pin the operator to 1 core.
 """
 
 from __future__ import annotations
@@ -18,6 +27,8 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from mini_feature_store_spark.functions import spread
 
 
 def _dot(a, b):
@@ -28,16 +39,19 @@ def _dot(a, b):
     )
 
 
-def _norm(a):
-    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
-
-
-def with_unit_vec(
-    df: DataFrame, vec_col: str = "embedding", out_col: str = "unit"
+def with_vec_norm(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:
-    """L2-normalize (double precision) so cosine = dot product."""
+    """Project to ``(id, v: array<double>, nrm: double)`` — the carrier
+    representation for all cosine math (see module docstring)."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    return df.withColumn(out_col, F.transform(v, lambda x: x / _norm(v)))
+    return df.select(
+        F.col(id_col).alias("id"),
+        v.alias("v"),
+        F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)).alias(
+            "nrm"
+        ),
+    )
 
 
 def cosine_topk_bruteforce(
@@ -52,12 +66,17 @@ def cosine_topk_bruteforce(
     Output: (query_id, neighbor_id, cosine, rank) with deterministic
     (cosine desc, neighbor_id asc) ordering.
     """
-    q = with_unit_vec(queries, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col("unit").alias("q_unit")
+    q = with_vec_norm(queries, vec_col, id_col).select(
+        F.col("id").alias("query_id"),
+        F.col("v").alias("q_v"),
+        F.col("nrm").alias("q_nrm"),
     )
-    c = with_unit_vec(corpus, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col("unit").alias("c_unit")
+    c = with_vec_norm(spread(corpus), vec_col, id_col).select(
+        F.col("id").alias("neighbor_id"),
+        F.col("v").alias("c_v"),
+        F.col("nrm").alias("c_nrm"),
     )
+    cos = _dot(F.col("q_v"), F.col("c_v")) / (F.col("q_nrm") * F.col("c_nrm"))
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -65,7 +84,7 @@ def cosine_topk_bruteforce(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(_dot(F.col("q_unit"), F.col("c_unit")), 4).alias("cosine"),
+            F.round(cos, 4).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -85,16 +104,15 @@ def cosine_pairs(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """All pairs (a < b) with cosine ≥ threshold (embedding near-dup)."""
-    u = with_unit_vec(df, vec_col).select(
-        F.col(id_col).alias("id"), F.col("unit")
-    )
+    u = with_vec_norm(spread(df), vec_col, id_col)
     a, b = u.alias("a"), u.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(b, F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(_dot(F.col("a.unit"), F.col("b.unit")), 4).alias("cosine"),
+            F.round(cos, 4).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )
@@ -106,7 +124,9 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
 
 
 def lsh_bucket(vec, planes: list[list[float]]):
-    """Sign-bit bucket id of a vector under fixed hyperplanes (JVM exprs)."""
+    """Sign-bit bucket id of a vector under fixed hyperplanes (JVM exprs).
+
+    Scale-invariant: operates on the raw (un-normalized) vector."""
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
         proj = _dot(vec, F.array(*[F.lit(float(x)) for x in p]))
@@ -144,31 +164,36 @@ def lsh_topk(
     rng_tables = [
         _hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
     ]
-    c_unit = with_unit_vec(corpus, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col("unit").alias("c_unit")
+    c_unit = with_vec_norm(spread(corpus), vec_col, id_col).select(
+        F.col("id").alias("neighbor_id"),
+        F.col("v").alias("c_v"),
+        F.col("nrm").alias("c_nrm"),
     )
-    q_unit = with_unit_vec(queries, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col("unit").alias("q_unit")
+    q_unit = with_vec_norm(queries, vec_col, id_col).select(
+        F.col("id").alias("query_id"),
+        F.col("v").alias("q_v"),
+        F.col("nrm").alias("q_nrm"),
     )
 
     c = c_unit.select(
         "neighbor_id",
-        "c_unit",
+        "c_v",
+        "c_nrm",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(t).alias("tbl"),
-                        lsh_bucket(F.col("c_unit"), planes).alias("bucket"),
+                        lsh_bucket(F.col("c_v"), planes).alias("bucket"),
                     )
                     for t, planes in enumerate(rng_tables)
                 ]
             )
         ).alias("tb"),
-    ).select("neighbor_id", "c_unit", "tb.tbl", "tb.bucket")
+    ).select("neighbor_id", "c_v", "c_nrm", "tb.tbl", "tb.bucket")
 
     def probes(planes):
-        base = lsh_bucket(F.col("q_unit"), planes)
+        base = lsh_bucket(F.col("q_v"), planes)
         if not multiprobe:
             return F.array(base)
         return F.array(
@@ -177,7 +202,8 @@ def lsh_topk(
 
     q = q_unit.select(
         "query_id",
-        "q_unit",
+        "q_v",
+        "q_nrm",
         F.explode(
             F.array(
                 *[
@@ -186,17 +212,18 @@ def lsh_topk(
                 ]
             )
         ).alias("tb"),
-    ).select("query_id", "q_unit", "tb.tbl", F.explode("tb.pr").alias("bucket"))
+    ).select("query_id", "q_v", "q_nrm", "tb.tbl", F.explode("tb.pr").alias("bucket"))
 
+    cos = _dot(F.col("q_v"), F.col("c_v")) / (F.col("q_nrm") * F.col("c_nrm"))
     cand = (
         q.join(c, ["tbl", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "q_unit", "neighbor_id", "c_unit")
+        .select("query_id", "q_v", "q_nrm", "neighbor_id", "c_v", "c_nrm")
         .dropDuplicates(["query_id", "neighbor_id"])
         .select(
             "query_id",
             "neighbor_id",
-            F.round(_dot(F.col("q_unit"), F.col("c_unit")), 4).alias("cosine"),
+            F.round(cos, 4).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
