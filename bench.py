@@ -30,6 +30,14 @@ def main() -> None:
     spark = get_spark(
         app_name="mfss-bench", master=f"local[{cpus}]", shuffle_partitions=cpus
     )
+    # Warm the JVM (codegen compiler, shuffle machinery, parquet reader)
+    # once so one-time session costs aren't attributed to the first query.
+    from pyspark.sql import functions as F
+
+    spark.range(1_000_000).groupBy((F.col("id") % 7).alias("k")).count().write.format(
+        "noop"
+    ).mode("overwrite").save()
+
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     for name, fn in qs.items():

@@ -63,7 +63,8 @@ def read_table(spark: SparkSession, name_or_path: str) -> DataFrame:
     Resolution: session-catalog table name first (covers Delta/parquet
     ``saveAsTable`` output), else treated as a parquet/Delta directory path.
     """
-    if spark.catalog.tableExists(name_or_path):
+    looks_like_path = os.sep in name_or_path or name_or_path.startswith(".")
+    if not looks_like_path and spark.catalog.tableExists(name_or_path):
         return spark.table(name_or_path)
     from mini_feature_store_spark.session import HAVE_DELTA
 

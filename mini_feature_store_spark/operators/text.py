@@ -38,10 +38,22 @@ def _tokens(col: Column) -> Column:
     ).otherwise(F.split(F.trim(col), r"\s+"))
 
 
+#: BPE-ish chunking: letter runs, digit runs, and punctuation runs are
+#: separate chunks (the pre-tokenization split most BPE vocabularies apply).
+#: The three classes are disjoint, so Java regex and RE2 (DuckDB) produce
+#: identical matches.
+CHUNK_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
 def token_count(col: Column) -> Column:
     """Number of whitespace-delimited tokens (BPE-ish regex variant lives in
     ``text_stats`` as ``n_word_chunks``)."""
     return F.size(_tokens(col)).cast("long")
+
+
+def word_chunk_count(col: Column) -> Column:
+    """BPE-ish token count: number of ``CHUNK_RE`` matches."""
+    return F.size(F.regexp_extract_all(col, F.lit(CHUNK_RE), 0)).cast("long")
 
 
 def normalize(col: Column) -> Column:
@@ -74,6 +86,7 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         F.col(id_col),
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
+        word_chunk_count(t).alias("n_word_chunks"),
         F.round(
             F.when(n_tokens > 0, n_chars.cast("double") / n_tokens).otherwise(
                 F.lit(0.0)

@@ -302,6 +302,8 @@ WITH t AS (
 SELECT doc_id,
   CAST(nc AS BIGINT) AS n_chars,
   CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'))
+       AS BIGINT) AS n_word_chunks,
   ROUND(nc * 1.0 / len(toks), 4) AS chars_per_token,
   ROUND((nc - no_punct) * 1.0 / nc, 4) AS punct_ratio,
   ROUND((nc - no_upper) * 1.0 / nc, 4) AS upper_ratio,
@@ -675,6 +677,47 @@ def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders_v
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
+    )
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@_q(
+    "event_type_pivot",
+    f"""
+SELECT user_id,
+  {", ".join(f'''CAST(COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS BIGINT)
+       AS n_{t}''' for t in _EVENT_TYPES)},
+  ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2)
+    AS purchase_value
+FROM events
+GROUP BY user_id
+""",
+)
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event counts spread into one column per event type
+    (explicit value list → no extra distinct-values job; single shuffle with
+    map-side partial aggregation — the scale-safe pivot form)."""
+    _utc(spark)
+    events = load_testdata(spark, sf_dir, "events")["events"]
+    counted = (
+        events.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)), 2).alias("v"),
+        )
+    )
+    return counted.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(f"{t}_n"), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ],
+        F.round(
+            sum(F.coalesce(F.col(f"{t}_v"), F.lit(0.0)) for t in _EVENT_TYPES), 2
+        ).alias("purchase_value"),
     )
 
 

@@ -104,6 +104,7 @@ def test_text_stats_values(spark):
     rows = {r.doc_id: r for r in text_stats(df).collect()}
     assert rows[1].n_tokens == 3
     assert rows[1].n_chars == 14
+    assert rows[1].n_word_chunks == 4  # The / quick / Fox / !
     assert rows[1].punct_ratio == round(1 / 14, 4)
     assert rows[1].upper_ratio == round(2 / 14, 4)
     assert rows[1].stopword_ratio == round(1 / 3, 4)

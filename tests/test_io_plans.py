@@ -1,0 +1,105 @@
+"""IO-layer round-trips (JSON/CSV/table scans, SURVEY.md §2.1-§2.2) and
+physical-plan audits: filters and projections must reach the parquet scan
+(PushedFilters / ReadSchema), hot operators must stay in whole-stage codegen.
+These are the properties that decide 100 TB behavior — a scan that reads all
+columns for a 2-column projection is wrong regardless of test-scale timing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mini_feature_store_spark.functions import plan_text
+from mini_feature_store_spark.io.sinks import write_csv, write_json, write_parquet
+from mini_feature_store_spark.io.sources import (
+    read_csv,
+    read_json,
+    read_parquet,
+    read_table,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.StringType(), False),
+        T.StructField("n", T.LongType(), True),
+        T.StructField("score", T.DoubleType(), True),
+    ]
+)
+
+ROWS = [("u1", 3, 0.5), ("u2", None, 1.25), ("u3", 7, None)]
+
+
+def _df(spark):
+    return spark.createDataFrame(ROWS, SCHEMA)
+
+
+def test_json_roundtrip_with_explicit_schema(spark, tmp_path):
+    path = str(tmp_path / "j")
+    write_json(_df(spark), path)
+    back = read_json(spark, path, SCHEMA)
+    # File sources force nullable=True on read; names and types must hold.
+    assert [(f.name, f.dataType) for f in back.schema.fields] == [
+        (f.name, f.dataType) for f in SCHEMA.fields
+    ]
+    assert sorted(back.collect()) == sorted(_df(spark).collect())
+
+
+def test_csv_roundtrip_header_and_delimiter(spark, tmp_path):
+    path = str(tmp_path / "c")
+    write_csv(_df(spark), path, header=True, delimiter="|")
+    back = read_csv(spark, path, SCHEMA, header=True, delimiter="|")
+    assert sorted(back.collect()) == sorted(_df(spark).collect())
+
+
+def test_read_table_resolves_path(spark, tmp_path):
+    path = str(tmp_path / "t")
+    write_parquet(_df(spark), path)
+    assert read_table(spark, path).count() == 3
+
+
+def test_filter_and_projection_reach_parquet_scan(spark, tmp_path):
+    path = str(tmp_path / "p")
+    write_parquet(_df(spark), path)
+    q = (
+        read_parquet(spark, path, SCHEMA)
+        .where(F.col("n") > 2)
+        .select("user_id", "n")
+    )
+    plan = plan_text(q)
+    # Predicate pushdown: the n > 2 filter appears in PushedFilters.
+    assert "PushedFilters" in plan and "GreaterThan(n,2)" in plan
+    # Column pruning: the unused `score` column is absent from ReadSchema.
+    read_schema = next(
+        line for line in plan.splitlines() if "ReadSchema" in line
+    )
+    assert "score" not in read_schema and "user_id" in read_schema
+
+
+def test_partition_pruning_on_day_layout(spark, tmp_path):
+    path = str(tmp_path / "part")
+    df = spark.createDataFrame(
+        [("u1", "2024-01-01"), ("u2", "2024-01-02"), ("u3", "2024-01-03")],
+        "user_id string, day string",
+    )
+    write_parquet(df, path, partition_by=["day"])
+    q = spark.read.parquet(path).where(F.col("day") >= "2024-01-02")
+    plan = plan_text(q)
+    # The day predicate lands in PartitionFilters, not a post-scan Filter.
+    assert "PartitionFilters" in plan
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "day" in pf_line
+    assert q.count() == 2
+
+
+def test_hot_dedup_projection_stays_in_codegen(spark):
+    """The shingle projection must not fall back to interpreted eval
+    (the regexp formulation exists precisely for codegen; see dedup.py)."""
+    from mini_feature_store_spark.operators.dedup import shingles
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x y z")], "doc_id long, text string"
+    )
+    q = docs.select(shingles(F.col("text"), 3).alias("sh"))
+    plan = plan_text(q)
+    # formatted mode marks codegen'd operators with `* ... [codegen id : N]`
+    assert "* Project" in plan and "codegen id" in plan
