@@ -680,6 +680,51 @@ def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "user_sessions",
+    """
+WITH ordered AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev_ts IS NULL
+                OR date_diff('second', prev_ts, ts) > 1800 THEN 1
+              ELSE 0 END AS new_session
+  FROM ordered
+),
+tagged AS (
+  SELECT user_id, ts,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) - 1
+              AS BIGINT) AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_s
+FROM tagged
+GROUP BY user_id, session_idx
+""",
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) of the event log — one shuffle
+    by user serves both window passes; see operators/sessionize.py."""
+    from mini_feature_store_spark.operators.sessionize import sessionize
+
+    _utc(spark)
+    events = load_testdata(spark, sf_dir, "events")["events"]
+    return sessionize(
+        events, gap_seconds=1800, tiebreak_col="event_id"
+    )
+
+
 _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
