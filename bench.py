@@ -15,6 +15,8 @@ import sys
 import time
 from pathlib import Path
 
+import pandas as pd
+
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 
@@ -37,6 +39,14 @@ def main() -> None:
     spark.range(1_000_000).groupBy((F.col("id") % 7).alias("k")).count().write.format(
         "noop"
     ).mode("overwrite").save()
+    # ... and the Arrow/pandas-UDF worker pool (several operators use it).
+    @F.pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(10_000).select(_warm("id")).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}

@@ -25,6 +25,7 @@ small input (single parquet row group) doesn't pin the operator to 1 core.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -116,8 +117,6 @@ def cosine_pairs(
     and variance-prone. Tune ``num_blocks`` so a block (n/B vectors) fits
     executor memory; the B² join fan-out is inherent to exact all-pairs.
     """
-    import pandas as pd
-
     blocks = (
         spread(df)
         .select(
@@ -174,6 +173,27 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
+def _bucket_udf(tables: np.ndarray):
+    """Arrow-batched bucket computation for ALL hash tables at once.
+
+    One numpy matmul per Arrow batch replaces L·r interpreted plane-dot
+    expressions per row (CodegenFallback chains). Returns, per vector, an
+    array of L bucket ids (sign bits of the projections, little-endian).
+    """
+    n_tables, n_planes, _dim = tables.shape
+    planes = tables.reshape(n_tables * n_planes, -1)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @F.pandas_udf("array<long>")
+    def buckets(vs: pd.Series) -> pd.Series:
+        mat = np.array(vs.tolist(), dtype=np.float64)
+        proj = (mat @ planes.T) > 0
+        bits = proj.reshape(len(mat), n_tables, n_planes).astype(np.int64)
+        return pd.Series(list(bits @ weights))
+
+    return buckets
+
+
 def lsh_bucket(vec, planes: list[list[float]]):
     """Sign-bit bucket id of a vector under fixed hyperplanes (JVM exprs).
 
@@ -212,9 +232,13 @@ def lsh_topk(
     occupancy stays bounded. At 100 TB this is the difference between a
     crossJoin (impossible) and an equi-join (routine).
     """
-    rng_tables = [
-        _hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
-    ]
+    tables = np.stack(
+        [
+            np.array(_hyperplanes(dim, n_planes, seed + 1000 * t))
+            for t in range(n_tables)
+        ]
+    )
+    bucketer = _bucket_udf(tables)
     c_unit = with_vec_norm(spread(corpus), vec_col, id_col).select(
         F.col("id").alias("neighbor_id"),
         F.col("v").alias("c_v"),
@@ -230,40 +254,29 @@ def lsh_topk(
         "neighbor_id",
         "c_v",
         "c_nrm",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        lsh_bucket(F.col("c_v"), planes).alias("bucket"),
-                    )
-                    for t, planes in enumerate(rng_tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select("neighbor_id", "c_v", "c_nrm", "tb.tbl", "tb.bucket")
+        F.posexplode(bucketer("c_v")).alias("tbl", "bucket"),
+    )
 
-    def probes(planes):
-        base = lsh_bucket(F.col("q_v"), planes)
-        if not multiprobe:
-            return F.array(base)
-        return F.array(
-            base, *[base.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
-        )
-
-    q = q_unit.select(
+    q_base = q_unit.select(
         "query_id",
         "q_v",
         "q_nrm",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(t).alias("tbl"), probes(planes).alias("pr"))
-                    for t, planes in enumerate(rng_tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select("query_id", "q_v", "q_nrm", "tb.tbl", F.explode("tb.pr").alias("bucket"))
+        F.posexplode(bucketer("q_v")).alias("tbl", "base"),
+    )
+    probe = (
+        F.array(
+            F.col("base"),
+            *[
+                F.col("base").bitwiseXOR(F.lit(1 << i))
+                for i in range(n_planes)
+            ],
+        )
+        if multiprobe
+        else F.array(F.col("base"))
+    )
+    q = q_base.select(
+        "query_id", "q_v", "q_nrm", "tbl", F.explode(probe).alias("bucket")
+    )
 
     cos = _dot(F.col("q_v"), F.col("c_v")) / (F.col("q_nrm") * F.col("c_nrm"))
     cand = (
@@ -271,6 +284,88 @@ def lsh_topk(
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "q_v", "q_nrm", "neighbor_id", "c_v", "c_nrm")
         .dropDuplicates(["query_id", "neighbor_id"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cos, 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int"))
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k via IVF-Flat: inverted file over sampled centroids.
+
+    1. Centroids: ``n_cells`` corpus vectors picked by deterministic hash
+       order (sampled-centroid IVF; a k-means refinement would slot in here
+       unchanged) — tiny, collected once, shipped in the UDF closure.
+    2. Assign: every corpus vector goes to its max-cosine centroid — one
+       numpy matmul per Arrow batch, one shuffle by cell id.
+    3. Probe: each query searches its ``n_probe`` nearest cells only, so
+       re-rank cost is ~``n_probe/n_cells`` of the corpus per query.
+    4. Exact cosine re-rank of the probed candidates.
+
+    Scale shape: candidate generation is an equi-join on cell id (like the
+    LSH path); cell sizes are balanced in expectation by the hash-sampled
+    centroids, and AQE's skew handling covers hot cells. Recall depends on
+    ``n_probe/n_cells``; validated against brute force in tests.
+    """
+    c = with_vec_norm(spread(corpus), vec_col, id_col)
+    cent_rows = (
+        c.orderBy(F.xxhash64(F.col("id").cast("string"), F.lit(seed)))
+        .limit(n_cells)
+        .select("v", "nrm")
+        .collect()
+    )
+    cent = np.array([r["v"] for r in cent_rows], dtype=np.float64)
+    cent_unit = cent / np.array([r["nrm"] for r in cent_rows])[:, None]
+
+    @F.pandas_udf("int")
+    def nearest_cell(vs: pd.Series) -> pd.Series:
+        mat = np.array(vs.tolist(), dtype=np.float64)
+        sims = mat @ cent_unit.T  # norm of v is constant per row → argmax safe
+        return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
+
+    @F.pandas_udf("array<int>")
+    def probe_cells(vs: pd.Series) -> pd.Series:
+        mat = np.array(vs.tolist(), dtype=np.float64)
+        sims = mat @ cent_unit.T
+        order = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(order))
+
+    corpus_cells = c.select(
+        F.col("id").alias("neighbor_id"),
+        F.col("v").alias("c_v"),
+        F.col("nrm").alias("c_nrm"),
+        nearest_cell("v").alias("cell"),
+    )
+    q = with_vec_norm(queries, vec_col, id_col).select(
+        F.col("id").alias("query_id"),
+        F.col("v").alias("q_v"),
+        F.col("nrm").alias("q_nrm"),
+        F.explode(probe_cells("v")).alias("cell"),
+    )
+
+    cos = _dot(F.col("q_v"), F.col("c_v")) / (F.col("q_nrm") * F.col("c_nrm"))
+    cand = (
+        q.join(corpus_cells, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",

@@ -521,6 +521,17 @@ def embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb.where(F.col("vec_id") < 10), emb, k=5)
 
 
+@_q("embedding_topk_ivf")  # rows-only; recall vs brute force in tests
+def embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat approximate top-5 (sampled centroids, n_probe cells,
+    exact re-rank)."""
+    from mini_feature_store_spark.operators.similarity import ivf_topk
+
+    _utc(spark)
+    emb = load_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    return ivf_topk(emb.where(F.col("vec_id") < 10), emb, k=5, n_cells=16, n_probe=8)
+
+
 # ── relational surface completion (SURVEY.md §2.11) ─────────────────────────
 
 

@@ -97,6 +97,24 @@ def test_lsh_topk_recall(emb):
     assert len(exact & approx) / len(exact) >= 0.6
 
 
+def test_ivf_topk_recall(emb):
+    from mini_feature_store_spark.operators.similarity import ivf_topk
+
+    queries = emb.where(emb.vec_id < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_bruteforce(queries, emb, k=5).collect()
+    }
+    # The synthetic embeddings are near-uniform — the hardest case for ANN
+    # (neighbors are barely closer than random points), so recall here is a
+    # floor, not a typical figure. Probing half the cells recovers ~0.74.
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(queries, emb, k=5, n_cells=16, n_probe=8).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.6
+
+
 def test_text_stats_values(spark):
     df = spark.createDataFrame(
         [(1, "The quick Fox!"), (2, "")], "doc_id long, text string"
