@@ -778,6 +778,33 @@ def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "supplier_revenue_salted",
+    """
+SELECT s.s_nationkey,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_nationkey
+""",
+)
+def supplier_revenue_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact×dim revenue rollup routed through the salted-join operator —
+    the oracle proves salting is result-invariant (operators/skew.py)."""
+    from mini_feature_store_spark.operators.skew import salted_join
+
+    _utc(spark)
+    t = load_testdata(spark, sf_dir, "lineitem", "supplier")
+    supp = t["supplier"].withColumnRenamed("s_suppkey", "l_suppkey")
+    joined = salted_join(t["lineitem"], supp, on=["l_suppkey"], how="inner", salt=8)
+    return joined.groupBy("s_nationkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+@_q(
     "quantiles_by_returnflag",
     """
 SELECT l_returnflag,
