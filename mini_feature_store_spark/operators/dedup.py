@@ -97,6 +97,11 @@ def ngram_jaccard_pairs(
         # (~n_shingles²/2⁶⁵ — negligible even at 100 TB, and it would only
         # perturb one pair's common-count by 1).
         .select("id", "size", F.xxhash64("shingle").alias("shingle"))
+        # Both sides of the self-join read this; persisting the (narrow)
+        # inverted index beats re-deriving shingles from raw text twice.
+        # At 100 TB the same choice holds: materialize the index, not the
+        # corpus (LRU eviction reclaims it under pressure).
+        .persist()
     )
 
     if max_shingle_freq is not None:
@@ -181,7 +186,9 @@ def minhash_lsh_pairs(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
-    sigs = minhash_signatures(df, num_hashes, n, text_col, id_col)
+    # Read 3× (banding + two candidate-pair joins); signatures are ~512 B/doc
+    # vs the raw text they derive from — persist the small thing.
+    sigs = minhash_signatures(df, num_hashes, n, text_col, id_col).persist()
 
     # Band join carries only (id, band, bucket) — 24 bytes/row — through the
     # candidate shuffle; the 512-byte signatures are joined back onto the
@@ -289,7 +296,8 @@ def simhash_pairs(
     """
     if max_hamming >= blocks:
         raise ValueError("need max_hamming < blocks for pigeonhole guarantee")
-    sims = simhash(df, bits, text_col, id_col)
+    # 8 bytes/doc, read by both self-join sides — persist, don't re-derive.
+    sims = simhash(df, bits, text_col, id_col).persist()
     width = bits // blocks
     mask = (1 << width) - 1
     chunked = sims.select(

@@ -121,22 +121,48 @@ def backfill_features_window_form(
     """
     spark = events.sparkSession
 
-    daily = (
-        events.select(
-            F.col(user_col).alias("user_id"),
-            F.col(type_col).alias("event_type"),
-            F.to_date(F.col(ts_col)).alias("day"),
+    ev = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(type_col).alias("event_type"),
+        F.to_date(F.col(ts_col)).alias("day"),
+    ).where(
+        (F.col("day") >= F.date_sub(F.lit(start).cast("date"), LONG_WINDOW_DAYS))
+        & (F.col("day") <= F.lit(end).cast("date"))
+    )
+
+    # Distinct-types-over-window representation. With ≤64 observed types
+    # (the normal case for an event taxonomy) each type gets a bit in a
+    # 64-bit mask: the daily pre-agg is bit_or, the rolling window is
+    # bit_or, the count is bit_count — all codegen'd, 8 bytes/row
+    # regardless of window length. collect_set-and-flatten (the fallback
+    # for >64 types) carries the whole window's set per row — memory grows
+    # with window × cardinality, which does not survive 100 TB.
+    types_seen = [
+        r[0]
+        for r in ev.select("event_type").distinct().limit(65).collect()
+    ]
+    use_bitmask = len(types_seen) <= 64
+
+    if use_bitmask:
+        # literal type → single-bit-mask map; lookup is one codegen'd
+        # map access (bit positions assigned on the driver)
+        mask_map = F.create_map(
+            *[
+                c
+                for i, t in enumerate(sorted(types_seen))
+                for c in (F.lit(t), F.lit(1 << i).cast("long"))
+            ]
         )
-        .where(
-            (F.col("day") >= F.date_sub(F.lit(start).cast("date"), LONG_WINDOW_DAYS))
-            & (F.col("day") <= F.lit(end).cast("date"))
+        type_bit = mask_map[F.col("event_type")]
+        daily = ev.groupBy("user_id", "day").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.bit_or(type_bit).alias("type_mask"),
         )
-        .groupBy("user_id", "day")
-        .agg(
+    else:
+        daily = ev.groupBy("user_id", "day").agg(
             F.count(F.lit(1)).alias("n_events"),
             F.collect_set("event_type").alias("types"),
         )
-    )
 
     grid = _scaffold(
         events.select(F.col(user_col).alias("user_id")), start, end, "user_id", "day"
@@ -162,6 +188,14 @@ def backfill_features_window_form(
     )
 
     last_event_day = F.max(F.when(F.col("n_events") > 0, F.col("day"))).over(w30)
+    if use_bitmask:
+        distinct_types = F.coalesce(
+            F.bit_count(F.bit_or("type_mask").over(w30)), F.lit(0)
+        )
+    else:
+        distinct_types = F.size(
+            F.array_distinct(F.flatten(F.collect_list("types").over(w30)))
+        )
     return (
         dense.select(
             "user_id",
@@ -173,12 +207,7 @@ def backfill_features_window_form(
             F.datediff(F.col("day"), last_event_day).cast("int").alias(
                 "last_event_days_ago"
             ),
-            F.size(
-                F.array_distinct(F.flatten(F.collect_list("types").over(w30)))
-            )
-            .cast("long")
-            .cast("string")
-            .alias("event_type_counts"),
+            distinct_types.cast("long").cast("string").alias("event_type_counts"),
         )
         .where(F.col("day") >= start_lit)
     )
