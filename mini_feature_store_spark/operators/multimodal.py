@@ -180,3 +180,138 @@ def media_metadata_stats(media: DataFrame) -> DataFrame:
             "avg_pixels"
         ),
     )
+
+
+#: fake video: FAKV | uint16 width | uint16 height | uint8 channels
+#: | uint16 n_frames | frame0 frame1 ... (each width*height*channels bytes)
+FAKE_VIDEO_MAGIC = b"FAKV"
+#: fake audio: FAKA | uint32 sample_rate | uint32 n_samples | int8 samples
+FAKE_AUDIO_MAGIC = b"FAKA"
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def encode_fake_video(
+    width: int, height: int, channels: int, n_frames: int, seed: int = 0
+) -> bytes:
+    header = FAKE_VIDEO_MAGIC + struct.pack("<HHBH", width, height, channels, n_frames)
+    per = width * height * channels
+    body = bytes((seed + f * 7 + i * 31) % 256 for f in range(n_frames) for i in range(per))
+    return header + body
+
+
+def encode_fake_audio(sample_rate: int, n_samples: int, seed: int = 0) -> bytes:
+    header = FAKE_AUDIO_MAGIC + struct.pack("<II", sample_rate, n_samples)
+    body = bytes((seed + i * 17) % 256 for i in range(n_samples))
+    return header + body
+
+
+def sample_frames(
+    media: DataFrame, every_k: int = 10, id_col: str = "media_id"
+) -> DataFrame:
+    """Sample every k-th frame of each video into its own row (1→N fan-out
+    inside the Arrow batch — the shape ffmpeg-backed sampling would use).
+
+    Emitted frames are standalone FAKE image blobs, so the image tier
+    (``decode_images`` / ``resize_images``) composes downstream unchanged.
+    """
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf[id_col], pdf["payload"]):
+                try:
+                    if blob is None:
+                        raise ValueError("null payload")
+                    if not bytes(blob).startswith(FAKE_VIDEO_MAGIC):
+                        raise NotImplementedError(
+                            "real video codecs unavailable (no ffmpeg); "
+                            "only the FAKV format is decodable"
+                        )
+                    blob = bytes(blob)
+                    w, h, c, n_frames = struct.unpack("<HHBH", blob[4:11])
+                    per = w * h * c
+                    for f in range(0, n_frames, every_k):
+                        frame = blob[11 + f * per : 11 + (f + 1) * per]
+                        out.append(
+                            {
+                                "media_id": mid,
+                                "frame_idx": f,
+                                "payload": FAKE_MAGIC
+                                + struct.pack("<HHB", w, h, c)
+                                + frame,
+                                "error": None,
+                            }
+                        )
+                except (NotImplementedError, ValueError, struct.error) as e:
+                    out.append(
+                        {
+                            "media_id": mid,
+                            "frame_idx": None,
+                            "payload": None,
+                            "error": f"{type(e).__name__}: {e}",
+                        }
+                    )
+            yield pd.DataFrame(out, columns=["media_id", "frame_idx", "payload", "error"])
+
+    return media.select(id_col, "payload").mapInPandas(frame_batches, FRAME_SCHEMA)
+
+
+def audio_features(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Waveform feature extraction (duration, RMS) — stub codec, real
+    batch plumbing and error channel, mirroring ``decode_images``."""
+    import math
+
+    def audio_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf[id_col], pdf["payload"]):
+                row = {
+                    "media_id": mid,
+                    "sample_rate": None,
+                    "duration_s": None,
+                    "rms": None,
+                    "error": None,
+                }
+                try:
+                    if blob is None:
+                        raise ValueError("null payload")
+                    blob = bytes(blob)
+                    if not blob.startswith(FAKE_AUDIO_MAGIC):
+                        raise NotImplementedError(
+                            "real audio codecs unavailable; only FAKA decodes"
+                        )
+                    rate, n = struct.unpack("<II", blob[4:12])
+                    samples = blob[12 : 12 + n]
+                    row["sample_rate"] = rate
+                    row["duration_s"] = round(n / rate, 6) if rate else None
+                    row["rms"] = (
+                        round(math.sqrt(sum(s * s for s in samples) / len(samples)), 4)
+                        if samples
+                        else 0.0
+                    )
+                except (NotImplementedError, ValueError, struct.error) as e:
+                    row["error"] = f"{type(e).__name__}: {e}"
+                out.append(row)
+            yield pd.DataFrame(out)
+
+    return media.select(id_col, "payload").mapInPandas(
+        audio_batches, AUDIO_FEATURES_SCHEMA
+    )

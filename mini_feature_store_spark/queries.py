@@ -1004,3 +1004,38 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_blob("doc_id", "n_chars").alias("payload"),
     )
     return decode_images(media)
+
+
+@_q("multimodal_frame_sample")  # binary payloads: rows-only check; plumbing
+# pinned in tests/test_multimodal.py (1→N fan-out, image-tier composition)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize deterministic fake videos, sample every 5th frame, decode
+    the sampled frames through the image tier, aggregate per media item."""
+    from pyspark.sql import types as T
+
+    from mini_feature_store_spark.operators.multimodal import (
+        decode_images,
+        encode_fake_video,
+        sample_frames,
+    )
+
+    _utc(spark)
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+
+    @F.udf(T.BinaryType())
+    def make_video(doc_id, n_chars):
+        w = 3 + int(doc_id) % 5
+        h = 2 + int(n_chars) % 4
+        frames = 5 + int(doc_id) % 11
+        return encode_fake_video(w, h, 3, n_frames=frames, seed=int(doc_id))
+
+    media = docs.where(F.col("doc_id") < 200).select(
+        F.col("doc_id").alias("media_id"),
+        make_video("doc_id", "n_chars").alias("payload"),
+    )
+    frames = sample_frames(media, every_k=5)
+    decoded = decode_images(frames.where(F.col("error").isNull()))
+    return decoded.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_sampled_frames"),
+        F.round(F.avg("mean_intensity"), 4).alias("avg_frame_intensity"),
+    )

@@ -70,3 +70,46 @@ def test_arrow_batching_respects_max_records(spark):
         assert decode_images(media).count() == 10
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+
+
+def test_video_frame_sampling_composes_with_image_tier(spark):
+    from mini_feature_store_spark.operators.multimodal import (
+        decode_images,
+        encode_fake_video,
+        sample_frames,
+    )
+
+    media = spark.createDataFrame(
+        [
+            (1, encode_fake_video(4, 3, 3, n_frames=25, seed=7)),
+            (2, b"\x00\x01realmp4"),
+        ],
+        "media_id long, payload binary",
+    )
+    frames = sample_frames(media, every_k=10)
+    rows = frames.collect()
+    ok = [r for r in rows if r.error is None]
+    assert [(r.media_id, r.frame_idx) for r in ok] == [(1, 0), (1, 10), (1, 20)]
+    assert all(r.payload is not None for r in ok)
+    bad = [r for r in rows if r.error is not None]
+    assert len(bad) == 1 and "NotImplementedError" in bad[0].error
+    # sampled frames decode through the image tier unchanged
+    decoded = decode_images(frames.where("error is null")).collect()
+    assert all(r.error is None and r.width == 4 and r.height == 3 for r in decoded)
+
+
+def test_audio_features_duration_and_error_channel(spark):
+    from mini_feature_store_spark.operators.multimodal import (
+        audio_features,
+        encode_fake_audio,
+    )
+
+    media = spark.createDataFrame(
+        [(1, encode_fake_audio(8000, 16000, seed=3)), (2, b"RIFFwav")],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: r for r in audio_features(media).collect()}
+    assert rows[1].error is None
+    assert rows[1].sample_rate == 8000 and abs(rows[1].duration_s - 2.0) < 1e-9
+    assert rows[1].rms > 0
+    assert rows[2].error is not None and rows[2].sample_rate is None

@@ -178,3 +178,51 @@ def test_stream_online_sync_foreachbatch(spark, stream_dir, tmp_path):
     payload = store.get("features:1")
     assert payload["window_start"].startswith("2024-01-02")
     assert payload["n_events"] == 1
+
+
+def test_stateful_running_features_accumulate(spark, tmp_path):
+    """applyInPandasWithState keeps per-user running state across
+    micro-batches: two single-file batches, the second updates counts."""
+    from mini_feature_store_spark.streaming.stateful import (
+        running_user_features,
+    )
+
+    path = str(tmp_path / "stateful_stream")
+    os.makedirs(path, exist_ok=True)
+    _write_batch(
+        spark,
+        path,
+        [
+            (1, dt.datetime(2024, 1, 1, 1), 1, "click", 1.0, "{}"),
+            (2, dt.datetime(2024, 1, 1, 2), 1, "view", 2.5, "{}"),
+        ],
+        "b1",
+    )
+    _write_batch(
+        spark,
+        path,
+        [
+            (3, dt.datetime(2024, 1, 1, 3), 1, "click", 4.0, "{}"),
+            (4, dt.datetime(2024, 1, 1, 3), 2, "click", 10.0, "{}"),
+        ],
+        "b2",
+    )
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .select(F.col("user_id").cast("string").alias("user_id"), "ts", "value")
+    )
+    _run_to_memory(running_user_features(stream), "stateful_feats")
+    rows = spark.sql("select * from stateful_feats").collect()
+    # one emitted snapshot per (user, active batch); the latest per user
+    # carries the accumulated totals
+    latest = {}
+    for r in rows:
+        if r.user_id not in latest or r.event_count > latest[r.user_id].event_count:
+            latest[r.user_id] = r
+    assert latest["1"].event_count == 3
+    assert abs(latest["1"].value_sum - 7.5) < 1e-9
+    assert latest["2"].event_count == 1
+    # u1 was emitted once per batch it appeared in
+    assert sum(1 for r in rows if r.user_id == "1") == 2
