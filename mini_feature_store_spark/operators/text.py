@@ -150,3 +150,91 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         *[F.col(f"score_{lang}").cast("long") for lang in sorted(LANG_MARKERS)],
         guess.alias("lang_guess"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 3,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (MOSS-style rolling selection).
+
+    Classic local fingerprinting: hash every word k-gram at its position,
+    slide a window of ``window`` consecutive k-grams, keep each window's
+    minimum hash, emit the distinct selected hashes per document. Any two
+    documents sharing a long-enough run of text share selected
+    fingerprints, regardless of where the run sits — the positional
+    robustness plain-md5 fingerprinting lacks.
+
+    Plan: posexplode k-grams (keeps duplicates and positions, unlike the
+    dedup shingle set), md5 per k-gram (stable across engines — this is
+    what makes the operator oracle-checkable), window min over a
+    rows-frame, distinct. One shuffle by doc id; the rows-frame min is a
+    single sorted pass per document.
+
+    Output: (doc_id, fingerprint) — one row per selected fingerprint.
+    """
+    from pyspark.sql import Window
+
+    from mini_feature_store_spark.functions import spread
+
+    norm = normalize(F.col(text_col))
+    toks = _tokens(norm)
+    gram_re = r"(?=((?:\S+ ){%d}\S+))(?:\S+ ?)" % (k - 1)
+    grams = F.when(F.size(toks) < k, F.array(norm)).otherwise(
+        F.regexp_extract_all(norm, F.lit(gram_re), 1)
+    )
+    positioned = spread(df).select(
+        F.col(id_col), F.posexplode(grams).alias("pos", "gram")
+    )
+    hashed = positioned.select(
+        id_col, "pos", F.md5(F.col("gram")).alias("h")
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    return (
+        hashed.select(F.col(id_col), F.min("h").over(w).alias("fingerprint"))
+        .distinct()
+    )
+
+
+def quality_filter(
+    df: DataFrame,
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    min_score: float = 0.3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Composite quality gate over the ``text_stats`` signals — the actual
+    pipeline operator that decides which documents enter a training corpus.
+
+    score = 0.4·stopword_ratio·5 (capped at 1) + 0.4·(1 − punct_ratio)
+          + 0.2·min(n_tokens/50, 1)
+    A document is kept when its token count is within bounds and score ≥
+    ``min_score``. Pure column arithmetic over one projection — the gate
+    adds zero shuffles on top of the stats scan.
+
+    Output: (doc_id, n_tokens, quality_score, kept).
+    """
+    stats = text_stats(df, text_col, id_col)
+    stop_part = F.least(F.col("stopword_ratio") * 5, F.lit(1.0))
+    len_part = F.least(F.col("n_tokens") / 50.0, F.lit(1.0))
+    score = F.round(
+        0.4 * stop_part + 0.4 * (1 - F.col("punct_ratio")) + 0.2 * len_part, 4
+    )
+    return stats.select(
+        F.col(id_col),
+        "n_tokens",
+        score.alias("quality_score"),
+        (
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("n_tokens") <= max_tokens)
+            & (score >= min_score)
+        ).alias("kept"),
+    )

@@ -366,6 +366,76 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(docs)
 
 
+@_q(
+    "doc_quality_filter",
+    f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKS_SQL} AS toks, length(text) AS nc,
+         length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS no_punct
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    ROUND(CASE WHEN len(toks) > 0
+      THEN len(list_filter(toks, x -> lower(x) IN ('the','a','of','and','to')))
+           * 1.0 / len(toks) ELSE 0.0 END, 4) AS stopword_ratio,
+    ROUND(CASE WHEN nc > 0 THEN (nc - no_punct) * 1.0 / nc ELSE 0.0 END, 4)
+      AS punct_ratio
+  FROM t
+),
+scored AS (
+  SELECT doc_id, n_tokens,
+    ROUND(0.4 * LEAST(stopword_ratio * 5, 1.0)
+        + 0.4 * (1 - punct_ratio)
+        + 0.2 * LEAST(n_tokens / 50.0, 1.0), 4) AS quality_score
+  FROM s
+)
+SELECT doc_id, n_tokens, quality_score,
+       (n_tokens >= 5 AND n_tokens <= 100000 AND quality_score >= 0.3) AS kept
+FROM scored
+""",
+)
+def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality gate (training-corpus admission decision) —
+    operators/text.py:quality_filter."""
+    from mini_feature_store_spark.operators.text import quality_filter
+
+    _utc(spark)
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    return quality_filter(docs)
+
+
+@_q(
+    "doc_winnow_fingerprints",
+    f"""
+WITH docs AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < 3
+              THEN [{{'pos': 1, 'gram': array_to_string(toks, ' ')}}]
+              ELSE [{{'pos': i, 'gram': toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]}}
+                    for i in generate_series(1, len(toks) - 2)]
+         END AS grams
+  FROM docs
+),
+pos AS (SELECT doc_id, unnest(grams, recursive := true) FROM g),
+h AS (SELECT doc_id, pos, md5(gram) AS h FROM pos),
+sel AS (SELECT doc_id, MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint FROM h)
+SELECT DISTINCT doc_id, fingerprint FROM sel
+""",
+)
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling window-min) fingerprints per document —
+    operators/text.py:winnow_fingerprints, k=3 word-grams, window=4."""
+    from mini_feature_store_spark.operators.text import winnow_fingerprints
+
+    _utc(spark)
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    return winnow_fingerprints(docs, k=3, window=4)
+
+
 # ── training-data pipeline: deduplication (operators/dedup.py) ──────────────
 
 

@@ -141,3 +141,26 @@ def test_lang_id_markers(spark):
     )
     out = {r.doc_id: r.lang_guess for r in lang_id(df).collect()}
     assert out == {1: "de", 2: "en", 3: "und"}
+
+
+def test_winnow_fingerprints_overlap_for_shared_runs(spark):
+    """Two docs sharing a long run of text must share selected fingerprints
+    even when the run is at different positions (the winnowing guarantee);
+    an unrelated doc shares none."""
+    from mini_feature_store_spark.operators.text import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [
+            (1, f"intro words here {shared}"),
+            (2, f"{shared} completely different tail content follows now"),
+            (3, "unrelated text about database engines and parquet files"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(df, k=3, window=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert by_doc[1] & by_doc[2], "shared run must produce shared fingerprints"
+    assert not (by_doc[1] & by_doc[3])

@@ -103,3 +103,39 @@ def test_hot_dedup_projection_stays_in_codegen(spark):
     plan = plan_text(q)
     # formatted mode marks codegen'd operators with `* ... [codegen id : N]`
     assert "* Project" in plan and "codegen id" in plan
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """Bucketing both join sides on the key pre-shuffles the data at write
+    time: the join plan must contain NO Exchange — the co-located layout
+    that turns a daily 100 TB fact-fact join from shuffle-bound to local."""
+    import re
+
+    # (warehouse dir is a static conf — tables land in the session default)
+    spark.sql("DROP TABLE IF EXISTS b_events")
+    spark.sql("DROP TABLE IF EXISTS b_users")
+    events = spark.range(1000).select(
+        (F.col("id") % 50).alias("user_id"), F.col("id").alias("event_id")
+    )
+    users = spark.range(50).select(
+        F.col("id").alias("user_id"), (F.col("id") * 2).alias("score")
+    )
+    (
+        events.write.bucketBy(8, "user_id").sortBy("user_id")
+        .mode("overwrite").saveAsTable("b_events")
+    )
+    (
+        users.write.bucketBy(8, "user_id").sortBy("user_id")
+        .mode("overwrite").saveAsTable("b_users")
+    )
+    # disable broadcast so the plan would otherwise need a shuffle join
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_events").join(spark.table("b_users"), "user_id")
+        plan = plan_text(joined)
+        assert not re.search(r"\(\d+\) Exchange", plan), plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b_events")
+        spark.sql("DROP TABLE IF EXISTS b_users")
