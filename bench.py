@@ -47,6 +47,12 @@ def main() -> None:
     spark.range(10_000).select(_warm("id")).write.format("noop").mode(
         "overwrite"
     ).save()
+    # ... and the parquet reader path (footer parsing, ns-timestamp conf).
+    from mini_feature_store_spark.io import load_testdata
+
+    load_testdata(spark, sf_dir, "events")["events"].write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}

@@ -806,6 +806,67 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "customers_above_segment_avg",
+    """
+SELECT c_custkey, c_mktsegment, ROUND(c_acctbal, 2) AS acctbal
+FROM customer c
+WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                   WHERE c2.c_mktsegment = c.c_mktsegment)
+""",
+)
+def customers_above_segment_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the SQL entry point — Catalyst
+    decorrelates it into an aggregate + join, no per-row re-execution."""
+    _utc(spark)
+    cust = load_testdata(spark, sf_dir, "customer")["customer"]
+    cust.createOrReplaceTempView("customer_v")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment, ROUND(c_acctbal, 2) AS acctbal
+        FROM customer_v c
+        WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer_v c2
+                           WHERE c2.c_mktsegment = c.c_mktsegment)
+        """
+    )
+
+
+@_q(
+    "daily_event_deltas",
+    """
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1
+)
+SELECT day, n,
+  CAST(n - LAG(n) OVER (ORDER BY day) AS BIGINT) AS delta_prev_day,
+  CAST(LEAD(n) OVER (ORDER BY day) AS BIGINT) AS next_day_n,
+  CAST(NTILE(4) OVER (ORDER BY n, day) AS INTEGER) AS volume_quartile
+FROM d
+""",
+)
+def daily_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag/ntile analytics over the daily event series (global window
+    over ~30 rows post-aggregation — fine; the aggregate shuffle did the
+    heavy lifting map-side)."""
+    from pyspark.sql import Window
+
+    _utc(spark)
+    events = load_testdata(spark, sf_dir, "events")["events"]
+    d = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy("day")
+    wn = Window.orderBy("n", "day")  # total order — NTILE over ties is ambiguous
+    return d.select(
+        "day",
+        "n",
+        (F.col("n") - F.lag("n").over(w)).cast("bigint").alias("delta_prev_day"),
+        F.lead("n").over(w).cast("bigint").alias("next_day_n"),
+        F.ntile(4).over(wn).cast("int").alias("volume_quartile"),
+    )
+
+
 _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 

@@ -203,3 +203,60 @@ def test_cli_end_to_end(tmp_path, events_path, spark):
         == 0
     )
     assert len(FileKVStore(kv_dir).keys()) == 2
+
+
+def test_end_to_end_on_driver_testdata(spark, tmp_path):
+    """Full lifecycle on the real sf0.001 testdata: backfill → versioned
+    table → point-in-time join → training parquet → online sync → KV reads.
+    The leakage invariant (feature day ≤ label time) is asserted over every
+    produced training row."""
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SMOKE_SF", "/root/testdata/sf0.001")
+    from mini_feature_store_spark.io import load_testdata
+
+    events = load_testdata(spark, sf_dir, "events")["events"]
+    events_path = str(tmp_path / "events")
+    events.write.parquet(events_path)
+
+    table = str(tmp_path / "features")
+    run_backfill(
+        spark, BackfillConfig(events_path, table, "2024-01-01", "2024-01-30")
+    )
+    features = VersionedTable(table).read(spark)
+    n_users = events.select("user_id").distinct().count()
+    assert features.count() == n_users * 30  # dense grid
+
+    labels_path = str(tmp_path / "labels")
+    (
+        events.where(F.col("event_type") == "purchase")
+        .select("user_id", F.lit(1.0).alias("label"), F.col("ts").alias("as_of_ts"))
+        .distinct()
+        .write.parquet(labels_path)
+    )
+    out = str(tmp_path / "training")
+    run_pit_join(
+        spark,
+        PointInTimeJoinConfig(
+            labels_path=labels_path, features_table=table, output_path=out
+        ),
+    )
+    training = spark.read.parquet(out)
+    n_labels = spark.read.parquet(labels_path).count()
+    assert training.count() == n_labels
+    leaked = training.where(
+        F.col("day").isNotNull() & (F.col("day") > F.to_date("as_of_ts"))
+    ).count()
+    assert leaked == 0
+
+    kv_dir = str(tmp_path / "kv")
+    n = run_online_sync(
+        spark,
+        OnlineSyncConfig(features_table=table, as_of="2024-01-30"),
+        lambda: FileKVStore(kv_dir),
+    )
+    assert n == n_users
+    store = FileKVStore(kv_dir)
+    any_key = store.keys()[0]
+    payload = store.get(any_key)
+    assert payload["day"] == "2024-01-30"
