@@ -169,11 +169,13 @@ def backfill_features_window_form(
     )
     start_lit = F.lit(start).cast("date")
     # Rows before `start` must still be visible to the range frames of early
-    # days: route them through the window as extra rows, filtered out at the
-    # end (they are outside the grid, so the left join alone would drop them).
-    dense = grid.join(daily.where(F.col("day") >= start_lit), ["user_id", "day"], "left")
-    pre = daily.where(F.col("day") < start_lit).select(*dense.columns)
-    dense = dense.unionByName(pre)
+    # days. A FULL OUTER join expresses both needs with ONE daily aggregate:
+    # grid rows (day ∈ [start, end]) pick up their stats or stay null-padded,
+    # and pre-start daily rows (day < start, never in the grid) ride along as
+    # the daily-only side. (A left-join + union of two daily branches scans
+    # and aggregates the events twice — visible as duplicate subtrees in the
+    # physical plan.) The final day >= start filter trims the pre rows.
+    dense = grid.join(daily, ["user_id", "day"], "full")
 
     day_no = F.unix_date(F.col("day"))
     w7 = (

@@ -60,3 +60,64 @@ def test_session_idx_is_zero_based_and_dense(spark):
     df = _events(spark, [("u", 0), ("u", 10_000), ("u", 20_000)])
     tagged = with_session_id(df, gap_seconds=1800).collect()
     assert sorted(r.session_idx for r in tagged) == [0, 1, 2]
+
+
+def test_sessionize_properties_random(spark):
+    """Property-based invariants on random event sets (hypothesis):
+    1. sessions partition the events (counts sum to total);
+    2. within a session, consecutive gaps ≤ gap_seconds;
+    3. across consecutive sessions of a user, the gap > gap_seconds."""
+    import datetime as dt
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    GAP = 600
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["a", "b", "c"]),
+                st.integers(min_value=0, max_value=50_000),
+            ),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def check(rows):
+        df = spark.createDataFrame(
+            [
+                (u, i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s))
+                for i, (u, s) in enumerate(rows)
+            ],
+            "user_id string, event_id long, ts timestamp",
+        )
+        sess = sessionize(
+            df, gap_seconds=GAP, tiebreak_col="event_id"
+        ).collect()
+        assert sum(r.n_events for r in sess) == len(rows)
+        by_user: dict[str, list] = {}
+        for r in sess:
+            by_user.setdefault(r.user_id, []).append(r)
+        for user, srs in by_user.items():
+            srs.sort(key=lambda r: r.session_idx)
+            times = sorted(s for (u, s) in rows if u == user)
+            # session bounds ordered and separated by > GAP
+            for prev, nxt in zip(srs, srs[1:]):
+                assert nxt.session_idx == prev.session_idx + 1
+                gap = (nxt.session_start - prev.session_end).total_seconds()
+                assert gap > GAP
+            # within-session max gap ≤ GAP: reconstruct from raw times
+            for r in srs:
+                inside = [
+                    t
+                    for t in times
+                    if r.session_start
+                    <= dt.datetime(2024, 1, 1) + dt.timedelta(seconds=t)
+                    <= r.session_end
+                ]
+                for t1, t2 in zip(inside, inside[1:]):
+                    assert t2 - t1 <= GAP
+
+    check()
