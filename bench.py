@@ -55,13 +55,20 @@ def main() -> None:
     ).save()
 
     qs = entrymod.queries()
+    iterations = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
     timings: dict[str, float] = {}
     for name, fn in qs.items():
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        # Materialize every row executor-side; no driver collect.
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(iterations):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            # Materialize every row executor-side; no driver collect.
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        # best-of-N: standard noise discipline — this box runs concurrent
+        # jobs, and a single sample conflates scheduler contention with
+        # query cost. N=2 keeps total wall ~2x.
+        timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
     spark.stop()
     print(

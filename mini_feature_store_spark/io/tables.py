@@ -65,8 +65,11 @@ class VersionedTable:
         )
         vdir = os.path.join(self.path, f"v={version}")
         if mode == "append" and manifest["versions"]:
+            # Schema evolution, Delta-style: appends may add or omit
+            # columns; missing sides are null-padded. Feature tables grow
+            # features over time — rejecting that forces full rewrites.
             prev = self.read(df.sparkSession)
-            df = prev.unionByName(df)
+            df = prev.unionByName(df, allowMissingColumns=True)
         writer = df.write.mode("errorifexists")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -106,6 +109,25 @@ class VersionedTable:
         elif version not in {c["version"] for c in commits}:
             raise ValueError(f"version {version} not in commit log")
         return spark.read.parquet(os.path.join(self.path, f"v={version}"))
+
+    def compact(self, target_partitions: int) -> int:
+        """Rewrite the latest version into ``target_partitions`` files.
+
+        The small-files maintenance op every long-lived table needs:
+        streaming/incremental appends accrete many small files, and at
+        100 TB the scan-planning and open() overhead of millions of tiny
+        files dominates. Commits as a NEW version (time travel to the
+        uncompacted layout still works until vacuumed).
+        """
+        commits = self.versions()
+        if not commits:
+            raise FileNotFoundError(f"no committed versions at {self.path}")
+        latest = commits[-1]
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        df = self.read(spark).coalesce(target_partitions)
+        return self.write(df, partition_by=latest["partition_by"])
 
     def vacuum(self, keep_last: int = 2) -> list[int]:
         """Drop all but the last ``keep_last`` versions; returns dropped ids."""

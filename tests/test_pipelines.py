@@ -260,3 +260,39 @@ def test_end_to_end_on_driver_testdata(spark, tmp_path):
     any_key = store.keys()[0]
     payload = store.get(any_key)
     assert payload["day"] == "2024-01-30"
+
+
+def test_append_with_schema_evolution(spark, tmp_path):
+    vt = VersionedTable(str(tmp_path / "evo"))
+    vt.write(spark.createDataFrame([("u1", 1)], "user_id string, f1 long"))
+    # append adds a new feature column and omits an old one
+    vt.write(
+        spark.createDataFrame([("u2", 0.5)], "user_id string, f2 double"),
+        mode="append",
+    )
+    df = vt.read(spark)
+    assert set(df.columns) == {"user_id", "f1", "f2"}
+    rows = {r.user_id: r for r in df.collect()}
+    assert rows["u1"].f1 == 1 and rows["u1"].f2 is None
+    assert rows["u2"].f1 is None and rows["u2"].f2 == 0.5
+    # version 0 still reads with its original (narrower) schema
+    assert set(vt.read(spark, version=0).columns) == {"user_id", "f1"}
+
+
+def test_compact_reduces_files_and_preserves_rows(spark, tmp_path):
+    import glob
+
+    vt = VersionedTable(str(tmp_path / "cmp"))
+    df = spark.range(1000).select(
+        F.col("id").alias("user_id"), (F.col("id") % 7).alias("f")
+    ).repartition(16)
+    vt.write(df)
+    v0_files = glob.glob(str(tmp_path / "cmp" / "v=0" / "*.parquet"))
+    assert len(v0_files) >= 16
+    new_version = vt.compact(target_partitions=2)
+    assert new_version == 1
+    v1_files = glob.glob(str(tmp_path / "cmp" / "v=1" / "*.parquet"))
+    assert len(v1_files) <= 2
+    assert vt.read(spark).count() == 1000
+    # pre-compaction layout still time-travels
+    assert vt.read(spark, version=0).count() == 1000
