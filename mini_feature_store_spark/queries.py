@@ -986,10 +986,12 @@ GROUP BY event_type
 )
 def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON column parsing (F8/F9: the reference round-trips JSON by hand;
-    we parse with get_json_object in-plan)."""
+    we parse with a schema-full ``from_json`` in-plan — single parse per
+    row even if several fields were projected, unlike repeated
+    ``get_json_object`` path lookups)."""
     _utc(spark)
     ev = load_testdata(spark, sf_dir, "events")["events"]
-    k = F.get_json_object("props", "$.k").cast("long")
+    k = F.from_json("props", "k long")["k"]
     return ev.groupBy("event_type").agg(
         F.round(F.avg(k), 4).alias("avg_k"),
         F.max(k).alias("max_k"),
