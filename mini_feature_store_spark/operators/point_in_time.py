@@ -29,8 +29,122 @@ Scale controls:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+_TOL_UNITS_US = {
+    "second": 1_000_000, "seconds": 1_000_000,
+    "minute": 60_000_000, "minutes": 60_000_000,
+    "hour": 3_600_000_000, "hours": 3_600_000_000,
+    "day": 86_400_000_000, "days": 86_400_000_000,
+}
+
+
+def _tolerance_us(tolerance: str) -> int:
+    qty, unit = tolerance.split()
+    return int(qty) * _TOL_UNITS_US[unit.lower()]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str] | tuple[str, ...],
+    left_ts: str,
+    right_ts: str,
+    direction: str = "backward",
+    tolerance: str | None = None,
+    how: str = "left",
+    tie_breakers: list[str] | tuple[str, ...] = (),
+) -> DataFrame:
+    """Generalized as-of join at full timestamp precision (pandas
+    ``merge_asof`` surface, distributed).
+
+    For each left row pick ONE right row per the direction:
+
+    - ``backward`` — latest right with ``right_ts <= left_ts`` (the
+      reference's only temporal semantics, PointInTimeJoinPipeline.scala:
+      103-122, generalized from date- to timestamp-grain);
+    - ``forward`` — earliest right with ``right_ts >= left_ts`` (absent in
+      the reference; needed for next-touch attribution);
+    - ``nearest`` — smallest ``|right_ts - left_ts|``; ties go to the
+      backward (earlier) candidate.
+
+    ``tolerance`` (e.g. ``'7 days'``) bounds the search radius — at scale
+    this is what keeps the range join's per-key fan-out finite and lets the
+    optimizer partition-prune the right side. ``tie_breakers`` are right-side
+    columns appended to the pick ordering so equal-timestamp candidates
+    resolve deterministically.
+
+    Physical form: equi-join on ``keys`` (hash/SMJ — never a nested loop)
+    with the direction+tolerance predicate as residual, collapsed by a single
+    ``min_by/max_by`` hash aggregate keyed by the left row — one struct per
+    left row crosses the final shuffle, no sort, no window (same scale
+    rationale as ``point_in_time_join`` strategy='max_by').
+    """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"bad direction: {direction!r}")
+    if how not in ("left", "inner"):
+        raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
+    keys = list(keys)
+    value_cols = [c for c in right.columns if c not in keys and c != right_ts]
+    out_cols = left.columns + [right_ts] + value_cols
+
+    l_ts, r_ts = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    diff_us = F.unix_micros(r_ts) - F.unix_micros(l_ts)
+    if direction == "backward":
+        pred: Column = r_ts <= l_ts
+        if tolerance is not None:
+            pred &= diff_us >= -_tolerance_us(tolerance)
+    elif direction == "forward":
+        pred = r_ts >= l_ts
+        if tolerance is not None:
+            pred &= diff_us <= _tolerance_us(tolerance)
+    else:
+        tol = _tolerance_us(tolerance) if tolerance is not None else None
+        pred = F.lit(True) if tol is None else F.abs(diff_us) <= F.lit(tol)
+
+    cond = pred
+    for k in keys:
+        cond &= F.col(f"l.{k}") == F.col(f"r.{k}")
+    joined = left.alias("l").join(right.alias("r"), cond, "left")
+
+    # Ordering key for the pick: direction-appropriate distance, then
+    # tie-breakers. min_by/max_by over a struct orders lexicographically.
+    if direction == "nearest":
+        # (|Δ|, sign) — backward candidate (Δ<0 → sign 0) wins exact ties.
+        order = F.struct(
+            F.abs(diff_us).alias("d"),
+            F.when(diff_us <= 0, F.lit(0)).otherwise(F.lit(1)).alias("s"),
+            *[F.col(f"r.{c}").alias(c) for c in tie_breakers],
+        )
+        picker = F.min_by
+    elif direction == "forward":
+        order = F.struct(
+            r_ts.alias("t"), *[F.col(f"r.{c}").alias(c) for c in tie_breakers]
+        )
+        picker = F.min_by
+    else:
+        # backward wants max timestamp; negate tie-breaker direction is not
+        # needed for determinism, max over the struct is already total.
+        order = F.struct(
+            r_ts.alias("t"), *[F.col(f"r.{c}").alias(c) for c in tie_breakers]
+        )
+        picker = F.max_by
+    payload = F.when(
+        r_ts.isNotNull(),
+        F.struct(*[F.col(f"r.{c}").alias(c) for c in [right_ts] + value_cols]),
+    )
+    out = (
+        joined.groupBy(*[F.col(f"l.{c}").alias(c) for c in left.columns])
+        .agg(picker(payload, order).alias("_r"))
+        .select(
+            *left.columns,
+            *[F.col(f"_r.{c}").alias(c) for c in [right_ts] + value_cols],
+        )
+    )
+    if how == "inner":
+        out = out.where(F.col(right_ts).isNotNull())
+    return out.select(*out_cols)
 
 
 def point_in_time_join(

@@ -1,0 +1,92 @@
+"""asof_join: direction, tolerance, tie, and null semantics on known data."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from mini_feature_store_spark.operators.point_in_time import asof_join
+
+
+def _t(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [(1, "u", _t(10)), (2, "u", _t(12)), (3, "v", _t(10)), (4, "w", _t(10))],
+        "lid long, k string, lts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u", _t(9), 100, 9.0),
+            ("u", _t(11), 101, 11.0),
+            ("u", _t(11), 102, 11.5),  # same ts as 101 → tie
+            ("v", _t(18), 103, 18.0),
+        ],
+        "k string, rts timestamp, rid long, rv double",
+    )
+    return left, right
+
+
+def _picks(df):
+    return {r.lid: r.rid for r in df.collect()}
+
+
+def test_backward(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, ["k"], "lts", "rts", direction="backward",
+                    tie_breakers=["rid"])
+    assert _picks(out) == {1: 100, 2: 102, 3: None, 4: None}
+
+
+def test_forward_with_tie_breaker(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, ["k"], "lts", "rts", direction="forward",
+                    tie_breakers=["rid"])
+    # lid=2 at 12:00: forward candidates none (11:00 < 12:00) → null
+    assert _picks(out) == {1: 101, 2: None, 3: 103, 4: None}
+
+
+def test_nearest_tie_goes_backward(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, ["k"], "lts", "rts", direction="nearest",
+                    tie_breakers=["rid"])
+    picks = _picks(out)
+    # lid=1 at 10:00: 9:00 (Δ=1h back) vs 11:00 (Δ=1h fwd) → backward wins.
+    assert picks[1] == 100
+    assert picks[3] == 103  # only candidate, 8h away, no tolerance
+
+
+def test_tolerance_bounds_search(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, ["k"], "lts", "rts", direction="nearest",
+                    tolerance="2 hours", tie_breakers=["rid"])
+    assert _picks(out)[3] is None  # 18:00 is 8h from 10:00 > 2h radius
+    out = asof_join(left, right, ["k"], "lts", "rts", direction="backward",
+                    tolerance="90 minutes", tie_breakers=["rid"])
+    assert _picks(out) == {1: 100, 2: 102, 3: None, 4: None}
+
+
+def test_inner_drops_unmatched(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, ["k"], "lts", "rts", direction="forward",
+                    how="inner", tie_breakers=["rid"])
+    assert sorted(_picks(out)) == [1, 3]
+
+
+def test_one_row_per_left_row(spark):
+    left, right = _frames(spark)
+    for d in ("backward", "forward", "nearest"):
+        out = asof_join(left, right, ["k"], "lts", "rts", direction=d)
+        assert out.count() == left.count()
+        assert out.columns == ["lid", "k", "lts", "rts", "rid", "rv"]
+
+
+def test_no_nested_loop_plan(spark):
+    from mini_feature_store_spark.functions import plan_text
+
+    left, right = _frames(spark)
+    plan = plan_text(asof_join(left, right, ["k"], "lts", "rts"))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
