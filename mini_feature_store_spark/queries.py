@@ -1107,6 +1107,188 @@ def date_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ── data profiling (operators/profile.py, §2.11 capability add) ─────────────
+
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@_q(
+    "lineitem_profile",
+    "\nUNION ALL\n".join(
+        f"""
+SELECT '{c}' AS col_name, CAST(COUNT({c}) AS BIGINT) AS n,
+       CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+       MIN({c}) AS min, MAX({c}) AS max,
+       ROUND(AVG({c}), 2) AS mean, ROUND(STDDEV_SAMP({c}), 2) AS stddev
+FROM lineitem"""
+        for c in _PROFILE_COLS
+    ),
+)
+def lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan multi-column profile (no per-column passes); the wide
+    1-row aggregate is unpivoted JVM-side with stack()."""
+    from mini_feature_store_spark.operators.profile import table_profile
+
+    _utc(spark)
+    li = load_testdata(spark, sf_dir, "lineitem")["lineitem"]
+    prof = table_profile(li, list(_PROFILE_COLS))
+    return prof.select(
+        F.col("column").alias("col_name"),
+        "n", "n_null", "min", "max",
+        F.round("mean", 2).alias("mean"),
+        F.round("stddev", 2).alias("stddev"),
+    )
+
+
+@_q(
+    "price_histogram",
+    """
+SELECT CAST(LEAST(FLOOR(l_extendedprice / 5000), 23) AS BIGINT) AS bucket,
+       CAST(CAST(LEAST(FLOOR(l_extendedprice / 5000), 23) AS BIGINT) * 5000.0
+            AS DOUBLE) AS bucket_lo,
+       CAST((CAST(LEAST(FLOOR(l_extendedprice / 5000), 23) AS BIGINT) + 1)
+            * 5000.0 AS DOUBLE) AS bucket_hi,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+WHERE l_extendedprice IS NOT NULL
+  AND l_extendedprice >= 0 AND l_extendedprice <= 120000
+GROUP BY 1
+""",
+)
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram: pure projection + bounded hash aggregate —
+    the reduce side is ≤ nbins rows regardless of input size."""
+    from mini_feature_store_spark.operators.profile import numeric_histogram
+
+    _utc(spark)
+    li = load_testdata(spark, sf_dir, "lineitem")["lineitem"]
+    return numeric_histogram(li, "l_extendedprice", 0.0, 120000.0, 24)
+
+
+# ── generalized as-of join (operators/point_in_time.py:asof_join) ───────────
+
+
+@_q(
+    "next_click_after_purchase",
+    """
+WITH purchases AS (
+  SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts, event_id AS click_id,
+         value AS click_value
+  FROM events WHERE event_type = 'click'
+),
+cand AS (
+  SELECT p.purchase_id, p.user_id, p.purchase_ts, c.click_ts, c.click_id,
+         c.click_value,
+         ROW_NUMBER() OVER (PARTITION BY p.purchase_id, p.user_id, p.purchase_ts
+                            ORDER BY c.click_ts, c.click_id) AS rk
+  FROM purchases p
+  LEFT JOIN clicks c
+    ON p.user_id = c.user_id
+   AND c.click_ts >= p.purchase_ts
+   AND c.click_ts <= p.purchase_ts + INTERVAL 7 DAY
+)
+SELECT purchase_id, user_id, purchase_ts, click_ts, click_id,
+       ROUND(click_value, 2) AS click_value
+FROM cand WHERE rk = 1
+""",
+)
+def next_click_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join at timestamp grain (next-touch attribution): for
+    each purchase, the user's earliest click at-or-after it within 7 days.
+    The reference only supports backward/date-grain (PointInTimeJoinPipeline.
+    scala:103-122); direction, tolerance, and tie-breakers are §2.11 adds."""
+    from mini_feature_store_spark.operators.point_in_time import asof_join
+
+    _utc(spark)
+    events = load_testdata(spark, sf_dir, "events")["events"]
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        keys=["user_id"],
+        left_ts="purchase_ts",
+        right_ts="click_ts",
+        direction="forward",
+        tolerance="7 days",
+        tie_breakers=["click_id"],
+    )
+    return out.withColumn("click_value", F.round("click_value", 2))
+
+
+# ── interval / range join (operators/interval.py, §2.11 capability add) ─────
+
+
+@_q(
+    "event_promo_attribution",
+    f"""
+WITH promos AS (
+  SELECT i AS promo_id,
+         CAST(DATE '{EVENTS_START}' + CAST(3 * i AS INTEGER) AS TIMESTAMP)
+           AS window_start,
+         CAST(DATE '{EVENTS_START}' + CAST(3 * i + 7 AS INTEGER) AS TIMESTAMP)
+           AS window_end
+  FROM (SELECT unnest(generate_series(0, 9)) AS i)
+)
+SELECT p.promo_id, p.window_start, p.window_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+       ROUND(SUM(e.value), 2) AS sum_value
+FROM promos p
+JOIN (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, value FROM events) e
+  ON e.ts >= p.window_start AND e.ts < p.window_end
+GROUP BY p.promo_id, p.window_start, p.window_end
+""",
+)
+def event_promo_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-containment join with NO equi key (absent from the reference —
+    its only temporal join is equi-key-bounded, PointInTimeJoinPipeline.scala:
+    103-122). Ten overlapping 7-day promo windows × every event whose ts
+    falls inside; naive Spark plans this as BroadcastNestedLoopJoin, the
+    operator turns it into a bucket-id hash join (operators/interval.py)."""
+    from mini_feature_store_spark.operators.interval import interval_join
+
+    _utc(spark)
+    events = load_testdata(spark, sf_dir, "events")["events"]
+    start = F.to_date(F.lit(EVENTS_START))
+    promos = spark.range(10).select(
+        F.col("id").alias("promo_id"),
+        F.date_add(start, (F.col("id") * 3).cast("int"))
+        .cast("timestamp")
+        .alias("window_start"),
+        F.date_add(start, (F.col("id") * 3 + 7).cast("int"))
+        .cast("timestamp")
+        .alias("window_end"),
+    )
+    hits = interval_join(
+        events.select("ts", "user_id", "value"),
+        promos,
+        point_ts="ts",
+        start_ts="window_start",
+        end_ts="window_end",
+        bucket_width="7 days",
+        closed="left",
+    )
+    return hits.groupBy("promo_id", "window_start", "window_end").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
 # ── multimodal plumbing (operators/multimodal.py) ───────────────────────────
 
 
