@@ -26,6 +26,7 @@ from collections.abc import Sequence
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 @dataclass
@@ -109,6 +110,43 @@ class VersionedTable:
         elif version not in {c["version"] for c in commits}:
             raise ValueError(f"version {version} not in commit log")
         return spark.read.parquet(os.path.join(self.path, f"v={version}"))
+
+    def upsert(
+        self,
+        df: DataFrame,
+        keys: Sequence[str],
+        partition_by: Sequence[str] = (),
+    ) -> int:
+        """MERGE-style upsert: rows in ``df`` replace same-key rows in the
+        latest version; unmatched rows are inserted. Commits a new version
+        (Delta ``MERGE WHEN MATCHED UPDATE / NOT MATCHED INSERT`` analog —
+        the capability the reference's comment at api/offline.py:90 defers
+        to "proper Iceberg").
+
+        Physical form: union + one ``max_by`` hash aggregate keyed on
+        ``keys`` with a source-precedence tag — a single shuffle on the
+        merge keys, no window/sort. New-side duplicates on ``keys`` are an
+        error (ambiguous winner), matching Delta MERGE semantics.
+        """
+        from mini_feature_store_spark.operators.latest import latest_per_key
+
+        keys = list(keys)
+        spark = df.sparkSession
+        dup = (
+            df.groupBy(*keys).count().where(F.col("count") > 1).limit(1).count()
+        )
+        if dup:
+            raise ValueError(f"upsert source has duplicate keys on {keys}")
+        if not self.versions():
+            return self.write(df, partition_by=partition_by)
+        prev = self.read(spark).withColumn("_src", F.lit(0))
+        new = df.withColumn("_src", F.lit(1))
+        merged = latest_per_key(
+            prev.unionByName(new, allowMissingColumns=True),
+            keys=keys,
+            order_cols="_src",
+        ).drop("_src")
+        return self.write(merged, partition_by=partition_by)
 
     def compact(self, target_partitions: int) -> int:
         """Rewrite the latest version into ``target_partitions`` files.

@@ -64,6 +64,42 @@ def test_time_travel_versions(spark, tmp_path, events_path):
         vt.read(spark, version=0)
 
 
+def test_upsert_merge_semantics(spark, tmp_path):
+    vt = VersionedTable(str(tmp_path / "t"))
+    base = spark.createDataFrame(
+        [("u1", 1, "a"), ("u2", 2, "b"), ("u3", 3, "c")], "k string, v int, tag string"
+    )
+    assert vt.upsert(base, keys=["k"]) == 0  # first upsert == plain write
+
+    delta = spark.createDataFrame(
+        [("u2", 20, "B"), ("u4", 4, "d")], "k string, v int, tag string"
+    )
+    assert vt.upsert(delta, keys=["k"]) == 1
+    got = {r.k: (r.v, r.tag) for r in vt.read(spark).collect()}
+    # matched row updated, unmatched inserted, untouched rows preserved
+    assert got == {"u1": (1, "a"), "u2": (20, "B"), "u3": (3, "c"), "u4": (4, "d")}
+    # previous version still readable (time travel across a merge)
+    assert vt.read(spark, version=0).count() == 3
+
+
+def test_upsert_rejects_duplicate_source_keys(spark, tmp_path):
+    vt = VersionedTable(str(tmp_path / "t"))
+    dup = spark.createDataFrame([("u1", 1), ("u1", 2)], "k string, v int")
+    with pytest.raises(ValueError, match="duplicate keys"):
+        vt.upsert(dup, keys=["k"])
+
+
+def test_upsert_schema_evolution_adds_column(spark, tmp_path):
+    vt = VersionedTable(str(tmp_path / "t"))
+    vt.upsert(spark.createDataFrame([("u1", 1)], "k string, v int"), keys=["k"])
+    vt.upsert(
+        spark.createDataFrame([("u2", 2, 0.5)], "k string, v int, score double"),
+        keys=["k"],
+    )
+    got = {r.k: (r.v, r.score) for r in vt.read(spark).collect()}
+    assert got == {"u1": (1, None), "u2": (2, 0.5)}
+
+
 def test_pit_join_pipeline(spark, tmp_path, events_path):
     table = str(tmp_path / "features")
     run_backfill(spark, BackfillConfig(events_path, table, "2024-01-01", "2024-01-05"))
