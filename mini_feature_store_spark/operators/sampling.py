@@ -1,0 +1,83 @@
+"""Deterministic, key-consistent sampling and dataset splits.
+
+Training-data pipelines need sampling that is (a) reproducible across runs
+and engines, (b) *consistent by key* — if ``user 42`` is sampled into the
+10% slice, every table sampled on ``user_id`` keeps the same users, so joins
+between sampled tables stay complete — and (c) driver-free at 100 TB.
+``df.sample``/``sampleBy`` give none of that (seeded RNG is
+partitioning-dependent and engine-specific).
+
+The portable primitive: md5 over the key's canonical string form, compare
+the first 8 hex chars against ``round(fraction * 2^32)`` rendered as 8-digit
+hex. md5 is identical everywhere (Spark, DuckDB, Python), lowercase-hex
+digits sort lexicographically = numerically, so the predicate is a pure
+codegen'd projection — no shuffle, no RNG state, pushes down like any
+filter.
+
+The reference has no sampling surface at all; §2.11 capability add.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["hash_bucket_expr", "hash_sample", "hash_split"]
+
+_SPACE = 1 << 32  # 8 hex chars
+
+
+def _prefix(keys: list[str]) -> Column:
+    # Canonical key string: values cast to string, '|'-joined. concat_ws
+    # skips nulls (a null key component hashes like the empty string —
+    # document, don't crash).
+    return F.substring(
+        F.md5(F.concat_ws("|", *[F.col(k).cast("string") for k in keys])), 1, 8
+    )
+
+
+def _hex_threshold(cum_fraction: float) -> str:
+    return format(min(round(cum_fraction * _SPACE), _SPACE - 1), "08x")
+
+
+def hash_bucket_expr(keys: list[str]) -> Column:
+    """The raw 8-hex-char bucket string (sorts uniformly over 2^32)."""
+    return _prefix(list(keys))
+
+
+def hash_sample(
+    df: DataFrame, keys: list[str] | tuple[str, ...], fraction: float
+) -> DataFrame:
+    """Keep ≈``fraction`` of rows, decided ONLY by ``keys`` (stable across
+    runs, partitionings, engines, and sibling tables sharing the key)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.where(_prefix(list(keys)) < F.lit(_hex_threshold(fraction)))
+
+
+def hash_split(
+    df: DataFrame,
+    keys: list[str] | tuple[str, ...],
+    weights: dict[str, float],
+    split_col: str = "split",
+) -> DataFrame:
+    """Partition rows into named splits (e.g. train/val/test) by key hash.
+
+    ``weights`` must sum to 1. Every row gets exactly one split label; the
+    assignment is a chain of threshold comparisons on one md5 prefix —
+    a single projection, no shuffle, and the same key always lands in the
+    same split even across different tables.
+    """
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    prefix = _prefix(list(keys))
+    expr = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = prefix < F.lit(_hex_threshold(cum))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(split_col, last)

@@ -1107,6 +1107,127 @@ def date_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ── deterministic sampling / splits (operators/sampling.py) ─────────────────
+
+
+@_q(
+    "doc_hash_sample",
+    """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+""",
+)
+def doc_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-consistent 25% sample: decided only by md5(doc_id), so it is
+    reproducible across runs/engines and co-samples any table sharing the
+    key — pure codegen filter, no RNG, no shuffle."""
+    from mini_feature_store_spark.operators.sampling import hash_sample
+
+    _utc(spark)
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    return hash_sample(docs, ["doc_id"], 0.25).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@_q(
+    "doc_hash_split_counts",
+    """
+SELECT CASE
+         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccd'
+           THEN 'train'
+         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'
+           THEN 'val'
+         ELSE 'test'
+       END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1
+""",
+)
+def doc_hash_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by md5(doc_id) — one
+    projection, exactly one label per row, same key → same split in every
+    table. Aggregated per split to validate proportions."""
+    from mini_feature_store_spark.operators.sampling import hash_split
+
+    _utc(spark)
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    split = hash_split(docs, ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1})
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@_q(
+    "events_capped_per_user",
+    """
+SELECT user_id, event_id, ts, event_type
+FROM (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rk
+  FROM events
+) WHERE rk <= 5
+""",
+)
+def events_capped_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key contribution cap (≤5 earliest events per user) — bounds any
+    single key's influence on a training set; one window over one shuffle."""
+    from pyspark.sql import Window
+
+    _utc(spark)
+    ev = load_testdata(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+
+
+# ── corpus term statistics (text-analysis widening) ─────────────────────────
+
+
+@_q(
+    "doc_term_frequencies",
+    """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term
+  FROM documents
+)
+SELECT term,
+       CAST(COUNT(*) AS BIGINT) AS tf,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+FROM toks WHERE term <> ''
+GROUP BY term HAVING COUNT(*) >= 20
+""",
+)
+def doc_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term/document frequencies (the tf–df half of TF-IDF): tokenize
+    JVM-side (split+explode, stays in codegen), one hash aggregate with
+    map-side combine — the canonical word-count shape that must scale to
+    100 TB without a Python worker in the loop."""
+    _utc(spark)
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term"),
+    ).where(F.col("term") != "")
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .where(F.col("tf") >= 20)
+    )
+
+
 # ── data profiling (operators/profile.py, §2.11 capability add) ─────────────
 
 _PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")

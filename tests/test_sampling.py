@@ -1,0 +1,78 @@
+"""hash_sample / hash_split: determinism, key-consistency, split laws."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mini_feature_store_spark.operators.sampling import hash_sample, hash_split
+
+
+def _keys(spark, n=2000):
+    return spark.range(n).select(F.col("id").alias("k"))
+
+
+def test_sample_fraction_approximate_and_deterministic(spark):
+    df = _keys(spark)
+    a = {r.k for r in hash_sample(df, ["k"], 0.3).collect()}
+    b = {r.k for r in hash_sample(df, ["k"], 0.3).collect()}
+    assert a == b  # rerun-stable
+    assert 0.25 < len(a) / 2000 < 0.35
+
+
+def test_sample_key_consistent_across_tables(spark):
+    # Two "tables" sharing the key sample the SAME keys → joins stay complete.
+    left = _keys(spark).withColumn("x", F.lit(1))
+    right = _keys(spark).withColumn("y", F.lit(2))
+    ls = {r.k for r in hash_sample(left, ["k"], 0.2).collect()}
+    rs = {r.k for r in hash_sample(right, ["k"], 0.2).collect()}
+    assert ls == rs
+
+
+def test_sample_nested_fractions(spark):
+    # The 10% sample is a subset of the 20% sample (threshold monotonicity).
+    df = _keys(spark)
+    s10 = {r.k for r in hash_sample(df, ["k"], 0.1).collect()}
+    s20 = {r.k for r in hash_sample(df, ["k"], 0.2).collect()}
+    assert s10 <= s20
+
+
+def test_sample_edge_fractions(spark):
+    df = _keys(spark, 50)
+    assert hash_sample(df, ["k"], 0.0).count() == 0
+    assert hash_sample(df, ["k"], 1.0).count() == 50
+    with pytest.raises(ValueError):
+        hash_sample(df, ["k"], 1.5)
+
+
+def test_split_partitions_every_row_exactly_once(spark):
+    df = _keys(spark)
+    out = hash_split(df, ["k"], {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 2000
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+
+
+def test_split_weights_must_sum_to_one(spark):
+    with pytest.raises(ValueError):
+        hash_split(_keys(spark, 10), ["k"], {"a": 0.5, "b": 0.4})
+
+
+def test_split_agrees_with_sample(spark):
+    # split's first bucket == sample at the same fraction (same primitive).
+    df = _keys(spark)
+    first = {
+        r.k
+        for r in hash_split(df, ["k"], {"a": 0.3, "b": 0.7})
+        .where(F.col("split") == "a")
+        .collect()
+    }
+    assert first == {r.k for r in hash_sample(df, ["k"], 0.3).collect()}
+
+
+def test_sample_plan_is_pure_filter(spark):
+    from mini_feature_store_spark.functions import plan_text
+
+    plan = plan_text(hash_sample(_keys(spark), ["k"], 0.5))
+    assert "Exchange" not in plan  # no shuffle: a projection + filter only
