@@ -1,6 +1,10 @@
 from mini_feature_store_spark.pipelines.backfill import (  # noqa: F401
     BackfillConfig,
     run_backfill,
+    run_backfill_incremental,
+)
+from mini_feature_store_spark.pipelines.consistency import (  # noqa: F401
+    online_offline_diff,
 )
 from mini_feature_store_spark.pipelines.pit_join import (  # noqa: F401
     PointInTimeJoinConfig,

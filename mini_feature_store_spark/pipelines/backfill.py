@@ -12,6 +12,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from mini_feature_store_spark.io.sources import read_parquet
 from mini_feature_store_spark.io.tables import VersionedTable
@@ -31,6 +32,59 @@ class BackfillConfig:
     type_col: str = "event_type"
     partition_by: tuple[str, ...] = ("day",)
     extra: dict = field(default_factory=dict)
+
+
+def run_backfill_incremental(
+    spark: SparkSession, cfg: BackfillConfig
+) -> list[str]:
+    """Backfill ONLY the days in [start_date, end_date] not yet in the table.
+
+    Returns the list of day strings actually computed (empty == table
+    already current, nothing written). The daily cron case — yesterday's
+    run covered days 1..N, today extends to N+1 — recomputes one day, not
+    the whole history; at 100 TB that is the difference between a 5-minute
+    and a multi-hour job. Days are discovered from the table itself (one
+    distinct-scan of the partition column, prunable), so crashed partial
+    runs self-heal on the next invocation.
+
+    The feature compute still sees the FULL events input (rolling windows
+    need the 30-day lookback before the first missing day); only the
+    *output* range shrinks. Correctness pinned equal to a from-scratch
+    backfill in tests/test_pipelines.py.
+    """
+    import datetime as dt
+
+    vt = VersionedTable(cfg.output_table)
+    have: set[dt.date] = set()
+    if vt.versions():
+        have = {
+            r["day"]
+            for r in vt.read(spark).select("day").distinct().collect()
+        }
+    start = dt.date.fromisoformat(cfg.start_date)
+    end = dt.date.fromisoformat(cfg.end_date)
+    want = {start + dt.timedelta(days=i) for i in range((end - start).days + 1)}
+    missing = sorted(want - have)
+    if not missing:
+        return []
+
+    events = read_parquet(spark, cfg.events_path)
+    features = backfill_features_window_form(
+        events,
+        missing[0].isoformat(),
+        missing[-1].isoformat(),
+        user_col=cfg.user_col,
+        ts_col=cfg.ts_col,
+        type_col=cfg.type_col,
+    )
+    if len(missing) != (missing[-1] - missing[0]).days + 1:
+        # Holes (a crashed run): keep only genuinely missing days.
+        features = features.where(
+            F.col("day").isin([d.isoformat() for d in missing])
+        )
+    mode = "append" if vt.versions() else "overwrite"
+    vt.write(features, partition_by=cfg.partition_by, mode=mode)
+    return [d.isoformat() for d in missing]
 
 
 def run_backfill(spark: SparkSession, cfg: BackfillConfig) -> DataFrame:

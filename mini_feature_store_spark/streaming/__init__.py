@@ -1,4 +1,5 @@
 from mini_feature_store_spark.streaming.ingest import (  # noqa: F401
+    deduplicated_stream,
     read_event_stream,
     sessionized_activity,
     sliding_event_counts,

@@ -129,6 +129,26 @@ def sessionized_activity(
     )
 
 
+def deduplicated_stream(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    watermark: str = "1 day",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup: drop repeats of ``keys`` arriving within the
+    watermark horizon (at-least-once sources → effectively-once downstream).
+
+    ``dropDuplicatesWithinWatermark`` keys the state store on ``keys`` and
+    EVICTS entries once the watermark passes — bounded state, unlike plain
+    ``dropDuplicates`` on a stream which retains every key forever. The
+    batch analogs are `operators/dedup.py`; this is the streaming tier of
+    the same dedup family.
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def stream_online_sync(
     windowed: DataFrame,
     kv_factory: Callable[[], object],

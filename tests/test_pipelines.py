@@ -64,6 +64,71 @@ def test_time_travel_versions(spark, tmp_path, events_path):
         vt.read(spark, version=0)
 
 
+def test_incremental_backfill_extends_range(spark, tmp_path, events_path):
+    from mini_feature_store_spark.pipelines import run_backfill_incremental
+
+    table = str(tmp_path / "inc")
+    cfg1 = BackfillConfig(events_path, table, "2024-01-01", "2024-01-03")
+    assert run_backfill_incremental(spark, cfg1) == [
+        "2024-01-01", "2024-01-02", "2024-01-03"
+    ]
+    # extend by two days → only the two new days computed
+    cfg2 = BackfillConfig(events_path, table, "2024-01-01", "2024-01-05")
+    assert run_backfill_incremental(spark, cfg2) == ["2024-01-04", "2024-01-05"]
+    # third run: current → no-op, no new version
+    assert run_backfill_incremental(spark, cfg2) == []
+    vt = VersionedTable(table)
+    assert len(vt.versions()) == 2
+
+    # incremental result ≡ from-scratch backfill over the full range
+    full = str(tmp_path / "full")
+    run_backfill(spark, BackfillConfig(events_path, full, "2024-01-01", "2024-01-05"))
+    inc_rows = {tuple(r) for r in vt.read(spark).collect()}
+    full_rows = {tuple(r) for r in VersionedTable(full).read(spark).collect()}
+    assert inc_rows == full_rows
+
+
+def test_online_offline_diff_detects_drift(spark, tmp_path, events_path):
+    from mini_feature_store_spark.pipelines import online_offline_diff
+
+    table = str(tmp_path / "features")
+    run_backfill(spark, BackfillConfig(events_path, table, "2024-01-01", "2024-01-03"))
+    kv_root = str(tmp_path / "kv")
+    run_online_sync(
+        spark,
+        OnlineSyncConfig(features_table=table, as_of="2024-01-03", key_prefix="f:"),
+        lambda: FileKVStore(kv_root),
+    )
+    offline = latest_snapshot = VersionedTable(table).read(spark)
+    from mini_feature_store_spark.operators.latest import latest_per_key
+
+    latest_snapshot = latest_per_key(offline, keys=["user_id"], order_cols=["day"])
+    # healthy: no anomalies
+    assert online_offline_diff(spark, kv_root, latest_snapshot).count() == 0
+
+    # drift 1: offline value changes (stale online copy) → mismatch
+    drifted = latest_snapshot.withColumn(
+        "event_count_7d",
+        F.when(F.col("user_id") == "u1", F.lit(99)).otherwise(
+            F.col("event_count_7d")
+        ),
+    )
+    diff = {r.user_id: r.status for r in online_offline_diff(spark, kv_root, drifted).collect()}
+    assert diff == {"u1": "mismatch"}
+
+    # drift 2: offline gains a key the store never saw → missing_online
+    extra = latest_snapshot.unionByName(
+        latest_snapshot.limit(1).withColumn("user_id", F.lit("u_new"))
+    )
+    diff = {r.user_id: r.status for r in online_offline_diff(spark, kv_root, extra).collect()}
+    assert diff == {"u_new": "missing_online"}
+
+    # drift 3: offline lost a key the store still serves → missing_offline
+    shrunk = latest_snapshot.where(F.col("user_id") != "u2")
+    diff = {r.user_id: r.status for r in online_offline_diff(spark, kv_root, shrunk).collect()}
+    assert diff == {"u2": "missing_offline"}
+
+
 def test_upsert_merge_semantics(spark, tmp_path):
     vt = VersionedTable(str(tmp_path / "t"))
     base = spark.createDataFrame(

@@ -162,6 +162,33 @@ def test_watermark_drops_late_events(spark, tmp_path):
     assert len(jan1) == 1 and jan1[0].n_events == 1
 
 
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    from mini_feature_store_spark.streaming import (
+        deduplicated_stream,
+        read_event_stream,
+    )
+
+    path = str(tmp_path / "dup")
+    os.makedirs(path, exist_ok=True)
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 1), 1, "click", 1.0, "{}"),
+        (1, dt.datetime(2024, 1, 1, 1), 1, "click", 1.0, "{}"),  # same-file dup
+        (2, dt.datetime(2024, 1, 1, 2), 1, "view", 2.0, "{}"),
+    ]
+    _write_batch(spark, path, rows, "part1")
+    # redelivery of event 2 in a later file (at-least-once source)
+    _write_batch(
+        spark, path,
+        [(2, dt.datetime(2024, 1, 1, 2), 1, "view", 2.0, "{}"),
+         (3, dt.datetime(2024, 1, 1, 3), 2, "click", 3.0, "{}")],
+        "part2",
+    )
+    dedup = deduplicated_stream(read_event_stream(spark, path), keys=("event_id",))
+    _run_to_memory(dedup, "dedup_stream")
+    got = spark.sql("SELECT event_id FROM dedup_stream").collect()
+    assert sorted(r.event_id for r in got) == [1, 2, 3]
+
+
 def test_stream_online_sync_foreachbatch(spark, stream_dir, tmp_path):
     kv_dir = str(tmp_path / "kv")
     ckpt = str(tmp_path / "ckpt")
