@@ -27,6 +27,11 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--user-col", default="user_id")
     b.add_argument("--ts-col", default="ts")
     b.add_argument("--type-col", default="event_type")
+    b.add_argument(
+        "--incremental",
+        action="store_true",
+        help="compute only days missing from the table (daily-cron mode)",
+    )
 
     j = sub.add_parser(
         "point-in-time-join", help="labels + features → training data"
@@ -43,6 +48,14 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--redis-url", default=None, help="redis:// URL (needs redis pkg)")
     s.add_argument("--as-of", default=None, help="cutoff date YYYY-MM-DD")
     s.add_argument("--lookback-days", type=int, default=7)
+
+    c = sub.add_parser(
+        "consistency-check", help="audit online KV store against offline table"
+    )
+    c.add_argument("--features-table", required=True)
+    c.add_argument("--kv-dir", required=True, help="FileKVStore directory")
+    c.add_argument("--key-col", default="user_id")
+    c.add_argument("--order-col", default="day")
     return p
 
 
@@ -59,21 +72,28 @@ def main(argv: list[str] | None = None) -> int:
             from mini_feature_store_spark.pipelines.backfill import (
                 BackfillConfig,
                 run_backfill,
+                run_backfill_incremental,
             )
 
-            run_backfill(
-                spark,
-                BackfillConfig(
-                    events_path=args.events_path,
-                    output_table=args.output_table,
-                    start_date=args.start_date,
-                    end_date=args.end_date,
-                    user_col=args.user_col,
-                    ts_col=args.ts_col,
-                    type_col=args.type_col,
-                ),
+            cfg = BackfillConfig(
+                events_path=args.events_path,
+                output_table=args.output_table,
+                start_date=args.start_date,
+                end_date=args.end_date,
+                user_col=args.user_col,
+                ts_col=args.ts_col,
+                type_col=args.type_col,
             )
-            print(f"backfill committed to {args.output_table}")
+            if args.incremental:
+                done = run_backfill_incremental(spark, cfg)
+                print(
+                    f"backfill committed {len(done)} missing day(s) to "
+                    f"{args.output_table}"
+                    + (f": {done[0]}..{done[-1]}" if done else " (already current)")
+                )
+            else:
+                run_backfill(spark, cfg)
+                print(f"backfill committed to {args.output_table}")
         elif args.pipeline == "point-in-time-join":
             from mini_feature_store_spark.pipelines.pit_join import (
                 PointInTimeJoinConfig,
@@ -117,6 +137,27 @@ def main(argv: list[str] | None = None) -> int:
                 factory,
             )
             print(f"synced {n} keys")
+        elif args.pipeline == "consistency-check":
+            from mini_feature_store_spark.io.tables import VersionedTable
+            from mini_feature_store_spark.operators.latest import latest_per_key
+            from mini_feature_store_spark.pipelines.consistency import (
+                online_offline_diff,
+            )
+
+            offline = latest_per_key(
+                VersionedTable(args.features_table).read(spark),
+                keys=[args.key_col],
+                order_cols=[args.order_col],
+            )
+            anomalies = online_offline_diff(
+                spark, args.kv_dir, offline, key_col=args.key_col
+            ).cache()
+            n = anomalies.count()
+            if n:
+                anomalies.show(50, truncate=False)
+                print(f"INCONSISTENT: {n} anomaly row(s)")
+                return 1
+            print("consistent: online store matches offline latest snapshot")
         return 0
     finally:
         if owns_session:

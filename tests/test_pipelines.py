@@ -304,6 +304,45 @@ def test_cli_end_to_end(tmp_path, events_path, spark):
         == 0
     )
     assert len(FileKVStore(kv_dir).keys()) == 2
+    # consistency audit over what online-sync just wrote: healthy → exit 0
+    assert (
+        cli.main(
+            [
+                "--master", "local[2]",
+                "consistency-check",
+                "--features-table", table,
+                "--kv-dir", kv_dir,
+            ]
+        )
+        == 0
+    )
+    # incremental extension computes only the new days, then audit FAILS
+    # (exit 1): online store still holds the pre-extension snapshot.
+    assert (
+        cli.main(
+            [
+                "--master", "local[2]",
+                "backfill",
+                "--incremental",
+                "--events-path", events_path,
+                "--output-table", table,
+                "--start-date", "2024-01-01",
+                "--end-date", "2024-01-07",
+            ]
+        )
+        == 0
+    )
+    assert (
+        cli.main(
+            [
+                "--master", "local[2]",
+                "consistency-check",
+                "--features-table", table,
+                "--kv-dir", kv_dir,
+            ]
+        )
+        == 1
+    )
 
 
 def test_end_to_end_on_driver_testdata(spark, tmp_path):
