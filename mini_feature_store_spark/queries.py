@@ -1350,6 +1350,65 @@ def next_click_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("click_value", F.round("click_value", 2))
 
 
+@_q(
+    "nearest_click_to_purchase",
+    """
+WITH purchases AS (
+  SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts, event_id AS click_id
+  FROM events WHERE event_type = 'click'
+),
+cand AS (
+  SELECT p.purchase_id, p.user_id, p.purchase_ts, c.click_ts, c.click_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.purchase_id, p.user_id, p.purchase_ts
+           ORDER BY ABS(epoch_us(c.click_ts) - epoch_us(p.purchase_ts)),
+                    CASE WHEN c.click_ts <= p.purchase_ts THEN 0 ELSE 1 END,
+                    c.click_id
+         ) AS rk
+  FROM purchases p
+  LEFT JOIN clicks c
+    ON p.user_id = c.user_id
+   AND ABS(epoch_us(c.click_ts) - epoch_us(p.purchase_ts))
+       <= CAST(172800000000 AS BIGINT)
+)
+SELECT purchase_id, user_id, purchase_ts, click_ts, click_id
+FROM cand WHERE rk = 1
+""",
+)
+def nearest_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join (±2-day radius, backward wins exact ties): the
+    third direction of operators/point_in_time.py:asof_join, driver-checked
+    here so all three modes sit behind the oracle gate."""
+    from mini_feature_store_spark.operators.point_in_time import asof_join
+
+    _utc(spark)
+    events = load_testdata(spark, sf_dir, "events")["events"]
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        keys=["user_id"],
+        left_ts="purchase_ts",
+        right_ts="click_ts",
+        direction="nearest",
+        tolerance="2 days",
+        tie_breakers=["click_id"],
+    )
+
+
 # ── interval / range join (operators/interval.py, §2.11 capability add) ─────
 
 
