@@ -171,9 +171,13 @@ class VersionedTable:
         """Drop all but the last ``keep_last`` versions; returns dropped ids."""
         import shutil
 
+        if keep_last < 1:
+            # keep_last=0 would make versions[-0:] keep everything while the
+            # drop list also covers everything — manifest and disk diverge.
+            raise ValueError(f"keep_last must be >= 1, got {keep_last}")
         manifest = self._load_manifest()
         keep = manifest["versions"][-keep_last:]
-        drop = manifest["versions"][:-keep_last] if keep_last else manifest["versions"]
+        drop = manifest["versions"][:-keep_last]
         for c in drop:
             shutil.rmtree(
                 os.path.join(self.path, f"v={c['version']}"), ignore_errors=True

@@ -34,8 +34,10 @@ __all__ = ["interval_join"]
 
 
 def _bucket(col: Column, width_s: int) -> Column:
-    # Integer epoch-second division keeps the bucket id exact (no float).
-    return (col.cast("timestamp").cast("long") / F.lit(width_s)).cast("long")
+    # floor(), not cast-after-divide: cast truncates toward zero, so negative
+    # epoch seconds (pre-1970 timestamps) would bucket differently on the
+    # point and interval sides and silently drop matches.
+    return F.floor(col.cast("timestamp").cast("long") / F.lit(width_s)).cast("long")
 
 
 def interval_join(

@@ -20,8 +20,12 @@ Two physical forms:
   at all. Preferred at 100 TB; both forms are oracle-checked equal.
 
 Scale controls:
-- ``lookback_days`` pre-filters features to the window actually reachable
-  from the labels' as-of range — at 100 TB this is the difference between
+- ``lookback_days`` is a per-label staleness TTL: a label only matches
+  features with ``feature_ts >= as_of_date - lookback_days`` (enforced in
+  the join condition, so the semantics are well-defined per label — a label
+  whose latest feature is older than the TTL gets null). The same bound,
+  anchored at the global [min, max] as-of range, is also applied as a
+  pre-filter on the feature scan — at 100 TB this is the difference between
   scanning a month and scanning the whole history (partition-prunes on
   ``feature_ts`` when the store is partitioned by it, SURVEY.md §7.4).
 - ``broadcast_features=True`` for small feature sides (dimension-sized).
@@ -89,6 +93,11 @@ def asof_join(
     value_cols = [c for c in right.columns if c not in keys and c != right_ts]
     out_cols = left.columns + [right_ts] + value_cols
 
+    # Unique row id so exact-duplicate left rows each keep their own match
+    # (grouping by the visible columns alone would collapse them and break
+    # left-join row preservation).
+    left = left.withColumn("_asof_row_id", F.monotonically_increasing_id())
+
     l_ts, r_ts = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
     diff_us = F.unix_micros(r_ts) - F.unix_micros(l_ts)
     if direction == "backward":
@@ -138,7 +147,7 @@ def asof_join(
         joined.groupBy(*[F.col(f"l.{c}").alias(c) for c in left.columns])
         .agg(picker(payload, order).alias("_r"))
         .select(
-            *left.columns,
+            *[c for c in left.columns if c != "_asof_row_id"],
             *[F.col(f"_r.{c}").alias(c) for c in [right_ts] + value_cols],
         )
     )
@@ -174,11 +183,18 @@ def point_in_time_join(
     value_cols = [c for c in feature_cols if c != feature_ts]
     out_cols = labels.columns + [feature_ts] + value_cols
 
-    lab = labels.withColumn("_as_of_date", F.to_date(F.col(label_ts)))
+    # Unique row id: two label rows that agree on every visible column (or
+    # just on keys+label_ts with different values) must each produce their
+    # own output row — grouping/partitioning by visible columns alone would
+    # collapse them and break left-join row preservation.
+    lab = labels.withColumn(
+        "_as_of_date", F.to_date(F.col(label_ts))
+    ).withColumn("_pit_row_id", F.monotonically_increasing_id())
     feat = features
     if lookback_days is not None:
-        # Features older than (min as-of − lookback) can never win; the bounds
-        # are two scalar aggregates (cheap) and the filter partition-prunes.
+        # Scan pre-filter: anchored at the labels' global as-of range, a
+        # superset of every per-label TTL window; two scalar aggregates
+        # (cheap) and the filter partition-prunes the feature store.
         lo, hi = lab.select(
             F.min("_as_of_date"), F.max("_as_of_date")
         ).first()
@@ -191,14 +207,21 @@ def point_in_time_join(
         feat = F.broadcast(feat)
 
     cond = F.col(f"f.{feature_ts}") <= F.col("l._as_of_date")
+    if lookback_days is not None:
+        # Per-label TTL: features staler than lookback_days at this label's
+        # as-of date never match (well-defined per label, not just globally).
+        cond = cond & (
+            F.col(f"f.{feature_ts}")
+            >= F.date_sub(F.col("l._as_of_date"), lookback_days)
+        )
     for k in keys:
         cond = cond & (F.col(f"l.{k}") == F.col(f"f.{k}"))
     joined = lab.alias("l").join(feat.alias("f"), cond, how)
 
     if strategy == "window":
-        w = Window.partitionBy(
-            *[F.col(f"l.{k}") for k in keys], F.col(f"l.{label_ts}")
-        ).orderBy(F.col(f"f.{feature_ts}").desc_nulls_last())
+        w = Window.partitionBy(F.col("l._pit_row_id")).orderBy(
+            F.col(f"f.{feature_ts}").desc_nulls_last()
+        )
         picked = (
             joined.withColumn("_rank", F.row_number().over(w))
             .where(F.col("_rank") == 1)
@@ -216,8 +239,9 @@ def point_in_time_join(
         F.col(f"f.{feature_ts}").isNotNull(),
         F.struct(*[F.col(f"f.{c}") for c in [feature_ts] + value_cols]),
     )
+    group_cols = labels.columns + ["_pit_row_id"]
     grouped = (
-        joined.groupBy(*[F.col(f"l.{c}").alias(c) for c in labels.columns])
+        joined.groupBy(*[F.col(f"l.{c}").alias(c) for c in group_cols])
         .agg(F.max_by(feat_struct, F.col(f"f.{feature_ts}")).alias("_f"))
         .select(
             *labels.columns,

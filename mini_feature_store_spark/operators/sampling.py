@@ -52,6 +52,13 @@ def hash_sample(
     runs, partitionings, engines, and sibling tables sharing the key)."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    # Exact endpoints short-circuit: the threshold caps at 'ffffffff' with a
+    # strict '<', so without this a 100% sample would deterministically drop
+    # keys whose md5 prefix is exactly 'ffffffff' (~1 in 2^32).
+    if fraction >= 1.0:
+        return df
+    if fraction <= 0.0:
+        return df.where(F.lit(False))
     return df.where(_prefix(list(keys)) < F.lit(_hex_threshold(fraction)))
 
 

@@ -1003,20 +1003,25 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_event_type_arrays",
     """
 SELECT user_id,
-  list_sort(list(DISTINCT event_type)) AS types,
+  string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_csv,
   CAST(len(list(DISTINCT event_type)) AS INTEGER) AS n_types
 FROM events
 GROUP BY user_id
 """,
 )
 def user_event_type_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array aggregation + array functions (collect_set / array_sort / size —
-    §2.11 array-function tier; the reference stringifies instead)."""
+    """Array aggregation + array functions (collect_set / array_sort /
+    array_join / size — §2.11 array-function tier; the reference stringifies
+    instead). The sorted set is emitted as a CSV string, not a raw array:
+    the driver's canonical value hash can't order array cells (round-1
+    ``unhashable type: 'list'`` failure), and the string form is what the
+    reference's own payloads use anyway."""
     _utc(spark)
     ev = load_testdata(spark, sf_dir, "events")["events"]
+    types = F.array_sort(F.collect_set("event_type"))
     return ev.groupBy("user_id").agg(
-        F.array_sort(F.collect_set("event_type")).alias("types"),
-        F.size(F.collect_set("event_type")).cast("int").alias("n_types"),
+        F.array_join(types, ",").alias("types_csv"),
+        F.size(types).cast("int").alias("n_types"),
     )
 
 

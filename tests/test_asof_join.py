@@ -84,6 +84,22 @@ def test_one_row_per_left_row(spark):
         assert out.columns == ["lid", "k", "lts", "rts", "rid", "rv"]
 
 
+def test_duplicate_left_rows_each_preserved(spark):
+    """ADVICE r1: exact full-row duplicate left rows must each keep their own
+    match instead of collapsing through the groupBy."""
+    _, right = _frames(spark)
+    left = spark.createDataFrame(
+        [(1, "u", _t(10)), (1, "u", _t(10)), (9, "z", _t(10)), (9, "z", _t(10))],
+        "lid long, k string, lts timestamp",
+    )
+    for d in ("backward", "forward", "nearest"):
+        out = asof_join(left, right, ["k"], "lts", "rts", direction=d).collect()
+        assert len(out) == 4
+        assert sorted(r.lid for r in out) == [1, 1, 9, 9]
+        # the unmatched duplicates ('z') both survive with nulls
+        assert sum(1 for r in out if r.rid is None) == 2
+
+
 def test_no_nested_loop_plan(spark):
     from mini_feature_store_spark.functions import plan_text
 

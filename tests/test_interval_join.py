@@ -51,6 +51,28 @@ def test_matches_naive_all_closed_modes(spark):
     assert len(g) > 0
 
 
+def test_pre_epoch_timestamps_bucket_consistently(spark):
+    """ADVICE r1: negative epoch seconds must floor-divide, not truncate
+    toward zero — otherwise a pre-1970 point and its containing interval land
+    in different buckets and the match is silently dropped."""
+    points = spark.createDataFrame(
+        [(1, dt.datetime(1969, 12, 31, 23, 30)), (2, dt.datetime(1969, 12, 25))],
+        "point_id long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [(100, dt.datetime(1969, 12, 31, 22), dt.datetime(1970, 1, 1, 2)),
+         (101, dt.datetime(1969, 12, 24), dt.datetime(1969, 12, 26))],
+        "ival_id long, s timestamp, e timestamp",
+    )
+    got = {
+        tuple(r)
+        for r in interval_join(
+            points, intervals, "ts", "s", "e", bucket_width="1 days"
+        ).select("point_id", "ival_id").collect()
+    }
+    assert got == {(1, 100), (2, 101)}
+
+
 def test_no_duplicate_pairs_when_interval_spans_many_buckets(spark):
     points, intervals = _frames(spark)
     got = interval_join(

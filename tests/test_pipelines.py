@@ -62,6 +62,11 @@ def test_time_travel_versions(spark, tmp_path, events_path):
     assert dropped == [0]
     with pytest.raises(ValueError):
         vt.read(spark, version=0)
+    # ADVICE r1: keep_last=0 would delete every version dir while the
+    # manifest still listed them — must be rejected, table stays readable.
+    with pytest.raises(ValueError):
+        vt.vacuum(keep_last=0)
+    assert vt.read(spark).count() == 10
 
 
 def test_incremental_backfill_extends_range(spark, tmp_path, events_path):

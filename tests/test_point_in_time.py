@@ -135,6 +135,52 @@ def test_strategies_agree_and_leakage_property(spark, sf_dir):
 
 
 @pytest.mark.parametrize("strategy", STRATEGIES)
+def test_duplicate_label_rows_each_preserved(spark, strategy):
+    """ADVICE r1: left-join row preservation under duplicates. Two labels
+    sharing (keys, as_of_ts) but differing in label value, plus an exact
+    full-row duplicate pair, must yield 4 output rows — not collapse."""
+    features = _features(spark, [("u1", "2024-01-01", 1, 1, 0, "1")])
+    labels = _labels(
+        spark,
+        [
+            ("u1", 1.0, "2024-01-02 12:00:00"),
+            ("u1", 0.0, "2024-01-02 12:00:00"),  # same keys+ts, diff label
+            ("u1", 1.0, "2024-01-03 12:00:00"),
+            ("u1", 1.0, "2024-01-03 12:00:00"),  # exact full-row duplicate
+        ],
+    )
+    out = point_in_time_join(labels, features, strategy=strategy).collect()
+    assert len(out) == 4
+    assert sorted(r.label for r in out) == [0.0, 1.0, 1.0, 1.0]
+    assert all(r.day == dt.date(2024, 1, 1) for r in out)
+
+
+@pytest.mark.parametrize("strategy", STRATEGIES)
+def test_lookback_is_per_label_ttl(spark, strategy):
+    """ADVICE r1: lookback_days is a per-label staleness TTL. A label whose
+    only feature predates (as_of − lookback) gets null — including when the
+    feature survives the global pre-filter because a LATER label anchors the
+    global window."""
+    features = _features(spark, [("u1", "2024-01-01", 1, 1, 0, "1")])
+    labels = _labels(
+        spark,
+        [
+            ("u1", 1.0, "2024-03-01 12:00:00"),  # feature 60d stale → null
+            ("u1", 0.0, "2024-01-05 12:00:00"),  # feature 4d old → matches
+        ],
+    )
+    out = {
+        r.label: r
+        for r in point_in_time_join(
+            labels, features, strategy=strategy, lookback_days=30
+        ).collect()
+    }
+    assert len(out) == 2
+    assert out[1.0].day is None
+    assert out[0.0].day == dt.date(2024, 1, 1)
+
+
+@pytest.mark.parametrize("strategy", STRATEGIES)
 def test_lookback_prefilter_preserves_results(spark, strategy):
     features = _features(
         spark,
