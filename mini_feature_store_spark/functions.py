@@ -39,6 +39,30 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
+def melt(
+    df: DataFrame,
+    id_vars: list[str] | tuple[str, ...],
+    value_vars: list[str] | tuple[str, ...] | None = None,
+    var_name: str = "variable",
+    value_name: str = "value",
+) -> DataFrame:
+    """Wide → long reshape (pandas ``melt`` surface) on the native
+    ``DataFrame.unpivot`` operator.
+
+    ``unpivot`` is a zero-shuffle generator (each input row fans out to
+    ``len(value_vars)`` rows inside the same task), so it composes with a
+    downstream groupBy at no extra exchange — the right way to feed
+    "one row per (entity, metric)" layouts at 100 TB. When ``value_vars``
+    is omitted, every non-id column is melted; mixed numeric widths are
+    up-cast to the common type by unpivot itself (it requires a least
+    common type — cast beforehand for mixed string/numeric).
+    """
+    id_vars = list(id_vars)
+    if value_vars is None:
+        value_vars = [c for c in df.columns if c not in id_vars]
+    return df.unpivot(id_vars, list(value_vars), var_name, value_name)
+
+
 def date_range(
     spark: SparkSession,
     start: str | dt.date,

@@ -22,7 +22,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_bucket_expr", "hash_sample", "hash_split"]
+__all__ = [
+    "hash_bucket_expr",
+    "hash_sample",
+    "hash_split",
+    "stratified_hash_sample",
+]
 
 _SPACE = 1 << 32  # 8 hex chars
 
@@ -60,6 +65,49 @@ def hash_sample(
     if fraction <= 0.0:
         return df.where(F.lit(False))
     return df.where(_prefix(list(keys)) < F.lit(_hex_threshold(fraction)))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    keys: list[str] | tuple[str, ...],
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum sampling rates (``df.sampleBy`` surface) with hash_sample's
+    guarantees: deterministic, key-consistent, engine-portable, pure filter.
+
+    Down-weighting over-represented strata (boilerplate-heavy domains, bot
+    traffic, one dominant language) while keeping rare strata at 100% is the
+    standard rebalancing step for training corpora; at 100 TB it must be a
+    scan-side filter, not a shuffle. Strata absent from ``fractions`` get
+    ``default_fraction``.
+    """
+    for s, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for stratum {s!r} must be in [0,1], got {f}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction must be in [0,1], got {default_fraction}")
+
+    prefix = _prefix(list(keys))
+
+    def admit(fraction: float) -> Column:
+        if fraction >= 1.0:
+            return F.lit(True)
+        if fraction <= 0.0:
+            return F.lit(False)
+        return prefix < F.lit(_hex_threshold(fraction))
+
+    pred: Column | None = None
+    for stratum, fraction in fractions.items():
+        cond = F.when(F.col(strata_col) == stratum, admit(fraction))
+        pred = cond if pred is None else pred.when(
+            F.col(strata_col) == stratum, admit(fraction)
+        )
+    pred = admit(default_fraction) if pred is None else pred.otherwise(
+        admit(default_fraction)
+    )
+    return df.where(pred)
 
 
 def hash_split(

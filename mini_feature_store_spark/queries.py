@@ -501,6 +501,48 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, threshold=0.5)
 
 
+@_q(
+    "dedup_clusters",
+    f"""
+WITH RECURSIVE {_SHINGLES_SQL},
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM common
+  JOIN sz sa ON id_a = sa.doc_id
+  JOIN sz sb ON id_b = sb.doc_id
+  WHERE ROUND(c / (sa.size + sb.size - c), 4) >= 0.5
+),
+sym AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u
+),
+comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u)
+SELECT doc_id, cluster_id,
+  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS INTEGER) AS cluster_size,
+  doc_id = cluster_id AS keep
+FROM comp
+""",
+)
+def dedup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → duplicate CLUSTERS via alternating large-star /
+    small-star connected components (operators/graph.py) — the step after
+    pair generation that picks one canonical survivor per component. The
+    oracle computes the same components by recursive-CTE transitive closure
+    (fine at sf0.01; the star algorithm is the 100 TB form)."""
+    from mini_feature_store_spark.operators.dedup import ngram_jaccard_pairs
+    from mini_feature_store_spark.operators.graph import dedup_clusters
+
+    _utc(spark)
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    return dedup_clusters(ngram_jaccard_pairs(docs, threshold=0.5))
+
+
 @_q("dedup_minhash_lsh")  # hash-seeded signatures: rows-only driver check;
 # statistically validated against exact Jaccard in tests/test_dedup.py
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1539,3 +1581,222 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sampled_frames"),
         F.round(F.avg("mean_intensity"), 4).alias("avg_frame_intensity"),
     )
+
+
+# ── reshape / ranking-window / multi-join analytics tier (round 2) ──────────
+
+
+@_q(
+    "lineitem_metrics_long",
+    """
+WITH agg AS (
+  SELECT l_returnflag,
+    ROUND(AVG(l_quantity), 4)      AS avg_qty,
+    ROUND(AVG(l_extendedprice), 4) AS avg_price,
+    ROUND(AVG(l_discount), 4)      AS avg_disc,
+    ROUND(AVG(l_tax), 4)           AS avg_tax
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'avg_qty' AS metric, avg_qty AS value FROM agg
+UNION ALL SELECT l_returnflag, 'avg_price', avg_price FROM agg
+UNION ALL SELECT l_returnflag, 'avg_disc',  avg_disc  FROM agg
+UNION ALL SELECT l_returnflag, 'avg_tax',   avg_tax   FROM agg
+""",
+)
+def lineitem_metrics_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide → long reshape via the native zero-shuffle ``unpivot``
+    (functions.melt) — one row per (returnflag, metric). The reference has
+    no reshape surface at all (§2.11)."""
+    from mini_feature_store_spark.functions import melt
+
+    _utc(spark)
+    li = load_testdata(spark, sf_dir, "lineitem")["lineitem"]
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.round(F.avg("l_tax"), 4).alias("avg_tax"),
+    )
+    return melt(
+        wide,
+        ["l_returnflag"],
+        ["avg_qty", "avg_price", "avg_disc", "avg_tax"],
+        var_name="metric",
+        value_name="value",
+    )
+
+
+@_q(
+    "order_rank_metrics",
+    """
+SELECT o_orderkey, o_orderpriority,
+  CAST(ntile(4) OVER w AS INTEGER) AS price_quartile,
+  ROUND(percent_rank() OVER w, 6) AS pct_rank,
+  ROUND(cume_dist() OVER w, 6) AS cume,
+  ROUND(o_totalprice - lag(o_totalprice) OVER w, 2) AS gap_below,
+  ROUND(lead(o_totalprice) OVER w - o_totalprice, 2) AS gap_above
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def order_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ranking-window tier in one pass: ntile / percent_rank /
+    cume_dist / lag / lead share ONE window spec, so Catalyst evaluates all
+    five in a single sort+Window operator — one exchange, one sort (§2.6;
+    the reference only ever uses row_number)."""
+    from pyspark.sql import Window
+
+    _utc(spark)
+    o = load_testdata(spark, sf_dir, "orders")["orders"]
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("int").alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2).alias(
+            "gap_below"
+        ),
+        F.round(F.lead("o_totalprice").over(w) - F.col("o_totalprice"), 2).alias(
+            "gap_above"
+        ),
+    )
+
+
+@_q(
+    "shipping_priority",
+    """
+SELECT l_orderkey,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  CAST(o_orderdate AS DATE) AS order_date, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND CAST(o_orderdate AS DATE) < DATE '1998-06-01'
+  AND CAST(l_shipdate AS DATE) > DATE '1998-06-01'
+GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+ORDER BY revenue DESC, order_date, l_orderkey
+LIMIT 10
+""",
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (top unshipped orders by revenue for one segment):
+    selective dimension filter FIRST, fact-side date filters pushed to the
+    scan, global top-k via TakeOrderedAndProject (no full sort at scale)."""
+    _utc(spark)
+    t = load_testdata(spark, sf_dir, "customer", "orders", "lineitem")
+    cust = t["customer"].where(F.col("c_mktsegment") == "BUILDING")
+    cutoff = "1998-06-01"
+    orders = t["orders"].where(F.to_date("o_orderdate") < F.lit(cutoff))
+    li = t["lineitem"].where(F.to_date("l_shipdate") > F.lit(cutoff))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "l_orderkey",
+            F.to_date("o_orderdate").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "order_date", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "order_date", "l_orderkey")
+        .limit(10)
+    )
+
+
+@_q(
+    "nation_trade_volume",
+    """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+  CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS ship_year,
+  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)
+       AS DOUBLE) AS volume,
+  COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN supplier ON l_suppkey  = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE sn.n_name <> cn.n_name
+GROUP BY 1, 2, 3
+""",
+)
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (bilateral trade volume between different nations):
+    the same dimension table joined TWICE under different aliases — both
+    sides broadcast, so the fact table is never shuffled before the final
+    aggregation."""
+    _utc(spark)
+    t = load_testdata(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation"
+    )
+    sn = t["nation"].select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = t["nation"].select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(
+            # Exact decimal summation: double sums are order-dependent at the
+            # last ulp and this query has 4k+ groups, so penny-level drift vs
+            # the oracle is guaranteed; decimal addition is associative.
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("volume"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@_q(
+    "doc_stratified_sample",
+    """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept
+FROM documents
+WHERE CASE lang
+    WHEN 'en' THEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '33333333'
+    WHEN 'de' THEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'b3333333'
+    ELSE TRUE END
+GROUP BY lang
+""",
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified hash sampling (operators/sampling.py): down-weight
+    over-represented strata (20% en, 70% de, 100% everything else) with the
+    same deterministic, engine-portable md5 predicate as hash_sample — a
+    pure scan-side filter, zero shuffles before the audit aggregation."""
+    from mini_feature_store_spark.operators.sampling import stratified_hash_sample
+
+    _utc(spark)
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    kept = stratified_hash_sample(
+        docs, ["doc_id"], "lang", {"en": 0.2, "de": 0.7}, default_fraction=1.0
+    )
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))

@@ -1,0 +1,106 @@
+"""connected_components / dedup_clusters: correctness vs union-find, chains,
+convergence behavior."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from mini_feature_store_spark.operators.graph import (
+    connected_components,
+    dedup_clusters,
+)
+
+
+def _uf_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min id per component
+    return {x: find(x) for x in list(parent)}
+
+
+def _check(spark, edges):
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {
+        r.node: r.component for r in connected_components(df).collect()
+    }
+    want = _uf_components(edges)
+    # union-find parent-compression may not leave min at root; normalize
+    groups = {}
+    for node, root in want.items():
+        groups.setdefault(root, []).append(node)
+    want_min = {n: min(ms) for ms in groups.values() for n in ms}
+    assert got == want_min
+    return got
+
+
+def test_chain_collapses_to_one_component(spark):
+    """A 60-node chain: naive label propagation would need 60 rounds; the
+    star algorithm must converge well inside max_iter=25."""
+    got = _check(spark, [(i, i + 1) for i in range(1, 60)])
+    assert set(got.values()) == {1}
+
+
+def test_two_components_and_duplicate_edges(spark):
+    got = _check(
+        spark,
+        [(1, 2), (2, 3), (2, 1), (3, 1), (10, 11), (11, 12), (12, 10), (12, 10)],
+    )
+    assert set(got.values()) == {1, 10}
+
+
+def test_self_loops_and_isolated_pairs(spark):
+    got = _check(spark, [(5, 5), (7, 8)])
+    assert got[5] == 5 and got[7] == 7 and got[8] == 7
+
+
+def test_random_graph_matches_union_find(spark):
+    rng = random.Random(42)
+    edges = [(rng.randint(1, 200), rng.randint(1, 200)) for _ in range(300)]
+    _check(spark, edges)
+
+
+def test_string_node_ids(spark):
+    df = spark.createDataFrame(
+        [("docA", "docB"), ("docB", "docC"), ("docX", "docY")], "u string, v string"
+    )
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    assert got == {
+        "docA": "docA", "docB": "docA", "docC": "docA",
+        "docX": "docX", "docY": "docX",
+    }
+
+
+def test_dedup_clusters_canonical_and_sizes(spark):
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (7, 9)], "id_a long, id_b long"
+    )
+    rows = {r.doc_id: r for r in dedup_clusters(pairs).collect()}
+    assert len(rows) == 5
+    assert rows[1].cluster_id == 1 and rows[1].keep
+    assert rows[3].cluster_id == 1 and not rows[3].keep
+    assert rows[1].cluster_size == 3 and rows[7].cluster_size == 2
+    # exactly one keeper per cluster
+    keepers = [r for r in rows.values() if r.keep]
+    assert sorted(k.doc_id for k in keepers) == [1, 7]
+
+
+def test_survivor_anti_join_drops_near_dups(spark):
+    """The end-to-end dedup step: corpus minus non-canonical cluster members."""
+    corpus = spark.range(1, 11).withColumnRenamed("id", "doc_id")
+    pairs = spark.createDataFrame([(2, 4), (4, 6), (9, 10)], "id_a long, id_b long")
+    drop = dedup_clusters(pairs).where(~F.col("keep")).select("doc_id")
+    survivors = corpus.join(drop, "doc_id", "left_anti")
+    assert sorted(r.doc_id for r in survivors.collect()) == [1, 2, 3, 5, 7, 8, 9]

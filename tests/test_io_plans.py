@@ -139,3 +139,19 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS b_events")
         spark.sql("DROP TABLE IF EXISTS b_users")
+
+
+def test_melt_roundtrip_and_no_shuffle(spark):
+    """melt fans each row out to len(value_vars) rows with no exchange."""
+    from mini_feature_store_spark.functions import melt, plan_text
+
+    df = spark.createDataFrame(
+        [(1, 10.0, 20.0), (2, 30.0, 40.0)], "id long, a double, b double"
+    )
+    out = melt(df, ["id"], ["a", "b"], var_name="m", value_name="v")
+    assert out.columns == ["id", "m", "v"]
+    rows = {(r.id, r.m): r.v for r in out.collect()}
+    assert rows == {(1, "a"): 10.0, (1, "b"): 20.0, (2, "a"): 30.0, (2, "b"): 40.0}
+    assert "Exchange" not in plan_text(out)
+    # value_vars default = all non-id columns
+    assert melt(df, ["id"]).count() == 4

@@ -76,3 +76,42 @@ def test_sample_plan_is_pure_filter(spark):
 
     plan = plan_text(hash_sample(_keys(spark), ["k"], 0.5))
     assert "Exchange" not in plan  # no shuffle: a projection + filter only
+
+
+def test_stratified_sample_per_stratum_rates(spark):
+    from mini_feature_store_spark.operators.sampling import stratified_hash_sample
+
+    df = _keys(spark, 3000).withColumn(
+        "lang", F.when(F.col("k") % 3 == 0, "en").when(F.col("k") % 3 == 1, "de").otherwise("zh")
+    )
+    kept = stratified_hash_sample(
+        df, ["k"], "lang", {"en": 0.2, "de": 1.0}, default_fraction=0.0
+    )
+    counts = {r.lang: r.n for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts.get("zh") is None          # default 0 drops whole stratum
+    assert counts["de"] == 1000              # fraction 1.0 keeps all
+    assert 0.12 < counts["en"] / 1000 < 0.28 # ≈20%
+
+
+def test_stratified_sample_agrees_with_plain_sample(spark):
+    """A stratum sampled at fraction f keeps exactly hash_sample(f)'s keys —
+    same md5 predicate, so cross-table key-consistency carries over."""
+    from mini_feature_store_spark.operators.sampling import (
+        hash_sample,
+        stratified_hash_sample,
+    )
+
+    df = _keys(spark, 2000).withColumn("lang", F.lit("en"))
+    a = {r.k for r in stratified_hash_sample(df, ["k"], "lang", {"en": 0.3}).collect()}
+    b = {r.k for r in hash_sample(df, ["k"], 0.3).collect()}
+    assert a == b
+
+
+def test_stratified_sample_rejects_bad_fractions(spark):
+    from mini_feature_store_spark.operators.sampling import stratified_hash_sample
+
+    df = _keys(spark, 10).withColumn("lang", F.lit("en"))
+    with pytest.raises(ValueError):
+        stratified_hash_sample(df, ["k"], "lang", {"en": 1.5})
+    with pytest.raises(ValueError):
+        stratified_hash_sample(df, ["k"], "lang", {"en": 0.5}, default_fraction=-1)
