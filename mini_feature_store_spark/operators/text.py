@@ -238,3 +238,64 @@ def quality_filter(
             & (score >= min_score)
         ).alias("kept"),
     )
+
+
+def tf_idf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by smoothed TF-IDF.
+
+    Terms are lowercase letter runs (``[^a-z]+`` split — the same corpus
+    tokenization as the term-frequency query); ``score = tf · ln((N+1)/(df+1))``
+    with N = number of documents. The ranking key is the score **rounded to
+    4 dp** (then term asc): float summation order and libm ulp differences
+    must never flip a rank between engines.
+
+    Scale shape: one exchange on ``term`` for the document-frequency
+    aggregate (map-side combine first), the per-(doc, term) tf aggregate
+    and final top-k window share an exchange on ``doc_id``, and the df
+    side joins back broadcast-style only if small — at corpus scale it is
+    an ordinary shuffled equi-join on ``term``, which AQE handles. The
+    corpus size N is a 1-row aggregate cross-joined in (broadcast), never
+    a driver-side collect.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.lower(text_col), "[^a-z]+")).alias("term")
+    ).where(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("term").agg(
+        F.count_distinct(F.col(id_col)).alias("df")
+    )
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, on="term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1) / (F.col("df") + 1)),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(
+            id_col,
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            "score",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )

@@ -1800,3 +1800,400 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, ["doc_id"], "lang", {"en": 0.2, "de": 0.7}, default_fraction=1.0
     )
     return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+# ── behavioral analytics tier (funnel / retention / intervals, round 2) ─────
+
+
+@_q(
+    "funnel_conversion",
+    """
+WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+s0 AS (SELECT user_id, MIN(ts) AS t FROM ev WHERE event_type = 'view' GROUP BY 1),
+s1 AS (SELECT e.user_id, MIN(e.ts) AS t FROM ev e JOIN s0 ON e.user_id = s0.user_id
+       WHERE e.event_type = 'click' AND e.ts >= s0.t GROUP BY 1),
+s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM ev e JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = 'purchase' AND e.ts >= s1.t GROUP BY 1),
+c AS (SELECT (SELECT COUNT(*) FROM s0) AS c0, (SELECT COUNT(*) FROM s1) AS c1,
+             (SELECT COUNT(*) FROM s2) AS c2)
+SELECT CAST(0 AS INTEGER) AS step_idx, 'view' AS step, c0 AS n_users,
+       CASE WHEN c0 > 0 THEN ROUND(c0 * 1.0 / c0, 4) END AS pct_of_first,
+       CASE WHEN c0 > 0 THEN ROUND(c0 * 1.0 / c0, 4) END AS pct_of_prev
+FROM c
+UNION ALL
+SELECT CAST(1 AS INTEGER), 'click', c1,
+       CASE WHEN c0 > 0 THEN ROUND(c1 * 1.0 / c0, 4) END,
+       CASE WHEN c0 > 0 THEN ROUND(c1 * 1.0 / c0, 4) END
+FROM c
+UNION ALL
+SELECT CAST(2 AS INTEGER), 'purchase', c2,
+       CASE WHEN c0 > 0 THEN ROUND(c2 * 1.0 / c0, 4) END,
+       CASE WHEN c1 > 0 THEN ROUND(c2 * 1.0 / c1, 4) END
+FROM c
+""",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential conversion funnel view → click → purchase: a user counts
+    for step i only via an event at-or-after reaching step i-1. All step
+    timestamps come from stacked conditional-min windows over ONE exchange
+    on user_id (operators/funnel.py)."""
+    from mini_feature_store_spark.operators.funnel import funnel_summary
+
+    _utc(spark)
+    events = load_testdata(spark, sf_dir, "events")["events"]
+    return funnel_summary(events, ["view", "click", "purchase"])
+
+
+@_q(
+    "user_value_gap_fill",
+    f"""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, ROUND(SUM(value), 2) AS day_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+days AS (
+  SELECT CAST(unnest(generate_series(DATE '{EVENTS_START}', DATE '{EVENTS_END}',
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+),
+grid AS (
+  SELECT u.user_id, d.day
+  FROM (SELECT DISTINCT user_id FROM daily) u CROSS JOIN days d
+),
+dense AS (
+  SELECT g.user_id, g.day, dl.day_value
+  FROM grid g LEFT JOIN daily dl ON g.user_id = dl.user_id AND g.day = dl.day
+)
+SELECT user_id, day,
+  last_value(day_value IGNORE NULLS) OVER w AS day_value,
+  CAST(day - last_value(CASE WHEN day_value IS NOT NULL THEN day END
+                        IGNORE NULLS) OVER w AS INTEGER) AS day_value_age_days
+FROM dense
+WINDOW w AS (PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+)
+def user_value_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill + forward-fill: daily purchase value per user densified to
+    the full month, last observation carried forward with its age in days
+    (operators/timeseries.py:gap_fill_forward) — the 'state as of any day'
+    view a feature store serves."""
+    from mini_feature_store_spark.operators.timeseries import gap_fill_forward
+
+    _utc(spark)
+    events = load_testdata(spark, sf_dir, "events")["events"]
+    daily = (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.round(F.sum("value"), 2).alias("day_value"))
+    )
+    return gap_fill_forward(
+        daily, ["user_id"], "day", ["day_value"], EVENTS_START, EVENTS_END
+    )
+
+
+@_q(
+    "cohort_retention_weekly",
+    """
+WITH ev AS (
+  SELECT user_id,
+         CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+  FROM events
+),
+cohorts AS (SELECT user_id, MIN(wk) AS cohort_week FROM ev GROUP BY 1),
+active AS (SELECT DISTINCT user_id, wk FROM ev),
+j AS (
+  SELECT f.cohort_week,
+         CAST((a.wk - f.cohort_week) / 7 AS INTEGER) AS week_offset, a.user_id
+  FROM active a JOIN cohorts f ON a.user_id = f.user_id
+),
+counts AS (
+  SELECT cohort_week, week_offset,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+  FROM j GROUP BY 1, 2
+),
+sizes AS (SELECT cohort_week, COUNT(*) AS cohort_size FROM cohorts GROUP BY 1)
+SELECT c.cohort_week, c.week_offset, c.n_active, s.cohort_size,
+       ROUND(c.n_active * 1.0 / s.cohort_size, 4) AS retention_rate
+FROM counts c JOIN sizes s ON c.cohort_week = s.cohort_week
+""",
+)
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix (operators/retention.py): users
+    cohorted by first-activity week, per-offset active share."""
+    from mini_feature_store_spark.operators.retention import cohort_retention
+
+    _utc(spark)
+    events = load_testdata(spark, sf_dir, "events")["events"]
+    return cohort_retention(events, period="week")
+
+
+@_q(
+    "purchase_value_intervals",
+    """
+SELECT user_id, event_id, ROUND(value, 2) AS value,
+       CAST(ts AS TIMESTAMP) AS valid_from,
+       LEAD(CAST(ts AS TIMESTAMP)) OVER w AS valid_to,
+       LEAD(CAST(ts AS TIMESTAMP)) OVER w IS NULL AS is_current
+FROM events WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def purchase_value_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity intervals: each purchase's value is valid until the
+    user's next purchase (operators/timeseries.py:scd_intervals) — the
+    temporal-table build behind `VERSION AS OF`-style feature views."""
+    from mini_feature_store_spark.operators.timeseries import scd_intervals
+
+    _utc(spark)
+    events = load_testdata(spark, sf_dir, "events")["events"]
+    obs = events.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        F.round("value", 2).alias("value"),
+        "ts",
+    )
+    return scd_intervals(
+        obs, ["user_id"], "ts", tie_breakers=["event_id"]
+    ).select("user_id", "event_id", "value", "valid_from", "valid_to", "is_current")
+
+
+# ── relational analytics widening (Q4/Q13/ratio-to-report shapes) ───────────
+
+
+@_q(
+    "customer_order_distribution",
+    """
+WITH per_cust AS (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT n_orders, COUNT(*) AS n_customers
+FROM per_cust GROUP BY n_orders
+""",
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: order-count-per-customer distribution. The left
+    outer join keeps zero-order customers (COUNT of a right-side column
+    counts only matches); two hash aggregates, both with map-side partials."""
+    _utc(spark)
+    t = load_testdata(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+@_q(
+    "orders_with_late_lineitems",
+    """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND CAST(l.l_shipdate AS TIMESTAMP)
+        > CAST(o.o_orderdate AS TIMESTAMP) + INTERVAL 60 DAY
+)
+GROUP BY o_orderpriority
+""",
+)
+def orders_with_late_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS with a cross-table residual predicate —
+    planned as a left-semi hash join on the order key with the lateness
+    condition evaluated as the join residual (no subquery re-execution)."""
+    _utc(spark)
+    t = load_testdata(spark, sf_dir, "orders", "lineitem")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        t["orders"]
+        .join(t["lineitem"], cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@_q(
+    "nation_share_of_region",
+    """
+WITH rev AS (
+  SELECT r_name AS region, n_name AS nation,
+         ROUND(SUM(o_totalprice), 2) AS revenue
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+)
+SELECT region, nation, revenue,
+       ROUND(revenue / SUM(revenue) OVER (PARTITION BY region), 6)
+         AS region_share
+FROM rev
+""",
+)
+def nation_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total (ratio-to-report) window over a dimension rollup:
+    fact side aggregates once (broadcast dim joins, zero fact shuffles
+    before the agg), the share window runs on the 25-row result."""
+    from pyspark.sql import Window
+
+    _utc(spark)
+    t = load_testdata(spark, sf_dir, "orders", "customer", "nation", "region")
+    rev = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("region")
+    return rev.select(
+        "region",
+        "nation",
+        "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(w), 6).alias(
+            "region_share"
+        ),
+    )
+
+
+@_q(
+    "brand_supplier_stats",
+    """
+SELECT p_brand,
+  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+  CAST(COUNT(DISTINCT p_partkey) AS BIGINT) AS n_parts,
+  COUNT(*) AS n_lineitems,
+  ROUND(SUM(l_quantity), 2) AS total_qty
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_type <> 'ECONOMY'
+GROUP BY p_brand
+""",
+)
+def brand_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: per-brand supplier/part diversity with multiple
+    exact DISTINCT aggregates (Catalyst plans them via Expand, one
+    shuffle); the part dimension filter is pushed and broadcast."""
+    _utc(spark)
+    t = load_testdata(spark, sf_dir, "part", "lineitem")
+    part = t["part"].where(F.col("p_type") != "ECONOMY")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count_distinct("l_suppkey").alias("n_suppliers"),
+            F.count_distinct("p_partkey").alias("n_parts"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+    )
+
+
+# ── fuzzy matching / TF-IDF / feature scaling (training-data tier) ──────────
+
+
+@_q(
+    "fuzzy_part_names",
+    r"""
+WITH names AS (
+  SELECT DISTINCT p_name AS name, regexp_extract(p_name, '(\S+)$', 1) AS blk
+  FROM part
+)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS INTEGER) AS distance
+FROM names a JOIN names b ON a.blk = b.blk AND a.name < b.name
+WHERE levenshtein(a.name, b.name) <= 4
+""",
+)
+def fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching (operators/fuzzy.py): part-name pairs within
+    the same trailing-word block at Levenshtein distance ≤ 4 — entity
+    resolution as an equi-join on the block key, never an all-pairs scan."""
+    from mini_feature_store_spark.operators.fuzzy import (
+        blocked_edit_distance_pairs,
+    )
+
+    _utc(spark)
+    part = load_testdata(spark, sf_dir, "part")["part"]
+    return blocked_edit_distance_pairs(
+        part,
+        "p_name",
+        block=F.regexp_extract("p_name", r"(\S+)$", 1),
+        max_distance=4,
+    )
+
+
+@_q(
+    "doc_tfidf_top_terms",
+    """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf
+       FROM toks WHERE term <> '' GROUP BY 1, 2),
+dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+        FROM toks WHERE term <> '' GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+         ROUND(tf.tf * ln((n.n_docs + 1) * 1.0 / (dfq.df + 1)), 4) AS score
+  FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN n
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term ASC) AS rk
+  FROM scored
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       score, CAST(rk AS INTEGER) AS rk
+FROM ranked WHERE rk <= 3
+""",
+)
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by smoothed TF-IDF
+    (operators/text.py:tf_idf_top_terms); ranking on the rounded score so
+    float ulp differences can't flip ranks between engines."""
+    from mini_feature_store_spark.operators.text import tf_idf_top_terms
+
+    _utc(spark)
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    return tf_idf_top_terms(docs, k=3)
+
+
+@_q(
+    "event_value_scaled",
+    """
+WITH stats AS (
+  SELECT event_type, AVG(value) AS m, STDDEV_SAMP(value) AS sd,
+         MIN(value) AS lo, MAX(value) AS hi
+  FROM events GROUP BY 1
+)
+SELECT event_id, e.event_type,
+  ROUND(CASE WHEN sd > 0 THEN (value - m) / sd END, 4) AS value_z,
+  ROUND(CASE WHEN hi - lo > 0 THEN (value - lo) / (hi - lo) END, 4)
+    AS value_minmax
+FROM events e JOIN stats s ON e.event_type = s.event_type
+""",
+)
+def event_value_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type feature scaling (operators/scaling.py): z-score +
+    min-max via a tiny moments aggregate broadcast back — NOT a
+    whole-partition window (no sort, no partition materialization)."""
+    from mini_feature_store_spark.operators.scaling import scale_features
+
+    _utc(spark)
+    events = load_testdata(spark, sf_dir, "events")["events"]
+    scaled = scale_features(
+        events.select("event_id", "event_type", "value"), "value", by=["event_type"]
+    )
+    return scaled.select("event_id", "event_type", "value_z", "value_minmax")
