@@ -2197,3 +2197,192 @@ def event_value_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.select("event_id", "event_type", "value"), "value", by=["event_type"]
     )
     return scaled.select("event_id", "event_type", "value_z", "value_minmax")
+
+
+# ── sketches / bloom / CDC / HOF tier (round 2, scale-path operators) ───────
+
+
+@_q("user_sketch_rollup")  # DataSketches HLL estimates are engine-specific
+# → rows-only; merge-vs-direct invariant and accuracy pinned in
+# tests/test_sketch_bloom_cdc.py
+def user_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental distinct-count rollup: per-day HLL user sketches merged
+    to weekly estimates WITHOUT rescanning events (operators/sketches.py) —
+    the mergeable-sketch pattern approx_count_distinct cannot express."""
+    from mini_feature_store_spark.operators.sketches import (
+        distinct_sketch,
+        merge_sketch_estimate,
+    )
+
+    _utc(spark)
+    events = load_testdata(spark, sf_dir, "events")["events"]
+    daily = distinct_sketch(
+        events.select(F.to_date("ts").alias("day"), "user_id"),
+        ["day"],
+        "user_id",
+    )
+    weekly = merge_sketch_estimate(
+        daily.select(
+            F.date_trunc("week", "day").cast("date").alias("week"), "sketch"
+        ),
+        ["week"],
+    )
+    return weekly.select("week", F.col("estimate").cast("long").alias("est_users"))
+
+
+@_q(
+    "bloom_filtered_order_revenue",
+    """
+SELECT o_orderpriority,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_totalprice > 400000
+GROUP BY o_orderpriority
+""",
+)
+def bloom_filtered_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom semi-join reduction (operators/bloom.py): fact rows are dropped
+    scan-side by a broadcast Bloom filter of the selective order-key set
+    before the exact join — the oracle (a plain join) proves the rewrite is
+    semantics-preserving."""
+    from mini_feature_store_spark.operators.bloom import bloom_prefilter
+
+    _utc(spark)
+    t = load_testdata(spark, sf_dir, "lineitem", "orders")
+    big_orders = t["orders"].where(F.col("o_totalprice") > 400000)
+    lean_fact = bloom_prefilter(
+        t["lineitem"], big_orders, "l_orderkey", "o_orderkey",
+        num_bits=1 << 20, num_hashes=4,
+    )
+    return (
+        lean_fact.join(big_orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@_q(
+    "lineitem_correlations",
+    """
+SELECT l_returnflag,
+  ROUND(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+  ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+  ROUND(corr(l_discount, l_tax), 4) AS disc_tax_corr
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics aggregates (corr / covar_samp) — single hash
+    aggregate with map-side partial moments; the multi-column profiling
+    complement to operators/profile.py."""
+    _utc(spark)
+    li = load_testdata(spark, sf_dir, "lineitem")["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_corr"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "qty_price_covar"
+        ),
+        F.round(F.corr("l_discount", "l_tax"), 4).alias("disc_tax_corr"),
+    )
+
+
+@_q(
+    "embedding_vector_stats",
+    """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+)
+SELECT vec_id,
+  CAST(len(emb) AS INTEGER) AS dim,
+  ROUND(sqrt(list_sum(list_transform(emb, x -> x * x))), 4) AS l2_norm,
+  ROUND(list_sum(emb) / len(emb), 4) AS mean_component,
+  ROUND(list_max(list_transform(emb, x -> abs(x))), 4) AS max_abs,
+  CAST(len(list_filter(emb, x -> x > 0)) AS INTEGER) AS n_positive
+FROM v
+""",
+)
+def embedding_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions as a first-class surface (transform /
+    aggregate / filter / zip-free reductions) — per-vector norms and
+    component stats without ever exploding the array (no row blowup, no
+    shuffle; one codegen'd projection)."""
+    _utc(spark)
+    emb = load_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    sumsq = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("dim"),
+        F.round(F.sqrt(sumsq), 4).alias("l2_norm"),
+        F.round(
+            F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x)
+            / F.size("embedding"),
+            4,
+        ).alias("mean_component"),
+        F.round(F.array_max(F.transform(v, F.abs)), 4).alias("max_abs"),
+        F.size(F.filter(v, lambda x: x > 0)).cast("int").alias("n_positive"),
+    )
+
+
+@_q(
+    "feature_snapshot_diff",
+    """
+WITH old_snap AS (
+  SELECT user_id, event_type, value FROM (
+    SELECT user_id, event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rk
+    FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-15'
+  ) WHERE rk = 1
+),
+new_snap AS (
+  SELECT user_id, event_type, value FROM (
+    SELECT user_id, event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rk
+    FROM events
+  ) WHERE rk = 1
+)
+SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+  CASE WHEN o.user_id IS NULL THEN 'inserted'
+       WHEN n.user_id IS NULL THEN 'deleted'
+       WHEN o.event_type IS DISTINCT FROM n.event_type
+         OR o.value IS DISTINCT FROM n.value THEN 'updated'
+       ELSE 'unchanged' END AS change,
+  o.event_type AS event_type_old, o.value AS value_old,
+  n.event_type AS event_type_new, n.value AS value_new
+FROM old_snap o FULL OUTER JOIN new_snap n ON o.user_id = n.user_id
+WHERE NOT (o.user_id IS NOT NULL AND n.user_id IS NOT NULL
+           AND o.event_type IS NOT DISTINCT FROM n.event_type
+           AND o.value IS NOT DISTINCT FROM n.value)
+""",
+)
+def feature_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between two feature snapshots (operators/cdc.py:snapshot_diff):
+    latest-event-per-user at mid-month vs month-end, classified
+    inserted/updated/deleted by an 8-byte row digest across ONE full-outer
+    join — re-sync cost tracks churn, not table size."""
+    from mini_feature_store_spark.operators.cdc import snapshot_diff
+    from mini_feature_store_spark.operators.latest import latest_per_key
+
+    _utc(spark)
+    events = load_testdata(spark, sf_dir, "events")["events"]
+
+    def snap(df):
+        return latest_per_key(
+            df, keys=["user_id"], order_cols=["ts", "event_id"], strategy="max_by"
+        ).select("user_id", "event_type", "value")
+
+    old = snap(events.where(F.to_date("ts") < F.lit("2024-01-15")))
+    new = snap(events)
+    return snapshot_diff(old, new, keys=["user_id"])
