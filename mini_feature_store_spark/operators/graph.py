@@ -85,11 +85,14 @@ def connected_components(
     e = _canon(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     ).localCheckpoint()
-    # All nodes, kept aside so isolated-after-canon nodes still get a row.
+    # All nodes, materialized ONCE up front — deriving them lazily from
+    # ``edges`` would re-execute the whole upstream pair-generation plan
+    # (e.g. the n-gram Jaccard join) a second time at the final join.
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
         .distinct()
+        .localCheckpoint()
     )
 
     prev_sig: tuple[int, int] | None = None

@@ -26,6 +26,7 @@ __all__ = [
     "hash_bucket_expr",
     "hash_sample",
     "hash_split",
+    "weighted_hash_sample",
     "stratified_hash_sample",
 ]
 
@@ -136,3 +137,29 @@ def hash_split(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     last = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
     return df.withColumn(split_col, last)
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    keys: list[str] | tuple[str, ...],
+    weight: Column,
+) -> DataFrame:
+    """Keep each row with probability ``clamp(weight, 0, 1)``, decided ONLY
+    by md5 of ``keys`` — per-row importance sampling with all of
+    ``hash_sample``'s guarantees (reproducible, engine-portable, key-
+    consistent, pure codegen filter).
+
+    Unlike the fixed-fraction variants the admission threshold varies per
+    row, so it is rendered as 8-digit hex of ``weight·2³²`` and compared
+    lexicographically against the key's md5 prefix (same digit space).
+    Standard use: length-proportional document sampling, inverse-propensity
+    class rebalancing.
+    """
+    w = F.greatest(weight.cast("double"), F.lit(0.0))
+    thresh = F.lpad(
+        F.lower(F.hex((w * F.lit(float(_SPACE))).cast("bigint"))), 8, "0"
+    )
+    # weight ≥ 1 short-circuits: its hex is 9 digits and lpad TRUNCATES,
+    # so the comparison would silently wrap (same edge as hash_sample's
+    # fraction=1.0 bug class).
+    return df.where((w >= 1.0) | (_prefix(list(keys)) < thresh))

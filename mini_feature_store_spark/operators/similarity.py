@@ -168,6 +168,28 @@ def cosine_pairs(
     )
 
 
+def _pair_cos(qv, cv, qn, cn):
+    """Arrow-batched exact cosine for candidate PAIRS: one einsum per batch
+    instead of an interpreted ``aggregate(zip_with(...))`` per row (the
+    re-rank is the hot loop of both ANN paths — CodegenFallback there costs
+    10-100×, same rationale as the block-GEMM in ``cosine_pairs``).
+
+    Built lazily: ``pandas_udf`` return-type parsing needs an active
+    session, so the decorator must not run at import time."""
+
+    @F.pandas_udf("double")
+    def cosf(
+        qv: pd.Series, cv: pd.Series, qn: pd.Series, cn: pd.Series
+    ) -> pd.Series:
+        a = np.array(qv.tolist(), dtype=np.float64)
+        b = np.array(cv.tolist(), dtype=np.float64)
+        return pd.Series(
+            np.einsum("ij,ij->i", a, b) / (qn.to_numpy() * cn.to_numpy())
+        )
+
+    return cosf(qv, cv, qn, cn)
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim)).tolist()
@@ -250,17 +272,17 @@ def lsh_topk(
         F.col("nrm").alias("q_nrm"),
     )
 
+    # Bucket keys only — the candidate-generation join and the
+    # (query, neighbor) dedup shuffle carry 16-byte id rows, never the
+    # 512-byte vectors (those are joined back onto the far smaller unique
+    # candidate set for the re-rank).
     c = c_unit.select(
         "neighbor_id",
-        "c_v",
-        "c_nrm",
         F.posexplode(bucketer("c_v")).alias("tbl", "bucket"),
     )
 
     q_base = q_unit.select(
         "query_id",
-        "q_v",
-        "q_nrm",
         F.posexplode(bucketer("q_v")).alias("tbl", "base"),
     )
     probe = (
@@ -274,20 +296,23 @@ def lsh_topk(
         if multiprobe
         else F.array(F.col("base"))
     )
-    q = q_base.select(
-        "query_id", "q_v", "q_nrm", "tbl", F.explode(probe).alias("bucket")
-    )
+    q = q_base.select("query_id", "tbl", F.explode(probe).alias("bucket"))
 
-    cos = _dot(F.col("q_v"), F.col("c_v")) / (F.col("q_nrm") * F.col("c_nrm"))
-    cand = (
+    cand_ids = (
         q.join(c, ["tbl", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "q_v", "q_nrm", "neighbor_id", "c_v", "c_nrm")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    cand = (
+        cand_ids.join(c_unit, "neighbor_id")
+        .join(F.broadcast(q_unit), "query_id")
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cos, 4).alias("cosine"),
+            F.round(_pair_cos("q_v", "c_v", "q_nrm", "c_nrm"), 4).alias(
+                "cosine"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -362,14 +387,15 @@ def ivf_topk(
         F.explode(probe_cells("v")).alias("cell"),
     )
 
-    cos = _dot(F.col("q_v"), F.col("c_v")) / (F.col("q_nrm") * F.col("c_nrm"))
     cand = (
         q.join(corpus_cells, "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cos, 4).alias("cosine"),
+            F.round(_pair_cos("q_v", "c_v", "q_nrm", "c_nrm"), 4).alias(
+                "cosine"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

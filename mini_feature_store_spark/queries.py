@@ -2386,3 +2386,62 @@ def feature_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = snap(events.where(F.to_date("ts") < F.lit("2024-01-15")))
     new = snap(events)
     return snapshot_diff(old, new, keys=["user_id"])
+
+
+@_q(
+    "doc_weighted_sample",
+    """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+FROM documents
+WHERE n_chars / 800.0 >= 1.0
+   OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+      lpad(lower(hex(CAST(GREATEST(n_chars / 800.0, 0.0) * 4294967296.0
+                          AS BIGINT))), 8, '0')
+GROUP BY source
+""",
+)
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-proportional importance sampling
+    (operators/sampling.py:weighted_hash_sample): keep each doc with
+    probability n_chars/800 (clamped) decided only by md5(doc_id) — the
+    per-row-weight generalization of hash_sample, still a pure scan-side
+    codegen filter."""
+    from mini_feature_store_spark.operators.sampling import weighted_hash_sample
+
+    _utc(spark)
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    kept = weighted_hash_sample(docs, ["doc_id"], F.col("n_chars") / 800.0)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("kept_chars"),
+    )
+
+
+@_q("multimodal_audio_stats")  # binary payloads: rows-only check; plumbing
+# pinned in tests/test_multimodal.py
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize deterministic fake audio clips and extract duration/RMS
+    features through the Arrow-batched mapInPandas tier
+    (operators/multimodal.py:audio_features; codec stubbed)."""
+    from pyspark.sql import types as T
+
+    from mini_feature_store_spark.operators.multimodal import (
+        audio_features,
+        encode_fake_audio,
+    )
+
+    _utc(spark)
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+
+    @F.udf(T.BinaryType())
+    def make_clip(doc_id, n_chars):
+        rate = 8000 + (int(doc_id) % 3) * 4000
+        samples = 1000 + int(n_chars) % 5000
+        return encode_fake_audio(rate, samples, seed=int(doc_id))
+
+    media = docs.where(F.col("doc_id") < 300).select(
+        F.col("doc_id").alias("media_id"),
+        make_clip("doc_id", "n_chars").alias("payload"),
+    )
+    return audio_features(media)

@@ -1,5 +1,6 @@
 from mini_feature_store_spark.streaming.ingest import (  # noqa: F401
     deduplicated_stream,
+    purchase_click_attribution_stream,
     read_event_stream,
     sessionized_activity,
     sliding_event_counts,

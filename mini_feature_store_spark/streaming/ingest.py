@@ -191,3 +191,60 @@ def stream_online_sync(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def purchase_click_attribution_stream(
+    events: DataFrame,
+    attribution_window: str = "1 hour",
+    watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream–stream join: attribute each purchase to same-user clicks in
+    the preceding ``attribution_window`` (last-touch candidate set).
+
+    The §2.11 streaming-join tier the reference can't express: BOTH sides
+    are unbounded, so correctness requires (a) watermarks on both event-time
+    columns and (b) a time-range join condition — together they let the
+    state store evict a buffered click once no future purchase can still
+    reach back to it (state is bounded by watermark + window, not stream
+    length). Without the range condition Spark would buffer both streams
+    forever. ``how='left_outer'`` additionally emits unattributed purchases
+    after the watermark passes (null click columns).
+    """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be 'inner' or 'left_outer', got {how!r}")
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {attribution_window}")
+        )
+    )
+    return purchases.join(clicks, cond, how).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+        "click_id",
+        "click_ts",
+    )

@@ -253,3 +253,31 @@ def test_stateful_running_features_accumulate(spark, tmp_path):
     assert latest["2"].event_count == 1
     # u1 was emitted once per batch it appeared in
     assert sum(1 for r in rows if r.user_id == "1") == 2
+
+
+def test_stream_stream_attribution_join(spark, tmp_path):
+    from mini_feature_store_spark.streaming import (
+        purchase_click_attribution_stream,
+    )
+
+    path = str(tmp_path / "ss")
+    os.makedirs(path, exist_ok=True)
+    t0 = dt.datetime(2024, 1, 1, 12)
+    rows = [
+        # user 1: click 30 min before purchase → attributed
+        (1, t0, 1, "click", 1.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=30), 1, "purchase", 9.0, "{}"),
+        # user 2: click 3 h before purchase → OUTSIDE the 1 h window
+        (3, t0, 2, "click", 1.0, "{}"),
+        (4, t0 + dt.timedelta(hours=3), 2, "purchase", 5.0, "{}"),
+        # user 1 again: click AFTER the purchase → never attributed
+        (5, t0 + dt.timedelta(hours=1), 1, "click", 1.0, "{}"),
+    ]
+    _write_batch(spark, path, rows, "b0")
+    stream = read_event_stream(spark, path)
+    joined = purchase_click_attribution_stream(
+        stream, attribution_window="1 hour", watermark="2 hours"
+    )
+    _run_to_memory(joined, "ss_attr")
+    out = spark.sql("SELECT * FROM ss_attr").collect()
+    assert [(r.purchase_id, r.click_id) for r in out] == [(2, 1)]
