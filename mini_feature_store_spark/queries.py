@@ -2445,3 +2445,66 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_clip("doc_id", "n_chars").alias("payload"),
     )
     return audio_features(media)
+
+
+@_q(
+    "dq_orders_audit",
+    """
+WITH row_checks AS (
+  SELECT 0 AS check_idx, 'o_orderkey_not_null' AS check,
+         CAST(COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END) AS BIGINT)
+           AS n_violations
+  FROM orders
+  UNION ALL
+  SELECT 1, 'o_totalprice_between',
+         CAST(COUNT(CASE WHEN NOT (o_totalprice >= 0 AND o_totalprice <= 1000000)
+                          OR o_totalprice IS NULL THEN 1 END) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 2, 'o_orderstatus_in_set',
+         CAST(COUNT(CASE WHEN NOT o_orderstatus IN ('F', 'O', 'P')
+                          OR o_orderstatus IS NULL THEN 1 END) AS BIGINT)
+  FROM orders
+),
+uniq AS (
+  SELECT 3 AS check_idx, 'o_orderkey_unique' AS check,
+         CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) AS n_violations
+  FROM (SELECT o_orderkey, COUNT(*) AS n FROM orders GROUP BY 1 HAVING COUNT(*) > 1)
+),
+fk AS (
+  SELECT 4 AS check_idx, 'o_custkey_fk' AS check,
+         CAST(COUNT(*) AS BIGINT) AS n_violations
+  FROM orders o
+  WHERE o.o_custkey IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+)
+SELECT check_idx, "check", n_violations, n_violations = 0 AS passed
+FROM (SELECT * FROM row_checks UNION ALL SELECT * FROM uniq
+      UNION ALL SELECT * FROM fk)
+""",
+)
+def dq_orders_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate over orders (operators/quality.py): nullability,
+    range, set membership (ONE aggregate for all row-local checks), key
+    uniqueness (one groupBy), referential integrity against customer (one
+    anti join). The executable form of the reference's schema contract
+    (Schemas.scala nullability + FK-by-convention)."""
+    from mini_feature_store_spark.operators.quality import (
+        expect_between,
+        expect_foreign_key,
+        expect_in_set,
+        expect_not_null,
+        expect_unique,
+        run_checks,
+    )
+
+    _utc(spark)
+    t = load_testdata(spark, sf_dir, "orders", "customer")
+    checks = [
+        expect_not_null("o_orderkey"),
+        expect_between("o_totalprice", 0, 1_000_000),
+        expect_in_set("o_orderstatus", ["F", "O", "P"]),
+        expect_unique("o_orderkey"),
+        expect_foreign_key("o_custkey", t["customer"], "c_custkey"),
+    ]
+    return run_checks(t["orders"], checks)

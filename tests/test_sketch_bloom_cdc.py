@@ -71,13 +71,20 @@ def test_bloom_bits_shape(spark):
     assert any(w != 0 for w in row.bloom_bits)
 
 
-def test_bloom_stays_jvm_side(spark):
+def test_bloom_probe_stays_jvm_side(spark):
     from mini_feature_store_spark.functions import plan_text
 
     keys = spark.range(10).select(F.col("id").alias("k"))
     big = spark.range(100).select(F.col("id").alias("k"))
     plan = plan_text(bloom_prefilter(big, keys, "k", num_bits=1 << 10))
-    assert "Python" not in plan and "BatchEvalPython" not in plan
+    # Exactly ONE Arrow node (the 1-row bitset densify on the build side —
+    # the formatted plan mentions each node twice: tree + detail section);
+    # the per-row probe path must be pure JVM — no row-pickling Python.
+    import re
+
+    arrow_nodes = set(re.findall(r"ArrowEvalPython \((\d+)\)", plan))
+    assert len(arrow_nodes) == 1
+    assert "BatchEvalPython" not in plan
 
 
 # ── CDC snapshot diff ───────────────────────────────────────────────────────

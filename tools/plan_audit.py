@@ -74,6 +74,43 @@ AUDITED: dict[str, str] = {
         "exchanges before the final 3-group aggregate; the sample filter "
         "variant pushes down like any predicate."
     ),
+    "funnel_conversion": (
+        "Every per-step conditional-min window stacks on ONE hash exchange "
+        "+ sort on user_id (dependent windows share the partitioning); the "
+        "summary is a single-row aggregate exploded into step rows — no "
+        "second shuffle."
+    ),
+    "user_value_gap_fill": (
+        "Grid join (broadcast date side) and the forward-fill last() "
+        "windows share the user_id exchange; the fill is a running state "
+        "per key — no per-row lookback join."
+    ),
+    "bloom_filtered_order_revenue": (
+        "Bloom bitset built in one aggregate to a single row, broadcast; "
+        "the probe is a codegen'd array-index + bitwise filter on the scan "
+        "output BEFORE the join's exchange — fact rows that can't match "
+        "never pay the shuffle."
+    ),
+    "doc_tfidf_top_terms": (
+        "tf and df aggregates both map-side-combine; N is a 1-row "
+        "broadcast cross join (no driver collect); the top-k window ranks "
+        "on the ROUNDED score so engine ulp differences can't flip ranks."
+    ),
+    "feature_snapshot_diff": (
+        "ONE full-outer sort-merge join on user_id; 'updated' is decided "
+        "by comparing 8-byte xxhash64 digests computed scan-side — no "
+        "column-by-column struct comparison crosses the shuffle."
+    ),
+    "dq_orders_audit": (
+        "All three row-local checks fold into ONE aggregate over one scan "
+        "(SinglePartition reduce of one row, then stack); uniqueness adds "
+        "one groupBy on the key; the FK check is a broadcast anti join."
+    ),
+    "event_value_scaled": (
+        "Per-group moments are a tiny hash aggregate broadcast back onto "
+        "the rows — NOT a whole-partition window: no sort, no partition "
+        "materialization, one scan."
+    ),
 }
 
 
