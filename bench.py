@@ -58,6 +58,12 @@ def main() -> None:
     iterations = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
     timings: dict[str, float] = {}
     for name, fn in qs.items():
+        # Several operators persist() intermediates; dropping them between
+        # QUERIES keeps ~70 queries' worth of cached partitions from
+        # accumulating into storage-memory pressure that taxes later
+        # queries' GC. Within a query the iterations share the cache
+        # (CacheManager plan-matching), so best-of-N stays warm.
+        spark.catalog.clearCache()
         best = float("inf")
         for _ in range(iterations):
             t0 = time.perf_counter()
