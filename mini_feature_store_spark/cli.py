@@ -56,6 +56,31 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--kv-dir", required=True, help="FileKVStore directory")
     c.add_argument("--key-col", default="user_id")
     c.add_argument("--order-col", default="day")
+
+    q = sub.add_parser(
+        "dq-audit", help="data-quality gate over a parquet path (exit 1 on failure)"
+    )
+    q.add_argument("--input-path", required=True, help="parquet path to audit")
+    q.add_argument("--not-null", action="append", default=[], metavar="COL")
+    q.add_argument("--unique", action="append", default=[], metavar="COL[,COL...]")
+    q.add_argument(
+        "--between", action="append", default=[], metavar="COL:LO:HI"
+    )
+    q.add_argument(
+        "--fk",
+        action="append",
+        default=[],
+        metavar="COL:REF_PATH:REF_COL",
+        help="referential-integrity check against another parquet path",
+    )
+
+    d = sub.add_parser(
+        "snapshot-diff", help="CDC between two versions of a versioned table"
+    )
+    d.add_argument("--table", required=True, help="VersionedTable path")
+    d.add_argument("--keys", required=True, help="comma-separated key columns")
+    d.add_argument("--old-version", type=int, required=True)
+    d.add_argument("--new-version", type=int, default=None)
     return p
 
 
@@ -158,6 +183,53 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"INCONSISTENT: {n} anomaly row(s)")
                 return 1
             print("consistent: online store matches offline latest snapshot")
+        elif args.pipeline == "dq-audit":
+            from mini_feature_store_spark.operators.quality import (
+                expect_between,
+                expect_foreign_key,
+                expect_not_null,
+                expect_unique,
+                run_checks,
+            )
+
+            df = spark.read.parquet(args.input_path)
+            checks: list = [expect_not_null(c) for c in args.not_null]
+            checks += [expect_unique(*u.split(",")) for u in args.unique]
+            for spec in args.between:
+                col, lo, hi = spec.split(":")
+                checks.append(expect_between(col, float(lo), float(hi)))
+            for spec in args.fk:
+                col, ref_path, ref_col = spec.split(":")
+                checks.append(
+                    expect_foreign_key(col, spark.read.parquet(ref_path), ref_col)
+                )
+            if not checks:
+                print("no checks declared", file=sys.stderr)
+                return 2
+            report = run_checks(df, checks).orderBy("check_idx").collect()
+            failed = 0
+            for r in report:
+                mark = "ok  " if r.passed else "FAIL"
+                print(f"{mark} {r.check}: {r.n_violations} violation(s)")
+                failed += 0 if r.passed else 1
+            return 1 if failed else 0
+        elif args.pipeline == "snapshot-diff":
+            from mini_feature_store_spark.io.tables import VersionedTable
+            from mini_feature_store_spark.operators.cdc import snapshot_diff
+            from pyspark.sql import functions as F
+
+            table = VersionedTable(args.table)
+            old = table.read(spark, version=args.old_version)
+            new = table.read(spark, version=args.new_version)
+            diff = snapshot_diff(old, new, keys=args.keys.split(","))
+            counts = {
+                r.change: r.n
+                for r in diff.groupBy("change")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            for kind in ("inserted", "updated", "deleted"):
+                print(f"{kind}: {counts.get(kind, 0)}")
         return 0
     finally:
         if owns_session:

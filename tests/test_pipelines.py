@@ -441,3 +441,43 @@ def test_compact_reduces_files_and_preserves_rows(spark, tmp_path):
     assert vt.read(spark).count() == 1000
     # pre-compaction layout still time-travels
     assert vt.read(spark, version=0).count() == 1000
+
+
+def test_cli_dq_audit_and_snapshot_diff(tmp_path, spark):
+    from mini_feature_store_spark import cli
+    from mini_feature_store_spark.io.tables import VersionedTable
+
+    data = str(tmp_path / "dq_data")
+    ref = str(tmp_path / "dq_ref")
+    spark.createDataFrame(
+        [(1, 10.0, 1), (2, 500.0, 1), (2, 5.0, 9)], "k int, v double, fk int"
+    ).write.parquet(data)
+    spark.createDataFrame([(1,)], "rk int").write.parquet(ref)
+
+    # v out of range (500), duplicate k=2, orphan fk=9 → exit 1
+    rc = cli.main(
+        [
+            "dq-audit",
+            "--input-path", data,
+            "--not-null", "k",
+            "--unique", "k",
+            "--between", "v:0:100",
+            "--fk", f"fk:{ref}:rk",
+        ]
+    )
+    assert rc == 1
+    # only the passing check → exit 0
+    assert cli.main(["dq-audit", "--input-path", data, "--not-null", "k"]) == 0
+
+    table = VersionedTable(str(tmp_path / "dq_table"))
+    table.write(spark.createDataFrame([(1, "a"), (2, "b")], "k int, s string"))
+    table.write(spark.createDataFrame([(2, "B"), (3, "c")], "k int, s string"))
+    rc = cli.main(
+        [
+            "snapshot-diff",
+            "--table", str(tmp_path / "dq_table"),
+            "--keys", "k",
+            "--old-version", "0",
+        ]
+    )
+    assert rc == 0
