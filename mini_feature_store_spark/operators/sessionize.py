@@ -77,3 +77,38 @@ def sessionize(
             F.unix_timestamp(F.max(ts_col)) - F.unix_timestamp(F.min(ts_col))
         ).alias("duration_s"),
     )
+
+
+def sessionize_native(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Gap-based sessions via Spark's native ``session_window`` in BATCH
+    mode — same aggregate the streaming path uses (one code path for both,
+    like the reference's batch/online split should have been).
+
+    Returns (user, session_start, session_end, n_events, duration_s) where
+    ``session_end`` is the LAST EVENT's ts (not the window close, which
+    native session windows pad to last_ts + gap).
+
+    Boundary semantics vs ``sessionize``: ``session_window`` merges an
+    event landing strictly inside ``[last_ts, last_ts + gap)``, i.e. a gap
+    of exactly ``gap`` starts a NEW session, while ``sessionize``'s
+    ``gap > gap_seconds`` keeps it in the same session. Identical on data
+    without exact-boundary gaps (pinned by the equivalence test).
+    """
+    return (
+        df.groupBy(F.col(user_col), F.session_window(F.col(ts_col), gap))
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.unix_timestamp(F.max(ts_col))
+                - F.unix_timestamp(F.min(ts_col))
+            ).alias("duration_s"),
+        )
+        .drop("session_window")
+    )

@@ -205,3 +205,50 @@ def test_tfidf_ranks_rare_terms_first(spark):
     assert d1[0] == "zebra"
     top = {r.doc_id: r.term for r in out.where(F.col("rk") == 1).collect()}
     assert top[3] == "yak"
+
+
+# ── plan shapes (the 100 TB contract is a property of the plan) ─────────────
+
+
+def _n_exchanges(df) -> int:
+    from mini_feature_store_spark.functions import plan_text
+
+    plan = plan_text(df)
+    import re
+
+    # Count unique exchange nodes from the tree section (formatted plans
+    # list each node twice: tree + detail).
+    return len(set(re.findall(r"Exchange[^(]*\((\d+)\)", plan)))
+
+
+def test_funnel_single_exchange_any_step_count(spark):
+    df = _ev(spark, [("u", "view", 0), ("u", "click", 1), ("u", "purchase", 2)])
+    # 3 dependent step windows + per-user aggregate: still ONE shuffle of
+    # the events (plus the single-row summary reduce, which AQE handles).
+    steps3 = _n_exchanges(
+        df.groupBy("user_id").count()
+    )  # baseline: one aggregate = 1-2 exchanges depending on partial agg
+    from mini_feature_store_spark.operators.funnel import funnel_user_steps
+
+    got = _n_exchanges(funnel_user_steps(df, ["view", "click", "purchase"]))
+    # windows reuse the exchange; total must not exceed the plain
+    # aggregate's exchange count (the windows add zero).
+    assert got <= max(steps3, 1)
+
+
+def test_gap_fill_windows_share_grid_exchange(spark):
+    import datetime as ddt
+
+    daily = spark.createDataFrame(
+        [("u", ddt.date(2024, 1, 2), 1.0)], "user_id string, day date, v double"
+    )
+    from mini_feature_store_spark.operators.timeseries import gap_fill_forward
+
+    out = gap_fill_forward(
+        daily, ["user_id"], "day", ["v"], "2024-01-01", "2024-01-05"
+    )
+    from mini_feature_store_spark.functions import plan_text
+
+    plan = plan_text(out)
+    # the date side must ride a broadcast, not a shuffle
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

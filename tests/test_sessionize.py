@@ -121,3 +121,24 @@ def test_sessionize_properties_random(spark):
                     assert t2 - t1 <= GAP
 
     check()
+
+
+def test_native_session_window_equivalence(spark):
+    """sessionize (lag/running-sum) and sessionize_native (session_window)
+    must produce identical session boundaries on data without exact-gap
+    boundaries (the two APIs differ only at gap == gap_duration exactly)."""
+    from mini_feature_store_spark.operators.sessionize import sessionize_native
+
+    rows = [("u", s) for s in (0, 100, 700, 2600, 2700, 9000)] + [
+        ("v", s) for s in (50, 5000)
+    ]
+    df = _events(spark, rows)
+    gap_based = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in sessionize(df, gap_seconds=1800, tiebreak_col="event_id").collect()
+    }
+    native = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in sessionize_native(df, gap="30 minutes").collect()
+    }
+    assert gap_based == native and len(native) == 5
