@@ -254,26 +254,30 @@ def simhash(
     """64-bit SimHash per document over whitespace tokens.
 
     Bit b of the hash is 1 iff Σ_tokens sign(bit b of xxhash64(token)) > 0.
-    Expressed as one aggregate over exploded tokens with a vector of per-bit
-    ±1 sums — single shuffle keyed by doc id.
+    The ±1 sum is algebraically 2·ones_b − n, so the aggregate is ``bits``
+    plain bit-sums plus one count — no per-bit CASE WHEN — and the token hash
+    is materialized once in a projection instead of being re-stated inside all
+    64 aggregate expressions. Single shuffle keyed by doc id.
     """
-    toks = spread(df).select(
-        F.col(id_col).alias("id"),
-        F.explode(_tokens(normalize(F.col(text_col)))).alias("tok"),
+    toks = (
+        spread(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(_tokens(normalize(F.col(text_col)))).alias("tok"),
+        )
+        .select("id", F.xxhash64("tok").alias("h"))
     )
-    h = F.xxhash64("tok")
     contrib = [
-        F.sum(
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{b}")
+        F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(f"b{b}")
         for b in range(bits)
     ]
-    per_doc = toks.groupBy("id").agg(*contrib)
+    per_doc = toks.groupBy("id").agg(*contrib, F.count(F.lit(1)).alias("n"))
     sim = None
     for b in range(bits):
-        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        # sign(2·ones − n) > 0  ⟺  the original ±1-sum formulation.
+        bit = F.when(
+            F.col(f"b{b}") * 2 > F.col("n"), F.lit(1).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, b)
         sim = term if sim is None else sim.bitwiseXOR(term)
     return per_doc.select("id", sim.alias("simhash"))
