@@ -19,7 +19,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from mini_feature_store_spark.queries import ORACLE, QUERIES  # noqa: E402
+from mini_feature_store_spark.queries import (  # noqa: E402
+    QUERIES,
+    ordered_oracle,
+    ordered_queries,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -29,10 +33,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    """One entry per implemented operator from SURVEY.md §2, in
+    verification-priority order (queries.VERIFY_ORDER): never-verified and
+    recently-changed queries first so the driver's 50-query correctness
+    window always covers the least-proven code."""
+    return ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (keys match ``queries()``)."""
-    return dict(ORACLE)
+    return ordered_oracle()

@@ -81,6 +81,18 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--keys", required=True, help="comma-separated key columns")
     d.add_argument("--old-version", type=int, required=True)
     d.add_argument("--new-version", type=int, default=None)
+
+    v = sub.add_parser(
+        "serve",
+        help="feature-serving HTTP API (reference api/main.py): "
+        "/features/online/{id}, /features/offline/{id}?as_of=, /health",
+    )
+    v.add_argument("--kv-dir", default=None, help="FileKVStore dir (online)")
+    v.add_argument(
+        "--features-table", default=None, help="VersionedTable dir (offline)"
+    )
+    v.add_argument("--host", default="0.0.0.0")
+    v.add_argument("--port", type=int, default=8000)
     return p
 
 
@@ -230,6 +242,34 @@ def main(argv: list[str] | None = None) -> int:
             }
             for kind in ("inserted", "updated", "deleted"):
                 print(f"{kind}: {counts.get(kind, 0)}")
+        elif args.pipeline == "serve":
+            from mini_feature_store_spark.api.http_server import serve_forever
+            from mini_feature_store_spark.api.service import (
+                OfflineFeatureService,
+                OnlineFeatureService,
+            )
+            from mini_feature_store_spark.io.tables import VersionedTable
+            from mini_feature_store_spark.pipelines.online_sync import FileKVStore
+
+            if not args.kv_dir and not args.features_table:
+                print(
+                    "at least one of --kv-dir / --features-table required",
+                    file=sys.stderr,
+                )
+                return 2
+            online = (
+                OnlineFeatureService(FileKVStore(args.kv_dir))
+                if args.kv_dir
+                else None
+            )
+            offline = (
+                OfflineFeatureService(
+                    spark, VersionedTable(args.features_table).read
+                )
+                if args.features_table
+                else None
+            )
+            serve_forever(online, offline, host=args.host, port=args.port)
         return 0
     finally:
         if owns_session:

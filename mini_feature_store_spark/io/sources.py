@@ -78,10 +78,15 @@ def load_testdata(
 ) -> dict[str, DataFrame]:
     """Load driver testdata tables (TESTDATA.md) from a scale-factor dir.
 
-    ``events.ts`` is physically TIMESTAMP(NANOS) parquet, which Spark 4
-    refuses by default; we read it as long ns (legacy conf, runtime-settable)
-    and floor-convert to a µs timestamp — bit-identical to DuckDB's own
-    ns→µs truncation, so oracle comparisons stay exact.
+    ``events.ts`` handling is *schema-adaptive*: depending on the parquet
+    writer and Spark version, the physical column arrives either as a plain
+    TIMESTAMP (timestamp[us] parquet, read natively) or as BIGINT nanoseconds
+    (TIMESTAMP(NANOS) parquet surfaced via
+    ``spark.sql.legacy.parquet.nanosAsLong``). We inspect the *read* schema and
+    only apply the ns→µs floor-conversion when the column is integral —
+    bit-identical to DuckDB's own ns→µs truncation, so oracle comparisons stay
+    exact either way. Never assume one physical layout: that assumption broke
+    every events query in round 2.
     """
     from pyspark.sql import functions as F
 
@@ -92,10 +97,20 @@ def load_testdata(
     for n in names:
         path = os.path.join(sf_dir, f"{n}.parquet")
         if n == "events":
+            # Harmless when ts is already timestamp[us]; lets nanos parquet
+            # load as BIGINT instead of erroring on Spark versions where the
+            # legacy conf still applies.
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            df = spark.read.parquet(path).withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
-            )
+            df = spark.read.parquet(path)
+            ts_type = df.schema["ts"].dataType
+            if isinstance(ts_type, (T.LongType, T.IntegerType)):
+                df = df.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                )
+            elif isinstance(ts_type, T.TimestampNTZType):
+                # Oracle (DuckDB) reads this as naive timestamp too; keep a
+                # session-TZ-stable TIMESTAMP for window/date functions.
+                df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
         else:
             df = spark.read.parquet(path)
         out[n] = df

@@ -77,38 +77,59 @@ def ngram_jaccard_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | None = 1000,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs (a < b) over word n-gram shingle sets.
 
     Plan: doc→shingle explode, self-join on shingle (inverted index), count
     common shingles per pair, Jaccard = common / (|A| + |B| − common).
-    ``max_shingle_freq`` drops shingles appearing in more than that many docs
-    (stop-shingles produce quadratic candidate blowup at scale while carrying
-    no discriminative signal).
+
+    ``max_shingle_freq`` (default ON — the guard must not be opt-in at scale)
+    drops shingles appearing in more than that many docs: stop-shingles
+    produce quadratic candidate blowup (one shingle in k docs → k²/2 join
+    rows) while carrying no discriminative signal. Jaccard is then computed
+    over the *retained* shingle sets — per-doc sizes count post-filter — so
+    the output stays a true Jaccard of well-defined sets and an oracle can
+    mirror it exactly. ``None`` disables (exact full-set Jaccard; unsafe on
+    open-domain corpora).
     """
+    from pyspark.sql import Window
+
     sh = (
         spread(df)
         .select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh"))
-        .select("id", F.size("sh").alias("size"), F.explode("sh").alias("shingle"))
+        .select("id", F.explode("sh").alias("shingle"))
         # Join on the 64-bit shingle hash, not the string: the inverted-index
         # shuffle carries 8 bytes per row instead of the shingle text. A
         # false-positive pair needs an intra-corpus xxhash64 collision
         # (~n_shingles²/2⁶⁵ — negligible even at 100 TB, and it would only
         # perturb one pair's common-count by 1).
-        .select("id", "size", F.xxhash64("shingle").alias("shingle"))
-        # Both sides of the self-join read this; persisting the (narrow)
-        # inverted index beats re-deriving shingles from raw text twice.
-        # At 100 TB the same choice holds: materialize the index, not the
-        # corpus (LRU eviction reclaims it under pressure).
-        .persist()
+        .select("id", F.xxhash64("shingle").alias("shingle"))
     )
 
     if max_shingle_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
-        sh = sh.join(
-            F.broadcast(freq.where(F.col("df_") <= max_shingle_freq)), "shingle"
-        ).drop("df_")
+        # Broadcast the HOT set, which is tiny by construction (each member
+        # appears in >max_shingle_freq docs, so there can be at most
+        # |index| / max_shingle_freq of them). Broadcasting the keep-set
+        # would ship the entire shingle vocabulary to every executor.
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .where(F.col("df_") > max_shingle_freq)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+
+    # Post-filter set size via a window keyed the same as the doc id — one
+    # shuffle by id, no extra join. Both sides of the self-join read this;
+    # persisting the (narrow) inverted index beats re-deriving shingles from
+    # raw text twice. At 100 TB the same choice holds: materialize the index,
+    # not the corpus (LRU eviction reclaims it under pressure).
+    sh = sh.select(
+        "id",
+        "shingle",
+        F.count(F.lit(1)).over(Window.partitionBy("id")).alias("size"),
+    ).persist()
 
     a, b = sh.alias("a"), sh.alias("b")
     common = (

@@ -112,14 +112,38 @@ def backfill_features_window_form(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    distinct_types_strategy: str = "bitmask",
+    known_types: list[str] | None = None,
 ) -> DataFrame:
     """Scale plan: daily pre-aggregation + range-frame windows (SURVEY.md §4.4).
 
     Events older than ``start`` by up to 30 days still influence early rows, so
     the daily pre-agg keeps [start-30, end] and the scaffold join trims to
     [start, end] afterwards.
+
+    ``distinct_types_strategy`` picks the distinct-types-over-window
+    representation; every choice builds the plan LAZILY (zero Spark jobs until
+    an action — building a 100 TB plan must not trigger a corpus scan):
+
+    - ``"bitmask"`` (default): each type gets a bit in a 64-bit mask — daily
+      pre-agg is ``bit_or``, rolling window is ``bit_or``, count is
+      ``bit_count``; all codegen'd, 8 bytes/row regardless of window length.
+      Bit positions come from ``known_types`` when the caller has catalog
+      stats (pure literal map, no extra scan), else from a lazy broadcast dim
+      built by a tiny map-side-combined distinct on the type column.
+      Fails fast via ``raise_error`` if >64 types show up at runtime.
+    - ``"collect_set"``: exact for unbounded type cardinality, but carries the
+      whole window's set per row — memory grows with window × cardinality,
+      which does not survive 100 TB. Opt-in fallback.
+    - ``"probe"``: the eager driver-side probe (counts distinct types NOW and
+      picks bitmask vs collect_set). Runs a Spark job at plan-build time —
+      opt-in only, for ad-hoc use where an extra pass is acceptable.
     """
     spark = events.sparkSession
+    if distinct_types_strategy not in ("bitmask", "collect_set", "probe"):
+        raise ValueError(
+            f"unknown distinct_types_strategy: {distinct_types_strategy!r}"
+        )
 
     ev = events.select(
         F.col(user_col).alias("user_id"),
@@ -130,33 +154,70 @@ def backfill_features_window_form(
         & (F.col("day") <= F.lit(end).cast("date"))
     )
 
-    # Distinct-types-over-window representation. With ≤64 observed types
-    # (the normal case for an event taxonomy) each type gets a bit in a
-    # 64-bit mask: the daily pre-agg is bit_or, the rolling window is
-    # bit_or, the count is bit_count — all codegen'd, 8 bytes/row
-    # regardless of window length. collect_set-and-flatten (the fallback
-    # for >64 types) carries the whole window's set per row — memory grows
-    # with window × cardinality, which does not survive 100 TB.
-    types_seen = [
-        r[0]
-        for r in ev.select("event_type").distinct().limit(65).collect()
-    ]
-    use_bitmask = len(types_seen) <= 64
+    if distinct_types_strategy == "probe":
+        types_seen = [
+            r[0] for r in ev.select("event_type").distinct().limit(65).collect()
+        ]
+        if len(types_seen) <= 64:
+            distinct_types_strategy, known_types = "bitmask", types_seen
+        else:
+            distinct_types_strategy = "collect_set"
 
+    use_bitmask = distinct_types_strategy == "bitmask"
     if use_bitmask:
-        # literal type → single-bit-mask map; lookup is one codegen'd
-        # map access (bit positions assigned on the driver)
-        mask_map = F.create_map(
-            *[
-                c
-                for i, t in enumerate(sorted(types_seen))
-                for c in (F.lit(t), F.lit(1 << i).cast("long"))
-            ]
-        )
-        type_bit = mask_map[F.col("event_type")]
-        daily = ev.groupBy("user_id", "day").agg(
+        if known_types is not None:
+            if len(known_types) > 64:
+                raise ValueError(
+                    "bitmask strategy supports at most 64 types; "
+                    "use distinct_types_strategy='collect_set'"
+                )
+            # literal type → single-bit-mask map; lookup is one codegen'd
+            # map access (bit positions assigned on the driver from stats)
+            mask_map = F.create_map(
+                *[
+                    c
+                    for i, t in enumerate(sorted(known_types))
+                    for c in (F.lit(t), F.lit(1 << i).cast("long"))
+                ]
+            )
+            # A type outside known_types must fail loudly, not vanish from
+            # the distinct count (bit_or skips NULLs).
+            type_bit = F.coalesce(
+                mask_map[F.col("event_type")],
+                F.expr(
+                    "raise_error(concat('event type not in known_types: ',"
+                    " event_type))"
+                ).cast("long"),
+            )
+            ev_with_bit = ev.withColumn("type_bit", type_bit)
+        else:
+            # Lazy bit assignment: tiny distinct on the type column (map-side
+            # combined — the shuffle is |types| rows, not |events|), bit
+            # positions by alphabetical rank, broadcast back. No job runs
+            # until the caller triggers an action. >64 types at runtime hits
+            # raise_error instead of silently wrapping shiftleft mod 64.
+            types_dim = (
+                ev.select("event_type")
+                .distinct()
+                .withColumn(
+                    "type_bit_pos",
+                    F.row_number().over(Window.orderBy("event_type")) - 1,
+                )
+            )
+            ev_with_bit = ev.join(
+                F.broadcast(types_dim), "event_type", "left"
+            ).withColumn(
+                "type_bit",
+                F.expr(
+                    "CASE WHEN type_bit_pos < 64 THEN"
+                    " shiftleft(1L, CAST(type_bit_pos AS INT))"
+                    " ELSE raise_error('more than 64 distinct event types;"
+                    " use distinct_types_strategy=collect_set') END"
+                ),
+            )
+        daily = ev_with_bit.groupBy("user_id", "day").agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.bit_or(type_bit).alias("type_mask"),
+            F.bit_or("type_bit").alias("type_mask"),
         )
     else:
         daily = ev.groupBy("user_id", "day").agg(

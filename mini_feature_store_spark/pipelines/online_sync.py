@@ -79,7 +79,7 @@ def redis_kv_factory(url: str) -> Callable[[], object]:
     def factory():
         try:
             import redis  # type: ignore
-        except ImportError as e:  # pragma: no cover - not in this container
+        except ImportError as e:
             raise NotImplementedError(
                 "redis package not installed; use FileKVStore or install redis"
             ) from e

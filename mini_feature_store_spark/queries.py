@@ -474,46 +474,58 @@ sh AS (SELECT doc_id, unnest(shs) AS shingle FROM shl),
 sz AS (SELECT doc_id, len(shs) AS size FROM shl)
 """
 
+#: Mirrors operators/dedup.py ngram_jaccard_pairs with the stop-shingle guard
+#: ON (max_shingle_freq=1000): shingles in >1000 docs are dropped and per-doc
+#: sizes are recomputed over the retained sets, so Spark and oracle agree at
+#: ANY scale factor, not just ones where the cap never fires.
+_SHINGLES_CAPPED_SQL = f"""
+{_SHINGLES_SQL.strip()},
+hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > 1000),
+shf AS (SELECT doc_id, shingle FROM sh ANTI JOIN hot USING (shingle)),
+szf AS (SELECT doc_id, COUNT(*) AS size FROM shf GROUP BY doc_id)
+"""
+
 
 @_q(
     "dedup_ngram_jaccard",
     f"""
-WITH {_SHINGLES_SQL},
+WITH {_SHINGLES_CAPPED_SQL},
 common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT id_a, id_b,
        ROUND(c / (sa.size + sb.size - c), 4) AS jaccard
 FROM common
-JOIN sz sa ON id_a = sa.doc_id
-JOIN sz sb ON id_b = sb.doc_id
+JOIN szf sa ON id_a = sa.doc_id
+JOIN szf sb ON id_b = sb.doc_id
 WHERE ROUND(c / (sa.size + sb.size - c), 4) >= 0.5
 """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (inverted-index join)."""
+    """Exact n-gram Jaccard near-dup pairs (inverted-index join) with the
+    stop-shingle quadratic-blowup guard ON (max_shingle_freq=1000)."""
     from mini_feature_store_spark.operators.dedup import ngram_jaccard_pairs
 
     _utc(spark)
     docs = load_testdata(spark, sf_dir, "documents")["documents"]
-    return ngram_jaccard_pairs(docs, threshold=0.5)
+    return ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_freq=1000)
 
 
 @_q(
     "dedup_clusters",
     f"""
-WITH RECURSIVE {_SHINGLES_SQL},
+WITH RECURSIVE {_SHINGLES_CAPPED_SQL},
 common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
 pairs AS (
   SELECT id_a, id_b FROM common
-  JOIN sz sa ON id_a = sa.doc_id
-  JOIN sz sb ON id_b = sb.doc_id
+  JOIN szf sa ON id_a = sa.doc_id
+  JOIN szf sb ON id_b = sb.doc_id
   WHERE ROUND(c / (sa.size + sb.size - c), 4) >= 0.5
 ),
 sym AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
@@ -540,7 +552,9 @@ def dedup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _utc(spark)
     docs = load_testdata(spark, sf_dir, "documents")["documents"]
-    return dedup_clusters(ngram_jaccard_pairs(docs, threshold=0.5))
+    return dedup_clusters(
+        ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_freq=1000)
+    )
 
 
 @_q("dedup_minhash_lsh")  # hash-seeded signatures: rows-only driver check;
@@ -1525,26 +1539,21 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize deterministic binary media from documents, then decode +
     feature-extract through the Arrow-batched mapInPandas pipeline (codec
     stubbed — see operators/multimodal.py docstring)."""
-    from pyspark.sql import types as T
-
     from mini_feature_store_spark.operators.multimodal import (
         decode_images,
         encode_fake_image,
+        synthesize_payloads,
     )
 
     _utc(spark)
     docs = load_testdata(spark, sf_dir, "documents")["documents"]
 
-    @F.udf(T.BinaryType())
-    def make_blob(doc_id, n_chars):
-        w = 4 + int(doc_id) % 13
-        h = 3 + int(n_chars) % 7
-        return encode_fake_image(w, h, 3, seed=int(doc_id))
+    def make_blob(doc_id: int, n_chars: int) -> bytes:
+        w = 4 + doc_id % 13
+        h = 3 + n_chars % 7
+        return encode_fake_image(w, h, 3, seed=doc_id)
 
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        make_blob("doc_id", "n_chars").alias("payload"),
-    )
+    media = synthesize_payloads(docs, make_blob)
     return decode_images(media)
 
 
@@ -1553,28 +1562,23 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize deterministic fake videos, sample every 5th frame, decode
     the sampled frames through the image tier, aggregate per media item."""
-    from pyspark.sql import types as T
-
     from mini_feature_store_spark.operators.multimodal import (
         decode_images,
         encode_fake_video,
         sample_frames,
+        synthesize_payloads,
     )
 
     _utc(spark)
     docs = load_testdata(spark, sf_dir, "documents")["documents"]
 
-    @F.udf(T.BinaryType())
-    def make_video(doc_id, n_chars):
-        w = 3 + int(doc_id) % 5
-        h = 2 + int(n_chars) % 4
-        frames = 5 + int(doc_id) % 11
-        return encode_fake_video(w, h, 3, n_frames=frames, seed=int(doc_id))
+    def make_video(doc_id: int, n_chars: int) -> bytes:
+        w = 3 + doc_id % 5
+        h = 2 + n_chars % 4
+        frames = 5 + doc_id % 11
+        return encode_fake_video(w, h, 3, n_frames=frames, seed=doc_id)
 
-    media = docs.where(F.col("doc_id") < 200).select(
-        F.col("doc_id").alias("media_id"),
-        make_video("doc_id", "n_chars").alias("payload"),
-    )
+    media = synthesize_payloads(docs.where(F.col("doc_id") < 200), make_video)
     frames = sample_frames(media, every_k=5)
     decoded = decode_images(frames.where(F.col("error").isNull()))
     return decoded.groupBy("media_id").agg(
@@ -2424,26 +2428,21 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize deterministic fake audio clips and extract duration/RMS
     features through the Arrow-batched mapInPandas tier
     (operators/multimodal.py:audio_features; codec stubbed)."""
-    from pyspark.sql import types as T
-
     from mini_feature_store_spark.operators.multimodal import (
         audio_features,
         encode_fake_audio,
+        synthesize_payloads,
     )
 
     _utc(spark)
     docs = load_testdata(spark, sf_dir, "documents")["documents"]
 
-    @F.udf(T.BinaryType())
-    def make_clip(doc_id, n_chars):
-        rate = 8000 + (int(doc_id) % 3) * 4000
-        samples = 1000 + int(n_chars) % 5000
-        return encode_fake_audio(rate, samples, seed=int(doc_id))
+    def make_clip(doc_id: int, n_chars: int) -> bytes:
+        rate = 8000 + (doc_id % 3) * 4000
+        samples = 1000 + n_chars % 5000
+        return encode_fake_audio(rate, samples, seed=doc_id)
 
-    media = docs.where(F.col("doc_id") < 300).select(
-        F.col("doc_id").alias("media_id"),
-        make_clip("doc_id", "n_chars").alias("payload"),
-    )
+    media = synthesize_payloads(docs.where(F.col("doc_id") < 300), make_clip)
     return audio_features(media)
 
 
@@ -2508,3 +2507,109 @@ def dq_orders_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         expect_foreign_key("o_custkey", t["customer"], "c_custkey"),
     ]
     return run_checks(t["orders"], checks)
+
+
+# ── driver verification order ───────────────────────────────────────────────
+# The correctness driver evaluates only the FIRST 50 entries of the registry
+# dict, in insertion order. Registration order above is thematic; this list is
+# *verification priority*: queries that have never had an oracle row, were
+# broken last round, or changed this round come first; long-stable greens
+# (hash-matched in r1/r2 and untouched since) rotate to the back. Keep every
+# registered name present exactly once — ordered_queries() asserts it.
+
+VERIFY_ORDER: list[str] = [
+    # never checked through r2 (driver 50-cap) — VERDICT r2 item 2
+    "order_rank_metrics",
+    "shipping_priority",
+    "nation_trade_volume",
+    "doc_stratified_sample",
+    "funnel_conversion",
+    "user_value_gap_fill",
+    "cohort_retention_weekly",
+    "purchase_value_intervals",
+    "customer_order_distribution",
+    "orders_with_late_lineitems",
+    "nation_share_of_region",
+    "brand_supplier_stats",
+    "fuzzy_part_names",
+    "doc_tfidf_top_terms",
+    "event_value_scaled",
+    "user_sketch_rollup",
+    "bloom_filtered_order_revenue",
+    "lineitem_correlations",
+    "embedding_vector_stats",
+    "feature_snapshot_diff",
+    "doc_weighted_sample",
+    "multimodal_audio_stats",
+    "dq_orders_audit",
+    # broken by the r2 loader regression (green in r1) — re-prove after fix
+    "features_daily",
+    "pit_training_data",
+    "latest_event_per_user",
+    "dedup_exact_props",
+    "set_ops_users",
+    "cube_event_counts",
+    "user_sessions",
+    "daily_event_deltas",
+    "event_type_pivot",
+    "json_props_stats",
+    "user_event_type_arrays",
+    "weekly_event_buckets",
+    "user_running_value",
+    "events_capped_per_user",
+    "next_click_after_purchase",
+    "nearest_click_to_purchase",
+    "event_promo_attribution",
+    # touched this round (shingle-freq cap default / fixture synthesis)
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    # rows-only evidence refresh
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "embedding_topk_lsh",
+    "embedding_topk_ivf",
+    "approx_distinct_stats",
+    # one stable flagship green inside the window as a canary
+    "pricing_summary",
+    # ── beyond the 50-cap: hash-matched in r1+r2, untouched since ──
+    "revenue_by_nation",
+    "top_orders_per_priority",
+    "customer_segment_stats",
+    "doc_text_stats",
+    "doc_lang_id",
+    "doc_quality_filter",
+    "doc_winnow_fingerprints",
+    "embedding_topk_bruteforce",
+    "embedding_cosine_pairs",
+    "customers_without_orders",
+    "customers_with_big_orders",
+    "rollup_order_revenue",
+    "grouping_sets_sql",
+    "customers_above_segment_avg",
+    "supplier_revenue_salted",
+    "quantiles_by_returnflag",
+    "date_dimension",
+    "doc_hash_sample",
+    "doc_hash_split_counts",
+    "doc_term_frequencies",
+    "lineitem_profile",
+    "price_histogram",
+    "lineitem_metrics_long",
+]
+
+
+def ordered_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry re-keyed into verification-priority order (see VERIFY_ORDER)."""
+    assert set(VERIFY_ORDER) == set(QUERIES), (
+        sorted(set(QUERIES) - set(VERIFY_ORDER)),
+        sorted(set(VERIFY_ORDER) - set(QUERIES)),
+    )
+    assert len(VERIFY_ORDER) == len(set(VERIFY_ORDER))
+    return {n: QUERIES[n] for n in VERIFY_ORDER}
+
+
+def ordered_oracle() -> dict[str, str]:
+    """ORACLE re-keyed to match ordered_queries() iteration order."""
+    return {n: ORACLE[n] for n in VERIFY_ORDER if n in ORACLE}

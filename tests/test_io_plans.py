@@ -155,3 +155,26 @@ def test_melt_roundtrip_and_no_shuffle(spark):
     assert "Exchange" not in plan_text(out)
     # value_vars default = all non-id columns
     assert melt(df, ["id"]).count() == 4
+
+
+def test_load_testdata_events_ts_schema_adaptive(spark):
+    """The r2 round-killer regression guard: load_testdata must yield a
+    TIMESTAMP ts from /root/testdata events.parquet no matter whether the
+    physical column arrives as timestamp[us], TIMESTAMP_NTZ, or BIGINT
+    nanoseconds (VERDICT r2 item 1)."""
+    import pyspark.sql.types as T
+
+    from mini_feature_store_spark.io.sources import load_testdata
+
+    prev = spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    try:
+        for ntz in ("false", "true"):
+            spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", ntz)
+            ev = load_testdata(spark, "/root/testdata/sf0.001", "events")["events"]
+            assert isinstance(ev.schema["ts"].dataType, T.TimestampType)
+            row = ev.selectExpr(
+                "count(*) AS n", "min(ts) AS lo", "max(ts) AS hi"
+            ).collect()[0]
+            assert row.n > 0 and row.lo.year == 2024
+    finally:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", prev)
