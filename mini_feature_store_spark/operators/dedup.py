@@ -93,8 +93,6 @@ def ngram_jaccard_pairs(
     mirror it exactly. ``None`` disables (exact full-set Jaccard; unsafe on
     open-domain corpora).
     """
-    from pyspark.sql import Window
-
     sh = (
         spread(df)
         .select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh"))
@@ -105,13 +103,22 @@ def ngram_jaccard_pairs(
         # (~n_shingles²/2⁶⁵ — negligible even at 100 TB, and it would only
         # perturb one pair's common-count by 1).
         .select("id", F.xxhash64("shingle").alias("shingle"))
+        # Everything downstream (hot-set aggregate, per-doc sizes, both
+        # self-join sides) re-reads this narrow index; persisting it means
+        # the regex shingling pass over the corpus runs ONCE. At 100 TB the
+        # same choice holds: materialize the index, not the corpus (LRU
+        # eviction reclaims it under pressure).
+        .persist()
     )
 
     if max_shingle_freq is not None:
         # Broadcast the HOT set, which is tiny by construction (each member
         # appears in >max_shingle_freq docs, so there can be at most
         # |index| / max_shingle_freq of them). Broadcasting the keep-set
-        # would ship the entire shingle vocabulary to every executor.
+        # would ship the entire shingle vocabulary to every executor, and a
+        # shuffle-side filter would add a full exchange of the index. The
+        # map-side-combined aggregate shuffles ≤ |vocabulary| rows, and the
+        # anti join itself is shuffle-free (broadcast hash).
         hot = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df_"))
@@ -120,16 +127,13 @@ def ngram_jaccard_pairs(
         )
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
 
-    # Post-filter set size via a window keyed the same as the doc id — one
-    # shuffle by id, no extra join. Both sides of the self-join read this;
-    # persisting the (narrow) inverted index beats re-deriving shingles from
-    # raw text twice. At 100 TB the same choice holds: materialize the index,
-    # not the corpus (LRU eviction reclaims it under pressure).
-    sh = sh.select(
-        "id",
-        "shingle",
-        F.count(F.lit(1)).over(Window.partitionBy("id")).alias("size"),
-    ).persist()
+    # Post-filter set sizes as a tiny aggregate (one row per doc, map-side
+    # combined since each doc's shingles are colocated after explode) joined
+    # onto the PAIR results — never onto the full index. Pairs are sparse
+    # (only docs sharing a shingle meet), so this join touches thousands of
+    # rows where a window over the index would shuffle and sort the entire
+    # inverted index by doc id.
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("size"))
 
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -138,14 +142,15 @@ def ngram_jaccard_pairs(
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .groupBy(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.size").alias("size_a"),
-            F.col("b.size").alias("size_b"),
-        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("common"))
     )
+    # Sizes attach to the aggregated pairs, not the index rows — the pair
+    # set is orders of magnitude smaller; the planner broadcasts whichever
+    # side is small enough (both are post-aggregate).
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("size").alias("size_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("size").alias("size_b"))
+    common = common.join(sa, "id_a").join(sb, "id_b")
     jac = F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common"))
     return (
         common.select(

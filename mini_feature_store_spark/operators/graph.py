@@ -82,15 +82,18 @@ def connected_components(
     Node ids must be an orderable type (long / string). Undirected; edge
     direction and duplicates are ignored.
     """
-    e = _canon(
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # Materialize the raw edge list ONCE: both the canonical edge set and
+    # the node set derive from this checkpoint, so the upstream
+    # pair-generation plan (e.g. the n-gram Jaccard join — the expensive
+    # part) executes exactly one time. Checkpointing only `e` and deriving
+    # nodes lazily from `edges` would run pair generation twice.
+    el = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
     ).localCheckpoint()
-    # All nodes, materialized ONCE up front — deriving them lazily from
-    # ``edges`` would re-execute the whole upstream pair-generation plan
-    # (e.g. the n-gram Jaccard join) a second time at the final join.
+    e = _canon(el).localCheckpoint()
     nodes = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
+        el.select(F.col("u").alias("node"))
+        .union(el.select(F.col("v").alias("node")))
         .distinct()
         .localCheckpoint()
     )
