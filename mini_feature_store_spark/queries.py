@@ -637,6 +637,42 @@ def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs(emb, threshold=0.4)
 
 
+@_q(
+    "embedding_dedup_clusters",
+    f"""
+WITH RECURSIVE {_UNIT_SQL},
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+  WHERE ROUND(list_dot_product(a.unit, b.unit), 4) >= 0.4
+),
+sym AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u
+),
+comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u)
+SELECT doc_id, cluster_id,
+  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS INTEGER) AS cluster_size,
+  doc_id = cluster_id AS keep
+FROM comp
+""",
+)
+def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-cosine) near-dup DEDUP end-to-end: block-GEMM
+    cosine pairs at threshold 0.4 → large-star/small-star connected
+    components → one canonical survivor per cluster. The embedding-space
+    twin of ``dedup_clusters`` (which clusters lexical n-gram pairs); the
+    oracle recomputes components by recursive-CTE transitive closure."""
+    from mini_feature_store_spark.operators.graph import dedup_clusters
+    from mini_feature_store_spark.operators.similarity import cosine_pairs
+
+    _utc(spark)
+    emb = load_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    return dedup_clusters(cosine_pairs(emb, threshold=0.4))
+
+
 @_q("embedding_topk_lsh")  # rows-only; recall vs brute force in tests
 def embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-5 (multi-probe + exact re-rank)."""
@@ -2560,20 +2596,24 @@ VERIFY_ORDER: list[str] = [
     "next_click_after_purchase",
     "nearest_click_to_purchase",
     "event_promo_attribution",
-    # touched this round (shingle-freq cap default / fixture synthesis)
+    # touched or added this round (shingle-freq cap default / fixture
+    # synthesis / packed-lane simhash / flat-array GEMM / new cluster query)
     "dedup_ngram_jaccard",
     "dedup_clusters",
+    "embedding_dedup_clusters",
+    "embedding_cosine_pairs",
     "multimodal_decode",
     "multimodal_frame_sample",
     # rows-only evidence refresh
     "dedup_minhash_lsh",
     "dedup_simhash",
     "embedding_topk_lsh",
-    "embedding_topk_ivf",
-    "approx_distinct_stats",
     # one stable flagship green inside the window as a canary
     "pricing_summary",
-    # ── beyond the 50-cap: hash-matched in r1+r2, untouched since ──
+    # ── beyond the 50-cap: hash-matched in r1+r2, untouched since
+    # (plus rows-only entries whose r2 row still stands) ──
+    "embedding_topk_ivf",
+    "approx_distinct_stats",
     "revenue_by_nation",
     "top_orders_per_priority",
     "customer_segment_stats",
@@ -2582,7 +2622,6 @@ VERIFY_ORDER: list[str] = [
     "doc_quality_filter",
     "doc_winnow_fingerprints",
     "embedding_topk_bruteforce",
-    "embedding_cosine_pairs",
     "customers_without_orders",
     "customers_with_big_orders",
     "rollup_order_revenue",
