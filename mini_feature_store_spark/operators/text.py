@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from mini_feature_store_spark.functions import spread
+
 #: Tiny per-language marker-word lists for the heuristic language ID.
 #: Deterministic and tiny by design — a real lang-ID model is out of scope;
 #: the operator shape (tokenize → score per language → argmax) is the point.
@@ -299,3 +301,159 @@ def tf_idf_top_terms(
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+#: Shingle extraction WITHOUT dedup (occurrence counts matter for
+#: repetition scoring): same lookahead regex as ``dedup.shingles`` minus the
+#: ``array_distinct``.
+def _gram_occurrences(col: Column, n: int = 3) -> Column:
+    norm = normalize(col)
+    gram = r"(?=((?:\S+ ){%d}\S+))(?:\S+ ?)" % (n - 1)
+    return F.when(
+        F.length(F.trim(col)) == 0, F.array().cast("array<string>")
+    ).otherwise(F.regexp_extract_all(norm, F.lit(gram), 1))
+
+
+def repetition_stats(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document.
+
+    Columns: ``n_tokens``, ``distinct_token_ratio`` (|vocab| / n_tokens),
+    ``top_token_frac`` (most frequent token's share), ``dup_ngram_frac``
+    (share of n-gram *occurrences* whose gram appears more than once —
+    near-1 for boilerplate/spam, low for natural prose). The standard
+    heuristics used to drop machine-generated/repetitive docs from LLM
+    training corpora (Rae et al., Gopher, §A1.1).
+
+    Plan: two codegen explodes feeding two hash-aggregate chains keyed
+    (id, token)→id and (id, gram)→id — each a single logical exchange by
+    doc id with map-side combine; joined at one row per doc.
+    """
+    toks = spread(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(_tokens(normalize(F.col(text_col)))).alias("tok"),
+    )
+    tok_counts = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    tok_stats = tok_counts.groupBy("id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.round(F.count(F.lit(1)) / F.sum("c"), 4).alias("distinct_token_ratio"),
+        F.round(F.max("c") / F.sum("c"), 4).alias("top_token_frac"),
+    )
+    grams = spread(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(_gram_occurrences(F.col(text_col), n)).alias("gram"),
+    )
+    gram_counts = grams.groupBy("id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    gram_stats = gram_counts.groupBy("id").agg(
+        F.round(
+            F.coalesce(
+                F.sum(F.when(F.col("c") > 1, F.col("c"))) / F.sum("c"), F.lit(0.0)
+            ),
+            4,
+        ).alias("dup_ngram_frac")
+    )
+    return (
+        tok_stats.join(gram_stats, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            "distinct_token_ratio",
+            "top_token_frac",
+            F.coalesce("dup_ngram_frac", F.lit(0.0)).alias("dup_ngram_frac"),
+        )
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    threshold: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing n-gram shingles
+    with an evaluation/benchmark corpus (the standard guard against test-set
+    leakage into LLM training data; n-gram overlap following GPT-3 appendix C
+    / PaLM's 8-gram rule — ``n`` is a parameter because corpora differ).
+
+    Per training doc: ``n_shared`` (distinct shingles also present in the
+    benchmark), ``n_shingles`` (doc's distinct shingles),
+    ``contamination_frac`` = shared/total, ``contaminated`` ≥ threshold.
+
+    Scale shape: the benchmark shingle set is distinct-aggregated then
+    BROADCAST (benchmarks are ~10⁴-10⁶ rows — always the small side against
+    a 100 TB corpus); the probe is a shuffle-free broadcast semi-join on the
+    8-byte shingle hash, then one aggregate keyed by doc id. The corpus is
+    never shuffled by shingle.
+    """
+    from mini_feature_store_spark.operators.dedup import shingles
+
+    tr = spread(train).select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+    ).select("id", F.xxhash64("shingle").alias("shingle"))
+    bench = (
+        benchmark.select(F.explode(shingles(F.col(text_col), n)).alias("shingle"))
+        .select(F.xxhash64("shingle").alias("shingle"))
+        .distinct()
+    )
+    shared = (
+        tr.join(F.broadcast(bench), "shingle", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    totals = tr.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    frac = F.round(F.coalesce(F.col("n_shared"), F.lit(0)) / F.col("n_shingles"), 4)
+    return (
+        totals.join(shared, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            "n_shingles",
+            frac.alias("contamination_frac"),
+            (frac >= threshold).alias("contaminated"),
+        )
+    )
+
+
+#: PII patterns, deliberately simple ASCII classes so Java regex (Spark) and
+#: RE2 (DuckDB oracle) agree match-for-match. Order matters: emails first
+#: (phone/digit rules would otherwise eat pieces of an address).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ]?[0-9]{0,4}", "<PHONE>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("id_number", r"\b[0-9]{7,}\b", "<ID>"),
+]
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact common PII shapes (emails, phones, IPv4, long digit IDs) and
+    count redactions per category — the map-only cleaning step a training
+    corpus runs before tokenization. Pure codegen regexp chain: zero
+    shuffles, zero UDFs; counts come from ``regexp_count`` on the ORIGINAL
+    text (patterns can overlap the replaced markers, never each other —
+    email is applied first so its local-part digits aren't phone/ID bait).
+
+    Returns ``id_col``, ``cleaned`` text, one ``n_<category>`` column per
+    pattern, and ``n_redactions`` total.
+    """
+    out = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_orig"),
+    )
+    cleaned = F.col("_orig")
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        cleaned = F.regexp_replace(cleaned, pat, repl)
+        counts.append(F.regexp_count("_orig", F.lit(pat)).alias(f"n_{name}"))
+    out = out.select(F.col(id_col), cleaned.alias("cleaned"), *counts)
+    total = None
+    for name, _, _ in PII_PATTERNS:
+        c = F.col(f"n_{name}")
+        total = c if total is None else total + c
+    return out.withColumn("n_redactions", total.cast("long"))

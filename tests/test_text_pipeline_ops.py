@@ -1,0 +1,116 @@
+"""Unit tests for the round-3 LLM-corpus text operators: Gopher-style
+repetition scoring, benchmark decontamination, and PII scrubbing
+(operators/text.py). Driver-gate oracles exist for all three
+(doc_repetition_scores / doc_decontaminate / doc_pii_scrub); these tests pin
+the SEMANTICS on hand-crafted docs where the expected values are computable
+by eye."""
+
+from __future__ import annotations
+
+import pytest
+
+from mini_feature_store_spark.operators.text import (
+    decontaminate,
+    pii_scrub,
+    repetition_stats,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_repetition_stats_boilerplate_vs_varied(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "spam spam spam spam spam spam"),  # all one token
+            (2, "one two three four five six"),  # all distinct
+            (3, "a b c a b c a b c"),  # repeating 3-gram cycle
+        ],
+    )
+    out = {r.doc_id: r for r in repetition_stats(docs).collect()}
+
+    assert out[1].n_tokens == 6
+    assert out[1].distinct_token_ratio == pytest.approx(1 / 6, abs=1e-4)
+    assert out[1].top_token_frac == 1.0
+    assert out[1].dup_ngram_frac == 1.0  # every 3-gram is "spam spam spam"
+
+    assert out[2].distinct_token_ratio == 1.0
+    assert out[2].top_token_frac == pytest.approx(1 / 6, abs=1e-4)
+    assert out[2].dup_ngram_frac == 0.0  # all 4 grams unique
+
+    # 9 tokens → 7 gram occurrences; "a b c" ×3, "b c a" ×2, "c a b" ×2 →
+    # all 7 occurrences belong to grams appearing >1 time.
+    assert out[3].dup_ngram_frac == 1.0
+
+
+def test_repetition_stats_short_doc_has_zero_gram_frac(spark):
+    out = repetition_stats(_docs(spark, [(1, "just two")])).collect()[0]
+    assert out.n_tokens == 2
+    assert out.dup_ngram_frac == 0.0
+
+
+def test_decontaminate_flags_exact_and_partial_overlap(spark):
+    bench = _docs(spark, [(100, "the quick brown fox jumps over the lazy dog")])
+    train = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # identical
+            (2, "completely unrelated words about nothing at all here"),
+            (3, "prefix filler then the quick brown fox jumps away"),  # partial
+        ],
+    )
+    out = {
+        r.doc_id: r
+        for r in decontaminate(train, bench, n=5, threshold=0.5).collect()
+    }
+    assert out[1].contaminated and out[1].contamination_frac == 1.0
+    assert not out[2].contaminated and out[2].n_shared == 0
+    # doc 3 shares exactly "the quick brown fox jumps" (1 of its 5 shingles)
+    assert out[3].n_shared == 1 and not out[3].contaminated
+
+
+def test_decontaminate_never_shuffles_corpus_by_shingle(spark):
+    """The benchmark side must broadcast; the training corpus must reach the
+    probe join without an exchange keyed on shingle (at 100 TB the corpus
+    cannot be shuffled by shingle just to check membership)."""
+    bench = _docs(spark, [(100, "a b c d e f")])
+    train = _docs(spark, [(1, "a b c d e f g h")])
+    plan = (
+        decontaminate(train, bench)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastExchange" in plan
+    assert "LeftSemi, BuildRight" in plan  # corpus probes the broadcast set
+    # Exactly one shingle-keyed exchange: the BENCHMARK side's distinct.
+    # The corpus/train side must never be hash-partitioned by shingle.
+    assert plan.count("hashpartitioning(shingle") == 1
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "mail me at alice.smith+x@corp.example.org today"),
+            (2, "call +1 555 0123 9001 or visit 192.168.0.1 now"),
+            (3, "account 12345678 and account 987654321"),
+            (4, "clean text with no pii at all"),
+        ],
+    )
+    out = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert out[1].n_email == 1 and "<EMAIL>" in out[1].cleaned
+    assert "alice" not in out[1].cleaned
+    assert out[2].n_phone == 1 and out[2].n_ipv4 == 1
+    assert "<PHONE>" in out[2].cleaned and "<IP>" in out[2].cleaned
+    assert out[3].n_id_number == 2 and out[3].cleaned.count("<ID>") == 2
+    assert out[4].n_redactions == 0 and out[4].cleaned == out[4]["cleaned"]
+    assert out[4].cleaned == "clean text with no pii at all"
+
+
+def test_pii_scrub_is_shuffle_free(spark):
+    docs = _docs(spark, [(1, "x")])
+    plan = pii_scrub(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
