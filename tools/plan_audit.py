@@ -42,13 +42,42 @@ AUDITED: dict[str, str] = {
         "never shuffles before the final aggregation."
     ),
     "dedup_ngram_jaccard": (
-        "Shingles are a single codegen'd regexp pass; the inverted-index "
-        "self-join shuffles 8-byte xxhash64 keys, not shingle strings; the "
-        "persisted index is read by both join sides."
+        "Shingles are a single codegen'd regexp pass; the inverted index "
+        "is cached ALREADY hash-partitioned on the 8-byte xxhash64 join "
+        "key (never shingle strings); the stop-shingle guard is ON — hot "
+        "set aggregated then broadcast for a shuffle-free anti join; "
+        "per-doc sizes are a tiny aggregate joined onto the sparse PAIR "
+        "results, never windowed over the index."
     ),
     "embedding_cosine_pairs": (
-        "Block-GEMM: collect_list per hash block, B(B+1)/2 block-pair join, "
-        "one numpy matmul per pair inside Arrow-batched mapInPandas."
+        "Block-GEMM: collect_list per hash block flattened to parallel "
+        "primitive arrays (ids + one flat vector buffer + dim) so "
+        "Arrow→numpy is a buffer reshape, not per-item dict conversion; "
+        "B(B+1)/2 block-pair join, one numpy matmul per pair inside "
+        "Arrow-batched mapInPandas."
+    ),
+    "dedup_simhash": (
+        "Per-bit ±1 sums accumulate in packed 16-bit lanes — 16 packed "
+        "bit_and/sum aggregates instead of 64 scalar ones, assembled as "
+        "SQL strings (one JVM parse, not hundreds of py4j calls per plan "
+        "build); pigeonhole chunk equi-join for candidates, exact Hamming "
+        "re-check, 8-byte signatures persisted."
+    ),
+    "doc_decontaminate": (
+        "Benchmark shingles distinct→BROADCAST; the training corpus "
+        "probes via a shuffle-free LeftSemi BroadcastHashJoin on the "
+        "8-byte shingle hash — the corpus is NEVER hash-partitioned by "
+        "shingle (the one shingle exchange in the plan is the tiny "
+        "benchmark side's distinct)."
+    ),
+    "doc_repetition_scores": (
+        "Two codegen explode→hash-aggregate chains, each map-side "
+        "combined to one row per (doc, token|gram) then per doc; joined "
+        "at one row per doc. No arrays carried across shuffles."
+    ),
+    "doc_pii_scrub": (
+        "Map-only codegen regexp_replace/regexp_count chain: ZERO "
+        "exchanges, zero UDFs (plan-pinned in tests)."
     ),
     "supplier_revenue_salted": (
         "Salted join: big side salted, small side exploded per salt, join "
