@@ -204,3 +204,69 @@ def test_redis_kv_factory_pipeline_mset(monkeypatch):
     assert client.store == {"features:1": "{}", "features:2": '{"a":1}'}
     # buffered writes went through ONE pipeline execute, not per-key round trips
     assert _FakePipeline(client.store).pending == []
+
+
+def test_demo_chain_backfill_sync_serve(spark, tmp_path):
+    """The reference's `make demo` journey (Makefile demo target: backfill →
+    online-sync → serve API) against the real serving stack: backfilled
+    features land in a VersionedTable, sync to the KV store, and BOTH API
+    paths answer over HTTP — online from KV, offline as-of from the table —
+    with consistent values."""
+    from mini_feature_store_spark.api.http_server import make_server
+    from mini_feature_store_spark.io.tables import VersionedTable
+    from mini_feature_store_spark.pipelines import (
+        BackfillConfig,
+        FileKVStore,
+        OnlineSyncConfig,
+        run_backfill,
+        run_online_sync,
+    )
+
+    events_path = str(tmp_path / "events")
+    spark.createDataFrame(
+        [
+            (7, "click", dt.datetime(2024, 1, 1, 10)),
+            (7, "purchase", dt.datetime(2024, 1, 3, 14, 30)),
+            (8, "view", dt.datetime(2024, 1, 2, 9)),
+        ],
+        "user_id long, event_type string, ts timestamp",
+    ).write.parquet(events_path)
+
+    table = str(tmp_path / "features")
+    run_backfill(
+        spark, BackfillConfig(events_path, table, "2024-01-01", "2024-01-05")
+    )
+    kv_dir = str(tmp_path / "kv")
+    n = run_online_sync(
+        spark,
+        OnlineSyncConfig(features_table=table, as_of="2024-01-05"),
+        lambda: FileKVStore(kv_dir),
+    )
+    assert n == 2
+
+    srv = make_server(
+        online=OnlineFeatureService(FileKVStore(kv_dir)),
+        offline=OfflineFeatureService(spark, VersionedTable(table).read),
+    )
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        on_status, online_resp = _get(f"{base}/features/online/7")
+        off_status, offline_resp = _get(
+            f"{base}/features/offline/7?as_of=2024-01-05T23:00:00"
+        )
+        assert on_status == 200 and off_status == 200
+        assert online_resp["source"] == "online"
+        assert offline_resp["source"] == "offline"
+        # Online latest snapshot == offline as-of the sync cutoff.
+        assert offline_resp["features"]["day"] == "2024-01-05"
+        for k in ("event_count_7d", "event_count_30d", "last_event_days_ago"):
+            assert online_resp["features"][k] == offline_resp["features"][k], k
+        # Leakage check through the API: as_of before the second event's day
+        # must serve the older snapshot.
+        _, early = _get(f"{base}/features/offline/7?as_of=2024-01-02T00:00:00")
+        assert early["features"]["day"] == "2024-01-02"
+        assert early["features"]["event_count_7d"] == 1
+    finally:
+        srv.shutdown()
