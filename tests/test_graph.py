@@ -104,3 +104,26 @@ def test_survivor_anti_join_drops_near_dups(spark):
     drop = dedup_clusters(pairs).where(~F.col("keep")).select("doc_id")
     survivors = corpus.join(drop, "doc_id", "left_anti")
     assert sorted(r.doc_id for r in survivors.collect()) == [1, 2, 3, 5, 7, 8, 9]
+
+
+def test_local_contract_preserves_cross_partition_connectivity(spark):
+    """A long chain deliberately split across partitions: per-partition
+    union-find must collapse within-partition runs while the star rounds
+    still merge across partition boundaries into ONE component."""
+    from mini_feature_store_spark.operators.graph import connected_components
+
+    chain = [(i, i + 1) for i in range(40)]  # 0-1-2-...-40, one component
+    edges = spark.createDataFrame(chain, "u long, v long").repartition(8)
+    comp = connected_components(edges).collect()
+    assert {r.component for r in comp} == {0}
+    assert {r.node for r in comp} == set(range(41))
+
+
+def test_local_contract_string_ids_fall_back(spark):
+    from mini_feature_store_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "u string, v string"
+    )
+    comp = {r.node: r.component for r in connected_components(edges).collect()}
+    assert comp == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
