@@ -638,6 +638,79 @@ def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "event_rollup_tiers",
+    """
+WITH base AS (
+  SELECT event_type,
+         date_trunc('hour', ts) AS hour_b,
+         date_trunc('day',  ts) AS day_b,
+         date_trunc('week', ts) AS week_b,
+         value
+  FROM events
+),
+tiers AS (
+  SELECT 'hour' AS grain, hour_b AS bucket, event_type,
+         COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+  FROM base GROUP BY 2, 3
+  UNION ALL
+  SELECT 'day', day_b, event_type, COUNT(*), ROUND(SUM(value), 2)
+  FROM base GROUP BY 2, 3
+  UNION ALL
+  SELECT 'week', week_b, event_type, COUNT(*), ROUND(SUM(value), 2)
+  FROM base GROUP BY 2, 3
+)
+SELECT grain, CAST(bucket AS TIMESTAMP) AS bucket, event_type,
+       CAST(n_events AS BIGINT) AS n_events, sum_value
+FROM tiers
+""",
+)
+def event_rollup_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate tiering (the hypertable-rollup pattern): hourly /
+    daily / weekly event aggregates from ONE scan and ONE exchange via
+    GROUPING SETS over pre-computed time buckets — where the naive form
+    (three separate groupBys unioned, as the oracle spells out) scans and
+    shuffles the fact table three times. At 100 TB the single-pass form is
+    the only affordable one; Spark's Expand operator fans each row into its
+    three grouping sets map-side, and every aggregate is map-combined.
+
+    grouping_id() disambiguates which set a row belongs to (each set keeps
+    exactly one non-null bucket column)."""
+    _utc(spark)
+    ev = load_testdata(spark, sf_dir, "events")["events"]
+    base = ev.select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hour_b"),
+        F.date_trunc("day", "ts").alias("day_b"),
+        F.date_trunc("week", "ts").alias("week_b"),
+        "value",
+    )
+    tiers = (
+        base.groupingSets(
+            [["hour_b", "event_type"], ["day_b", "event_type"],
+             ["week_b", "event_type"]],
+            "hour_b", "day_b", "week_b", "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+    # Recover the grain from which bucket column is non-null (grouping()/
+    # grouping_id() are only valid inside the aggregate expression list).
+    return tiers.select(
+        F.when(F.col("hour_b").isNotNull(), F.lit("hour"))
+        .when(F.col("day_b").isNotNull(), F.lit("day"))
+        .otherwise(F.lit("week"))
+        .alias("grain"),
+        F.coalesce("hour_b", "day_b", "week_b").alias("bucket"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+@_q(
     "doc_repetition_scores",
     f"""
 WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
@@ -2773,8 +2846,8 @@ VERIFY_ORDER: list[str] = [
     "doc_repetition_scores",
     "doc_decontaminate",
     "doc_pii_scrub",
+    "event_rollup_tiers",
     "multimodal_decode",
-    "multimodal_frame_sample",
     # rows-only evidence refresh (operator changed this round)
     "dedup_simhash",
     # ── beyond the 50-cap: hash-matched in r1+r2, untouched since
@@ -2782,6 +2855,7 @@ VERIFY_ORDER: list[str] = [
     "embedding_topk_lsh",
     "embedding_topk_ivf",
     "dedup_minhash_lsh",
+    "multimodal_frame_sample",
     "approx_distinct_stats",
     "pricing_summary",
     "revenue_by_nation",

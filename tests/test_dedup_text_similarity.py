@@ -164,3 +164,45 @@ def test_winnow_fingerprints_overlap_for_shared_runs(spark):
         by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
     assert by_doc[1] & by_doc[2], "shared run must produce shared fingerprints"
     assert not (by_doc[1] & by_doc[3])
+
+
+def test_ngram_cap_drops_hot_shingle_and_rescues_quadratic_pair(spark):
+    """When a stop-shingle exceeds max_shingle_freq it must (a) stop
+    generating candidate pairs through that shingle and (b) leave Jaccard
+    computed over the RETAINED sets. Docs 1/2 share ONLY the hot boilerplate
+    phrase; docs 3/4 are near-identical beyond it."""
+    from mini_feature_store_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "all rights reserved worldwide"
+    rows = [
+        (1, f"alpha beta gamma {boiler}"),
+        (2, f"delta epsilon zeta {boiler}"),
+        (3, f"unique shared tail one two three {boiler}"),
+        (4, f"unique shared tail one two three {boiler} extra"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # Cap OFF: the boilerplate connects everything (1,2) share 2 shingles.
+    uncapped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, threshold=0.01, max_shingle_freq=None
+        ).collect()
+    }
+    assert (1, 2) in uncapped
+
+    # Cap at 3: every shingle of the boilerplate phrase appears in 4 docs →
+    # dropped. Docs 1,2 share nothing else → pair gone. Docs 3,4 still pair
+    # on their real shared content, with sizes counted post-filter.
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, threshold=0.01, max_shingle_freq=3
+        ).collect()
+    }
+    assert (1, 2) not in capped
+    # 3,4 keep 6/7 retained shingles → 6/(6+7-6); full-set Jaccard was 8/9.
+    assert capped[(3, 4)] == pytest.approx(0.8571, abs=1e-4)
+    assert uncapped[(3, 4)] == pytest.approx(0.8889, abs=1e-4)
+    # Only the genuinely-shared-content pair survives the cap.
+    assert set(capped) == {(3, 4)}

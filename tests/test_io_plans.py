@@ -178,3 +178,18 @@ def test_load_testdata_events_ts_schema_adaptive(spark):
             assert row.n > 0 and row.lo.year == 2024
     finally:
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", prev)
+
+
+def test_event_rollup_tiers_single_scan_single_exchange(spark):
+    """Continuous-aggregate tiering must be ONE scan + ONE exchange via
+    GROUPING SETS/Expand — not the three-scan union the oracle spells out
+    (at 100 TB the fact table cannot be read three times)."""
+    import re
+
+    from mini_feature_store_spark.queries import QUERIES
+
+    df = QUERIES["event_rollup_tiers"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Expand") == 1
+    assert len(re.findall(r"Exchange", plan)) == 1
+    assert plan.count("Scan parquet") == 1
