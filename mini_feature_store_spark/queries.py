@@ -914,6 +914,64 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(cosine_pairs(emb, threshold=0.4))
 
 
+@_q(
+    "corpus_dedup_apply",
+    f"""
+WITH RECURSIVE {_SHINGLES_CAPPED_SQL},
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+prs AS (
+  SELECT id_a, id_b FROM common
+  JOIN szf sa ON id_a = sa.doc_id
+  JOIN szf sb ON id_b = sb.doc_id
+  WHERE ROUND(c / (sa.size + sb.size - c), 4) >= 0.5
+),
+sym AS (SELECT id_a AS u, id_b AS v FROM prs UNION SELECT id_b, id_a FROM prs),
+reach AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u
+),
+drop_ids AS (
+  SELECT u AS doc_id FROM reach GROUP BY u HAVING u <> LEAST(u, MIN(v))
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM drop_ids)
+GROUP BY source
+""",
+)
+def corpus_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step of near-dup dedup — the cleaned corpus: cluster the
+    n-gram Jaccard pairs, keep one canonical survivor per cluster, anti-join
+    the corpus against the dropped ids, report retention per source. This is
+    the step a training-data pipeline actually ships (pairs and clusters are
+    diagnostics); the anti join is broadcast-sized because dropped ids ≪
+    corpus."""
+    from mini_feature_store_spark.operators.dedup import ngram_jaccard_pairs
+    from mini_feature_store_spark.operators.graph import dedup_clusters
+
+    _utc(spark)
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    clusters = dedup_clusters(
+        ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_freq=1000)
+    )
+    drops = clusters.where(~F.col("keep")).select("doc_id")
+    return (
+        docs.join(F.broadcast(drops), "doc_id", "left_anti")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
+    )
+
+
 @_q("embedding_topk_lsh")  # rows-only; recall vs brute force in tests
 def embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-5 (multi-probe + exact re-rank)."""
@@ -2847,14 +2905,14 @@ VERIFY_ORDER: list[str] = [
     "doc_decontaminate",
     "doc_pii_scrub",
     "event_rollup_tiers",
+    "corpus_dedup_apply",
     "multimodal_decode",
-    # rows-only evidence refresh (operator changed this round)
-    "dedup_simhash",
     # ── beyond the 50-cap: hash-matched in r1+r2, untouched since
     # (plus rows-only entries whose r2 row still stands) ──
     "embedding_topk_lsh",
     "embedding_topk_ivf",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "multimodal_frame_sample",
     "approx_distinct_stats",
     "pricing_summary",
