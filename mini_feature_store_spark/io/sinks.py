@@ -84,3 +84,37 @@ def insert_overwrite_table(
             )
         writer = writer.option("replaceWhere", replace_where)
     writer.saveAsTable(table)
+
+
+def write_parquet_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_by: Sequence[str],
+    partition_by: Sequence[str] = (),
+    mode: str = "overwrite",
+    target_files: int | None = None,
+) -> None:
+    """Layout-aware parquet write: range-partition rows across files by
+    ``cluster_by`` and sort within each file on the same key.
+
+    Why this matters at 100 TB: parquet stores per-row-group min/max
+    statistics; a reader filtering on ``cluster_by`` columns skips whole
+    row groups/files when values are clustered, and skips nothing when
+    they're scattered. Range partitioning gives disjoint key ranges per
+    file (file-level skipping via footer stats), the within-file sort
+    tightens row-group stats — the open-format analog of Delta
+    ``OPTIMIZE ZORDER BY`` for the single-key case, built from
+    ``repartitionByRange`` + ``sortWithinPartitions`` (both pure Spark).
+
+    ``target_files`` overrides the output file count (defaults to the
+    session's shuffle parallelism via repartitionByRange's default).
+    """
+    cluster_cols = list(cluster_by)
+    if not cluster_cols:
+        raise ValueError("cluster_by must name at least one column")
+    if target_files is not None:
+        clustered = df.repartitionByRange(target_files, *cluster_cols)
+    else:
+        clustered = df.repartitionByRange(*cluster_cols)
+    clustered = clustered.sortWithinPartitions(*cluster_cols)
+    write_parquet(clustered, path, mode=mode, partition_by=partition_by)

@@ -193,3 +193,43 @@ def test_event_rollup_tiers_single_scan_single_exchange(spark):
     assert plan.count("Expand") == 1
     assert len(re.findall(r"Exchange", plan)) == 1
     assert plan.count("Scan parquet") == 1
+
+
+def test_clustered_write_enables_row_group_skipping(spark, tmp_path):
+    """write_parquet_clustered must produce files with DISJOINT key ranges
+    (verified from parquet footer min/max stats) so a key-range filter can
+    skip whole files; a round-robin write of the same data cannot."""
+    import pyarrow.parquet as pq
+
+    from mini_feature_store_spark.io.sinks import (
+        write_parquet,
+        write_parquet_clustered,
+    )
+
+    df = spark.range(100_000).selectExpr(
+        "pmod(hash(id), 1000000) AS k", "id AS payload"
+    )
+    clustered = str(tmp_path / "clustered")
+    write_parquet_clustered(df, clustered, cluster_by=["k"], target_files=8)
+
+    import glob
+
+    ranges = []
+    for f in sorted(glob.glob(f"{clustered}/*.parquet")):
+        md = pq.read_metadata(f)
+        lo = min(
+            md.row_group(i).column(0).statistics.min
+            for i in range(md.num_row_groups)
+        )
+        hi = max(
+            md.row_group(i).column(0).statistics.max
+            for i in range(md.num_row_groups)
+        )
+        ranges.append((lo, hi))
+    assert len(ranges) >= 4
+    ranges.sort()
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo_next, "file key ranges overlap — no skipping"
+
+    # And the data round-trips unchanged.
+    assert spark.read.parquet(clustered).count() == 100_000
