@@ -79,6 +79,19 @@ AUDITED: dict[str, str] = {
         "Map-only codegen regexp_replace/regexp_count chain: ZERO "
         "exchanges, zero UDFs (plan-pinned in tests)."
     ),
+    "event_rollup_tiers": (
+        "Hourly/daily/weekly aggregates from ONE fact scan and ONE "
+        "exchange: GROUPING SETS → a single Expand fans each row into its "
+        "three grouping sets map-side, every aggregate map-combined. The "
+        "oracle's three-scan union is exactly the plan this avoids "
+        "(plan-pinned: 1 scan / 1 Expand / 1 Exchange)."
+    ),
+    "corpus_dedup_apply": (
+        "Dedup APPLY: clusters → non-survivor id list (tiny) → BROADCAST "
+        "anti join against the corpus → per-source aggregate. The corpus "
+        "is scanned once and never shuffled by doc id; only drop-ids "
+        "cross the wire."
+    ),
     "supplier_revenue_salted": (
         "Salted join: big side salted, small side exploded per salt, join "
         "key (suppkey, salt) — a hot supplier spreads over 8 partitions."
