@@ -82,6 +82,17 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--old-version", type=int, required=True)
     d.add_argument("--new-version", type=int, default=None)
 
+    x = sub.add_parser(
+        "delete-keys",
+        help="targeted delete from a versioned table (rewrites only "
+        "affected partitions; prior versions keep serving)",
+    )
+    x.add_argument("--table", required=True, help="VersionedTable path")
+    x.add_argument("--keys", required=True, help="comma-separated key columns")
+    x.add_argument(
+        "--ids-path", required=True, help="parquet path with rows to delete (key columns)"
+    )
+
     v = sub.add_parser(
         "serve",
         help="feature-serving HTTP API (reference api/main.py): "
@@ -242,6 +253,14 @@ def main(argv: list[str] | None = None) -> int:
             }
             for kind in ("inserted", "updated", "deleted"):
                 print(f"{kind}: {counts.get(kind, 0)}")
+        elif args.pipeline == "delete-keys":
+            from mini_feature_store_spark.io.tables import VersionedTable
+
+            version, n = VersionedTable(args.table).delete_keys(
+                spark.read.parquet(args.ids_path), args.keys.split(",")
+            )
+            scope = "full rewrite" if n < 0 else f"{n} partition(s) rewritten"
+            print(f"committed v{version} ({scope})")
         elif args.pipeline == "serve":
             from mini_feature_store_spark.api.http_server import serve_forever
             from mini_feature_store_spark.api.service import (

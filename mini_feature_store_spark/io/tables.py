@@ -148,6 +148,100 @@ class VersionedTable:
         ).drop("_src")
         return self.write(merged, partition_by=partition_by)
 
+    def delete_keys(
+        self,
+        keys_df: DataFrame,
+        keys: Sequence[str],
+    ) -> tuple[int, int]:
+        """Targeted delete (GDPR/right-to-be-forgotten shape): remove every
+        row whose ``keys`` match ``keys_df``, committing a new version that
+        REWRITES ONLY THE PARTITIONS CONTAINING MATCHES — untouched
+        partition directories are hard-linked from the previous version
+        (zero data copy, O(files) metadata ops). At 100 TB a deletion
+        touching 0.1% of day-partitions must not rewrite the other 99.9%;
+        this is the copy-on-write form Delta's ``DELETE`` + data skipping
+        gives, on plain parquet.
+
+        ``keys_df`` is a DataFrame (deletion sets can be millions of ids —
+        never a driver-side list); it is broadcast into both the
+        affected-partition probe and the anti join. Returns
+        ``(version, n_rewritten_partitions)``. Unpartitioned tables (or
+        multi-column partitioning) fall back to a full-snapshot rewrite.
+        """
+        import shutil
+
+        keys = list(keys)
+        commits = self.versions()
+        if not commits:
+            raise FileNotFoundError(f"no committed versions at {self.path}")
+        last = commits[-1]
+        part_cols = last["partition_by"]
+        spark = keys_df.sparkSession
+        cur = self.read(spark)
+
+        if len(part_cols) != 1:
+            remaining = cur.join(F.broadcast(keys_df), keys, "left_anti")
+            return self.write(remaining, partition_by=part_cols), -1
+
+        pcol = part_cols[0]
+        affected = [
+            r[0]
+            for r in cur.join(F.broadcast(keys_df), keys, "left_semi")
+            .select(pcol)
+            .distinct()
+            .collect()  # bounded by the number of table partitions
+        ]
+
+        manifest = self._load_manifest()
+        version = max(v["version"] for v in manifest["versions"]) + 1
+        vdir = os.path.join(self.path, f"v={version}")
+        prev_dir = os.path.join(self.path, f"v={last['version']}")
+
+        if affected:
+            rewritten = cur.where(F.col(pcol).isin(affected)).join(
+                F.broadcast(keys_df), keys, "left_anti"
+            )
+            (
+                rewritten.write.mode("errorifexists")
+                .partitionBy(pcol)
+                .parquet(vdir)
+            )
+        else:
+            os.makedirs(vdir, exist_ok=True)
+
+        # Hard-link every untouched partition dir from the previous
+        # version: same bytes, new namespace entry — the local-FS analog of
+        # a manifest pointing at unchanged data files.
+        affected_dirs = {f"{pcol}={v}" for v in affected}
+        for entry in os.listdir(prev_dir):
+            src = os.path.join(prev_dir, entry)
+            if (
+                not os.path.isdir(src)
+                or not entry.startswith(f"{pcol}=")
+                or entry in affected_dirs
+            ):
+                continue
+            dst = os.path.join(vdir, entry)
+            os.makedirs(dst, exist_ok=True)
+            for f in os.listdir(src):
+                try:
+                    os.link(os.path.join(src, f), os.path.join(dst, f))
+                except OSError:  # cross-device etc. — copy, still correct
+                    shutil.copy2(os.path.join(src, f), os.path.join(dst, f))
+
+        manifest["versions"].append(
+            {
+                "version": version,
+                "timestamp": time.time(),
+                "partition_by": part_cols,
+            }
+        )
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path())  # atomic commit point
+        return version, len(affected)
+
     def compact(self, target_partitions: int) -> int:
         """Rewrite the latest version into ``target_partitions`` files.
 

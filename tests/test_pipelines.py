@@ -481,3 +481,58 @@ def test_cli_dq_audit_and_snapshot_diff(tmp_path, spark):
         ]
     )
     assert rc == 0
+
+
+def test_delete_keys_rewrites_only_affected_partitions(spark, tmp_path):
+    """Targeted delete: rows for the deleted users disappear, prior versions
+    still serve them (time travel), and — the scale property — partition
+    directories WITHOUT matches are hard-linked from the previous version
+    (same inode), proving zero rewrite of untouched data."""
+    import os
+
+    table = VersionedTable(str(tmp_path / "t"))
+    rows = [
+        (1, dt.date(2024, 1, 1), 10.0),
+        (2, dt.date(2024, 1, 1), 20.0),
+        (3, dt.date(2024, 1, 2), 30.0),
+        (4, dt.date(2024, 1, 3), 40.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, day date, v double")
+    v0 = table.write(df, partition_by=["day"])
+
+    dels = spark.createDataFrame([(2,)], "user_id long")
+    v1, n_rewritten = table.delete_keys(dels, ["user_id"])
+    assert n_rewritten == 1  # only day=2024-01-01 contained user 2
+
+    after = table.read(spark)
+    assert after.count() == 3
+    assert after.where(F.col("user_id") == 2).count() == 0
+    # time travel still serves the pre-delete snapshot
+    assert table.read(spark, version=v0).count() == 4
+
+    # untouched partitions share inodes with the previous version
+    for day in ("2024-01-02", "2024-01-03"):
+        src = str(tmp_path / "t" / f"v={v0}" / f"day={day}")
+        dst = str(tmp_path / "t" / f"v={v1}" / f"day={day}")
+        src_inodes = {os.stat(os.path.join(src, f)).st_ino for f in os.listdir(src)}
+        dst_inodes = {os.stat(os.path.join(dst, f)).st_ino for f in os.listdir(dst)}
+        assert src_inodes == dst_inodes, f"day={day} was rewritten"
+    # the affected partition was genuinely rewritten (no shared inodes)
+    src = str(tmp_path / "t" / f"v={v0}" / "day=2024-01-01")
+    dst = str(tmp_path / "t" / f"v={v1}" / "day=2024-01-01")
+    src_inodes = {os.stat(os.path.join(src, f)).st_ino for f in os.listdir(src)}
+    dst_inodes = {os.stat(os.path.join(dst, f)).st_ino for f in os.listdir(dst)}
+    assert not (src_inodes & dst_inodes)
+
+
+def test_delete_keys_no_matches_links_everything(spark, tmp_path):
+    table = VersionedTable(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 1), 1.0)], "user_id long, day date, v double"
+    )
+    table.write(df, partition_by=["day"])
+    v1, n = table.delete_keys(
+        spark.createDataFrame([(99,)], "user_id long"), ["user_id"]
+    )
+    assert n == 0
+    assert table.read(spark, version=v1).count() == 1
