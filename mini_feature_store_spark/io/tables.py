@@ -148,6 +148,65 @@ class VersionedTable:
         ).drop("_src")
         return self.write(merged, partition_by=partition_by)
 
+    def analyze(
+        self,
+        spark: SparkSession,
+        columns: Sequence[str] | None = None,
+        small_domain_max: int = 64,
+    ) -> dict:
+        """ANALYZE-style statistics for the latest version, persisted in the
+        manifest: row count plus per-column approx NDV, min, max, and — for
+        small-domain columns (NDV ≤ ``small_domain_max``) — the exact value
+        list. ONE aggregate over one scan, map-side combined; the only
+        driver-sized payload is the bounded stats row.
+
+        Downstream use: join-size estimation, and the catalog-stats path of
+        the rolling backfill's distinct-types bitmask
+        (``BackfillConfig.known_event_types = stats['columns']
+        ['event_type']['values']`` — a pure literal plan, no type-dim scan).
+        """
+        df = self.read(spark)
+        cols = list(columns) if columns is not None else df.columns
+        aggs = [F.count(F.lit(1)).alias("_rows")]
+        for c in cols:
+            aggs.append(F.approx_count_distinct(c).alias(f"_ndv_{c}"))
+            aggs.append(F.min(c).cast("string").alias(f"_min_{c}"))
+            aggs.append(F.max(c).cast("string").alias(f"_max_{c}"))
+            # Bounded exact domain: sorted distinct values, capped at
+            # small_domain_max+1 so oversized domains are detected, never
+            # materialized beyond the cap.
+            aggs.append(
+                F.slice(
+                    F.sort_array(F.collect_set(F.col(c).cast("string"))),
+                    1,
+                    small_domain_max + 1,
+                ).alias(f"_dom_{c}")
+            )
+        row = df.agg(*aggs).collect()[0]
+        stats: dict = {"row_count": row["_rows"], "columns": {}}
+        for c in cols:
+            dom = row[f"_dom_{c}"]
+            stats["columns"][c] = {
+                "approx_ndv": row[f"_ndv_{c}"],
+                "min": row[f"_min_{c}"],
+                "max": row[f"_max_{c}"],
+                "values": (
+                    list(dom) if len(dom) <= small_domain_max else None
+                ),
+            }
+        manifest = self._load_manifest()
+        manifest["versions"][-1]["stats"] = stats
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path())
+        return stats
+
+    def stats(self) -> dict | None:
+        """Stats recorded by ``analyze()`` for the latest version, if any."""
+        commits = self.versions()
+        return commits[-1].get("stats") if commits else None
+
     def delete_keys(
         self,
         keys_df: DataFrame,

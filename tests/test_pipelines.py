@@ -536,3 +536,46 @@ def test_delete_keys_no_matches_links_everything(spark, tmp_path):
     )
     assert n == 0
     assert table.read(spark, version=v1).count() == 1
+
+
+def test_analyze_stats_feed_known_types_backfill(spark, tmp_path, events_path):
+    """ANALYZE-style stats persist in the manifest and close the
+    catalog-stats loop: the small-domain event_type value list feeds
+    BackfillConfig.known_event_types, giving the bitmask plan pure-literal
+    bit positions (zero plan-build jobs AND zero type-dim scan), with
+    results identical to the lazy-dim default."""
+    raw = VersionedTable(str(tmp_path / "raw_events"))
+    raw.write(spark.read.parquet(events_path))
+    stats = raw.analyze(spark)
+    assert stats["row_count"] == 3
+    et = stats["columns"]["event_type"]
+    assert et["values"] == ["click", "purchase", "view"]
+    assert raw.stats()["columns"]["event_type"]["values"] == et["values"]
+
+    base_cfg = dict(
+        events_path=events_path,
+        start_date="2024-01-01",
+        end_date="2024-01-05",
+    )
+    out_a = str(tmp_path / "fa")
+    out_b = str(tmp_path / "fb")
+    run_backfill(spark, BackfillConfig(output_table=out_a, **base_cfg))
+    run_backfill(
+        spark,
+        BackfillConfig(
+            output_table=out_b, known_event_types=et["values"], **base_cfg
+        ),
+    )
+    a = {tuple(r) for r in VersionedTable(out_a).read(spark).collect()}
+    b = {tuple(r) for r in VersionedTable(out_b).read(spark).collect()}
+    assert a == b
+
+
+def test_analyze_large_domain_caps_values(spark, tmp_path):
+    table = VersionedTable(str(tmp_path / "t"))
+    table.write(
+        spark.range(200).selectExpr("id", "CAST(id AS STRING) AS name")
+    )
+    stats = table.analyze(spark, columns=["name"], small_domain_max=64)
+    assert stats["columns"]["name"]["values"] is None
+    assert stats["columns"]["name"]["approx_ndv"] > 150
