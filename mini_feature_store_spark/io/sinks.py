@@ -118,3 +118,50 @@ def write_parquet_clustered(
         clustered = df.repartitionByRange(*cluster_cols)
     clustered = clustered.sortWithinPartitions(*cluster_cols)
     write_parquet(clustered, path, mode=mode, partition_by=partition_by)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    key_col: str,
+    mode: str = "overwrite",
+) -> list[dict]:
+    """Deterministic sharded export for training dataloaders: rows land in
+    ``n_shards`` files by ``xxhash64(key) % n_shards`` (same key → same shard
+    across runs and engines), one file per shard, plus a ``_shards.json``
+    manifest recording per-shard row counts and bytes read back from the
+    parquet footers (O(n_shards) driver metadata reads — never a data scan).
+
+    Dataloaders consume the manifest to size epochs and stripe workers; the
+    hash assignment means adding data re-shuffles nothing retroactively.
+    """
+    import glob
+    import json as _json
+    import os as _os
+
+    import pyarrow.parquet as _pq
+    from pyspark.sql import functions as F
+
+    sharded = df.withColumn(
+        "_shard", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards))
+    )
+    (
+        sharded.repartition(n_shards, "_shard")
+        .sortWithinPartitions(key_col)
+        .write.mode(mode)
+        .partitionBy("_shard")
+        .parquet(path)
+    )
+    manifest = []
+    for d in sorted(glob.glob(_os.path.join(path, "_shard=*"))):
+        shard = int(d.rsplit("=", 1)[1])
+        rows = nbytes = 0
+        for f in glob.glob(_os.path.join(d, "*.parquet")):
+            md = _pq.read_metadata(f)
+            rows += md.num_rows
+            nbytes += _os.path.getsize(f)
+        manifest.append({"shard": shard, "rows": rows, "bytes": nbytes})
+    with open(_os.path.join(path, "_shards.json"), "w") as f:
+        _json.dump(manifest, f)
+    return manifest

@@ -157,3 +157,44 @@ class MemoryStore:
     def clear(self) -> None:
         self.rows.clear()
         self.schemas.clear()
+
+
+def read_json_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+) -> tuple[DataFrame, DataFrame]:
+    """JSON scan with an error channel: returns ``(clean, quarantine)``.
+
+    PERMISSIVE mode parks every malformed line's raw text in a corrupt-record
+    column instead of failing the job (a poisoned record must never kill a
+    100 TB ingest — same rule as the multimodal decode error column). The
+    clean side drops the marker column; the quarantine side carries the raw
+    line for replay/inspection. Both are lazy views over ONE scan definition;
+    a malformed-input metric is ``quarantine.count()``.
+
+    The reference's readJson (Fetchers.scala:92-103) is FAILFAST-by-default
+    Spark behavior with a schema; this wraps the same scan with the
+    production error channel.
+    """
+    from pyspark.sql import functions as F
+
+    corrupt = "_corrupt_record"
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt, T.StringType(), True)]
+    )
+    df = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt)
+        .json(path)
+    )
+    clean = df.where(F.col(corrupt).isNull()).drop(corrupt)
+    # Spark refuses plans that read ONLY the corrupt-record column from a
+    # raw scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — the quarantine side
+    # therefore keeps the (partially parsed, mostly null) data columns next
+    # to the raw line, which is also the more useful replay artifact.
+    quarantine = df.where(F.col(corrupt).isNotNull()).select(
+        *[f.name for f in schema.fields], F.col(corrupt).alias("raw_line")
+    )
+    return clean, quarantine

@@ -233,3 +233,54 @@ def test_clustered_write_enables_row_group_skipping(spark, tmp_path):
 
     # And the data round-trips unchanged.
     assert spark.read.parquet(clustered).count() == 100_000
+
+
+def test_json_quarantine_splits_clean_and_corrupt(spark, tmp_path):
+    import pyspark.sql.types as T
+
+    from mini_feature_store_spark.io.sources import read_json_with_quarantine
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "ok"}\n'
+        "{this is not json}\n"
+        '{"id": 2, "name": "fine"}\n'
+        '{"id": "NOT_A_NUMBER", "name": "bad-type"}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+        ]
+    )
+    clean, quarantine = read_json_with_quarantine(spark, str(p), schema)
+    assert {r.id for r in clean.collect()} == {1, 2}
+    bad = [r.raw_line for r in quarantine.collect()]
+    assert len(bad) == 2
+    assert any("not json" in b for b in bad)
+    assert any("NOT_A_NUMBER" in b for b in bad)
+
+
+def test_training_shards_deterministic_with_manifest(spark, tmp_path):
+    from mini_feature_store_spark.io.sinks import write_training_shards
+
+    df = spark.range(5_000).selectExpr("id AS doc_id", "id * 2 AS payload")
+    out = str(tmp_path / "shards")
+    manifest = write_training_shards(df, out, n_shards=8, key_col="doc_id")
+    assert [m["shard"] for m in manifest] == list(range(8))
+    assert sum(m["rows"] for m in manifest) == 5_000
+    assert all(m["bytes"] > 0 for m in manifest)
+
+    # deterministic: same data → identical shard assignment on a rewrite
+    out2 = str(tmp_path / "shards2")
+    manifest2 = write_training_shards(df, out2, n_shards=8, key_col="doc_id")
+    assert manifest == manifest2
+
+    # round-trip intact, and every doc's shard matches the hash rule
+    back = spark.read.parquet(out)
+    from pyspark.sql import functions as F
+
+    mism = back.where(
+        F.col("_shard") != F.pmod(F.xxhash64("doc_id"), F.lit(8))
+    ).count()
+    assert mism == 0
