@@ -400,3 +400,77 @@ def simhash_pairs(
     return cand.select(
         "id_a", "id_b", hamming.cast("int").alias("hamming")
     ).where(F.col("hamming") <= max_hamming)
+
+
+def ngram_jaccard_against(
+    new: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_freq: int | None = 1000,
+) -> DataFrame:
+    """INCREMENTAL near-dup: Jaccard pairs between a NEW batch and an
+    EXISTING corpus only — never corpus×corpus. The steady-state ingest
+    shape: each arriving batch checks against what's already admitted, so
+    per-batch cost is |batch's inverted index| joined against the corpus
+    index, not a quadratic re-self-join of everything. Output: one row per
+    (new_id, corpus_id) pair with Jaccard ≥ threshold — anti-join the batch
+    against ``select(new_id)`` to admit only novel docs.
+
+    Same stop-shingle guard and retained-set Jaccard semantics as
+    ``ngram_jaccard_pairs`` (document frequency counted over corpus+batch
+    together, matching what a combined corpus would compute). At 100 TB the
+    corpus index is the natural candidate for the bucketed/persisted layout
+    (write once, probe per batch).
+    """
+
+    def index(df: DataFrame, side: str) -> DataFrame:
+        return (
+            spread(df)
+            .select(
+                F.col(id_col).alias(f"{side}_id"),
+                shingles(F.col(text_col), n).alias("sh"),
+            )
+            .select(
+                f"{side}_id",
+                F.explode("sh").alias("shingle"),
+            )
+            .select(f"{side}_id", F.xxhash64("shingle").alias("shingle"))
+        )
+
+    new_ix = index(new, "new").repartition("shingle").persist()
+    corp_ix = index(corpus, "corpus").repartition("shingle").persist()
+
+    if max_shingle_freq is not None:
+        both = new_ix.select(F.col("new_id").alias("id"), "shingle").unionByName(
+            corp_ix.select(F.col("corpus_id").alias("id"), "shingle")
+        )
+        hot = (
+            both.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .where(F.col("df_") > max_shingle_freq)
+            .select("shingle")
+        )
+        new_ix = new_ix.join(F.broadcast(hot), "shingle", "left_anti")
+        corp_ix = corp_ix.join(F.broadcast(hot), "shingle", "left_anti")
+
+    new_sizes = new_ix.groupBy("new_id").agg(F.count(F.lit(1)).alias("size_new"))
+    corp_sizes = corp_ix.groupBy("corpus_id").agg(
+        F.count(F.lit(1)).alias("size_corpus")
+    )
+    common = (
+        new_ix.join(corp_ix, "shingle")
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    common = common.join(new_sizes, "new_id").join(corp_sizes, "corpus_id")
+    jac = F.col("common") / (
+        F.col("size_new") + F.col("size_corpus") - F.col("common")
+    )
+    return common.select(
+        "new_id",
+        "corpus_id",
+        F.round(jac, 4).alias("jaccard"),
+    ).where(F.col("jaccard") >= threshold)

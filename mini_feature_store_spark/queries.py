@@ -915,6 +915,41 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dedup_incremental_batch",
+    f"""
+WITH {_SHINGLES_CAPPED_SQL},
+common AS (
+  SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, COUNT(*) AS c
+  FROM shf a JOIN shf b ON a.shingle = b.shingle
+  WHERE a.doc_id >= 450 AND b.doc_id < 450
+  GROUP BY 1, 2
+)
+SELECT new_id, corpus_id,
+       ROUND(c / (sa.size + sb.size - c), 4) AS jaccard
+FROM common
+JOIN szf sa ON new_id = sa.doc_id
+JOIN szf sb ON corpus_id = sb.doc_id
+WHERE ROUND(c / (sa.size + sb.size - c), 4) >= 0.5
+""",
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (batch-vs-corpus) near-dup dedup
+    (operators/dedup.py:ngram_jaccard_against): docs with id ≥ 450 play the
+    arriving batch, the rest the admitted corpus — candidate pairs are
+    batch×corpus only, never corpus×corpus, the steady-state ingest shape."""
+    from mini_feature_store_spark.operators.dedup import ngram_jaccard_against
+
+    _utc(spark)
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    return ngram_jaccard_against(
+        docs.where(F.col("doc_id") >= 450),
+        docs.where(F.col("doc_id") < 450),
+        threshold=0.5,
+        max_shingle_freq=1000,
+    )
+
+
+@_q(
     "corpus_dedup_apply",
     f"""
 WITH RECURSIVE {_SHINGLES_CAPPED_SQL},
@@ -2906,13 +2941,14 @@ VERIFY_ORDER: list[str] = [
     "doc_pii_scrub",
     "event_rollup_tiers",
     "corpus_dedup_apply",
-    "multimodal_decode",
+    "dedup_incremental_batch",
     # ── beyond the 50-cap: hash-matched in r1+r2, untouched since
     # (plus rows-only entries whose r2 row still stands) ──
     "embedding_topk_lsh",
     "embedding_topk_ivf",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "multimodal_decode",
     "multimodal_frame_sample",
     "approx_distinct_stats",
     "pricing_summary",

@@ -206,3 +206,49 @@ def test_ngram_cap_drops_hot_shingle_and_rescues_quadratic_pair(spark):
     assert uncapped[(3, 4)] == pytest.approx(0.8889, abs=1e-4)
     # Only the genuinely-shared-content pair survives the cap.
     assert set(capped) == {(3, 4)}
+
+
+def test_ngram_against_only_crosses_batch_and_corpus(spark):
+    """Incremental dedup must emit ONLY batch×corpus pairs — corpus-internal
+    and batch-internal duplicates are out of scope (handled when those docs
+    were themselves admitted)."""
+    from mini_feature_store_spark.operators.dedup import (
+        ngram_jaccard_against,
+        ngram_jaccard_pairs,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the dog"),
+            (2, "the quick brown fox jumps over the dog"),  # corpus dup
+            (3, "entirely different content lives here now"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the dog"),  # dup of 1,2
+            (11, "novel text appearing for the first time"),
+            (12, "novel text appearing for the first time"),  # batch dup
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.new_id, r.corpus_id): r.jaccard
+        for r in ngram_jaccard_against(
+            batch, corpus, threshold=0.5, max_shingle_freq=None
+        ).collect()
+    }
+    assert set(got) == {(10, 1), (10, 2)}
+    assert got[(10, 1)] == 1.0
+
+    # and it agrees with the full self-join restricted to cross pairs
+    union = corpus.unionByName(batch)
+    full = {
+        (max(r.id_a, r.id_b), min(r.id_a, r.id_b)): r.jaccard
+        for r in ngram_jaccard_pairs(
+            union, threshold=0.5, max_shingle_freq=None
+        ).collect()
+        if (r.id_a >= 10) != (r.id_b >= 10)
+    }
+    assert full == got
