@@ -2679,7 +2679,7 @@ WITH v AS (
 SELECT vec_id,
   CAST(len(emb) AS INTEGER) AS dim,
   ROUND(sqrt(list_sum(list_transform(emb, x -> x * x))), 4) AS l2_norm,
-  ROUND(list_sum(emb) / len(emb), 4) AS mean_component,
+  ROUND(list_sum(emb) / len(emb), 4) + 0 AS mean_component,
   ROUND(list_max(list_transform(emb, x -> abs(x))), 4) AS max_abs,
   CAST(len(list_filter(emb, x -> x > 0)) AS INTEGER) AS n_positive
 FROM v
@@ -2698,10 +2698,16 @@ def embedding_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.size("embedding").cast("int").alias("dim"),
         F.round(F.sqrt(sumsq), 4).alias("l2_norm"),
-        F.round(
-            F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x)
-            / F.size("embedding"),
-            4,
+        # `+ 0.0` normalizes IEEE negative zero (-0.0 + 0.0 = +0.0): a mean
+        # of tiny negatives rounds to -0.0 on some engines and +0.0 on
+        # others, which hash-compares unequal despite being the same value.
+        (
+            F.round(
+                F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x)
+                / F.size("embedding"),
+                4,
+            )
+            + F.lit(0.0)
         ).alias("mean_component"),
         F.round(F.array_max(F.transform(v, F.abs)), 4).alias("max_abs"),
         F.size(F.filter(v, lambda x: x > 0)).cast("int").alias("n_positive"),

@@ -86,6 +86,12 @@ AUDITED: dict[str, str] = {
         "oracle's three-scan union is exactly the plan this avoids "
         "(plan-pinned: 1 scan / 1 Expand / 1 Exchange)."
     ),
+    "dedup_incremental_batch": (
+        "Batch-vs-corpus candidate join through the shared shingle key — "
+        "corpus×corpus pairs never form; both indexes cached "
+        "hash-partitioned on shingle; per-batch cost tracks the BATCH "
+        "index size. Stop-shingle df counted over batch+corpus union."
+    ),
     "corpus_dedup_apply": (
         "Dedup APPLY: clusters → non-survivor id list (tiny) → BROADCAST "
         "anti join against the corpus → per-source aggregate. The corpus "
