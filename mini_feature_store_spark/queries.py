@@ -2553,8 +2553,8 @@ WITH stats AS (
   FROM events GROUP BY 1
 )
 SELECT event_id, e.event_type,
-  ROUND(CASE WHEN sd > 0 THEN (value - m) / sd END, 4) AS value_z,
-  ROUND(CASE WHEN hi - lo > 0 THEN (value - lo) / (hi - lo) END, 4)
+  ROUND(CASE WHEN sd > 0 THEN (value - m) / sd END, 4) + 0 AS value_z,
+  ROUND(CASE WHEN hi - lo > 0 THEN (value - lo) / (hi - lo) END, 4) + 0
     AS value_minmax
 FROM events e JOIN stats s ON e.event_type = s.event_type
 """,
@@ -2570,7 +2570,15 @@ def event_value_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaled = scale_features(
         events.select("event_id", "event_type", "value"), "value", by=["event_type"]
     )
-    return scaled.select("event_id", "event_type", "value_z", "value_minmax")
+    # +0.0 normalizes IEEE negative zero: engines sum in different orders,
+    # so a value equal to its group mean can round to -0.0 on one side and
+    # +0.0 on the other (same hazard as embedding_vector_stats).
+    return scaled.select(
+        "event_id",
+        "event_type",
+        (F.col("value_z") + F.lit(0.0)).alias("value_z"),
+        (F.col("value_minmax") + F.lit(0.0)).alias("value_minmax"),
+    )
 
 
 # ── sketches / bloom / CDC / HOF tier (round 2, scale-path operators) ───────
@@ -2645,9 +2653,9 @@ def bloom_filtered_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lineitem_correlations",
     """
 SELECT l_returnflag,
-  ROUND(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+  ROUND(corr(l_quantity, l_extendedprice), 4) + 0 AS qty_price_corr,
   ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
-  ROUND(corr(l_discount, l_tax), 4) AS disc_tax_corr
+  ROUND(corr(l_discount, l_tax), 4) + 0 AS disc_tax_corr
 FROM lineitem
 GROUP BY l_returnflag
 """,
@@ -2659,13 +2667,15 @@ def lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     li = load_testdata(spark, sf_dir, "lineitem")["lineitem"]
     return li.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+        (F.round(F.corr("l_quantity", "l_extendedprice"), 4) + F.lit(0.0)).alias(
             "qty_price_corr"
         ),
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
             "qty_price_covar"
         ),
-        F.round(F.corr("l_discount", "l_tax"), 4).alias("disc_tax_corr"),
+        (F.round(F.corr("l_discount", "l_tax"), 4) + F.lit(0.0)).alias(
+            "disc_tax_corr"
+        ),
     )
 
 
