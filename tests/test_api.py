@@ -14,6 +14,7 @@ import urllib.error
 import urllib.request
 
 import pytest
+from pyspark.sql import functions as F
 
 from mini_feature_store_spark.api.service import (
     ApiError,
@@ -270,3 +271,33 @@ def test_demo_chain_backfill_sync_serve(spark, tmp_path):
         assert early["features"]["event_count_7d"] == 1
     finally:
         srv.shutdown()
+
+
+def test_offline_lookup_pushes_filters_and_takes_ordered(spark, tmp_path):
+    """The offline as-of lookup's scale contract: both predicates reach the
+    parquet scan (PushedFilters) and the latest-row pick is a
+    TakeOrderedAndProject (top-1), never a full sort."""
+    import re
+
+    path = str(tmp_path / "feat")
+    spark.createDataFrame(
+        [(42, dt.date(2024, 1, d), d) for d in range(1, 10)],
+        "user_id long, day date, event_count_7d int",
+    ).write.parquet(path)
+
+    svc = OfflineFeatureService(spark, lambda s: s.read.parquet(path))
+    df = (
+        svc.table_reader(spark)
+        .where(
+            (F.col("user_id").cast("string") == "42")
+            & (F.col("day") <= F.lit("2024-01-05").cast("date"))
+        )
+        .orderBy(F.col("day").desc())
+        .limit(1)
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert re.search(r"PushedFilters: \[.*LessThanOrEqual\(day", plan)
+    # and the service itself returns the right row through this plan
+    resp = svc.get("42", "2024-01-05T23:59:00")
+    assert resp.features["day"] == "2024-01-05"
