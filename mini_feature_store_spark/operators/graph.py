@@ -153,17 +153,21 @@ def connected_components(
         .localCheckpoint()
     )
 
-    prev_sig: tuple[int, int] | None = None
     for _ in range(max_iter):
         e = _canon(_small_star(_large_star(e))).localCheckpoint()
-        n, h = e.select(
-            F.count(F.lit(1)),
-            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)),
-        ).first()
-        sig = (n, h)
-        if sig == prev_sig:
+        # Convergence = the edge set is a FLAT star forest: no edge target
+        # still appears as a source. Checking flatness directly on the
+        # just-checkpointed edges stops at the round convergence happens —
+        # the previous compare-two-consecutive-signatures check burned one
+        # extra full round (5 shuffle stages + checkpoint) purely to
+        # confirm stability. One cheap semi-join probe per round instead.
+        flat = (
+            e.alias("a")
+            .join(e.alias("b"), F.col("a.v") == F.col("b.u"), "left_semi")
+            .isEmpty()
+        )
+        if flat:
             break
-        prev_sig = sig
 
     # Converged: e is a star forest (u → component root v). Roots and
     # isolated nodes map to themselves.
