@@ -82,6 +82,17 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--old-version", type=int, required=True)
     d.add_argument("--new-version", type=int, default=None)
 
+    bi = sub.add_parser(
+        "batch-inference",
+        help="inference users + latest features <= as_of -> scoring input "
+        "(reference README Example 2)",
+    )
+    bi.add_argument("--users-path", required=True)
+    bi.add_argument("--features-table", required=True)
+    bi.add_argument("--output-path", required=True)
+    bi.add_argument("--as-of", required=True, help="cutoff date YYYY-MM-DD")
+    bi.add_argument("--features-version", type=int, default=None)
+
     x = sub.add_parser(
         "delete-keys",
         help="targeted delete from a versioned table (rewrites only "
@@ -253,6 +264,23 @@ def main(argv: list[str] | None = None) -> int:
             }
             for kind in ("inserted", "updated", "deleted"):
                 print(f"{kind}: {counts.get(kind, 0)}")
+        elif args.pipeline == "batch-inference":
+            from mini_feature_store_spark.pipelines import (
+                BatchInferenceConfig,
+                run_batch_inference,
+            )
+
+            run_batch_inference(
+                spark,
+                BatchInferenceConfig(
+                    users_path=args.users_path,
+                    features_table=args.features_table,
+                    output_path=args.output_path,
+                    as_of=args.as_of,
+                    features_version=args.features_version,
+                ),
+            )
+            print(f"scoring input written to {args.output_path}")
         elif args.pipeline == "delete-keys":
             from mini_feature_store_spark.io.tables import VersionedTable
 

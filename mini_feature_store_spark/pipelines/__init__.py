@@ -1,3 +1,7 @@
+from mini_feature_store_spark.pipelines.batch_inference import (  # noqa: F401
+    BatchInferenceConfig,
+    run_batch_inference,
+)
 from mini_feature_store_spark.pipelines.backfill import (  # noqa: F401
     BackfillConfig,
     run_backfill,

@@ -579,3 +579,39 @@ def test_analyze_large_domain_caps_values(spark, tmp_path):
     stats = table.analyze(spark, columns=["name"], small_domain_max=64)
     assert stats["columns"]["name"]["values"] is None
     assert stats["columns"]["name"]["approx_ndv"] > 150
+
+
+def test_batch_inference_latest_at_cutoff(spark, tmp_path, events_path):
+    """Reference README Example 2 (batch inference): each inference user gets
+    its latest snapshot at or before as_of; unknown users keep a null-feature
+    row (cold start); rows after the cutoff never leak."""
+    from mini_feature_store_spark.pipelines import (
+        BatchInferenceConfig,
+        run_batch_inference,
+    )
+
+    table = str(tmp_path / "features")
+    run_backfill(
+        spark, BackfillConfig(events_path, table, "2024-01-01", "2024-01-05")
+    )
+    users_path = str(tmp_path / "users")
+    spark.createDataFrame(
+        [("u1",), ("u2",), ("u_cold",)], "user_id string"
+    ).write.parquet(users_path)
+
+    out = str(tmp_path / "scoring")
+    run_batch_inference(
+        spark,
+        BatchInferenceConfig(
+            users_path=users_path,
+            features_table=table,
+            output_path=out,
+            as_of="2024-01-03",
+        ),
+    )
+    rows = {r.user_id: r for r in spark.read.parquet(out).collect()}
+    assert set(rows) == {"u1", "u2", "u_cold"}
+    assert rows["u1"].day.isoformat() == "2024-01-03"  # not the Jan 5 row
+    assert rows["u1"].event_count_7d == 2  # click Jan1 + purchase Jan3
+    assert rows["u2"].day.isoformat() == "2024-01-03"
+    assert rows["u_cold"].day is None  # cold start keeps the row
