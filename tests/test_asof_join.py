@@ -106,3 +106,79 @@ def test_no_nested_loop_plan(spark):
     left, right = _frames(spark)
     plan = plan_text(asof_join(left, right, ["k"], "lts", "rts"))
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_asof_matches_pandas_merge_asof_randomized(spark):
+    """Differential ground truth: our distributed asof_join vs pandas
+    merge_asof on randomized per-key event streams, across all three
+    directions and with/without tolerance. pandas defines the semantics the
+    operator docstring claims (backward/forward/nearest at timestamp
+    grain), so any divergence is a bug on our side.
+
+    Note on `nearest` ties: pandas resolves equidistant candidates to the
+    LAST right row by position, ours deterministically to the backward
+    (earlier) candidate — timestamps are generated at distinct seconds so
+    ties cannot occur here.
+    """
+    import datetime as dt
+    import random
+
+    import pandas as pd
+
+    from mini_feature_store_spark.operators.point_in_time import asof_join
+
+    rng = random.Random(1234)
+    base = dt.datetime(2024, 1, 1)
+
+    def stream(n, keys):
+        seen = set()
+        rows = []
+        for _ in range(n):
+            while True:
+                k = rng.choice(keys)
+                ts = base + dt.timedelta(seconds=rng.randrange(0, 5000))
+                if (k, ts) not in seen:  # distinct ts per key → no ties
+                    seen.add((k, ts))
+                    break
+            rows.append((k, ts, round(rng.random(), 4)))
+        return rows
+
+    keys = ["a", "b", "c"]
+    left_rows = stream(40, keys)
+    right_rows = stream(60, keys)
+    left = spark.createDataFrame(left_rows, "k string, lts timestamp, lv double")
+    right = spark.createDataFrame(right_rows, "k string, rts timestamp, rv double")
+    lpd = pd.DataFrame(left_rows, columns=["k", "lts", "lv"]).sort_values("lts")
+    rpd = pd.DataFrame(right_rows, columns=["k", "rts", "rv"]).sort_values("rts")
+
+    for direction in ("backward", "forward", "nearest"):
+        for tol in (None, "600 seconds"):
+            got = {
+                (r.k, r.lts): (r.rts, r.rv)
+                for r in asof_join(
+                    left,
+                    right,
+                    keys=["k"],
+                    left_ts="lts",
+                    right_ts="rts",
+                    direction=direction,
+                    tolerance=tol,
+                ).collect()
+            }
+            want_df = pd.merge_asof(
+                lpd,
+                rpd,
+                left_on="lts",
+                right_on="rts",
+                by="k",
+                direction=direction,
+                tolerance=pd.Timedelta(tol) if tol else None,
+            )
+            want = {
+                (r.k, r.lts.to_pydatetime()): (
+                    None if pd.isna(r.rts) else r.rts.to_pydatetime(),
+                    None if pd.isna(r.rv) else r.rv,
+                )
+                for r in want_df.itertuples()
+            }
+            assert got == want, (direction, tol)
