@@ -252,3 +252,42 @@ def test_ngram_against_only_crosses_batch_and_corpus(spark):
         if (r.id_a >= 10) != (r.id_b >= 10)
     }
     assert full == got
+
+
+def test_simhash_packed_lanes_match_python_reference(spark):
+    """The packed 16-bit-lane SimHash aggregate must be bit-for-bit equal to
+    the naive definition. Token hashes come from Spark's own xxhash64 (not
+    reproducible in pure Python), then the reference simhash is computed in
+    Python: bit b set iff ones_b * 2 > n_tokens."""
+    from mini_feature_store_spark.operators.dedup import simhash
+    from mini_feature_store_spark.operators.text import _tokens, normalize
+
+    docs = load_testdata(
+        spark, "/root/testdata/sf0.001", "documents"
+    )["documents"].where(F.col("doc_id") < 40)
+
+    tok_hashes = (
+        docs.select(
+            F.col("doc_id").alias("id"),
+            F.explode(_tokens(normalize(F.col("text")))).alias("tok"),
+        )
+        .select("id", F.xxhash64("tok").alias("h"))
+        .collect()
+    )
+    by_doc: dict[int, list[int]] = {}
+    for r in tok_hashes:
+        by_doc.setdefault(r.id, []).append(r.h & 0xFFFFFFFFFFFFFFFF)
+
+    expected = {}
+    for doc, hs in by_doc.items():
+        sim = 0
+        n = len(hs)
+        for b in range(64):
+            ones = sum((h >> b) & 1 for h in hs)
+            if ones * 2 > n:
+                sim |= 1 << b
+        # python int → signed 64-bit long as Spark returns it
+        expected[doc] = sim - (1 << 64) if sim >= (1 << 63) else sim
+
+    got = {r.id: r.simhash for r in simhash(docs).collect()}
+    assert got == expected
