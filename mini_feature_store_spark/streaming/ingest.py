@@ -248,3 +248,68 @@ def purchase_click_attribution_stream(
         "click_id",
         "click_ts",
     )
+
+
+def incremental_dedup_stream(
+    stream: DataFrame,
+    admitted_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Streaming exact-dedup ingest against a GROWING admitted store:
+    each micro-batch keeps only docs whose content fingerprint is (a) new
+    within the batch — first id wins, deterministically — and (b) absent
+    from everything admitted by earlier batches; novel rows append to the
+    parquet store that future batches check against.
+
+    The batch-mode analog is ``dedup.ngram_jaccard_against`` for near-dups;
+    this is the exact-hash tier of the same steady-state ingest shape: cost
+    per batch is one fingerprint aggregate over the batch plus an anti join
+    against the (fingerprint-pruned) admitted store — never a re-scan of all
+    admitted *content*. ``foreachBatch`` gives batch-boundary exactly-once:
+    a replayed micro-batch re-anti-joins and admits nothing twice.
+
+    Returns the ``DataStreamWriter`` (caller starts/stops it).
+    """
+    from mini_feature_store_spark.operators.text import fingerprint
+
+    def admit(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        from pyspark.sql import Window
+
+        spark = batch_df.sparkSession
+        with_fp = batch_df.withColumn("fingerprint", fingerprint(F.col(text_col)))
+        # within-batch winner per fingerprint: smallest id (deterministic)
+        batch_novel = (
+            with_fp.withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("fingerprint").orderBy(
+                        F.col(id_col).asc()
+                    )
+                ),
+            )
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if os.path.isdir(admitted_path) and any(
+            f.endswith(".parquet")
+            for _, _, fs in os.walk(admitted_path)
+            for f in fs
+        ):
+            # Planner-chosen join: the admitted set grows without bound, so
+            # never force a broadcast — small stores hash-join under AQE,
+            # large ones SMJ on the 128-bit fingerprint. Writing the store
+            # with write_parquet_clustered(cluster_by=["fingerprint"]) lets
+            # the probe prune files by fingerprint range at scale.
+            seen = spark.read.parquet(admitted_path).select("fingerprint")
+            batch_novel = batch_novel.join(seen, "fingerprint", "left_anti")
+        batch_novel.write.mode("append").parquet(admitted_path)
+
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(admit)
+    )

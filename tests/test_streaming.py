@@ -281,3 +281,49 @@ def test_stream_stream_attribution_join(spark, tmp_path):
     _run_to_memory(joined, "ss_attr")
     out = spark.sql("SELECT * FROM ss_attr").collect()
     assert [(r.purchase_id, r.click_id) for r in out] == [(2, 1)]
+
+
+def test_incremental_dedup_stream_admits_only_novel(spark, tmp_path):
+    """Two micro-batches through the streaming exact-dedup ingest: batch 2's
+    repeats of batch-1 content (and its own internal dupes) are rejected;
+    only genuinely novel content lands in the admitted store."""
+    import time
+
+    from mini_feature_store_spark.streaming.ingest import (
+        incremental_dedup_stream,
+    )
+
+    src_dir = tmp_path / "incoming"
+    src_dir.mkdir()
+    admitted = str(tmp_path / "admitted")
+    schema = "doc_id long, text string"
+
+    spark.createDataFrame(
+        [(1, "first document"), (2, "second document"), (3, "first document")],
+        schema,
+    ).coalesce(1).write.mode("append").json(str(src_dir))
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string"
+        ).json(str(src_dir))
+    )
+    q = incremental_dedup_stream(
+        stream, admitted, str(tmp_path / "ckpt")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    out1 = {r.doc_id for r in spark.read.parquet(admitted).collect()}
+    assert out1 == {1, 2}  # 3 deduped within batch (same content as 1)
+
+    spark.createDataFrame(
+        [(10, "first document"), (11, "brand new content"), (12, "second document")],
+        schema,
+    ).coalesce(1).write.mode("append").json(str(src_dir))
+    q = incremental_dedup_stream(
+        stream, admitted, str(tmp_path / "ckpt")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    out2 = {r.doc_id for r in spark.read.parquet(admitted).collect()}
+    assert out2 == {1, 2, 11}  # 10 and 12 rejected against the store
