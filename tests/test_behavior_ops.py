@@ -252,3 +252,47 @@ def test_gap_fill_windows_share_grid_exchange(spark):
     plan = plan_text(out)
     # the date side must ride a broadcast, not a shuffle
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_gap_fill_matches_pandas_ffill(spark):
+    """Differential vs pandas: the distributed dense-grid forward fill must
+    equal reindex(full_range).ffill() per key, including observation age."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from mini_feature_store_spark.operators.timeseries import gap_fill_forward
+
+    rows = [
+        ("a", dt.date(2024, 1, 1), 10.0),
+        ("a", dt.date(2024, 1, 4), 40.0),
+        ("b", dt.date(2024, 1, 2), 99.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, day date, v double")
+    out = gap_fill_forward(
+        df,
+        keys=["k"],
+        day_col="day",
+        value_cols=["v"],
+        start="2024-01-01",
+        end="2024-01-06",
+    )
+    got = {
+        (r.k, r.day.isoformat()): (r.v, r.v_age_days)
+        for r in out.collect()
+    }
+
+    dates = pd.date_range("2024-01-01", "2024-01-06")
+    pdf = pd.DataFrame(rows, columns=["k", "day", "v"])
+    pdf["day"] = pd.to_datetime(pdf["day"])
+    for k, grp in pdf.groupby("k"):
+        s = grp.set_index("day")["v"].reindex(dates)
+        filled = s.ffill()
+        last_obs = s.dropna().index.to_series().reindex(dates).ffill()
+        for d in dates:
+            key = (k, d.date().isoformat())
+            want_v = None if pd.isna(filled[d]) else filled[d]
+            want_age = (
+                None if pd.isna(last_obs[d]) else int((d - last_obs[d]).days)
+            )
+            assert got[key] == (want_v, want_age), key

@@ -291,3 +291,43 @@ def test_simhash_packed_lanes_match_python_reference(spark):
 
     got = {r.id: r.simhash for r in simhash(docs).collect()}
     assert got == expected
+
+
+def test_minhash_signatures_match_python_reference(spark):
+    """Each signature slot must equal the minimum of xxhash64(shingle, seed)
+    over the doc's shingle set — per-seed hashes harvested from Spark (the
+    hash isn't reproducible in pure Python), min taken in Python."""
+    from mini_feature_store_spark.operators.dedup import (
+        minhash_signatures,
+        shingles,
+    )
+
+    docs = load_testdata(
+        spark, "/root/testdata/sf0.001", "documents"
+    )["documents"].where(F.col("doc_id") < 15)
+
+    n_h = 16
+    harvested = (
+        docs.select(
+            F.col("doc_id").alias("id"),
+            F.explode(shingles(F.col("text"), 3)).alias("shingle"),
+        )
+        .select(
+            "id",
+            *[F.expr(f"xxhash64(shingle, {i}) AS h{i}") for i in range(n_h)],
+        )
+        .collect()
+    )
+    expected: dict[int, list[int]] = {}
+    for r in harvested:
+        mins = expected.setdefault(r.id, [None] * n_h)
+        for i in range(n_h):
+            v = r[f"h{i}"]
+            if mins[i] is None or v < mins[i]:
+                mins[i] = v
+
+    got = {
+        r.id: list(r.sig)
+        for r in minhash_signatures(docs, num_hashes=n_h).collect()
+    }
+    assert got == expected
