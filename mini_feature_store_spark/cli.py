@@ -82,6 +82,20 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--old-version", type=int, required=True)
     d.add_argument("--new-version", type=int, default=None)
 
+    m = sub.add_parser(
+        "table-maintain",
+        help="versioned-table maintenance: analyze stats / compact files / "
+        "vacuum old versions",
+    )
+    m.add_argument("--table", required=True, help="VersionedTable path")
+    m.add_argument("--analyze", action="store_true", help="collect+persist stats")
+    m.add_argument(
+        "--compact", type=int, default=None, metavar="N", help="rewrite to N files"
+    )
+    m.add_argument(
+        "--vacuum", type=int, default=None, metavar="KEEP", help="keep last KEEP versions"
+    )
+
     bi = sub.add_parser(
         "batch-inference",
         help="inference users + latest features <= as_of -> scoring input "
@@ -264,6 +278,31 @@ def main(argv: list[str] | None = None) -> int:
             }
             for kind in ("inserted", "updated", "deleted"):
                 print(f"{kind}: {counts.get(kind, 0)}")
+        elif args.pipeline == "table-maintain":
+            import json as _json
+
+            from mini_feature_store_spark.io.tables import VersionedTable
+
+            table = VersionedTable(args.table)
+            did = False
+            if args.analyze:
+                stats = table.analyze(spark)
+                print(_json.dumps(stats, default=str))
+                did = True
+            if args.compact is not None:
+                v = table.compact(args.compact)
+                print(f"compacted into v{v}")
+                did = True
+            if args.vacuum is not None:
+                removed = table.vacuum(keep_last=args.vacuum)
+                print(f"vacuumed versions: {removed or 'none'}")
+                did = True
+            if not did:
+                print(
+                    "nothing to do: pass --analyze / --compact N / --vacuum K",
+                    file=sys.stderr,
+                )
+                return 2
         elif args.pipeline == "batch-inference":
             from mini_feature_store_spark.pipelines import (
                 BatchInferenceConfig,
