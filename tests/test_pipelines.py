@@ -615,3 +615,63 @@ def test_batch_inference_latest_at_cutoff(spark, tmp_path, events_path):
     assert rows["u1"].event_count_7d == 2  # click Jan1 + purchase Jan3
     assert rows["u2"].day.isoformat() == "2024-01-03"
     assert rows["u_cold"].day is None  # cold start keeps the row
+
+
+def test_cli_lifecycle_subcommands(spark, tmp_path, events_path):
+    """The round-3 CLI additions driven through main(): backfill →
+    batch-inference → delete-keys → table-maintain(analyze+vacuum)."""
+    from mini_feature_store_spark.cli import main
+
+    table = str(tmp_path / "features")
+    rc = main(
+        [
+            "backfill",
+            "--events-path", events_path,
+            "--output-table", table,
+            "--start-date", "2024-01-01",
+            "--end-date", "2024-01-05",
+        ]
+    )
+    assert rc == 0
+
+    users = str(tmp_path / "users")
+    spark.createDataFrame([("u1",), ("u2",)], "user_id string").write.parquet(users)
+    scoring = str(tmp_path / "scoring")
+    assert (
+        main(
+            [
+                "batch-inference",
+                "--users-path", users,
+                "--features-table", table,
+                "--output-path", scoring,
+                "--as-of", "2024-01-05",
+            ]
+        )
+        == 0
+    )
+    assert spark.read.parquet(scoring).count() == 2
+
+    dels = str(tmp_path / "dels")
+    spark.createDataFrame([("u1",)], "user_id string").write.parquet(dels)
+    assert (
+        main(
+            ["delete-keys", "--table", table, "--keys", "user_id",
+             "--ids-path", dels]
+        )
+        == 0
+    )
+    assert (
+        VersionedTable(table)
+        .read(spark)
+        .where(F.col("user_id") == "u1")
+        .count()
+        == 0
+    )
+
+    assert (
+        main(["table-maintain", "--table", table, "--analyze", "--vacuum", "1"])
+        == 0
+    )
+    stats = VersionedTable(table).stats()
+    assert stats["columns"]["user_id"]["values"] == ["u2"]
+    assert [v["version"] for v in VersionedTable(table).versions()] == [1]
