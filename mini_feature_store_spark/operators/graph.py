@@ -155,13 +155,23 @@ def connected_components(
 
     for _ in range(max_iter):
         e = _canon(_small_star(_large_star(e))).localCheckpoint()
-        # Convergence = the edge set is a FLAT star forest: no edge target
-        # still appears as a source. Checking flatness directly on the
-        # just-checkpointed edges stops at the round convergence happens —
-        # the previous compare-two-consecutive-signatures check burned one
-        # extra full round (5 shuffle stages + checkpoint) purely to
-        # confirm stability. One cheap semi-join probe per round instead.
-        flat = (
+        # Convergence = the edge set is a star FOREST, which needs BOTH:
+        #   (1) out-degree 1 — every source has exactly one parent edge.
+        #       Flatness alone is fooled by a node with two distinct parents
+        #       that are both sinks (e.g. edges {(j,a),(j,e),(t,b),(t,e)}:
+        #       no target is a source, yet j and t still have two parents,
+        #       so stopping here would emit nodes twice with different
+        #       components).
+        #   (2) flatness — no edge target still appears as a source.
+        # Two cheap probes on the just-checkpointed edges; `and` short-
+        # circuits so the semi-join only runs once degrees are flat.
+        deg_one = (
+            e.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") > 1)
+            .isEmpty()
+        )
+        flat = deg_one and (
             e.alias("a")
             .join(e.alias("b"), F.col("a.v") == F.col("b.u"), "left_semi")
             .isEmpty()

@@ -83,6 +83,21 @@ def test_string_node_ids(spark):
     }
 
 
+def test_two_sink_parents_keep_iterating(spark):
+    """Regression: edges {(j,a),(j,e),(t,b),(t,e)} pass the flatness probe
+    (no target is a source) while j and t still have TWO parents each — the
+    whole graph is one component through the shared parent e. Convergence
+    must also require out-degree 1, else node e is emitted twice with two
+    different components."""
+    df = spark.createDataFrame(
+        [("j", "a"), ("j", "e"), ("t", "b"), ("t", "e")], "u string, v string"
+    )
+    rows = connected_components(df).collect()
+    # exactly one row per node, all in the single component rooted at "a"
+    assert len(rows) == len({r.node for r in rows}) == 5
+    assert {r.component for r in rows} == {"a"}
+
+
 def test_dedup_clusters_canonical_and_sizes(spark):
     pairs = spark.createDataFrame(
         [(2, 1), (2, 3), (7, 9)], "id_a long, id_b long"
