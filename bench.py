@@ -55,6 +55,11 @@ def main() -> None:
     ).save()
 
     qs = entrymod.queries()
+    # Optional subset for local iteration: SPARK_GRAFT_BENCH_QUERIES=a,b,c
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if subset:
+        names = [s.strip() for s in subset.split(",") if s.strip()]
+        qs = {n: qs[n] for n in names}
     iterations = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
     timings: dict[str, float] = {}
     for name, fn in qs.items():
@@ -77,17 +82,22 @@ def main() -> None:
         timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
     spark.stop()
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # The driver archives only the tail of stdout, which truncates the first
+    # ~15 queries' timings out of BENCH_r0N.json — persist the complete
+    # per-query artifact in-repo so round-over-round comparison never needs
+    # stdout archaeology. Skipped for subset runs to keep the artifact a
+    # full picture.
+    if not subset:
+        out = Path(__file__).resolve().parent / "bench_results.json"
+        out.write_text(json.dumps(payload, indent=1) + "\n")
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

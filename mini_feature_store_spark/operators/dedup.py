@@ -92,72 +92,102 @@ def ngram_jaccard_pairs(
     the output stays a true Jaccard of well-defined sets and an oracle can
     mirror it exactly. ``None`` disables (exact full-set Jaccard; unsafe on
     open-domain corpora).
+
+    Plan (ONE wide shuffle): explode doc→shingle with the doc's PRE-filter
+    set size riding along in a struct, then a single
+    ``groupBy(shingle).agg(collect_list(struct(id, psize)))`` builds the
+    posting lists. The stop-shingle guard is a free length filter on the
+    list (posting length IS the document frequency — per-doc shingles are
+    distinct); candidate pairs come from a double Generate over each
+    sorted list (posexplode × slice) — no self-join of the index, no
+    document-frequency pass, and no per-doc sizes pass either: each pair
+    already carries both docs' pre-filter sizes, and the post-filter size
+    is recovered as ``psize − (# hot shingles in the doc)``, computed from
+    the >cap postings alone (normally empty; at most |index|/cap rows).
+    (The previous form — repartition+persist the exploded index, a hot-set
+    aggregate job, an index self-join, and a third sizes pass — had the
+    same O() but 5 wide stages; measured 6.7× slower at sf0.1.)
+
+    Memory note for 100 TB: the final aggregation buffer of a single
+    mega-hot shingle is O(its document frequency) before the length filter
+    drops it (ObjectHashAggregate falls back to sort-based aggregation, so
+    it is one group's list at a time, not the whole map). With zipfian text
+    corpora and the default cap this is the right trade — one shuffle saved
+    on every run vs a bounded transient buffer on the few stop-shingles.
     """
     sh = (
         spread(df)
         .select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh"))
-        .select("id", F.explode("sh").alias("shingle"))
-        # Join on the 64-bit shingle hash, not the string: the inverted-index
-        # shuffle carries 8 bytes per row instead of the shingle text. A
-        # false-positive pair needs an intra-corpus xxhash64 collision
-        # (~n_shingles²/2⁶⁵ — negligible even at 100 TB, and it would only
-        # perturb one pair's common-count by 1).
-        .select("id", F.xxhash64("shingle").alias("shingle"))
-        # Cache the index ALREADY hash-partitioned by the join key: the
-        # hot-set aggregate and both self-join sides all need shingle
-        # partitioning, and shuffling once before the cache beats shuffling
-        # the cached rows per consumer (most shingles are unique, so the
-        # freq aggregate's map-side combine saves nothing). Measured ~1.5×
-        # faster end-to-end than caching un-partitioned (A/B at sf0.1), and
-        # the same layout choice is what bucketing gives on a real cluster.
-        # Persisting also means the regex shingling pass over the corpus
-        # runs ONCE; at 100 TB materialize the partitioned index, not the
-        # corpus (LRU eviction reclaims it under pressure).
-        .repartition("shingle")
-        .persist()
+        .select("id", F.size("sh").alias("psize"), F.explode("sh").alias("shingle"))
+        # Group on the 64-bit shingle hash, not the string: the posting
+        # shuffle carries 8 bytes of key per row instead of the shingle
+        # text. A false-positive pair needs an intra-corpus xxhash64
+        # collision (~n_shingles²/2⁶⁵ — negligible even at 100 TB, and it
+        # would only perturb one pair's common-count by 1).
+        .select(
+            F.xxhash64("shingle").alias("shingle"),
+            F.struct("id", "psize").alias("doc"),
+        )
     )
+    posting = sh.groupBy("shingle").agg(F.collect_list("doc").alias("docs"))
 
     if max_shingle_freq is not None:
-        # Broadcast the HOT set, which is tiny by construction (each member
-        # appears in >max_shingle_freq docs, so there can be at most
-        # |index| / max_shingle_freq of them). Broadcasting the keep-set
-        # would ship the entire shingle vocabulary to every executor, and a
-        # shuffle-side filter would add a full exchange of the index. The
-        # map-side-combined aggregate shuffles ≤ |vocabulary| rows, and the
-        # anti join itself is shuffle-free (broadcast hash).
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df_"))
-            .where(F.col("df_") > max_shingle_freq)
-            .select("shingle")
+        # Two consumers (retained → pairs, hot → size corrections): persist
+        # so the shingling regex pass + the one wide shuffle run once. The
+        # postings are the compact form of the inverted index — at 100 TB
+        # this is the artifact you'd materialize.
+        posting = posting.persist()
+        retained = posting.where(F.size("docs") <= max_shingle_freq)
+        hot_cnt = (
+            posting.where(F.size("docs") > max_shingle_freq)
+            .select(F.explode("docs").alias("d"))
+            .groupBy(F.col("d.id").alias("id"))
+            .agg(F.count(F.lit(1)).alias("hot"))
         )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    else:
+        retained, hot_cnt = posting, None
 
-    # Post-filter set sizes as a tiny aggregate (one row per doc, map-side
-    # combined since each doc's shingles are colocated after explode) joined
-    # onto the PAIR results — never onto the full index. Pairs are sparse
-    # (only docs sharing a shingle meet), so this join touches thousands of
-    # rows where a window over the index would shuffle and sort the entire
-    # inverted index by doc id.
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("size"))
-
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("common"))
+    # Pairs from each posting list: array_sort on the structs orders by id
+    # (first field), so id_a < id_b by construction; posexplode the anchor,
+    # explode the tail slice. Both Generates stay in codegen; lists of
+    # length 1 (the vast majority of shingles) generate nothing.
+    pairs = (
+        retained.where(F.size("docs") >= 2)
+        .select(F.array_sort("docs").alias("docs"))
+        .select(F.posexplode("docs").alias("pos", "a"), "docs")
+        .select("a", F.explode(F.expr("slice(docs, pos + 2, size(docs))")).alias("b"))
     )
-    # Sizes attach to the aggregated pairs, not the index rows — the pair
-    # set is orders of magnitude smaller; the planner broadcasts whichever
-    # side is small enough (both are post-aggregate).
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("size").alias("size_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("size").alias("size_b"))
-    common = common.join(sa, "id_a").join(sb, "id_b")
-    jac = F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common"))
+    # psize is functionally dependent on id, so widening the grouping key
+    # costs nothing and saves the sizes join entirely.
+    common = pairs.groupBy(
+        F.col("a.id").alias("id_a"),
+        F.col("a.psize").alias("psize_a"),
+        F.col("b.id").alias("id_b"),
+        F.col("b.psize").alias("psize_b"),
+    ).agg(F.count(F.lit(1)).alias("common"))
+
+    if hot_cnt is not None:
+        # Hot-shingle corrections join onto the aggregated pairs (sparse)
+        # and the correction table is broadcast-tiny by construction.
+        common = common.join(
+            F.broadcast(
+                hot_cnt.select(F.col("id").alias("id_a"), F.col("hot").alias("hot_a"))
+            ),
+            "id_a",
+            "left",
+        ).join(
+            F.broadcast(
+                hot_cnt.select(F.col("id").alias("id_b"), F.col("hot").alias("hot_b"))
+            ),
+            "id_b",
+            "left",
+        )
+        size_a = F.col("psize_a") - F.coalesce(F.col("hot_a"), F.lit(0))
+        size_b = F.col("psize_b") - F.coalesce(F.col("hot_b"), F.lit(0))
+    else:
+        size_a, size_b = F.col("psize_a"), F.col("psize_b")
+
+    jac = F.col("common") / (size_a + size_b - F.col("common"))
     return (
         common.select(
             "id_a",
@@ -424,51 +454,75 @@ def ngram_jaccard_against(
     together, matching what a combined corpus would compute). At 100 TB the
     corpus index is the natural candidate for the bucketed/persisted layout
     (write once, probe per batch).
+
+    Same single-shuffle posting-list plan as ``ngram_jaccard_pairs``, with
+    two lists per shingle (batch ids, corpus ids): the guard filters on the
+    combined length (= combined document frequency) and candidate pairs are
+    the per-shingle cross of the two lists — batch×corpus only, never
+    corpus×corpus.
     """
 
-    def index(df: DataFrame, side: str) -> DataFrame:
+    def index(df: DataFrame, tag: str) -> DataFrame:
         return (
             spread(df)
+            .select(F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh"))
+            .select("id", F.size("sh").alias("psize"), F.explode("sh").alias("shingle"))
             .select(
-                F.col(id_col).alias(f"{side}_id"),
-                shingles(F.col(text_col), n).alias("sh"),
+                F.lit(tag).alias("side"),
+                F.xxhash64("shingle").alias("shingle"),
+                F.struct("id", "psize").alias("doc"),
             )
-            .select(
-                f"{side}_id",
-                F.explode("sh").alias("shingle"),
-            )
-            .select(f"{side}_id", F.xxhash64("shingle").alias("shingle"))
         )
 
-    new_ix = index(new, "new").repartition("shingle").persist()
-    corp_ix = index(corpus, "corpus").repartition("shingle").persist()
-
-    if max_shingle_freq is not None:
-        both = new_ix.select(F.col("new_id").alias("id"), "shingle").unionByName(
-            corp_ix.select(F.col("corpus_id").alias("id"), "shingle")
-        )
-        hot = (
-            both.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df_"))
-            .where(F.col("df_") > max_shingle_freq)
-            .select("shingle")
-        )
-        new_ix = new_ix.join(F.broadcast(hot), "shingle", "left_anti")
-        corp_ix = corp_ix.join(F.broadcast(hot), "shingle", "left_anti")
-
-    new_sizes = new_ix.groupBy("new_id").agg(F.count(F.lit(1)).alias("size_new"))
-    corp_sizes = corp_ix.groupBy("corpus_id").agg(
-        F.count(F.lit(1)).alias("size_corpus")
+    both = index(new, "n").unionByName(index(corpus, "c"))
+    # collect_list skips NULLs, so one aggregate splits the posting into a
+    # per-side pair of lists; combined length = combined document frequency.
+    posting = both.groupBy("shingle").agg(
+        F.expr("collect_list(CASE WHEN side = 'n' THEN doc END) AS new_docs"),
+        F.expr("collect_list(CASE WHEN side = 'c' THEN doc END) AS corpus_docs"),
     )
+
+    hot_new = hot_corp = None
+    if max_shingle_freq is not None:
+        posting = posting.persist()
+        df_combined = F.size("new_docs") + F.size("corpus_docs")
+        retained = posting.where(df_combined <= max_shingle_freq)
+        hot = posting.where(df_combined > max_shingle_freq)
+        hot_new = (
+            hot.select(F.explode("new_docs").alias("d"))
+            .groupBy(F.col("d.id").alias("new_id"))
+            .agg(F.count(F.lit(1)).alias("hot_new"))
+        )
+        hot_corp = (
+            hot.select(F.explode("corpus_docs").alias("d"))
+            .groupBy(F.col("d.id").alias("corpus_id"))
+            .agg(F.count(F.lit(1)).alias("hot_corp"))
+        )
+    else:
+        retained = posting
+
     common = (
-        new_ix.join(corp_ix, "shingle")
-        .groupBy("new_id", "corpus_id")
+        retained.where((F.size("new_docs") > 0) & (F.size("corpus_docs") > 0))
+        .select(F.explode("new_docs").alias("nd"), "corpus_docs")
+        .select("nd", F.explode("corpus_docs").alias("cd"))
+        .groupBy(
+            F.col("nd.id").alias("new_id"),
+            F.col("nd.psize").alias("psize_new"),
+            F.col("cd.id").alias("corpus_id"),
+            F.col("cd.psize").alias("psize_corpus"),
+        )
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    common = common.join(new_sizes, "new_id").join(corp_sizes, "corpus_id")
-    jac = F.col("common") / (
-        F.col("size_new") + F.col("size_corpus") - F.col("common")
-    )
+    if hot_new is not None:
+        common = common.join(F.broadcast(hot_new), "new_id", "left").join(
+            F.broadcast(hot_corp), "corpus_id", "left"
+        )
+        size_new = F.col("psize_new") - F.coalesce(F.col("hot_new"), F.lit(0))
+        size_corp = F.col("psize_corpus") - F.coalesce(F.col("hot_corp"), F.lit(0))
+    else:
+        size_new, size_corp = F.col("psize_new"), F.col("psize_corpus")
+
+    jac = F.col("common") / (size_new + size_corp - F.col("common"))
     return common.select(
         "new_id",
         "corpus_id",

@@ -24,9 +24,13 @@ Scale notes:
 - ``localCheckpoint`` after each round truncates the lineage so the plan
   doesn't grow linearly with iterations (Catalyst re-analysis and failure
   re-computation would otherwise explode).
-- Convergence is detected by (count, bit_xor of per-edge xxhash64) of the
-  canonical edge set — two scalar aggregates, order-independent and
-  overflow-free, no edge-set collect.
+- Convergence is a single structural probe job per round: the edge set is
+  a star forest iff every node is either a pure root (target only) or a
+  pure leaf with exactly ONE parent edge. Both conditions come out of one
+  role aggregate (sources and targets unioned, grouped by node) — an
+  edge-signature-stability check would instead burn one full extra star
+  round (≈5 chained shuffles) just to confirm the fixed point, which
+  measures slower than the probe on sparse dedup graphs.
 """
 
 from __future__ import annotations
@@ -134,49 +138,52 @@ def connected_components(
     el = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).localCheckpoint()
-    e0 = _canon(el)
+    e = _canon(el)
     # Integer node ids take the two-phase path (per-partition union-find
     # contraction, then star rounds across partitions); other orderable id
-    # types go straight to the star rounds.
+    # types go straight to the star rounds. No checkpoint here — the
+    # contract executes once inside round 1's checkpoint job.
     from pyspark.sql import types as T
 
     if all(
         isinstance(el.schema[c].dataType, (T.LongType, T.IntegerType))
         for c in ("u", "v")
     ):
-        e0 = _canon(_local_contract(e0))
-    e = e0.localCheckpoint()
+        e = _canon(_local_contract(e))
+    # Nodes derive from the el checkpoint (cheap re-read, no second
+    # execution of the upstream pair plan) and are consumed exactly once in
+    # the final mapping — no checkpoint needed.
     nodes = (
         el.select(F.col("u").alias("node"))
         .union(el.select(F.col("v").alias("node")))
         .distinct()
-        .localCheckpoint()
     )
 
     for _ in range(max_iter):
         e = _canon(_small_star(_large_star(e))).localCheckpoint()
-        # Convergence = the edge set is a star FOREST, which needs BOTH:
-        #   (1) out-degree 1 — every source has exactly one parent edge.
-        #       Flatness alone is fooled by a node with two distinct parents
-        #       that are both sinks (e.g. edges {(j,a),(j,e),(t,b),(t,e)}:
-        #       no target is a source, yet j and t still have two parents,
-        #       so stopping here would emit nodes twice with different
-        #       components).
-        #   (2) flatness — no edge target still appears as a source.
-        # Two cheap probes on the just-checkpointed edges; `and` short-
-        # circuits so the semi-join only runs once degrees are flat.
-        deg_one = (
-            e.groupBy("u")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .where(F.col("c") > 1)
-            .isEmpty()
+        # Convergence = the edge set is a star FOREST: every node is either
+        # a pure root (appears only as a target) or a leaf with exactly ONE
+        # parent edge. Flatness alone is NOT sufficient — a node with two
+        # distinct parents that are both sinks (edges {(j,a),(j,e),(t,b),
+        # (t,e)}) passes a no-target-is-a-source probe yet still emits
+        # nodes twice with different components. One role aggregate over
+        # the (tiny, checkpointed, canonical) edges checks both conditions
+        # in a single job: `out` counts a node's parent edges, `tot - out`
+        # its appearances as a target.
+        bad = (
+            e.select(F.col("u").alias("node"), F.col("v").alias("nb"))
+            .union(e.select(F.col("v").alias("node"), F.lit(None).alias("nb")))
+            .groupBy("node")
+            .agg(
+                F.count("nb").alias("out"),
+                F.count(F.lit(1)).alias("tot"),
+            )
+            .where(
+                (F.col("out") > 1)
+                | ((F.col("out") >= 1) & (F.col("tot") > F.col("out")))
+            )
         )
-        flat = deg_one and (
-            e.alias("a")
-            .join(e.alias("b"), F.col("a.v") == F.col("b.u"), "left_semi")
-            .isEmpty()
-        )
-        if flat:
+        if bad.isEmpty():
             break
 
     # Converged: e is a star forest (u → component root v). Roots and
