@@ -28,6 +28,53 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+#: Characters Spark escapes in partition directory names (mirrors
+#: ExternalCatalogUtils.escapePathName, which mirrors Hive FileUtils):
+#: ASCII control chars 0x01-0x1F plus this literal set. Space is NOT
+#: escaped; escaping is '%' + two-digit uppercase hex.
+_PATH_ESCAPE_CHARS = set('"#%\'*/:=?\\{[]^\x7f') | {chr(i) for i in range(1, 0x20)}
+
+#: Spark's directory name for a null (or empty-string) partition value.
+_DEFAULT_PARTITION_NAME = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _escape_partition_value(v) -> str:
+    """The directory-entry suffix Spark writes for partition value ``v``.
+
+    Only call for types in ``_LINKABLE_PARTITION_TYPES`` — their
+    stringification here is verified (test_backfill.py) to byte-match what
+    ``DataFrameWriter.partitionBy`` produces on disk. Timestamps, floats,
+    decimals and binaries have engine-internal formatting (colon escaping,
+    precision trimming) that we deliberately do NOT replicate; callers must
+    fall back to a full rewrite for those.
+    """
+    if v is None:
+        return _DEFAULT_PARTITION_NAME
+    if isinstance(v, bool):
+        s = "true" if v else "false"
+    else:
+        s = str(v)  # int → digits, str → itself, datetime.date → ISO yyyy-mm-dd
+    if s == "":
+        return _DEFAULT_PARTITION_NAME
+    return "".join(
+        f"%{ord(c):02X}" if c in _PATH_ESCAPE_CHARS else c for c in s
+    )
+
+
+#: Spark SQL type names whose partition-directory encoding
+#: ``_escape_partition_value`` replicates exactly.
+_LINKABLE_PARTITION_TYPES = {
+    "tinyint",
+    "smallint",
+    "int",
+    "integer",
+    "bigint",
+    "long",
+    "string",
+    "boolean",
+    "date",
+}
+
 
 @dataclass
 class VersionedTable:
@@ -157,8 +204,15 @@ class VersionedTable:
         """ANALYZE-style statistics for the latest version, persisted in the
         manifest: row count plus per-column approx NDV, min, max, and — for
         small-domain columns (NDV ≤ ``small_domain_max``) — the exact value
-        list. ONE aggregate over one scan, map-side combined; the only
-        driver-sized payload is the bounded stats row.
+        list.
+
+        Two passes, both map-side combined: pass 1 computes count / approx
+        NDV / min / max for every column (constant-size sketch buffers);
+        pass 2 runs ``collect_set`` ONLY over columns whose approx NDV is
+        already within the cap (with headroom for HLL error), so executor
+        memory stays bounded even when the table has high-cardinality id
+        columns — a single-pass collect_set over those would buffer the
+        full O(NDV) domain per column before the cap could be applied.
 
         Downstream use: join-size estimation, and the catalog-stats path of
         the rolling backfill's distinct-types bitmask
@@ -172,26 +226,43 @@ class VersionedTable:
             aggs.append(F.approx_count_distinct(c).alias(f"_ndv_{c}"))
             aggs.append(F.min(c).cast("string").alias(f"_min_{c}"))
             aggs.append(F.max(c).cast("string").alias(f"_max_{c}"))
-            # Bounded exact domain: sorted distinct values, capped at
-            # small_domain_max+1 so oversized domains are detected, never
-            # materialized beyond the cap.
-            aggs.append(
+        row = df.agg(*aggs).collect()[0]
+
+        # Pass 2: exact domains for plausibly-small columns only. HLL
+        # relative error is ~2.3% at the default rsd; 2x headroom means a
+        # true domain at the cap is never skipped by sketch noise, while a
+        # million-NDV column never reaches collect_set at all. The slice
+        # cap (small_domain_max+1) still bounds the shipped payload and
+        # detects domains that sneak over the cap inside the headroom band.
+        small_cols = [
+            c
+            for c in cols
+            if row[f"_ndv_{c}"] <= max(2 * small_domain_max, small_domain_max + 16)
+        ]
+        doms: dict = {}
+        if small_cols:
+            dom_aggs = [
                 F.slice(
                     F.sort_array(F.collect_set(F.col(c).cast("string"))),
                     1,
                     small_domain_max + 1,
                 ).alias(f"_dom_{c}")
-            )
-        row = df.agg(*aggs).collect()[0]
+                for c in small_cols
+            ]
+            dom_row = df.select(*small_cols).agg(*dom_aggs).collect()[0]
+            doms = {c: dom_row[f"_dom_{c}"] for c in small_cols}
+
         stats: dict = {"row_count": row["_rows"], "columns": {}}
         for c in cols:
-            dom = row[f"_dom_{c}"]
+            dom = doms.get(c)
             stats["columns"][c] = {
                 "approx_ndv": row[f"_ndv_{c}"],
                 "min": row[f"_min_{c}"],
                 "max": row[f"_max_{c}"],
                 "values": (
-                    list(dom) if len(dom) <= small_domain_max else None
+                    list(dom)
+                    if dom is not None and len(dom) <= small_domain_max
+                    else None
                 ),
             }
         manifest = self._load_manifest()
@@ -224,8 +295,13 @@ class VersionedTable:
         ``keys_df`` is a DataFrame (deletion sets can be millions of ids —
         never a driver-side list); it is broadcast into both the
         affected-partition probe and the anti join. Returns
-        ``(version, n_rewritten_partitions)``. Unpartitioned tables (or
-        multi-column partitioning) fall back to a full-snapshot rewrite.
+        ``(version, n_rewritten_partitions)``. Unpartitioned tables,
+        multi-column partitioning, and partition column types whose
+        directory-name encoding ``_escape_partition_value`` does not
+        replicate (timestamp, float, decimal, binary — Spark formats these
+        with engine-internal rules) fall back to a full-snapshot rewrite:
+        linking a directory whose name we predicted wrong would both
+        duplicate rewritten rows AND resurrect deleted ones.
         """
         import shutil
 
@@ -238,11 +314,18 @@ class VersionedTable:
         spark = keys_df.sparkSession
         cur = self.read(spark)
 
-        if len(part_cols) != 1:
+        def full_rewrite() -> tuple[int, int]:
             remaining = cur.join(F.broadcast(keys_df), keys, "left_anti")
             return self.write(remaining, partition_by=part_cols), -1
 
+        if len(part_cols) != 1:
+            return full_rewrite()
+
         pcol = part_cols[0]
+        ptype = dict(cur.dtypes)[pcol]
+        if ptype not in _LINKABLE_PARTITION_TYPES:
+            return full_rewrite()
+
         affected = [
             r[0]
             for r in cur.join(F.broadcast(keys_df), keys, "left_semi")
@@ -257,7 +340,11 @@ class VersionedTable:
         prev_dir = os.path.join(self.path, f"v={last['version']}")
 
         if affected:
-            rewritten = cur.where(F.col(pcol).isin(affected)).join(
+            non_null = [v for v in affected if v is not None]
+            match = F.col(pcol).isin(non_null) if non_null else F.lit(False)
+            if len(non_null) < len(affected):  # null partition affected too
+                match = match | F.col(pcol).isNull()
+            rewritten = cur.where(match).join(
                 F.broadcast(keys_df), keys, "left_anti"
             )
             (
@@ -270,8 +357,13 @@ class VersionedTable:
 
         # Hard-link every untouched partition dir from the previous
         # version: same bytes, new namespace entry — the local-FS analog of
-        # a manifest pointing at unchanged data files.
-        affected_dirs = {f"{pcol}={v}" for v in affected}
+        # a manifest pointing at unchanged data files. Directory names are
+        # derived with the SAME escaping Spark used to write them (type-
+        # gated above) — a name mismatch here would link a partition that
+        # was also rewritten, duplicating rows and resurrecting deletes.
+        affected_dirs = {
+            f"{pcol}={_escape_partition_value(v)}" for v in affected
+        }
         for entry in os.listdir(prev_dir):
             src = os.path.join(prev_dir, entry)
             if (

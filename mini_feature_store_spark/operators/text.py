@@ -435,9 +435,11 @@ def pii_scrub(
     """Redact common PII shapes (emails, phones, IPv4, long digit IDs) and
     count redactions per category — the map-only cleaning step a training
     corpus runs before tokenization. Pure codegen regexp chain: zero
-    shuffles, zero UDFs; counts come from ``regexp_count`` on the ORIGINAL
-    text (patterns can overlap the replaced markers, never each other —
-    email is applied first so its local-part digits aren't phone/ID bait).
+    shuffles, zero UDFs. Each category is counted on the text AFTER the
+    preceding patterns were applied — mirroring the replace chain — so a
+    span can never double-count across categories (a digit-heavy email like
+    1234567@example.com is one n_email, not also an n_id_number) and
+    ``n_redactions`` equals the number of replacements actually made.
 
     Returns ``id_col``, ``cleaned`` text, one ``n_<category>`` column per
     pattern, and ``n_redactions`` total.
@@ -449,8 +451,8 @@ def pii_scrub(
     cleaned = F.col("_orig")
     counts = []
     for name, pat, repl in PII_PATTERNS:
+        counts.append(F.regexp_count(cleaned, F.lit(pat)).alias(f"n_{name}"))
         cleaned = F.regexp_replace(cleaned, pat, repl)
-        counts.append(F.regexp_count("_orig", F.lit(pat)).alias(f"n_{name}"))
     out = out.select(F.col(id_col), cleaned.alias("cleaned"), *counts)
     total = None
     for name, _, _ in PII_PATTERNS:

@@ -693,14 +693,17 @@ def event_rollup_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 2).alias("sum_value"),
-            F.grouping_id().alias("gid"),
+            # grouping() is only valid inside the aggregate list; grain must
+            # come from it, NOT from bucket null-ness — a NULL ts makes all
+            # three bucket columns null, which would misclassify that row's
+            # hour/day grouping-set outputs as 'week'.
+            F.grouping("hour_b").alias("_g_hour"),
+            F.grouping("day_b").alias("_g_day"),
         )
     )
-    # Recover the grain from which bucket column is non-null (grouping()/
-    # grouping_id() are only valid inside the aggregate expression list).
     return tiers.select(
-        F.when(F.col("hour_b").isNotNull(), F.lit("hour"))
-        .when(F.col("day_b").isNotNull(), F.lit("day"))
+        F.when(F.col("_g_hour") == 0, F.lit("hour"))
+        .when(F.col("_g_day") == 0, F.lit("day"))
         .otherwise(F.lit("week"))
         .alias("grain"),
         F.coalesce("hour_b", "day_b", "week_b").alias("bucket"),
@@ -819,20 +822,32 @@ WITH planted AS (
               || CAST(9000000 + doc_id AS VARCHAR) AS text
   FROM documents
 ),
-scrub AS (
+-- sequential count-then-replace chain, mirroring pii_scrub: each category
+-- is counted on the text AFTER the preceding patterns were applied, so a
+-- span never double-counts across categories.
+s1 AS (
   SELECT doc_id,
-    regexp_replace(
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-          '\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ]?[0-9]{0,4}', '<PHONE>', 'g'),
-        '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
-      '\b[0-9]{7,}\b', '<ID>', 'g') AS cleaned,
     len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
-    len(regexp_extract_all(text, '\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ]?[0-9]{0,4}')) AS n_phone,
-    len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ipv4,
-    len(regexp_extract_all(text, '\b[0-9]{7,}\b')) AS n_id_number
+    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
   FROM planted
+),
+s2 AS (
+  SELECT doc_id, n_email,
+    len(regexp_extract_all(t, '\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ]?[0-9]{0,4}')) AS n_phone,
+    regexp_replace(t, '\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ]?[0-9]{0,4}', '<PHONE>', 'g') AS t
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, n_email, n_phone,
+    len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ipv4,
+    regexp_replace(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS t
+  FROM s2
+),
+scrub AS (
+  SELECT doc_id, n_email, n_phone, n_ipv4,
+    len(regexp_extract_all(t, '\b[0-9]{7,}\b')) AS n_id_number,
+    regexp_replace(t, '\b[0-9]{7,}\b', '<ID>', 'g') AS cleaned
+  FROM s3
 )
 SELECT doc_id, cleaned,
        CAST(n_email AS INTEGER) AS n_email,

@@ -538,6 +538,130 @@ def test_delete_keys_no_matches_links_everything(spark, tmp_path):
     assert table.read(spark, version=v1).count() == 1
 
 
+def test_partition_escape_matches_spark_on_disk(spark, tmp_path):
+    """_escape_partition_value must byte-match the directory names
+    DataFrameWriter.partitionBy actually writes — a mismatch makes
+    delete_keys both rewrite AND hard-link a partition (duplicate rows,
+    resurrected deletes). Adversarial values: space (not escaped), colon,
+    hash, percent, equals, quote, brackets, unicode, empty-ish."""
+    import os
+
+    from mini_feature_store_spark.io.tables import _escape_partition_value
+
+    values = [
+        "plain",
+        "has space",
+        "a:b",
+        "c#d",
+        "p%q",
+        "k=v",
+        'q"r',
+        "s[t]u",
+        "ünïcødé",
+        "slash/esc",
+        "star*x",
+    ]
+    df = spark.createDataFrame([(v, 1) for v in values], "p string, x int")
+    out = str(tmp_path / "esc")
+    df.write.partitionBy("p").parquet(out)
+    on_disk = {e for e in os.listdir(out) if e.startswith("p=")}
+    predicted = {f"p={_escape_partition_value(v)}" for v in values}
+    assert predicted == on_disk
+
+    # date + int + bool partition values too
+    for typed_df, col in [
+        (
+            spark.createDataFrame(
+                [(dt.date(2024, 2, 29), 1)], "p date, x int"
+            ),
+            dt.date(2024, 2, 29),
+        ),
+        (spark.createDataFrame([(42, 1)], "p long, x int"), 42),
+        (spark.createDataFrame([(True, 1)], "p boolean, x int"), True),
+    ]:
+        d = str(tmp_path / f"esc_{type(col).__name__}")
+        typed_df.write.partitionBy("p").parquet(d)
+        on_disk = {e for e in os.listdir(d) if e.startswith("p=")}
+        assert on_disk == {f"p={_escape_partition_value(col)}"}
+
+
+def test_delete_keys_special_char_string_partitions(spark, tmp_path):
+    """Targeted delete on a string partition column whose values Spark
+    escapes on disk: the affected partition is rewritten (not also
+    linked), untouched ones are linked, and no rows duplicate or
+    resurrect."""
+    import os
+
+    table = VersionedTable(str(tmp_path / "t"))
+    rows = [
+        (1, "us east", 1.0),
+        (2, "us east", 2.0),
+        (3, "eu:west", 3.0),
+        (4, "ap#south", 4.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, region string, v double")
+    v0 = table.write(df, partition_by=["region"])
+    v1, n = table.delete_keys(
+        spark.createDataFrame([(2,)], "user_id long"), ["user_id"]
+    )
+    assert n == 1
+    after = table.read(spark)
+    got = sorted((r.user_id, r.region) for r in after.collect())
+    assert got == [(1, "us east"), (3, "eu:west"), (4, "ap#south")]
+
+    # the affected dir must NOT share inodes with v0 (it was rewritten)
+    from mini_feature_store_spark.io.tables import _escape_partition_value
+
+    aff = f"region={_escape_partition_value('us east')}"
+    src = str(tmp_path / "t" / f"v={v0}" / aff)
+    dst = str(tmp_path / "t" / f"v={v1}" / aff)
+    src_i = {os.stat(os.path.join(src, f)).st_ino for f in os.listdir(src)}
+    dst_i = {os.stat(os.path.join(dst, f)).st_ino for f in os.listdir(dst)}
+    assert not (src_i & dst_i)
+    # untouched escaped dirs share inodes (linked, not rewritten)
+    for val in ("eu:west", "ap#south"):
+        d = f"region={_escape_partition_value(val)}"
+        src = str(tmp_path / "t" / f"v={v0}" / d)
+        dst = str(tmp_path / "t" / f"v={v1}" / d)
+        src_i = {os.stat(os.path.join(src, f)).st_ino for f in os.listdir(src)}
+        dst_i = {os.stat(os.path.join(dst, f)).st_ino for f in os.listdir(dst)}
+        assert src_i == dst_i
+
+
+def test_delete_keys_unverified_partition_type_full_rewrite(spark, tmp_path):
+    """Timestamp partition values have engine-internal dir formatting we
+    don't replicate — delete_keys must take the full-rewrite path (n=-1),
+    never the hard-link fast path."""
+    table = VersionedTable(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 12, 30), 1.0),
+         (2, dt.datetime(2024, 1, 2, 8, 15), 2.0)],
+        "user_id long, ts timestamp, v double",
+    )
+    table.write(df, partition_by=["ts"])
+    v1, n = table.delete_keys(
+        spark.createDataFrame([(1,)], "user_id long"), ["user_id"]
+    )
+    assert n == -1  # full rewrite fallback
+    after = table.read(spark, version=v1)
+    assert [r.user_id for r in after.collect()] == [2]
+
+
+def test_analyze_high_cardinality_column_skips_exact_domain(spark, tmp_path):
+    """analyze() must never run collect_set over a high-NDV column — the
+    approx-NDV gate routes it to values=None while small-domain columns
+    still get the exact sorted list."""
+    t = VersionedTable(str(tmp_path / "hc"))
+    df = spark.range(5000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).cast("string").alias("tag")
+    )
+    t.write(df)
+    stats = t.analyze(spark, small_domain_max=64)
+    assert stats["columns"]["doc_id"]["values"] is None
+    assert stats["columns"]["tag"]["values"] == ["0", "1", "2"]
+    assert stats["columns"]["doc_id"]["approx_ndv"] > 1000
+
+
 def test_analyze_stats_feed_known_types_backfill(spark, tmp_path, events_path):
     """ANALYZE-style stats persist in the manifest and close the
     catalog-stats loop: the small-domain event_type value list feeds

@@ -110,6 +110,18 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert out[4].cleaned == "clean text with no pii at all"
 
 
+def test_pii_scrub_no_cross_category_double_count(spark):
+    """Regression: a digit-heavy email must count ONCE (n_email), not also
+    as an id number — counts run sequentially on the progressively redacted
+    text, so n_redactions equals the number of replacements in `cleaned`."""
+    docs = _docs(spark, [(1, "reach 1234567@example.com for details")])
+    r = pii_scrub(docs).collect()[0]
+    assert r.n_email == 1
+    assert r.n_id_number == 0
+    assert r.n_redactions == 1
+    assert r.cleaned == "reach <EMAIL> for details"
+
+
 def test_pii_scrub_is_shuffle_free(spark):
     docs = _docs(spark, [(1, "x")])
     plan = pii_scrub(docs)._jdf.queryExecution().executedPlan().toString()
