@@ -196,6 +196,90 @@ def cosine_pairs(
     )
 
 
+def cosine_pairs_lsh(
+    df: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 4,
+    n_tables: int = 8,
+    seed: int = 42,
+    dim: int = 64,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate all-pairs cosine ≥ threshold: LSH candidate generation +
+    EXACT re-rank — the 100 TB default for embedding near-dup, where
+    ``cosine_pairs``'s exact O(n²·d) block-GEMM is the verification
+    baseline only.
+
+    Candidates: each vector lands in ``n_tables`` sign-bit buckets (one
+    numpy matmul per Arrow batch, all tables at once); a pair is a
+    candidate if its signatures collide — or, with ``multiprobe``, differ
+    by ≤ 1 bit — in ANY table. The bucket relation is symmetric, so one
+    side probes the flips and the ``id_a < id_b`` filter loses nothing.
+    Every candidate is then scored with the exact cosine, so precision is
+    1.0 by construction; only recall is approximate (tune ``n_planes`` /
+    ``n_tables`` for the target threshold — recall per table for a pair
+    with per-plane agreement p is P[≤1 of r bits differ] under multiprobe;
+    pinned ≥ 0.95 at the dedup operating point in
+    tests/test_similarity_recall.py).
+
+    Scale shape: candidate generation is an equi-join on (table, bucket) —
+    shuffle volume is n·L·(2+r) 16-byte rows plus the (sparse) candidate
+    set, never an n² product; the exact re-rank touches candidates only.
+    """
+    tables = np.stack(
+        [
+            np.array(_hyperplanes(dim, n_planes, seed + 1000 * t))
+            for t in range(n_tables)
+        ]
+    )
+    bucketer = _bucket_udf(tables)
+    # Norm + buckets computed once per vector; bucket rows carry only ids.
+    unit = with_vec_norm(spread(df), vec_col, id_col).persist()
+
+    base = unit.select("id", F.posexplode(bucketer("v")).alias("tbl", "bucket"))
+    probe_buckets = (
+        F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+        )
+        if multiprobe
+        else F.array(F.col("bucket"))
+    )
+    probing = base.select(
+        F.col("id").alias("id_a"),
+        "tbl",
+        F.explode(probe_buckets).alias("bucket"),
+    )
+    cand = (
+        probing.join(
+            base.select(F.col("id").alias("id_b"), "tbl", "bucket"),
+            ["tbl", "bucket"],
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        # a pair can collide in several tables/probes — dedup on 16-byte
+        # id rows before touching vectors
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    a = unit.select(
+        F.col("id").alias("id_a"), F.col("v").alias("a_v"), F.col("nrm").alias("a_nrm")
+    )
+    b = unit.select(
+        F.col("id").alias("id_b"), F.col("v").alias("b_v"), F.col("nrm").alias("b_nrm")
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(_pair_cos("a_v", "b_v", "a_nrm", "b_nrm"), 4).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def _pair_cos(qv, cv, qn, cn):
     """Arrow-batched exact cosine for candidate PAIRS: one einsum per batch
     instead of an interpreted ``aggregate(zip_with(...))`` per row (the

@@ -920,13 +920,36 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine pairs at threshold 0.4 → large-star/small-star connected
     components → one canonical survivor per cluster. The embedding-space
     twin of ``dedup_clusters`` (which clusters lexical n-gram pairs); the
-    oracle recomputes components by recursive-CTE transitive closure."""
+    oracle recomputes components by recursive-CTE transitive closure.
+
+    This EXACT form is the verification baseline; the 100 TB default is
+    ``embedding_dedup_clusters_lsh`` (LSH candidates + exact re-rank —
+    same downstream clustering, candidate generation is an equi-join
+    instead of the O(n²·d) block product)."""
     from mini_feature_store_spark.operators.graph import dedup_clusters
     from mini_feature_store_spark.operators.similarity import cosine_pairs
 
     _utc(spark)
     emb = load_testdata(spark, sf_dir, "embeddings")["embeddings"]
     return dedup_clusters(cosine_pairs(emb, threshold=0.4))
+
+
+@_q("embedding_dedup_clusters_lsh")  # rows-only: hash-seeded LSH buckets;
+# recall ≥ 0.95 vs the exact pair set pinned in tests/test_dedup_text_similarity.py
+def embedding_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path of ``embedding_dedup_clusters``: multi-table
+    sign-bit LSH candidate pairs + exact cosine re-rank
+    (operators/similarity.py:cosine_pairs_lsh) → the same connected-
+    components clustering. Candidate generation is an equi-join on
+    (table, bucket) — no all-pairs product anywhere — and every emitted
+    pair carries its exact cosine, so precision is 1.0 and only recall is
+    approximate (pinned ≥ 0.95 differentially vs cosine_pairs)."""
+    from mini_feature_store_spark.operators.graph import dedup_clusters
+    from mini_feature_store_spark.operators.similarity import cosine_pairs_lsh
+
+    _utc(spark)
+    emb = load_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    return dedup_clusters(cosine_pairs_lsh(emb, threshold=0.4))
 
 
 @_q(
@@ -2919,66 +2942,26 @@ def dq_orders_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registered name present exactly once — ordered_queries() asserts it.
 
 VERIFY_ORDER: list[str] = [
-    # never checked through r2 (driver 50-cap) — VERDICT r2 item 2
-    "order_rank_metrics",
-    "shipping_priority",
-    "nation_trade_volume",
-    "doc_stratified_sample",
-    "funnel_conversion",
-    "user_value_gap_fill",
-    "cohort_retention_weekly",
-    "purchase_value_intervals",
-    "customer_order_distribution",
-    "orders_with_late_lineitems",
-    "nation_share_of_region",
-    "brand_supplier_stats",
-    "fuzzy_part_names",
-    "doc_tfidf_top_terms",
-    "event_value_scaled",
-    "user_sketch_rollup",
-    "bloom_filtered_order_revenue",
-    "lineitem_correlations",
-    "embedding_vector_stats",
-    "feature_snapshot_diff",
-    "doc_weighted_sample",
-    "multimodal_audio_stats",
-    "dq_orders_audit",
-    # broken by the r2 loader regression (green in r1) — re-prove after fix
-    "features_daily",
-    "pit_training_data",
-    "latest_event_per_user",
-    "dedup_exact_props",
-    "set_ops_users",
-    "cube_event_counts",
-    "user_sessions",
-    "daily_event_deltas",
-    "event_type_pivot",
-    "json_props_stats",
-    "user_event_type_arrays",
-    "weekly_event_buckets",
-    "user_running_value",
-    "events_capped_per_user",
-    "next_click_after_purchase",
-    "nearest_click_to_purchase",
-    "event_promo_attribution",
-    # touched or added this round (shingle-freq cap default / fixture
-    # synthesis / packed-lane simhash / flat-array GEMM / new cluster query)
+    # ── r4 window. Rule: touched-this-round > never/stalest-checked >
+    # 1-round-old greens. ──
+    # touched this round (posting-list pair generation, CC convergence,
+    # sequential pii counts, grouping_id grain, new LSH dedup path)
     "dedup_ngram_jaccard",
     "dedup_clusters",
-    "embedding_dedup_clusters",
-    "embedding_cosine_pairs",
-    "doc_repetition_scores",
-    "doc_decontaminate",
-    "doc_pii_scrub",
-    "event_rollup_tiers",
     "corpus_dedup_apply",
     "dedup_incremental_batch",
-    # ── beyond the 50-cap: hash-matched in r1+r2, untouched since
-    # (plus rows-only entries whose r2 row still stands) ──
+    "embedding_dedup_clusters",
+    "embedding_dedup_clusters_lsh",
+    "doc_pii_scrub",
+    "event_rollup_tiers",
+    # rewritten in r3 (packed-lane simhash / SQL-string minhash) but the
+    # r3 window closed before them — differential tests are their only
+    # evidence; promote (VERDICT r3 item 2)
+    "dedup_simhash",
+    "dedup_minhash_lsh",
+    # last driver row r1/r2 — stalest greens, rotate in
     "embedding_topk_lsh",
     "embedding_topk_ivf",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
     "multimodal_decode",
     "multimodal_frame_sample",
     "approx_distinct_stats",
@@ -3005,6 +2988,53 @@ VERIFY_ORDER: list[str] = [
     "lineitem_profile",
     "price_histogram",
     "lineitem_metrics_long",
+    # r3-green queries over code areas edited this round (dedup.py,
+    # similarity.py, text.py) plus the flagships — cheap insurance
+    "embedding_cosine_pairs",
+    "dedup_exact_props",
+    "doc_decontaminate",
+    "doc_repetition_scores",
+    "doc_tfidf_top_terms",
+    "doc_stratified_sample",
+    "doc_weighted_sample",
+    "user_sketch_rollup",
+    "multimodal_audio_stats",
+    "features_daily",
+    "pit_training_data",
+    "latest_event_per_user",
+    # ── beyond the 50-cap: hash-matched in r3 (1 round old), untouched
+    # this round — rotate back into the r5 window ──
+    "order_rank_metrics",
+    "shipping_priority",
+    "nation_trade_volume",
+    "funnel_conversion",
+    "user_value_gap_fill",
+    "cohort_retention_weekly",
+    "purchase_value_intervals",
+    "customer_order_distribution",
+    "orders_with_late_lineitems",
+    "nation_share_of_region",
+    "brand_supplier_stats",
+    "fuzzy_part_names",
+    "event_value_scaled",
+    "bloom_filtered_order_revenue",
+    "lineitem_correlations",
+    "embedding_vector_stats",
+    "feature_snapshot_diff",
+    "dq_orders_audit",
+    "set_ops_users",
+    "cube_event_counts",
+    "user_sessions",
+    "daily_event_deltas",
+    "event_type_pivot",
+    "json_props_stats",
+    "user_event_type_arrays",
+    "weekly_event_buckets",
+    "user_running_value",
+    "events_capped_per_user",
+    "next_click_after_purchase",
+    "nearest_click_to_purchase",
+    "event_promo_attribution",
 ]
 
 

@@ -97,6 +97,31 @@ def test_lsh_topk_recall(emb):
     assert len(exact & approx) / len(exact) >= 0.6
 
 
+def test_cosine_pairs_lsh_recall_vs_exact(emb):
+    """The 100 TB embedding-dedup path (LSH candidates + exact re-rank)
+    must recover ≥95% of the exact threshold pairs, emit NO pair the exact
+    operator doesn't (precision 1.0 — every candidate is scored with the
+    exact cosine), and agree on the cosine value of every recovered pair."""
+    from mini_feature_store_spark.operators.similarity import (
+        cosine_pairs,
+        cosine_pairs_lsh,
+    )
+
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in cosine_pairs(emb, threshold=0.4).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b): r.cosine
+        for r in cosine_pairs_lsh(emb, threshold=0.4).collect()
+    }
+    assert exact, "test data must contain cosine>=0.4 pairs"
+    assert set(approx) <= set(exact)  # precision 1.0
+    assert len(set(exact) & set(approx)) / len(exact) >= 0.95
+    for k in approx:
+        assert approx[k] == exact[k]  # identical exact re-rank scores
+
+
 def test_ivf_topk_recall(emb):
     from mini_feature_store_spark.operators.similarity import ivf_topk
 
