@@ -207,26 +207,37 @@ def cosine_pairs_lsh(
     dim: int = 64,
     multiprobe: bool = True,
 ) -> DataFrame:
-    """Approximate all-pairs cosine ≥ threshold: LSH candidate generation +
-    EXACT re-rank — the 100 TB default for embedding near-dup, where
-    ``cosine_pairs``'s exact O(n²·d) block-GEMM is the verification
-    baseline only.
+    """Approximate all-pairs cosine ≥ threshold: LSH bucketing + exact
+    intra-bucket GEMM scoring — the 100 TB default for embedding near-dup,
+    where ``cosine_pairs``'s exact all-pairs block-GEMM is the
+    verification baseline only.
 
-    Candidates: each vector lands in ``n_tables`` sign-bit buckets (one
-    numpy matmul per Arrow batch, all tables at once); a pair is a
-    candidate if its signatures collide — or, with ``multiprobe``, differ
-    by ≤ 1 bit — in ANY table. The bucket relation is symmetric, so one
-    side probes the flips and the ``id_a < id_b`` filter loses nothing.
-    Every candidate is then scored with the exact cosine, so precision is
-    1.0 by construction; only recall is approximate (tune ``n_planes`` /
-    ``n_tables`` for the target threshold — recall per table for a pair
-    with per-plane agreement p is P[≤1 of r bits differ] under multiprobe;
-    pinned ≥ 0.95 at the dedup operating point in
-    tests/test_similarity_recall.py).
+    Collision semantics (what bounds recall): a pair is scored iff its
+    sign-bit signatures collide — or, with ``multiprobe``, differ by ≤ 1
+    bit — in ANY of the ``n_tables`` tables (recall per table for
+    per-plane agreement p is P[≤ 1 of r bits differ]; pinned ≥ 0.95
+    differentially vs the exact pair set in
+    tests/test_dedup_text_similarity.py).
 
-    Scale shape: candidate generation is an equi-join on (table, bucket) —
-    shuffle volume is n·L·(2+r) 16-byte rows plus the (sparse) candidate
-    set, never an n² product; the exact re-rank touches candidates only.
+    Execution shape: instead of materializing the candidate PAIR set and
+    joining vectors back per pair (two extra shuffles, one row per
+    candidate — measured 5× the whole exact GEMM at thin-pruning
+    operating points), each (table, bucket) group is scored in ONE numpy
+    matmul: base members (signature == bucket) × (base ∪ 1-bit-flip probe
+    members). Only pairs ≥ threshold are ever materialized as rows, so
+    shuffle volume is n·L·(1+r) bucketed vector rows plus the (sparse)
+    RESULT set — never a candidate product. Duplicates across
+    tables/probes collapse in one final dropDuplicates over result rows.
+
+    Tuning: bucket occupancy n·(1+r)/2^r drives per-task memory and GEMM
+    size — grow ``n_planes`` with log(n) (and ``n_tables`` to hold
+    recall). Caveat measured on THIS repo's synthetic embeddings: at the
+    dedup operating point (threshold 0.4 over isotropic random vectors)
+    the signal/background per-plane gap is 0.63 vs 0.50, so NO (r, L)
+    prunes more than ~2× at recall ≥ 0.95 — near-quadratic scoring there
+    is information-theoretically forced, not an implementation artifact;
+    real near-dup corpora (threshold ≥ 0.8, p ≥ 0.79) prune by orders of
+    magnitude under the same operator. See SCALING.md.
     """
     tables = np.stack(
         [
@@ -235,48 +246,99 @@ def cosine_pairs_lsh(
         ]
     )
     bucketer = _bucket_udf(tables)
-    # Norm + buckets computed once per vector; bucket rows carry only ids.
-    unit = with_vec_norm(spread(df), vec_col, id_col).persist()
+    unit = with_vec_norm(spread(df), vec_col, id_col)
 
-    base = unit.select("id", F.posexplode(bucketer("v")).alias("tbl", "bucket"))
-    probe_buckets = (
+    sig = unit.select(
+        "id", "v", F.posexplode(bucketer("v")).alias("tbl", "code")
+    )
+    # One row per (table, bucket) membership: base = own signature bucket;
+    # probe = each 1-bit flip (probe-side only — the relation is symmetric,
+    # so flipping one side reaches every ≤1-bit pair in some group).
+    memberships = (
         F.array(
-            F.col("bucket"),
-            *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+            F.struct(F.col("code").alias("bucket"), F.lit(True).alias("is_base")),
+            *[
+                F.struct(
+                    F.col("code").bitwiseXOR(F.lit(1 << i)).alias("bucket"),
+                    F.lit(False).alias("is_base"),
+                )
+                for i in range(n_planes)
+            ],
         )
         if multiprobe
-        else F.array(F.col("bucket"))
+        else F.array(
+            F.struct(F.col("code").alias("bucket"), F.lit(True).alias("is_base"))
+        )
     )
-    probing = base.select(
-        F.col("id").alias("id_a"),
+    rows = sig.select(
         "tbl",
-        F.explode(probe_buckets).alias("bucket"),
-    )
-    cand = (
-        probing.join(
-            base.select(F.col("id").alias("id_b"), "tbl", "bucket"),
-            ["tbl", "bucket"],
+        F.explode(memberships).alias("m"),
+        F.struct(F.col("id").cast("long").alias("id"), "v").alias("item"),
+    ).select("tbl", F.col("m.bucket").alias("bucket"), F.col("m.is_base").alias("is_base"), "item")
+
+    # Same flat-column layout as cosine_pairs: contiguous Arrow buffers,
+    # one reshape per group instead of per-item conversion.
+    groups = (
+        rows.groupBy("tbl", "bucket")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.when(F.col("is_base"), F.col("item")))
+            ).alias("b_items"),
+            F.sort_array(
+                F.collect_list(F.when(~F.col("is_base"), F.col("item")))
+            ).alias("p_items"),
         )
-        .where(F.col("id_a") < F.col("id_b"))
-        # a pair can collide in several tables/probes — dedup on 16-byte
-        # id rows before touching vectors
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    a = unit.select(
-        F.col("id").alias("id_a"), F.col("v").alias("a_v"), F.col("nrm").alias("a_nrm")
-    )
-    b = unit.select(
-        F.col("id").alias("id_b"), F.col("v").alias("b_v"), F.col("nrm").alias("b_nrm")
-    )
-    return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
+        .where(F.size("b_items") > 0)
         .select(
-            "id_a",
-            "id_b",
-            F.round(_pair_cos("a_v", "b_v", "a_nrm", "b_nrm"), 4).alias("cosine"),
+            F.expr("transform(b_items, x -> x.id)").alias("b_ids"),
+            F.expr("flatten(transform(b_items, x -> x.v))").alias("b_flat"),
+            F.expr("transform(p_items, x -> x.id)").alias("p_ids"),
+            F.expr("flatten(transform(p_items, x -> x.v))").alias("p_flat"),
+            F.expr("size(b_items[0].v)").alias("dim"),
         )
-        .where(F.col("cosine") >= threshold)
+    )
+
+    def gemm(batches):
+        for pdf in batches:
+            for b_ids, b_flat, p_ids, p_flat, d in zip(
+                pdf["b_ids"], pdf["b_flat"], pdf["p_ids"], pdf["p_flat"], pdf["dim"]
+            ):
+                ib = np.asarray(b_ids, dtype=np.int64)
+                mb = np.asarray(b_flat, dtype=np.float64).reshape(len(ib), d)
+                nb = np.linalg.norm(mb, axis=1)
+                out = []
+                if len(ib) > 1:
+                    cos = np.round((mb @ mb.T) / np.outer(nb, nb), 4)
+                    mask = (cos >= threshold) & (ib[:, None] < ib[None, :])
+                    ii, jj = np.nonzero(mask)
+                    if len(ii):
+                        out.append((ib[ii], ib[jj], cos[ii, jj]))
+                if len(p_ids):
+                    ip = np.asarray(p_ids, dtype=np.int64)
+                    mp_ = np.asarray(p_flat, dtype=np.float64).reshape(len(ip), d)
+                    np_ = np.linalg.norm(mp_, axis=1)
+                    cos = np.round((mb @ mp_.T) / np.outer(nb, np_), 4)
+                    # probe member ≠ base member always (signatures differ)
+                    mask = cos >= threshold
+                    ii, jj = np.nonzero(mask)
+                    if len(ii):
+                        ia, ic = ib[ii], ip[jj]
+                        out.append(
+                            (np.minimum(ia, ic), np.maximum(ia, ic), cos[ii, jj])
+                        )
+                if out:
+                    yield pd.DataFrame(
+                        {
+                            "id_a": np.concatenate([o[0] for o in out]),
+                            "id_b": np.concatenate([o[1] for o in out]),
+                            "cosine": np.concatenate([o[2] for o in out]),
+                        }
+                    )
+
+    return (
+        groups.mapInPandas(gemm, schema="id_a long, id_b long, cosine double")
+        # a pair can clear the threshold in several tables/probe groups
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
