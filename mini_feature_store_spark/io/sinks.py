@@ -71,6 +71,10 @@ def insert_overwrite_table(
     (ProdWriter.scala:57-70) onto Delta when available. ``replace_where``
     (Delta only) scopes the overwrite to matching partitions — the 100 TB
     path for incremental backfills.
+
+    The Delta branch is wiring-tested only (tests/test_delta_wiring.py,
+    fake writer — delta-spark is absent in this container); the parquet
+    fallback is the branch exercised live.
     """
     fmt = "delta" if HAVE_DELTA else "parquet"
     writer = df.write.format(fmt).mode("overwrite")

@@ -62,6 +62,8 @@ def read_table(spark: SparkSession, name_or_path: str) -> DataFrame:
 
     Resolution: session-catalog table name first (covers Delta/parquet
     ``saveAsTable`` output), else treated as a parquet/Delta directory path.
+    The ``_delta_log`` dispatch is wiring-tested only
+    (tests/test_delta_wiring.py — delta-spark absent in this container).
     """
     looks_like_path = os.sep in name_or_path or name_or_path.startswith(".")
     if not looks_like_path and spark.catalog.tableExists(name_or_path):

@@ -23,6 +23,13 @@ import os
 from pyspark.sql import SparkSession
 
 try:  # Delta Lake gives ACID overwrite + time travel; optional at runtime.
+    # delta-spark is ABSENT in this container and cannot be installed, so
+    # the HAVE_DELTA branches never run live here. Their Python-side wiring
+    # (builder configs, writer format/options, _delta_log dispatch) is
+    # pinned by tests/test_delta_wiring.py via a fake ``delta`` module; the
+    # JVM side (jar loading, Delta commit protocol) is necessarily
+    # untested in this environment. io/tables.py:VersionedTable is the
+    # tested stand-in for the same capability surface.
     from delta import configure_spark_with_delta_pip  # type: ignore
 
     HAVE_DELTA = True
