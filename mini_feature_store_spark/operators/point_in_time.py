@@ -166,18 +166,42 @@ def point_in_time_join(
     strategy: str = "max_by",
     lookback_days: int | None = None,
     broadcast_features: bool = False,
+    salt: int = 0,
+    salt_seed: int = 42,
 ) -> DataFrame:
-    """labels ⟕ latest feature row per (keys, as_of) with feature_ts <= as-of date.
+    """labels ⟕ latest feature row per (keys, as_of) with feature_ts <= date(as_of).
 
     Output columns: all label columns, then ``feature_ts``, then the remaining
     feature columns (reference projection, PointInTimeJoinPipeline.scala:125-135).
     ``how='inner'`` drops labels with no qualifying features instead of
     emitting nulls.
+
+    Celebrity-key skew (``salt``): the join shuffles both sides by ``keys``,
+    so one hot key (a celebrity user holding 10% of feature rows) makes one
+    partition the job's straggler. Under ``how='inner'`` AQE's skew-join
+    split handles this (OptimizeSkewedJoin may split either side of an
+    inner SMJ — pinned firing in tests/test_skew.py); under ``how='left'``
+    AQE must NOT split the features (build) side — splitting the
+    non-preserved side of an outer join would emit one null-padded row per
+    split for unmatched labels — so the planner leaves the hot partition
+    intact. ``salt > 0`` is the explicit fallback for that case: feature
+    rows get a uniform pseudo-random salt in [0, salt), label rows are
+    replicated once per salt value, and the join key becomes
+    (keys..., salt), splitting the hot key across ``salt`` partitions.
+    Each feature candidate appears in exactly ONE salt slice, so the
+    existing per-label-row collapse (max_by / row_number over
+    ``_pit_row_id``, which spans all of a label's salt copies) recovers the
+    global latest match, and a label with no match in ANY slice still
+    yields exactly one null row — semantics identical to ``salt=0`` for
+    both strategies and both ``how``s (result-pinned in tests/test_skew.py).
+    Cost: a ``salt``× narrow replication of the (small) label side.
     """
     if how not in ("left", "inner"):
         raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
     if strategy not in ("window", "max_by"):
         raise ValueError(f"strategy must be 'window' or 'max_by', got {strategy!r}")
+    if salt < 0:
+        raise ValueError(f"salt must be >= 0, got {salt}")
     keys = list(keys)
     feature_cols = [c for c in features.columns if c not in keys]
     value_cols = [c for c in feature_cols if c != feature_ts]
@@ -191,6 +215,16 @@ def point_in_time_join(
         "_as_of_date", F.to_date(F.col(label_ts))
     ).withColumn("_pit_row_id", F.monotonically_increasing_id())
     feat = features
+    if salt > 0:
+        # Replication is the label side (explode = narrow, no shuffle);
+        # the salt must be assigned AFTER _pit_row_id so every copy of a
+        # label row shares the id the final collapse groups on.
+        lab = lab.withColumn(
+            "_pit_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        )
+        feat = feat.withColumn(
+            "_pit_salt", F.floor(F.rand(salt_seed) * salt).cast("int")
+        )
     if lookback_days is not None:
         # Scan pre-filter: anchored at the labels' global as-of range, a
         # superset of every per-label TTL window; two scalar aggregates
@@ -216,7 +250,13 @@ def point_in_time_join(
         )
     for k in keys:
         cond = cond & (F.col(f"l.{k}") == F.col(f"f.{k}"))
-    joined = lab.alias("l").join(feat.alias("f"), cond, how)
+    if salt > 0:
+        cond = cond & (F.col("l._pit_salt") == F.col("f._pit_salt"))
+    # Under salt, the label side is replicated, so 'inner' must be applied
+    # AFTER the per-row collapse (a copy with no match may not be the copy
+    # that matches) — join left, filter at the end like how='left' does.
+    join_how = "left" if salt > 0 else how
+    joined = lab.alias("l").join(feat.alias("f"), cond, join_how)
 
     if strategy == "window":
         w = Window.partitionBy(F.col("l._pit_row_id")).orderBy(
@@ -230,6 +270,9 @@ def point_in_time_join(
                 *[F.col(f"f.{c}") for c in [feature_ts] + value_cols],
             )
         )
+        if how == "inner" and join_how == "left":
+            # salted path joined left (see above); apply inner now
+            picked = picked.where(F.col(feature_ts).isNotNull())
         return picked
 
     # max_by form: collapse candidates in a hash aggregate keyed by the label
