@@ -1,0 +1,217 @@
+"""Scale-curve probe for the dedup / ANN / connected-components family.
+
+Generates synthetic documents + embeddings at several multiples of the
+sf0.1 testdata volume (5 000 docs / 2 000 vectors = 1×), times each family
+operator at every scale, and writes per-op wall-clock to
+``SCALING_RESULTS.json``. SCALING.md interprets the numbers.
+
+Corpus model — deliberately NOT a copy of the sf testdata distribution:
+the testdata draws documents from a ~30-word vocabulary and embeddings
+from an isotropic Gaussian, which makes shingle / sign-bit blocking
+provably non-selective (every blocking key is hot; see the
+cosine_pairs_lsh docstring). That is the right shape for CORRECTNESS data
+(dense edge cases) and the wrong shape for a SCALING study, where the
+question is how the operators behave on realistic corpora:
+
+- documents: Zipf(1.1) over a 10 000-word vocabulary, 40-60 words/doc,
+  10% of docs are near-duplicates of an earlier doc with ~7% of words
+  substituted (expected 3-gram Jaccard ≈ 0.65, comfortably over the 0.5
+  dedup threshold) — so true pairs exist at every scale and grow linearly
+  with N, like a real crawl.
+- embeddings: isotropic N(0, I) in d=64 with 5% planted near-duplicates
+  (v + 0.4·noise, cosine ≈ 0.93) — timed at the realistic near-dup
+  operating point (threshold 0.85) where LSH prunes, AND at the bench
+  operating point (threshold 0.4) where quadratic scoring is
+  information-theoretically forced, for honesty.
+
+Usage:
+    python tools/scaling_probe.py --scales 1,3,10 [--out /tmp/mfss-scaling]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+BASE_DOCS = 5_000
+BASE_VECS = 2_000
+DIM = 64
+
+
+def gen_documents(out: Path, scale: float, seed: int = 7) -> None:
+    rng = np.random.default_rng(seed)
+    n = int(BASE_DOCS * scale)
+    vocab = np.array([f"w{i:04d}" for i in range(10_000)])
+    p = 1.0 / np.arange(1, len(vocab) + 1) ** 1.1
+    p /= p.sum()
+
+    texts: list[str] = []
+    words_of: list[np.ndarray] = []
+    n_base = int(n * 0.9)
+    for i in range(n):
+        if i < n_base:
+            w = vocab[rng.choice(len(vocab), rng.integers(40, 61), p=p)]
+        else:  # near-duplicate of a random earlier doc, ~7% words substituted
+            src = words_of[rng.integers(0, n_base)]
+            w = src.copy()
+            mut = rng.random(len(w)) < 0.07
+            w[mut] = vocab[rng.choice(len(vocab), mut.sum(), p=p)]
+        words_of.append(w)
+        texts.append(" ".join(w))
+    langs = rng.choice(["en", "zh", "de", "fr", "es"], n)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": np.arange(n, dtype=np.int64),
+                "text": texts,
+                "lang": langs,
+                "source": np.char.add("src", (np.arange(n) % 5).astype(str)),
+                "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
+            }
+        ),
+        out / "documents.parquet",
+    )
+
+
+def gen_embeddings(out: Path, scale: float, seed: int = 11) -> None:
+    rng = np.random.default_rng(seed)
+    m = int(BASE_VECS * scale)
+    m_base = int(m * 0.95)
+    base = rng.standard_normal((m_base, DIM))
+    src = rng.integers(0, m_base, m - m_base)
+    dups = base[src] + 0.4 * rng.standard_normal((m - m_base, DIM))
+    vecs = np.vstack([base, dups]).astype(np.float32)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": np.arange(m, dtype=np.int64),
+                "embedding": list(vecs),
+                "label": (np.arange(m) % 10).astype(np.int32),
+            }
+        ),
+        out / "embeddings.parquet",
+    )
+
+
+def time_op(spark, build, iters: int = 2) -> float:
+    best = float("inf")
+    for _ in range(iters):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        build().write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 2)
+
+
+def run_scale(spark, d: Path) -> dict[str, float]:
+    from pyspark.sql import functions as F
+
+    from mini_feature_store_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_against,
+        ngram_jaccard_pairs,
+        simhash_pairs,
+    )
+    from mini_feature_store_spark.operators.graph import dedup_clusters
+    from mini_feature_store_spark.operators.similarity import (
+        cosine_pairs,
+        cosine_pairs_lsh,
+        ivf_topk,
+        lsh_topk,
+    )
+    from mini_feature_store_spark.operators.text import lang_id, text_stats
+
+    docs = spark.read.parquet(str(d / "documents.parquet"))
+    emb = spark.read.parquet(str(d / "embeddings.parquet"))
+    n_docs = docs.count()
+    split = int(n_docs * 0.9)
+    queries = emb.where(F.col("vec_id") < 100)
+
+    ops = {
+        "text_stats": lambda: text_stats(docs),
+        "lang_id": lambda: lang_id(docs),
+        "ngram_jaccard_pairs": lambda: ngram_jaccard_pairs(docs, threshold=0.5),
+        "dedup_clusters_cc": lambda: dedup_clusters(
+            ngram_jaccard_pairs(docs, threshold=0.5)
+        ),
+        "ngram_jaccard_incremental": lambda: ngram_jaccard_against(
+            docs.where(F.col("doc_id") >= split),
+            docs.where(F.col("doc_id") < split),
+            threshold=0.5,
+        ),
+        "minhash_lsh_pairs": lambda: minhash_lsh_pairs(docs, threshold=0.5),
+        "simhash_pairs": lambda: simhash_pairs(docs),
+        # realistic near-dup operating point: LSH prunes here
+        "cosine_pairs_lsh_t085": lambda: cosine_pairs_lsh(
+            emb, threshold=0.85, n_planes=12, n_tables=8
+        ),
+        "cosine_pairs_exact_t085": lambda: cosine_pairs(emb, threshold=0.85),
+        # bench operating point: quadratic scoring information-theoretically
+        # forced (signal/background per-plane gap 0.63 vs 0.50) — reported
+        # for honesty, expected ~quadratic for BOTH paths
+        "cosine_pairs_lsh_t04": lambda: cosine_pairs_lsh(emb, threshold=0.4),
+        "cosine_pairs_exact_t04": lambda: cosine_pairs(emb, threshold=0.4),
+        "embedding_cc_t085": lambda: dedup_clusters(
+            cosine_pairs_lsh(emb, threshold=0.85, n_planes=12, n_tables=8)
+        ),
+        "lsh_topk": lambda: lsh_topk(queries, emb, k=5),
+        "ivf_topk": lambda: ivf_topk(queries, emb, k=5),
+    }
+    out = {}
+    for name, build in ops.items():
+        out[name] = time_op(spark, build)
+        print(f"    {name:28s} {out[name]:8.2f}s", flush=True)
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scales", default="1,3,10")
+    ap.add_argument("--out", default="/tmp/mfss-scaling")
+    ap.add_argument("--skip-gen", action="store_true")
+    args = ap.parse_args()
+    scales = [float(s) for s in args.scales.split(",")]
+
+    root = Path(args.out)
+    for s in scales:
+        d = root / f"x{s:g}"
+        if not args.skip_gen or not d.exists():
+            d.mkdir(parents=True, exist_ok=True)
+            print(f"generating x{s:g} ...", flush=True)
+            gen_documents(d, s)
+            gen_embeddings(d, s)
+
+    from mini_feature_store_spark.session import get_spark
+
+    spark = get_spark(app_name="scaling-probe", shuffle_partitions=32)
+    spark.range(1_000_000).groupBy("id").count().write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    results: dict[str, dict[str, float]] = {}
+    for s in scales:
+        print(f"  scale x{s:g}:", flush=True)
+        results[f"x{s:g}"] = run_scale(spark, root / f"x{s:g}")
+    spark.stop()
+
+    payload = {
+        "base": {"documents": BASE_DOCS, "embeddings": BASE_VECS, "dim": DIM},
+        "scales": results,
+    }
+    out = Path(__file__).resolve().parent.parent / "SCALING_RESULTS.json"
+    out.write_text(json.dumps(payload, indent=1) + "\n")
+    print(json.dumps(payload))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
