@@ -2622,13 +2622,43 @@ def event_value_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ── sketches / bloom / CDC / HOF tier (round 2, scale-path operators) ───────
 
 
+@_q(
+    "user_weekly_distinct_exact",
+    """
+SELECT CAST(DATE_TRUNC('week', CAST(ts AS DATE)) AS DATE) AS week,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+FROM events
+GROUP BY 1
+""",
+)
+def user_weekly_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact companion of ``user_sketch_rollup``: the same weekly
+    distinct-user rollup computed exactly, so the rollup GRAIN and week
+    bucketing are hash-matchable against DuckDB (the HLL estimates
+    themselves are engine-specific — that query stays rows-only, its
+    accuracy vs THIS query's exact counts pinned in
+    tests/test_sketch_bloom_cdc.py)."""
+    _utc(spark)
+    events = load_testdata(spark, sf_dir, "events")["events"]
+    return (
+        events.select(
+            F.date_trunc("week", F.to_date("ts")).cast("date").alias("week"),
+            "user_id",
+        )
+        .groupBy("week")
+        .agg(F.count_distinct("user_id").alias("exact_users"))
+    )
+
+
 @_q("user_sketch_rollup")  # DataSketches HLL estimates are engine-specific
 # → rows-only; merge-vs-direct invariant and accuracy pinned in
 # tests/test_sketch_bloom_cdc.py
 def user_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental distinct-count rollup: per-day HLL user sketches merged
     to weekly estimates WITHOUT rescanning events (operators/sketches.py) —
-    the mergeable-sketch pattern approx_count_distinct cannot express."""
+    the mergeable-sketch pattern approx_count_distinct cannot express.
+    Rows-only by nature; the rollup grain itself is oracle-pinned by the
+    exact companion ``user_weekly_distinct_exact``."""
     from mini_feature_store_spark.operators.sketches import (
         distinct_sketch,
         merge_sketch_estimate,
@@ -2959,6 +2989,8 @@ VERIFY_ORDER: list[str] = [
     # evidence; promote (VERDICT r3 item 2)
     "dedup_simhash",
     "dedup_minhash_lsh",
+    # new this round: exact companion pinning user_sketch_rollup's grain
+    "user_weekly_distinct_exact",
     # last driver row r1/r2 — stalest greens, rotate in
     "embedding_topk_lsh",
     "embedding_topk_ivf",
