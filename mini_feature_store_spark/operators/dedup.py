@@ -313,12 +313,16 @@ def simhash(
     bits: int = 64,
     text_col: str = "text",
     id_col: str = "doc_id",
+    idf_weighted: bool = False,
+    max_weight: int = 15,
 ) -> DataFrame:
     """64-bit SimHash per document over whitespace tokens.
 
-    Bit b of the hash is 1 iff Σ_tokens sign(bit b of xxhash64(token)) > 0.
-    The ±1 sum is algebraically 2·ones_b − n, so the aggregate only needs
-    per-bit ones-counts plus one count. Those 64 counts are accumulated in
+    Bit b of the hash is 1 iff Σ_tokens w(tok)·sign(bit b of
+    xxhash64(token)) > 0 — classic (Charikar) simhash with per-feature
+    weights. Default ``idf_weighted=False`` uses unit weights; the ±1 sum
+    is algebraically 2·ones_b − n, so the aggregate only needs per-bit
+    ones-counts plus one count. Those 64 counts are accumulated in
     **packed 16-bit lanes**: ``(h >> g) & 0x0001000100010001`` isolates bits
     g, g+16, g+32, g+48 into four independent 16-bit lanes of one long, so
     16 packed sums replace 64 scalar sums. Besides 4× less aggregate work,
@@ -326,20 +330,31 @@ def simhash(
     aggregate buffers overflows the JIT method budget and falls back to
     interpreted eval — measured ~4× slower). Single shuffle keyed by doc id.
 
-    Lane capacity bounds docs at 32767 tokens (signed-long headroom of the
-    top lane under ANSI sum) — enforced with an explicit ``raise_error`` for
-    the 32768..65535 band; fine for near-dup corpora, which shingle or
-    truncate long docs anyway.
+    ``idf_weighted=True`` weights every token occurrence by a quantized
+    idf, ``w = min(max_weight, max(0, ⌊2·ln((N+1)/(df+1))⌋))`` with N the
+    corpus document count and df the token's document frequency — computed
+    from the corpus itself (one distinct + one hash aggregate over the
+    token stream; N rides along as a broadcast 1-row aggregate, so
+    plan-build stays job-free). Why this matters: on Zipfian vocabularies
+    the head words dominate every document's unweighted majority vote, so
+    the hamming ≤ 3 ball around a signature genuinely contains a quadratic
+    pair mass (measured 100× pairs at 10× data, SCALING.md); idf weighting
+    zeroes the head (df ≈ N ⇒ w = 0) and restores discrimination. A doc
+    whose every token has weight 0 (pure stop-word content) gets simhash 0
+    — such docs carry no distinguishing signal by construction. The same
+    packed lanes accumulate weighted counts (each token contributes
+    w ≤ 15 per lane), and the bit rule becomes 2·Σ_{bit set} w > Σ w.
+
+    Lane capacity bounds docs at 32767 tokens (Σw ≤ 32767 when weighted —
+    signed-long headroom of the top lane under ANSI sum) — enforced with an
+    explicit ``raise_error`` for the 32768..65535 band; fine for near-dup
+    corpora, which shingle or truncate long docs anyway.
     """
     if bits != 64:
         raise ValueError("packed-lane simhash supports bits=64 only")
-    toks = (
-        spread(df)
-        .select(
-            F.col(id_col).alias("id"),
-            F.explode(_tokens(normalize(F.col(text_col)))).alias("tok"),
-        )
-        .select("id", F.xxhash64("tok").alias("h"))
+    base = spread(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(_tokens(normalize(F.col(text_col)))).alias("tok"),
     )
     # Expressions are assembled as SQL strings parsed ONCE on the JVM:
     # building this ~380-node tree through the Column API costs hundreds of
@@ -347,11 +362,34 @@ def simhash(
     # per call — pure fixed overhead that would also dog every job
     # submission on a real cluster).
     lane_mask = 0x0001000100010001
-    sums = [
-        F.expr(f"sum(shiftright(h, {g}) & {lane_mask}L) AS g{g}")
-        for g in range(16)
-    ]
-    per_doc = toks.groupBy("id").agg(*sums, F.expr("count(1) AS n"))
+    if idf_weighted:
+        dfreq = base.distinct().groupBy("tok").agg(F.expr("count(1) AS df_t"))
+        n_docs = df.select(
+            F.count(F.lit(1)).cast("long").alias("n_docs")
+        )
+        toks = (
+            base.join(dfreq, "tok")
+            .crossJoin(F.broadcast(n_docs))
+            .selectExpr(
+                "id",
+                "xxhash64(tok) AS h",
+                f"least({max_weight}L, greatest(0L, cast(floor("
+                "2.0 * ln((n_docs + 1) / (df_t + 1))) AS BIGINT))) AS w",
+            )
+        )
+        sums = [
+            F.expr(f"sum((shiftright(h, {g}) & {lane_mask}L) * w) AS g{g}")
+            for g in range(16)
+        ]
+        total = F.expr("sum(w) AS n")
+    else:
+        toks = base.select("id", F.xxhash64("tok").alias("h"))
+        sums = [
+            F.expr(f"sum(shiftright(h, {g}) & {lane_mask}L) AS g{g}")
+            for g in range(16)
+        ]
+        total = F.expr("count(1) AS n")
+    per_doc = toks.groupBy("id").agg(*sums, total)
     per_doc = per_doc.withColumn(
         "n",
         F.expr(
@@ -378,6 +416,7 @@ def simhash_pairs(
     blocks: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    idf_weighted: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
 
@@ -385,11 +424,17 @@ def simhash_pairs(
     pair within distance ``max_hamming`` (< blocks) agrees on ≥1 full chunk,
     so candidates are equi-join matches on (block index, chunk value) — a
     shuffle join, never all-pairs. Exact Hamming check afterwards.
+
+    ``idf_weighted=True`` is the recommended setting on Zipfian (i.e. any
+    natural-language) corpora: unit-weight simhash lets head words dominate
+    the majority vote and the hamming ball goes quadratic (SCALING.md); idf
+    weights restore discrimination at the cost of one distinct + one
+    aggregate over the token stream.
     """
     if max_hamming >= blocks:
         raise ValueError("need max_hamming < blocks for pigeonhole guarantee")
     # 8 bytes/doc, read by both self-join sides — persist, don't re-derive.
-    sims = simhash(df, bits, text_col, id_col).persist()
+    sims = simhash(df, bits, text_col, id_col, idf_weighted=idf_weighted).persist()
     width = bits // blocks
     mask = (1 << width) - 1
     chunked = sims.select(

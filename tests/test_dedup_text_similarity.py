@@ -356,3 +356,94 @@ def test_minhash_signatures_match_python_reference(spark):
         for r in minhash_signatures(docs, num_hashes=n_h).collect()
     }
     assert got == expected
+
+
+def test_simhash_idf_weighted_matches_python_reference(spark):
+    """idf-weighted packed-lane SimHash must be bit-for-bit equal to the
+    naive weighted definition: bit b set iff 2·Σ_{tok: bit b set} w > Σ w,
+    with w = min(15, max(0, floor(2·ln((N+1)/(df+1))))). Token hashes come
+    from Spark's xxhash64 (not reproducible in pure Python); weights are
+    recomputed independently in Python from the harvested token stream."""
+    import math
+
+    from mini_feature_store_spark.operators.dedup import simhash
+    from mini_feature_store_spark.operators.text import _tokens, normalize
+
+    docs = load_testdata(
+        spark, "/root/testdata/sf0.001", "documents"
+    )["documents"].where(F.col("doc_id") < 40)
+
+    tok_rows = (
+        docs.select(
+            F.col("doc_id").alias("id"),
+            F.explode(_tokens(normalize(F.col("text")))).alias("tok"),
+        )
+        .select("id", "tok", F.xxhash64("tok").alias("h"))
+        .collect()
+    )
+    n_docs = docs.count()
+    doc_toks: dict[int, list[tuple[str, int]]] = {}
+    for r in tok_rows:
+        doc_toks.setdefault(r.id, []).append((r.tok, r.h & 0xFFFFFFFFFFFFFFFF))
+    dfreq: dict[str, set] = {}
+    for doc, toks in doc_toks.items():
+        for t, _ in toks:
+            dfreq.setdefault(t, set()).add(doc)
+
+    def weight(tok: str) -> int:
+        w = math.floor(2.0 * math.log((n_docs + 1) / (len(dfreq[tok]) + 1)))
+        return min(15, max(0, w))
+
+    expected = {}
+    for doc, toks in doc_toks.items():
+        total = sum(weight(t) for t, _ in toks)
+        sim = 0
+        for b in range(64):
+            ones_w = sum(weight(t) for t, h in toks if (h >> b) & 1)
+            if ones_w * 2 > total:
+                sim |= 1 << b
+        expected[doc] = sim - (1 << 64) if sim >= (1 << 63) else sim
+
+    got = {
+        r.id: r.simhash for r in simhash(docs, idf_weighted=True).collect()
+    }
+    assert got == expected
+
+
+def test_simhash_idf_weighting_restores_discrimination_on_zipf(spark):
+    """On a heavily Zipfian corpus, unit-weight simhash's hamming <= 3 ball
+    is dominated by head-word agreement — measured ~43% of ALL doc pairs
+    qualify on this fixture (the quadratic pair mass of SCALING.md);
+    idf weighting must still recover every planted duplicate while pruning
+    that background by orders of magnitude."""
+    import random
+
+    rng = random.Random(13)
+    vocab = [f"w{i:04d}" for i in range(800)]
+    weights = [1.0 / (r + 1) ** 1.5 for r in range(len(vocab))]
+    n_base, n_dup = 270, 30
+    docs_py = [rng.choices(vocab, weights=weights, k=50) for _ in range(n_base)]
+    planted = set()
+    for _ in range(n_dup):  # exact duplicates — the tier hamming<=3 is FOR
+        j = rng.randrange(n_base)
+        planted.add((j, len(docs_py)))
+        docs_py.append(list(docs_py[j]))
+    docs = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs_py)],
+        "doc_id long, text string",
+    )
+
+    plain = {
+        (r.id_a, r.id_b)
+        for r in simhash_pairs(docs, max_hamming=3).collect()
+    }
+    weighted = {
+        (r.id_a, r.id_b)
+        for r in simhash_pairs(docs, max_hamming=3, idf_weighted=True).collect()
+    }
+    # (a) weighted simhash recovers every planted duplicate
+    assert planted <= weighted
+    # (b) the head-word background collapses: measured 19 543 plain pairs
+    # (43% of all 44 850 doc pairs) vs 31 weighted on this seed
+    assert len(plain) > 5_000, len(plain)
+    assert len(weighted) < len(plain) / 100, (len(weighted), len(plain))
