@@ -1,0 +1,76 @@
+"""Sequence packing for LLM pretraining (prompt north star; no reference
+analog).
+
+Pretraining pipelines concatenate documents in a fixed order and chunk the
+token stream into fixed-size training contexts ("concat-then-chunk"
+packing — the standard dataloader shape). The distributed question is only
+WHERE each document lands: its pack ids and offset are pure functions of
+the running token count before it, which is one window cumulative sum —
+one exchange, no Python, no iteration.
+
+Scale shape: the running sum is inherently sequential, so it is computed
+PER SHARD (``shard_col``) — each shard is an independent token stream with
+its own pack numbering (pack identity at scale is the pair
+(shard, pack)). One hash exchange on the shard key, one sort per
+partition; no global ordering bottleneck. At 100 TB you shard by a
+pipeline-natural key (source, date, bucket-of-hash) sized so a shard's
+docs fit a task's sort budget.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    shard_col: str | None = None,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Assign each document its packed training-context location.
+
+    Within each shard (``shard_col``; a single global stream when None),
+    documents are laid out in ``order_col`` order (default: ``id_col``) as
+    one concatenated token stream chunked every ``budget`` tokens. Output
+    per document:
+
+    - ``start_pack`` / ``end_pack`` — first / last pack the doc's tokens
+      land in (a doc longer than ``budget`` spans several; a zero-token
+      doc occupies none and reports its boundary pack twice);
+    - ``n_packs`` — packs spanned;
+    - ``offset_in_pack`` — token offset of the doc's first token inside
+      ``start_pack``.
+
+    Deterministic given the ordering; order ties must be impossible
+    (``order_col`` unique per shard — ids are) for reproducible packing.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    order = order_col or id_col
+    part = [shard_col] if shard_col else [F.lit(0)]
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(F.col(order).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    b = F.lit(budget)
+    n = F.col(token_col)
+    cum = F.coalesce(F.sum(token_col).over(w), F.lit(0)).alias("_cum_before")
+    out = df.select("*", cum)
+    start = F.floor(F.col("_cum_before") / b)
+    end = F.floor((F.col("_cum_before") + F.greatest(n, F.lit(1)) - 1) / b)
+    return (
+        out.withColumn("start_pack", start.cast("long"))
+        .withColumn("end_pack", end.cast("long"))
+        .withColumn(
+            "n_packs", (F.col("end_pack") - F.col("start_pack") + 1).cast("long")
+        )
+        .withColumn(
+            "offset_in_pack", F.pmod(F.col("_cum_before"), b).cast("long")
+        )
+        .drop("_cum_before")
+    )

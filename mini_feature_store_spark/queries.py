@@ -407,6 +407,47 @@ def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "doc_sequence_packing",
+    f"""
+WITH t AS (
+  SELECT doc_id, source, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cb
+  FROM t
+)
+SELECT doc_id, source, n_tokens,
+       CAST(FLOOR(cb / 512.0) AS BIGINT) AS start_pack,
+       CAST(FLOOR((cb + GREATEST(n_tokens, 1) - 1) / 512.0) AS BIGINT)
+         AS end_pack,
+       CAST(FLOOR((cb + GREATEST(n_tokens, 1) - 1) / 512.0)
+            - FLOOR(cb / 512.0) + 1 AS BIGINT) AS n_packs,
+       CAST(cb % 512 AS BIGINT) AS offset_in_pack
+FROM c
+""",
+)
+def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing (operators/packing.py): each
+    document's packed training-context location — (start_pack, end_pack,
+    n_packs, offset_in_pack) under a 512-token budget, sharded by source
+    (each source is an independent token stream with its own pack
+    numbering — the scale shape: one exchange on the shard key, the
+    sequential cumsum never crosses shards)."""
+    from mini_feature_store_spark.operators.packing import pack_sequences
+    from mini_feature_store_spark.operators.text import token_count
+
+    _utc(spark)
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    sized = docs.select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(sized, budget=512, shard_col="source")
+
+
+@_q(
     "doc_winnow_fingerprints",
     f"""
 WITH docs AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
@@ -2989,8 +3030,10 @@ VERIFY_ORDER: list[str] = [
     # evidence; promote (VERDICT r3 item 2)
     "dedup_simhash",
     "dedup_minhash_lsh",
-    # new this round: exact companion pinning user_sketch_rollup's grain
+    # new this round: exact companion pinning user_sketch_rollup's grain,
+    # and the sequence-packing operator
     "user_weekly_distinct_exact",
+    "doc_sequence_packing",
     # last driver row r1/r2 — stalest greens, rotate in
     "embedding_topk_lsh",
     "embedding_topk_ivf",

@@ -1,0 +1,87 @@
+"""Sequence packing (operators/packing.py) — invariants + python reference."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from mini_feature_store_spark.operators.packing import pack_sequences
+
+
+@pytest.fixture(scope="module")
+def sized(spark):
+    rng = random.Random(99)
+    rows = []
+    for i in range(400):
+        shard = f"s{i % 3}"
+        # mix of tiny docs, budget-straddling docs, over-budget docs, and
+        # zero-token docs
+        n = rng.choice([0, 1, 7, 50, 120, 130, 260])
+        rows.append((i, shard, n))
+    return spark.createDataFrame(rows, "doc_id long, shard string, n_tokens long")
+
+
+def test_matches_python_reference(sized):
+    budget = 128
+    got = {
+        r.doc_id: (r.start_pack, r.end_pack, r.n_packs, r.offset_in_pack)
+        for r in pack_sequences(
+            sized, budget=budget, shard_col="shard"
+        ).collect()
+    }
+    rows = sorted(sized.collect(), key=lambda r: (r.shard, r.doc_id))
+    cum: dict[str, int] = {}
+    for r in rows:
+        cb = cum.get(r.shard, 0)
+        start = cb // budget
+        end = (cb + max(r.n_tokens, 1) - 1) // budget
+        assert got[r.doc_id] == (start, end, end - start + 1, cb % budget), (
+            r.doc_id,
+            r.shard,
+            cb,
+            r.n_tokens,
+        )
+        cum[r.shard] = cb + r.n_tokens
+
+
+def test_packing_invariants(sized):
+    budget = 128
+    out = pack_sequences(sized, budget=budget, shard_col="shard").collect()
+    by_shard: dict[str, list] = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r.doc_id)
+        total = sum(r.n_tokens for r in rs)
+        last_pack = max(r.end_pack for r in rs)
+        # every pack index up to the last is touched by some doc
+        touched = set()
+        for r in rs:
+            touched.update(range(r.start_pack, r.end_pack + 1))
+        assert touched == set(range(last_pack + 1))
+        # the stream fills exactly ceil(total/budget) packs
+        assert last_pack == (max(total, 1) - 1) // budget
+        # offsets are within the budget and consistent with spans
+        for r in rs:
+            assert 0 <= r.offset_in_pack < budget
+            assert r.n_packs == r.end_pack - r.start_pack + 1
+
+
+def test_single_global_stream_and_validation(spark, sized):
+    out = pack_sequences(sized.drop("shard"), budget=1000)
+    assert out.count() == 400
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences(sized, budget=0)
+
+
+def test_plan_single_exchange(sized):
+    """One hash exchange on the shard key — the window must not introduce
+    a global sort or extra shuffles."""
+    from mini_feature_store_spark.functions import plan_text
+
+    plan = plan_text(pack_sequences(sized, budget=128, shard_col="shard"))
+    import re
+
+    assert len(set(re.findall(r"\((\d+)\) Exchange", plan))) <= 1, plan
