@@ -69,6 +69,66 @@ def fingerprint(col: Column) -> Column:
     return F.md5(normalize(col))
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window document chunking (embedding / RAG ingestion shape):
+    split each document into ``chunk_tokens``-token windows advancing by
+    ``chunk_tokens − overlap``, so consecutive chunks share ``overlap``
+    tokens of context.
+
+    Emission rule: a window starts at every multiple of the step while it
+    still contributes tokens BEYOND the previous window's overlap region
+    (``start == 0`` or ``start + overlap < n_tokens``) — the standard
+    stop condition that avoids a trailing chunk fully contained in its
+    predecessor. Zero-token documents emit no chunks. Output per chunk:
+    ``(id, chunk_id, chunk_start, chunk_len, chunk_text)``.
+
+    Plan shape: tokenize → ``sequence``/``filter``/``posexplode`` →
+    ``slice`` + ``array_join`` — one narrow Generate, zero shuffles, all
+    whole-stage codegen; the 1→N fan-out composes with any downstream
+    embedding UDF the way the video frame-sampler does.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"overlap must satisfy 0 <= overlap < chunk_tokens, got {overlap}"
+        )
+    step = chunk_tokens - overlap
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step)),
+        lambda s: (s == 0) | (s + overlap < n),
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            toks.alias("_toks"),
+            n.alias("_n"),
+            F.posexplode(starts).alias("chunk_id", "chunk_start"),
+        )
+        .where(F.col("_n") > 0)
+        .select(
+            "id",
+            F.col("chunk_id").cast("long"),
+            F.col("chunk_start").cast("long"),
+            F.least(F.lit(chunk_tokens), F.col("_n") - F.col("chunk_start"))
+            .cast("long")
+            .alias("chunk_len"),
+            F.array_join(
+                F.slice(F.col("_toks"), F.col("chunk_start") + 1, chunk_tokens),
+                " ",
+            ).alias("chunk_text"),
+        )
+    )
+
+
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Quality-scoring signal projection, one row per document."""
     t = F.col(text_col)

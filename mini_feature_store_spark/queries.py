@@ -448,6 +448,43 @@ def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "doc_chunk_windows",
+    """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         list_filter(generate_series(0, GREATEST(len(toks) - 1, 0), 32),
+                     s -> s = 0 OR s + 8 < len(toks)) AS starts
+  FROM t WHERE len(toks) > 0
+), e AS (
+  SELECT doc_id, toks, n,
+         unnest(starts) AS chunk_start,
+         generate_subscripts(starts, 1) AS ord
+  FROM s
+)
+SELECT doc_id AS id,
+       CAST(ord - 1 AS BIGINT) AS chunk_id,
+       CAST(chunk_start AS BIGINT) AS chunk_start,
+       CAST(LEAST(40, n - chunk_start) AS BIGINT) AS chunk_len,
+       array_to_string(toks[chunk_start + 1 : chunk_start + 40], ' ')
+         AS chunk_text
+FROM e
+""",
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking for embedding/RAG ingestion
+    (operators/text.py:chunk_documents): 40-token windows, 8-token overlap
+    — one narrow Generate, zero shuffles, whole-stage codegen end-to-end."""
+    from mini_feature_store_spark.operators.text import chunk_documents
+
+    _utc(spark)
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    return chunk_documents(docs, chunk_tokens=40, overlap=8)
+
+
+@_q(
     "doc_winnow_fingerprints",
     f"""
 WITH docs AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
@@ -3034,6 +3071,7 @@ VERIFY_ORDER: list[str] = [
     # and the sequence-packing operator
     "user_weekly_distinct_exact",
     "doc_sequence_packing",
+    "doc_chunk_windows",
     # last driver row r1/r2 — stalest greens, rotate in
     "embedding_topk_lsh",
     "embedding_topk_ivf",

@@ -126,3 +126,49 @@ def test_pii_scrub_is_shuffle_free(spark):
     docs = _docs(spark, [(1, "x")])
     plan = pii_scrub(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_chunk_documents_edges(spark):
+    from mini_feature_store_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, ""),  # zero tokens -> no chunks
+            (2, "a b c"),  # under one window -> single chunk
+            (3, " ".join(f"t{i}" for i in range(8))),  # exactly one window
+            (4, " ".join(f"t{i}" for i in range(9))),  # 1 past -> 2nd chunk
+            (5, " ".join(f"t{i}" for i in range(20))),  # several windows
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=8, overlap=2)
+    rows = {(r.id, r.chunk_id): r for r in out.collect()}
+    ids = sorted({i for i, _ in rows})
+    assert ids == [2, 3, 4, 5]
+    assert (2, 0) in rows and (2, 1) not in rows
+    # n=8, step=6: start 6 has 6+2 >= 8 -> suppressed (fully inside chunk 0)
+    assert (3, 0) in rows and (3, 1) not in rows
+    # n=9: start 6 contributes token 8 -> emitted, len 3, overlap preserved
+    assert rows[(4, 1)].chunk_start == 6 and rows[(4, 1)].chunk_len == 3
+    assert rows[(4, 1)].chunk_text == "t6 t7 t8"
+    # n=20, step=6: starts 0,6,12,18 -> 18+2=20 not < 20 -> suppressed
+    assert {c for i, c in rows if i == 5} == {0, 1, 2}
+    # consecutive chunks overlap by exactly `overlap` tokens
+    c0, c1 = rows[(5, 0)].chunk_text.split(), rows[(5, 1)].chunk_text.split()
+    assert c0[-2:] == c1[:2]
+    # validation
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk_tokens=8, overlap=8)
+    with _pytest.raises(ValueError, match="chunk_tokens"):
+        chunk_documents(docs, chunk_tokens=0)
+
+
+def test_chunk_documents_zero_shuffle_plan(spark):
+    from mini_feature_store_spark.functions import plan_text
+    from mini_feature_store_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    plan = plan_text(chunk_documents(docs, chunk_tokens=4, overlap=1))
+    assert "Exchange" not in plan
