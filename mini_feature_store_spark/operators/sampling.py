@@ -19,7 +19,7 @@ The reference has no sampling surface at all; §2.11 capability add.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -28,6 +28,7 @@ __all__ = [
     "hash_split",
     "weighted_hash_sample",
     "stratified_hash_sample",
+    "balanced_mixture_sample",
 ]
 
 _SPACE = 1 << 32  # 8 hex chars
@@ -163,3 +164,30 @@ def weighted_hash_sample(
     # so the comparison would silently wrap (same edge as hash_sample's
     # fraction=1.0 bug class).
     return df.where((w >= 1.0) | (_prefix(list(keys)) < thresh))
+
+
+def balanced_mixture_sample(
+    df: DataFrame,
+    keys: list[str] | tuple[str, ...],
+    strata_col: str,
+) -> DataFrame:
+    """Down-sample every stratum to the size of the SMALLEST one (uniform
+    mixture) — the standard domain-rebalancing step when one source or
+    language dominates a crawl — with the md5 predicate's guarantees
+    (deterministic, key-consistent, engine-portable).
+
+    Unlike ``stratified_hash_sample`` the rates are not supplied: they are
+    computed from the data (``rate_s = min_count / count_s``) as a tiny
+    per-stratum aggregate joined back broadcast — no driver collect, no
+    RNG. Expected kept size per stratum ≈ min_count (hash sampling is
+    probabilistic per key, so counts vary by O(√n) around the target, same
+    as every fractional sampler here).
+    """
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
+    w = Window.partitionBy(F.lit(0))
+    rates = counts.select(
+        strata_col,
+        (F.min("_n").over(w).cast("double") / F.col("_n")).alias("_rate"),
+    )
+    joined = df.join(F.broadcast(rates), strata_col)
+    return weighted_hash_sample(joined, list(keys), F.col("_rate")).drop("_rate")

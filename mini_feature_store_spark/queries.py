@@ -448,6 +448,85 @@ def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "doc_balanced_mixture_sample",
+    """
+WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+r AS (SELECT lang, (SELECT MIN(n) FROM c) * 1.0 / n AS rate FROM c),
+k AS (
+  SELECT d.lang FROM documents d JOIN r USING (lang)
+  WHERE rate >= 1.0
+     OR substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+        lpad(lower(to_hex(CAST(FLOOR(rate * 4294967296) AS BIGINT))), 8, '0')
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept FROM k GROUP BY lang
+""",
+)
+def doc_balanced_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform language mixture (operators/sampling.py:
+    balanced_mixture_sample): every language down-sampled to ≈ the
+    smallest one's size, rates computed from the data as a broadcast
+    per-stratum aggregate (no driver collect, no RNG — the same md5
+    predicate as every sampler here, so the oracle replays it exactly)."""
+    from mini_feature_store_spark.operators.sampling import (
+        balanced_mixture_sample,
+    )
+
+    _utc(spark)
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    kept = balanced_mixture_sample(docs, ["doc_id"], "lang")
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+@_q(
+    "doc_token_budget_selection",
+    f"""
+WITH t AS (
+  SELECT doc_id, source, n_chars,
+         CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_chars, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+              PARTITION BY source ORDER BY n_chars DESC, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before
+  FROM t
+)
+SELECT doc_id, source, n_tokens, cum_before
+FROM c WHERE cum_before < 300
+""",
+)
+def doc_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus curation under a token budget: per source, admit documents in
+    priority order (longest first, doc_id tiebreak) until 300 tokens are
+    spent (budget chosen to BIND at every test SF) — one window cumulative sum per shard, then a filter; the same
+    single-exchange shape as sequence packing."""
+    from pyspark.sql import Window
+
+    from mini_feature_store_spark.operators.text import token_count
+
+    _utc(spark)
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    sized = docs.select(
+        "doc_id", "source", "n_chars",
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        sized.withColumn(
+            "cum_before",
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long"),
+        )
+        .where(F.col("cum_before") < 300)
+        .select("doc_id", "source", "n_tokens", "cum_before")
+    )
+
+
+@_q(
     "doc_chunk_windows",
     """
 WITH t AS (
@@ -3072,6 +3151,8 @@ VERIFY_ORDER: list[str] = [
     "user_weekly_distinct_exact",
     "doc_sequence_packing",
     "doc_chunk_windows",
+    "doc_balanced_mixture_sample",
+    "doc_token_budget_selection",
     # last driver row r1/r2 — stalest greens, rotate in
     "embedding_topk_lsh",
     "embedding_topk_ivf",

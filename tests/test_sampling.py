@@ -115,3 +115,33 @@ def test_stratified_sample_rejects_bad_fractions(spark):
         stratified_hash_sample(df, ["k"], "lang", {"en": 1.5})
     with pytest.raises(ValueError):
         stratified_hash_sample(df, ["k"], "lang", {"en": 0.5}, default_fraction=-1)
+
+
+def test_balanced_mixture_sample(spark):
+    """Every stratum down-samples toward the smallest one's size; the
+    smallest stratum is kept in full (rate 1.0 short-circuit); membership
+    is key-deterministic (a second run keeps the same rows)."""
+    from mini_feature_store_spark.operators.sampling import (
+        balanced_mixture_sample,
+    )
+
+    rows = []
+    k = 0
+    for stratum, n in [("big", 4000), ("mid", 1000), ("small", 200)]:
+        for _ in range(n):
+            rows.append((k, stratum))
+            k += 1
+    df = spark.createDataFrame(rows, "id long, dom string")
+
+    kept = balanced_mixture_sample(df, ["id"], "dom")
+    counts = {r.dom: r.n for r in kept.groupBy("dom").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["small"] == 200  # rate 1.0 -> kept whole
+    # others land near the 200 target (hash sampling: O(sqrt n) noise)
+    assert 120 <= counts["big"] <= 280, counts
+    assert 120 <= counts["mid"] <= 280, counts
+    # deterministic: identical membership on re-run
+    ids1 = {r.id for r in kept.collect()}
+    ids2 = {r.id for r in balanced_mixture_sample(df, ["id"], "dom").collect()}
+    assert ids1 == ids2
+    # and the rate helper column never leaks
+    assert kept.columns == ["dom", "id"] or set(kept.columns) == {"id", "dom"}
