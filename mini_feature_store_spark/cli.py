@@ -118,6 +118,24 @@ def build_parser() -> argparse.ArgumentParser:
         "--ids-path", required=True, help="parquet path with rows to delete (key columns)"
     )
 
+    cc = sub.add_parser(
+        "corpus-curate",
+        help="raw documents parquet → training-ready corpus: quality gate, "
+        "exact + near-dup dedup, optional decontamination, sharded export",
+    )
+    cc.add_argument("--input-path", required=True, help="documents parquet")
+    cc.add_argument("--output-path", required=True)
+    cc.add_argument(
+        "--benchmark-path", default=None, help="eval parquet to decontaminate against"
+    )
+    cc.add_argument("--min-tokens", type=int, default=5)
+    cc.add_argument("--min-quality", type=float, default=0.3)
+    cc.add_argument("--jaccard-threshold", type=float, default=0.5)
+    cc.add_argument("--contamination-threshold", type=float, default=0.2)
+    cc.add_argument(
+        "--shards", type=int, default=None, help="write N training shards + manifest"
+    )
+
     v = sub.add_parser(
         "serve",
         help="feature-serving HTTP API (reference api/main.py): "
@@ -328,6 +346,27 @@ def main(argv: list[str] | None = None) -> int:
             )
             scope = "full rewrite" if n < 0 else f"{n} partition(s) rewritten"
             print(f"committed v{version} ({scope})")
+        elif args.pipeline == "corpus-curate":
+            from mini_feature_store_spark.pipelines.corpus_curate import (
+                CorpusCurationConfig,
+                run_corpus_curation,
+            )
+
+            funnel = run_corpus_curation(
+                spark,
+                CorpusCurationConfig(
+                    input_path=args.input_path,
+                    output_path=args.output_path,
+                    benchmark_path=args.benchmark_path,
+                    min_tokens=args.min_tokens,
+                    min_quality=args.min_quality,
+                    jaccard_threshold=args.jaccard_threshold,
+                    contamination_threshold=args.contamination_threshold,
+                    n_shards=args.shards,
+                ),
+            )
+            for stage, n in funnel.items():
+                print(f"{stage}: {n}")
         elif args.pipeline == "serve":
             from mini_feature_store_spark.api.http_server import serve_forever
             from mini_feature_store_spark.api.service import (

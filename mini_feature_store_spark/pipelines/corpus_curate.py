@@ -1,0 +1,122 @@
+"""End-to-end training-corpus curation pipeline (prompt north star — the
+integration of the cleaning tier; no reference analog).
+
+One command takes a raw document corpus to a training-ready one:
+
+1. quality gate            operators/text.py:quality_filter
+2. exact dedup             operators/dedup.py:exact_dedup (md5 fingerprint)
+3. near-dup dedup          ngram_jaccard_pairs → dedup_clusters → survivors
+4. decontamination         operators/text.py:decontaminate (optional,
+                           against a benchmark/eval parquet)
+5. export                  plain parquet, or deterministic training shards
+                           with a rows/bytes manifest (io/sinks.py)
+
+Every stage is the already-tested distributed operator; this module only
+sequences them and reports the funnel (admitted counts per stage — the
+number every corpus pipeline logs). The admitted set is persisted once
+after the quality gate: stages 2-4 and the final write all read it, and
+everything downstream of pair generation joins back by doc id
+(left_semi / left_anti — survivors never carry cluster metadata).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class CorpusCurationConfig:
+    input_path: str
+    output_path: str
+    benchmark_path: str | None = None
+    min_tokens: int = 5
+    min_quality: float = 0.3
+    jaccard_threshold: float = 0.5
+    contamination_threshold: float = 0.2
+    n_shards: int | None = None
+    text_col: str = "text"
+    id_col: str = "doc_id"
+
+
+def run_corpus_curation(
+    spark: SparkSession, cfg: CorpusCurationConfig
+) -> dict[str, int]:
+    """Run the full curation funnel; returns per-stage admitted counts."""
+    from mini_feature_store_spark.io.sinks import write_training_shards
+    from mini_feature_store_spark.operators.dedup import (
+        exact_dedup,
+        ngram_jaccard_pairs,
+    )
+    from mini_feature_store_spark.operators.graph import dedup_clusters
+    from mini_feature_store_spark.operators.text import (
+        decontaminate,
+        quality_filter,
+    )
+
+    docs = spark.read.parquet(cfg.input_path)
+    funnel: dict[str, int] = {"input": docs.count()}
+
+    gate = quality_filter(
+        docs,
+        min_tokens=cfg.min_tokens,
+        min_score=cfg.min_quality,
+        text_col=cfg.text_col,
+        id_col=cfg.id_col,
+    )
+    admitted = docs.join(
+        gate.where(F.col("kept")).select(cfg.id_col), cfg.id_col, "left_semi"
+    ).persist()
+    funnel["after_quality"] = admitted.count()
+
+    keep_ids = exact_dedup(admitted, cfg.text_col, cfg.id_col).select(
+        F.col("keep_id").alias(cfg.id_col)
+    )
+    deduped = admitted.join(keep_ids, cfg.id_col, "left_semi").persist()
+    funnel["after_exact_dedup"] = deduped.count()
+
+    pairs = ngram_jaccard_pairs(
+        deduped,
+        threshold=cfg.jaccard_threshold,
+        text_col=cfg.text_col,
+        id_col=cfg.id_col,
+    )
+    drops = dedup_clusters(pairs).where(~F.col("keep")).select(
+        F.col("doc_id").alias(cfg.id_col)
+    )
+    survivors: DataFrame = deduped.join(drops, cfg.id_col, "left_anti")
+    funnel["after_near_dedup"] = survivors.count()
+
+    if cfg.benchmark_path is not None:
+        bench = spark.read.parquet(cfg.benchmark_path)
+        flagged = decontaminate(
+            survivors,
+            bench,
+            threshold=cfg.contamination_threshold,
+            text_col=cfg.text_col,
+            id_col=cfg.id_col,
+        )
+        survivors = survivors.join(
+            flagged.where(F.col("contaminated")).select(cfg.id_col),
+            cfg.id_col,
+            "left_anti",
+        )
+        funnel["after_decontamination"] = survivors.count()
+
+    if cfg.n_shards:
+        manifest = write_training_shards(
+            survivors, cfg.output_path, cfg.n_shards, key_col=cfg.id_col
+        )
+        funnel["written"] = sum(s["rows"] for s in manifest)
+    else:
+        survivors.write.mode("overwrite").parquet(cfg.output_path)
+        funnel["written"] = funnel[
+            "after_decontamination"
+            if cfg.benchmark_path is not None
+            else "after_near_dedup"
+        ]
+    admitted.unpersist()
+    deduped.unpersist()
+    return funnel

@@ -799,3 +799,60 @@ def test_cli_lifecycle_subcommands(spark, tmp_path, events_path):
     stats = VersionedTable(table).stats()
     assert stats["columns"]["user_id"]["values"] == ["u2"]
     assert [v["version"] for v in VersionedTable(table).versions()] == [1]
+
+
+def test_corpus_curate_cli_end_to_end(spark, tmp_path):
+    """corpus-curate funnel: quality gate drops junk, exact dedup keeps one
+    of identical docs, near-dup clustering keeps the canonical survivor,
+    decontamination drops benchmark-overlapping docs, and the shard export
+    writes a manifest whose row count matches the funnel."""
+    import json
+
+    from mini_feature_store_spark import cli
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then the dog "
+        "chases the fox around the big green field all day long"
+    )
+    near = good.replace("big green field", "small blue field")
+    other = (
+        "a completely different document about spark plans and shuffles "
+        "where the optimizer prunes columns and pushes filters to the scan"
+    )
+    bench_text = (
+        "benchmark question: what is the capital of atlantis and why do "
+        "the fish vote every four years in the coral senate"
+    )
+    contaminated = bench_text + " plus a little extra padding text here"
+    docs = [
+        (0, good),
+        (1, good),            # exact duplicate of 0 -> dropped
+        (2, near),            # near-dup of 0 -> clustered, dropped
+        (3, other),
+        (4, "!!! ??? ..."),   # punctuation junk -> quality-dropped
+        (5, "tiny"),          # under min_tokens -> quality-dropped
+        (6, contaminated),    # overlaps benchmark -> decontaminated
+    ]
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(inp)
+    bench = str(tmp_path / "bench")
+    spark.createDataFrame(
+        [(0, bench_text)], "doc_id long, text string"
+    ).write.parquet(bench)
+    out = str(tmp_path / "clean")
+
+    rc = cli.main(
+        [
+            "corpus-curate",
+            "--input-path", inp,
+            "--output-path", out,
+            "--benchmark-path", bench,
+            "--jaccard-threshold", "0.5",
+            "--shards", "2",
+        ]
+    )
+    assert rc == 0
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept == {0, 3}
+    manifest = json.loads((tmp_path / "clean" / "_shards.json").read_text())
+    assert sum(s["rows"] for s in manifest) == 2
