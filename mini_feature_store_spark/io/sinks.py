@@ -21,6 +21,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from mini_feature_store_spark.session import HAVE_DELTA
 
@@ -121,6 +122,80 @@ def write_parquet_clustered(
     else:
         clustered = df.repartitionByRange(*cluster_cols)
     clustered = clustered.sortWithinPartitions(*cluster_cols)
+    write_parquet(clustered, path, mode=mode, partition_by=partition_by)
+
+
+def write_parquet_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_by: Sequence[str],
+    bits: int = 16,
+    partition_by: Sequence[str] = (),
+    mode: str = "overwrite",
+    target_files: int | None = None,
+) -> None:
+    """Multi-key layout-aware write: cluster files by the Morton (Z-order)
+    interleaving of the keys' bucket ids, so footer min/max stats stay
+    narrow on EVERY key simultaneously.
+
+    ``write_parquet_clustered`` gives perfect skipping on its first key
+    and none on the others (file ranges on key 2 span the whole domain
+    inside each key-1 range). Z-ordering trades a little of key 1's
+    locality for locality on all keys: each key is linearly bucketed into
+    ``2^bits`` cells between its observed min/max (one tiny aggregate,
+    carried as a broadcast 1-row join so plan-build stays job-free), the
+    per-key bucket bits are interleaved into one code, and files are
+    range-partitioned + sorted on that code — the open-format analog of
+    Delta ``OPTIMIZE ZORDER BY``, in pure Spark expressions.
+
+    With k keys a filter selecting fraction f of one key touches ~f^(1/k)
+    of the files instead of all of them (measured in
+    tests/test_io_plans.py from the actual parquet footers). Keys must be
+    numeric/date-like (bucketing is linear); nulls sort to cell 0.
+    ``bits·k`` must fit a signed long (≤ 62).
+    """
+    keys = list(zorder_by)
+    if len(keys) < 2:
+        raise ValueError("zorder_by needs >= 2 columns (use cluster_by for 1)")
+    if bits * len(keys) > 62:
+        raise ValueError(f"bits*keys = {bits * len(keys)} exceeds long range")
+    cells = 1 << bits
+    bounds = df.select(
+        *[
+            agg(F.col(c).cast("double")).alias(f"_{kind}_{c}")
+            for c in keys
+            for kind, agg in (("min", F.min), ("max", F.max))
+        ]
+    )
+    coded = df.crossJoin(F.broadcast(bounds))
+    code = F.lit(0).cast("long")
+    for i, c in enumerate(keys):
+        lo, hi = F.col(f"_min_{c}"), F.col(f"_max_{c}")
+        cell = F.when(
+            hi > lo,
+            F.least(
+                F.lit(cells - 1),
+                F.floor(
+                    (F.col(c).cast("double") - lo) / (hi - lo) * cells
+                ).cast("long"),
+            ),
+        ).otherwise(F.lit(0))
+        cell = F.coalesce(cell, F.lit(0))
+        for b in range(bits):
+            code = code.bitwiseOR(
+                F.shiftleft(
+                    F.shiftrightunsigned(cell, b).bitwiseAND(F.lit(1)),
+                    b * len(keys) + i,
+                )
+            )
+    coded = coded.withColumn("_zcode", code).drop(
+        *[f"_{kind}_{c}" for c in keys for kind in ("min", "max")]
+    )
+    if target_files is not None:
+        clustered = coded.repartitionByRange(target_files, "_zcode")
+    else:
+        clustered = coded.repartitionByRange("_zcode")
+    clustered = clustered.sortWithinPartitions("_zcode").drop("_zcode")
     write_parquet(clustered, path, mode=mode, partition_by=partition_by)
 
 

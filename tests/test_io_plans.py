@@ -6,6 +6,7 @@ columns for a 2-column projection is wrong regardless of test-scale timing."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -284,3 +285,79 @@ def test_training_shards_deterministic_with_manifest(spark, tmp_path):
         F.col("_shard") != F.pmod(F.xxhash64("doc_id"), F.lit(8))
     ).count()
     assert mism == 0
+
+
+def test_zordered_write_skips_on_both_keys(spark, tmp_path):
+    """write_parquet_zordered must keep footer min/max narrow on BOTH keys:
+    a 10% range filter on either key should overlap far fewer files than
+    under single-key clustering (where the second key's per-file range
+    spans the whole domain)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from mini_feature_store_spark.io.sinks import (
+        write_parquet_clustered,
+        write_parquet_zordered,
+    )
+
+    df = spark.range(120_000).selectExpr(
+        "pmod(hash(id), 1000) AS x",
+        "pmod(hash(id + 77), 1000) AS y",
+        "id AS payload",
+    )
+
+    def files_overlapping(path, col_name, lo, hi):
+        n_total, n_hit = 0, 0
+        for f in sorted(glob.glob(f"{path}/*.parquet")):
+            md = pq.read_metadata(f)
+            idx = next(
+                i
+                for i in range(md.num_columns)
+                if md.schema.column(i).name == col_name
+            )
+            mn = min(
+                md.row_group(g).column(idx).statistics.min
+                for g in range(md.num_row_groups)
+            )
+            mx = max(
+                md.row_group(g).column(idx).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            n_total += 1
+            if mx >= lo and mn <= hi:
+                n_hit += 1
+        return n_hit, n_total
+
+    xonly = str(tmp_path / "xonly")
+    write_parquet_clustered(df, xonly, cluster_by=["x"], target_files=16)
+    zord = str(tmp_path / "zord")
+    write_parquet_zordered(df, zord, zorder_by=["x", "y"], target_files=16)
+
+    # x is clustered in both layouts: both skip on x
+    hit_x_clustered, n1 = files_overlapping(xonly, "x", 0, 99)
+    hit_x_zord, n2 = files_overlapping(zord, "x", 0, 99)
+    assert n1 == 16 and n2 == 16
+    assert hit_x_clustered <= 3
+    assert hit_x_zord <= 8  # z-order trades some x-locality ...
+
+    # ... to gain y-locality: x-only clustering cannot skip on y at all
+    hit_y_clustered, _ = files_overlapping(xonly, "y", 0, 99)
+    hit_y_zord, _ = files_overlapping(zord, "y", 0, 99)
+    assert hit_y_clustered == 16
+    assert hit_y_zord <= 8, (hit_y_zord, hit_y_clustered)
+
+    # layout changes must never change the data
+    assert spark.read.parquet(zord).count() == 120_000
+
+
+def test_zordered_write_validation(spark, tmp_path):
+    from mini_feature_store_spark.io.sinks import write_parquet_zordered
+
+    df = spark.range(10).selectExpr("id AS a", "id AS b")
+    with pytest.raises(ValueError, match=">= 2"):
+        write_parquet_zordered(df, str(tmp_path / "z1"), zorder_by=["a"])
+    with pytest.raises(ValueError, match="long range"):
+        write_parquet_zordered(
+            df, str(tmp_path / "z2"), zorder_by=["a", "b"], bits=32
+        )
