@@ -1223,6 +1223,21 @@ def embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb.where(F.col("vec_id") < 10), emb, k=5, n_cells=16, n_probe=8)
 
 
+@_q("embedding_topk_pq")  # rows-only; recall vs brute force in tests
+def embedding_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate top-5 (operators/similarity.py:pq_topk): product-
+    quantized 8-byte codes in the scoring hot loop instead of 256-byte raw
+    vectors — the memory-bounded 100 TB ANN path; exact re-rank of the
+    refine·k shortlist, so emitted cosines are exact."""
+    from mini_feature_store_spark.operators.similarity import pq_topk
+
+    _utc(spark)
+    emb = load_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    return pq_topk(
+        emb.where(F.col("vec_id") < 10), emb, k=5, n_probe=8, refine=8
+    )
+
+
 # ── relational surface completion (SURVEY.md §2.11) ─────────────────────────
 
 
@@ -3153,6 +3168,7 @@ VERIFY_ORDER: list[str] = [
     "doc_chunk_windows",
     "doc_balanced_mixture_sample",
     "doc_token_budget_selection",
+    "embedding_topk_pq",
     # last driver row r1/r2 — stalest greens, rotate in
     "embedding_topk_lsh",
     "embedding_topk_ivf",

@@ -447,3 +447,42 @@ def test_simhash_idf_weighting_restores_discrimination_on_zipf(spark):
     # (43% of all 44 850 doc pairs) vs 31 weighted on this seed
     assert len(plain) > 5_000, len(plain)
     assert len(weighted) < len(plain) / 100, (len(weighted), len(plain))
+
+
+def test_pq_topk_recall(emb):
+    """IVF-PQ on isotropic vectors (PQ's adversarial case): with half the
+    cells probed and an 8k shortlist, recall ≥ 0.6 vs brute force
+    (measured 0.74); with every cell probed (pure PQ quantization loss
+    only) recall ≥ 0.8 (measured 0.92). Emitted cosines must be EXACT —
+    equal to the brute-force values on recovered pairs."""
+    from mini_feature_store_spark.operators.similarity import pq_topk
+
+    queries = emb.where(F.col("vec_id") < 30)
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in cosine_topk_bruteforce(queries, emb, k=5).collect()
+    }
+    pq = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in pq_topk(queries, emb, k=5, n_probe=8, refine=8).collect()
+    }
+    hits = set(exact) & set(pq)
+    assert len(hits) / len(exact) >= 0.6, len(hits) / len(exact)
+    for key in hits:
+        assert pq[key] == exact[key]
+
+    pure = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_topk(queries, emb, k=5, n_probe=16, refine=8).collect()
+    }
+    assert len(set(exact) & pure) / len(exact) >= 0.8
+
+
+def test_pq_topk_validation(spark):
+    from mini_feature_store_spark.operators.similarity import pq_topk
+
+    df = spark.createDataFrame([(1, [0.0] * 64)], "vec_id long, embedding array<float>")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="divisible"):
+        pq_topk(df, df, m_sub=7)
