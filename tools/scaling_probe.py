@@ -122,13 +122,20 @@ def run_scale(spark, d: Path) -> dict[str, float]:
         simhash_pairs,
     )
     from mini_feature_store_spark.operators.graph import dedup_clusters
+    from mini_feature_store_spark.operators.packing import pack_sequences
     from mini_feature_store_spark.operators.similarity import (
         cosine_pairs,
         cosine_pairs_lsh,
         ivf_topk,
         lsh_topk,
+        pq_topk,
     )
-    from mini_feature_store_spark.operators.text import lang_id, text_stats
+    from mini_feature_store_spark.operators.text import (
+        chunk_documents,
+        lang_id,
+        text_stats,
+        token_count,
+    )
 
     docs = spark.read.parquet(str(d / "documents.parquet"))
     emb = spark.read.parquet(str(d / "embeddings.parquet"))
@@ -150,6 +157,7 @@ def run_scale(spark, d: Path) -> dict[str, float]:
         ),
         "minhash_lsh_pairs": lambda: minhash_lsh_pairs(docs, threshold=0.5),
         "simhash_pairs": lambda: simhash_pairs(docs),
+        "simhash_pairs_idf": lambda: simhash_pairs(docs, idf_weighted=True),
         # realistic near-dup operating point: LSH prunes here
         "cosine_pairs_lsh_t085": lambda: cosine_pairs_lsh(
             emb, threshold=0.85, n_planes=12, n_tables=8
@@ -165,6 +173,15 @@ def run_scale(spark, d: Path) -> dict[str, float]:
         ),
         "lsh_topk": lambda: lsh_topk(queries, emb, k=5),
         "ivf_topk": lambda: ivf_topk(queries, emb, k=5),
+        "pq_topk": lambda: pq_topk(queries, emb, k=5, n_probe=8, refine=8),
+        "sequence_packing": lambda: pack_sequences(
+            docs.select(
+                "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+            ),
+            budget=512,
+            shard_col="source",
+        ),
+        "chunk_windows": lambda: chunk_documents(docs, chunk_tokens=40, overlap=8),
     }
     out = {}
     for name, build in ops.items():
