@@ -435,6 +435,32 @@ def simhash_pairs(
         raise ValueError("need max_hamming < blocks for pigeonhole guarantee")
     # 8 bytes/doc, read by both self-join sides — persist, don't re-derive.
     sims = simhash(df, bits, text_col, id_col, idf_weighted=idf_weighted).persist()
+    return hamming_blocked_pairs(sims, max_hamming, bits, blocks)
+
+
+def hamming_blocked_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 64,
+    blocks: int = 4,
+    hash_col: str = "simhash",
+    id_col: str = "id",
+) -> DataFrame:
+    """All pairs (id_a < id_b) within Hamming distance ``max_hamming`` of
+    any 64-bit-hash relation — the reusable pigeonhole core of
+    ``simhash_pairs``, also used for perceptual image hashes
+    (operators/multimodal.py:image_phash_pairs).
+
+    Split the hash into ``blocks`` chunks; a pair within distance
+    ``max_hamming`` (< blocks) agrees on ≥ 1 full chunk, so candidates are
+    equi-join matches on (block index, chunk value) — never all-pairs —
+    with the exact Hamming check afterwards. Output: (id_a, id_b, hamming).
+    """
+    if max_hamming >= blocks:
+        raise ValueError("need max_hamming < blocks for pigeonhole guarantee")
+    sims = hashes.select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("simhash")
+    )
     width = bits // blocks
     mask = (1 << width) - 1
     chunked = sims.select(

@@ -352,3 +352,104 @@ def synthesize_payloads(
             )
 
     return df.select(id_col, aux_col).mapInPandas(gen, schema)
+
+
+def image_phash(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Perceptual hash (pHash) per image — the multimodal member of the
+    dedup family: grayscale → 32×32 block-mean resize → 2-D DCT-II → the
+    8×8 low-frequency block (DC dropped) thresholded at its median → a
+    63-bit hash. Near-duplicate images (re-encodes, small edits, uniform
+    brightness shifts) land within a few bits; the DC drop + median
+    threshold make the hash invariant to uniform brightness/contrast
+    changes by construction.
+
+    Same stub contract as the rest of this module: the FAKE format is
+    decodable; real formats raise into the row-level ``error`` column.
+    The DCT is an orthonormal-basis matmul (numpy) — no scipy needed.
+    Output: (media_id, phash, error).
+    """
+    import numpy as np
+
+    n_res = 32
+    k = np.arange(n_res)
+    basis = np.sqrt(2.0 / n_res) * np.cos(
+        np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n_res)
+    )
+    basis[0] /= np.sqrt(2.0)
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf["payload"]):
+                row = {"media_id": mid, "phash": None, "error": None}
+                try:
+                    if blob is None:
+                        raise ValueError("null payload")
+                    raw = bytes(blob)
+                    if not raw.startswith(FAKE_MAGIC):
+                        raise NotImplementedError(
+                            "real image codecs unavailable in this "
+                            "environment; only the FAKE format is decodable"
+                        )
+                    w, h, c = struct.unpack("<HHB", raw[4:9])
+                    if w == 0 or h == 0:
+                        raise ValueError("empty image")
+                    px = np.frombuffer(
+                        raw, dtype=np.uint8, offset=9, count=w * h * c
+                    )
+                    img = px.reshape(h, w, c).astype(np.float64).mean(axis=2)
+                    ys = np.arange(n_res + 1) * h // n_res
+                    xs = np.arange(n_res + 1) * w // n_res
+                    small = np.empty((n_res, n_res))
+                    for i in range(n_res):
+                        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
+                        for j in range(n_res):
+                            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
+                            small[i, j] = img[y0:y1, x0:x1].mean()
+                    dct = basis @ small @ basis.T
+                    low = dct[:8, :8].ravel()[1:]  # drop the DC term
+                    bits = low > np.median(low)
+                    ph = 0
+                    for i, bit in enumerate(bits):
+                        if bit:
+                            ph |= 1 << i
+                    row["phash"] = ph
+                except (NotImplementedError, ValueError, struct.error) as e:
+                    row["error"] = f"{type(e).__name__}: {e}"
+                rows.append(row)
+            yield pd.DataFrame(rows).astype(
+                {"media_id": "int64", "phash": "Int64"}
+            )
+
+    return media.select(id_col, "payload").mapInPandas(
+        hash_batches, "media_id long, phash long, error string"
+    )
+
+
+def image_phash_pairs(
+    media: DataFrame,
+    max_hamming: int = 6,
+    blocks: int = 8,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Near-duplicate image pairs by perceptual-hash Hamming distance —
+    the same pigeonhole-blocked equi-join as text SimHash
+    (operators/dedup.py:hamming_blocked_pairs), so candidate generation
+    is never an all-pairs product. Decode failures are excluded (they
+    carry their own error rows in ``image_phash``).
+    Output: (id_a, id_b, hamming)."""
+    from mini_feature_store_spark.operators.dedup import hamming_blocked_pairs
+
+    ph = (
+        image_phash(media, id_col)
+        .where(F.col("error").isNull())
+        .select("media_id", "phash")
+    )
+    return hamming_blocked_pairs(
+        ph,
+        max_hamming=max_hamming,
+        bits=64,
+        blocks=blocks,
+        hash_col="phash",
+        id_col="media_id",
+    )

@@ -2137,6 +2137,32 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_images(media)
 
 
+@_q("multimodal_phash_pairs")  # rows-only: DCT perceptual hash of binary
+# payloads — not SQL-expressible; invariances pinned in tests/test_multimodal.py
+def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs by perceptual hash (operators/multimodal.py:
+    image_phash_pairs): every 10th document's synthesized image reuses an
+    earlier seed, planting exact visual duplicates; the pigeonhole-blocked
+    Hamming join (shared with text SimHash) recovers them with no
+    all-pairs product."""
+    from mini_feature_store_spark.operators.multimodal import (
+        encode_fake_image,
+        image_phash_pairs,
+        synthesize_payloads,
+    )
+
+    _utc(spark)
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+
+    def make_blob(doc_id: int, n_chars: int) -> bytes:
+        # every 10th image duplicates the seed of doc_id - 5 → planted pairs
+        seed = (doc_id - 5) if doc_id % 10 == 0 and doc_id >= 10 else doc_id
+        return encode_fake_image(24 + seed % 9, 18 + seed % 7, 3, seed=seed % 97)
+
+    media = synthesize_payloads(docs, make_blob)
+    return image_phash_pairs(media, max_hamming=3)
+
+
 @_q("multimodal_frame_sample")  # binary payloads: rows-only check; plumbing
 # pinned in tests/test_multimodal.py (1→N fan-out, image-tier composition)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3169,6 +3195,7 @@ VERIFY_ORDER: list[str] = [
     "doc_balanced_mixture_sample",
     "doc_token_budget_selection",
     "embedding_topk_pq",
+    "multimodal_phash_pairs",
     # last driver row r1/r2 — stalest greens, rotate in
     "embedding_topk_lsh",
     "embedding_topk_ivf",

@@ -113,3 +113,56 @@ def test_audio_features_duration_and_error_channel(spark):
     assert rows[1].sample_rate == 8000 and abs(rows[1].duration_s - 2.0) < 1e-9
     assert rows[1].rms > 0
     assert rows[2].error is not None and rows[2].sample_rate is None
+
+
+def test_image_phash_near_dup_pairs(spark):
+    """pHash must pair identical images at hamming 0, lightly-noised and
+    uniformly-brightened variants within the default radius, and leave
+    unrelated images unpaired; decode failures go to the error channel."""
+    import struct as _struct
+
+    import numpy as np
+
+    from mini_feature_store_spark.operators.multimodal import (
+        FAKE_MAGIC,
+        image_phash,
+        image_phash_pairs,
+    )
+
+    def blob(arr):
+        h, w, c = arr.shape
+        return (
+            FAKE_MAGIC
+            + _struct.pack("<HHB", w, h, c)
+            + arr.astype(np.uint8).tobytes()
+        )
+
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 200, (48, 64, 3))
+    noisy = np.clip(base + rng.integers(-3, 4, base.shape), 0, 255)
+    bright = np.clip(base + 30, 0, 255)  # uniform brightness shift
+    other = rng.integers(0, 200, (48, 64, 3))
+    rows = [
+        (0, "image", None, bytearray(blob(base)), None),
+        (1, "image", None, bytearray(blob(base)), None),      # identical
+        (2, "image", None, bytearray(blob(noisy)), None),     # near-dup
+        (3, "image", None, bytearray(blob(bright)), None),    # brightness
+        (4, "image", None, bytearray(blob(other)), None),     # unrelated
+        (5, "image", None, bytearray(b"JPEGnotreally"), None),  # undecodable
+    ]
+    from mini_feature_store_spark.operators.multimodal import MEDIA_SCHEMA
+
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    hashes = {r.media_id: (r.phash, r.error) for r in image_phash(media).collect()}
+    assert hashes[0][0] == hashes[1][0]  # identical -> identical hash
+    assert hashes[5][0] is None and "NotImplementedError" in hashes[5][1]
+
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in image_phash_pairs(media, max_hamming=6).collect()
+    }
+    assert pairs[(0, 1)] == 0
+    assert (0, 2) in pairs and pairs[(0, 2)] <= 6
+    assert (0, 3) in pairs  # DC-drop + median threshold absorb the shift
+    assert not any(4 in p or 5 in p for p in pairs)
