@@ -59,9 +59,18 @@ def asof_join(
     tolerance: str | None = None,
     how: str = "left",
     tie_breakers: list[str] | tuple[str, ...] = (),
+    salt: int = 0,
+    salt_seed: int = 42,
 ) -> DataFrame:
     """Generalized as-of join at full timestamp precision (pandas
     ``merge_asof`` surface, distributed).
+
+    ``salt > 0`` splits celebrity keys across ``salt`` shuffle partitions
+    exactly as in ``point_in_time_join``: right rows get a uniform salt,
+    left rows are replicated per salt value, the join key gains the salt,
+    and the per-left-row min_by/max_by collapse (which spans all of a
+    row's salt copies) recovers the same single pick — needed under
+    ``how='left'``, where AQE may not split the non-preserved side.
 
     For each left row pick ONE right row per the direction:
 
@@ -93,10 +102,19 @@ def asof_join(
     value_cols = [c for c in right.columns if c not in keys and c != right_ts]
     out_cols = left.columns + [right_ts] + value_cols
 
+    if salt < 0:
+        raise ValueError(f"salt must be >= 0, got {salt}")
     # Unique row id so exact-duplicate left rows each keep their own match
     # (grouping by the visible columns alone would collapse them and break
     # left-join row preservation).
     left = left.withColumn("_asof_row_id", F.monotonically_increasing_id())
+    if salt > 0:
+        left = left.withColumn(
+            "_asof_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        )
+        right = right.withColumn(
+            "_asof_salt", F.floor(F.rand(salt_seed) * salt).cast("int")
+        )
 
     l_ts, r_ts = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
     diff_us = F.unix_micros(r_ts) - F.unix_micros(l_ts)
@@ -115,6 +133,8 @@ def asof_join(
     cond = pred
     for k in keys:
         cond &= F.col(f"l.{k}") == F.col(f"r.{k}")
+    if salt > 0:
+        cond &= F.col("l._asof_salt") == F.col("r._asof_salt")
     joined = left.alias("l").join(right.alias("r"), cond, "left")
 
     # Ordering key for the pick: direction-appropriate distance, then
@@ -139,15 +159,25 @@ def asof_join(
             r_ts.alias("t"), *[F.col(f"r.{c}").alias(c) for c in tie_breakers]
         )
         picker = F.max_by
+    # Null-candidate rows (left-join padding — including salt copies whose
+    # slice held no match) must LOSE the pick: a struct with null FIELDS is
+    # itself non-null and sorts nulls-first, so under min_by (forward /
+    # nearest) it would beat every real candidate. Nulling the whole order
+    # struct instead makes min_by/max_by skip the row (null orderings are
+    # ignored; an all-null group yields null — exactly left-join padding).
+    order = F.when(r_ts.isNotNull(), order)
     payload = F.when(
         r_ts.isNotNull(),
         F.struct(*[F.col(f"r.{c}").alias(c) for c in [right_ts] + value_cols]),
     )
+    # Group keys must EXCLUDE the salt: a left row's salt copies share the
+    # row id and collapse back into the one output row.
+    group_cols = [c for c in left.columns if c != "_asof_salt"]
     out = (
-        joined.groupBy(*[F.col(f"l.{c}").alias(c) for c in left.columns])
+        joined.groupBy(*[F.col(f"l.{c}").alias(c) for c in group_cols])
         .agg(picker(payload, order).alias("_r"))
         .select(
-            *[c for c in left.columns if c != "_asof_row_id"],
+            *[c for c in group_cols if c != "_asof_row_id"],
             *[F.col(f"_r.{c}").alias(c) for c in [right_ts] + value_cols],
         )
     )

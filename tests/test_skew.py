@@ -173,3 +173,28 @@ def test_pit_salted_join_key_includes_salt(spark, celebrity_pit):
     assert "_pit_salt" in plan
     # and the salt never leaks into the output schema
     assert "_pit_salt" not in out.columns
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_asof_join_salted_matches_unsalted(spark, celebrity_pit, direction):
+    """asof_join(salt=N) must be result-identical to salt=0 in every
+    direction on the celebrity fixture (same collapse-spans-salt-copies
+    argument as the PIT join)."""
+    from mini_feature_store_spark.operators.point_in_time import asof_join
+
+    feats, labels = celebrity_pit
+    right = feats.select(
+        "user_id", F.col("day").cast("timestamp").alias("fts"), "f1"
+    )
+    kwargs = dict(
+        keys=["user_id"],
+        left_ts="as_of_ts",
+        right_ts="fts",
+        direction=direction,
+        tolerance="90 days",
+    )
+    plain = asof_join(labels, right, **kwargs)
+    salted = asof_join(labels, right, salt=8, **kwargs)
+    assert Counter(map(tuple, plain.collect())) == Counter(
+        map(tuple, salted.collect())
+    )
