@@ -377,11 +377,24 @@ def image_phash(media: DataFrame, id_col: str = "media_id") -> DataFrame:
     )
     basis[0] /= np.sqrt(2.0)
 
+    bit_weights = 1 << np.arange(63, dtype=np.int64)
+
     def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Images are GROUPED BY (w, h, c) inside each Arrow batch and every
+        # group is hashed in ONE vectorized pipeline (stacked reshape →
+        # batched integral image → one 4-gather block-mean → one batched
+        # DCT einsum). Per-image python work is header parsing only —
+        # real media pipelines bucket by resolution after resize for the
+        # same reason. (Per-image numpy calls measured 6.5 s for 5k tiny
+        # images; the per-image python-loop resize before that, 47 s.)
         for pdf in batches:
-            rows = []
-            for mid, blob in zip(pdf[id_col], pdf["payload"]):
-                row = {"media_id": mid, "phash": None, "error": None}
+            n = len(pdf)
+            ids = pdf[id_col].to_numpy()
+            phash = np.zeros(n, dtype=np.int64)
+            ok = np.zeros(n, dtype=bool)
+            errors: list = [None] * n
+            groups: dict = {}
+            for i, blob in enumerate(pdf["payload"]):
                 try:
                     if blob is None:
                         raise ValueError("null payload")
@@ -397,29 +410,44 @@ def image_phash(media: DataFrame, id_col: str = "media_id") -> DataFrame:
                     px = np.frombuffer(
                         raw, dtype=np.uint8, offset=9, count=w * h * c
                     )
-                    img = px.reshape(h, w, c).astype(np.float64).mean(axis=2)
-                    ys = np.arange(n_res + 1) * h // n_res
-                    xs = np.arange(n_res + 1) * w // n_res
-                    small = np.empty((n_res, n_res))
-                    for i in range(n_res):
-                        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
-                        for j in range(n_res):
-                            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
-                            small[i, j] = img[y0:y1, x0:x1].mean()
-                    dct = basis @ small @ basis.T
-                    low = dct[:8, :8].ravel()[1:]  # drop the DC term
-                    bits = low > np.median(low)
-                    ph = 0
-                    for i, bit in enumerate(bits):
-                        if bit:
-                            ph |= 1 << i
-                    row["phash"] = ph
+                    if len(px) < w * h * c:
+                        raise ValueError("truncated payload")
+                    groups.setdefault((w, h, c), []).append((i, px))
                 except (NotImplementedError, ValueError, struct.error) as e:
-                    row["error"] = f"{type(e).__name__}: {e}"
-                rows.append(row)
-            yield pd.DataFrame(rows).astype(
-                {"media_id": "int64", "phash": "Int64"}
+                    errors[i] = f"{type(e).__name__}: {e}"
+            for (w, h, c), items in groups.items():
+                idx = np.array([i for i, _ in items])
+                stack = np.stack([p for _, p in items])  # (m, w*h*c) uint8
+                imgs = (
+                    stack.reshape(len(items), h, w, c)
+                    .astype(np.float64)
+                    .mean(axis=3)
+                )
+                ys = np.arange(n_res + 1) * h // n_res
+                xs = np.arange(n_res + 1) * w // n_res
+                y1 = np.maximum(ys[1:], ys[:-1] + 1)
+                x1 = np.maximum(xs[1:], xs[:-1] + 1)
+                y0, x0 = ys[:-1], xs[:-1]
+                ii = np.zeros((len(items), h + 1, w + 1))
+                ii[:, 1:, 1:] = imgs.cumsum(1).cumsum(2)
+                sums = (
+                    ii[:, y1[:, None], x1[None, :]]
+                    - ii[:, y0[:, None], x1[None, :]]
+                    - ii[:, y1[:, None], x0[None, :]]
+                    + ii[:, y0[:, None], x0[None, :]]
+                )
+                areas = (y1 - y0)[:, None] * (x1 - x0)[None, :]
+                small = sums / areas  # (m, 32, 32)
+                dct = np.matmul(np.matmul(basis, small), basis.T)
+                low = dct[:, :8, :8].reshape(len(items), 64)[:, 1:]
+                bits = low > np.median(low, axis=1, keepdims=True)
+                phash[idx] = bits @ bit_weights
+                ok[idx] = True
+            out = pd.DataFrame(
+                {"media_id": ids, "phash": phash, "error": errors}
             )
+            out["phash"] = out["phash"].astype("Int64").where(ok)
+            yield out
 
     return media.select(id_col, "payload").mapInPandas(
         hash_batches, "media_id long, phash long, error string"
