@@ -20,10 +20,27 @@ import pandas as pd
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 
+def _calibrate() -> float:
+    """Fixed single-core interpreter workload (~0.5-1.5 s): measures the
+    MACHINE, not the engine. This box is a VM whose effective CPU speed
+    swings ~2× between runs with near-zero guest load and <5% steal
+    (host/SMT contention is invisible to guest metrics); identical code
+    measured 54.7 s and 123 s totals hours apart. Recording the
+    calibration constant alongside the timings lets cross-round
+    comparison normalize: query_seconds / calib_sec is stable when the
+    code is unchanged."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(10_000_000):
+        x += i
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or 0.1)
+    calib = _calibrate()
 
     from mini_feature_store_spark.session import get_spark
 
@@ -62,6 +79,7 @@ def main() -> None:
         qs = {n: qs[n] for n in names}
     iterations = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
     timings: dict[str, float] = {}
+    query_calib: dict[str, float] = {}
     for name, fn in qs.items():
         # Several operators persist() intermediates; dropping them between
         # QUERIES keeps ~70 queries' worth of cached partitions from
@@ -80,6 +98,14 @@ def main() -> None:
         # jobs, and a single sample conflates scheduler contention with
         # query cost. N=2 keeps total wall ~2x.
         timings[name] = round(best, 3)
+        # ~10%-scale machine-speed probe PER QUERY (host speed oscillates
+        # on sub-minute timescales here — see _calibrate); lets any
+        # consumer normalize each timing individually.
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(1_000_000):
+            x += i
+        query_calib[name] = round(time.perf_counter() - t0, 4)
     total = round(sum(timings.values()), 3)
     spark.stop()
     payload = {
@@ -88,6 +114,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # machine-speed constant measured immediately before the run (and
+        # again after — host contention can shift mid-run); see _calibrate.
+        "calib_sec": calib,
+        "calib_sec_end": _calibrate(),
+        "query_calib": query_calib,
     }
     # The driver archives only the tail of stdout, which truncates the first
     # ~15 queries' timings out of BENCH_r0N.json — persist the complete
