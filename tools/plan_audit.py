@@ -57,6 +57,31 @@ AUDITED: dict[str, str] = {
         "B(B+1)/2 block-pair join, one numpy matmul per pair inside "
         "Arrow-batched mapInPandas."
     ),
+    "doc_sequence_packing": (
+        "Concat-then-chunk packing: ONE hash exchange on the shard key "
+        "feeds the per-shard cumulative-sum window; pack ids/offsets are "
+        "pure projections of the running sum. No global sort, no "
+        "iteration — the sequential dependency never crosses shards."
+    ),
+    "doc_chunk_windows": (
+        "Sliding-window chunking: tokenize → sequence/filter → "
+        "posexplode → slice/array_join — one narrow Generate, ZERO "
+        "exchanges; whole-stage codegen end-to-end. The 1→N fan-out "
+        "composes with any downstream embedding UDF."
+    ),
+    "embedding_topk_pq": (
+        "IVF-PQ: corpus carries (cell, 16 smallint codes, norm) — never "
+        "raw vectors — through the probe join; approximate scoring is a "
+        "decode-gather-einsum per Arrow batch; only the refine·k "
+        "shortlist per query joins true vectors for the exact re-rank."
+    ),
+    "multimodal_phash_pairs": (
+        "Perceptual-hash image near-dup: payloads decode+hash in one "
+        "Arrow mapInPandas (per-shape batched integral-image resize + "
+        "batched DCT), then 8-byte hashes take the same pigeonhole "
+        "Hamming equi-join as text SimHash — binary payloads never "
+        "reach a shuffle."
+    ),
     "embedding_dedup_clusters_lsh": (
         "LSH bucket-GEMM (r4 rewrite): one Arrow matmul computes all "
         "tables' sign-bit codes per vector; memberships (base + 1-bit-flip "
