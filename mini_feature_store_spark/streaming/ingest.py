@@ -313,3 +313,83 @@ def incremental_dedup_stream(
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(admit)
     )
+
+
+def incremental_neardedup_stream(
+    stream: DataFrame,
+    admitted_path: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_freq: int | None = 1000,
+):
+    """Streaming NEAR-dup ingest: the n-gram-Jaccard tier of
+    ``incremental_dedup_stream`` — each micro-batch admits only docs that
+    are not near-duplicates (Jaccard ≥ ``threshold`` over capped 3-gram
+    shingle sets) of anything admitted earlier OR of an earlier-id doc in
+    the same batch.
+
+    Within-batch rule is the GREEDY chain cut (drop every doc that pairs
+    with a smaller-id doc), not full connected components: in a chain
+    a–b–c the survivor set is {a} either way, but greedy needs no
+    iteration inside a micro-batch and is deterministic given ids.
+
+    Cost shape per batch (the steady-state ingest contract): pair
+    generation is batch×batch plus batch×corpus via capped posting lists
+    (operators/dedup.py) — the admitted CORPUS is never self-joined, and
+    corpus text is read only to build its posting side. ``foreachBatch``
+    gives batch-boundary exactly-once: a replayed batch re-probes the
+    store and admits nothing twice.
+
+    Returns the ``DataStreamWriter`` (caller starts/stops it).
+    """
+    from mini_feature_store_spark.operators.dedup import (
+        ngram_jaccard_against,
+        ngram_jaccard_pairs,
+    )
+
+    def admit(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        spark = batch_df.sparkSession
+        batch_df = batch_df.persist()
+        intra = ngram_jaccard_pairs(
+            batch_df,
+            threshold=threshold,
+            text_col=text_col,
+            id_col=id_col,
+            max_shingle_freq=max_shingle_freq,
+        )
+        novel = batch_df.join(
+            intra.select(F.col("id_b").alias(id_col)).distinct(),
+            id_col,
+            "left_anti",
+        )
+        if os.path.isdir(admitted_path) and any(
+            f.endswith(".parquet")
+            for _, _, fs in os.walk(admitted_path)
+            for f in fs
+        ):
+            corpus = spark.read.parquet(admitted_path)
+            cross = ngram_jaccard_against(
+                novel,
+                corpus,
+                threshold=threshold,
+                text_col=text_col,
+                id_col=id_col,
+                max_shingle_freq=max_shingle_freq,
+            )
+            novel = novel.join(
+                cross.select(F.col("new_id").alias(id_col)).distinct(),
+                id_col,
+                "left_anti",
+            )
+        novel.write.mode("append").parquet(admitted_path)
+        batch_df.unpersist()
+
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(admit)
+    )

@@ -327,3 +327,60 @@ def test_incremental_dedup_stream_admits_only_novel(spark, tmp_path):
 
     out2 = {r.doc_id for r in spark.read.parquet(admitted).collect()}
     assert out2 == {1, 2, 11}  # 10 and 12 rejected against the store
+
+
+def test_incremental_neardedup_stream_rejects_near_dups(spark, tmp_path):
+    """Streaming near-dup ingest: batch 2's lightly-edited variants of
+    admitted docs (and its own internal near-dups) are rejected at the
+    Jaccard threshold; genuinely novel content is admitted."""
+    from mini_feature_store_spark.streaming.ingest import (
+        incremental_neardedup_stream,
+    )
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    near = base.replace("theta", "CHANGED")  # 1/20 words -> J ~ 0.8
+    other = (
+        "one two three four five six seven eight nine ten eleven twelve "
+        "thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+    )
+    src_dir = tmp_path / "nd-incoming"
+    src_dir.mkdir()
+    admitted = str(tmp_path / "nd-admitted")
+    schema = "doc_id long, text string"
+
+    spark.createDataFrame(
+        [(1, base), (2, other), (3, near)], schema
+    ).coalesce(1).write.mode("append").json(str(src_dir))
+    stream = spark.readStream.schema(schema).json(str(src_dir))
+    q = (
+        incremental_neardedup_stream(
+            stream, admitted, str(tmp_path / "nd-ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out1 = {r.doc_id for r in spark.read.parquet(admitted).collect()}
+    assert out1 == {1, 2}  # 3 is a within-batch near-dup of 1
+
+    near2 = base.replace("kappa", "EDITED")
+    fresh = (
+        "completely different subject matter about spark shuffles and "
+        "catalyst plans pruning columns pushing filters into scans today"
+    )
+    spark.createDataFrame(
+        [(10, near2), (11, fresh)], schema
+    ).coalesce(1).write.mode("append").json(str(src_dir))
+    q = (
+        incremental_neardedup_stream(
+            stream, admitted, str(tmp_path / "nd-ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out2 = {r.doc_id for r in spark.read.parquet(admitted).collect()}
+    assert out2 == {1, 2, 11}  # 10 near-dups admitted doc 1 -> rejected
