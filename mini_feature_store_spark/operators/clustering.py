@@ -1,0 +1,363 @@
+"""Distributed k-means and semantic (cluster-then-compare) dedup.
+
+Prompt north star (no reference analog — the reference stops at exact and
+hash-based dedup): SemDeDup-style semantic deduplication needs an embedding
+clustering step so near-duplicate *meaning* is only compared within small
+clusters, never across the whole corpus. That requires k-means at corpus
+scale, which this module implements the way Spark MLlib does internally —
+but deterministic, Arrow-vectorized, and on plain ``array<float>`` columns
+(no VectorUDT conversion round-trip):
+
+- **centroids live on the driver** (k·dim doubles — bounded and tiny next
+  to the data) and are shipped to executors as a closure capture of each
+  iteration's ``mapInPandas``;
+- **assignment is one numpy GEMM per Arrow batch** (argmax of the
+  centroid-dot for unit-normalized spherical k-means);
+- **the update is a map-side combiner**: every input partition emits at
+  most k partial rows ``(cluster, flat_sum, n)``, so the per-iteration
+  shuffle is O(partitions · k · dim) regardless of corpus size — the
+  exact shape of MLlib's ``treeAggregate`` step;
+- iterations are plain Python ``for`` on the driver with one Spark job
+  each; no RDD lineage growth (each iteration re-reads the cached input).
+
+Determinism: init is a hash-ordered sample (xxhash64 of the id — stable
+across runs and partitionings); ties in assignment break toward the lower
+cluster id. The one float caveat is summation order in the combiner
+(partition order is stable on static data, but not guaranteed by contract);
+tests therefore pin structural invariants (blob recovery, monotone inertia,
+centroid=mean) rather than bitwise centroid equality.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mini_feature_store_spark.functions import spread
+from mini_feature_store_spark.operators.similarity import with_vec_norm
+
+
+def _unit(mat: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(mat, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return mat / n
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 16,
+    iters: int = 10,
+    seed: int = 42,
+    sample_size: int = 2048,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Spherical k-means (cosine assignment) → ``(k, dim)`` centroid matrix.
+
+    Init is deterministic farthest-point (maxmin) over a hash-ordered
+    sample of ``max(sample_size, k)`` rows, computed on the driver — the
+    greedy k-center sweep that spreads seeds across all modes (a plain
+    k-row hash sample regularly drops two seeds into one blob and Lloyd's
+    cannot recover; the k-means++ D² goal, derandomized). Lloyd's
+    iterations then run over the full corpus; the per-iteration shuffle is
+    the combiner output only (≤ partitions·k rows of ``dim`` doubles).
+    Empty clusters keep their previous centroid. The input is cached for
+    the duration of the fit and unpersisted before returning.
+    """
+    c = with_vec_norm(spread(df), vec_col, id_col).persist()
+    try:
+        init_rows = (
+            c.orderBy(F.xxhash64(F.col("id").cast("string"), F.lit(seed)))
+            .limit(max(sample_size, k))
+            .select("v")
+            .collect()
+        )
+        if len(init_rows) < k:
+            raise ValueError(f"corpus has fewer than k={k} rows")
+        sample = _unit(
+            np.array([r["v"] for r in init_rows], dtype=np.float64)
+        )
+        chosen = [0]  # hash-first row seeds the sweep
+        best = sample @ sample[0]  # max cosine to any chosen seed
+        for _ in range(1, k):
+            nxt = int(np.argmin(best))  # farthest = least-similar
+            chosen.append(nxt)
+            best = np.maximum(best, sample @ sample[nxt])
+        cent = sample[chosen]
+        dim = cent.shape[1]
+
+        for _ in range(iters):
+            cent_t = cent.T.copy()  # capture per iteration
+
+            def partials(
+                batches: Iterator[pd.DataFrame],
+            ) -> Iterator[pd.DataFrame]:
+                sums = np.zeros((k, dim))
+                counts = np.zeros(k, dtype=np.int64)
+                for pdf in batches:
+                    mat = np.array(pdf["v"].tolist(), dtype=np.float64)
+                    mat /= np.maximum(
+                        pdf["nrm"].to_numpy(dtype=np.float64), 1e-30
+                    )[:, None]
+                    # argmax returns the FIRST maximal index → ties break
+                    # toward the lower cluster id, deterministically.
+                    assign = np.argmax(mat @ cent_t, axis=1)
+                    # per-dim bincount: k·dim partial sums without the
+                    # unbuffered np.add.at slow path
+                    sums += np.stack(
+                        [
+                            np.bincount(assign, weights=mat[:, d], minlength=k)
+                            for d in range(dim)
+                        ],
+                        axis=1,
+                    )
+                    counts += np.bincount(assign, minlength=k)
+                nz = np.flatnonzero(counts)
+                yield pd.DataFrame(
+                    {
+                        "cluster": nz.astype(np.int32),
+                        "s": list(sums[nz]),
+                        "n": counts[nz],
+                    }
+                )
+
+            rows = (
+                c.select("v", "nrm")
+                .mapInPandas(partials, "cluster int, s array<double>, n long")
+                .groupBy("cluster")
+                # the final reduce is tiny (≤ partitions·k rows): elementwise
+                # vector sum via zip_with-fold, counts via plain sum
+                .agg(
+                    F.aggregate(
+                        F.collect_list("s"),
+                        F.array_repeat(F.lit(0.0), dim),
+                        lambda acc, s: F.zip_with(acc, s, lambda a, b: a + b),
+                    ).alias("s"),
+                    F.sum("n").alias("n"),
+                )
+                .collect()
+            )
+            new = cent.copy()
+            for r in rows:
+                if r["n"]:
+                    new[r["cluster"]] = np.array(r["s"]) / r["n"]
+            cent = _unit(new)
+        return cent
+    finally:
+        c.unpersist()
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Nearest-centroid assignment: ``(vec_id, cluster, cos_to_centroid)``.
+
+    One Arrow GEMM per batch against the broadcast-by-closure centroid
+    matrix — embarrassingly parallel, zero shuffles.
+    """
+    cent_t = _unit(np.asarray(centroids, dtype=np.float64)).T.copy()
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.array(pdf["v"].tolist(), dtype=np.float64)
+            mat /= np.maximum(pdf["nrm"].to_numpy(dtype=np.float64), 1e-30)[
+                :, None
+            ]
+            sims = mat @ cent_t
+            best = np.argmax(sims, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["id"].astype("int64"),
+                    "cluster": best.astype(np.int32),
+                    "cos_to_centroid": np.round(
+                        sims[np.arange(len(best)), best], 6
+                    ),
+                }
+            )
+
+    return with_vec_norm(df, vec_col, id_col).mapInPandas(
+        assign, "vec_id long, cluster int, cos_to_centroid double"
+    )
+
+
+def kmeans(
+    df: DataFrame,
+    k: int = 16,
+    iters: int = 10,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[np.ndarray, DataFrame]:
+    """Fit + assign. Returns ``(centroids, assignments DataFrame)``."""
+    cent = kmeans_fit(df, k, iters, seed, vec_col=vec_col, id_col=id_col)
+    return cent, kmeans_assign(df, cent, vec_col, id_col)
+
+
+def cluster_cosine_pairs(
+    vectors: DataFrame,
+    assignments: DataFrame,
+    threshold: float = 0.9,
+    sub_blocks: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """All (a < b) pairs with cosine ≥ threshold WITHIN each cluster.
+
+    The point of clustering first: the GEMM block join is keyed on
+    ``(cluster, sub_block)``, so cross-cluster pairs never materialize —
+    total work drops from O(n²·d) to O(Σ nᵢ²·d) over cluster sizes nᵢ.
+    Within a cluster the same flat-block layout as
+    ``similarity.cosine_pairs`` applies: ids + one flattened vector array
+    per block, one numpy matmul per block pair. ``sub_blocks`` bounds a
+    block to (cluster size / sub_blocks) vectors so a hot cluster cannot
+    exceed executor memory.
+
+    Output: (id_a, id_b, cosine).
+    """
+    base = (
+        with_vec_norm(vectors, vec_col, id_col)
+        .join(assignments.select(F.col("vec_id").alias("id"), "cluster"), "id")
+        .select(
+            "cluster",
+            F.pmod(F.xxhash64(F.col("id")), F.lit(sub_blocks)).alias("sb"),
+            F.struct(
+                F.col("id").cast("long").alias("id"),
+                F.transform(
+                    "v", lambda x: x / F.greatest(F.col("nrm"), F.lit(1e-30))
+                ).alias("u"),
+            ).alias("item"),
+        )
+    )
+    blocks = (
+        base.groupBy("cluster", "sb")
+        .agg(F.sort_array(F.collect_list("item")).alias("items"))
+        .select(
+            "cluster",
+            "sb",
+            F.expr("transform(items, x -> x.id)").alias("ids"),
+            F.expr("flatten(transform(items, x -> x.u))").alias("flat"),
+            F.expr("size(items[0].u)").alias("dim"),
+        )
+    )
+    a = blocks.select(
+        F.col("cluster").alias("a_cl"),
+        F.col("sb").alias("a_sb"),
+        F.col("ids").alias("a_ids"),
+        F.col("flat").alias("a_flat"),
+        "dim",
+    )
+    b = blocks.select(
+        F.col("cluster").alias("b_cl"),
+        F.col("sb").alias("b_sb"),
+        F.col("ids").alias("b_ids"),
+        F.col("flat").alias("b_flat"),
+    )
+    pairs = a.join(
+        b, (F.col("a_cl") == F.col("b_cl")) & (F.col("a_sb") <= F.col("b_sb"))
+    )
+
+    def gemm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for a_sb, a_ids, a_flat, dim, b_sb, b_ids, b_flat in zip(
+                pdf["a_sb"],
+                pdf["a_ids"],
+                pdf["a_flat"],
+                pdf["dim"],
+                pdf["b_sb"],
+                pdf["b_ids"],
+                pdf["b_flat"],
+            ):
+                am = np.asarray(a_flat, dtype=np.float64).reshape(-1, dim)
+                bm = np.asarray(b_flat, dtype=np.float64).reshape(-1, dim)
+                sims = am @ bm.T
+                ai = np.asarray(a_ids, dtype=np.int64)
+                bi = np.asarray(b_ids, dtype=np.int64)
+                ii, jj = np.nonzero(sims >= threshold)
+                if a_sb == b_sb:
+                    keep = ai[ii] < bi[jj]
+                else:
+                    keep = ai[ii] != bi[jj]
+                ii, jj = ii[keep], jj[keep]
+                x, y = ai[ii], bi[jj]
+                lo, hi = np.minimum(x, y), np.maximum(x, y)
+                out_a.append(lo)
+                out_b.append(hi)
+                out_c.append(sims[ii, jj])
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(out_a),
+                        "id_b": np.concatenate(out_b),
+                        "cosine": np.round(np.concatenate(out_c), 4),
+                    }
+                )
+
+    # Each unordered pair appears exactly once: ids land in exactly one
+    # (cluster, sub_block), block pairs join once under a_sb <= b_sb, and
+    # the diagonal (a_sb == b_sb) keeps only id_a < id_b.
+    return pairs.mapInPandas(gemm, "id_a long, id_b long, cosine double")
+
+
+def semantic_dedup(
+    df: DataFrame,
+    k: int = 16,
+    threshold: float = 0.92,
+    iters: int = 8,
+    seed: int = 42,
+    sub_blocks: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication decision per vector.
+
+    cluster (k-means) → within-cluster cosine pairs ≥ threshold →
+    connected components → keep the minimum id of each duplicate group.
+
+    Output: ``(vec_id, cluster, component, is_survivor)`` for EVERY input
+    row — non-duplicated vectors form their own singleton component and
+    survive. Downstream corpus assembly anti-joins the non-survivors, the
+    same apply pattern as ``queries.corpus_dedup_apply``.
+    """
+    from mini_feature_store_spark.operators.graph import connected_components
+
+    # assignment is recomputed by the two consumers below (pairs + final
+    # join) — one GEMM scan each, cheap next to caching the whole corpus
+    assigns = kmeans_assign(
+        df,
+        kmeans_fit(df, k, iters, seed, vec_col=vec_col, id_col=id_col),
+        vec_col,
+        id_col,
+    )
+    pairs = cluster_cosine_pairs(
+        df, assigns, threshold, sub_blocks, vec_col, id_col
+    )
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    return (
+        assigns.select("vec_id", "cluster")
+        .join(
+            comp.select(
+                F.col("node").alias("vec_id"),
+                F.col("component").cast("long").alias("component"),
+            ),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce("component", F.col("vec_id").cast("long")).alias(
+                "component"
+            ),
+        )
+        .withColumn(
+            "is_survivor", F.col("component") == F.col("vec_id").cast("long")
+        )
+    )

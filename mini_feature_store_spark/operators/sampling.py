@@ -29,6 +29,7 @@ __all__ = [
     "weighted_hash_sample",
     "stratified_hash_sample",
     "balanced_mixture_sample",
+    "epoch_shuffle",
 ]
 
 _SPACE = 1 << 32  # 8 hex chars
@@ -191,3 +192,49 @@ def balanced_mixture_sample(
     )
     joined = df.join(F.broadcast(rates), strata_col)
     return weighted_hash_sample(joined, list(keys), F.col("_rate")).drop("_rate")
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    keys: list[str] | tuple[str, ...],
+    seed: int = 0,
+    n_shards: int = 16,
+) -> DataFrame:
+    """Deterministic global training-order reshuffle, realized as
+    ``(shard, pos_in_shard)`` — the scalable form of "ORDER BY random()".
+
+    A training run needs a different-but-reproducible order per epoch; a
+    literal global sort + row_number would funnel 100 TB through one
+    window partition. Instead: md5 over (keys, seed) gives each row a
+    uniform 2³²-space rank; ``shard = rank % n_shards`` spreads rows over
+    shards (each shard a uniform random subset), and ``pos_in_shard`` is a
+    per-shard window rank — readers consume shards round-robin to realize
+    the permutation. Changing ``seed`` (the epoch number) yields an
+    independent permutation; the same seed is bit-identical across runs,
+    partitionings, and engines (md5, like the samplers above).
+
+    One shuffle (the per-shard window). Output: input columns +
+    ``shuffle_rank`` (the 2³² rank), ``shard``, ``pos_in_shard``.
+    """
+    rank = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[F.col(k).cast("string") for k in keys],
+                    F.lit(str(seed)),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    out = df.withColumn("shuffle_rank", rank).withColumn(
+        "shard", F.pmod(F.col("shuffle_rank"), F.lit(n_shards)).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy(
+        "shuffle_rank", *[F.col(k) for k in keys]
+    )
+    return out.withColumn("pos_in_shard", F.row_number().over(w))

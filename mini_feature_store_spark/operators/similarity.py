@@ -742,3 +742,52 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int"))
     )
+
+
+def int8_quantize(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization of an embedding column.
+
+    The storage-tier companion to ``pq_topk``: scale = max|x|/127, code_i =
+    round-half-up(x_i/scale). 4x memory cut (float32 -> int8) with exact
+    dequantization ``code*scale`` — the standard first step before shipping
+    an embedding corpus to an ANN index. Everything is built-in array HOFs
+    (transform/aggregate) over one scan: zero shuffles, zero Python, and —
+    unlike the k-means-trained PQ codebooks — fully SQL-expressible, so
+    this one is oracle-checked end to end (codes are exact integers).
+
+    Round-half-up is spelled ``floor(x/scale + 0.5)`` explicitly because
+    engine-native ``round`` functions disagree on half-way ties; floor is
+    identical everywhere. All-zero vectors quantize to all-zero codes.
+
+    Output: (vec_id, qscale r6, codes array<int>, code_min, code_max,
+    recon_mse r6).
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    ) / F.lit(127.0)
+    codes = F.when(
+        scale > 0,
+        F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    # explicit (e)*(e), not pow(e, 2): engine pow implementations are not
+    # guaranteed bit-identical even for integer exponents
+    err2 = F.zip_with(
+        v,
+        codes,
+        lambda x, c: (x - c.cast("double") * scale)
+        * (x - c.cast("double") * scale),
+    )
+    mse = F.aggregate(err2, F.lit(0.0), lambda acc, e: acc + e) / F.size(v)
+    return df.select(
+        F.col(id_col),
+        F.round(scale, 6).alias("qscale"),
+        codes.alias("codes"),
+        F.array_min(codes).alias("code_min"),
+        F.array_max(codes).alias("code_max"),
+        F.round(mse, 6).alias("recon_mse"),
+    )

@@ -519,3 +519,62 @@ def pii_scrub(
         c = F.col(f"n_{name}")
         total = c if total is None else total + c
     return out.withColumn("n_redactions", total.cast("long"))
+
+
+#: Frozen demonstration weights for the model-based quality classifier.
+#: In production these come from a trained logistic regression (fastText /
+#: CCNet-style quality model) — at inference time the model IS a constant
+#: vector, which is the point: scoring is pure column arithmetic.
+QUALITY_CLF_WEIGHTS: dict[str, float] = {
+    "log_tokens": 0.35,
+    "stopword_ratio": 2.1,
+    "punct_ratio": -3.0,
+    "upper_ratio": -1.2,
+    "chars_per_token": -0.15,
+}
+QUALITY_CLF_BIAS: float = -0.5
+
+
+def quality_classifier_score(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    bias: float | None = None,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Model-based quality scoring: logistic regression over the
+    ``text_stats`` feature projection, entirely in codegen'd expressions.
+
+    This is the *learned-filter* counterpart to the heuristic
+    ``quality_filter``: p(keep) = sigmoid(w·x + b) with x =
+    (log1p(n_tokens), stopword_ratio, punct_ratio, upper_ratio,
+    chars_per_token). The weight vector is broadcast by construction (it
+    is a literal in the plan), so scoring 100 TB is one scan with zero
+    shuffles and zero Python — swap ``weights`` for real trained
+    coefficients without touching the plan shape.
+
+    Output: (doc_id, quality_logit, quality_prob, keep) — logit/prob
+    rounded to 4 so engines hash-match.
+    """
+    w = dict(QUALITY_CLF_WEIGHTS if weights is None else weights)
+    b = QUALITY_CLF_BIAS if bias is None else bias
+    stats = text_stats(df, text_col, id_col)
+    feats = {
+        "log_tokens": F.log1p(F.col("n_tokens").cast("double")),
+        "stopword_ratio": F.col("stopword_ratio"),
+        "punct_ratio": F.col("punct_ratio"),
+        "upper_ratio": F.col("upper_ratio"),
+        "chars_per_token": F.col("chars_per_token"),
+    }
+    z = F.lit(float(b))
+    for name, coef in w.items():
+        z = z + F.lit(float(coef)) * feats[name]
+    logit = F.round(z, 4)
+    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4)
+    return stats.select(
+        F.col(id_col),
+        logit.alias("quality_logit"),
+        prob.alias("quality_prob"),
+        (prob >= threshold).alias("keep"),
+    )

@@ -1238,6 +1238,163 @@ def embedding_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("embedding_kmeans")  # rows-only: iterative Lloyd's — not SQL-expressible;
+# invariants (blob recovery, monotone inertia, centroid=mean, MLlib
+# inertia cross-check) pinned in tests/test_clustering.py
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed spherical k-means over the embedding corpus
+    (operators/clustering.py): map-side combiner update (≤ partitions·k
+    rows shuffled per iteration), Arrow GEMM assignment, deterministic
+    hash-sampled init."""
+    from mini_feature_store_spark.operators.clustering import kmeans
+
+    _utc(spark)
+    emb = load_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    _, assigns = kmeans(emb, k=8, iters=4, seed=7)
+    return assigns
+
+
+@_q("embedding_semantic_dedup")  # rows-only: k-means upstream; planted-dup
+# recovery + survivor-policy invariants in tests/test_clustering.py
+def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/clustering.py:
+    semantic_dedup): cluster, compare cosine ≥ threshold only WITHIN
+    clusters (GEMM blocks keyed on (cluster, sub_block) — cross-cluster
+    pairs never materialize), connected components, keep the min id per
+    duplicate group. The scale rationale: work drops from O(n²·d) to
+    O(Σ nᵢ²·d); the price is missed cross-cluster pairs, quantified vs
+    the exact path in tests."""
+    from mini_feature_store_spark.operators.clustering import semantic_dedup
+
+    _utc(spark)
+    emb = load_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    return semantic_dedup(emb, k=8, threshold=0.4, iters=4, seed=7)
+
+
+@_q(
+    "doc_training_shuffle",
+    """
+WITH r AS (
+  SELECT doc_id, source,
+    CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|7'), 1, 8))
+         AS UBIGINT) AS BIGINT) AS shuffle_rank
+  FROM documents
+)
+SELECT doc_id, source, shuffle_rank,
+  CAST(shuffle_rank % 16 AS INTEGER) AS shard,
+  CAST(ROW_NUMBER() OVER (PARTITION BY shuffle_rank % 16
+                          ORDER BY shuffle_rank, doc_id) AS INTEGER)
+    AS pos_in_shard
+FROM r
+""",
+)
+def doc_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch reshuffle (operators/sampling.py:epoch_shuffle):
+    seed-keyed md5 rank → shard + per-shard position; the scalable,
+    engine-portable form of ORDER BY random() for training export."""
+    from mini_feature_store_spark.operators.sampling import epoch_shuffle
+
+    _utc(spark)
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    return epoch_shuffle(
+        docs.select("doc_id", "source"), ["doc_id"], seed=7, n_shards=16
+    )
+
+
+@_q(
+    "doc_quality_classifier",
+    f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKS_SQL} AS toks, length(text) AS nc,
+         length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS no_punct,
+         length(regexp_replace(text, '[A-Z]', '', 'g')) AS no_upper
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+    len(toks) AS n_tokens,
+    ROUND(CASE WHEN len(toks) > 0
+      THEN len(list_filter(toks, x -> lower(x) IN ('the','a','of','and','to')))
+           * 1.0 / len(toks) ELSE 0.0 END, 4) AS stopword_ratio,
+    ROUND(CASE WHEN nc > 0 THEN (nc - no_punct) * 1.0 / nc ELSE 0.0 END, 4)
+      AS punct_ratio,
+    ROUND(CASE WHEN nc > 0 THEN (nc - no_upper) * 1.0 / nc ELSE 0.0 END, 4)
+      AS upper_ratio,
+    ROUND(CASE WHEN len(toks) > 0 THEN nc * 1.0 / len(toks) ELSE 0.0 END, 4)
+      AS chars_per_token
+  FROM t
+),
+z AS (
+  SELECT doc_id,
+    -0.5 + 0.35 * ln(1 + n_tokens) + 2.1 * stopword_ratio
+         + (-3.0) * punct_ratio + (-1.2) * upper_ratio
+         + (-0.15) * chars_per_token AS zz
+  FROM s
+)
+SELECT doc_id,
+  ROUND(zz, 4) AS quality_logit,
+  ROUND(1.0 / (1.0 + exp(-zz)), 4) AS quality_prob,
+  (ROUND(1.0 / (1.0 + exp(-zz)), 4) >= 0.5) AS keep
+FROM z
+""",
+)
+def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring (operators/text.py:
+    quality_classifier_score): logistic regression over text_stats
+    features with frozen weights — inference is pure codegen'd column
+    arithmetic, the plan a real trained filter would use."""
+    from mini_feature_store_spark.operators.text import (
+        quality_classifier_score,
+    )
+
+    _utc(spark)
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    return quality_classifier_score(docs)
+
+
+@_q(
+    "embedding_int8_quant",
+    """
+WITH d AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, vv,
+         list_max(list_transform(vv, x -> abs(x))) / 127.0 AS scale
+  FROM d
+),
+c AS (
+  SELECT vec_id, vv, scale,
+    CASE WHEN scale > 0
+      THEN list_transform(vv, x -> CAST(floor(x / scale + 0.5) AS INTEGER))
+      ELSE list_transform(vv, x -> 0) END AS codes
+  FROM s
+)
+SELECT vec_id,
+  ROUND(scale, 6) AS qscale,
+  codes,
+  list_min(codes) AS code_min,
+  list_max(codes) AS code_max,
+  ROUND(list_reduce(
+          list_transform(list_zip(vv, codes),
+                         p -> (p[1] - p[2] * scale) * (p[1] - p[2] * scale)),
+          (a, b) -> a + b) / len(vv), 6) AS recon_mse
+FROM c
+""",
+)
+def embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding corpus
+    (operators/similarity.py:int8_quantize) — 4× storage cut for the ANN
+    tier; codes are exact integers, so the oracle hash-matches the whole
+    quantization end to end."""
+    from mini_feature_store_spark.operators.similarity import int8_quantize
+
+    _utc(spark)
+    emb = load_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    return int8_quantize(emb)
+
+
 # ── relational surface completion (SURVEY.md §2.11) ─────────────────────────
 
 
@@ -3176,6 +3333,13 @@ def dq_orders_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 VERIFY_ORDER: list[str] = [
     # ── r4 window. Rule: touched-this-round > never/stalest-checked >
     # 1-round-old greens. ──
+    # brand new this round: k-means / semantic dedup / epoch shuffle /
+    # learned quality filter / int8 quantization
+    "embedding_kmeans",
+    "embedding_semantic_dedup",
+    "doc_training_shuffle",
+    "doc_quality_classifier",
+    "embedding_int8_quant",
     # touched this round (posting-list pair generation, CC convergence,
     # sequential pii counts, grouping_id grain, new LSH dedup path)
     "dedup_ngram_jaccard",

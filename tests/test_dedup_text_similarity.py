@@ -486,3 +486,29 @@ def test_pq_topk_validation(spark):
 
     with _pytest.raises(ValueError, match="divisible"):
         pq_topk(df, df, m_sub=7)
+
+
+def test_int8_quantize_roundtrip_bounds(spark):
+    import numpy as np
+
+    from mini_feature_store_spark.operators.similarity import int8_quantize
+
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(50)]
+    rows.append((99, [0.0] * 16))  # all-zero vector edge
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in int8_quantize(df).collect()}
+    orig = dict(rows)
+    for vid, r in out.items():
+        assert -127 <= r.code_min <= r.code_max <= 127
+        v = np.array(orig[vid], dtype=np.float64)
+        if vid == 99:
+            assert r.qscale == 0.0 and r.recon_mse == 0.0
+            assert all(c == 0 for c in r.codes)
+            continue
+        scale = np.abs(v).max() / 127.0
+        # every element reconstructs within scale/2 (round-half-up bound)
+        recon = np.array(r.codes, dtype=np.float64) * scale
+        assert np.abs(recon - v).max() <= scale / 2 + 1e-12
+        # the max-|x| element uses the full code range
+        assert max(abs(r.code_min), abs(r.code_max)) == 127

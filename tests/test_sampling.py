@@ -145,3 +145,27 @@ def test_balanced_mixture_sample(spark):
     assert ids1 == ids2
     # and the rate helper column never leaks
     assert kept.columns == ["dom", "id"] or set(kept.columns) == {"id", "dom"}
+
+
+def test_epoch_shuffle_partitions_and_determinism(spark):
+    from mini_feature_store_spark.operators.sampling import epoch_shuffle
+
+    df = _keys(spark, 1000)
+    out = epoch_shuffle(df, ["k"], seed=3, n_shards=8).toPandas()
+    assert len(out) == 1000  # permutation: nothing lost, nothing duplicated
+    assert out["k"].nunique() == 1000
+    assert set(out["shard"]) <= set(range(8))
+    # pos_in_shard is a dense 1..n ranking inside each shard
+    for _, g in out.groupby("shard"):
+        assert sorted(g["pos_in_shard"]) == list(range(1, len(g) + 1))
+    # identical rerun, different permutation for a different seed
+    again = epoch_shuffle(df, ["k"], seed=3, n_shards=8).toPandas()
+    assert out.sort_values("k").reset_index(drop=True).equals(
+        again.sort_values("k").reset_index(drop=True)
+    )
+    other = epoch_shuffle(df, ["k"], seed=4, n_shards=8).toPandas()
+    merged = out.merge(other, on="k", suffixes=("_a", "_b"))
+    assert (merged["shuffle_rank_a"] != merged["shuffle_rank_b"]).any()
+    # shards are balanced to O(sqrt n): no shard under 60% of fair share
+    sizes = out.groupby("shard").size()
+    assert sizes.min() > 0.6 * 1000 / 8

@@ -172,3 +172,55 @@ def test_chunk_documents_zero_shuffle_plan(spark):
     docs = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
     plan = plan_text(chunk_documents(docs, chunk_tokens=4, overlap=1))
     assert "Exchange" not in plan
+
+
+def test_quality_classifier_matches_manual_sigmoid(spark):
+    import math
+
+    from mini_feature_store_spark.operators.text import (
+        QUALITY_CLF_BIAS,
+        QUALITY_CLF_WEIGHTS,
+        quality_classifier_score,
+        text_stats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "The quick brown fox jumps over the lazy dog and runs to a barn."),
+            (2, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"),
+            (3, "a of to and the a of to and the a of to and the"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.quality_logit, r.quality_prob, r.keep)
+        for r in quality_classifier_score(df).collect()
+    }
+    stats = {r.doc_id: r for r in text_stats(df).collect()}
+    for doc_id, s in stats.items():
+        z = QUALITY_CLF_BIAS
+        z += QUALITY_CLF_WEIGHTS["log_tokens"] * math.log1p(s.n_tokens)
+        z += QUALITY_CLF_WEIGHTS["stopword_ratio"] * s.stopword_ratio
+        z += QUALITY_CLF_WEIGHTS["punct_ratio"] * s.punct_ratio
+        z += QUALITY_CLF_WEIGHTS["upper_ratio"] * s.upper_ratio
+        z += QUALITY_CLF_WEIGHTS["chars_per_token"] * s.chars_per_token
+        p = 1.0 / (1.0 + math.exp(-z))
+        assert abs(got[doc_id][0] - round(z, 4)) < 1e-9
+        assert abs(got[doc_id][1] - round(p, 4)) < 1e-9
+        assert got[doc_id][2] == (round(p, 4) >= 0.5)
+    # the punctuation-bomb doc must score below the clean sentence
+    assert got[2][1] < got[1][1]
+
+
+def test_quality_classifier_custom_weights_and_plan(spark):
+    from mini_feature_store_spark.functions import plan_text
+    from mini_feature_store_spark.operators.text import (
+        quality_classifier_score,
+    )
+
+    df = spark.createDataFrame([(1, "plain text here")], "doc_id long, text string")
+    out = quality_classifier_score(df, weights={"punct_ratio": -1.0}, bias=2.0)
+    row = out.collect()[0]
+    assert row.quality_prob > 0.5  # bias dominates a punct-free doc
+    # scoring is one projection: no exchange anywhere in the plan
+    assert "Exchange" not in plan_text(out)
