@@ -128,9 +128,16 @@ def build_parser() -> argparse.ArgumentParser:
     cc.add_argument(
         "--benchmark-path", default=None, help="eval parquet to decontaminate against"
     )
+    cc.add_argument(
+        "--embeddings-path",
+        default=None,
+        help="doc-embedding parquet enabling the SemDeDup semantic stage",
+    )
     cc.add_argument("--min-tokens", type=int, default=5)
     cc.add_argument("--min-quality", type=float, default=0.3)
     cc.add_argument("--jaccard-threshold", type=float, default=0.5)
+    cc.add_argument("--semantic-threshold", type=float, default=0.95)
+    cc.add_argument("--semantic-k", type=int, default=16)
     cc.add_argument("--contamination-threshold", type=float, default=0.2)
     cc.add_argument(
         "--shards", type=int, default=None, help="write N training shards + manifest"
@@ -358,9 +365,12 @@ def main(argv: list[str] | None = None) -> int:
                     input_path=args.input_path,
                     output_path=args.output_path,
                     benchmark_path=args.benchmark_path,
+                    embeddings_path=args.embeddings_path,
                     min_tokens=args.min_tokens,
                     min_quality=args.min_quality,
                     jaccard_threshold=args.jaccard_threshold,
+                    semantic_threshold=args.semantic_threshold,
+                    semantic_k=args.semantic_k,
                     contamination_threshold=args.contamination_threshold,
                     n_shards=args.shards,
                 ),

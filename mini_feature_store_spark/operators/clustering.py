@@ -68,7 +68,11 @@ def kmeans_fit(
     Empty clusters keep their previous centroid. The input is cached for
     the duration of the fit and unpersisted before returning.
     """
-    c = with_vec_norm(spread(df), vec_col, id_col).persist()
+    # spread(…, 8), not full defaultParallelism: this only fires on narrow
+    # (single-split → small) inputs, where 32 Python workers per Lloyd
+    # iteration cost more in task overhead than they parallelize; wide
+    # production inputs skip the exchange entirely.
+    c = with_vec_norm(spread(df, 8), vec_col, id_col).persist()
     try:
         init_rows = (
             c.orderBy(F.xxhash64(F.col("id").cast("string"), F.lit(seed)))
@@ -117,13 +121,15 @@ def kmeans_fit(
                     )
                     counts += np.bincount(assign, minlength=k)
                 nz = np.flatnonzero(counts)
-                yield pd.DataFrame(
-                    {
-                        "cluster": nz.astype(np.int32),
-                        "s": list(sums[nz]),
-                        "n": counts[nz],
-                    }
-                )
+                if len(nz):  # empty partition: an empty 's' column comes
+                    # out float64-typed and Arrow refuses float64→list
+                    yield pd.DataFrame(
+                        {
+                            "cluster": nz.astype(np.int32),
+                            "s": list(sums[nz]),
+                            "n": counts[nz],
+                        }
+                    )
 
             rows = (
                 c.select("v", "nrm")

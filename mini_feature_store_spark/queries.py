@@ -1238,6 +1238,57 @@ def embedding_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "user_value_trend",
+    """
+WITH daily AS (
+  SELECT user_id,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_idx,
+         SUM(value) AS day_value
+  FROM events
+  WHERE event_type = 'purchase'
+  GROUP BY user_id, date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+)
+SELECT user_id,
+  CAST(COUNT(*) AS BIGINT) AS n_days,
+  ROUND(regr_slope(day_value, day_idx), 4) AS slope,
+  ROUND(regr_intercept(day_value, day_idx), 4) AS intercept,
+  ROUND(regr_intercept(day_value, day_idx)
+        + regr_slope(day_value, day_idx) * 30, 4) AS forecast_day30
+FROM daily
+GROUP BY user_id
+HAVING COUNT(*) >= 3
+""",
+)
+def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user linear purchase-value trend + next-period forecast via the
+    built-in ``regr_slope``/``regr_intercept`` aggregates — grouped
+    time-series model fitting as ONE hash aggregate (partial moments
+    combine map-side), no per-key pandas, no window."""
+    _utc(spark)
+    ev = load_testdata(spark, sf_dir, "events")["events"]
+    daily = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("day_idx"),
+        )
+        .agg(F.sum("value").alias("day_value"))
+    )
+    slope = F.regr_slope("day_value", "day_idx")
+    icept = F.regr_intercept("day_value", "day_idx")
+    return (
+        daily.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(slope, 4).alias("slope"),
+            F.round(icept, 4).alias("intercept"),
+            F.round(icept + slope * 30, 4).alias("forecast_day30"),
+        )
+        .where(F.col("n_days") >= 3)
+    )
+
+
 @_q("embedding_kmeans")  # rows-only: iterative Lloyd's — not SQL-expressible;
 # invariants (blob recovery, monotone inertia, centroid=mean, MLlib
 # inertia cross-check) pinned in tests/test_clustering.py
@@ -3340,6 +3391,7 @@ VERIFY_ORDER: list[str] = [
     "doc_training_shuffle",
     "doc_quality_classifier",
     "embedding_int8_quant",
+    "user_value_trend",
     # touched this round (posting-list pair generation, CC convergence,
     # sequential pii counts, grouping_id grain, new LSH dedup path)
     "dedup_ngram_jaccard",

@@ -856,3 +856,56 @@ def test_corpus_curate_cli_end_to_end(spark, tmp_path):
     assert kept == {0, 3}
     manifest = json.loads((tmp_path / "clean" / "_shards.json").read_text())
     assert sum(s["rows"] for s in manifest) == 2
+
+
+def test_corpus_curate_semantic_stage(spark, tmp_path):
+    """The optional SemDeDup stage drops semantic duplicates (identical
+    embeddings, different enough text to pass n-gram dedup) while leaving
+    docs without an embedding untouched."""
+    import numpy as np
+
+    from mini_feature_store_spark.pipelines.corpus_curate import (
+        CorpusCurationConfig,
+        run_corpus_curation,
+    )
+
+    texts = {
+        0: "the quick brown fox jumps over the lazy dog near the river bank",
+        1: "a lazy dog was jumped over by the quick brown fox by the river",
+        2: "spark pushes filters to the parquet scan and prunes the columns",
+        3: "the cat sat on the warm mat and watched the birds fly south",
+    }
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    ).write.parquet(inp)
+
+    rng = np.random.default_rng(3)
+    base = {i: rng.normal(size=16) for i in (0, 2)}
+    emb_rows = [
+        (0, [float(x) for x in base[0]]),
+        (1, [float(x) for x in base[0]]),  # same meaning as 0 -> dropped
+        (2, [float(x) for x in base[2]]),
+        # doc 3 has NO embedding -> must survive untouched
+    ]
+    embp = str(tmp_path / "emb")
+    spark.createDataFrame(
+        emb_rows, "vec_id long, embedding array<float>"
+    ).write.parquet(embp)
+
+    out = str(tmp_path / "clean")
+    funnel = run_corpus_curation(
+        spark,
+        CorpusCurationConfig(
+            input_path=inp,
+            output_path=out,
+            embeddings_path=embp,
+            semantic_threshold=0.999,
+            semantic_k=2,
+        ),
+    )
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept == {0, 2, 3}
+    assert funnel["after_near_dedup"] == 4
+    assert funnel["after_semantic_dedup"] == 3
+    assert funnel["written"] == 3

@@ -75,6 +75,35 @@ AUDITED: dict[str, str] = {
         "decode-gather-einsum per Arrow batch; only the refine·k "
         "shortlist per query joins true vectors for the exact re-rank."
     ),
+    "embedding_kmeans": (
+        "Assignment-only plan (fit already ran at plan build, centroids "
+        "are a closure constant): ONE Arrow mapInPandas GEMM pass over "
+        "the corpus — zero exchanges. The fit's per-iteration job "
+        "shuffles only the map-side combiner rows (≤ partitions·k), "
+        "never vectors."
+    ),
+    "embedding_semantic_dedup": (
+        "SemDeDup: within-cluster GEMM blocks keyed on (cluster, "
+        "sub_block) — the block join's equi-key includes the cluster, so "
+        "cross-cluster pairs never materialize; CC star rounds on the "
+        "sparse ≥-threshold pairs; assignment recomputed (one GEMM scan) "
+        "rather than caching the corpus."
+    ),
+    "doc_training_shuffle": (
+        "Epoch reshuffle: md5 rank + shard are a pure codegen projection; "
+        "the ONLY exchange is the per-shard window partitioning — a "
+        "global ORDER BY random() sort never appears."
+    ),
+    "doc_quality_classifier": (
+        "Learned filter inference: the weight vector is a plan literal, "
+        "so scoring is a map-only codegen projection over one scan — "
+        "ZERO exchanges, zero Python (plan-pinned in tests)."
+    ),
+    "embedding_int8_quant": (
+        "Scalar quantization: per-vector scale/codes/MSE all array HOFs "
+        "in one projection — zero exchanges; codes stay exact integers "
+        "end to end (oracle hash-matches the full code arrays)."
+    ),
     "multimodal_phash_pairs": (
         "Perceptual-hash image near-dup: payloads decode+hash in one "
         "Arrow mapInPandas (per-shape batched integral-image resize + "

@@ -137,6 +137,21 @@ def run_scale(spark, d: Path) -> dict[str, float]:
         token_count,
     )
 
+    from mini_feature_store_spark.operators.clustering import (
+        kmeans,
+        semantic_dedup,
+    )
+    from mini_feature_store_spark.operators.similarity import int8_quantize
+
+    def _kmeans_q(e, k, iters):
+        return kmeans(e, k=k, iters=iters, seed=7)[1]
+
+    def _semantic_q(e, k, threshold, iters):
+        return semantic_dedup(e, k=k, threshold=threshold, iters=iters, seed=7)
+
+    def _int8_q(e):
+        return int8_quantize(e)
+
     docs = spark.read.parquet(str(d / "documents.parquet"))
     emb = spark.read.parquet(str(d / "embeddings.parquet"))
     n_docs = docs.count()
@@ -182,6 +197,15 @@ def run_scale(spark, d: Path) -> dict[str, float]:
             shard_col="source",
         ),
         "chunk_windows": lambda: chunk_documents(docs, chunk_tokens=40, overlap=8),
+        # semantic tier (r4): clustering cost is iters·(GEMM scan +
+        # combiner shuffle); semantic dedup adds within-cluster GEMM + CC.
+        # At the 0.85 near-dup point clusters prune the pair GEMM like LSH
+        # does, with k controlling the O(Σ nᵢ²·d) spread.
+        "kmeans_assign_k16": lambda: _kmeans_q(emb, k=16, iters=4),
+        "semantic_dedup_t085_k16": lambda: _semantic_q(
+            emb, k=16, threshold=0.85, iters=4
+        ),
+        "int8_quantize": lambda: _int8_q(emb),
     }
     out = {}
     for name, build in ops.items():
