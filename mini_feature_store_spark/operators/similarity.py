@@ -812,3 +812,102 @@ def int8_quantize(
         F.array_max("codes").alias("code_max"),
         F.round(mse, 6).alias("recon_mse"),
     )
+
+
+def int8_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    refine: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k over the int8-quantized corpus + exact re-rank.
+
+    The middle rung of the ANN ladder: a full corpus scan like
+    ``cosine_topk_bruteforce``, but the scoring pass reads the 4×-smaller
+    ``int8_quantize`` representation (codes + one scale per vector) and
+    runs one numpy int8-decode GEMM per Arrow batch against the broadcast
+    query block — at 100 TB, scan IO is the bound, so reading a quarter
+    of the bytes is a 4× wall-clock lever before any pruning (IVF/PQ)
+    applies. Only ``refine·k`` survivors per query touch full-precision
+    vectors; emitted cosines are EXACT.
+
+    Output: (query_id, neighbor_id, cosine, rank) — same contract as the
+    other topk operators.
+    """
+    import pandas as pd
+
+    q_rows = (
+        with_vec_norm(queries, vec_col, id_col)
+        .select("id", "v", "nrm")
+        .collect()
+    )
+    q_ids = np.array([r["id"] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r["v"] for r in q_rows], dtype=np.float64)
+    q_mat /= np.maximum(
+        np.array([r["nrm"] for r in q_rows], dtype=np.float64), 1e-30
+    )[:, None]
+    q_t = q_mat.T.copy()
+
+    enc = int8_quantize(spread(corpus), vec_col, id_col).select(
+        F.col(id_col).alias("neighbor_id"), "qscale", "codes"
+    )
+
+    def score(batches):
+        for pdf in batches:
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int8)
+            scales = pdf["qscale"].to_numpy(dtype=np.float64)
+            dec = codes.astype(np.float64) * scales[:, None]
+            nrm = np.linalg.norm(dec, axis=1)
+            nrm[nrm == 0] = 1.0
+            sims = (dec / nrm[:, None]) @ q_t  # (batch, n_queries)
+            nid = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            n_q = len(q_ids)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.tile(q_ids, len(nid)),
+                    "neighbor_id": np.repeat(nid, n_q),
+                    "approx": sims.reshape(-1),
+                }
+            )
+
+    cand = enc.mapInPandas(
+        score, "query_id long, neighbor_id long, approx double"
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    w_a = Window.partitionBy("query_id").orderBy(
+        F.col("approx").desc(), F.col("neighbor_id").asc()
+    )
+    shortlist = cand.withColumn("arank", F.row_number().over(w_a)).where(
+        F.col("arank") <= refine * k
+    )
+
+    full = with_vec_norm(corpus, vec_col, id_col).select(
+        F.col("id").alias("neighbor_id"),
+        F.col("v").alias("c_v"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    q_full = with_vec_norm(queries, vec_col, id_col).select(
+        F.col("id").alias("query_id"),
+        F.col("v").alias("q_v"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    exact = (
+        shortlist.join(full, "neighbor_id")
+        .join(F.broadcast(q_full), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _pair_cos("q_v", "c_v", "q_nrm", "c_nrm"), 4
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int"))
+    )

@@ -156,6 +156,103 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "min_cost_supplier",
+    """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         ROUND(AVG(l_extendedprice / l_quantity), 4) AS unit_cost
+  FROM lineitem
+  GROUP BY l_partkey, l_suppkey
+),
+ranked AS (
+  SELECT l_partkey, l_suppkey, unit_cost,
+         ROW_NUMBER() OVER (PARTITION BY l_partkey
+                            ORDER BY unit_cost, l_suppkey) AS rk
+  FROM cost
+)
+SELECT p.p_partkey, p.p_brand, s.s_name, s.s_acctbal, r.unit_cost
+FROM ranked r
+JOIN part p ON p.p_partkey = r.l_partkey
+JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.rk = 1 AND p.p_size <= 10
+""",
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape re-expressed without a correlated subquery: the
+    per-part minimum-cost supplier via one (part, supplier) aggregate and
+    a per-part rank — the correlated MIN becomes a window on the already-
+    aggregated (small) side, and both dimension joins broadcast. The
+    p_size filter prunes the broadcast dim before the join."""
+    from pyspark.sql import Window
+
+    _utc(spark)
+    t = load_testdata(spark, sf_dir, "part", "supplier", "lineitem")
+    cost = (
+        t["lineitem"]
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias(
+                "unit_cost"
+            )
+        )
+    )
+    w = Window.partitionBy("l_partkey").orderBy("unit_cost", "l_suppkey")
+    best = (
+        cost.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .drop("rk")
+    )
+    return (
+        best.join(
+            F.broadcast(t["part"].where(F.col("p_size") <= 10)),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(
+            F.broadcast(t["supplier"]),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .select("p_partkey", "p_brand", "s_name", "s_acctbal", "unit_cost")
+    )
+
+
+@_q(
+    "important_part_share",
+    """
+WITH rev AS (
+  SELECT l_partkey,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem
+  GROUP BY l_partkey
+)
+SELECT l_partkey, revenue,
+       ROUND(revenue / (SELECT AVG(revenue) FROM rev), 4) AS ratio_to_avg
+FROM rev
+WHERE revenue > 1.2 * (SELECT AVG(revenue) FROM rev)
+""",
+)
+def important_part_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose revenue exceeds a multiple of the
+    MEAN part revenue (self-normalizing — a fixed global-share threshold
+    degenerates as part cardinality grows). The scalar subquery is a
+    broadcast 1-row aggregate cross join, never a single-partition window
+    over the fact table."""
+    _utc(spark)
+    li = load_testdata(spark, sf_dir, "lineitem")["lineitem"]
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = li.groupBy("l_partkey").agg(F.round(F.sum(disc), 2).alias("revenue"))
+    mean = rev.agg(F.avg("revenue").alias("_avg"))
+    return (
+        rev.crossJoin(F.broadcast(mean))
+        .where(F.col("revenue") > 1.2 * F.col("_avg"))
+        .select(
+            "l_partkey",
+            "revenue",
+            F.round(F.col("revenue") / F.col("_avg"), 4).alias("ratio_to_avg"),
+        )
+    )
+
+
+@_q(
     "pricing_summary",
     """
 SELECT l_returnflag, l_linestatus,
@@ -1221,6 +1318,19 @@ def embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     emb = load_testdata(spark, sf_dir, "embeddings")["embeddings"]
     return ivf_topk(emb.where(F.col("vec_id") < 10), emb, k=5, n_cells=16, n_probe=8)
+
+
+@_q("embedding_topk_int8")  # rows-only; agreement vs brute force in tests
+def embedding_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-scan approximate top-5 (operators/similarity.py:int8_topk):
+    full-corpus scoring over the 4×-smaller quantized representation —
+    the IO-bound middle rung between float brute force and IVF/PQ — with
+    exact re-rank of the refine·k shortlist."""
+    from mini_feature_store_spark.operators.similarity import int8_topk
+
+    _utc(spark)
+    emb = load_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    return int8_topk(emb.where(F.col("vec_id") < 10), emb, k=5, refine=8)
 
 
 @_q("embedding_topk_pq")  # rows-only; recall vs brute force in tests
@@ -3392,6 +3502,9 @@ VERIFY_ORDER: list[str] = [
     "doc_quality_classifier",
     "embedding_int8_quant",
     "user_value_trend",
+    "min_cost_supplier",
+    "important_part_share",
+    "embedding_topk_int8",
     # touched this round (posting-list pair generation, CC convergence,
     # sequential pii counts, grouping_id grain, new LSH dedup path)
     "dedup_ngram_jaccard",
@@ -3421,6 +3534,8 @@ VERIFY_ORDER: list[str] = [
     "embedding_topk_ivf",
     "multimodal_decode",
     "multimodal_frame_sample",
+    # touched this session (audio RMS + fake-media encoders vectorized)
+    "multimodal_audio_stats",
     "approx_distinct_stats",
     "pricing_summary",
     "revenue_by_nation",
@@ -3455,7 +3570,6 @@ VERIFY_ORDER: list[str] = [
     "doc_stratified_sample",
     "doc_weighted_sample",
     "user_sketch_rollup",
-    "multimodal_audio_stats",
     "features_daily",
     "pit_training_data",
     "latest_event_per_user",

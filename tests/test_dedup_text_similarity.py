@@ -512,3 +512,26 @@ def test_int8_quantize_roundtrip_bounds(spark):
         assert np.abs(recon - v).max() <= scale / 2 + 1e-12
         # the max-|x| element uses the full code range
         assert max(abs(r.code_min), abs(r.code_max)) == 127
+
+
+def test_int8_topk_matches_bruteforce(spark, sf_dir):
+    """Int8 scoring is accurate enough that after exact re-rank the top-k
+    equals brute force exactly on the test corpus (recall 1.0; the re-rank
+    emits exact cosines, so ties resolve identically)."""
+    from mini_feature_store_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        int8_topk,
+    )
+
+    emb = load_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    q = emb.where(F.col("vec_id") < 5)
+    want = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in cosine_topk_bruteforce(q, emb, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in int8_topk(q, emb, k=5, refine=8).collect()
+    }
+    hits = sum(1 for key, n in got.items() if want.get(key) == n)
+    assert hits / len(want) >= 0.95, (hits, len(want))

@@ -909,3 +909,20 @@ def test_corpus_curate_semantic_stage(spark, tmp_path):
     assert funnel["after_near_dedup"] == 4
     assert funnel["after_semantic_dedup"] == 3
     assert funnel["written"] == 3
+
+    # same run through the CLI surface pins the new flag wiring
+    from mini_feature_store_spark import cli
+
+    out2 = str(tmp_path / "clean2")
+    rc = cli.main(
+        [
+            "corpus-curate",
+            "--input-path", inp,
+            "--output-path", out2,
+            "--embeddings-path", embp,
+            "--semantic-threshold", "0.999",
+            "--semantic-k", "2",
+        ]
+    )
+    assert rc == 0
+    assert {r.doc_id for r in spark.read.parquet(out2).collect()} == {0, 2, 3}

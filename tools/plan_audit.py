@@ -75,6 +75,28 @@ AUDITED: dict[str, str] = {
         "decode-gather-einsum per Arrow batch; only the refine·k "
         "shortlist per query joins true vectors for the exact re-rank."
     ),
+    "user_value_trend": (
+        "Grouped trend fit: regr_slope/regr_intercept partial moments "
+        "combine map-side — daily rollup + per-user fit are two hash "
+        "aggregates sharing the user_id exchange; no window, no pandas."
+    ),
+    "min_cost_supplier": (
+        "Q2 shape without a correlated subquery: the per-part MIN is a "
+        "window over the already-aggregated (part, supplier) side — "
+        "never the fact table; both dims broadcast, p_size filter prunes "
+        "the dim before the join."
+    ),
+    "important_part_share": (
+        "Q11 shape: the scalar subquery (mean part revenue) is a "
+        "broadcast 1-row aggregate cross join — no single-partition "
+        "window over the fact table."
+    ),
+    "embedding_topk_int8": (
+        "Int8-scan ANN: the scoring pass reads the 4×-smaller quantized "
+        "representation (codes + scale), one decode-GEMM per Arrow batch "
+        "against broadcast-by-closure queries; only refine·k survivors "
+        "per query touch full vectors."
+    ),
     "embedding_kmeans": (
         "Assignment-only plan (fit already ran at plan build, centroids "
         "are a closure constant): ONE Arrow mapInPandas GEMM pass over "
