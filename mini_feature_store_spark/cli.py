@@ -143,6 +143,18 @@ def build_parser() -> argparse.ArgumentParser:
         "--shards", type=int, default=None, help="write N training shards + manifest"
     )
 
+    ai = sub.add_parser(
+        "ann-index-build",
+        help="build a persistent IVF-PQ ANN index (cell-partitioned codes "
+        "parquet + model.json) from an embeddings parquet",
+    )
+    ai.add_argument("--embeddings-path", required=True)
+    ai.add_argument("--index-dir", required=True)
+    ai.add_argument("--n-cells", type=int, default=16)
+    ai.add_argument("--m-sub", type=int, default=16)
+    ai.add_argument("--nbits", type=int, default=4)
+    ai.add_argument("--seed", type=int, default=42)
+
     v = sub.add_parser(
         "serve",
         help="feature-serving HTTP API (reference api/main.py): "
@@ -377,6 +389,23 @@ def main(argv: list[str] | None = None) -> int:
             )
             for stage, n in funnel.items():
                 print(f"{stage}: {n}")
+        elif args.pipeline == "ann-index-build":
+            from mini_feature_store_spark.operators.ann_index import (
+                build_ivfpq_index,
+            )
+
+            summary = build_ivfpq_index(
+                spark.read.parquet(args.embeddings_path),
+                args.index_dir,
+                n_cells=args.n_cells,
+                m_sub=args.m_sub,
+                nbits=args.nbits,
+                seed=args.seed,
+            )
+            print(
+                f"index built at {args.index_dir}: "
+                + ", ".join(f"{k}={v}" for k, v in summary.items())
+            )
         elif args.pipeline == "serve":
             from mini_feature_store_spark.api.http_server import serve_forever
             from mini_feature_store_spark.api.service import (

@@ -582,6 +582,52 @@ def ivf_topk(
     )
 
 
+def _hash_sample_matrix(c: DataFrame, n: int, seed: int) -> "np.ndarray":
+    """Deterministic hash-ordered sample of the ``with_vec_norm`` carrier →
+    float64 matrix (the standard offline-training sample for IVF/PQ)."""
+    rows = (
+        c.orderBy(F.xxhash64(F.col("id").cast("string"), F.lit(seed)))
+        .limit(n)
+        .select("v")
+        .collect()
+    )
+    return np.array([r["v"] for r in rows], dtype=np.float64)
+
+
+def _train_ivfpq(
+    sample: "np.ndarray",
+    n_cells: int,
+    m_sub: int,
+    nbits: int,
+    kmeans_iters: int,
+    seed: int,
+) -> tuple["np.ndarray", "np.ndarray"]:
+    """Driver-side IVF centroids + per-subspace PQ codebooks from a bounded
+    sample. Returns (cent_unit (n_cells, dim), books (m_sub, 2^nbits, sub))."""
+    dim = sample.shape[1]
+    sub = dim // m_sub
+    n_codes = 1 << nbits
+    cent_unit = (
+        sample[:n_cells] / np.linalg.norm(sample[:n_cells], axis=1)[:, None]
+    )
+    rng = np.random.default_rng(seed)
+    subs = sample.reshape(len(sample), m_sub, sub)
+    books = np.empty((m_sub, n_codes, sub))
+    for j in range(m_sub):
+        data = subs[:, j, :]
+        cb = data[rng.choice(len(data), n_codes, replace=len(data) < n_codes)]
+        for _ in range(kmeans_iters):
+            assign = (
+                ((data[:, None, :] - cb[None, :, :]) ** 2).sum(-1).argmin(1)
+            )
+            for q_ in range(n_codes):
+                m = assign == q_
+                if m.any():
+                    cb[q_] = data[m].mean(0)
+        books[j] = cb
+    return cent_unit, books
+
+
 def pq_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -635,32 +681,10 @@ def pq_topk(
     n_codes = 1 << nbits
 
     c = with_vec_norm(spread(corpus), vec_col, id_col)
-    sample_rows = (
-        c.orderBy(F.xxhash64(F.col("id").cast("string"), F.lit(seed)))
-        .limit(max(sample_size, n_cells))
-        .select("v", "nrm")
-        .collect()
+    sample = _hash_sample_matrix(c, max(sample_size, n_cells), seed)
+    cent_unit, books = _train_ivfpq(
+        sample, n_cells, m_sub, nbits, kmeans_iters, seed
     )
-    sample = np.array([r["v"] for r in sample_rows], dtype=np.float64)
-    cent_unit = (
-        sample[:n_cells] / np.linalg.norm(sample[:n_cells], axis=1)[:, None]
-    )
-
-    rng = np.random.default_rng(seed)
-    subs = sample.reshape(len(sample), m_sub, sub)
-    books = np.empty((m_sub, n_codes, sub))
-    for j in range(m_sub):
-        data = subs[:, j, :]
-        cb = data[rng.choice(len(data), n_codes, replace=len(data) < n_codes)]
-        for _ in range(kmeans_iters):
-            assign = (
-                ((data[:, None, :] - cb[None, :, :]) ** 2).sum(-1).argmin(1)
-            )
-            for q_ in range(n_codes):
-                m = assign == q_
-                if m.any():
-                    cb[q_] = data[m].mean(0)
-        books[j] = cb
 
     @F.pandas_udf("struct<cell:int, codes:array<smallint>>")
     def encode(vs: pd.Series) -> pd.DataFrame:

@@ -1,0 +1,74 @@
+"""Persistent IVF-PQ index: parity with the per-call operator and
+partition pruning on the probed cells."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mini_feature_store_spark.functions import plan_text
+from mini_feature_store_spark.io import load_testdata
+from mini_feature_store_spark.operators.ann_index import (
+    build_ivfpq_index,
+    pq_topk_indexed,
+)
+from mini_feature_store_spark.operators.similarity import pq_topk
+
+
+def test_indexed_matches_per_call_pq(spark, sf_dir, tmp_path):
+    """Same corpus, same seed → identical codebooks → identical results
+    (the index is a pure amortization of pq_topk's training/encoding)."""
+    emb = load_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    idx = str(tmp_path / "ivfpq")
+    summary = build_ivfpq_index(emb, idx, n_cells=8, seed=42)
+    assert summary["n_cells"] == 8 and summary["dim"] == 64
+
+    q = emb.where(F.col("vec_id") < 5)
+    want = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in pq_topk(q, emb, k=5, n_cells=8, n_probe=4, refine=4).collect()
+    }
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in pq_topk_indexed(
+            spark, idx, q, k=5, n_probe=4, refine=4
+        ).collect()
+    }
+    assert got == want
+
+
+def test_indexed_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    """The probed-cell IN filter must reach the codes scan as a partition
+    filter — unprobed cells' files are never read."""
+    emb = load_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    idx = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb, idx, n_cells=8, seed=42)
+    out = pq_topk_indexed(
+        spark, idx, emb.where(F.col("vec_id") < 2), k=3, n_probe=2
+    )
+    plan = plan_text(out)
+    assert "PartitionFilters" in plan and "cell" in plan
+    # and the result is sane: 3 neighbors per query
+    rows = out.collect()
+    assert {r.query_id for r in rows} == {0, 1}
+    assert all(1 <= r.rank <= 3 for r in rows)
+
+
+def test_ann_index_build_cli(spark, sf_dir, tmp_path):
+    from mini_feature_store_spark import cli
+
+    idx = str(tmp_path / "cli_idx")
+    rc = cli.main(
+        [
+            "ann-index-build",
+            "--embeddings-path", f"{sf_dir}/embeddings.parquet",
+            "--index-dir", idx,
+            "--n-cells", "8",
+        ]
+    )
+    assert rc == 0
+    import json
+    from pathlib import Path
+
+    meta = json.loads(Path(idx, "model.json").read_text())
+    assert meta["n_cells"] == 8
+    assert len(meta["centroids"]) == 8
