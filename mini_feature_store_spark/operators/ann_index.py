@@ -211,3 +211,61 @@ def pq_topk_indexed(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int"))
     )
+
+
+def append_to_ivfpq_index(
+    batch: DataFrame,
+    index_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> int:
+    """Encode an arriving batch with the EXISTING model artifacts and
+    append its codes to the cell-partitioned parquet — the daily-ingest
+    path: codebooks/centroids stay frozen between full rebuilds (the
+    standard IVF-PQ maintenance contract; re-train only when drift
+    accumulates), so appends never touch existing files and probes see
+    new vectors immediately. Returns the number of rows appended.
+
+    Dynamic partition append: only the cells the batch lands in gain new
+    files; compaction of small appended files is the same
+    `VersionedTable.compact` story as any other table.
+    """
+    meta = json.loads(Path(index_dir, "model.json").read_text())
+    cent_unit = np.array(meta["centroids"], dtype=np.float64)
+    books = np.array(meta["codebooks"], dtype=np.float64)
+    m_sub = meta["m_sub"]
+    dim = meta["dim"]
+    sub = dim // m_sub
+
+    c = with_vec_norm(batch, vec_col, id_col)
+
+    def encode(batches):
+        for pdf in batches:
+            mat = np.array(pdf["v"].tolist(), dtype=np.float64)
+            cells = np.argmax(mat @ cent_unit.T, axis=1).astype(np.int32)
+            s = mat.reshape(len(mat), m_sub, sub)
+            codes = np.empty((len(mat), m_sub), dtype=np.int16)
+            for j in range(m_sub):
+                d2 = ((s[:, j, None, :] - books[j][None, :, :]) ** 2).sum(-1)
+                codes[:, j] = d2.argmin(1).astype(np.int16)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["id"].astype("int64"),
+                    "cell": cells,
+                    "codes": list(codes),
+                    "nrm": pdf["nrm"].astype("float64"),
+                    "v": pdf["v"],
+                }
+            )
+
+    enc = c.mapInPandas(
+        encode,
+        "vec_id long, cell int, codes array<smallint>, nrm double, "
+        "v array<double>",
+    )
+    enc.write.mode("append").partitionBy("cell").parquet(
+        str(Path(index_dir) / "codes")
+    )
+    # count the INPUT batch (plain scan) — counting `enc` would run the
+    # whole encode pass a second time
+    return batch.count()

@@ -393,3 +393,41 @@ def incremental_neardedup_stream(
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(admit)
     )
+
+
+def ann_index_ingest_stream(
+    stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Streaming ANN-index maintenance: each micro-batch of embeddings is
+    encoded with the index's FROZEN model artifacts (codebooks/centroids
+    from ``build_ivfpq_index``) and appended to the cell-partitioned codes
+    store — probes see new vectors at the next batch boundary.
+
+    The composition is deliberately thin: ``foreachBatch`` routes the
+    micro-batch through the batch-mode ``append_to_ivfpq_index``, so
+    streaming and batch ingest share one encode path (same rule as
+    ``stream_online_sync``). Checkpointing gives batch-boundary
+    exactly-once on the append as long as the upstream source replays
+    deterministically. Model refresh (re-train on drift) stays an offline
+    decision — rebuilding under a running stream is a swap of
+    ``index_dir``, not a streaming concern.
+
+    Returns the ``DataStreamWriter`` (caller starts/stops it).
+    """
+    from mini_feature_store_spark.operators.ann_index import (
+        append_to_ivfpq_index,
+    )
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            append_to_ivfpq_index(batch_df, index_dir, vec_col, id_col)
+
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(ingest)
+    )

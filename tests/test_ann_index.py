@@ -72,3 +72,34 @@ def test_ann_index_build_cli(spark, sf_dir, tmp_path):
     meta = json.loads(Path(idx, "model.json").read_text())
     assert meta["n_cells"] == 8
     assert len(meta["centroids"]) == 8
+
+
+def test_append_batch_visible_to_probes(spark, sf_dir, tmp_path):
+    """Appending a batch encoded with the frozen model makes the new
+    vectors immediately probe-visible; existing rows are untouched."""
+    from pyspark.sql import functions as F
+
+    from mini_feature_store_spark.operators.ann_index import (
+        append_to_ivfpq_index,
+    )
+
+    emb = load_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    base = emb.where(F.col("vec_id") >= 10)
+    idx = str(tmp_path / "ivfpq")
+    build_ivfpq_index(base, idx, n_cells=8, seed=42)
+
+    # append EXACT COPIES of vectors 10..14 under new ids 9000+: each
+    # appended vector must show up as its twin's top-1 (cosine 1.0)
+    twins = emb.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 15)).select(
+        (F.col("vec_id") + 8990).alias("vec_id"), "embedding"
+    )
+    n = append_to_ivfpq_index(twins, idx)
+    assert n == 5
+
+    q = emb.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
+    top = {
+        r.query_id: (r.neighbor_id, r.cosine)
+        for r in pq_topk_indexed(spark, idx, q, k=1, n_probe=8).collect()
+    }
+    for qid, (nid, cos) in top.items():
+        assert nid == qid + 8990 and cos == 1.0

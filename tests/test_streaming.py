@@ -384,3 +384,49 @@ def test_incremental_neardedup_stream_rejects_near_dups(spark, tmp_path):
     q.awaitTermination(120)
     out2 = {r.doc_id for r in spark.read.parquet(admitted).collect()}
     assert out2 == {1, 2, 11}  # 10 near-dups admitted doc 1 -> rejected
+
+
+def test_ann_index_ingest_stream_appends_probe_visible(spark, tmp_path, sf_dir):
+    """Streaming embeddings flow through the frozen-model encode path into
+    the cell-partitioned index; after the batch boundary, probes find the
+    streamed vectors (planted exact twins rank top-1 at cosine 1.0)."""
+    from pyspark.sql import functions as F
+
+    from mini_feature_store_spark.io import load_testdata
+    from mini_feature_store_spark.operators.ann_index import (
+        build_ivfpq_index,
+        pq_topk_indexed,
+    )
+    from mini_feature_store_spark.streaming.ingest import (
+        ann_index_ingest_stream,
+    )
+
+    emb = load_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    idx = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb.where(F.col("vec_id") >= 5), idx, n_cells=8)
+
+    # stream exact twins of vectors 5..7 as JSON micro-batches
+    src_dir = tmp_path / "incoming"
+    src_dir.mkdir()
+    twins = emb.where((F.col("vec_id") >= 5) & (F.col("vec_id") < 8)).select(
+        (F.col("vec_id") + 7000).alias("vec_id"), "embedding"
+    )
+    twins.coalesce(1).write.mode("append").json(str(src_dir))
+
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<float>"
+    ).json(str(src_dir))
+    q = (
+        ann_index_ingest_stream(stream, idx, str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    queries = emb.where((F.col("vec_id") >= 5) & (F.col("vec_id") < 8))
+    top = {
+        r.query_id: (r.neighbor_id, r.cosine)
+        for r in pq_topk_indexed(spark, idx, queries, k=1, n_probe=8).collect()
+    }
+    for qid, (nid, cos) in top.items():
+        assert nid == qid + 7000 and cos == 1.0
