@@ -1,0 +1,116 @@
+"""Property-based tests (hypothesis) for the r4 training-pipeline
+operators: int8 quantization roundtrip laws, epoch-shuffle permutation
+laws, and k-means assignment vs a literal numpy argmax — on randomized
+inputs that example tests can't enumerate (denormal-ish magnitudes,
+constant vectors, adversarial key sets)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+finite_f = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False,
+    width=32,
+)
+
+
+@pytest.fixture(scope="module")
+def sp(spark):
+    return spark
+
+
+class TestProperties:
+    @settings(max_examples=5, deadline=None)
+    @given(
+        vecs=st.lists(
+            st.lists(finite_f, min_size=4, max_size=4),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    def test_int8_quantize_laws(self, sp, vecs):
+        from mini_feature_store_spark.operators.similarity import int8_quantize
+
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+        df = sp.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = {r.vec_id: r for r in int8_quantize(df).collect()}
+        for vid, v in rows:
+            r = out[vid]
+            # float32 storage: compare against the float32-rounded values
+            v32 = np.array(v, dtype=np.float32).astype(np.float64)
+            scale = np.abs(v32).max() / 127.0
+            if scale == 0:
+                assert all(c == 0 for c in r.codes) and r.recon_mse == 0.0
+                continue
+            assert -127 <= r.code_min <= r.code_max <= 127
+            recon = np.array(r.codes, dtype=np.float64) * scale
+            assert np.abs(recon - v32).max() <= scale / 2 * (1 + 1e-9)
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        keys=st.lists(
+            st.integers(min_value=-(2**31), max_value=2**31),
+            min_size=1,
+            max_size=60,
+            unique=True,
+        ),
+        seed=st.integers(min_value=0, max_value=10),
+        n_shards=st.sampled_from([1, 4, 16]),
+    )
+    def test_epoch_shuffle_laws(self, sp, keys, seed, n_shards):
+        from mini_feature_store_spark.operators.sampling import epoch_shuffle
+
+        df = sp.createDataFrame([(k,) for k in keys], "k long")
+        out = epoch_shuffle(df, ["k"], seed=seed, n_shards=n_shards).toPandas()
+        # permutation: every key exactly once
+        assert sorted(out["k"]) == sorted(keys)
+        # shard ids in range; positions dense 1..n per shard
+        assert out["shard"].between(0, n_shards - 1).all()
+        for _, g in out.groupby("shard"):
+            assert sorted(g["pos_in_shard"]) == list(range(1, len(g) + 1))
+        # rerun-stability (same seed)
+        again = epoch_shuffle(df, ["k"], seed=seed, n_shards=n_shards).toPandas()
+        a = out.sort_values("k").reset_index(drop=True)
+        b = again.sort_values("k").reset_index(drop=True)
+        assert a.equals(b)
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        data=st.lists(
+            st.lists(
+                st.floats(
+                    min_value=-10, max_value=10,
+                    allow_nan=False, allow_infinity=False, width=32,
+                ),
+                min_size=4,
+                max_size=4,
+            ).filter(lambda v: any(abs(x) > 1e-3 for x in v)),
+            min_size=3,
+            max_size=20,
+        )
+    )
+    def test_kmeans_assign_matches_numpy_argmax(self, sp, data):
+        from mini_feature_store_spark.operators.clustering import kmeans_assign
+
+        cents = np.array(
+            [[1, 0, 0, 0], [0, 1, 0, 0], [-1, 0, 0, 0]], dtype=np.float64
+        )
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(data)]
+        df = sp.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = (
+            kmeans_assign(df, cents)
+            .toPandas()
+            .sort_values("vec_id")["cluster"]
+            .to_numpy()
+        )
+        mat = np.array(
+            [np.array(v, dtype=np.float32) for _, v in rows], dtype=np.float64
+        )
+        nrm = np.linalg.norm(mat, axis=1)
+        nrm[nrm < 1e-30] = 1e-30
+        want = np.argmax((mat / nrm[:, None]) @ cents.T, axis=1)
+        assert (got == want).all()
