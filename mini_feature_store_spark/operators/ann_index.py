@@ -96,6 +96,21 @@ def build_ivfpq_index(
         str(Path(index_dir) / "codes")
     )
 
+    # baseline quantization error on the training sample — the drift
+    # reference: arriving batches whose error grows well past this are
+    # out-of-distribution for the frozen codebooks (rebuild signal)
+    srec = np.concatenate(
+        [
+            books[j][
+                ((sample.reshape(len(sample), m_sub, sub)[:, j, None, :]
+                  - books[j][None, :, :]) ** 2).sum(-1).argmin(1)
+            ]
+            for j in range(m_sub)
+        ],
+        axis=1,
+    )
+    baseline_mse = float(((sample - srec) ** 2).mean())
+
     meta = {
         "n_cells": n_cells,
         "m_sub": m_sub,
@@ -104,6 +119,7 @@ def build_ivfpq_index(
         "seed": seed,
         "sample_size": sample_size,
         "kmeans_iters": kmeans_iters,
+        "baseline_mse": baseline_mse,
         "centroids": cent_unit.tolist(),
         "codebooks": books.tolist(),
     }
@@ -269,3 +285,64 @@ def append_to_ivfpq_index(
     # count the INPUT batch (plain scan) — counting `enc` would run the
     # whole encode pass a second time
     return batch.count()
+
+
+def index_drift_report(
+    batch: DataFrame,
+    index_dir: str,
+    rebuild_ratio: float = 2.0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """Quantify how well the FROZEN codebooks fit an arriving batch —
+    the rebuild trigger for the append-only maintenance loop.
+
+    Encodes the batch (decode-reconstruct per Arrow batch) and aggregates
+    its quantization MSE distributively (one tiny mean, no collect of
+    vectors), then compares against the training-time ``baseline_mse``
+    recorded in model.json. ``drift_ratio = batch_mse / baseline_mse``;
+    ratios near 1 mean the batch is in-distribution, and
+    ``rebuild_recommended`` fires at ``rebuild_ratio`` (default 2× — the
+    usual practical threshold before recall degrades noticeably).
+
+    Returns {n, batch_mse, baseline_mse, drift_ratio, rebuild_recommended}.
+    """
+    meta = json.loads(Path(index_dir, "model.json").read_text())
+    books = np.array(meta["codebooks"], dtype=np.float64)
+    m_sub = meta["m_sub"]
+    dim = meta["dim"]
+    sub = dim // m_sub
+
+    c = with_vec_norm(batch, vec_col, id_col)
+
+    def err(batches):
+        for pdf in batches:
+            mat = np.array(pdf["v"].tolist(), dtype=np.float64)
+            s = mat.reshape(len(mat), m_sub, sub)
+            rec = np.empty_like(mat)
+            for j in range(m_sub):
+                d2 = ((s[:, j, None, :] - books[j][None, :, :]) ** 2).sum(-1)
+                rec[:, j * sub : (j + 1) * sub] = books[j][d2.argmin(1)]
+            yield pd.DataFrame(
+                {"mse": ((mat - rec) ** 2).mean(axis=1)}
+            )
+
+    agg = (
+        c.select("v")
+        .mapInPandas(err, "mse double")
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("mse").alias("batch_mse"))
+        .collect()[0]
+    )
+    baseline = meta.get("baseline_mse") or float("nan")
+    ratio = (
+        float(agg["batch_mse"]) / baseline
+        if baseline and baseline > 0
+        else float("inf")
+    )
+    return {
+        "n": int(agg["n"]),
+        "batch_mse": round(float(agg["batch_mse"]), 8),
+        "baseline_mse": round(baseline, 8),
+        "drift_ratio": round(ratio, 4),
+        "rebuild_recommended": bool(ratio >= rebuild_ratio),
+    }

@@ -103,3 +103,35 @@ def test_append_batch_visible_to_probes(spark, sf_dir, tmp_path):
     }
     for qid, (nid, cos) in top.items():
         assert nid == qid + 8990 and cos == 1.0
+
+
+def test_drift_report_in_and_out_of_distribution(spark, sf_dir, tmp_path):
+    """In-distribution batches sit near drift_ratio 1; a shifted batch
+    (embeddings scaled + offset into a different region per-subspace)
+    drives the ratio up and trips the rebuild flag."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from mini_feature_store_spark.operators.ann_index import index_drift_report
+
+    emb = load_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    idx = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb, idx, n_cells=8, seed=42)
+
+    ok = index_drift_report(emb.limit(100), idx)
+    assert ok["n"] == 100
+    assert ok["drift_ratio"] < 1.5
+    assert not ok["rebuild_recommended"]
+
+    rng = np.random.default_rng(9)
+    shifted_rows = [
+        (int(i), [float(x) for x in rng.normal(loc=5.0, scale=3.0, size=64)])
+        for i in range(100)
+    ]
+    shifted = spark.createDataFrame(
+        shifted_rows, "vec_id long, embedding array<float>"
+    )
+    bad = index_drift_report(shifted, idx)
+    assert bad["drift_ratio"] > ok["drift_ratio"] * 2
+    assert bad["rebuild_recommended"]
