@@ -324,3 +324,57 @@ def point_in_time_join(
     if how == "inner":
         grouped = grouped.where(F.col(feature_ts).isNotNull())
     return grouped.select(*out_cols)
+
+
+def point_in_time_join_multi(
+    labels: DataFrame,
+    groups: list[dict],
+    keys: list[str] | tuple[str, ...] = ("user_id",),
+    label_ts: str = "as_of_ts",
+    how: str = "left",
+    strategy: str = "max_by",
+) -> DataFrame:
+    """Labels as-of joined against MULTIPLE feature groups — the
+    feature-store training-set assembly call (each group is a feature
+    view at its own time grain; think Feast's get_historical_features).
+
+    ``groups``: list of ``{"features": df, "feature_ts": str,
+    "prefix": str | None, "lookback_days": int | None}``. Groups fold
+    left-to-right: each as-of pick is per ORIGINAL label row (label rows
+    stay unique through the fold), so the result is identical to N
+    independent as-of joins stitched on the label key — but runs as one
+    plan. ``prefix`` renames a group's non-key columns to avoid
+    collisions between feature views that share column names.
+
+    Cost model: one shuffle per group on ``keys`` (inherent — each group
+    has its own rows to co-locate); the label side re-shuffles with its
+    accumulated features. For many wide groups prefer ordering them
+    smallest-first so the widest accumulated row shuffles fewest times.
+    """
+    out = labels
+    for g in groups:
+        feats = g["features"]
+        ts_col = g["feature_ts"]
+        prefix = g.get("prefix")
+        if prefix:
+            feats = feats.select(
+                *[
+                    F.col(c).alias(
+                        c if c in keys or c == ts_col else f"{prefix}{c}"
+                    )
+                    for c in feats.columns
+                ]
+            )
+        out = point_in_time_join(
+            out,
+            feats,
+            keys=keys,
+            label_ts=label_ts,
+            feature_ts=ts_col,
+            how=how,
+            strategy=strategy,
+            lookback_days=g.get("lookback_days"),
+        )
+        if prefix:
+            out = out.withColumnRenamed(ts_col, f"{prefix}{ts_col}")
+    return out

@@ -133,6 +133,94 @@ def pit_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "pit_training_multi",
+    _FEATURES_SQL
+    + """
+, labels AS (
+  SELECT DISTINCT user_id, CAST(1.0 AS DOUBLE) AS label,
+         CAST(ts AS TIMESTAMP) AS as_of_ts
+  FROM events WHERE event_type = 'purchase'
+),
+cand AS (
+  SELECT l.user_id, l.label, l.as_of_ts, f.day, f.event_count_7d,
+         f.event_count_30d, f.last_event_days_ago, f.event_type_counts,
+         ROW_NUMBER() OVER (PARTITION BY l.user_id, l.as_of_ts
+                            ORDER BY f.day DESC) AS rk
+  FROM labels l
+  LEFT JOIN features f
+    ON l.user_id = f.user_id AND f.day <= CAST(l.as_of_ts AS DATE)
+),
+daily_pick AS (
+  SELECT user_id, label, as_of_ts, day, event_count_7d, event_count_30d,
+         last_event_days_ago, event_type_counts
+  FROM cand WHERE rk = 1
+),
+weekly AS (
+  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS w_week,
+         CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT)
+           AS w_weekly_clicks,
+         ROUND(SUM(value), 2) AS w_weekly_value
+  FROM events GROUP BY 1, 2
+),
+wcand AS (
+  SELECT l.user_id, l.as_of_ts, w.w_week, w.w_weekly_clicks,
+         w.w_weekly_value,
+         ROW_NUMBER() OVER (PARTITION BY l.user_id, l.as_of_ts
+                            ORDER BY w.w_week DESC) AS rk
+  FROM labels l
+  LEFT JOIN weekly w
+    ON l.user_id = w.user_id AND w.w_week <= CAST(l.as_of_ts AS DATE)
+)
+SELECT d.user_id, d.label, d.as_of_ts, d.day, d.event_count_7d,
+       d.event_count_30d, d.last_event_days_ago, d.event_type_counts,
+       wc.w_week, wc.w_weekly_clicks, wc.w_weekly_value
+FROM daily_pick d
+JOIN wcand wc
+  ON d.user_id = wc.user_id AND d.as_of_ts = wc.as_of_ts AND wc.rk = 1
+""",
+)
+def pit_training_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source point-in-time join (operators/point_in_time.py:
+    point_in_time_join_multi): labels as-of joined against TWO feature
+    views at different grains — daily backfilled features and weekly
+    click/value rollups — the feature-store training-set assembly call.
+    The fold keeps label rows unique, so the chained plan is exactly N
+    independent as-of joins stitched on the label key."""
+    from mini_feature_store_spark.operators.point_in_time import (
+        point_in_time_join_multi,
+    )
+
+    _utc(spark)
+    events = load_testdata(spark, sf_dir, "events")["events"]
+    features = backfill_features_window_form(events, EVENTS_START, EVENTS_END)
+    weekly = events.groupBy(
+        "user_id",
+        F.date_trunc("week", "ts").cast("date").alias("w_week"),
+    ).agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias(
+            "w_weekly_clicks"
+        ),
+        F.round(F.sum("value"), 2).alias("w_weekly_value"),
+    )
+    labels = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.lit(1.0).alias("label"),
+            F.col("ts").alias("as_of_ts"),
+        )
+        .distinct()
+    )
+    return point_in_time_join_multi(
+        labels,
+        [
+            {"features": features, "feature_ts": "day"},
+            {"features": weekly, "feature_ts": "w_week"},
+        ],
+    )
+
+
+@_q(
     "latest_event_per_user",
     """
 SELECT user_id, event_id, ts, event_type, value, props FROM (
@@ -3531,6 +3619,7 @@ VERIFY_ORDER: list[str] = [
     "min_cost_supplier",
     "important_part_share",
     "embedding_topk_int8",
+    "pit_training_multi",
     # touched this round (posting-list pair generation, CC convergence,
     # sequential pii counts, grouping_id grain, new LSH dedup path)
     "dedup_ngram_jaccard",

@@ -194,3 +194,84 @@ def test_lookback_prefilter_preserves_results(spark, strategy):
         labels, features, strategy=strategy, lookback_days=30
     ).collect()
     assert out[0].day == dt.date(2024, 1, 1)
+
+
+def test_multi_group_fold_equals_independent_joins(spark):
+    """point_in_time_join_multi must equal N independent as-of joins
+    stitched on the label key — the fold cannot let group 1's columns
+    perturb group 2's pick (label rows stay unique through the fold)."""
+    from pyspark.sql import functions as F
+
+    from mini_feature_store_spark.operators.point_in_time import (
+        point_in_time_join,
+        point_in_time_join_multi,
+    )
+
+    labels = spark.createDataFrame(
+        [
+            (1, "2024-01-10 12:00:00"),
+            (1, "2024-01-20 12:00:00"),
+            (2, "2024-01-15 12:00:00"),
+        ],
+        "user_id long, as_of string",
+    ).select("user_id", F.col("as_of").cast("timestamp").alias("as_of_ts"))
+    g1 = spark.createDataFrame(
+        [(1, "2024-01-05", 10.0), (1, "2024-01-15", 20.0), (2, "2024-01-01", 5.0)],
+        "user_id long, day string, f1 double",
+    ).select("user_id", F.col("day").cast("date").alias("day"), "f1")
+    g2 = spark.createDataFrame(
+        [(1, "2024-01-08", 7), (2, "2024-01-20", 9)],
+        "user_id long, wk string, f2 long",
+    ).select("user_id", F.col("wk").cast("date").alias("wk"), "f2")
+
+    multi = point_in_time_join_multi(
+        labels,
+        [
+            {"features": g1, "feature_ts": "day"},
+            {"features": g2, "feature_ts": "wk"},
+        ],
+    ).collect()
+
+    a = point_in_time_join(labels, g1, feature_ts="day")
+    b = point_in_time_join(labels, g2, feature_ts="wk")
+    stitched = {
+        (r.user_id, r.as_of_ts): r.asDict() for r in a.join(
+            b, ["user_id", "as_of_ts"]
+        ).collect()
+    }
+    assert len(multi) == 3
+    for r in multi:
+        want = stitched[(r.user_id, r.as_of_ts)]
+        assert r.asDict() == want
+    # leakage: every picked ts <= as_of date
+    for r in multi:
+        if r.day is not None:
+            assert r.day <= r.as_of_ts.date()
+        if r.wk is not None:
+            assert r.wk <= r.as_of_ts.date()
+
+
+def test_multi_group_prefix_avoids_collisions(spark):
+    from pyspark.sql import functions as F
+
+    from mini_feature_store_spark.operators.point_in_time import (
+        point_in_time_join_multi,
+    )
+
+    labels = spark.createDataFrame(
+        [(1, "2024-01-10 12:00:00")], "user_id long, as_of string"
+    ).select("user_id", F.col("as_of").cast("timestamp").alias("as_of_ts"))
+    mk = lambda v: spark.createDataFrame(
+        [(1, "2024-01-05", v)], "user_id long, day string, score double"
+    ).select("user_id", F.col("day").cast("date").alias("day"), "score")
+
+    out = point_in_time_join_multi(
+        labels,
+        [
+            {"features": mk(1.0), "feature_ts": "day", "prefix": "a_"},
+            {"features": mk(2.0), "feature_ts": "day", "prefix": "b_"},
+        ],
+    )
+    row = out.collect()[0]
+    assert row.a_score == 1.0 and row.b_score == 2.0
+    assert "a_day" in out.columns and "b_day" in out.columns
