@@ -500,3 +500,77 @@ def image_phash_pairs(
         hash_col="phash",
         id_col="media_id",
     )
+
+
+def video_phash_neardup(
+    media: DataFrame,
+    every_k: int = 5,
+    min_shared: int = 2,
+    max_hamming: int = 3,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Video near-duplicate pairs by keyframe perceptual-hash overlap —
+    the multimodal tier composed end-to-end at the video level: sample
+    every k-th frame (``sample_frames``) → pHash each frame
+    (``image_phash``) → count DISTINCT near-matching hashes between
+    video pairs.
+
+    The pairing is the same no-all-pairs shape as text/image dedup:
+    frame hashes meet through the pigeonhole Hamming equi-join
+    (``dedup.hamming_blocked_pairs`` on the DISTINCT frame-hash
+    vocabulary), matched hash pairs join back to their owning videos,
+    and a video pair qualifies at ``min_shared`` shared keyframes.
+    Re-encoded or lightly-edited copies share most keyframe hashes;
+    unrelated videos share none. Exact-duplicate frames WITHIN one video
+    collapse first (distinct per video), so a still scene can't inflate
+    overlap.
+
+    Output: (id_a, id_b, n_shared) with id_a < id_b.
+    """
+    from mini_feature_store_spark.operators.dedup import (
+        hamming_blocked_pairs,
+    )
+
+    frames = sample_frames(media, every_k=every_k, id_col=id_col)
+    hashed = (
+        image_phash(frames, id_col=id_col)
+        .where(F.col("error").isNull())
+        .select(F.col(id_col).alias("vid"), "phash")
+        .distinct()
+    )
+    vocab = hashed.select("phash").distinct().select(
+        F.col("phash").alias("h"), F.col("phash").alias("media_id")
+    )
+    # near-matching hash pairs over the distinct vocabulary (tiny next to
+    # the frame set); include the identity pair (a hash matches itself)
+    near = hamming_blocked_pairs(
+        vocab.select("media_id", F.col("h").alias("phash")),
+        max_hamming=max_hamming,
+        bits=64,
+        blocks=8,
+        hash_col="phash",
+        id_col="media_id",
+    ).select(F.col("id_a").alias("h1"), F.col("id_b").alias("h2"))
+    near = (
+        near.union(near.select(F.col("h2").alias("h1"), F.col("h1").alias("h2")))
+        .union(
+            hashed.select(
+                F.col("phash").alias("h1"), F.col("phash").alias("h2")
+            ).distinct()
+        )
+    )
+    a = hashed.select(F.col("vid").alias("vid_a"), F.col("phash").alias("h1"))
+    b = hashed.select(F.col("vid").alias("vid_b"), F.col("phash").alias("h2"))
+    return (
+        a.join(near, "h1")
+        .join(b, "h2")
+        .where(F.col("vid_a") < F.col("vid_b"))
+        .groupBy("vid_a", "vid_b")
+        .agg(F.count_distinct("h1").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+        .select(
+            F.col("vid_a").alias("id_a"),
+            F.col("vid_b").alias("id_b"),
+            "n_shared",
+        )
+    )

@@ -2599,6 +2599,56 @@ def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_phash_pairs(media, max_hamming=3)
 
 
+@_q("multimodal_video_neardup")  # rows-only: frame-sampled pHash overlap —
+# not SQL-expressible; planted-copy recovery in tests/test_multimodal.py
+def multimodal_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup pairs (operators/multimodal.py:video_phash_neardup):
+    sample keyframes → pHash → count near-matching hashes between video
+    pairs through the pigeonhole Hamming join over the distinct hash
+    vocabulary. Every 10th synthesized video reuses an earlier video's
+    frame seeds (a planted re-encode). Frame content varies BOTH sawtooth
+    phase and slope with the seed (an additive-only fake pattern has just
+    256 content classes, so 900 frame slots pigeonhole-collide and every
+    video pairs with something — measured 450 structured pairs before the
+    slope dimension)."""
+    import struct as _struct
+
+    import numpy as _np
+
+    from mini_feature_store_spark.operators.multimodal import (
+        FAKE_VIDEO_MAGIC,
+        synthesize_payloads,
+        video_phash_neardup,
+    )
+
+    _utc(spark)
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+
+    def make_video(doc_id: int, n_chars: int) -> bytes:
+        base = (doc_id - 5) if doc_id % 10 == 0 and doc_id >= 10 else doc_id
+        w, h, c, nf = 24, 18, 3, 6
+        n = w * h * c
+        frames = []
+        for f in range(nf):
+            seed = (base * 131 + f * 17) % 4093
+            slope = 17 + 2 * ((seed >> 8) % 16)
+            frames.append(
+                ((seed % 256 + _np.arange(n, dtype=_np.int64) * slope) % 256)
+                .astype(_np.uint8)
+                .tobytes()
+            )
+        return (
+            FAKE_VIDEO_MAGIC
+            + _struct.pack("<HHBH", w, h, c, nf)
+            + b"".join(frames)
+        )
+
+    media = synthesize_payloads(
+        docs.where(F.col("doc_id") < 300), make_video, min_partitions=8
+    )
+    return video_phash_neardup(media, every_k=2, min_shared=2, max_hamming=0)
+
+
 @_q("multimodal_frame_sample")  # binary payloads: rows-only check; plumbing
 # pinned in tests/test_multimodal.py (1→N fan-out, image-tier composition)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3620,6 +3670,7 @@ VERIFY_ORDER: list[str] = [
     "important_part_share",
     "embedding_topk_int8",
     "pit_training_multi",
+    "multimodal_video_neardup",
     # touched this round (posting-list pair generation, CC convergence,
     # sequential pii counts, grouping_id grain, new LSH dedup path)
     "dedup_ngram_jaccard",

@@ -166,3 +166,43 @@ def test_image_phash_near_dup_pairs(spark):
     assert (0, 2) in pairs and pairs[(0, 2)] <= 6
     assert (0, 3) in pairs  # DC-drop + median threshold absorb the shift
     assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_video_phash_neardup_planted_copies(spark):
+    """Video-level near-dup: an exact re-encode shares all keyframe
+    hashes; a partial-overlap edit shares some; unrelated videos share
+    none. Frame seeds are hand-picked so the pHash vocabulary separates."""
+    import struct
+
+    from mini_feature_store_spark.operators.multimodal import (
+        FAKE_VIDEO_MAGIC,
+        encode_fake_image,
+        video_phash_neardup,
+    )
+
+    def video(frame_seeds, w=12, h=9, c=3):
+        frames = b"".join(
+            encode_fake_image(w, h, c, seed=s)[9:] for s in frame_seeds
+        )
+        return (
+            FAKE_VIDEO_MAGIC
+            + struct.pack("<HHBH", w, h, c, len(frame_seeds))
+            + frames
+        )
+
+    rows = [
+        (1, video([1, 20, 40, 60])),
+        (2, video([1, 20, 40, 60])),   # exact copy of 1
+        (3, video([1, 20, 80, 95])),   # shares 2 frames with 1/2
+        (4, video([5, 33, 70, 90])),   # unrelated
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    pairs = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in video_phash_neardup(
+            media, every_k=1, min_shared=2, max_hamming=0
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 4          # full keyframe overlap
+    assert pairs[(1, 3)] == 2 and pairs[(2, 3)] == 2
+    assert not any(4 in p for p in pairs)  # unrelated video never pairs
