@@ -2599,6 +2599,30 @@ def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_phash_pairs(media, max_hamming=3)
 
 
+@_q("doc_content_centrality")  # rows-only: iterative PageRank — not
+# SQL-expressible; numpy power-iteration differential in tests/test_graph.py
+def doc_content_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-centrality quality signal (operators/graph.py:pagerank) over
+    the document near-dup graph: n-gram Jaccard pairs symmetrized into a
+    directed edge list, PageRank ranks the documents whose content is
+    most shared — the crawl-graph authority signal corpus curation uses
+    for source weighting, here exercised on the similarity graph the
+    engine already builds. Isolated docs (no near-dup edge) are absent
+    from the graph by construction."""
+    from mini_feature_store_spark.operators.dedup import ngram_jaccard_pairs
+    from mini_feature_store_spark.operators.graph import pagerank
+
+    _utc(spark)
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    return pagerank(edges, iters=8)
+
+
 @_q("multimodal_video_neardup")  # rows-only: frame-sampled pHash overlap —
 # not SQL-expressible; planted-copy recovery in tests/test_multimodal.py
 def multimodal_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3671,6 +3695,7 @@ VERIFY_ORDER: list[str] = [
     "embedding_topk_int8",
     "pit_training_multi",
     "multimodal_video_neardup",
+    "doc_content_centrality",
     # touched this round (posting-list pair generation, CC convergence,
     # sequential pii counts, grouping_id grain, new LSH dedup path)
     "dedup_ngram_jaccard",

@@ -142,3 +142,37 @@ def test_local_contract_string_ids_fall_back(spark):
     )
     comp = {r.node: r.component for r in connected_components(edges).collect()}
     assert comp == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_pagerank_matches_dense_power_iteration(spark):
+    """Differential: distributed PageRank vs literal numpy power iteration
+    with the same dangling-mass redistribution — equal to float precision
+    on a graph with hubs, chains, dangling nodes, and a disconnected
+    pair."""
+    import numpy as np
+
+    from mini_feature_store_spark.operators.graph import pagerank
+
+    edges = [
+        (0, 1), (0, 2), (1, 2), (2, 0), (3, 2),  # core with a cycle
+        (4, 3),                                  # chain into the core
+        (5, 6),                                  # disconnected pair; 6 dangles
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank for r in pagerank(df, iters=12).collect()}
+
+    n, d = 7, 0.85
+    out = {}
+    for s, t in edges:
+        out.setdefault(s, []).append(t)
+    r = np.full(n, 1.0 / n)
+    for _ in range(12):
+        new = np.zeros(n)
+        dangling = sum(r[v] for v in range(n) if v not in out)
+        for s, ts in out.items():
+            for t in ts:
+                new[t] += r[s] / len(ts)
+        r = (1 - d) / n + d * dangling / n + d * new
+    for v in range(n):
+        assert abs(got[v] - round(r[v], 8)) <= 1e-8, (v, got[v], r[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-6  # mass conserved

@@ -75,6 +75,19 @@ AUDITED: dict[str, str] = {
         "decode-gather-einsum per Arrow batch; only the refine·k "
         "shortlist per query joins true vectors for the exact re-rank."
     ),
+    "pit_training_multi": (
+        "Multi-view as-of fold: one shuffle per feature view on the key "
+        "(inherent — each view's rows co-locate once); label rows stay "
+        "unique through the fold, so no blow-up between views."
+    ),
+    "doc_content_centrality": (
+        "PageRank power iteration: per round ONE equi-join + ONE hash "
+        "aggregate; dangling mass rides as a broadcast 1-row aggregate "
+        "inside the lazy plan (no per-iteration driver collect); "
+        "localCheckpoint every 3rd round bounds the lineage. At toy "
+        "scale the cost is stage-count overhead; the shuffles carry "
+        "only (node, rank) pairs."
+    ),
     "user_value_trend": (
         "Grouped trend fit: regr_slope/regr_intercept partial moments "
         "combine map-side — daily rollup + per-user fit are two hash "
