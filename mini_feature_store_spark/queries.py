@@ -2599,6 +2599,68 @@ def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_phash_pairs(media, max_hamming=3)
 
 
+@_q(
+    "doc_quality_tiers",
+    f"""
+WITH t AS (
+  SELECT doc_id, source, text, {_TOKS_SQL} AS toks, length(text) AS nc,
+         length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS no_punct
+  FROM documents
+),
+s AS (
+  SELECT doc_id, source,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    ROUND(0.4 * LEAST(ROUND(CASE WHEN len(toks) > 0
+            THEN len(list_filter(toks, x -> lower(x) IN
+                     ('the','a','of','and','to'))) * 1.0 / len(toks)
+            ELSE 0.0 END, 4) * 5, 1.0)
+        + 0.4 * (1 - ROUND(CASE WHEN nc > 0
+            THEN (nc - no_punct) * 1.0 / nc ELSE 0.0 END, 4))
+        + 0.2 * LEAST(len(toks) / 50.0, 1.0), 4) AS quality_score
+  FROM t
+),
+tiered AS (
+  SELECT source, n_tokens, quality_score,
+         NTILE(10) OVER (PARTITION BY source
+                         ORDER BY quality_score, doc_id) AS tier
+  FROM s
+)
+SELECT source, tier,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+  ROUND(AVG(quality_score), 4) AS avg_score
+FROM tiered
+GROUP BY source, tier
+""",
+)
+def doc_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality deciles — the 'keep the top N% of each source'
+    curation step: NTILE(10) partitioned BY SOURCE (never a global
+    single-partition window), tie-broken on doc_id so bucket boundaries
+    are deterministic across engines; per-tier doc/token/score rollup."""
+    from pyspark.sql import Window
+
+    from mini_feature_store_spark.operators.text import quality_filter
+
+    _utc(spark)
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    scored = (
+        quality_filter(docs)
+        .select("doc_id", "n_tokens", "quality_score")
+        .join(docs.select("doc_id", "source"), "doc_id")
+    )
+    w = Window.partitionBy("source").orderBy("quality_score", "doc_id")
+    return (
+        scored.withColumn("tier", F.ntile(10).over(w))
+        .groupBy("source", "tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("quality_score"), 4).alias("avg_score"),
+        )
+    )
+
+
 @_q("doc_content_centrality")  # rows-only: iterative PageRank — not
 # SQL-expressible; numpy power-iteration differential in tests/test_graph.py
 def doc_content_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3696,6 +3758,7 @@ VERIFY_ORDER: list[str] = [
     "pit_training_multi",
     "multimodal_video_neardup",
     "doc_content_centrality",
+    "doc_quality_tiers",
     # touched this round (posting-list pair generation, CC convergence,
     # sequential pii counts, grouping_id grain, new LSH dedup path)
     "dedup_ngram_jaccard",
