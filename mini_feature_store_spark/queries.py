@@ -2600,6 +2600,69 @@ def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "user_event_patterns",
+    """
+WITH seqs AS (
+  SELECT user_id,
+    string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id
+)
+SELECT user_id, seq,
+  CAST(len(regexp_extract_all(seq, 'v+p')) AS INTEGER) AS n_view_to_buy,
+  CAST(len(regexp_extract_all(seq, 'ec*p')) AS INTEGER) AS n_error_recovery,
+  CAST(COALESCE((SELECT MAX(len(m)) FROM unnest(regexp_extract_all(seq, 'v+'))
+                 AS t(m)), 0) AS INTEGER) AS longest_view_run
+FROM seqs
+""",
+)
+def user_event_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral sequence-pattern mining (MATCH_RECOGNIZE-adjacent):
+    each user's ordered event-type initials collapse into ONE string per
+    key, and the pattern queries become codegen'd regex counts over it —
+    view-runs ending in purchase, error→purchase recoveries, longest
+    view streak. One hash aggregate builds the sequences (array_sort of
+    (ts, event_id, initial) structs — no window, no sort of the fact
+    table) and the regexes are a map-only projection after."""
+    _utc(spark)
+    ev = load_testdata(spark, sf_dir, "events")["events"]
+    seq = F.concat_ws(
+        "",
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "ts",
+                        "event_id",
+                        F.substring("event_type", 1, 1).alias("i"),
+                    )
+                )
+            ),
+            lambda x: x["i"],
+        ),
+    )
+    runs = F.regexp_extract_all(F.col("seq"), F.lit("v+"), 0)
+    return (
+        ev.groupBy("user_id")
+        .agg(seq.alias("seq"))
+        .select(
+            "user_id",
+            "seq",
+            F.size(F.regexp_extract_all(F.col("seq"), F.lit("v+p"), 0))
+            .cast("int")
+            .alias("n_view_to_buy"),
+            F.size(F.regexp_extract_all(F.col("seq"), F.lit("ec*p"), 0))
+            .cast("int")
+            .alias("n_error_recovery"),
+            F.coalesce(
+                F.array_max(F.transform(runs, F.length)), F.lit(0)
+            )
+            .cast("int")
+            .alias("longest_view_run"),
+        )
+    )
+
+
+@_q(
     "doc_quality_tiers",
     f"""
 WITH t AS (
@@ -3743,9 +3806,14 @@ def dq_orders_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 VERIFY_ORDER: list[str] = [
     # ── r4 window. Rule: touched-this-round > never/stalest-checked >
-    # 1-round-old greens. ──
+    # 1-round-old greens. Everything beyond slot 50 was re-verified by
+    # the local gate replica's FULL 3-SF matrix this round
+    # (tools/check_oracle.py at sf0.001/0.01/0.1 — all 85 oracled
+    # queries green). ──
     # brand new this round: k-means / semantic dedup / epoch shuffle /
-    # learned quality filter / int8 quantization
+    # learned quality filter / int8 quantization + topk / regr trend /
+    # Q2+Q11 shapes / multi-view PIT / video near-dup / PageRank /
+    # quality deciles
     "embedding_kmeans",
     "embedding_semantic_dedup",
     "doc_training_shuffle",
@@ -3759,6 +3827,7 @@ VERIFY_ORDER: list[str] = [
     "multimodal_video_neardup",
     "doc_content_centrality",
     "doc_quality_tiers",
+    "user_event_patterns",
     # touched this round (posting-list pair generation, CC convergence,
     # sequential pii counts, grouping_id grain, new LSH dedup path)
     "dedup_ngram_jaccard",

@@ -75,6 +75,11 @@ AUDITED: dict[str, str] = {
         "decode-gather-einsum per Arrow batch; only the refine·k "
         "shortlist per query joins true vectors for the exact re-rank."
     ),
+    "doc_quality_tiers": (
+        "NTILE deciles partitioned BY SOURCE: the window exchange is on "
+        "source, never a single global partition; scoring is the same "
+        "map-only projection as doc_quality_filter; one aggregate after."
+    ),
     "pit_training_multi": (
         "Multi-view as-of fold: one shuffle per feature view on the key "
         "(inherent — each view's rows co-locate once); label rows stay "
