@@ -42,6 +42,65 @@ from mini_feature_store_spark.operators.similarity import (
 )
 
 
+def _pq_assign_codes(
+    mat: "np.ndarray", books: "np.ndarray"
+) -> "np.ndarray":
+    """Nearest-codeword id per subspace → (n, m_sub) int16 codes. The ONE
+    copy of the PQ assignment math (build, append, drift, and the
+    reconstruct below all derive from it)."""
+    m_sub, _, sub = books.shape
+    s = mat.reshape(len(mat), m_sub, sub)
+    codes = np.empty((len(mat), m_sub), dtype=np.int16)
+    for j in range(m_sub):
+        d2 = ((s[:, j, None, :] - books[j][None, :, :]) ** 2).sum(-1)
+        codes[:, j] = d2.argmin(1).astype(np.int16)
+    return codes
+
+
+def _pq_reconstruct(codes: "np.ndarray", books: "np.ndarray") -> "np.ndarray":
+    """Decode (n, m_sub) codes back to (n, dim) via codebook gathers."""
+    m_sub = books.shape[0]
+    return np.concatenate(
+        [books[j][codes[:, j].astype(np.int64)] for j in range(m_sub)], axis=1
+    )
+
+
+def _encode_map(cent_unit: "np.ndarray", books: "np.ndarray"):
+    """mapInPandas closure: (id, v, nrm) carrier → (vec_id, cell, codes,
+    nrm, v) index rows. Shared by build and append so their encodings can
+    never diverge."""
+
+    def encode(batches):
+        for pdf in batches:
+            mat = np.array(pdf["v"].tolist(), dtype=np.float64)
+            cells = np.argmax(mat @ cent_unit.T, axis=1).astype(np.int32)
+            codes = _pq_assign_codes(mat, books)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["id"].astype("int64"),
+                    "cell": cells,
+                    "codes": list(codes),
+                    "nrm": pdf["nrm"].astype("float64"),
+                    "v": pdf["v"],
+                }
+            )
+
+    return encode
+
+
+_INDEX_ROW_SCHEMA = (
+    "vec_id long, cell int, codes array<smallint>, nrm double, "
+    "v array<double>"
+)
+
+
+def _load_model(index_dir: str) -> dict:
+    meta = json.loads(Path(index_dir, "model.json").read_text())
+    meta["centroids_np"] = np.array(meta["centroids"], dtype=np.float64)
+    meta["codebooks_np"] = np.array(meta["codebooks"], dtype=np.float64)
+    return meta
+
+
 def build_ivfpq_index(
     corpus: DataFrame,
     index_dir: str,
@@ -63,35 +122,11 @@ def build_ivfpq_index(
     dim = sample.shape[1]
     if dim % m_sub:
         raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
-    sub = dim // m_sub
     cent_unit, books = _train_ivfpq(
         sample, n_cells, m_sub, nbits, kmeans_iters, seed
     )
 
-    def encode(batches):
-        for pdf in batches:
-            mat = np.array(pdf["v"].tolist(), dtype=np.float64)
-            cells = np.argmax(mat @ cent_unit.T, axis=1).astype(np.int32)
-            s = mat.reshape(len(mat), m_sub, sub)
-            codes = np.empty((len(mat), m_sub), dtype=np.int16)
-            for j in range(m_sub):
-                d2 = ((s[:, j, None, :] - books[j][None, :, :]) ** 2).sum(-1)
-                codes[:, j] = d2.argmin(1).astype(np.int16)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["id"].astype("int64"),
-                    "cell": cells,
-                    "codes": list(codes),
-                    "nrm": pdf["nrm"].astype("float64"),
-                    "v": pdf["v"],
-                }
-            )
-
-    enc = c.mapInPandas(
-        encode,
-        "vec_id long, cell int, codes array<smallint>, nrm double, "
-        "v array<double>",
-    )
+    enc = c.mapInPandas(_encode_map(cent_unit, books), _INDEX_ROW_SCHEMA)
     enc.write.mode("overwrite").partitionBy("cell").parquet(
         str(Path(index_dir) / "codes")
     )
@@ -99,16 +134,7 @@ def build_ivfpq_index(
     # baseline quantization error on the training sample — the drift
     # reference: arriving batches whose error grows well past this are
     # out-of-distribution for the frozen codebooks (rebuild signal)
-    srec = np.concatenate(
-        [
-            books[j][
-                ((sample.reshape(len(sample), m_sub, sub)[:, j, None, :]
-                  - books[j][None, :, :]) ** 2).sum(-1).argmin(1)
-            ]
-            for j in range(m_sub)
-        ],
-        axis=1,
-    )
+    srec = _pq_reconstruct(_pq_assign_codes(sample, books), books)
     baseline_mse = float(((sample - srec) ** 2).mean())
 
     meta = {
@@ -146,9 +172,8 @@ def pq_topk_indexed(
     the unprobed cells' files — scan cost tracks n_probe/n_cells of the
     corpus by directory structure.
     """
-    meta = json.loads(Path(index_dir, "model.json").read_text())
-    cent_unit = np.array(meta["centroids"], dtype=np.float64)
-    books = np.array(meta["codebooks"], dtype=np.float64)
+    meta = _load_model(index_dir)
+    cent_unit, books = meta["centroids_np"], meta["codebooks_np"]
     m_sub = meta["m_sub"]
 
     @F.pandas_udf("array<int>")
@@ -234,57 +259,45 @@ def append_to_ivfpq_index(
     index_dir: str,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-) -> int:
+    skip_existing_ids: bool = False,
+    return_count: bool = True,
+) -> int | None:
     """Encode an arriving batch with the EXISTING model artifacts and
     append its codes to the cell-partitioned parquet — the daily-ingest
     path: codebooks/centroids stay frozen between full rebuilds (the
     standard IVF-PQ maintenance contract; re-train only when drift
     accumulates), so appends never touch existing files and probes see
-    new vectors immediately. Returns the number of rows appended.
+    new vectors immediately.
 
-    Dynamic partition append: only the cells the batch lands in gain new
-    files; compaction of small appended files is the same
-    `VersionedTable.compact` story as any other table.
+    ``skip_existing_ids`` anti-joins the batch against the ids already in
+    the index (a column-pruned vec_id scan) before encoding — the
+    idempotency guard replayed streaming micro-batches need, same
+    re-probe-the-store discipline as ``incremental_dedup_stream``.
+    ``return_count=True`` counts the appended batch with one extra plain
+    scan of the (filtered) input; pass False on hot ingest paths that
+    discard it. Dynamic partition append: only the cells the batch lands
+    in gain new files; compaction of small appended files is the same
+    ``VersionedTable.compact`` story as any other table.
     """
-    meta = json.loads(Path(index_dir, "model.json").read_text())
-    cent_unit = np.array(meta["centroids"], dtype=np.float64)
-    books = np.array(meta["codebooks"], dtype=np.float64)
-    m_sub = meta["m_sub"]
-    dim = meta["dim"]
-    sub = dim // m_sub
+    meta = _load_model(index_dir)
+    if skip_existing_ids:
+        seen = (
+            batch.sparkSession.read.parquet(str(Path(index_dir) / "codes"))
+            .select(F.col("vec_id").alias(id_col))
+        )
+        batch = batch.join(seen, id_col, "left_anti")
 
     c = with_vec_norm(batch, vec_col, id_col)
-
-    def encode(batches):
-        for pdf in batches:
-            mat = np.array(pdf["v"].tolist(), dtype=np.float64)
-            cells = np.argmax(mat @ cent_unit.T, axis=1).astype(np.int32)
-            s = mat.reshape(len(mat), m_sub, sub)
-            codes = np.empty((len(mat), m_sub), dtype=np.int16)
-            for j in range(m_sub):
-                d2 = ((s[:, j, None, :] - books[j][None, :, :]) ** 2).sum(-1)
-                codes[:, j] = d2.argmin(1).astype(np.int16)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["id"].astype("int64"),
-                    "cell": cells,
-                    "codes": list(codes),
-                    "nrm": pdf["nrm"].astype("float64"),
-                    "v": pdf["v"],
-                }
-            )
-
     enc = c.mapInPandas(
-        encode,
-        "vec_id long, cell int, codes array<smallint>, nrm double, "
-        "v array<double>",
+        _encode_map(meta["centroids_np"], meta["codebooks_np"]),
+        _INDEX_ROW_SCHEMA,
     )
     enc.write.mode("append").partitionBy("cell").parquet(
         str(Path(index_dir) / "codes")
     )
     # count the INPUT batch (plain scan) — counting `enc` would run the
     # whole encode pass a second time
-    return batch.count()
+    return batch.count() if return_count else None
 
 
 def index_drift_report(
@@ -307,25 +320,16 @@ def index_drift_report(
 
     Returns {n, batch_mse, baseline_mse, drift_ratio, rebuild_recommended}.
     """
-    meta = json.loads(Path(index_dir, "model.json").read_text())
-    books = np.array(meta["codebooks"], dtype=np.float64)
-    m_sub = meta["m_sub"]
-    dim = meta["dim"]
-    sub = dim // m_sub
+    meta = _load_model(index_dir)
+    books = meta["codebooks_np"]
 
     c = with_vec_norm(batch, vec_col, id_col)
 
     def err(batches):
         for pdf in batches:
             mat = np.array(pdf["v"].tolist(), dtype=np.float64)
-            s = mat.reshape(len(mat), m_sub, sub)
-            rec = np.empty_like(mat)
-            for j in range(m_sub):
-                d2 = ((s[:, j, None, :] - books[j][None, :, :]) ** 2).sum(-1)
-                rec[:, j * sub : (j + 1) * sub] = books[j][d2.argmin(1)]
-            yield pd.DataFrame(
-                {"mse": ((mat - rec) ** 2).mean(axis=1)}
-            )
+            rec = _pq_reconstruct(_pq_assign_codes(mat, books), books)
+            yield pd.DataFrame({"mse": ((mat - rec) ** 2).mean(axis=1)})
 
     agg = (
         c.select("v")
@@ -333,16 +337,24 @@ def index_drift_report(
         .agg(F.count(F.lit(1)).alias("n"), F.avg("mse").alias("batch_mse"))
         .collect()[0]
     )
-    baseline = meta.get("baseline_mse") or float("nan")
-    ratio = (
-        float(agg["batch_mse"]) / baseline
-        if baseline and baseline > 0
-        else float("inf")
-    )
+    batch_mse = float(agg["batch_mse"])
+    baseline = meta.get("baseline_mse")  # may legitimately be 0.0
+    if baseline is None:  # pre-baseline index: can't judge drift
+        ratio = float("nan")
+        rebuild = False
+    elif baseline > 0:
+        ratio = batch_mse / baseline
+        rebuild = ratio >= rebuild_ratio
+    else:
+        # a zero baseline means the codebooks reproduce the sample
+        # exactly; any nonzero batch error is then out-of-distribution,
+        # while a zero batch error is a perfect fit — NOT a rebuild
+        ratio = 1.0 if batch_mse == 0 else float("inf")
+        rebuild = batch_mse > 0
     return {
         "n": int(agg["n"]),
-        "batch_mse": round(float(agg["batch_mse"]), 8),
-        "baseline_mse": round(baseline, 8),
-        "drift_ratio": round(ratio, 4),
-        "rebuild_recommended": bool(ratio >= rebuild_ratio),
+        "batch_mse": round(batch_mse, 8),
+        "baseline_mse": None if baseline is None else round(baseline, 8),
+        "drift_ratio": None if ratio != ratio else round(ratio, 4),
+        "rebuild_recommended": bool(rebuild),
     }

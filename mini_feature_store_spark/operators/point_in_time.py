@@ -343,8 +343,10 @@ def point_in_time_join_multi(
     left-to-right: each as-of pick is per ORIGINAL label row (label rows
     stay unique through the fold), so the result is identical to N
     independent as-of joins stitched on the label key — but runs as one
-    plan. ``prefix`` renames a group's non-key columns to avoid
-    collisions between feature views that share column names.
+    plan. ``prefix`` renames a group's non-key columns — INCLUDING its
+    ``feature_ts`` — before the join, so two views sharing a ts name
+    (or a view whose ts collides with an earlier group's output) fold
+    cleanly as long as the colliding group carries a prefix.
 
     Cost model: one shuffle per group on ``keys`` (inherent — each group
     has its own rows to co-locate); the label side re-shuffles with its
@@ -357,14 +359,17 @@ def point_in_time_join_multi(
         ts_col = g["feature_ts"]
         prefix = g.get("prefix")
         if prefix:
+            # rename BEFORE the join (ts included): renaming the ts only
+            # afterwards leaves the join's output momentarily carrying
+            # the unprefixed name, which is ambiguous as soon as an
+            # earlier group (or the labels) already has it
             feats = feats.select(
                 *[
-                    F.col(c).alias(
-                        c if c in keys or c == ts_col else f"{prefix}{c}"
-                    )
+                    F.col(c).alias(c if c in keys else f"{prefix}{c}")
                     for c in feats.columns
                 ]
             )
+            ts_col = f"{prefix}{ts_col}"
         out = point_in_time_join(
             out,
             feats,
@@ -375,6 +380,4 @@ def point_in_time_join_multi(
             strategy=strategy,
             lookback_days=g.get("lookback_days"),
         )
-        if prefix:
-            out = out.withColumnRenamed(ts_col, f"{prefix}{ts_col}")
     return out

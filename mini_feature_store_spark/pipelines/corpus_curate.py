@@ -108,21 +108,29 @@ def run_corpus_curation(
                 F.col(cfg.embedding_id_col).alias(cfg.id_col), "embedding"
             )
             .join(survivors.select(cfg.id_col), cfg.id_col, "left_semi")
+            .persist()
         )
-        sem_drops = (
-            semantic_dedup(
-                emb,
-                k=cfg.semantic_k,
-                threshold=cfg.semantic_threshold,
-                id_col=cfg.id_col,
+        # clamp k to the embedded-survivor count: a small corpus (or an
+        # embeddings file covering few docs) must degrade to fewer
+        # clusters, not abort the pipeline after the expensive dedup
+        # stages (kmeans_fit raises when the corpus has < k rows)
+        n_embedded = emb.count()
+        if n_embedded >= 2:
+            sem_drops = (
+                semantic_dedup(
+                    emb,
+                    k=min(cfg.semantic_k, n_embedded),
+                    threshold=cfg.semantic_threshold,
+                    id_col=cfg.id_col,
+                )
+                .where(~F.col("is_survivor"))
+                .select(F.col("vec_id").alias(cfg.id_col))
             )
-            .where(~F.col("is_survivor"))
-            .select(F.col("vec_id").alias(cfg.id_col))
-        )
-        # docs without an embedding are untouched (semantics: this stage
-        # can only drop rows it has evidence about)
-        survivors = survivors.join(sem_drops, cfg.id_col, "left_anti")
+            # docs without an embedding are untouched (semantics: this
+            # stage can only drop rows it has evidence about)
+            survivors = survivors.join(sem_drops, cfg.id_col, "left_anti")
         funnel["after_semantic_dedup"] = survivors.count()
+        emb.unpersist()
 
     if cfg.benchmark_path is not None:
         bench = spark.read.parquet(cfg.benchmark_path)

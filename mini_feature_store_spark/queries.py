@@ -156,24 +156,25 @@ daily_pick AS (
   FROM cand WHERE rk = 1
 ),
 weekly AS (
-  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS w_week,
+  SELECT user_id,
+         CAST(date_trunc('week', ts) AS DATE) + 7 AS w_avail,
          CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT)
            AS w_weekly_clicks,
          ROUND(SUM(value), 2) AS w_weekly_value
   FROM events GROUP BY 1, 2
 ),
 wcand AS (
-  SELECT l.user_id, l.as_of_ts, w.w_week, w.w_weekly_clicks,
+  SELECT l.user_id, l.as_of_ts, w.w_avail, w.w_weekly_clicks,
          w.w_weekly_value,
          ROW_NUMBER() OVER (PARTITION BY l.user_id, l.as_of_ts
-                            ORDER BY w.w_week DESC) AS rk
+                            ORDER BY w.w_avail DESC) AS rk
   FROM labels l
   LEFT JOIN weekly w
-    ON l.user_id = w.user_id AND w.w_week <= CAST(l.as_of_ts AS DATE)
+    ON l.user_id = w.user_id AND w.w_avail <= CAST(l.as_of_ts AS DATE)
 )
 SELECT d.user_id, d.label, d.as_of_ts, d.day, d.event_count_7d,
        d.event_count_30d, d.last_event_days_ago, d.event_type_counts,
-       wc.w_week, wc.w_weekly_clicks, wc.w_weekly_value
+       wc.w_avail, wc.w_weekly_clicks, wc.w_weekly_value
 FROM daily_pick d
 JOIN wcand wc
   ON d.user_id = wc.user_id AND d.as_of_ts = wc.as_of_ts AND wc.rk = 1
@@ -185,7 +186,14 @@ def pit_training_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     views at different grains — daily backfilled features and weekly
     click/value rollups — the feature-store training-set assembly call.
     The fold keeps label rows unique, so the chained plan is exactly N
-    independent as-of joins stitched on the label key."""
+    independent as-of joins stitched on the label key.
+
+    The weekly view's as-of timestamp is its AVAILABILITY date (the
+    Monday AFTER the week, ``w_avail``), not the week start: a rollup
+    spanning a whole week only exists once the week is complete, and
+    joining on week start would leak the week's post-label events into
+    the feature (both engines would agree, so only the semantics — not
+    the oracle — would catch it)."""
     from mini_feature_store_spark.operators.point_in_time import (
         point_in_time_join_multi,
     )
@@ -195,7 +203,9 @@ def pit_training_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     features = backfill_features_window_form(events, EVENTS_START, EVENTS_END)
     weekly = events.groupBy(
         "user_id",
-        F.date_trunc("week", "ts").cast("date").alias("w_week"),
+        F.date_add(F.date_trunc("week", "ts").cast("date"), 7).alias(
+            "w_avail"
+        ),
     ).agg(
         F.count(F.when(F.col("event_type") == "click", 1)).alias(
             "w_weekly_clicks"
@@ -215,7 +225,7 @@ def pit_training_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels,
         [
             {"features": features, "feature_ts": "day"},
-            {"features": weekly, "feature_ts": "w_week"},
+            {"features": weekly, "feature_ts": "w_avail"},
         ],
     )
 

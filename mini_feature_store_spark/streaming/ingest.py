@@ -410,11 +410,14 @@ def ann_index_ingest_stream(
     The composition is deliberately thin: ``foreachBatch`` routes the
     micro-batch through the batch-mode ``append_to_ivfpq_index``, so
     streaming and batch ingest share one encode path (same rule as
-    ``stream_online_sync``). Checkpointing gives batch-boundary
-    exactly-once on the append as long as the upstream source replays
-    deterministically. Model refresh (re-train on drift) stays an offline
-    decision — rebuilding under a running stream is a swap of
-    ``index_dir``, not a streaming concern.
+    ``stream_online_sync``). ``foreachBatch`` is at-least-once — a crash
+    between the parquet append and the checkpoint commit replays the
+    batch — so the append runs with ``skip_existing_ids``: replayed ids
+    anti-join against the index's (column-pruned) id set and append
+    nothing twice, the same re-probe-the-store idempotency as
+    ``incremental_dedup_stream``. Model refresh (re-train on drift)
+    stays an offline decision — rebuilding under a running stream is a
+    swap of ``index_dir``, not a streaming concern.
 
     Returns the ``DataStreamWriter`` (caller starts/stops it).
     """
@@ -424,7 +427,14 @@ def ann_index_ingest_stream(
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.isEmpty():
-            append_to_ivfpq_index(batch_df, index_dir, vec_col, id_col)
+            append_to_ivfpq_index(
+                batch_df,
+                index_dir,
+                vec_col,
+                id_col,
+                skip_existing_ids=True,
+                return_count=False,
+            )
 
     return (
         stream.writeStream.outputMode("append")

@@ -135,3 +135,58 @@ def test_drift_report_in_and_out_of_distribution(spark, sf_dir, tmp_path):
     bad = index_drift_report(shifted, idx)
     assert bad["drift_ratio"] > ok["drift_ratio"] * 2
     assert bad["rebuild_recommended"]
+
+
+def test_append_skip_existing_ids_is_idempotent(spark, sf_dir, tmp_path):
+    """Replaying the same batch with skip_existing_ids appends nothing:
+    the guard streaming replays rely on."""
+    from pyspark.sql import functions as F
+
+    from mini_feature_store_spark.operators.ann_index import (
+        append_to_ivfpq_index,
+    )
+
+    emb = load_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    idx = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb.where(F.col("vec_id") >= 10), idx, n_cells=8)
+    batch = emb.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 5000).alias("vec_id"), "embedding"
+    )
+    n1 = append_to_ivfpq_index(batch, idx, skip_existing_ids=True)
+    n2 = append_to_ivfpq_index(batch, idx, skip_existing_ids=True)  # replay
+    assert n1 == 5 and n2 == 0
+    codes = spark.read.parquet(f"{idx}/codes")
+    dup = (
+        codes.groupBy("vec_id").count().where(F.col("count") > 1).count()
+    )
+    assert dup == 0
+
+
+def test_drift_report_zero_baseline_not_a_rebuild(spark, tmp_path):
+    """A codebook that reproduces its training sample exactly
+    (baseline_mse == 0) must not flag identical in-distribution batches;
+    nonzero error against a zero baseline IS out-of-distribution."""
+    from mini_feature_store_spark.operators.ann_index import index_drift_report
+
+    # 16 distinct constant-ish vectors, d=16, m_sub=4 -> each subspace has
+    # <= 16 distinct subvectors = 2^nbits codewords -> exact codebooks
+    rows = [(i, [float((i * 7) % 5)] * 16) for i in range(16)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx = str(tmp_path / "ivfpq0")
+    build_ivfpq_index(df, idx, n_cells=2, m_sub=4, nbits=4, sample_size=16)
+
+    same = index_drift_report(df, idx)
+    assert same["baseline_mse"] == 0.0
+    assert same["batch_mse"] == 0.0
+    assert same["drift_ratio"] == 1.0
+    assert not same["rebuild_recommended"]
+
+    import numpy as np
+
+    rng = np.random.default_rng(1)
+    shifted = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=16)]) for i in range(16)],
+        "vec_id long, embedding array<float>",
+    )
+    bad = index_drift_report(shifted, idx)
+    assert bad["rebuild_recommended"]

@@ -926,3 +926,43 @@ def test_corpus_curate_semantic_stage(spark, tmp_path):
     )
     assert rc == 0
     assert {r.doc_id for r in spark.read.parquet(out2).collect()} == {0, 2, 3}
+
+
+def test_corpus_curate_semantic_k_clamps_on_tiny_corpus(spark, tmp_path):
+    """Fewer embedded survivors than semantic_k must clamp k, not abort
+    the pipeline after the expensive dedup stages."""
+    import numpy as np
+
+    from mini_feature_store_spark.pipelines.corpus_curate import (
+        CorpusCurationConfig,
+        run_corpus_curation,
+    )
+
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog near the river"),
+        (1, "spark pushes filters to the parquet scan and prunes columns"),
+        (2, "the cat sat on the warm mat and watched the birds fly south"),
+    ]
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(texts, "doc_id long, text string").write.parquet(inp)
+    rng = np.random.default_rng(4)
+    embp = str(tmp_path / "emb")
+    spark.createDataFrame(
+        [(0, [float(x) for x in rng.normal(size=8)]),
+         (1, [float(x) for x in rng.normal(size=8)])],
+        "vec_id long, embedding array<float>",
+    ).write.parquet(embp)
+
+    out = str(tmp_path / "clean")
+    funnel = run_corpus_curation(
+        spark,
+        CorpusCurationConfig(
+            input_path=inp,
+            output_path=out,
+            embeddings_path=embp,
+            semantic_k=16,  # >> 2 embedded docs
+            semantic_threshold=0.999,
+        ),
+    )
+    assert funnel["after_semantic_dedup"] == 3  # nothing dropped, no crash
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {0, 1, 2}

@@ -275,3 +275,34 @@ def test_multi_group_prefix_avoids_collisions(spark):
     row = out.collect()[0]
     assert row.a_score == 1.0 and row.b_score == 2.0
     assert "a_day" in out.columns and "b_day" in out.columns
+
+
+def test_multi_group_mixed_prefix_shared_ts_name(spark):
+    """One unprefixed view plus a prefixed view with the SAME ts name must
+    fold without ambiguity (the prefix covers the ts column too)."""
+    from pyspark.sql import functions as F
+
+    from mini_feature_store_spark.operators.point_in_time import (
+        point_in_time_join_multi,
+    )
+
+    labels = spark.createDataFrame(
+        [(1, "2024-01-10 12:00:00")], "user_id long, as_of string"
+    ).select("user_id", F.col("as_of").cast("timestamp").alias("as_of_ts"))
+    g1 = spark.createDataFrame(
+        [(1, "2024-01-05", 1.0)], "user_id long, day string, f1 double"
+    ).select("user_id", F.col("day").cast("date").alias("day"), "f1")
+    g2 = spark.createDataFrame(
+        [(1, "2024-01-08", 2.0)], "user_id long, day string, f2 double"
+    ).select("user_id", F.col("day").cast("date").alias("day"), "f2")
+
+    out = point_in_time_join_multi(
+        labels,
+        [
+            {"features": g1, "feature_ts": "day"},
+            {"features": g2, "feature_ts": "day", "prefix": "b_"},
+        ],
+    )
+    row = out.collect()[0]
+    assert row.f1 == 1.0 and row.b_f2 == 2.0
+    assert str(row.day) == "2024-01-05" and str(row.b_day) == "2024-01-08"
