@@ -20,20 +20,22 @@ import pandas as pd
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 
-def _calibrate() -> float:
-    """Fixed single-core interpreter workload (~0.5-1.5 s): measures the
-    MACHINE, not the engine. This box is a VM whose effective CPU speed
-    swings ~2× between runs with near-zero guest load and <5% steal
-    (host/SMT contention is invisible to guest metrics); identical code
-    measured 54.7 s and 123 s totals hours apart. Recording the
+def _calibrate(iters: int = 10_000_000, digits: int = 3) -> float:
+    """Fixed single-core interpreter workload (~0.5-1.5 s at the default):
+    measures the MACHINE, not the engine. This box is a VM whose effective
+    CPU speed swings ~2× between runs with near-zero guest load and <5%
+    steal (host/SMT contention is invisible to guest metrics); identical
+    code measured 54.7 s and 123 s totals hours apart. Recording the
     calibration constant alongside the timings lets cross-round
     comparison normalize: query_seconds / calib_sec is stable when the
-    code is unchanged."""
+    code is unchanged. The per-query probes reuse this same loop at
+    iters=1_000_000 — ONE copy of the workload, so the two scales can
+    never drift apart."""
     t0 = time.perf_counter()
     x = 0
-    for i in range(10_000_000):
+    for i in range(iters):
         x += i
-    return round(time.perf_counter() - t0, 3)
+    return round(time.perf_counter() - t0, digits)
 
 
 def main() -> None:
@@ -101,11 +103,7 @@ def main() -> None:
         # ~10%-scale machine-speed probe PER QUERY (host speed oscillates
         # on sub-minute timescales here — see _calibrate); lets any
         # consumer normalize each timing individually.
-        t0 = time.perf_counter()
-        x = 0
-        for i in range(1_000_000):
-            x += i
-        query_calib[name] = round(time.perf_counter() - t0, 4)
+        query_calib[name] = _calibrate(iters=1_000_000, digits=4)
     total = round(sum(timings.values()), 3)
     spark.stop()
     payload = {

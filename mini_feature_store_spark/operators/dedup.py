@@ -363,6 +363,10 @@ def simhash(
     # submission on a real cluster).
     lane_mask = 0x0001000100010001
     if idf_weighted:
+        # the tokenize/normalize/explode pass feeds BOTH the df-frequency
+        # aggregate and the weighting join — persist so the regex scan
+        # over the corpus runs once (same rule as the posting-list index)
+        base = base.persist()
         dfreq = base.distinct().groupBy("tok").agg(F.expr("count(1) AS df_t"))
         n_docs = df.select(
             F.count(F.lit(1)).cast("long").alias("n_docs")

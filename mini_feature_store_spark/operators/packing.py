@@ -40,8 +40,10 @@ def pack_sequences(
 
     - ``start_pack`` / ``end_pack`` — first / last pack the doc's tokens
       land in (a doc longer than ``budget`` spans several; a zero-token
-      doc occupies none and reports its boundary pack twice);
-    - ``n_packs`` — packs spanned;
+      doc occupies none: it reports the pack of the last PRECEDING token
+      — clamped so an exact pack-boundary position cannot mint a pack
+      index past the stream's last real pack — with ``n_packs = 0``);
+    - ``n_packs`` — packs spanned (0 for zero-token docs);
     - ``offset_in_pack`` — token offset of the doc's first token inside
       ``start_pack``.
 
@@ -61,13 +63,24 @@ def pack_sequences(
     n = F.col(token_col)
     cum = F.coalesce(F.sum(token_col).over(w), F.lit(0)).alias("_cum_before")
     out = df.select("*", cum)
-    start = F.floor(F.col("_cum_before") / b)
-    end = F.floor((F.col("_cum_before") + F.greatest(n, F.lit(1)) - 1) / b)
+    # zero-token docs: anchor to the pack of the last preceding token
+    # (floor((cum-1)/b), clamped at 0) — using floor(cum/b) would mint
+    # pack index last_pack+1 for a zero-token doc at an exact boundary
+    anchor = F.floor(
+        F.greatest(F.col("_cum_before") - 1, F.lit(0)) / b
+    )
+    start = F.when(n > 0, F.floor(F.col("_cum_before") / b)).otherwise(anchor)
+    end = F.when(
+        n > 0, F.floor((F.col("_cum_before") + n - 1) / b)
+    ).otherwise(anchor)
     return (
         out.withColumn("start_pack", start.cast("long"))
         .withColumn("end_pack", end.cast("long"))
         .withColumn(
-            "n_packs", (F.col("end_pack") - F.col("start_pack") + 1).cast("long")
+            "n_packs",
+            F.when(n > 0, F.col("end_pack") - F.col("start_pack") + 1)
+            .otherwise(F.lit(0))
+            .cast("long"),
         )
         .withColumn(
             "offset_in_pack", F.pmod(F.col("_cum_before"), b).cast("long")

@@ -183,15 +183,26 @@ def balanced_mixture_sample(
     RNG. Expected kept size per stratum ≈ min_count (hash sampling is
     probabilistic per key, so counts vary by O(√n) around the target, same
     as every fractional sampler here).
+
+    NULL strata are a stratum like any other: the rate join runs on a
+    null-coalesced shadow key, because a plain equi-join on the stratum
+    column silently DROPS all NULL-stratum rows while their group still
+    participates in (and can set) the min count.
     """
-    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
+    sk = F.coalesce(
+        F.col(strata_col).cast("string"), F.lit("\x00<null-stratum>")
+    )
+    tagged = df.withColumn("_sk", sk)
+    counts = tagged.groupBy("_sk").agg(F.count(F.lit(1)).alias("_n"))
     w = Window.partitionBy(F.lit(0))
     rates = counts.select(
-        strata_col,
+        "_sk",
         (F.min("_n").over(w).cast("double") / F.col("_n")).alias("_rate"),
     )
-    joined = df.join(F.broadcast(rates), strata_col)
-    return weighted_hash_sample(joined, list(keys), F.col("_rate")).drop("_rate")
+    joined = tagged.join(F.broadcast(rates), "_sk")
+    return weighted_hash_sample(joined, list(keys), F.col("_rate")).drop(
+        "_rate", "_sk"
+    )
 
 
 def epoch_shuffle(

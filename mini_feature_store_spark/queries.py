@@ -628,7 +628,10 @@ def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_sequence_packing",
     f"""
 WITH t AS (
-  SELECT doc_id, source, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens
+  -- CASE guard: DuckDB splits '' into [''] (len 1); Spark token_count is 0
+  SELECT doc_id, source,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+                   ELSE len({_TOKS_SQL}) END AS BIGINT) AS n_tokens
   FROM documents
 ), c AS (
   SELECT doc_id, source, n_tokens,
@@ -638,11 +641,16 @@ WITH t AS (
   FROM t
 )
 SELECT doc_id, source, n_tokens,
-       CAST(FLOOR(cb / 512.0) AS BIGINT) AS start_pack,
-       CAST(FLOOR((cb + GREATEST(n_tokens, 1) - 1) / 512.0) AS BIGINT)
+       CAST(CASE WHEN n_tokens > 0 THEN FLOOR(cb / 512.0)
+                 ELSE FLOOR(GREATEST(cb - 1, 0) / 512.0) END AS BIGINT)
+         AS start_pack,
+       CAST(CASE WHEN n_tokens > 0 THEN FLOOR((cb + n_tokens - 1) / 512.0)
+                 ELSE FLOOR(GREATEST(cb - 1, 0) / 512.0) END AS BIGINT)
          AS end_pack,
-       CAST(FLOOR((cb + GREATEST(n_tokens, 1) - 1) / 512.0)
-            - FLOOR(cb / 512.0) + 1 AS BIGINT) AS n_packs,
+       CAST(CASE WHEN n_tokens > 0
+                 THEN FLOOR((cb + n_tokens - 1) / 512.0)
+                      - FLOOR(cb / 512.0) + 1
+                 ELSE 0 END AS BIGINT) AS n_packs,
        CAST(cb % 512 AS BIGINT) AS offset_in_pack
 FROM c
 """,
@@ -748,8 +756,10 @@ def doc_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_chunk_windows",
     """
 WITH t AS (
+  -- the trim(text) <> '' guard mirrors Spark's _tokens(): DuckDB splits
+  -- an empty string into [''] (len 1), which would mint a phantom chunk
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
-  FROM documents
+  FROM documents WHERE trim(text) <> ''
 ), s AS (
   SELECT doc_id, toks, len(toks) AS n,
          list_filter(generate_series(0, GREATEST(len(toks) - 1, 0), 32),

@@ -36,6 +36,24 @@ EVENT_STREAM_SCHEMA = T.StructType(
 )
 
 
+def _store_exists(spark: SparkSession, path: str) -> bool:
+    """Scheme-agnostic 'does the admitted store have data yet' probe via
+    the Hadoop FileSystem API — a driver-local ``os.path.isdir`` silently
+    returns False forever for s3://...hdfs:// stores, which would skip
+    the against-corpus dedup probe (and its replay idempotency) on every
+    batch."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return False
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            return True
+    return False
+
+
 def read_event_stream(
     spark: SparkSession,
     path: str,
@@ -275,8 +293,6 @@ def incremental_dedup_stream(
     from mini_feature_store_spark.operators.text import fingerprint
 
     def admit(batch_df: DataFrame, batch_id: int) -> None:
-        import os
-
         from pyspark.sql import Window
 
         spark = batch_df.sparkSession
@@ -294,11 +310,7 @@ def incremental_dedup_stream(
             .where(F.col("_rn") == 1)
             .drop("_rn")
         )
-        if os.path.isdir(admitted_path) and any(
-            f.endswith(".parquet")
-            for _, _, fs in os.walk(admitted_path)
-            for f in fs
-        ):
+        if _store_exists(spark, admitted_path):
             # Planner-chosen join: the admitted set grows without bound, so
             # never force a broadcast — small stores hash-join under AQE,
             # large ones SMJ on the 128-bit fingerprint. Writing the store
@@ -350,8 +362,6 @@ def incremental_neardedup_stream(
     )
 
     def admit(batch_df: DataFrame, batch_id: int) -> None:
-        import os
-
         spark = batch_df.sparkSession
         batch_df = batch_df.persist()
         intra = ngram_jaccard_pairs(
@@ -366,11 +376,7 @@ def incremental_neardedup_stream(
             id_col,
             "left_anti",
         )
-        if os.path.isdir(admitted_path) and any(
-            f.endswith(".parquet")
-            for _, _, fs in os.walk(admitted_path)
-            for f in fs
-        ):
+        if _store_exists(spark, admitted_path):
             corpus = spark.read.parquet(admitted_path)
             cross = ngram_jaccard_against(
                 novel,

@@ -35,9 +35,16 @@ def test_matches_python_reference(sized):
     cum: dict[str, int] = {}
     for r in rows:
         cb = cum.get(r.shard, 0)
-        start = cb // budget
-        end = (cb + max(r.n_tokens, 1) - 1) // budget
-        assert got[r.doc_id] == (start, end, end - start + 1, cb % budget), (
+        if r.n_tokens > 0:
+            start = cb // budget
+            end = (cb + r.n_tokens - 1) // budget
+            n_packs = end - start + 1
+        else:
+            # zero-token docs anchor to the preceding token's pack and
+            # occupy none (can't mint last_pack+1 at an exact boundary)
+            start = end = max(cb - 1, 0) // budget
+            n_packs = 0
+        assert got[r.doc_id] == (start, end, n_packs, cb % budget), (
             r.doc_id,
             r.shard,
             cb,
@@ -56,17 +63,23 @@ def test_packing_invariants(sized):
         rs.sort(key=lambda r: r.doc_id)
         total = sum(r.n_tokens for r in rs)
         last_pack = max(r.end_pack for r in rs)
-        # every pack index up to the last is touched by some doc
+        # every pack index up to the last is touched by a TOKEN-BEARING
+        # doc (zero-token docs anchor but occupy nothing)
         touched = set()
         for r in rs:
-            touched.update(range(r.start_pack, r.end_pack + 1))
+            if r.n_tokens > 0:
+                touched.update(range(r.start_pack, r.end_pack + 1))
         assert touched == set(range(last_pack + 1))
         # the stream fills exactly ceil(total/budget) packs
         assert last_pack == (max(total, 1) - 1) // budget
         # offsets are within the budget and consistent with spans
         for r in rs:
             assert 0 <= r.offset_in_pack < budget
-            assert r.n_packs == r.end_pack - r.start_pack + 1
+            if r.n_tokens > 0:
+                assert r.n_packs == r.end_pack - r.start_pack + 1
+            else:
+                assert r.n_packs == 0
+                assert 0 <= r.start_pack == r.end_pack <= last_pack
 
 
 def test_single_global_stream_and_validation(spark, sized):
@@ -85,3 +98,23 @@ def test_plan_single_exchange(sized):
     import re
 
     assert len(set(re.findall(r"\((\d+)\) Exchange", plan))) <= 1, plan
+
+
+def test_zero_token_doc_at_exact_pack_boundary(spark):
+    """A zero-token doc whose cumulative offset sits exactly on a pack
+    boundary must anchor to the PRECEDING pack with n_packs=0, never mint
+    pack index last_pack+1."""
+    from mini_feature_store_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(0, 128), (1, 0), (2, 0)], "doc_id long, n_tokens long"
+    )
+    out = {r.doc_id: r for r in pack_sequences(df, budget=128).collect()}
+    assert out[0].start_pack == 0 and out[0].end_pack == 0
+    for zid in (1, 2):
+        z = out[zid]
+        assert z.start_pack == 0 and z.end_pack == 0 and z.n_packs == 0
+    # zero-token doc at stream START (cum=0) also anchors to pack 0
+    df2 = spark.createDataFrame([(0, 0), (1, 5)], "doc_id long, n_tokens long")
+    z0 = {r.doc_id: r for r in pack_sequences(df2, budget=128).collect()}[0]
+    assert z0.start_pack == 0 and z0.n_packs == 0

@@ -169,3 +169,25 @@ def test_epoch_shuffle_partitions_and_determinism(spark):
     # shards are balanced to O(sqrt n): no shard under 60% of fair share
     sizes = out.groupby("shard").size()
     assert sizes.min() > 0.6 * 1000 / 8
+
+
+def test_balanced_mixture_null_stratum_kept(spark):
+    """NULL strata are a stratum, not a silent drop: they must survive the
+    rate join AND set the min like any other group."""
+    from mini_feature_store_spark.operators.sampling import (
+        balanced_mixture_sample,
+    )
+
+    rows = [(i, "en") for i in range(500)] + [
+        (10_000 + i, None) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "id long, dom string")
+    kept = balanced_mixture_sample(df, ["id"], "dom")
+    by = {
+        r["dom"]: r["n"]
+        for r in kept.groupBy("dom")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert by.get(None) == 20  # smallest stratum kept whole, not dropped
+    assert 5 <= by.get("en", 0) <= 45  # en sampled toward 20
