@@ -374,6 +374,131 @@ def important_part_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "event_value_winsorized",
+    """
+WITH cuts AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS p05,
+         quantile_cont(value, 0.95) AS p95
+  FROM events GROUP BY event_type
+),
+clipped AS (
+  SELECT e.event_type, e.value,
+         LEAST(GREATEST(e.value, c.p05), c.p95) AS wv
+  FROM events e JOIN cuts c ON e.event_type = c.event_type
+)
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  ROUND(AVG(value), 2) AS raw_mean,
+  ROUND(AVG(wv), 2) AS wins_mean,
+  ROUND(STDDEV_SAMP(value), 2) AS raw_std,
+  ROUND(STDDEV_SAMP(wv), 2) AS wins_std
+FROM clipped
+GROUP BY event_type
+""",
+)
+def event_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile winsorization (outlier-robust feature scaling): per-type
+    p05/p95 cuts are a tiny exact-percentile aggregate broadcast back
+    onto the rows — never a whole-partition window — and values clip via
+    pure codegen LEAST/GREATEST; the per-type before/after moments show
+    the tail mass removed."""
+    _utc(spark)
+    ev = load_testdata(spark, sf_dir, "events")["events"]
+    cuts = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.05).alias("p05"),
+        F.percentile("value", 0.95).alias("p95"),
+    )
+    wv = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    return (
+        ev.join(F.broadcast(cuts), "event_type")
+        .select("event_type", "value", wv.alias("wv"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 2).alias("raw_mean"),
+            F.round(F.avg("wv"), 2).alias("wins_mean"),
+            F.round(F.stddev_samp("value"), 2).alias("raw_std"),
+            F.round(F.stddev_samp("wv"), 2).alias("wins_std"),
+        )
+    )
+
+
+@_q(
+    "sole_blame_suppliers",
+    """
+WITH l2 AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         l.l_shipdate > o.o_orderdate + INTERVAL 120 DAY AS is_late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late
+  FROM l2 GROUP BY l_orderkey
+),
+qualifying AS (
+  SELECT l_orderkey FROM per_order WHERE n_supp > 1 AND n_late = 1
+),
+blamed AS (
+  SELECT DISTINCT l2.l_suppkey, l2.l_orderkey
+  FROM l2 JOIN qualifying USING (l_orderkey)
+  WHERE l2.is_late
+)
+SELECT s.s_suppkey, s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM blamed b JOIN supplier s ON s.s_suppkey = b.l_suppkey
+GROUP BY s.s_suppkey, s.s_name
+""",
+)
+def sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers solely responsible for late
+    multi-supplier orders) WITHOUT correlated EXISTS/NOT EXISTS: the two
+    correlated subqueries collapse into ONE per-order aggregate
+    (distinct suppliers / distinct late suppliers) — per-order facts are
+    computed once instead of re-probed per lineitem row — followed by a
+    semi join of late lines against qualifying orders and a broadcast
+    dim join for the name. 'Late' = shipped >120 days after the order
+    date (this schema has no receipt/commit dates)."""
+    _utc(spark)
+    t = load_testdata(spark, sf_dir, "lineitem", "orders", "supplier")
+    l2 = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 120)
+            ).alias("is_late"),
+        )
+    )
+    per_order = l2.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("n_late"),
+    )
+    qualifying = per_order.where(
+        (F.col("n_supp") > 1) & (F.col("n_late") == 1)
+    ).select("l_orderkey")
+    blamed = (
+        l2.where(F.col("is_late"))
+        .join(qualifying, "l_orderkey", "left_semi")
+        .select("l_suppkey", "l_orderkey")
+        .distinct()
+    )
+    return (
+        blamed.join(
+            F.broadcast(t["supplier"]),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@_q(
     "pricing_summary",
     """
 SELECT l_returnflag, l_linestatus,
@@ -3848,6 +3973,8 @@ VERIFY_ORDER: list[str] = [
     "doc_content_centrality",
     "doc_quality_tiers",
     "user_event_patterns",
+    "sole_blame_suppliers",
+    "event_value_winsorized",
     # touched this round (posting-list pair generation, CC convergence,
     # sequential pii counts, grouping_id grain, new LSH dedup path)
     "dedup_ngram_jaccard",
