@@ -75,6 +75,24 @@ AUDITED: dict[str, str] = {
         "decode-gather-einsum per Arrow batch; only the refine·k "
         "shortlist per query joins true vectors for the exact re-rank."
     ),
+    "user_event_patterns": (
+        "Sequence mining: ONE hash aggregate builds each user's ordered "
+        "initial string (array_sort inside the agg — no window, no "
+        "fact-table sort); regex pattern counts are a map-only "
+        "projection after."
+    ),
+    "sole_blame_suppliers": (
+        "Q21 shape without correlated EXISTS: per-order distinct-supplier "
+        "facts in ONE aggregate, qualifying orders semi-join the late "
+        "lines, supplier dim broadcast — the fact table is never probed "
+        "per-row."
+    ),
+    "event_value_winsorized": (
+        "Winsorization: per-group exact-percentile cuts are a tiny "
+        "aggregate BROADCAST back onto the rows (never a whole-partition "
+        "window); clipping is codegen LEAST/GREATEST before the final "
+        "moment aggregate."
+    ),
     "doc_quality_tiers": (
         "NTILE deciles partitioned BY SOURCE: the window exchange is on "
         "source, never a single global partition; scoring is the same "
