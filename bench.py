@@ -106,17 +106,21 @@ def main() -> None:
         query_calib[name] = _calibrate(iters=1_000_000, digits=4)
     total = round(sum(timings.values()), 3)
     spark.stop()
+    # Key order matters: the driver archives only the TAIL of stdout, so
+    # the per-query `queries` dict must serialize LAST (r4's archive caught
+    # `query_calib` instead of the timings). json.dumps preserves insertion
+    # order.
     payload = {
         "metric": "total_query_wall_seconds",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "sf": sf,
         # machine-speed constant measured immediately before the run (and
         # again after — host contention can shift mid-run); see _calibrate.
         "calib_sec": calib,
         "calib_sec_end": _calibrate(),
         "query_calib": query_calib,
+        "queries": timings,
     }
     # The driver archives only the tail of stdout, which truncates the first
     # ~15 queries' timings out of BENCH_r0N.json — persist the complete

@@ -1793,7 +1793,7 @@ c AS (
 )
 SELECT vec_id,
   ROUND(scale, 6) AS qscale,
-  codes,
+  array_to_string(codes, ',') AS codes_csv,
   list_min(codes) AS code_min,
   list_max(codes) AS code_max,
   ROUND(list_reduce(
@@ -1807,12 +1807,26 @@ def embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 scalar quantization of the embedding corpus
     (operators/similarity.py:int8_quantize) — 4× storage cut for the ANN
     tier; codes are exact integers, so the oracle hash-matches the whole
-    quantization end to end."""
+    quantization end to end. The code array is serialized to a CSV string
+    (``array_join`` / ``array_to_string`` on the two engines): the driver
+    canonicalizes results through pandas ``sort_values``, which cannot
+    hash list-typed cells, so oracled query outputs must be scalar-only
+    (r4 driver failure: "unhashable type: 'list'")."""
     from mini_feature_store_spark.operators.similarity import int8_quantize
 
     _utc(spark)
     emb = load_testdata(spark, sf_dir, "embeddings")["embeddings"]
-    return int8_quantize(emb)
+    q = int8_quantize(emb)
+    return q.select(
+        "vec_id",
+        "qscale",
+        F.array_join(F.col("codes").cast("array<string>"), ",").alias(
+            "codes_csv"
+        ),
+        "code_min",
+        "code_max",
+        "recon_mse",
+    )
 
 
 # ── relational surface completion (SURVEY.md §2.11) ─────────────────────────

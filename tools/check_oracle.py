@@ -30,9 +30,25 @@ def norm(v):
         return f"{v:.9g}"
     if hasattr(v, "isoformat"):
         return v.isoformat()
-    if isinstance(v, list):
-        return tuple(norm(x) for x in v)
     return v
+
+
+def complex_cols(sdf) -> list[str]:
+    """Columns the DRIVER's pandas canonicalizer cannot hash.
+
+    The driver sorts result rows with pandas ``sort_values``, which raises
+    ``TypeError: unhashable type`` on list/dict cells (r4:
+    ``embedding_int8_quant``). Oracled query outputs must therefore be
+    scalar-only — this replica REJECTS them instead of tuple-izing lists,
+    so local green always implies driver green.
+    """
+    from pyspark.sql import types as T
+
+    return [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
 
 
 def main() -> int:
@@ -51,6 +67,16 @@ def main() -> int:
         if only and name not in only:
             continue
         sdf = fn(spark, sf_dir)
+        if name in oracles:
+            bad = complex_cols(sdf)
+            if bad:
+                print(
+                    f"  {name:28s} FAIL oracled output has non-scalar "
+                    f"column(s) {bad} — driver's pandas canonicalizer "
+                    f"cannot hash these; serialize (array_join/md5) instead"
+                )
+                failures += 1
+                continue
         srows = sdf.collect()
         scols = sorted(sdf.columns)
         spark_set = Counter(
