@@ -249,16 +249,19 @@ def pagerank(
     The link-centrality signal corpus curation uses for source-quality
     weighting (crawl-graph authority). Pure DataFrame power iteration:
 
-    - per-iteration cost is ONE equi-join (ranks × edges on src) + one
-      hash aggregate on dst — both shuffle on node id, no driver state
-      beyond two scalars;
+    - all static per-node state (out-degree, dangling flag) is folded
+      ONCE into the checkpointed edge list and node carrier before the
+      loop; the ranks relation carries the dangling flag with it, so
+      per-iteration cost is ONE equi-join (ranks × weighted edges on
+      src) + one hash aggregate on dst + one carrier re-join — the r4
+      shape re-joined the static ``out_deg`` relation against ranks
+      every round, a whole extra shuffle join per iteration;
     - dangling mass (rank sitting on nodes with no out-edges) is a
       broadcast 1-row aggregate cross-joined back into the update — the
       standard correction (without it rank leaks and the distribution no
       longer sums to 1), kept INSIDE the lazy plan: a per-iteration
       driver ``collect`` of the scalar would force one blocking job per
-      iteration (measured 8.0 s → 3.3 s at 8 iters on the sf0.1 near-dup
-      graph);
+      iteration;
     - ``localCheckpoint`` every third iteration truncates the growing
       lineage (same discipline as ``connected_components``) — the only
       places the chain materializes.
@@ -275,30 +278,35 @@ def pagerank(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+    )
+    # Static per-edge out-degree (division stays rank/out_deg — bitwise
+    # identical to the naive form the differential test mirrors) and a
+    # static per-node dangling flag, each computed once and checkpointed.
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    w_edges = e.join(out_deg, "src").localCheckpoint()
+    carrier = (
+        nodes.join(out_deg.withColumnRenamed("src", "node"), "node", "left")
+        .select("node", F.col("out_deg").isNull().alias("dangling"))
         .localCheckpoint()
     )
-    n = nodes.count()
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    n = carrier.count()
 
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    ranks = carrier.select("node", "dangling", F.lit(1.0 / n).alias("rank"))
     for i in range(iters):
-        with_deg = ranks.join(
-            out_deg, ranks["node"] == out_deg["src"], "left"
-        ).select("node", "rank", "out_deg")
-        dang_mass = with_deg.where(F.col("out_deg").isNull()).agg(
+        dang_mass = ranks.where("dangling").agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
         )
         contrib = (
-            with_deg.where(F.col("out_deg").isNotNull())
-            .join(e, with_deg["node"] == e["src"])
+            ranks.join(w_edges, ranks["node"] == w_edges["src"])
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("c"))
         )
         ranks = (
-            nodes.join(contrib, "node", "left")
+            carrier.join(contrib, "node", "left")
             .crossJoin(F.broadcast(dang_mass))
             .select(
                 "node",
+                "dangling",
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping) * F.col("_dm") / n
