@@ -44,6 +44,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 BASE_DOCS = 5_000
 BASE_VECS = 2_000
+BASE_EVENTS = 100_000
+BASE_USERS = 1_500
 DIM = 64
 
 
@@ -102,6 +104,34 @@ def gen_embeddings(out: Path, scale: float, seed: int = 11) -> None:
     )
 
 
+def gen_events(out: Path, scale: float, seed: int = 13) -> None:
+    """Synthetic behavioral events mirroring the sf0.1 table's shape
+    (100k rows / 1 500 users / 30 days / 5 types at 1×) — the input for
+    the r4-addition probes (winsorization, pattern mining, multi-view
+    PIT), which run on events, not documents."""
+    rng = np.random.default_rng(seed)
+    n = int(BASE_EVENTS * scale)
+    n_users = int(BASE_USERS * scale)
+    ts0 = np.datetime64("2024-01-01T00:00:00", "us")
+    offs = (rng.random(n) * 30 * 86400 * 1_000_000).astype("timedelta64[us]")
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": np.arange(n, dtype=np.int64),
+                "ts": pa.array(ts0 + offs, pa.timestamp("us")),
+                "user_id": rng.integers(0, n_users, n),
+                "event_type": rng.choice(
+                    ["view", "click", "purchase", "error", "signup"], n
+                ),
+                # lognormal-ish value with a heavy tail so winsorization
+                # has real outlier mass to clip
+                "value": np.round(rng.lognormal(2.0, 1.2, n), 2),
+            }
+        ),
+        out / "events.parquet",
+    )
+
+
 def time_op(spark, build, iters: int = 2) -> float:
     best = float("inf")
     for _ in range(iters):
@@ -112,7 +142,7 @@ def time_op(spark, build, iters: int = 2) -> float:
     return round(best, 2)
 
 
-def run_scale(spark, d: Path) -> dict[str, float]:
+def run_scale(spark, d: Path, only: set[str] | None = None) -> dict[str, float]:
     from pyspark.sql import functions as F
 
     from mini_feature_store_spark.operators.dedup import (
@@ -207,8 +237,157 @@ def run_scale(spark, d: Path) -> dict[str, float]:
         ),
         "int8_quantize": lambda: _int8_q(emb),
     }
+
+    # ── r4-addition probes (r4 VERDICT #5): PageRank, video near-dup,
+    # winsorization, pattern mining, multi-view PIT ──
+    import struct as _struct
+
+    from mini_feature_store_spark.operators.graph import pagerank
+    from mini_feature_store_spark.operators.multimodal import (
+        FAKE_VIDEO_MAGIC,
+        synthesize_payloads,
+        video_phash_neardup,
+    )
+    from mini_feature_store_spark.operators.point_in_time import (
+        point_in_time_join_multi,
+    )
+    from mini_feature_store_spark.queries import (
+        backfill_features_window_form,
+    )
+
+    events = spark.read.parquet(str(d / "events.parquet"))
+
+    def _pagerank():
+        pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+        edges = pairs.select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        ).union(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        return pagerank(edges, iters=5)
+
+    def _make_video(doc_id: int, n_chars: int) -> bytes:
+        # the video_neardup query's generator: every 10th video re-encodes
+        # an earlier one, sawtooth phase AND slope vary with the seed
+        base = (doc_id - 5) if doc_id % 10 == 0 and doc_id >= 10 else doc_id
+        w, h, c, nf = 24, 18, 3, 6
+        n = w * h * c
+        frames = []
+        for f in range(nf):
+            seed = (base * 131 + f * 17) % 4093
+            slope = 17 + 2 * ((seed >> 8) % 16)
+            frames.append(
+                ((seed % 256 + np.arange(n, dtype=np.int64) * slope) % 256)
+                .astype(np.uint8)
+                .tobytes()
+            )
+        return (
+            FAKE_VIDEO_MAGIC
+            + _struct.pack("<HHBH", w, h, c, nf)
+            + b"".join(frames)
+        )
+
+    def _video_neardup():
+        media = synthesize_payloads(docs, _make_video, min_partitions=8)
+        return video_phash_neardup(
+            media, every_k=2, min_shared=2, max_hamming=0
+        )
+
+    def _winsorize():
+        cuts = events.groupBy("event_type").agg(
+            F.percentile("value", 0.05).alias("p05"),
+            F.percentile("value", 0.95).alias("p95"),
+        )
+        wv = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+        return (
+            events.join(F.broadcast(cuts), "event_type")
+            .select("event_type", "value", wv.alias("wv"))
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.avg("value"), 2).alias("raw_mean"),
+                F.round(F.avg("wv"), 2).alias("wins_mean"),
+                F.round(F.stddev_samp("value"), 2).alias("raw_std"),
+                F.round(F.stddev_samp("wv"), 2).alias("wins_std"),
+            )
+        )
+
+    def _patterns():
+        # the user_event_patterns query shape: one hash aggregate builds
+        # per-user initial strings, regex counts are a map-only projection
+        seq = F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "ts",
+                            "event_id",
+                            F.substring("event_type", 1, 1).alias("i"),
+                        )
+                    )
+                ),
+                lambda x: x["i"],
+            ),
+        )
+        return (
+            events.groupBy("user_id")
+            .agg(seq.alias("seq"))
+            .select(
+                "user_id",
+                "seq",
+                F.size(F.regexp_extract_all(F.col("seq"), F.lit("v+p"), 0))
+                .cast("int")
+                .alias("n_view_to_buy"),
+                F.size(F.regexp_extract_all(F.col("seq"), F.lit("ec*p"), 0))
+                .cast("int")
+                .alias("n_error_recovery"),
+            )
+        )
+
+    def _pit_multi():
+        features = backfill_features_window_form(
+            events, "2024-01-01", "2024-01-30"
+        )
+        weekly = events.groupBy(
+            "user_id",
+            F.date_add(F.date_trunc("week", "ts").cast("date"), 7).alias(
+                "w_avail"
+            ),
+        ).agg(
+            F.count(F.when(F.col("event_type") == "click", 1)).alias(
+                "w_weekly_clicks"
+            ),
+            F.round(F.sum("value"), 2).alias("w_weekly_value"),
+        )
+        labels = (
+            events.where(F.col("event_type") == "purchase")
+            .select(
+                "user_id", F.lit(1.0).alias("label"), F.col("ts").alias("as_of_ts")
+            )
+            .distinct()
+        )
+        return point_in_time_join_multi(
+            labels,
+            [
+                {"features": features, "feature_ts": "day"},
+                {"features": weekly, "feature_ts": "w_avail"},
+            ],
+        )
+
+    ops.update(
+        {
+            "pagerank_5it": _pagerank,
+            "video_phash_neardup": _video_neardup,
+            "winsorize_events": _winsorize,
+            "pattern_mining": _patterns,
+            "pit_training_multi": _pit_multi,
+        }
+    )
     out = {}
     for name, build in ops.items():
+        if only and name not in only:
+            continue
         out[name] = time_op(spark, build)
         print(f"    {name:28s} {out[name]:8.2f}s", flush=True)
     return out
@@ -219,7 +398,11 @@ def main() -> int:
     ap.add_argument("--scales", default="1,3,10")
     ap.add_argument("--out", default="/tmp/mfss-scaling")
     ap.add_argument("--skip-gen", action="store_true")
+    ap.add_argument(
+        "--ops", default="", help="comma-separated op subset (default: all)"
+    )
     args = ap.parse_args()
+    only = {s.strip() for s in args.ops.split(",") if s.strip()} or None
     scales = [float(s) for s in args.scales.split(",")]
 
     root = Path(args.out)
@@ -230,6 +413,7 @@ def main() -> int:
             print(f"generating x{s:g} ...", flush=True)
             gen_documents(d, s)
             gen_embeddings(d, s)
+            gen_events(d, s)
 
     from mini_feature_store_spark.session import get_spark
 
@@ -241,14 +425,26 @@ def main() -> int:
     results: dict[str, dict[str, float]] = {}
     for s in scales:
         print(f"  scale x{s:g}:", flush=True)
-        results[f"x{s:g}"] = run_scale(spark, root / f"x{s:g}")
+        results[f"x{s:g}"] = run_scale(spark, root / f"x{s:g}", only=only)
     spark.stop()
 
+    out = Path(__file__).resolve().parent.parent / "SCALING_RESULTS.json"
     payload = {
-        "base": {"documents": BASE_DOCS, "embeddings": BASE_VECS, "dim": DIM},
+        "base": {
+            "documents": BASE_DOCS,
+            "embeddings": BASE_VECS,
+            "events": BASE_EVENTS,
+            "dim": DIM,
+        },
         "scales": results,
     }
-    out = Path(__file__).resolve().parent.parent / "SCALING_RESULTS.json"
+    if only and out.exists():
+        # subset run: merge the fresh numbers into the existing artifact
+        prev = json.loads(out.read_text())
+        for sk, ops_t in results.items():
+            prev.setdefault("scales", {}).setdefault(sk, {}).update(ops_t)
+        prev["base"] = payload["base"]
+        payload = prev
     out.write_text(json.dumps(payload, indent=1) + "\n")
     print(json.dumps(payload))
     return 0
