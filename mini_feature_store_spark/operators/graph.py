@@ -237,6 +237,31 @@ def dedup_clusters(
     )
 
 
+def apply_dedup(
+    corpus: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """The APPLY step of near-dup dedup: cluster the pair list, keep one
+    canonical survivor per cluster, anti-join the corpus against the
+    dropped ids — the step a training-data pipeline actually ships (pairs
+    and clusters are diagnostics).
+
+    Works with ANY pair generator (n-gram Jaccard, MinHash-LSH, SimHash,
+    embedding cosine exact or LSH) — the 100 TB default for embeddings is
+    ``cosine_pairs_lsh`` candidates, whose exact re-rank makes precision
+    1.0 so only recall (pinned ≥ 0.95 differentially) is approximate.
+    The anti join broadcasts because dropped ids ≪ corpus.
+    """
+    clusters = dedup_clusters(pairs, id_a=id_a, id_b=id_b)
+    drops = clusters.where(~F.col("keep")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return corpus.join(F.broadcast(drops), id_col, "left_anti")
+
+
 def pagerank(
     edges: DataFrame,
     damping: float = 0.85,

@@ -1462,6 +1462,35 @@ def embedding_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(cosine_pairs_lsh(emb, threshold=0.4))
 
 
+@_q("embedding_corpus_curate")  # rows-only: LSH-seeded candidate buckets; the
+# survivor-set differential vs the exact path is gated in tests/test_graph.py
+def embedding_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end embedding corpus curation with the 100 TB path as the
+    DEFAULT (r4 VERDICT stretch): ``cosine_pairs_lsh`` candidates (equi-
+    join on (table, bucket), exact re-rank → precision 1.0) → connected-
+    components clusters → one survivor per cluster → broadcast anti-join →
+    per-label retention stats — ``corpus_dedup_apply``'s shape for the
+    embeddings table, via the shared ``operators/graph.py:apply_dedup``.
+
+    Because the LSH edge set is a SUBSET of the exact edge set, LSH
+    survivors are provably a superset of exact-path survivors (a missed
+    edge can only split a cluster, never merge one); the differential
+    test pins that plus a ≤5%-extra-survivors bound."""
+    from mini_feature_store_spark.operators.graph import apply_dedup
+    from mini_feature_store_spark.operators.similarity import cosine_pairs_lsh
+
+    _utc(spark)
+    emb = load_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    kept = apply_dedup(
+        emb, cosine_pairs_lsh(emb, threshold=0.4), id_col="vec_id"
+    )
+    return kept.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("vec_id").alias("min_kept_id"),
+        F.max("vec_id").alias("max_kept_id"),
+    )
+
+
 @_q(
     "dedup_incremental_batch",
     f"""
@@ -1535,23 +1564,22 @@ def corpus_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus against the dropped ids, report retention per source. This is
     the step a training-data pipeline actually ships (pairs and clusters are
     diagnostics); the anti join is broadcast-sized because dropped ids ≪
-    corpus."""
+    corpus. Since r5 the cluster→drop→anti-join chain is the shared
+    ``operators/graph.py:apply_dedup`` (the embeddings twin is
+    ``embedding_corpus_curate``)."""
     from mini_feature_store_spark.operators.dedup import ngram_jaccard_pairs
-    from mini_feature_store_spark.operators.graph import dedup_clusters
+    from mini_feature_store_spark.operators.graph import apply_dedup
 
     _utc(spark)
     docs = load_testdata(spark, sf_dir, "documents")["documents"]
-    clusters = dedup_clusters(
-        ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_freq=1000)
+    kept = apply_dedup(
+        docs,
+        ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_freq=1000),
+        id_col="doc_id",
     )
-    drops = clusters.where(~F.col("keep")).select("doc_id")
-    return (
-        docs.join(F.broadcast(drops), "doc_id", "left_anti")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_kept"),
-            F.sum("n_chars").alias("kept_chars"),
-        )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("kept_chars"),
     )
 
 
@@ -4219,7 +4247,11 @@ VERIFY_ORDER: list[str] = [
     "doc_quality_tiers",
     "user_weekly_distinct_exact",
     # tier 4 — rows-only by nature (no oracle): a driver row can never
-    # upgrade these past runs-without-error, which r4 already recorded
+    # upgrade these past runs-without-error, which r4 already recorded.
+    # embedding_corpus_curate is NEW in r5 (LSH-default end-to-end
+    # curation) so it leads the tier; it still can't hash-match (seeded
+    # LSH buckets) — its gate is the survivor-set differential test.
+    "embedding_corpus_curate",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "embedding_dedup_clusters_lsh",

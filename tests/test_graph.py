@@ -176,3 +176,53 @@ def test_pagerank_matches_dense_power_iteration(spark):
     for v in range(n):
         assert abs(got[v] - round(r[v], 8)) <= 1e-8, (v, got[v], r[v])
     assert abs(sum(got.values()) - 1.0) < 1e-6  # mass conserved
+
+
+def test_apply_dedup_drops_non_canonical(spark):
+    """apply_dedup keeps exactly the per-cluster minimum ids plus every
+    unpaired row."""
+    from mini_feature_store_spark.operators.graph import apply_dedup
+
+    corpus = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(8)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 5), (2, 6)], "id_a long, id_b long"
+    )
+    kept = {r.doc_id for r in apply_dedup(corpus, pairs, "doc_id").collect()}
+    # clusters {1,3,5} -> keep 1, {2,6} -> keep 2; 0,4,7 unpaired
+    assert kept == {0, 1, 2, 4, 7}
+
+
+def test_embedding_curation_lsh_vs_exact(spark, sf_dir):
+    """The LSH-default curation (embedding_corpus_curate) vs the exact
+    pair generator: LSH's edge set is a subset of the exact one, so its
+    survivor set must be a SUPERSET of the exact survivors (a missed edge
+    can split a cluster, never merge one), and the extra survivors are
+    bounded by the pinned >=0.95 pair recall."""
+    from mini_feature_store_spark.io import load_testdata
+    from mini_feature_store_spark.operators.graph import apply_dedup
+    from mini_feature_store_spark.operators.similarity import (
+        cosine_pairs,
+        cosine_pairs_lsh,
+    )
+
+    emb = load_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    n = emb.count()
+    s_lsh = {
+        r.vec_id
+        for r in apply_dedup(
+            emb, cosine_pairs_lsh(emb, threshold=0.4), "vec_id"
+        ).collect()
+    }
+    s_exact = {
+        r.vec_id
+        for r in apply_dedup(
+            emb, cosine_pairs(emb, threshold=0.4), "vec_id"
+        ).collect()
+    }
+    assert len(s_exact) < n  # the threshold actually drops something
+    assert s_exact <= s_lsh  # superset property
+    extra = len(s_lsh - s_exact)
+    dropped = n - len(s_exact)
+    assert extra <= max(1, 0.05 * dropped), (extra, dropped)
