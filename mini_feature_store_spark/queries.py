@@ -499,6 +499,226 @@ def sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "nation_volume_shipping",
+    """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER) AS l_year,
+       FLOOR(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                 * (100 - CAST(FLOOR(l.l_discount * 100 + 0.5) AS BIGINT)))
+             / 100.0 + 0.5) / 100 AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE n1.n_nationkey <> n2.n_nationkey
+GROUP BY 1, 2, 3
+""",
+)
+def nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping between nations): cross-border
+    revenue per (supplier nation, customer nation, ship year). One fact
+    scan, two broadcast-able dim chains (nation twice under different
+    aliases — both broadcast; supplier broadcast; customer the only
+    non-tiny dim), partial aggregation before the final group-by. The
+    classic two-nation filter generalizes to all cross-border pairs.
+
+    Revenue accumulates in integer CENTS (2-dp prices × 2-dp discounts →
+    exact 4-dp products): double summation of many 4-dp values lands the
+    group total exactly ON .xx5 rounding boundaries where summation-order
+    ULP noise splits the engines (caught at every SF). Integer sums are
+    order-independent and exact (≤6e14 ≪ 2^53), so one final division +
+    floor-round is bitwise-identical on both sides — the money-arithmetic
+    discipline a 100 TB aggregate needs anyway."""
+    _utc(spark)
+    t = load_testdata(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation"
+    )
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .where(F.col("s_nk") != F.col("c_nk"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            (
+                F.floor(
+                    F.sum(
+                        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+                            "long"
+                        )
+                        * (
+                            100
+                            - F.floor(
+                                F.col("l_discount") * 100 + F.lit(0.5)
+                            ).cast("long")
+                        )
+                    )
+                    / F.lit(100.0)
+                    + F.lit(0.5)
+                )
+                / 100
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@_q(
+    "large_volume_customers",
+    """
+WITH big AS (
+  SELECT l_orderkey, SUM(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 160
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       CAST(o.o_orderdate AS DATE) AS o_orderdate,
+       ROUND(o.o_totalprice, 2) AS o_totalprice,
+       ROUND(b.total_qty, 2) AS total_qty
+FROM big b
+JOIN orders o ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): the correlated
+    ``IN (SELECT ... HAVING SUM > x)`` decorrelates into one per-order
+    aggregate joined back — the aggregate output (orders over the qty
+    cutoff) is tiny relative to the fact table, so the join back to
+    orders/customer broadcasts the AGGREGATE, never re-scans lineitem
+    per order."""
+    _utc(spark)
+    t = load_testdata(spark, sf_dir, "lineitem", "orders", "customer")
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 160)
+    )
+    return (
+        F.broadcast(big)
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+    )
+
+
+@_q(
+    "parts_supplier_relationship",
+    """
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_suppkey NOT IN (
+  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+)
+GROUP BY 1, 2, 3
+""",
+)
+def parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship) adapted to this
+    schema (no partsupp table — lineitem is the bridge): distinct
+    supplier count per (brand, type, size), excluding blacklisted
+    suppliers via NOT IN → a broadcast anti join (the blacklist is tiny;
+    a correlated NOT IN re-probe per row would be the naive plan)."""
+    _utc(spark)
+    t = load_testdata(spark, sf_dir, "lineitem", "part", "supplier")
+    bad = t["supplier"].where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        t["lineitem"]
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@_q(
+    "dormant_rich_customers",
+    """
+WITH avg_bal AS (
+  SELECT AVG(CASE WHEN c_acctbal > 0 THEN c_acctbal END) AS a FROM customer
+),
+recent AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+)
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_customers,
+       ROUND(SUM(c.c_acctbal), 2) AS total_acctbal,
+       ROUND(AVG(c.c_acctbal), 2) AS avg_acctbal
+FROM customer c, avg_bal
+WHERE c.c_acctbal > avg_bal.a
+  AND c.c_custkey NOT IN (SELECT o_custkey FROM recent)
+GROUP BY c.c_mktsegment
+""",
+)
+def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): above-average-balance
+    customers with no recent orders, per market segment. The two
+    correlated subqueries decorrelate Spark-side into (a) a broadcast
+    1-row aggregate for the balance threshold and (b) a broadcast anti
+    join against the distinct recently-active customer set."""
+    _utc(spark)
+    t = load_testdata(spark, sf_dir, "customer", "orders")
+    avg_bal = t["customer"].agg(
+        F.avg(F.when(F.col("c_acctbal") > 0, F.col("c_acctbal"))).alias("a")
+    )
+    recent = (
+        t["orders"]
+        .where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        t["customer"]
+        .crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("a"))
+        .join(
+            F.broadcast(recent),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_acctbal"),
+        )
+    )
+
+
+@_q(
     "pricing_summary",
     """
 SELECT l_returnflag, l_linestatus,
@@ -4155,6 +4375,10 @@ VERIFY_ORDER: list[str] = [
     "multimodal_decode",
     "multimodal_frame_sample",
     "distinct_stats_exact",
+    "nation_volume_shipping",
+    "large_volume_customers",
+    "parts_supplier_relationship",
+    "dormant_rich_customers",
     # tier 1 — stalest greens: last driver row in r2, three rounds old
     "date_dimension",
     "doc_hash_sample",
