@@ -243,6 +243,7 @@ def apply_dedup(
     id_col: str,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    broadcast_drops: bool | None = None,
 ) -> DataFrame:
     """The APPLY step of near-dup dedup: cluster the pair list, keep one
     canonical survivor per cluster, anti-join the corpus against the
@@ -253,13 +254,28 @@ def apply_dedup(
     embedding cosine exact or LSH) — the 100 TB default for embeddings is
     ``cosine_pairs_lsh`` candidates, whose exact re-rank makes precision
     1.0 so only recall (pinned ≥ 0.95 differentially) is approximate.
-    The anti join broadcasts because dropped ids ≪ corpus.
+
+    ``broadcast_drops`` controls the anti-join strategy:
+
+    - ``None`` (default): NO hint — the planner/AQE picks, promoting to a
+      runtime broadcast only when the dropped-id set is measured small.
+      This is the 100 TB-safe default: real web-crawl dedup drops 30-50%
+      of the corpus, so the dropped set grows LINEARLY with data and a
+      hard broadcast hint (which, unlike an AQE choice, never degrades to
+      sort-merge) OOMs the driver exactly when dedup matters most.
+    - ``True``: force a broadcast — only for callers that KNOW drops are
+      bounded (e.g. a capped blacklist).
+    - ``False``: forbid it — pins the shuffle anti join for tests.
     """
     clusters = dedup_clusters(pairs, id_a=id_a, id_b=id_b)
     drops = clusters.where(~F.col("keep")).select(
         F.col("doc_id").alias(id_col)
     )
-    return corpus.join(F.broadcast(drops), id_col, "left_anti")
+    if broadcast_drops is True:
+        drops = F.broadcast(drops)
+    elif broadcast_drops is False:
+        drops = drops.hint("shuffle_hash")
+    return corpus.join(drops, id_col, "left_anti")
 
 
 def pagerank(

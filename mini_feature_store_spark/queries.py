@@ -601,10 +601,11 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape (large-volume customers): the correlated
     ``IN (SELECT ... HAVING SUM > x)`` decorrelates into one per-order
-    aggregate joined back — the aggregate output (orders over the qty
-    cutoff) is tiny relative to the fact table, so the join back to
-    orders/customer broadcasts the AGGREGATE, never re-scans lineitem
-    per order."""
+    aggregate joined back, never re-scanning lineitem per order. The
+    aggregate is SELECTIVE but O(orders) in the limit, so it carries NO
+    broadcast hint — AQE promotes it to a runtime broadcast when its
+    measured size allows and degrades to sort-merge when it doesn't; a
+    hard hint would OOM at the 100 TB design point (r5 VERDICT #1)."""
     _utc(spark)
     t = load_testdata(spark, sf_dir, "lineitem", "orders", "customer")
     big = (
@@ -614,7 +615,7 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("total_qty") > 160)
     )
     return (
-        F.broadcast(big)
+        big
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .select(
@@ -645,8 +646,13 @@ def parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape (parts/supplier relationship) adapted to this
     schema (no partsupp table — lineitem is the bridge): distinct
     supplier count per (brand, type, size), excluding blacklisted
-    suppliers via NOT IN → a broadcast anti join (the blacklist is tiny;
-    a correlated NOT IN re-probe per row would be the naive plan)."""
+    suppliers via NOT IN → a broadcast anti join (the blacklist is a
+    filtered fraction of the smallest dim — provably tiny, so it keeps
+    its hard hint; a correlated NOT IN re-probe per row would be the
+    naive plan). The FULL ``part`` dimension, by contrast, grows with
+    scale (O(parts) — 20 M rows at TPC-H SF100), so its join carries NO
+    hint: AQE broadcasts it at runtime while it fits and falls back to
+    sort-merge beyond that (r5 VERDICT #1)."""
     _utc(spark)
     t = load_testdata(spark, sf_dir, "lineitem", "part", "supplier")
     bad = t["supplier"].where(F.col("s_acctbal") < 0).select("s_suppkey")
@@ -657,7 +663,7 @@ def parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left_anti",
         )
-        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -676,7 +682,7 @@ recent AS (
 SELECT c.c_mktsegment,
        COUNT(*) AS n_customers,
        ROUND(SUM(c.c_acctbal), 2) AS total_acctbal,
-       ROUND(AVG(c.c_acctbal), 2) AS avg_acctbal
+       FLOOR(AVG(c.c_acctbal) * 100 + 0.5) / 100 AS avg_acctbal
 FROM customer c, avg_bal
 WHERE c.c_acctbal > avg_bal.a
   AND c.c_custkey NOT IN (SELECT o_custkey FROM recent)
@@ -687,8 +693,11 @@ def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape (global sales opportunity): above-average-balance
     customers with no recent orders, per market segment. The two
     correlated subqueries decorrelate Spark-side into (a) a broadcast
-    1-row aggregate for the balance threshold and (b) a broadcast anti
-    join against the distinct recently-active customer set."""
+    1-row aggregate for the balance threshold (provably one row — the
+    hard hint stays) and (b) an anti join against the distinct
+    recently-active customer set, which is O(customers) and therefore
+    carries NO hint — AQE promotes it to broadcast only while its
+    runtime size allows (r5 VERDICT #1)."""
     _utc(spark)
     t = load_testdata(spark, sf_dir, "customer", "orders")
     avg_bal = t["customer"].agg(
@@ -705,15 +714,21 @@ def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(avg_bal))
         .where(F.col("c_acctbal") > F.col("a"))
         .join(
-            F.broadcast(recent),
+            recent,
             F.col("c_custkey") == F.col("o_custkey"),
             "left_anti",
         )
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
+            # total is a sum of 2-dp values — it sits exactly on the cent
+            # grid, so plain round(2) is safe; the AVERAGE can land on
+            # half-cent boundaries where Spark HALF_UP and DuckDB binary-
+            # double round split, so it takes the explicit floor form.
             F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
-            F.round(F.avg("c_acctbal"), 2).alias("avg_acctbal"),
+            (F.floor(F.avg("c_acctbal") * 100 + F.lit(0.5)) / 100).alias(
+                "avg_acctbal"
+            ),
         )
     )
 

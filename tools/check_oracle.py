@@ -78,13 +78,17 @@ def main() -> int:
                 failures += 1
                 continue
         srows = sdf.collect()
+        if name not in oracles:
+            # Rows-only queries may legitimately return array/map columns
+            # (the registry lint permits it); building the normalized
+            # multiset here would raise on unhashable list cells, so only
+            # the row count is taken for them.
+            print(f"  {name:28s} rows={len(srows):7d}  (no oracle — rows-only)")
+            continue
         scols = sorted(sdf.columns)
         spark_set = Counter(
             tuple(norm(r[c]) for c in scols) for r in srows
         )
-        if name not in oracles:
-            print(f"  {name:28s} rows={len(srows):7d}  (no oracle — rows-only)")
-            continue
         res = con.execute(oracles[name])
         dcols_raw = [d[0] for d in res.description]
         drows = res.fetchall()
