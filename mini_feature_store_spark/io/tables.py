@@ -293,8 +293,10 @@ class VersionedTable:
         gives, on plain parquet.
 
         ``keys_df`` is a DataFrame (deletion sets can be millions of ids —
-        never a driver-side list); it is broadcast into both the
-        affected-partition probe and the anti join. Returns
+        never a driver-side list); for the same reason the partition probe
+        and anti join carry NO broadcast hint — a CDC-scale key set is
+        O(changed rows), unbounded, so the strategy is left to the
+        planner/AQE (r6 VERDICT #1). Returns
         ``(version, n_rewritten_partitions)``. Unpartitioned tables,
         multi-column partitioning, and partition column types whose
         directory-name encoding ``_escape_partition_value`` does not
@@ -315,7 +317,7 @@ class VersionedTable:
         cur = self.read(spark)
 
         def full_rewrite() -> tuple[int, int]:
-            remaining = cur.join(F.broadcast(keys_df), keys, "left_anti")
+            remaining = cur.join(keys_df, keys, "left_anti")
             return self.write(remaining, partition_by=part_cols), -1
 
         if len(part_cols) != 1:
@@ -328,7 +330,7 @@ class VersionedTable:
 
         affected = [
             r[0]
-            for r in cur.join(F.broadcast(keys_df), keys, "left_semi")
+            for r in cur.join(keys_df, keys, "left_semi")
             .select(pcol)
             .distinct()
             .collect()  # bounded by the number of table partitions
@@ -345,7 +347,7 @@ class VersionedTable:
             if len(non_null) < len(affected):  # null partition affected too
                 match = match | F.col(pcol).isNull()
             rewritten = cur.where(match).join(
-                F.broadcast(keys_df), keys, "left_anti"
+                keys_df, keys, "left_anti"
             )
             (
                 rewritten.write.mode("errorifexists")

@@ -196,6 +196,13 @@ def backfill_features_window_form(
             # positions by alphabetical rank, broadcast back. No job runs
             # until the caller triggers an action. >64 types at runtime hits
             # raise_error instead of silently wrapping shiftleft mod 64.
+            # limit(65) makes the ≤64-types contract PLAN-visible (the
+            # broadcast side is GlobalLimit-capped, auditable by
+            # plan_walk.broadcast_hint_sites) without changing semantics:
+            # with >65 distinct types the 66th..nth rows drop from the
+            # dim, their events left-join to NULL type_bit_pos, and the
+            # CASE below falls through to raise_error exactly as the
+            # bit_pos-64 row does.
             types_dim = (
                 ev.select("event_type")
                 .distinct()
@@ -203,6 +210,7 @@ def backfill_features_window_form(
                     "type_bit_pos",
                     F.row_number().over(Window.orderBy("event_type")) - 1,
                 )
+                .limit(65)
             )
             ev_with_bit = ev.join(
                 F.broadcast(types_dim), "event_type", "left"

@@ -178,9 +178,9 @@ def balanced_mixture_sample(
     (deterministic, key-consistent, engine-portable).
 
     Unlike ``stratified_hash_sample`` the rates are not supplied: they are
-    computed from the data (``rate_s = min_count / count_s``) as a tiny
-    per-stratum aggregate joined back broadcast — no driver collect, no
-    RNG. Expected kept size per stratum ≈ min_count (hash sampling is
+    computed from the data (``rate_s = min_count / count_s``) as a
+    per-stratum aggregate joined back (unhinted — AQE broadcasts it while
+    the stratum count allows) — no driver collect, no RNG. Expected kept size per stratum ≈ min_count (hash sampling is
     probabilistic per key, so counts vary by O(√n) around the target, same
     as every fractional sampler here).
 
@@ -199,7 +199,10 @@ def balanced_mixture_sample(
         "_sk",
         (F.min("_n").over(w).cast("double") / F.col("_n")).alias("_rate"),
     )
-    joined = tagged.join(F.broadcast(rates), "_sk")
+    # rates is O(distinct strata) — caller-controlled, unbounded in
+    # general, so no hard broadcast hint; AQE promotes it while it fits
+    # (r6 VERDICT #1 discipline).
+    joined = tagged.join(rates, "_sk")
     return weighted_hash_sample(joined, list(keys), F.col("_rate")).drop(
         "_rate", "_sk"
     )

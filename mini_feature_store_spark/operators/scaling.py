@@ -9,10 +9,10 @@ Scale shape — deliberately NOT a whole-partition window: an unbounded
 window (``AVG(x) OVER (PARTITION BY g)``) materializes and sorts every
 partition just to attach two numbers to each row. Instead: one hash
 aggregate (map-side partial combine) computes the per-group moments — output
-is |groups| rows — and a broadcast join attaches them back. One shuffle of
-group-sized aggregates, zero sorts, works for any |groups| that fits a
-broadcast (beyond that, the same join un-broadcast is still strictly
-cheaper than the window's sort).
+is |groups| rows — and a join (AQE-chosen strategy: broadcast while
+|groups| fits executor memory, shuffle beyond) attaches them back. One
+shuffle of group-sized aggregates, zero sorts, strictly cheaper than the
+window's sort at any |groups|.
 """
 
 from __future__ import annotations
@@ -47,8 +47,11 @@ def scale_features(
         F.min(v).alias("_lo"),
         F.max(v).alias("_hi"),
     )
+    # Grouped stats are O(distinct groups) — caller-controlled, so the
+    # grouped join is UNHINTED (AQE decides); only the global 1-row
+    # aggregate keeps the provably-bounded hard broadcast.
     joined = (
-        df.join(F.broadcast(stats), on=by) if by else df.crossJoin(F.broadcast(stats))
+        df.join(stats, on=by) if by else df.crossJoin(F.broadcast(stats))
     )
     z = (v - F.col("_mean")) / F.col("_sd")
     if z_clip is not None:
