@@ -2132,16 +2132,20 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.where(F.col("source") == "src0")
 
     gate = quality_filter(corpus, min_tokens=5, min_score=0.3)
+    # Stage frontiers are persisted exactly as run_corpus_curation does:
+    # each feeds BOTH its own count branch and every downstream stage, so
+    # without a cache the union of five counts recomputes the quality
+    # gate 4×, the exact dedup 3×, the near-dup clustering 2×.
     admitted = corpus.join(
         gate.where(F.col("kept")).select("doc_id"), "doc_id", "left_semi"
-    )
+    ).persist()
     keep_ids = exact_dedup(admitted).select(F.col("keep_id").alias("doc_id"))
-    deduped = admitted.join(keep_ids, "doc_id", "left_semi")
+    deduped = admitted.join(keep_ids, "doc_id", "left_semi").persist()
     pairs = ngram_jaccard_pairs(deduped, threshold=0.5, max_shingle_freq=1000)
     drops = (
         dedup_clusters(pairs).where(~F.col("keep")).select("doc_id")
     )
-    survivors = deduped.join(drops, "doc_id", "left_anti")
+    survivors = deduped.join(drops, "doc_id", "left_anti").persist()
     flagged = decontaminate(survivors, bench, n=5, threshold=0.05)
     clean = survivors.join(
         flagged.where(F.col("contaminated")).select("doc_id"),
@@ -4783,91 +4787,50 @@ def dq_orders_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registered name present exactly once — ordered_queries() asserts it.
 
 VERIFY_ORDER: list[str] = [
+    # ── r7 re-cut (r6 VERDICT #1 — the standing rotate rule). Rule:
+    # new > touched-this-round > stalest-driver-row > fresh > rows-only.
+    # The driver records rows for the FIRST 50 entries only.
+    # tier 0a — never verified (new in r7): Q17/Q19 shapes + the
+    # composed curation funnel
     "small_quantity_revenue",
     "brand_bracket_revenue",
     "corpus_curation_funnel",
-    # ── r5 re-cut (r4 VERDICT #2). Rule: oracled-touched > oracled-never
-    # -checked > oracled-stalest > rows-only. The driver records rows for
-    # the FIRST 50 entries only; rows-only queries sit at the BACK — their
-    # runs-without-error evidence was banked in the r4 window and re-runs
-    # earn nothing. Every oracled query beyond slot 50 was green in r3 or
-    # r4 (≤ 2 rounds old at r5) and is re-verified by the local gate
-    # replica's full 3-SF matrix before round end. ──
-    # tier 0 — new or touched this round (r5): new oracles (PageRank CTE
-    # unroll, multimodal metadata, exact-distinct companion) + the r4
-    # driver failure fixed (int8 codes serialization)
-    "embedding_int8_quant",
-    "doc_content_centrality",
-    "multimodal_decode",
-    "multimodal_frame_sample",
+    # tier 0b — code touched in r7 (broadcast de-hinting sweep, the
+    # distinct_stats_exact Expand-free rewrite, rolling limit(65),
+    # sampling/scaling/dedup hint removals, ANN limit(10)): r6 rows
+    # don't cover the new code
     "distinct_stats_exact",
+    "min_cost_supplier",
+    "sole_blame_suppliers",
     "nation_volume_shipping",
-    "large_volume_customers",
+    "nation_trade_volume",
     "parts_supplier_relationship",
-    "dormant_rich_customers",
-    # tier 1 — stalest greens: last driver row in r2, three rounds old
-    "date_dimension",
-    "doc_hash_sample",
-    "doc_hash_split_counts",
-    "doc_term_frequencies",
-    "grouping_sets_sql",
-    "lineitem_metrics_long",
-    "lineitem_profile",
-    "price_histogram",
-    "quantiles_by_returnflag",
-    "rollup_order_revenue",
-    "supplier_revenue_salted",
-    "customers_above_segment_avg",
-    # tier 2 — last driver row in r3 (two rounds old). 58 oracled names
-    # compete for 50 slots; the overflow past slot 50 stays r3-green and
-    # rotates to the front of the r6 window.
+    "event_value_winsorized",
+    "brand_supplier_stats",
+    "event_value_scaled",
+    "embedding_topk_bruteforce",
     "features_daily",
     "pit_training_data",
-    "latest_event_per_user",
-    "dedup_exact_props",
-    "embedding_cosine_pairs",
-    "doc_repetition_scores",
-    "doc_decontaminate",
-    "set_ops_users",
-    "cube_event_counts",
-    "user_sessions",
-    "daily_event_deltas",
-    "event_type_pivot",
-    "json_props_stats",
-    "user_event_type_arrays",
-    "weekly_event_buckets",
-    "user_running_value",
-    "events_capped_per_user",
-    "next_click_after_purchase",
-    "nearest_click_to_purchase",
-    "event_promo_attribution",
-    "order_rank_metrics",
-    "shipping_priority",
-    "nation_trade_volume",
+    "pit_training_multi",
     "doc_stratified_sample",
-    "funnel_conversion",
-    "user_value_gap_fill",
-    "cohort_retention_weekly",
-    "purchase_value_intervals",
-    "customer_order_distribution",
-    "orders_with_late_lineitems",
-    "nation_share_of_region",
-    "brand_supplier_stats",
-    "fuzzy_part_names",
-    "doc_tfidf_top_terms",
-    "event_value_scaled",
+    "corpus_dedup_apply",
+    "dedup_ngram_jaccard",
+    "dedup_incremental_batch",
+    # tier 1 — last driver row in r3, four rounds old (the r6 stale-12
+    # minus the two already in tier 0b)
     "bloom_filtered_order_revenue",
-    "lineitem_correlations",
-    "embedding_vector_stats",
-    "feature_snapshot_diff",
+    "doc_tfidf_top_terms",
     "doc_weighted_sample",
     "dq_orders_audit",
-    # tier 3 — green in r4 (one round old)
-    "pit_training_multi",
-    "min_cost_supplier",
+    "embedding_vector_stats",
+    "feature_snapshot_diff",
+    "fuzzy_part_names",
+    "lineitem_correlations",
+    "nation_share_of_region",
+    "orders_with_late_lineitems",
+    # tier 2 — last driver row in r4, three rounds old (20 of 25; the
+    # 5 overflow below MUST lead the r8 window)
     "important_part_share",
-    "event_value_winsorized",
-    "sole_blame_suppliers",
     "pricing_summary",
     "revenue_by_nation",
     "top_orders_per_priority",
@@ -4880,27 +4843,69 @@ VERIFY_ORDER: list[str] = [
     "doc_token_budget_selection",
     "doc_chunk_windows",
     "doc_winnow_fingerprints",
-    "dedup_ngram_jaccard",
     "dedup_clusters",
-    "embedding_topk_bruteforce",
     "event_rollup_tiers",
     "doc_pii_scrub",
     "embedding_dedup_clusters",
-    "dedup_incremental_batch",
-    "corpus_dedup_apply",
     "user_value_trend",
     "doc_training_shuffle",
     "doc_quality_classifier",
+    # ── slot 51+: not in the r7 driver window ──
+    # tier 3 — r4-green overflow: 4 rounds stale at r8, so they
+    # front-load the r8 re-cut (local 3-SF gate replica covers them
+    # meanwhile)
     "customers_without_orders",
     "customers_with_big_orders",
     "user_event_patterns",
     "doc_quality_tiers",
     "user_weekly_distinct_exact",
-    # tier 4 — rows-only by nature (no oracle): a driver row can never
-    # upgrade these past runs-without-error, which r4 already recorded.
-    # embedding_corpus_curate is NEW in r5 (LSH-default end-to-end
-    # curation) so it leads the tier; it still can't hash-match (seeded
-    # LSH buckets) — its gate is the survivor-set differential test.
+    # tier 4 — freshest greens: every query here has an r5 or r6
+    # driver row (the r5/r6 windows), untouched this round
+    "latest_event_per_user",
+    "large_volume_customers",
+    "dormant_rich_customers",
+    "dedup_exact_props",
+    "embedding_cosine_pairs",
+    "doc_repetition_scores",
+    "doc_decontaminate",
+    "embedding_int8_quant",
+    "set_ops_users",
+    "rollup_order_revenue",
+    "cube_event_counts",
+    "grouping_sets_sql",
+    "user_sessions",
+    "customers_above_segment_avg",
+    "daily_event_deltas",
+    "event_type_pivot",
+    "supplier_revenue_salted",
+    "quantiles_by_returnflag",
+    "json_props_stats",
+    "user_event_type_arrays",
+    "weekly_event_buckets",
+    "user_running_value",
+    "date_dimension",
+    "doc_hash_sample",
+    "doc_hash_split_counts",
+    "events_capped_per_user",
+    "doc_term_frequencies",
+    "lineitem_profile",
+    "price_histogram",
+    "next_click_after_purchase",
+    "nearest_click_to_purchase",
+    "event_promo_attribution",
+    "multimodal_decode",
+    "doc_content_centrality",
+    "multimodal_frame_sample",
+    "lineitem_metrics_long",
+    "order_rank_metrics",
+    "shipping_priority",
+    "funnel_conversion",
+    "user_value_gap_fill",
+    "cohort_retention_weekly",
+    "purchase_value_intervals",
+    "customer_order_distribution",
+    # tier 5 — rows-only by nature (no oracle): a driver row can never
+    # upgrade these past runs-without-error, already banked in r4
     "embedding_corpus_curate",
     "dedup_minhash_lsh",
     "dedup_simhash",

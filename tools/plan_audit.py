@@ -84,14 +84,16 @@ AUDITED: dict[str, str] = {
     "sole_blame_suppliers": (
         "Q21 shape without correlated EXISTS: per-order distinct-supplier "
         "facts in ONE aggregate, qualifying orders semi-join the late "
-        "lines, supplier dim broadcast — the fact table is never probed "
+        "lines; the supplier dim join is UNHINTED since r7 (O(SF) dim — "
+        "AQE promotes while it fits) — the fact table is never probed "
         "per-row."
     ),
     "event_value_winsorized": (
         "Winsorization: per-group exact-percentile cuts are a tiny "
-        "aggregate BROADCAST back onto the rows (never a whole-partition "
-        "window); clipping is codegen LEAST/GREATEST before the final "
-        "moment aggregate."
+        "aggregate joined back onto the rows (never a whole-partition "
+        "window; unhinted since r7 — per-type cardinality is data-"
+        "dependent, AQE decides); clipping is codegen LEAST/GREATEST "
+        "before the final moment aggregate."
     ),
     "doc_quality_tiers": (
         "NTILE deciles partitioned BY SOURCE: the window exchange is on "
@@ -119,8 +121,9 @@ AUDITED: dict[str, str] = {
     "min_cost_supplier": (
         "Q2 shape without a correlated subquery: the per-part MIN is a "
         "window over the already-aggregated (part, supplier) side — "
-        "never the fact table; both dims broadcast, p_size filter prunes "
-        "the dim before the join."
+        "never the fact table; both dim joins UNHINTED since r7 (even "
+        "p_size-filtered part is a fixed fraction of O(parts)), the "
+        "p_size filter still prunes before the join."
     ),
     "important_part_share": (
         "Q11 shape: the scalar subquery (mean part revenue) is a "
@@ -278,9 +281,92 @@ AUDITED: dict[str, str] = {
         "one groupBy on the key; the FK check is a broadcast anti join."
     ),
     "event_value_scaled": (
-        "Per-group moments are a tiny hash aggregate broadcast back onto "
-        "the rows — NOT a whole-partition window: no sort, no partition "
-        "materialization, one scan."
+        "Per-group moments are a tiny hash aggregate joined back onto "
+        "the rows (unhinted since r7 — group cardinality is caller-"
+        "controlled, AQE decides) — NOT a whole-partition window: no "
+        "sort, no partition materialization, one scan."
+    ),
+    "nation_volume_shipping": (
+        "Q7 shape (r5-new, de-hinted r7): one lineitem scan, orders/"
+        "customer/supplier joins all UNHINTED (AQE chooses; supplier is "
+        "O(SF)); only the two 25-row nation aliases carry hard broadcast "
+        "hints. Revenue accumulates in integer cents — partial aggregate "
+        "before the final 3-key group-by."
+    ),
+    "nation_trade_volume": (
+        "Q7 twin (de-hinted r7): nation joined twice under different "
+        "aliases, both hard-broadcast (bounded); supplier UNHINTED. "
+        "Integer-cent revenue; the fact side is never shuffled before "
+        "the final aggregation at test scale (AQE promotes the dims)."
+    ),
+    "large_volume_customers": (
+        "Q18 shape (r5-new, de-hinted r6): the qualifying-orders "
+        "aggregate (O(orders)) carries NO broadcast hint — AQE picks "
+        "broadcast at test scale and degrades to shuffle beyond executor "
+        "memory instead of OOMing. Aggregate-before-join keeps the "
+        "orders/customer joins on pre-shrunk input."
+    ),
+    "parts_supplier_relationship": (
+        "Q16 shape (r5-new; fully de-hinted r7): the s_acctbal<0 "
+        "blacklist anti join AND the part dim join are both UNHINTED — "
+        "each side is a fixed fraction of an O(SF) relation. One Expand "
+        "for the single COUNT(DISTINCT) after the joins."
+    ),
+    "dormant_rich_customers": (
+        "Q22 shape (r5-new, de-hinted r6): the avg-balance threshold is "
+        "a broadcast 1-ROW aggregate (provably bounded — the hint "
+        "stays); the recently-active-buyers anti join is O(customers) "
+        "and UNHINTED. No correlated re-probe anywhere."
+    ),
+    "distinct_stats_exact": (
+        "r7 rewrite (r5/r6 VERDICT #3): was ONE groupBy with two "
+        "COUNT(DISTINCT) + exact MEDIAN — an Expand tripling every row "
+        "through the shuffle plus an O(group-rows) median buffer. Now "
+        "three branches: two stacked pre-collapsed distinct counts "
+        "(groupBy(flag,key) → groupBy(flag), map-side combine collapses "
+        "duplicates pre-shuffle) and a (flag, price)-histogram exact "
+        "median whose window sorts a domain-bounded (~1e7 max) relation. "
+        "3-row branch results join on the flag (AQE broadcast). "
+        "4.60 s → 1.41 s at sf0.1."
+    ),
+    "embedding_corpus_curate": (
+        "LSH-default end-to-end curation (r5-new): cosine_pairs_lsh "
+        "candidates (equi-join on (table,bucket) — linear shuffle, no "
+        "all-pairs), connected-components star rounds, then the shared "
+        "apply_dedup anti join with NO forced broadcast (drops are "
+        "O(corpus); planner/AQE decides)."
+    ),
+    "small_quantity_revenue": (
+        "Q17 shape (r7-new): correlated 0.2*AVG(qty)-per-part subquery "
+        "decorrelated into ONE per-part aggregate joined back; the brand "
+        "semi-join runs FIRST so the aggregate covers only ~1/25 of "
+        "parts. Join-back UNHINTED (O(parts-in-brand)). Integer-cents "
+        "revenue."
+    ),
+    "brand_bracket_revenue": (
+        "Q19 shape (r7-new): cross-relation OR-of-ANDs. Catalyst cannot "
+        "factor the disjunction across tables, so necessary per-relation "
+        "conditions are hand-factored — p_brand IN (...) AND p_size<=35 "
+        "and l_quantity BETWEEN 1 AND 30 both reach PushedFilters on "
+        "their scans (verified) — with the full OR kept as residual "
+        "codegen join filter."
+    ),
+    "brand_supplier_stats": (
+        "Q16-style multi-DISTINCT per brand (de-hinted r7): the "
+        "p_type<>'ECONOMY' part dim is a fixed fraction of O(parts) — "
+        "join UNHINTED, AQE promotes at test scale. The double "
+        "COUNT(DISTINCT) Expand is bounded by the post-join projection "
+        "(3 narrow columns)."
+    ),
+    "corpus_curation_funnel": (
+        "The composed curation funnel (r7-new, oracled): quality gate → "
+        "exact dedup → 3-gram near-dup (capped posting lists + star-"
+        "round CC) → 5-gram decontamination, each stage consuming the "
+        "previous stage's admitted set; five global 1-row counts "
+        "UNION'd. Stage frontiers persist() exactly as the production "
+        "pipeline does — without the cache the five count branches "
+        "recompute the gate 4x. No collect, no driver loop; every stage "
+        "is an audited operator."
     ),
 }
 
