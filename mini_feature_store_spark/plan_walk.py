@@ -40,6 +40,21 @@ BOUNDED_TABLES = frozenset({"nation", "region"})
 #: leaf classes whose size is known at plan time
 _LITERAL_LEAVES = frozenset({"LocalRelation", "OneRowRelation", "Range"})
 
+#: nodes whose output row count is NOT bounded by their input's —
+#: Python/Arrow UDF nodes may emit any number of rows per input batch
+_ROW_EXPANDING = frozenset(
+    {
+        "MapInPandas",
+        "PythonMapInArrow",
+        "MapInArrow",
+        "FlatMapGroupsInPandas",
+        "FlatMapGroupsInArrow",
+        "FlatMapCoGroupsInPandas",
+        "MapGroups",
+        "FlatMapGroupsWithState",
+    }
+)
+
 
 @dataclass
 class HintSite:
@@ -80,6 +95,11 @@ def _bounded(node) -> tuple[bool, str]:
         return False, f"scan of scale-dependent relation ({base})"
     if cls in _LITERAL_LEAVES:
         return True, f"literal leaf ({cls})"
+    if cls in _ROW_EXPANDING:
+        # Arrow-UDF nodes (mapInPandas / applyInPandas family) emit an
+        # arbitrary number of rows per input batch — data-dependent
+        # fan-out the walker cannot bound even over a LIMIT'd input.
+        return False, f"{cls} — data-dependent fan-out"
     if cls == "Generate":
         # explode of a LITERAL collection (e.g. sequence(date'..',date'..')
         # — a date spine) has plan-time-known fan-out: the generator

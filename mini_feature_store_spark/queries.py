@@ -458,13 +458,19 @@ GROUP BY s.s_suppkey, s.s_name
 def sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape (suppliers solely responsible for late
     multi-supplier orders) WITHOUT correlated EXISTS/NOT EXISTS: the two
-    correlated subqueries collapse into ONE per-order aggregate
-    (distinct suppliers / distinct late suppliers) — per-order facts are
-    computed once instead of re-probed per lineitem row — followed by a
-    semi join of late lines against qualifying orders and an UNHINTED
-    dim join for the name (supplier is O(SF·10k) — AQE decides, r6
-    VERDICT #1). 'Late' = shipped >120 days after the order date (this
-    schema has no receipt/commit dates)."""
+    correlated subqueries collapse into a STACKED pre-collapsed
+    aggregate: level 1 dedups (order, supplier) and folds the lateness
+    flag (map-side combine, no Expand); level 2 derives n_supp/n_late
+    as plain counts plus MAX(late supplier) — when n_late=1 that max IS
+    the sole culprit. The r7 single-pass form replaces the previous
+    semi-join-back-then-distinct second pass over the lineitem⋈orders
+    join (Catalyst planned that subtree TWICE — no exchange reuse),
+    halving the fact-table work, and plans zero Expand (two
+    COUNT(DISTINCT)s in one agg would triple rows through the shuffle).
+    The supplier name join stays UNHINTED (O(SF·10k) — AQE decides,
+    r6 VERDICT #1).
+    'Late' = shipped >120 days after the order date (this schema has no
+    receipt/commit dates)."""
     _utc(spark)
     t = load_testdata(spark, sf_dir, "lineitem", "orders", "supplier")
     l2 = (
@@ -478,21 +484,25 @@ def sole_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_late"),
         )
     )
-    per_order = l2.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("n_supp"),
-        F.count_distinct(
-            F.when(F.col("is_late"), F.col("l_suppkey"))
-        ).alias("n_late"),
+    # Stacked pre-collapse (the distinct_stats_exact trick): level 1
+    # dedups (order, supplier) with a map-side combine and folds the
+    # lateness flag; level 2 then needs NO COUNT(DISTINCT) — plain
+    # counts over the collapsed rows — so Catalyst plans no Expand at
+    # all (two count_distincts + collect_set in one agg would triple
+    # every row through the shuffle).
+    per_pair = l2.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("is_late").alias("is_late")
     )
-    qualifying = per_order.where(
+    per_order = per_pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.count(F.when(F.col("is_late"), F.lit(1))).alias("n_late"),
+        F.max(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "late_supp"
+        ),
+    )
+    blamed = per_order.where(
         (F.col("n_supp") > 1) & (F.col("n_late") == 1)
-    ).select("l_orderkey")
-    blamed = (
-        l2.where(F.col("is_late"))
-        .join(qualifying, "l_orderkey", "left_semi")
-        .select("l_suppkey", "l_orderkey")
-        .distinct()
-    )
+    ).select(F.col("late_supp").alias("l_suppkey"))
     return (
         blamed.join(
             t["supplier"],
@@ -891,6 +901,468 @@ def brand_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.floor(F.sum(pc * (F.lit(100) - dc)) / 100.0 + F.lit(0.5))
                 / 100
             ).alias("revenue"),
+        )
+    )
+
+
+@_q(
+    "forecast_revenue_change",
+    """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       FLOOR(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                 * CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))
+             / 100.0 + 0.5) / 100 AS revenue_delta
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): the pure
+    filter-aggregate — every predicate reaches PushedFilters on the
+    single scan (date range, discount band, quantity cap are all
+    conjunctive leaf predicates), no join, no shuffle beyond the final
+    1-row combine. The "what if we hadn't discounted" delta is
+    Σ price·discount in exact integer cent·centi-discount units
+    (≤1e15 ≪ 2^53), one shared rounded division at the end."""
+    _utc(spark)
+    li = load_testdata(spark, sf_dir, "lineitem")["lineitem"]
+    pc = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    dc = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (F.floor(F.sum(pc * dc) / 100.0 + F.lit(0.5)) / 100).alias(
+                "revenue_delta"
+            ),
+        )
+    )
+
+
+@_q(
+    "nation_market_share",
+    """
+WITH rev AS (
+  SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+         CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (100 - CAST(FLOOR(l.l_discount * 100 + 0.5) AS BIGINT)) AS units,
+         sn.n_name AS supp_nation
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+  JOIN region r ON cn.n_regionkey = r.r_regionkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+  WHERE r.r_name = 'ASIA'
+)
+SELECT o_year,
+       FLOOR(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN units ELSE 0 END)
+                  AS DOUBLE)
+             / CAST(SUM(units) AS DOUBLE) * 10000 + 0.5) / 10000 AS mkt_share,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM rev
+GROUP BY o_year
+""",
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): NATION_3's share of
+    supplier revenue among ASIA-region customers, per order year — the
+    conditional-aggregate ratio (CASE inside SUM) computed in one pass,
+    never two scans. Both nation aliases and region are hard-broadcast
+    (constant-size dims); supplier and customer stay UNHINTED (O(SF),
+    AQE decides).
+
+    The share divides two EXACT integer cent·percent sums, so the
+    quotient is the same IEEE double in both engines regardless of
+    accumulation order; display rounds to 4dp via the floor form
+    (shares are small-denominator rationals — engine ROUND would split
+    on .xxxx5 halves)."""
+    _utc(spark)
+    t = load_testdata(
+        spark, sf_dir,
+        "lineitem", "orders", "customer", "supplier", "nation", "region",
+    )
+    cn = t["nation"].select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_regionkey").alias("cn_region"),
+    )
+    sn = t["nation"].select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    pc = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    dc = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+    rev = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(
+            F.broadcast(
+                t["region"].where(F.col("r_name") == "ASIA")
+            ),
+            F.col("cn_region") == F.col("r_regionkey"),
+        )
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            (pc * (F.lit(100) - dc)).alias("units"),
+            "supp_nation",
+        )
+    )
+    num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", F.col("units")).otherwise(
+            F.lit(0)
+        )
+    )
+    return rev.groupBy("o_year").agg(
+        (
+            F.floor(
+                num.cast("double") / F.sum("units").cast("double") * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("mkt_share"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@_q(
+    "product_type_profit",
+    """
+SELECT sn.n_name AS supp_nation,
+       CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+       FLOOR(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                   * (100 - CAST(FLOOR(l.l_discount * 100 + 0.5) AS BIGINT))
+                 - 100 * CAST(FLOOR(p.p_retailprice * 100 + 0.5) AS BIGINT)
+                       * CAST(l.l_quantity AS BIGINT))
+             / 10000.0 + 0.5) / 100 AS profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY 1, 2
+""",
+)
+def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product type profit, adapted — no partsupp, so
+    retail price × quantity plays supply cost): profit per supplier
+    nation per order year over parts whose NAME matches a substring
+    (LIKE '%widget%' — a non-prefix pattern that cannot become a range
+    predicate, proving residual string pushdown). Profit is SIGNED:
+    both terms accumulate in exact integer units of $1/10000 (cent ×
+    percent), one final division + floor(x+0.5) display round that both
+    engines spell identically (half-toward-+inf on the SAME double, so
+    sign is irrelevant to the hash-match). Nation broadcast; part,
+    orders, supplier UNHINTED."""
+    _utc(spark)
+    t = load_testdata(
+        spark, sf_dir, "lineitem", "part", "orders", "supplier", "nation"
+    )
+    pc = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    dc = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+    rc = F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)).cast("long")
+    qty = F.col("l_quantity").cast("long")
+    units = pc * (F.lit(100) - dc) - F.lit(100) * rc * qty
+    return (
+        t["lineitem"]
+        .join(
+            t["part"].where(F.col("p_name").like("%widget%")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("supp_nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            (F.floor(F.sum(units) / 10000.0 + F.lit(0.5)) / 100).alias(
+                "profit"
+            )
+        )
+    )
+
+
+@_q(
+    "returned_item_customers",
+    """
+SELECT c.c_custkey, c.c_name,
+       FLOOR(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                 * (100 - CAST(FLOOR(l.l_discount * 100 + 0.5) AS BIGINT)))
+             / 100.0 + 0.5) / 100 AS revenue_lost,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1, 2
+ORDER BY SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+             * (100 - CAST(FLOOR(l.l_discount * 100 + 0.5) AS BIGINT))) DESC,
+         c.c_custkey
+LIMIT 20
+""",
+)
+def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned item reporting): top-20 customers by
+    revenue lost to returns in a year. The ORDER BY key is the EXACT
+    integer cent·percent sum (never the rounded display value) with a
+    c_custkey tiebreak, so the top-20 SET is engine-deterministic even
+    when two customers lose identical revenue. Orders/customer joins
+    UNHINTED; the global top-20 is a TakeOrdered (no full sort)."""
+    _utc(spark)
+    t = load_testdata(spark, sf_dir, "lineitem", "orders", "customer")
+    pc = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    dc = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+    return (
+        t["lineitem"]
+        .where(F.col("l_returnflag") == "R")
+        .join(
+            t["orders"].where(
+                (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum(pc * (F.lit(100) - dc)).alias("_units"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy(F.col("_units").desc(), "c_custkey")
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            (F.floor(F.col("_units") / 100.0 + F.lit(0.5)) / 100).alias(
+                "revenue_lost"
+            ),
+            "n_lines",
+        )
+    )
+
+
+@_q(
+    "promo_revenue_share",
+    """
+SELECT CAST(EXTRACT(month FROM l.l_shipdate) AS INTEGER) AS ship_month,
+       FLOOR(CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                           THEN CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                                * (100 - CAST(FLOOR(l.l_discount * 100 + 0.5) AS BIGINT))
+                           ELSE 0 END) AS DOUBLE) * 100
+             / CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                        * (100 - CAST(FLOOR(l.l_discount * 100 + 0.5) AS BIGINT)))
+                    AS DOUBLE) * 100 + 0.5) / 100 AS promo_share_pct,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1
+""",
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): percentage of monthly revenue
+    from PROMO-type parts — the conditional/total ratio in ONE aggregate
+    pass (CASE inside SUM), no second scan, no join re-probe. Both sums
+    are exact integers, the ratio is the same IEEE double both engines,
+    and the percentage displays via the 2dp floor form. Part join
+    UNHINTED (O(parts))."""
+    _utc(spark)
+    t = load_testdata(spark, sf_dir, "lineitem", "part")
+    pc = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    dc = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+    units = pc * (F.lit(100) - dc)
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", units).otherwise(F.lit(0))
+    )
+    return (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(t["part"], F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(F.month("l_shipdate").cast("int").alias("ship_month"))
+        .agg(
+            (
+                F.floor(
+                    promo.cast("double")
+                    * 100
+                    / F.sum(units).cast("double")
+                    * 100
+                    + F.lit(0.5)
+                )
+                / 100
+            ).alias("promo_share_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@_q(
+    "top_supplier_revenue",
+    """
+WITH srev AS (
+  SELECT l_suppkey,
+         SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))) AS units
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name,
+       FLOOR(r.units / 100.0 + 0.5) / 100 AS total_revenue
+FROM srev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.units = (SELECT MAX(units) FROM srev)
+""",
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier, ties included): quarterly revenue
+    per supplier, keep every supplier hitting the maximum — the
+    classic view-plus-scalar-subquery decorrelated into a per-supplier
+    aggregate crossed with a broadcast 1-ROW max (provably bounded —
+    the hard hint is allowed) and an equality filter. Ties are
+    bit-exact because the compared value is the INTEGER unit sum, not a
+    rounded double. Supplier dim join UNHINTED."""
+    _utc(spark)
+    t = load_testdata(spark, sf_dir, "lineitem", "supplier")
+    pc = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    dc = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+    srev = (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(pc * (F.lit(100) - dc)).alias("units"))
+        # srev feeds BOTH the max subquery and the probe side; without a
+        # lineage cut Catalyst plans the whole lineitem aggregate TWICE
+        # (verified: zero ReusedExchange at execution). The lazy local
+        # checkpoint materializes the O(suppliers) aggregate once and
+        # both consumers read the stored blocks — the fact table is
+        # scanned exactly once.
+        .localCheckpoint(eager=False)
+    )
+    mx = srev.agg(F.max("units").alias("max_units"))
+    return (
+        srev.crossJoin(F.broadcast(mx))
+        .where(F.col("units") == F.col("max_units"))
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.floor(F.col("units") / 100.0 + F.lit(0.5)) / 100).alias(
+                "total_revenue"
+            ),
+        )
+    )
+
+
+@_q(
+    "concentrated_part_suppliers",
+    """
+WITH li AS (
+  SELECT l_suppkey, l_partkey,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)) AS units
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+),
+wid AS (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%'),
+per AS (
+  SELECT l_suppkey,
+         SUM(CASE WHEN l_partkey IN (SELECT p_partkey FROM wid)
+                  THEN units ELSE 0 END) AS widget_units,
+         SUM(units) AS total_units
+  FROM li GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name,
+       FLOOR(CAST(p.widget_units AS DOUBLE) / CAST(p.total_units AS DOUBLE)
+             * 10000 + 0.5) / 10000 AS widget_share,
+       FLOOR(p.total_units / 100.0 + 0.5) / 100 AS total_revenue
+FROM per p JOIN supplier s ON s.s_suppkey = p.l_suppkey
+WHERE CAST(p.widget_units AS DOUBLE) / CAST(p.total_units AS DOUBLE) > 0.18
+""",
+)
+def concentrated_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (suppliers concentrated in a part family —
+    adapted: no partsupp/availqty, so revenue share plays stock share):
+    the nested ``IN (SELECT …)`` membership inside a correlated
+    per-supplier aggregate. Spark-first form: the membership test
+    becomes a LEFT join against the widget-part key set (flag =
+    p_partkey IS NOT NULL — never a per-row subquery re-probe), the
+    correlated aggregate one groupBy with a conditional sum, and the
+    HAVING-style ratio filter runs on exact integer unit sums (identical
+    IEEE quotient both engines; the 0.18 threshold can never straddle an
+    ulp). Part-key set and supplier dim joins UNHINTED (both O(SF))."""
+    _utc(spark)
+    t = load_testdata(spark, sf_dir, "lineitem", "part", "supplier")
+    pc = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    dc = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+    wid = (
+        t["part"]
+        .where(F.col("p_name").like("%widget%"))
+        .select("p_partkey")
+    )
+    per = (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select(
+            "l_suppkey",
+            "l_partkey",
+            (pc * (F.lit(100) - dc)).alias("units"),
+        )
+        .join(wid, F.col("p_partkey") == F.col("l_partkey"), "left")
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.when(F.col("p_partkey").isNotNull(), F.col("units"))
+                .otherwise(F.lit(0))
+            ).alias("widget_units"),
+            F.sum("units").alias("total_units"),
+        )
+    )
+    share = F.col("widget_units").cast("double") / F.col("total_units").cast(
+        "double"
+    )
+    return (
+        per.where(share > 0.18)
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.floor(share * 10000 + F.lit(0.5)) / 10000).alias(
+                "widget_share"
+            ),
+            (F.floor(F.col("total_units") / 100.0 + F.lit(0.5)) / 100).alias(
+                "total_revenue"
+            ),
         )
     )
 
@@ -2113,9 +2585,10 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre- vs post-filter) shifts every downstream count.
 
     Scale: each stage is one of the audited distributed operators; the
-    five counts are global 1-row aggregates UNION'd — no collect, no
-    driver loop. The lazy composition means Spark sees one DAG and
-    shares the quality-gate scan across branches."""
+    five counts are global 1-row aggregates UNION'd into ONE job (the
+    only driver materialization is the 5-row result, so the stage caches
+    can be unpersisted before returning). Spark sees one DAG and shares
+    each persisted stage frontier across branches."""
     from mini_feature_store_spark.operators.dedup import (
         exact_dedup,
         ngram_jaccard_pairs,
@@ -2135,7 +2608,10 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Stage frontiers are persisted exactly as run_corpus_curation does:
     # each feeds BOTH its own count branch and every downstream stage, so
     # without a cache the union of five counts recomputes the quality
-    # gate 4×, the exact dedup 3×, the near-dup clustering 2×.
+    # gate 4×, the exact dedup 3×, the near-dup clustering 2×. The
+    # counts run EAGERLY (one job over the union) so the caches can be
+    # released before returning — a lazily-returned persist() would pin
+    # three cached plans for the session lifetime.
     admitted = corpus.join(
         gate.where(F.col("kept")).select("doc_id"), "doc_id", "left_semi"
     ).persist()
@@ -2160,12 +2636,20 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_admitted",
         )
 
-    return (
-        count_stage(0, "input", corpus)
-        .unionAll(count_stage(1, "after_quality", admitted))
-        .unionAll(count_stage(2, "after_exact_dedup", deduped))
-        .unionAll(count_stage(3, "after_near_dedup", survivors))
-        .unionAll(count_stage(4, "after_decontamination", clean))
+    try:
+        rows = (
+            count_stage(0, "input", corpus)
+            .unionAll(count_stage(1, "after_quality", admitted))
+            .unionAll(count_stage(2, "after_exact_dedup", deduped))
+            .unionAll(count_stage(3, "after_near_dedup", survivors))
+            .unionAll(count_stage(4, "after_decontamination", clean))
+            .collect()
+        )
+    finally:
+        for df in (admitted, deduped, survivors):
+            df.unpersist()
+    return spark.createDataFrame(
+        rows, "stage_idx int, stage string, n_admitted long"
     )
 
 
@@ -2857,21 +3341,31 @@ def distinct_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _utc(spark)
     li = load_testdata(spark, sf_dir, "lineitem")["lineitem"]
+    # NULL discipline: COUNT(DISTINCT x) and MEDIAN(x) both IGNORE null
+    # x, but distinct().count() would count a (flag, NULL) group and a
+    # NULL price would sort first in the histogram window and shift
+    # k1/k2 — so each branch filters its measure column explicitly.
+    # Null-free on current testdata; the filters keep the oracle
+    # semantics if that ever changes.
     n_parts = (
-        li.select("l_returnflag", "l_partkey")
+        li.where(F.col("l_partkey").isNotNull())
+        .select("l_returnflag", "l_partkey")
         .distinct()
         .groupBy("l_returnflag")
         .agg(F.count(F.lit(1)).alias("n_parts"))
     )
     n_orders = (
-        li.select("l_returnflag", "l_orderkey")
+        li.where(F.col("l_orderkey").isNotNull())
+        .select("l_returnflag", "l_orderkey")
         .distinct()
         .groupBy("l_returnflag")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
-    hist = li.groupBy(
-        "l_returnflag", F.col("l_extendedprice").alias("price")
-    ).agg(F.count(F.lit(1)).alias("cnt"))
+    hist = (
+        li.where(F.col("l_extendedprice").isNotNull())
+        .groupBy("l_returnflag", F.col("l_extendedprice").alias("price"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
     w = Window.partitionBy("l_returnflag").orderBy("price")
     cum = hist.select(
         "l_returnflag",
@@ -4790,11 +5284,18 @@ VERIFY_ORDER: list[str] = [
     # ── r7 re-cut (r6 VERDICT #1 — the standing rotate rule). Rule:
     # new > touched-this-round > stalest-driver-row > fresh > rows-only.
     # The driver records rows for the FIRST 50 entries only.
-    # tier 0a — never verified (new in r7): Q17/Q19 shapes + the
-    # composed curation funnel
+    # tier 0a — never verified (new in r7): Q17/Q19 shapes, the
+    # composed curation funnel, and the Q6/Q8/Q9/Q10/Q14/Q15/Q20 shapes
     "small_quantity_revenue",
     "brand_bracket_revenue",
     "corpus_curation_funnel",
+    "forecast_revenue_change",
+    "nation_market_share",
+    "product_type_profit",
+    "returned_item_customers",
+    "promo_revenue_share",
+    "top_supplier_revenue",
+    "concentrated_part_suppliers",
     # tier 0b — code touched in r7 (broadcast de-hinting sweep, the
     # distinct_stats_exact Expand-free rewrite, rolling limit(65),
     # sampling/scaling/dedup hint removals, ANN limit(10)): r6 rows
@@ -4828,8 +5329,9 @@ VERIFY_ORDER: list[str] = [
     "lineitem_correlations",
     "nation_share_of_region",
     "orders_with_late_lineitems",
-    # tier 2 — last driver row in r4, three rounds old (20 of 25; the
-    # 5 overflow below MUST lead the r8 window)
+    # tier 2 — last driver row in r4, three rounds old (13 of 25 fit
+    # after the seven Q6/Q8/Q9/Q10/Q14/Q15/Q20 additions; the 12
+    # overflow below MUST lead the r8 window)
     "important_part_share",
     "pricing_summary",
     "revenue_by_nation",
@@ -4843,6 +5345,10 @@ VERIFY_ORDER: list[str] = [
     "doc_token_budget_selection",
     "doc_chunk_windows",
     "doc_winnow_fingerprints",
+    # ── slot 51+: not in the r7 driver window ──
+    # tier 3 — r4-green overflow: 4 rounds stale at r8, so they
+    # front-load the r8 re-cut (local 3-SF gate replica covers them
+    # meanwhile)
     "dedup_clusters",
     "event_rollup_tiers",
     "doc_pii_scrub",
@@ -4850,10 +5356,6 @@ VERIFY_ORDER: list[str] = [
     "user_value_trend",
     "doc_training_shuffle",
     "doc_quality_classifier",
-    # ── slot 51+: not in the r7 driver window ──
-    # tier 3 — r4-green overflow: 4 rounds stale at r8, so they
-    # front-load the r8 re-cut (local 3-SF gate replica covers them
-    # meanwhile)
     "customers_without_orders",
     "customers_with_big_orders",
     "user_event_patterns",

@@ -191,38 +191,59 @@ def test_query_results_unchanged_by_hint_removal(spark, sf_dir):
 # sweep UNLESS the query has an explicit allowlist entry below — each
 # entry names the contractual (non-plan-visible) bound that justifies it.
 
-_ALLOWLIST: dict[str, tuple[int, str]] = {
+_ALLOWLIST: dict[str, list[tuple[str, str]]] = {
     # operators/text.py:decontaminate — the hinted side is the distinct
     # shingle set of an EVAL BENCHMARK: its size is fixed by the eval
     # suite (MMLU-class, ~1e4-1e6 shingles) and does not grow with the
     # training corpus, so the shuffle-free guarantee on the corpus side
-    # is worth the hint.
-    "doc_decontaminate": (1, "eval-benchmark shingle set, eval-suite-sized"),
+    # is worth the hint. The marker pins the SITE (the deduped
+    # xxhash64-shingle projection), not just a count, so swapping this
+    # hint for a different unbounded one still fails.
+    "doc_decontaminate": [
+        ("Deduplicate [shingle#", "eval-benchmark shingle set, eval-suite-sized"),
+    ],
+    # corpus_curation_funnel composes the SAME decontaminate stage over
+    # the near-dup survivors (same site, same contractual bound), but it
+    # materializes eagerly and returns a LOCAL 5-row DataFrame — the
+    # walker sees no hints, so no entry is needed; the stage's hint is
+    # pinned through doc_decontaminate above.
     # operators/retention.py — cohort sizes are keyed by calendar week:
     # O(weeks elapsed), bounded by time, not by data volume.
-    "cohort_retention_weekly": (1, "calendar-week-keyed cohort sizes"),
+    "cohort_retention_weekly": [
+        ("AS cohort_size#", "calendar-week-keyed cohort sizes"),
+    ],
 }
 
 
 def test_registry_wide_broadcast_hints_bounded(spark, sf_dir):
     """Every forced-broadcast hint in every registry query must sit on a
-    provably bounded relation or carry a justified allowlist entry."""
+    provably bounded relation or match a justified allowlist entry (by
+    site marker, not just count — see _ALLOWLIST)."""
     from mini_feature_store_spark.plan_walk import broadcast_hint_sites
 
     violations: list[str] = []
-    used_allowlist: set[str] = set()
+    matched_entries: set[tuple[str, str]] = set()
     for name, fn in QUERIES.items():
         sites = broadcast_hint_sites(fn(spark, sf_dir))
-        unbounded = [s for s in sites if not s.bounded]
-        allowed, _why = _ALLOWLIST.get(name, (0, ""))
-        if unbounded:
-            used_allowlist.add(name)
-        if len(unbounded) > allowed:
-            for s in unbounded:
+        allowed = list(_ALLOWLIST.get(name, []))
+        for s in sites:
+            if s.bounded:
+                continue
+            hit = next(
+                (m for m, _why in allowed if m in s.subtree), None
+            )
+            if hit is not None:
+                allowed = [(m, w) for m, w in allowed if m != hit]
+                matched_entries.add((name, hit))
+            else:
                 violations.append(
                     f"{name}: unbounded broadcast ({s.reason})\n  "
                     + s.subtree.replace("\n", "\n  ")
                 )
     assert not violations, "\n".join(violations)
-    stale = set(_ALLOWLIST) - used_allowlist
-    assert not stale, f"stale allowlist entries (hint no longer exists): {stale}"
+    stale = {
+        (q, m)
+        for q, entries in _ALLOWLIST.items()
+        for m, _why in entries
+    } - matched_entries
+    assert not stale, f"stale allowlist entries (site no longer hinted): {stale}"

@@ -82,11 +82,13 @@ AUDITED: dict[str, str] = {
         "projection after."
     ),
     "sole_blame_suppliers": (
-        "Q21 shape without correlated EXISTS: per-order distinct-supplier "
-        "facts in ONE aggregate, qualifying orders semi-join the late "
-        "lines; the supplier dim join is UNHINTED since r7 (O(SF) dim — "
-        "AQE promotes while it fits) — the fact table is never probed "
-        "per-row."
+        "Q21 shape without correlated EXISTS (r7 single-pass): stacked "
+        "pre-collapsed aggregate — level 1 dedups (order, supplier) and "
+        "folds lateness, level 2 plain-counts n_supp/n_late and "
+        "MAX(late supplier) = the sole culprit at n_late=1. No Expand, "
+        "no semi-join second pass over the lineitem-orders join (the "
+        "old form planned that subtree twice, zero ReusedExchange). "
+        "Supplier dim join UNHINTED (AQE)."
     ),
     "event_value_winsorized": (
         "Winsorization: per-group exact-percentile cuts are a tiny "
@@ -358,15 +360,64 @@ AUDITED: dict[str, str] = {
         "COUNT(DISTINCT) Expand is bounded by the post-join projection "
         "(3 narrow columns)."
     ),
+    "forecast_revenue_change": (
+        "Q6 shape (r7-new): the pure filter-aggregate — date range, "
+        "discount band, quantity cap all conjunctive, all in "
+        "PushedFilters on the single lineitem scan; no join, one 1-row "
+        "combine. The floor every aggregate-only query should hit."
+    ),
+    "nation_market_share": (
+        "Q8 shape (r7-new): CASE-inside-SUM conditional share in ONE "
+        "pass over the 6-way join — never two scans or a self-join. "
+        "nation (twice) and the filtered region are hard-broadcast "
+        "(constant-size); customer/supplier/orders UNHINTED. Share "
+        "divides two exact integer sums — order-independent IEEE result."
+    ),
+    "product_type_profit": (
+        "Q9 shape (r7-new): non-prefix LIKE '%widget%' stays a residual "
+        "scan predicate (cannot become a range), part/orders/supplier "
+        "joins UNHINTED, nation broadcast. Profit is SIGNED exact "
+        "integer units of $1/10000 — summation-order-proof."
+    ),
+    "returned_item_customers": (
+        "Q10 shape (r7-new): top-20 by revenue lost — ORDER BY the "
+        "exact integer unit sum with c_custkey tiebreak → "
+        "TakeOrderedAndProject (no global sort); returnflag + date "
+        "filters pushed to both scans before the joins."
+    ),
+    "promo_revenue_share": (
+        "Q14 shape (r7-new): promo/total percentage per month in one "
+        "aggregate pass (CASE inside SUM); part join UNHINTED "
+        "(O(parts)); exact-integer ratio → identical IEEE quotient."
+    ),
+    "top_supplier_revenue": (
+        "Q15 shape (r7-new): per-supplier quarter aggregate crossed "
+        "with a broadcast 1-ROW max (provably bounded hint) + equality "
+        "filter — ties are bit-exact on the integer unit sum. The "
+        "aggregate feeds BOTH the max subquery and the probe side, and "
+        "Catalyst plans duplicated subtrees with zero ReusedExchange "
+        "(verified at execution), so srev takes a LAZY localCheckpoint: "
+        "the O(suppliers) aggregate materializes once, the fact table "
+        "is scanned exactly once, and the blocks free with the RDD "
+        "(unlike CacheManager entries)."
+    ),
+    "concentrated_part_suppliers": (
+        "Q20 shape (r7-new): nested IN-membership + correlated "
+        "per-supplier aggregate — the membership test is a LEFT join "
+        "against the widget-key set (flag = key IS NOT NULL, no per-row "
+        "re-probe), the HAVING ratio filters exact integer unit sums. "
+        "Both non-nation joins UNHINTED (O(SF))."
+    ),
     "corpus_curation_funnel": (
         "The composed curation funnel (r7-new, oracled): quality gate → "
         "exact dedup → 3-gram near-dup (capped posting lists + star-"
         "round CC) → 5-gram decontamination, each stage consuming the "
         "previous stage's admitted set; five global 1-row counts "
-        "UNION'd. Stage frontiers persist() exactly as the production "
-        "pipeline does — without the cache the five count branches "
-        "recompute the gate 4x. No collect, no driver loop; every stage "
-        "is an audited operator."
+        "UNION'd into one job. Stage frontiers persist() exactly as the "
+        "production pipeline does — without the cache the five count "
+        "branches recompute the gate 4x — and are unpersisted once the "
+        "5-row result is materialized (the only driver collect). Every "
+        "stage is an audited operator."
     ),
 }
 

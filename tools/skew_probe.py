@@ -27,10 +27,12 @@ actually take is what's measured):
                             the dims (what actually happens at test
                             scale; the reason hints were pure risk)
 
-plus the Q18 aggregate (groupBy l_orderkey → join back): aggregation
-skew needs NO mitigation — hash aggregation is two-phase, the hot group
-partial-combines map-side; the probe measures it with the celebrity key
-present to demonstrate exactly that.
+plus the Q18 aggregate (groupBy l_orderkey → join back) over a lineitem
+variant whose celebrity key is planted on l_orderkey ITSELF (one
+mega-order owns hot_frac of all lines): aggregation skew needs NO
+mitigation — hash aggregation is two-phase, the hot group
+partial-combines map-side; the probe measures it to demonstrate exactly
+that.
 
 Results merge into SCALING_RESULTS.json under ``"skew_probe"``;
 SCALING.md interprets them.
@@ -79,15 +81,31 @@ def gen(out: Path, scale: float, hot_frac: float, seed: int = 23) -> None:
     orderkey = rng.integers(0, n_ord, n_li).astype(np.int64)
     suppkey = rng.integers(1, N_SUPP, n_li)
     suppkey[rng.random(n_li) < hot_frac] = hot_supp
+    qty = rng.integers(1, 51, n_li).astype(np.int64)
     pq.write_table(
         pa.table(
             {
                 "l_orderkey": orderkey,
                 "l_suppkey": suppkey.astype(np.int64),
-                "l_qty": rng.integers(1, 51, n_li).astype(np.int64),
+                "l_qty": qty,
             }
         ),
         out / "lineitem.parquet",
+    )
+    # Variant for the AGGREGATION-skew measurement: the celebrity key is
+    # planted on l_orderkey itself (one mega-order owns hot_frac of all
+    # lines), so groupBy(l_orderkey) has a genuinely hot group.
+    hot_orderkey = orderkey.copy()
+    hot_orderkey[rng.random(n_li) < hot_frac] = 0
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": hot_orderkey,
+                "l_suppkey": suppkey.astype(np.int64),
+                "l_qty": qty,
+            }
+        ),
+        out / "lineitem_hotorder.parquet",
     )
     pq.write_table(
         pa.table(
@@ -137,6 +155,7 @@ def main() -> int:
 
     spark = get_spark(app_name="skew-probe")
     li = spark.read.parquet(str(out / "lineitem.parquet"))
+    li_hotorder = spark.read.parquet(str(out / "lineitem_hotorder.parquet"))
     orders = spark.read.parquet(str(out / "orders.parquet"))
     cust = spark.read.parquet(str(out / "customer.parquet"))
     supp = spark.read.parquet(str(out / "supplier.parquet"))
@@ -163,7 +182,7 @@ def main() -> int:
 
     def q18_agg():
         big = (
-            li.groupBy("l_orderkey")
+            li_hotorder.groupBy("l_orderkey")
             .agg(F.sum("l_qty").alias("total_qty"))
             .where(F.col("total_qty") > 100)
         )
