@@ -19,7 +19,10 @@ Provably bounded (auto-classified, conservative):
 - ``LocalRelation`` / ``OneRowRelation`` / ``Range`` — driver-side
   literal data with plan-time-known size;
 - any node ALL of whose inputs are bounded, EXCEPT ``Generate``
-  (explode multiplies rows by a data-dependent factor).
+  (explode multiplies rows by a data-dependent factor) and the
+  Python/Arrow UDF family (``mapInPandas`` / ``applyInPandas`` /
+  cogrouped / stateful variants — a UDF may emit any number of rows
+  per input batch).
 
 Anything else — full or filtered O(SF) dims, per-key aggregates,
 dropped-id sets — is reported unbounded; the discipline test fails unless
@@ -50,6 +53,9 @@ _ROW_EXPANDING = frozenset(
         "FlatMapGroupsInPandas",
         "FlatMapGroupsInArrow",
         "FlatMapCoGroupsInPandas",
+        "FlatMapCoGroupsInArrow",
+        "FlatMapGroupsInPandasWithState",
+        "TransformWithStateInPandas",
         "MapGroups",
         "FlatMapGroupsWithState",
     }

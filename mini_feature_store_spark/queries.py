@@ -1047,7 +1047,7 @@ SELECT sn.n_name AS supp_nation,
                    * (100 - CAST(FLOOR(l.l_discount * 100 + 0.5) AS BIGINT))
                  - 100 * CAST(FLOOR(p.p_retailprice * 100 + 0.5) AS BIGINT)
                        * CAST(l.l_quantity AS BIGINT))
-             / 10000.0 + 0.5) / 100 AS profit
+             / 100.0 + 0.5) / 100 AS profit
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
 JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -1094,7 +1094,11 @@ def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").cast("int").alias("o_year"),
         )
         .agg(
-            (F.floor(F.sum(units) / 10000.0 + F.lit(0.5)) / 100).alias(
+            # units are $1/10000 each: dollars = Σ/10000, so the 2-dp
+            # display round is floor(Σ/100 + 0.5)/100 (NOT /10000 — that
+            # reports whole-dollar-rounded profit divided by 100, a
+            # shared-oracle bug caught by r7 code review).
+            (F.floor(F.sum(units) / 100.0 + F.lit(0.5)) / 100).alias(
                 "profit"
             )
         )
@@ -1258,12 +1262,15 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(F.sum(pc * (F.lit(100) - dc)).alias("units"))
         # srev feeds BOTH the max subquery and the probe side; without a
-        # lineage cut Catalyst plans the whole lineitem aggregate TWICE
-        # (verified: zero ReusedExchange at execution). The lazy local
-        # checkpoint materializes the O(suppliers) aggregate once and
-        # both consumers read the stored blocks — the fact table is
-        # scanned exactly once.
-        .localCheckpoint(eager=False)
+        # shared materialization Catalyst plans the whole lineitem
+        # aggregate TWICE (verified: zero ReusedExchange at execution).
+        # persist() lets CacheManager substitute one InMemoryRelation at
+        # both sites — the fact table is scanned once — while KEEPING
+        # lineage, so a lost block recomputes instead of hard-failing
+        # (localCheckpoint would fail on executor loss between the two
+        # jobs). Footprint: O(suppliers) aggregated rows, trivially
+        # small; pinned for the session like any cached dimension.
+        .persist()
     )
     mx = srev.agg(F.max("units").alias("max_units"))
     return (
@@ -2585,10 +2592,9 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre- vs post-filter) shifts every downstream count.
 
     Scale: each stage is one of the audited distributed operators; the
-    five counts are global 1-row aggregates UNION'd into ONE job (the
-    only driver materialization is the 5-row result, so the stage caches
-    can be unpersisted before returning). Spark sees one DAG and shares
-    each persisted stage frontier across branches."""
+    five counts are global 1-row aggregates UNION'd — no collect, no
+    driver loop, and the composed plan stays visible to the broadcast
+    discipline walker and the plan audit."""
     from mini_feature_store_spark.operators.dedup import (
         exact_dedup,
         ngram_jaccard_pairs,
@@ -2605,23 +2611,27 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.where(F.col("source") == "src0")
 
     gate = quality_filter(corpus, min_tokens=5, min_score=0.3)
-    # Stage frontiers are persisted exactly as run_corpus_curation does:
-    # each feeds BOTH its own count branch and every downstream stage, so
-    # without a cache the union of five counts recomputes the quality
-    # gate 4×, the exact dedup 3×, the near-dup clustering 2×. The
-    # counts run EAGERLY (one job over the union) so the caches can be
-    # released before returning — a lazily-returned persist() would pin
-    # three cached plans for the session lifetime.
+    # Fully DECLARATIVE on purpose (r7 code review round-trip): an eager
+    # collect would hide the composed plan from the broadcast-discipline
+    # walker and the plan audit, and a lazily-returned persist() pins
+    # CacheManager entries for the session lifetime. The cost of neither
+    # is that downstream count branches recompute upstream stages (the
+    # quality gate runs in up to 4 branches) — measured ~0.8 s extra at
+    # sf0.1, bounded because Catalyst shares the scan and the expensive
+    # near-dup chain feeds only the last three branches. The production
+    # pipeline (run_corpus_curate) persists + unpersists around its
+    # eager counts instead — the right trade on each side of the
+    # lazy/eager line.
     admitted = corpus.join(
         gate.where(F.col("kept")).select("doc_id"), "doc_id", "left_semi"
-    ).persist()
+    )
     keep_ids = exact_dedup(admitted).select(F.col("keep_id").alias("doc_id"))
-    deduped = admitted.join(keep_ids, "doc_id", "left_semi").persist()
+    deduped = admitted.join(keep_ids, "doc_id", "left_semi")
     pairs = ngram_jaccard_pairs(deduped, threshold=0.5, max_shingle_freq=1000)
     drops = (
         dedup_clusters(pairs).where(~F.col("keep")).select("doc_id")
     )
-    survivors = deduped.join(drops, "doc_id", "left_anti").persist()
+    survivors = deduped.join(drops, "doc_id", "left_anti")
     flagged = decontaminate(survivors, bench, n=5, threshold=0.05)
     clean = survivors.join(
         flagged.where(F.col("contaminated")).select("doc_id"),
@@ -2636,20 +2646,12 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_admitted",
         )
 
-    try:
-        rows = (
-            count_stage(0, "input", corpus)
-            .unionAll(count_stage(1, "after_quality", admitted))
-            .unionAll(count_stage(2, "after_exact_dedup", deduped))
-            .unionAll(count_stage(3, "after_near_dedup", survivors))
-            .unionAll(count_stage(4, "after_decontamination", clean))
-            .collect()
-        )
-    finally:
-        for df in (admitted, deduped, survivors):
-            df.unpersist()
-    return spark.createDataFrame(
-        rows, "stage_idx int, stage string, n_admitted long"
+    return (
+        count_stage(0, "input", corpus)
+        .unionAll(count_stage(1, "after_quality", admitted))
+        .unionAll(count_stage(2, "after_exact_dedup", deduped))
+        .unionAll(count_stage(3, "after_near_dedup", survivors))
+        .unionAll(count_stage(4, "after_decontamination", clean))
     )
 
 
@@ -3344,9 +3346,12 @@ def distinct_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL discipline: COUNT(DISTINCT x) and MEDIAN(x) both IGNORE null
     # x, but distinct().count() would count a (flag, NULL) group and a
     # NULL price would sort first in the histogram window and shift
-    # k1/k2 — so each branch filters its measure column explicitly.
-    # Null-free on current testdata; the filters keep the oracle
-    # semantics if that ever changes.
+    # k1/k2 — so each branch filters its measure column explicitly, and
+    # the final assembly LEFT-joins the branches onto the distinct flag
+    # set with COALESCE(0) so a group whose measures are ALL null still
+    # appears (as COUNT(DISTINCT)=0 / NULL median — exactly DuckDB).
+    # Null-free on current testdata; this keeps the oracle semantics if
+    # that ever changes.
     n_parts = (
         li.where(F.col("l_partkey").isNotNull())
         .select("l_returnflag", "l_partkey")
@@ -3396,7 +3401,18 @@ def distinct_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("median_price"),
         )
     )
-    return n_parts.join(n_orders, "l_returnflag").join(med, "l_returnflag")
+    flags = li.select("l_returnflag").distinct()
+    return (
+        flags.join(n_parts, "l_returnflag", "left")
+        .join(n_orders, "l_returnflag", "left")
+        .join(med, "l_returnflag", "left")
+        .select(
+            "l_returnflag",
+            F.coalesce(F.col("n_parts"), F.lit(0)).alias("n_parts"),
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+            "median_price",
+        )
+    )
 
 
 @_q(

@@ -203,10 +203,10 @@ _ALLOWLIST: dict[str, list[tuple[str, str]]] = {
         ("Deduplicate [shingle#", "eval-benchmark shingle set, eval-suite-sized"),
     ],
     # corpus_curation_funnel composes the SAME decontaminate stage over
-    # the near-dup survivors (same site, same contractual bound), but it
-    # materializes eagerly and returns a LOCAL 5-row DataFrame — the
-    # walker sees no hints, so no entry is needed; the stage's hint is
-    # pinned through doc_decontaminate above.
+    # the near-dup survivors — same site, same contractual bound.
+    "corpus_curation_funnel": [
+        ("Deduplicate [shingle#", "eval-benchmark shingle set via decontaminate"),
+    ],
     # operators/retention.py — cohort sizes are keyed by calendar week:
     # O(weeks elapsed), bounded by time, not by data volume.
     "cohort_retention_weekly": [
@@ -229,11 +229,14 @@ def test_registry_wide_broadcast_hints_bounded(spark, sf_dir):
         for s in sites:
             if s.bounded:
                 continue
-            hit = next(
-                (m for m, _why in allowed if m in s.subtree), None
+            idx = next(
+                (i for i, (m, _why) in enumerate(allowed) if m in s.subtree),
+                None,
             )
-            if hit is not None:
-                allowed = [(m, w) for m, w in allowed if m != hit]
+            if idx is not None:
+                # consume exactly ONE entry (a query may legitimately
+                # carry two same-marker sites covered by two entries)
+                hit, _why = allowed.pop(idx)
                 matched_entries.add((name, hit))
             else:
                 violations.append(

@@ -396,10 +396,11 @@ AUDITED: dict[str, str] = {
         "filter — ties are bit-exact on the integer unit sum. The "
         "aggregate feeds BOTH the max subquery and the probe side, and "
         "Catalyst plans duplicated subtrees with zero ReusedExchange "
-        "(verified at execution), so srev takes a LAZY localCheckpoint: "
-        "the O(suppliers) aggregate materializes once, the fact table "
-        "is scanned exactly once, and the blocks free with the RDD "
-        "(unlike CacheManager entries)."
+        "(verified at execution), so srev is persist()ed: CacheManager "
+        "substitutes one InMemoryRelation at both sites (fact table "
+        "scanned once) while KEEPING lineage — a lost block recomputes "
+        "instead of hard-failing as localCheckpoint would. Footprint "
+        "O(suppliers), dimension-cache-sized."
     ),
     "concentrated_part_suppliers": (
         "Q20 shape (r7-new): nested IN-membership + correlated "
@@ -413,11 +414,12 @@ AUDITED: dict[str, str] = {
         "exact dedup → 3-gram near-dup (capped posting lists + star-"
         "round CC) → 5-gram decontamination, each stage consuming the "
         "previous stage's admitted set; five global 1-row counts "
-        "UNION'd into one job. Stage frontiers persist() exactly as the "
-        "production pipeline does — without the cache the five count "
-        "branches recompute the gate 4x — and are unpersisted once the "
-        "5-row result is materialized (the only driver collect). Every "
-        "stage is an audited operator."
+        "UNION'd — fully DECLARATIVE so the composed plan stays visible "
+        "to the broadcast walker and this audit (an eager collect hid "
+        "it; a lazy persist pins CacheManager entries). Downstream "
+        "count branches recompute upstream stages (~0.8 s extra at "
+        "sf0.1, measured); the production pipeline persists around its "
+        "eager counts instead. Every stage is an audited operator."
     ),
 }
 

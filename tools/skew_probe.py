@@ -94,9 +94,13 @@ def gen(out: Path, scale: float, hot_frac: float, seed: int = 23) -> None:
     )
     # Variant for the AGGREGATION-skew measurement: the celebrity key is
     # planted on l_orderkey itself (one mega-order owns hot_frac of all
-    # lines), so groupBy(l_orderkey) has a genuinely hot group.
+    # lines), so groupBy(l_orderkey) has a genuinely hot group. The mask
+    # comes from an INDEPENDENT child generator so the base tables stay
+    # bit-identical to runs without the variant (same seed → same q7
+    # data, round-over-round comparable).
+    rng_hot = np.random.default_rng(seed + 1)
     hot_orderkey = orderkey.copy()
-    hot_orderkey[rng.random(n_li) < hot_frac] = 0
+    hot_orderkey[rng_hot.random(n_li) < hot_frac] = 0
     pq.write_table(
         pa.table(
             {
