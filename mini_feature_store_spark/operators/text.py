@@ -578,3 +578,71 @@ def quality_classifier_score(
         prob.alias("quality_prob"),
         (prob >= threshold).alias("keep"),
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    sep: str = "\n",
+    join_sep: str | None = None,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Paragraph-level exact dedup — the Dolma/CCNet/RefinedWeb boilerplate
+    scrub: drop every paragraph whose NORMALIZED form appears in at least
+    ``min_docs`` distinct documents (headers, footers, cookie banners,
+    license blurbs), keep document structure otherwise intact.
+
+    Returns one row per input document: ``(id_col, text_col`` (cleaned,
+    kept paragraphs re-joined in original order by ``join_sep``, default
+    ``sep``), ``n_paras, n_kept)``. A paragraph repeated only WITHIN one
+    document is not boilerplate and is kept — the frequency that matters
+    is distinct-document frequency. Documents whose every paragraph is
+    boilerplate come back with empty text (they remain rows: dropping
+    them is the quality gate's decision, not this operator's).
+
+    Scale shape (100 TB corpus):
+
+    - split + posexplode keeps the paragraph's position so reassembly
+      never depends on partition order;
+    - cross-doc frequency is ONE hash aggregate over the 8-byte
+      ``xxhash64`` of the normalized paragraph — two-level (doc, hash)
+      → (hash) so map-side combine collapses within-doc repeats before
+      the shuffle, and the shuffled key is 8 bytes, never the text;
+    - the boilerplate set (hashes with df ≥ min_docs) joins back onto
+      the exploded paragraphs UNHINTED — on a real crawl boilerplate
+      vocabulary is large, AQE picks the strategy (r6 VERDICT #1);
+    - reassembly is one groupBy(doc) of (pos, para) structs —
+      ``array_sort`` orders by the leading struct field.
+    """
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_para"),
+    ).withColumn("_ph", F.xxhash64(normalize(F.col("_para"))))
+    boiler = (
+        paras.select(id_col, "_ph")
+        .distinct()
+        .groupBy("_ph")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") >= min_docs)
+        .select("_ph")
+    )
+    kept = paras.join(boiler, "_ph", "left_anti")
+    out_sep = sep if join_sep is None else join_sep
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_para"))),
+                lambda s: s["_para"],
+            ),
+            out_sep,
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = paras.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_paras"))
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+        "n_paras",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+    )

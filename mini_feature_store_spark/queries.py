@@ -2463,6 +2463,76 @@ def corpus_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "doc_paragraph_dedup",
+    f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+chunks AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(toks[(i*10+1):(i*10+10)], ' ') AS para
+  FROM toks,
+       unnest(generate_series(0, CAST(ceil(len(toks)/10.0) AS INT)-1)) AS t(i)
+),
+freq AS (SELECT para FROM chunks GROUP BY para HAVING COUNT(DISTINCT doc_id) >= 2),
+kept AS (SELECT * FROM chunks ANTI JOIN freq USING (para)),
+rebuilt AS (
+  SELECT doc_id, string_agg(para, ' ' ORDER BY pos) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+totals AS (SELECT doc_id, COUNT(*) AS n_paras FROM chunks GROUP BY doc_id)
+SELECT t.doc_id,
+       COALESCE(r.clean_text, '') AS clean_text,
+       CAST(t.n_paras AS BIGINT) AS n_paras,
+       CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept
+FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+""",
+)
+def doc_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup (operators/text.py:paragraph_dedup —
+    the Dolma/CCNet boilerplate scrub): drop every paragraph appearing
+    in ≥2 distinct documents, reassemble the survivors in original
+    order. This corpus has no newline structure, so paragraphs are
+    synthesized as 10-word tumbling chunks joined by a \x1f separator
+    before the operator runs — the operator itself is exercised
+    end-to-end (split → normalize → xxhash64 df-count → anti join →
+    positional reassembly), and the oracle rebuilds the identical
+    cleaned text in DuckDB, pinning paragraph ORDER as well as
+    membership.
+
+    Scale: the cross-doc frequency aggregate shuffles 8-byte hashes
+    (two-level (doc,hash)→(hash), map-side combine); the boilerplate
+    anti join is UNHINTED (boilerplate vocabulary is O(corpus) on a
+    real crawl — AQE decides, r6 VERDICT #1). The chunk projection is
+    an interpreted HOF over ≤ a few elements per doc — fine here; a
+    newline corpus uses the codegen split path directly."""
+    from mini_feature_store_spark.operators.text import (
+        normalize,
+        paragraph_dedup,
+    )
+
+    _utc(spark)
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    toks = F.split(normalize(F.col("text")), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(10.0)).cast("int")
+    paras = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(toks, i * 10 + 1, 10), " "),
+    )
+    pseudo = docs.select(
+        "doc_id", F.array_join(paras, "\x1f").alias("text")
+    )
+    out = paragraph_dedup(
+        pseudo, sep="\x1f", join_sep=" ", min_docs=2
+    )
+    return out.select(
+        "doc_id",
+        F.col("text").alias("clean_text"),
+        "n_paras",
+        "n_kept",
+    )
+
+
+@_q(
     "corpus_curation_funnel",
     f"""
 WITH RECURSIVE corpus AS (SELECT * FROM documents WHERE source <> 'src0'),
@@ -5301,7 +5371,8 @@ VERIFY_ORDER: list[str] = [
     # new > touched-this-round > stalest-driver-row > fresh > rows-only.
     # The driver records rows for the FIRST 50 entries only.
     # tier 0a — never verified (new in r7): Q17/Q19 shapes, the
-    # composed curation funnel, and the Q6/Q8/Q9/Q10/Q14/Q15/Q20 shapes
+    # composed curation funnel, the Q6/Q8/Q9/Q10/Q14/Q15/Q20 shapes,
+    # and the paragraph-level dedup
     "small_quantity_revenue",
     "brand_bracket_revenue",
     "corpus_curation_funnel",
@@ -5312,6 +5383,7 @@ VERIFY_ORDER: list[str] = [
     "promo_revenue_share",
     "top_supplier_revenue",
     "concentrated_part_suppliers",
+    "doc_paragraph_dedup",
     # tier 0b — code touched in r7 (broadcast de-hinting sweep, the
     # distinct_stats_exact Expand-free rewrite, rolling limit(65),
     # sampling/scaling/dedup hint removals, ANN limit(10)): r6 rows
@@ -5345,9 +5417,9 @@ VERIFY_ORDER: list[str] = [
     "lineitem_correlations",
     "nation_share_of_region",
     "orders_with_late_lineitems",
-    # tier 2 — last driver row in r4, three rounds old (13 of 25 fit
-    # after the seven Q6/Q8/Q9/Q10/Q14/Q15/Q20 additions; the 12
-    # overflow below MUST lead the r8 window)
+    # tier 2 — last driver row in r4, three rounds old (12 of 25 fit
+    # after the eight r7-new additions; the 13 overflow below MUST lead
+    # the r8 window)
     "important_part_share",
     "pricing_summary",
     "revenue_by_nation",
@@ -5360,11 +5432,11 @@ VERIFY_ORDER: list[str] = [
     "doc_balanced_mixture_sample",
     "doc_token_budget_selection",
     "doc_chunk_windows",
-    "doc_winnow_fingerprints",
     # ── slot 51+: not in the r7 driver window ──
     # tier 3 — r4-green overflow: 4 rounds stale at r8, so they
     # front-load the r8 re-cut (local 3-SF gate replica covers them
     # meanwhile)
+    "doc_winnow_fingerprints",
     "dedup_clusters",
     "event_rollup_tiers",
     "doc_pii_scrub",

@@ -409,6 +409,15 @@ AUDITED: dict[str, str] = {
         "re-probe), the HAVING ratio filters exact integer unit sums. "
         "Both non-nation joins UNHINTED (O(SF))."
     ),
+    "doc_paragraph_dedup": (
+        "Paragraph-level exact dedup (r7-new, Dolma/CCNet boilerplate "
+        "scrub): posexplode keeps positions, cross-doc frequency is one "
+        "hash aggregate over 8-byte xxhash64 keys (two-level "
+        "(doc,hash)->(hash), within-doc repeats collapse map-side), the "
+        "boilerplate anti join is UNHINTED (O(corpus) vocabulary), and "
+        "reassembly is one groupBy(doc) of (pos, para) structs — the "
+        "oracle hash-matches the REBUILT text, pinning order."
+    ),
     "corpus_curation_funnel": (
         "The composed curation funnel (r7-new, oracled): quality gate → "
         "exact dedup → 3-gram near-dup (capped posting lists + star-"
