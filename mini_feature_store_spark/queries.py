@@ -2533,6 +2533,56 @@ def doc_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "late_shipment_priority_counts",
+    """
+SELECT l.l_returnflag,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE CAST(l.l_shipdate AS TIMESTAMP)
+        > CAST(o.o_orderdate AS TIMESTAMP) + INTERVAL 90 DAY
+  AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l.l_returnflag
+""",
+)
+def late_shipment_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes and order priority, adapted —
+    no l_shipmode, so l_returnflag plays the mode dimension): for late
+    shipments (>90 days after order) in one ship-year, the two-way
+    CASE-conditional priority counts in a single aggregate pass. The
+    cross-table lateness predicate is the join residual (evaluated
+    inside the hash join, not a post-join filter stage); the ship-date
+    year window pushes to the lineitem scan. Counts are exact integers
+    — nothing to round. Orders join UNHINTED (O(SF))."""
+    _utc(spark)
+    t = load_testdata(spark, sf_dir, "lineitem", "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(
+            t["orders"],
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+            ),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@_q(
     "corpus_curation_funnel",
     f"""
 WITH RECURSIVE corpus AS (SELECT * FROM documents WHERE source <> 'src0'),
@@ -5384,6 +5434,7 @@ VERIFY_ORDER: list[str] = [
     "top_supplier_revenue",
     "concentrated_part_suppliers",
     "doc_paragraph_dedup",
+    "late_shipment_priority_counts",
     # tier 0b — code touched in r7 (broadcast de-hinting sweep, the
     # distinct_stats_exact Expand-free rewrite, rolling limit(65),
     # sampling/scaling/dedup hint removals, ANN limit(10)): r6 rows
@@ -5417,8 +5468,8 @@ VERIFY_ORDER: list[str] = [
     "lineitem_correlations",
     "nation_share_of_region",
     "orders_with_late_lineitems",
-    # tier 2 — last driver row in r4, three rounds old (12 of 25 fit
-    # after the eight r7-new additions; the 13 overflow below MUST lead
+    # tier 2 — last driver row in r4, three rounds old (11 of 25 fit
+    # after the nine r7-new additions; the 14 overflow below MUST lead
     # the r8 window)
     "important_part_share",
     "pricing_summary",
@@ -5431,11 +5482,11 @@ VERIFY_ORDER: list[str] = [
     "doc_sequence_packing",
     "doc_balanced_mixture_sample",
     "doc_token_budget_selection",
-    "doc_chunk_windows",
     # ── slot 51+: not in the r7 driver window ──
     # tier 3 — r4-green overflow: 4 rounds stale at r8, so they
     # front-load the r8 re-cut (local 3-SF gate replica covers them
     # meanwhile)
+    "doc_chunk_windows",
     "doc_winnow_fingerprints",
     "dedup_clusters",
     "event_rollup_tiers",

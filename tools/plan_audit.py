@@ -418,6 +418,13 @@ AUDITED: dict[str, str] = {
         "reassembly is one groupBy(doc) of (pos, para) structs — the "
         "oracle hash-matches the REBUILT text, pinning order."
     ),
+    "late_shipment_priority_counts": (
+        "Q12 shape (r7-new): two-way CASE-conditional counts in ONE "
+        "aggregate pass; the cross-table lateness predicate is the hash "
+        "join residual (no post-join filter stage) and the ship-year "
+        "window reaches PushedFilters on the lineitem scan. Orders join "
+        "UNHINTED."
+    ),
     "corpus_curation_funnel": (
         "The composed curation funnel (r7-new, oracled): quality gate → "
         "exact dedup → 3-gram near-dup (capped posting lists + star-"
