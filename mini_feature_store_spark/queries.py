@@ -2583,6 +2583,68 @@ def late_shipment_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @_q(
+    "local_supplier_volume",
+    """
+SELECT r.r_name, n.n_name,
+       FLOOR(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                 * (100 - CAST(FLOOR(l.l_discount * 100 + 0.5) AS BIGINT)))
+             / 100.0 + 0.5) / 100 AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1, 2
+""",
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): revenue where the
+    CUSTOMER'S nation equals the SUPPLIER'S nation, per region and
+    nation — the defining feature is the extra equality between two
+    DIMENSION attributes riding the supplier join (c_nationkey =
+    s_nationkey), which prunes the join output by ~1/nations before
+    any aggregation. nation/region are hard-broadcast (constant-size);
+    customer/supplier/orders UNHINTED (O(SF), AQE decides). Integer-
+    cents revenue discipline as in Q7."""
+    _utc(spark)
+    t = load_testdata(
+        spark, sf_dir,
+        "lineitem", "orders", "customer", "supplier", "nation", "region",
+    )
+    pc = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    dc = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            t["supplier"],
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t["region"]),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("r_name", "n_name")
+        .agg(
+            (
+                F.floor(F.sum(pc * (F.lit(100) - dc)) / 100.0 + F.lit(0.5))
+                / 100
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@_q(
     "corpus_curation_funnel",
     f"""
 WITH RECURSIVE corpus AS (SELECT * FROM documents WHERE source <> 'src0'),
@@ -5435,6 +5497,7 @@ VERIFY_ORDER: list[str] = [
     "concentrated_part_suppliers",
     "doc_paragraph_dedup",
     "late_shipment_priority_counts",
+    "local_supplier_volume",
     # tier 0b — code touched in r7 (broadcast de-hinting sweep, the
     # distinct_stats_exact Expand-free rewrite, rolling limit(65),
     # sampling/scaling/dedup hint removals, ANN limit(10)): r6 rows
@@ -5468,8 +5531,8 @@ VERIFY_ORDER: list[str] = [
     "lineitem_correlations",
     "nation_share_of_region",
     "orders_with_late_lineitems",
-    # tier 2 — last driver row in r4, three rounds old (11 of 25 fit
-    # after the nine r7-new additions; the 14 overflow below MUST lead
+    # tier 2 — last driver row in r4, three rounds old (10 of 25 fit
+    # after the ten r7-new additions; the 15 overflow below MUST lead
     # the r8 window)
     "important_part_share",
     "pricing_summary",
@@ -5481,11 +5544,11 @@ VERIFY_ORDER: list[str] = [
     "doc_quality_filter",
     "doc_sequence_packing",
     "doc_balanced_mixture_sample",
-    "doc_token_budget_selection",
     # ── slot 51+: not in the r7 driver window ──
     # tier 3 — r4-green overflow: 4 rounds stale at r8, so they
     # front-load the r8 re-cut (local 3-SF gate replica covers them
     # meanwhile)
+    "doc_token_budget_selection",
     "doc_chunk_windows",
     "doc_winnow_fingerprints",
     "dedup_clusters",

@@ -425,6 +425,13 @@ AUDITED: dict[str, str] = {
         "window reaches PushedFilters on the lineitem scan. Orders join "
         "UNHINTED."
     ),
+    "local_supplier_volume": (
+        "Q5 shape (r7-new): the defining dim-attribute equality "
+        "(c_nationkey = s_nationkey) rides the supplier hash join as an "
+        "extra key/residual, pruning ~1/nations of the join output "
+        "before aggregation. nation/region hard-broadcast (bounded); "
+        "customer/supplier/orders UNHINTED."
+    ),
     "corpus_curation_funnel": (
         "The composed curation funnel (r7-new, oracled): quality gate → "
         "exact dedup → 3-gram near-dup (capped posting lists + star-"
