@@ -585,64 +585,98 @@ def paragraph_dedup(
     sep: str = "\n",
     join_sep: str | None = None,
     min_docs: int = 2,
+    exact: bool = True,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Paragraph-level exact dedup — the Dolma/CCNet/RefinedWeb boilerplate
+    """Paragraph-level dedup — the Dolma/CCNet/RefinedWeb boilerplate
     scrub: drop every paragraph whose NORMALIZED form appears in at least
     ``min_docs`` distinct documents (headers, footers, cookie banners,
     license blurbs), keep document structure otherwise intact.
 
-    Returns one row per input document: ``(id_col, text_col`` (cleaned,
-    kept paragraphs re-joined in original order by ``join_sep``, default
-    ``sep``), ``n_paras, n_kept)``. A paragraph repeated only WITHIN one
-    document is not boilerplate and is kept — the frequency that matters
-    is distinct-document frequency. Documents whose every paragraph is
-    boilerplate come back with empty text (they remain rows: dropping
-    them is the quality gate's decision, not this operator's).
+    Returns one row per input document — including NULL-text documents
+    (treated as empty, never silently dropped): ``(id_col, text_col``
+    (cleaned, kept paragraphs re-joined in original order by
+    ``join_sep``, default ``sep``), ``n_paras, n_kept)``. A paragraph
+    repeated only WITHIN one document is not boilerplate and is kept —
+    the frequency that matters is distinct-document frequency. Documents
+    whose every paragraph is boilerplate come back with empty text (they
+    remain rows: dropping them is the quality gate's decision, not this
+    operator's). ``sep`` is a LITERAL separator (quoted with ``\Q…\E``
+    before the regex split, so ``'|'`` or ``'. '`` split as written;
+    a separator containing the two-character sequence ``\E`` is
+    rejected).
+
+    ``exact=True`` (default) keys the cross-document frequency and the
+    boilerplate match on the normalized paragraph TEXT — collision-free
+    by construction. ``exact=False`` keys on the 64-bit ``xxhash64``
+    instead: the shuffle carries 8-byte keys rather than paragraph text
+    — the 100 TB operating point, where the industry-standard form is
+    approximate anyway (Dolma's paragraph dedup is a Bloom filter with
+    documented false positives) — at the cost that a colliding unique
+    paragraph (birthday-expected in the 10^12-paragraph regime) is
+    wrongly scrubbed.
 
     Scale shape (100 TB corpus):
 
-    - split + posexplode keeps the paragraph's position so reassembly
-      never depends on partition order;
-    - cross-doc frequency is ONE hash aggregate over the 8-byte
-      ``xxhash64`` of the normalized paragraph — two-level (doc, hash)
-      → (hash) so map-side combine collapses within-doc repeats before
-      the shuffle, and the shuffled key is 8 bytes, never the text;
-    - the boilerplate set (hashes with df ≥ min_docs) joins back onto
-      the exploded paragraphs UNHINTED — on a real crawl boilerplate
-      vocabulary is large, AQE picks the strategy (r6 VERDICT #1);
-    - reassembly is one groupBy(doc) of (pos, para) structs —
-      ``array_sort`` orders by the leading struct field.
+    - ONE split + posexplode of the corpus feeds both the frequency
+      aggregate and the reassembly (the frequency branch re-reads only
+      the (id, key) projection);
+    - cross-doc frequency is a two-level hash aggregate
+      ((doc, key) → (key)) so map-side combine collapses within-doc
+      repeats before the shuffle;
+    - the boilerplate set LEFT-joins back as a marker, UNHINTED — on a
+      real crawl boilerplate vocabulary is O(corpus), AQE picks the
+      strategy (r6 VERDICT #1);
+    - counts AND positional reassembly come from a single
+      groupBy(doc) over (pos, para, is_boiler) structs — no second
+      corpus explode, no totals join (``array_sort`` orders by the
+      leading struct field; ``filter``/``transform`` prune the
+      boilerplate inside the aggregated array).
     """
+    if "\\E" in sep:
+        raise ValueError(
+            "sep containing the sequence \\E cannot be regex-quoted"
+        )
     paras = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_para"),
-    ).withColumn("_ph", F.xxhash64(normalize(F.col("_para"))))
+        F.posexplode(
+            F.split(
+                F.coalesce(F.col(text_col), F.lit("")),
+                "\\Q" + sep + "\\E",
+            )
+        ).alias("_pos", "_para"),
+    ).withColumn(
+        "_key",
+        normalize(F.col("_para")) if exact
+        else F.xxhash64(normalize(F.col("_para"))),
+    )
     boiler = (
-        paras.select(id_col, "_ph")
+        paras.select(id_col, "_key")
         .distinct()
-        .groupBy("_ph")
+        .groupBy("_key")
         .agg(F.count(F.lit(1)).alias("_df"))
         .where(F.col("_df") >= min_docs)
-        .select("_ph")
+        .select("_key", F.lit(1).alias("_boiler"))
     )
-    kept = paras.join(boiler, "_ph", "left_anti")
+    marked = paras.join(boiler, "_key", "left")
     out_sep = sep if join_sep is None else join_sep
-    rebuilt = kept.groupBy(id_col).agg(
+    keep = lambda st: st["_boiler"].isNull()  # noqa: E731
+    return marked.groupBy(id_col).agg(
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("_pos", "_para"))),
-                lambda s: s["_para"],
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("_pos", "_para", "_boiler")
+                        )
+                    ),
+                    keep,
+                ),
+                lambda st: st["_para"],
             ),
             out_sep,
         ).alias(text_col),
-        F.count(F.lit(1)).alias("n_kept"),
-    )
-    totals = paras.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_paras"))
-    return totals.join(rebuilt, id_col, "left").select(
-        id_col,
-        F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
-        "n_paras",
-        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.count(F.lit(1)).alias("n_paras"),
+        F.count(F.when(F.col("_boiler").isNull(), 1)).alias("n_kept"),
     )

@@ -237,6 +237,8 @@ def test_paragraph_dedup_drops_cross_doc_boilerplate(spark):
             (2, "totally original\ntotally original\nfresh content"),
             # every paragraph boilerplate → row survives with empty text
             (3, "COOKIE   banner\nall rights reserved"),
+            # NULL text must NOT vanish from the output (r7 review #2)
+            (4, None),
         ],
         "doc_id long, text string",
     )
@@ -248,6 +250,34 @@ def test_paragraph_dedup_drops_cross_doc_boilerplate(spark):
     # original order and within-doc repeats preserved
     assert out[2].text == "totally original\ntotally original\nfresh content"
     assert out[2].n_paras == 3 and out[2].n_kept == 3
+    # null text → one empty paragraph, row preserved
+    assert out[4].text == "" and out[4].n_paras == 1
+    # hashed (8-byte-key) mode agrees with exact mode on this corpus
+    hashed = {
+        r.doc_id: (r.text, r.n_kept)
+        for r in paragraph_dedup(docs, min_docs=2, exact=False).collect()
+    }
+    assert hashed == {k: (v.text, v.n_kept) for k, v in out.items()}
+
+
+def test_paragraph_dedup_sep_is_literal_not_regex(spark):
+    """'|' (a regex metachar) must split as a literal separator — the r7
+    review caught F.split shredding documents into characters."""
+    import pytest as _pytest
+
+    from mini_feature_store_spark.operators.text import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(0, "para one|para two"), (1, "para one|other")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r for r in paragraph_dedup(docs, sep="|", min_docs=2).collect()
+    }
+    assert out[0].text == "para two" and out[0].n_paras == 2
+    assert out[1].text == "other"
+    with _pytest.raises(ValueError):
+        paragraph_dedup(docs, sep="a\\Eb")
 
 
 def test_paragraph_dedup_min_docs_threshold_and_join_sep(spark):

@@ -410,13 +410,15 @@ AUDITED: dict[str, str] = {
         "Both non-nation joins UNHINTED (O(SF))."
     ),
     "doc_paragraph_dedup": (
-        "Paragraph-level exact dedup (r7-new, Dolma/CCNet boilerplate "
-        "scrub): posexplode keeps positions, cross-doc frequency is one "
-        "hash aggregate over 8-byte xxhash64 keys (two-level "
-        "(doc,hash)->(hash), within-doc repeats collapse map-side), the "
-        "boilerplate anti join is UNHINTED (O(corpus) vocabulary), and "
-        "reassembly is one groupBy(doc) of (pos, para) structs — the "
-        "oracle hash-matches the REBUILT text, pinning order."
+        "Paragraph-level dedup (r7-new, Dolma/CCNet boilerplate scrub, "
+        "single-pass r7-review form): ONE corpus explode feeds a "
+        "two-level (doc,key)->(key) frequency aggregate (text-keyed "
+        "exact mode; exact=False swaps to 8-byte xxhash64 for 100 TB "
+        "with a documented collision trade-off), a LEFT marker join "
+        "(UNHINTED, O(corpus) vocabulary), and one groupBy(doc) that "
+        "computes counts AND the positional reassembly from "
+        "(pos,para,boiler) structs — no second explode, no totals "
+        "join. The oracle hash-matches the REBUILT text, pinning order."
     ),
     "late_shipment_priority_counts": (
         "Q12 shape (r7-new): two-way CASE-conditional counts in ONE "
