@@ -208,6 +208,61 @@ def balanced_mixture_sample(
     )
 
 
+def temperature_mixture_sample(
+    df: DataFrame,
+    keys: list[str] | tuple[str, ...],
+    strata_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-based mixture sampling (the mT5/PaLM multilingual
+    recipe): keep a per-stratum share proportional to ``n_s^alpha``, so
+    small sources are boosted relative to the natural distribution
+    without replacement — realized as pure down-sampling with
+    ``rate_s = (n_min / n_s)^(1-alpha)``:
+
+    - ``alpha = 0``  → every stratum down to the smallest one's size
+      (exactly ``balanced_mixture_sample``);
+    - ``alpha = 1``  → natural distribution, nothing dropped;
+    - ``0 < alpha < 1`` → the standard temperature interpolation
+      (kept_s = n_min^(1-alpha) · n_s^alpha ∝ n_s^alpha).
+
+    Same guarantees as every sampler here: md5 admission predicate —
+    deterministic, key-consistent, engine-portable, zero RNG, zero
+    driver collect; rates come from a per-stratum aggregate joined back
+    (unhinted — AQE decides). NULL strata participate via the shadow
+    key, as in ``balanced_mixture_sample``.
+
+    Portability note: ``alpha = 0.5`` evaluates the rate with ``sqrt``,
+    which IEEE 754 requires to be CORRECTLY ROUNDED — bit-identical in
+    every engine — so 0.5 is the temperature an oracle-checked pipeline
+    should prefer; other exponents go through ``pow``, whose last-ulp
+    behavior is implementation-defined (Java ``Math.pow`` vs C libm)
+    and can flip a document sitting exactly on the admission threshold.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    sk = F.coalesce(
+        F.col(strata_col).cast("string"), F.lit("\x00<null-stratum>")
+    )
+    tagged = df.withColumn("_sk", sk)
+    counts = tagged.groupBy("_sk").agg(F.count(F.lit(1)).alias("_n"))
+    w = Window.partitionBy(F.lit(0))
+    ratio = F.min("_n").over(w).cast("double") / F.col("_n")
+    if alpha == 0.5:
+        rate = F.sqrt(ratio)
+    elif alpha == 0.0:
+        rate = ratio
+    elif alpha == 1.0:
+        rate = F.lit(1.0)
+    else:
+        rate = F.pow(ratio, F.lit(1.0 - alpha))
+    rates = counts.select("_sk", rate.alias("_rate"))
+    joined = tagged.join(rates, "_sk")
+    return weighted_hash_sample(joined, list(keys), F.col("_rate")).drop(
+        "_rate", "_sk"
+    )
+
+
 def epoch_shuffle(
     df: DataFrame,
     keys: list[str] | tuple[str, ...],

@@ -1705,6 +1705,40 @@ def doc_balanced_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "doc_temperature_mixture_sample",
+    """
+WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+r AS (SELECT lang, SQRT((SELECT MIN(n) FROM c) * 1.0 / n) AS rate FROM c),
+k AS (
+  SELECT d.lang FROM documents d JOIN r USING (lang)
+  WHERE rate >= 1.0
+     OR substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+        lpad(lower(to_hex(CAST(FLOOR(rate * 4294967296) AS BIGINT))), 8, '0')
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept FROM k GROUP BY lang
+""",
+)
+def doc_temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixture at alpha=0.5 (operators/sampling.py:
+    temperature_mixture_sample — the mT5/PaLM multilingual recipe):
+    per-language kept share ∝ √n_lang, interpolating between the
+    balanced mixture (alpha=0, the ``doc_balanced_mixture_sample``
+    twin) and the natural distribution (alpha=1). alpha=0.5 is chosen
+    for the oracle because its rate is ``sqrt(n_min/n)`` — IEEE
+    correctly-rounded, so bit-identical in Spark and DuckDB, unlike
+    general ``pow`` — and the md5 admission predicate replays exactly
+    (same digit space as every sampler here)."""
+    from mini_feature_store_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    _utc(spark)
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    kept = temperature_mixture_sample(docs, ["doc_id"], "lang", alpha=0.5)
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+@_q(
     "doc_token_budget_selection",
     f"""
 WITH t AS (
@@ -5501,6 +5535,7 @@ VERIFY_ORDER: list[str] = [
     "doc_paragraph_dedup",
     "late_shipment_priority_counts",
     "local_supplier_volume",
+    "doc_temperature_mixture_sample",
     # tier 0b — code touched in r7 (broadcast de-hinting sweep, the
     # distinct_stats_exact Expand-free rewrite, rolling limit(65),
     # sampling/scaling/dedup hint removals, ANN limit(10)): r6 rows
@@ -5534,9 +5569,9 @@ VERIFY_ORDER: list[str] = [
     "lineitem_correlations",
     "nation_share_of_region",
     "orders_with_late_lineitems",
-    # tier 2 — last driver row in r4, three rounds old (10 of 25 fit
-    # after the ten r7-new additions; the 15 overflow below MUST lead
-    # the r8 window)
+    # tier 2 — last driver row in r4, three rounds old (9 of 25 fit
+    # after the eleven r7-new additions; the 16 overflow below MUST
+    # lead the r8 window)
     "important_part_share",
     "pricing_summary",
     "revenue_by_nation",
@@ -5546,11 +5581,11 @@ VERIFY_ORDER: list[str] = [
     "doc_lang_id",
     "doc_quality_filter",
     "doc_sequence_packing",
-    "doc_balanced_mixture_sample",
     # ── slot 51+: not in the r7 driver window ──
     # tier 3 — r4-green overflow: 4 rounds stale at r8, so they
     # front-load the r8 re-cut (local 3-SF gate replica covers them
     # meanwhile)
+    "doc_balanced_mixture_sample",
     "doc_token_budget_selection",
     "doc_chunk_windows",
     "doc_winnow_fingerprints",

@@ -191,3 +191,77 @@ def test_balanced_mixture_null_stratum_kept(spark):
     }
     assert by.get(None) == 20  # smallest stratum kept whole, not dropped
     assert 5 <= by.get("en", 0) <= 45  # en sampled toward 20
+
+
+def test_temperature_mixture_alpha0_equals_balanced(spark, sf_dir):
+    """alpha=0 must reproduce balanced_mixture_sample exactly — same
+    rates, same md5 predicate, same kept set."""
+    from mini_feature_store_spark.io import load_testdata
+    from mini_feature_store_spark.operators.sampling import (
+        balanced_mixture_sample,
+        temperature_mixture_sample,
+    )
+
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    bal = {r.doc_id for r in balanced_mixture_sample(docs, ["doc_id"], "lang").collect()}
+    tmp = {
+        r.doc_id
+        for r in temperature_mixture_sample(
+            docs, ["doc_id"], "lang", alpha=0.0
+        ).collect()
+    }
+    assert bal == tmp and bal
+
+
+def test_temperature_mixture_alpha1_keeps_everything(spark, sf_dir):
+    from mini_feature_store_spark.io import load_testdata
+    from mini_feature_store_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    assert (
+        temperature_mixture_sample(docs, ["doc_id"], "lang", alpha=1.0).count()
+        == docs.count()
+    )
+
+
+def test_temperature_mixture_half_interpolates(spark, sf_dir):
+    """alpha=0.5 kept counts sit between balanced and natural per
+    stratum, tracking n_min^0.5 * n_s^0.5 within sampling noise."""
+    import math
+
+    from mini_feature_store_spark.io import load_testdata
+    from mini_feature_store_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    natural = {r.lang: r.cnt for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    n_min = min(natural.values())
+    kept = {
+        r.lang: r.cnt
+        for r in temperature_mixture_sample(docs, ["doc_id"], "lang", alpha=0.5)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    for lang, n in natural.items():
+        target = math.sqrt(n_min * n)
+        # hash sampling is binomial around the target — allow 4 sigma
+        sigma = math.sqrt(max(target, 1.0))
+        assert abs(kept.get(lang, 0) - target) <= 4 * sigma + 1, (
+            lang, kept.get(lang), target
+        )
+
+
+def test_temperature_mixture_rejects_out_of_range_alpha(spark, sf_dir):
+    from mini_feature_store_spark.io import load_testdata
+    from mini_feature_store_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    for bad in (-0.1, 1.5):
+        with pytest.raises(ValueError):
+            temperature_mixture_sample(docs, ["doc_id"], "lang", alpha=bad)

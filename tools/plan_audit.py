@@ -434,6 +434,14 @@ AUDITED: dict[str, str] = {
         "before aggregation. nation/region hard-broadcast (bounded); "
         "customer/supplier/orders UNHINTED."
     ),
+    "doc_temperature_mixture_sample": (
+        "Temperature mixture at alpha=0.5 (r7-new, mT5/PaLM recipe): "
+        "per-stratum rates (n_min/n)^0.5 from ONE aggregate joined back "
+        "(unhinted), admission via the codegen md5 predicate — no RNG, "
+        "no collect. sqrt is IEEE correctly-rounded, so the rate (and "
+        "the oracle's replay) is bit-identical across engines; general "
+        "pow exponents are documented as non-portable at the last ulp."
+    ),
     "corpus_curation_funnel": (
         "The composed curation funnel (r7-new, oracled): quality gate → "
         "exact dedup → 3-gram near-dup (capped posting lists + star-"
