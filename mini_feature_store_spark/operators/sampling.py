@@ -263,6 +263,57 @@ def temperature_mixture_sample(
     )
 
 
+def upsample_epochs(
+    df: DataFrame,
+    keys: list[str] | tuple[str, ...],
+    rate,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Fractional-epoch upsampling — the >1× half of mixture weighting
+    (temperature/balanced sampling only DOWN-weights; a data recipe that
+    repeats small high-quality sources needs rows MATERIALIZED multiple
+    times): every row is emitted ``floor(rate)`` times plus one more
+    with probability ``rate - floor(rate)``, decided by the same md5
+    predicate as every sampler here (deterministic, key-consistent,
+    engine-portable, no RNG). ``rate`` is a Column (e.g. a per-source
+    target joined on) or a literal float; rates < 1 degrade gracefully
+    to fractional keeps (0 full copies + one md5-admitted), so the same
+    call expresses down- AND up-sampling.
+
+    Output adds ``epoch_col`` (1-based copy index) — downstream epoch
+    shuffling keys on (keys…, epoch) so repeated copies spread across
+    shards instead of clumping.
+
+    Scale shape: one codegen projection computes n_copies per row, ONE
+    ``posexplode(sequence(1, n_copies))`` materializes the copies —
+    map-only, no shuffle, no driver participation; rows with n_copies=0
+    vanish in the same Generate (outer=false).
+    """
+    r = F.lit(rate).cast("double") if not isinstance(rate, Column) else rate
+    r = F.greatest(r, F.lit(0.0))
+    full = F.floor(r).cast("int")
+    frac = r - F.floor(r)
+    thresh = F.lpad(
+        F.lower(F.hex((frac * F.lit(float(_SPACE))).cast("bigint"))), 8, "0"
+    )
+    extra = (
+        F.when(frac <= 0.0, F.lit(0))
+        .when(_prefix(list(keys)) < thresh, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    n_copies = (full + extra).alias("_n_copies")
+    out = df.withColumn("_n_copies", n_copies).where(F.col("_n_copies") > 0)
+    return (
+        out.select(
+            "*",
+            F.explode(
+                F.sequence(F.lit(1), F.col("_n_copies"))
+            ).alias(epoch_col),
+        )
+        .drop("_n_copies")
+    )
+
+
 def epoch_shuffle(
     df: DataFrame,
     keys: list[str] | tuple[str, ...],

@@ -1739,6 +1739,62 @@ def doc_temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @_q(
+    "doc_upsample_to_parity",
+    """
+WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+r AS (SELECT lang, (SELECT MAX(n) FROM c) * 1.0 / n AS rate FROM c),
+pc AS (
+  SELECT d.lang,
+         CAST(FLOOR(rate) AS BIGINT)
+         + CASE WHEN rate - FLOOR(rate) <= 0.0 THEN 0
+                WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+                     lpad(lower(to_hex(CAST(FLOOR((rate - FLOOR(rate))
+                                                  * 4294967296) AS BIGINT))),
+                          8, '0')
+                THEN 1 ELSE 0 END AS n_copies
+  FROM documents d JOIN r USING (lang)
+)
+SELECT lang,
+       CAST(SUM(n_copies) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) FILTER (n_copies > 0) AS BIGINT) AS n_docs,
+       CAST(MAX(n_copies) AS BIGINT) AS max_epoch
+FROM pc GROUP BY lang
+""",
+)
+def doc_upsample_to_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch upsampling to source parity
+    (operators/sampling.py:upsample_epochs — the >1× half of mixture
+    weighting): every language is repeated up to the LARGEST one's row
+    count (rate = n_max/n_lang; floor(rate) full copies per doc plus an
+    md5-admitted fractional epoch). The Spark side MATERIALIZES the
+    copies (one map-only posexplode of sequence(1, n_copies) — no
+    shuffle) and aggregates them back; the oracle computes the same
+    per-doc copy counts arithmetically — agreement proves the
+    materialization is exactly the arithmetic, epoch indices included
+    (max_epoch pins the sequence length)."""
+    from pyspark.sql import Window
+
+    from mini_feature_store_spark.operators.sampling import upsample_epochs
+
+    _utc(spark)
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("_n"))
+    w = Window.partitionBy(F.lit(0))
+    rates = counts.select(
+        "lang",
+        (F.max("_n").over(w).cast("double") / F.col("_n")).alias("_rate"),
+    )
+    # rates is O(distinct langs) — unhinted, AQE decides (r6 VERDICT #1)
+    tagged = docs.join(rates, "lang")
+    up = upsample_epochs(tagged, ["doc_id"], F.col("_rate"))
+    return up.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.max("epoch").cast("long").alias("max_epoch"),
+    )
+
+
+@_q(
     "doc_token_budget_selection",
     f"""
 WITH t AS (
@@ -5536,6 +5592,7 @@ VERIFY_ORDER: list[str] = [
     "late_shipment_priority_counts",
     "local_supplier_volume",
     "doc_temperature_mixture_sample",
+    "doc_upsample_to_parity",
     # tier 0b — code touched in r7 (broadcast de-hinting sweep, the
     # distinct_stats_exact Expand-free rewrite, rolling limit(65),
     # sampling/scaling/dedup hint removals, ANN limit(10)): r6 rows
@@ -5569,8 +5626,8 @@ VERIFY_ORDER: list[str] = [
     "lineitem_correlations",
     "nation_share_of_region",
     "orders_with_late_lineitems",
-    # tier 2 — last driver row in r4, three rounds old (9 of 25 fit
-    # after the eleven r7-new additions; the 16 overflow below MUST
+    # tier 2 — last driver row in r4, three rounds old (8 of 25 fit
+    # after the twelve r7-new additions; the 17 overflow below MUST
     # lead the r8 window)
     "important_part_share",
     "pricing_summary",
@@ -5580,11 +5637,11 @@ VERIFY_ORDER: list[str] = [
     "doc_text_stats",
     "doc_lang_id",
     "doc_quality_filter",
-    "doc_sequence_packing",
     # ── slot 51+: not in the r7 driver window ──
     # tier 3 — r4-green overflow: 4 rounds stale at r8, so they
     # front-load the r8 re-cut (local 3-SF gate replica covers them
     # meanwhile)
+    "doc_sequence_packing",
     "doc_balanced_mixture_sample",
     "doc_token_budget_selection",
     "doc_chunk_windows",

@@ -265,3 +265,47 @@ def test_temperature_mixture_rejects_out_of_range_alpha(spark, sf_dir):
     for bad in (-0.1, 1.5):
         with pytest.raises(ValueError):
             temperature_mixture_sample(docs, ["doc_id"], "lang", alpha=bad)
+
+
+def test_upsample_epochs_materializes_floor_plus_fraction(spark):
+    from mini_feature_store_spark.operators.sampling import upsample_epochs
+
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    out = upsample_epochs(df, ["doc_id"], 2.5)
+    per_epoch = {r.epoch: r["count"] for r in out.groupBy("epoch").count().collect()}
+    # every doc appears in epochs 1 and 2; ~half get a 3rd copy
+    assert per_epoch[1] == 2000 and per_epoch[2] == 2000
+    assert abs(per_epoch[3] - 1000) < 4 * 1000**0.5 + 1
+    assert set(per_epoch) == {1, 2, 3}
+
+
+def test_upsample_epochs_fractional_only_matches_hash_sample(spark):
+    """rate < 1 must admit exactly the md5 hash_sample set (epoch 1)."""
+    from mini_feature_store_spark.operators.sampling import (
+        hash_sample,
+        upsample_epochs,
+    )
+
+    df = spark.range(3000).select(F.col("id").alias("doc_id"))
+    up = {r.doc_id for r in upsample_epochs(df, ["doc_id"], 0.3).collect()}
+    hs = {r.doc_id for r in hash_sample(df, ["doc_id"], 0.3).collect()}
+    assert up == hs and up
+
+
+def test_upsample_epochs_integer_rate_and_zero(spark):
+    from mini_feature_store_spark.operators.sampling import upsample_epochs
+
+    df = spark.range(100).select(F.col("id").alias("doc_id"))
+    assert upsample_epochs(df, ["doc_id"], 3.0).count() == 300
+    assert upsample_epochs(df, ["doc_id"], 0.0).count() == 0
+
+
+def test_upsample_epochs_per_row_rate_column(spark):
+    from mini_feature_store_spark.operators.sampling import upsample_epochs
+
+    df = spark.createDataFrame(
+        [(i, 2.0 if i < 50 else 1.0) for i in range(100)],
+        "doc_id long, r double",
+    )
+    out = upsample_epochs(df, ["doc_id"], F.col("r"))
+    assert out.count() == 50 * 2 + 50 * 1

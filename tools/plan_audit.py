@@ -442,6 +442,14 @@ AUDITED: dict[str, str] = {
         "the oracle's replay) is bit-identical across engines; general "
         "pow exponents are documented as non-portable at the last ulp."
     ),
+    "doc_upsample_to_parity": (
+        "Fractional-epoch upsampling (r7-new): per-lang parity rates "
+        "from one aggregate joined back (unhinted), then ONE map-only "
+        "posexplode(sequence(1, n_copies)) materializes the copies — "
+        "no shuffle, no driver participation. The oracle computes the "
+        "copy counts arithmetically; agreement (incl. max_epoch) "
+        "proves materialization == arithmetic."
+    ),
     "corpus_curation_funnel": (
         "The composed curation funnel (r7-new, oracled): quality gate → "
         "exact dedup → 3-gram near-dup (capped posting lists + star-"
