@@ -29,6 +29,8 @@ __all__ = [
     "weighted_hash_sample",
     "stratified_hash_sample",
     "balanced_mixture_sample",
+    "temperature_mixture_sample",
+    "upsample_epochs",
     "epoch_shuffle",
 ]
 
@@ -46,6 +48,23 @@ def _prefix(keys: list[str]) -> Column:
 
 def _hex_threshold(cum_fraction: float) -> str:
     return format(min(round(cum_fraction * _SPACE), _SPACE - 1), "08x")
+
+
+def _col_threshold(frac: Column) -> Column:
+    """Per-row hex admission threshold for a COLUMN fraction: 8-digit hex
+    of ``trunc(frac·2³²)``, the rendering every column-rate sampler
+    (weighted / temperature / balanced / upsample) shares and their
+    DuckDB oracles mirror as ``FLOOR(rate*4294967296)``.
+
+    NOTE the deliberate family split: literal-fraction samplers
+    (``hash_sample``/``hash_split``) ROUND via ``_hex_threshold``;
+    column-rate samplers TRUNCATE — a key whose md5 prefix lands exactly
+    on the 2⁻³² boundary cell can therefore differ between the two
+    families (≈2⁻³² of keys per boundary), but is always consistent
+    WITHIN a family and with its oracle."""
+    return F.lpad(
+        F.lower(F.hex((frac * F.lit(float(_SPACE))).cast("bigint"))), 8, "0"
+    )
 
 
 def hash_bucket_expr(keys: list[str]) -> Column:
@@ -158,9 +177,7 @@ def weighted_hash_sample(
     class rebalancing.
     """
     w = F.greatest(weight.cast("double"), F.lit(0.0))
-    thresh = F.lpad(
-        F.lower(F.hex((w * F.lit(float(_SPACE))).cast("bigint"))), 8, "0"
-    )
+    thresh = _col_threshold(w)
     # weight ≥ 1 short-circuits: its hex is 9 digits and lpad TRUNCATES,
     # so the comparison would silently wrap (same edge as hash_sample's
     # fraction=1.0 bug class).
@@ -189,23 +206,11 @@ def balanced_mixture_sample(
     column silently DROPS all NULL-stratum rows while their group still
     participates in (and can set) the min count.
     """
-    sk = F.coalesce(
-        F.col(strata_col).cast("string"), F.lit("\x00<null-stratum>")
-    )
-    tagged = df.withColumn("_sk", sk)
-    counts = tagged.groupBy("_sk").agg(F.count(F.lit(1)).alias("_n"))
-    w = Window.partitionBy(F.lit(0))
-    rates = counts.select(
-        "_sk",
-        (F.min("_n").over(w).cast("double") / F.col("_n")).alias("_rate"),
-    )
-    # rates is O(distinct strata) — caller-controlled, unbounded in
-    # general, so no hard broadcast hint; AQE promotes it while it fits
-    # (r6 VERDICT #1 discipline).
-    joined = tagged.join(rates, "_sk")
-    return weighted_hash_sample(joined, list(keys), F.col("_rate")).drop(
-        "_rate", "_sk"
-    )
+    # Exactly the alpha=0 temperature mixture — delegate so the
+    # NULL-stratum shadow key, the unhinted rate join, and the admission
+    # predicate live in ONE place (r7 review: the bodies had drifted
+    # into copy-paste).
+    return temperature_mixture_sample(df, keys, strata_col, alpha=0.0)
 
 
 def temperature_mixture_sample(
@@ -274,28 +279,30 @@ def upsample_epochs(
     repeats small high-quality sources needs rows MATERIALIZED multiple
     times): every row is emitted ``floor(rate)`` times plus one more
     with probability ``rate - floor(rate)``, decided by the same md5
-    predicate as every sampler here (deterministic, key-consistent,
-    engine-portable, no RNG). ``rate`` is a Column (e.g. a per-source
-    target joined on) or a literal float; rates < 1 degrade gracefully
-    to fractional keeps (0 full copies + one md5-admitted), so the same
-    call expresses down- AND up-sampling.
+    predicate as every COLUMN-rate sampler here (deterministic,
+    key-consistent, engine-portable, no RNG — see ``_col_threshold`` for
+    the truncation-vs-round family split). ``rate`` is a Column (e.g. a
+    per-source target joined on) or a literal float; rates < 1 degrade
+    gracefully to ``weighted_hash_sample``'s admission set exactly
+    (0 full copies + one md5-admitted), so the same call expresses
+    down- AND up-sampling.
 
     Output adds ``epoch_col`` (1-based copy index) — downstream epoch
     shuffling keys on (keys…, epoch) so repeated copies spread across
     shards instead of clumping.
 
     Scale shape: one codegen projection computes n_copies per row, ONE
-    ``posexplode(sequence(1, n_copies))`` materializes the copies —
-    map-only, no shuffle, no driver participation; rows with n_copies=0
-    vanish in the same Generate (outer=false).
+    ``explode(sequence(1, n_copies))`` materializes the copies —
+    map-only, no shuffle, no driver participation. The preceding
+    ``n_copies > 0`` filter is LOAD-BEARING, not an optimization:
+    Spark's ``sequence(1, 0)`` defaults to step=-1 and yields ``[1, 0]``
+    — without the filter a zero-rate row would be emitted TWICE.
     """
     r = F.lit(rate).cast("double") if not isinstance(rate, Column) else rate
     r = F.greatest(r, F.lit(0.0))
     full = F.floor(r).cast("int")
     frac = r - F.floor(r)
-    thresh = F.lpad(
-        F.lower(F.hex((frac * F.lit(float(_SPACE))).cast("bigint"))), 8, "0"
-    )
+    thresh = _col_threshold(frac)
     extra = (
         F.when(frac <= 0.0, F.lit(0))
         .when(_prefix(list(keys)) < thresh, F.lit(1))

@@ -1767,8 +1767,9 @@ def doc_upsample_to_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighting): every language is repeated up to the LARGEST one's row
     count (rate = n_max/n_lang; floor(rate) full copies per doc plus an
     md5-admitted fractional epoch). The Spark side MATERIALIZES the
-    copies (one map-only posexplode of sequence(1, n_copies) — no
-    shuffle) and aggregates them back; the oracle computes the same
+    copies (one map-only explode of sequence(1, n_copies) behind the
+    load-bearing n_copies>0 guard — no shuffle) and aggregates them
+    back; the oracle computes the same
     per-doc copy counts arithmetically — agreement proves the
     materialization is exactly the arithmetic, epoch indices included
     (max_epoch pins the sequence length)."""

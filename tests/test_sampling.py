@@ -279,17 +279,24 @@ def test_upsample_epochs_materializes_floor_plus_fraction(spark):
     assert set(per_epoch) == {1, 2, 3}
 
 
-def test_upsample_epochs_fractional_only_matches_hash_sample(spark):
-    """rate < 1 must admit exactly the md5 hash_sample set (epoch 1)."""
+def test_upsample_epochs_fractional_only_matches_weighted_sample(spark):
+    """rate < 1 must admit exactly weighted_hash_sample's set — the
+    column-rate family shares one truncation-based threshold rendering
+    (_col_threshold); hash_sample's literal-fraction rounding can differ
+    on the 2^-32 boundary cell, so the pinned identity is within the
+    family, not across it (r7 review)."""
     from mini_feature_store_spark.operators.sampling import (
-        hash_sample,
         upsample_epochs,
+        weighted_hash_sample,
     )
 
     df = spark.range(3000).select(F.col("id").alias("doc_id"))
     up = {r.doc_id for r in upsample_epochs(df, ["doc_id"], 0.3).collect()}
-    hs = {r.doc_id for r in hash_sample(df, ["doc_id"], 0.3).collect()}
-    assert up == hs and up
+    ws = {
+        r.doc_id
+        for r in weighted_hash_sample(df, ["doc_id"], F.lit(0.3)).collect()
+    }
+    assert up == ws and up
 
 
 def test_upsample_epochs_integer_rate_and_zero(spark):

@@ -445,7 +445,8 @@ AUDITED: dict[str, str] = {
     "doc_upsample_to_parity": (
         "Fractional-epoch upsampling (r7-new): per-lang parity rates "
         "from one aggregate joined back (unhinted), then ONE map-only "
-        "posexplode(sequence(1, n_copies)) materializes the copies — "
+        "explode(sequence(1, n_copies)) behind the load-bearing "
+        "n_copies>0 guard materializes the copies — "
         "no shuffle, no driver participation. The oracle computes the "
         "copy counts arithmetically; agreement (incl. max_epoch) "
         "proves materialization == arithmetic."
