@@ -478,6 +478,70 @@ def decontaminate(
     )
 
 
+def decontaminate_multi(
+    train: DataFrame,
+    benchmarks: DataFrame,
+    n: int = 5,
+    threshold: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_col: str = "benchmark",
+) -> DataFrame:
+    """Per-benchmark contamination report — what an eval card actually
+    publishes: for EVERY (training doc, benchmark) pair with any shingle
+    overlap, the overlap counts and the contaminated verdict, tracked
+    per eval set (``benchmarks`` carries a ``bench_col`` label per row;
+    one physical pass covers all benchmarks — never one scan per eval
+    set). A training doc sharing nothing with a benchmark produces no
+    row for that pair (the report is sparse by construction — at corpus
+    scale the dense doc×benchmark product is never materialized).
+
+    Columns: ``(id_col, bench_col, n_shared, n_shingles,
+    contamination_frac, contaminated)`` — same semantics per pair as
+    ``decontaminate``'s single-benchmark columns, and the single-
+    benchmark operator remains the right tool for the DROP decision
+    (its n_shared is overlap with the UNION of benchmark shingles, ≥
+    any per-benchmark count).
+
+    Scale shape: benchmark shingles dedup to (shingle, benchmark) pairs
+    and broadcast (eval suites are fixed-size — same contract as
+    ``decontaminate``); the corpus probes them with an INNER hash join
+    (a shingle hitting k benchmarks fans out k times — bounded by the
+    number of eval sets), then one aggregate keyed by (doc, benchmark).
+    Totals reuse the same exploded corpus subtree; the corpus is never
+    shuffled by shingle.
+    """
+    from mini_feature_store_spark.operators.dedup import shingles
+
+    tr = spread(train).select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+    ).select("id", F.xxhash64("shingle").alias("shingle"))
+    bench = (
+        benchmarks.select(
+            F.col(bench_col).alias("_bench"),
+            F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+        )
+        .select("_bench", F.xxhash64("shingle").alias("shingle"))
+        .distinct()
+    )
+    shared = (
+        tr.join(F.broadcast(bench), "shingle")
+        .groupBy("id", "_bench")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    totals = tr.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    frac = F.round(F.col("n_shared") / F.col("n_shingles"), 4)
+    return shared.join(totals, "id").select(
+        F.col("id").alias(id_col),
+        F.col("_bench").alias(bench_col),
+        "n_shared",
+        "n_shingles",
+        frac.alias("contamination_frac"),
+        (frac >= threshold).alias("contaminated"),
+    )
+
+
 #: PII patterns, deliberately simple ASCII classes so Java regex (Spark) and
 #: RE2 (DuckDB oracle) agree match-for-match. Order matters: emails first
 #: (phone/digit rules would otherwise eat pieces of an address).

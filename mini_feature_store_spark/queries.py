@@ -2739,6 +2739,58 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "doc_multi_benchmark_contamination",
+    f"""
+WITH {_SHINGLES5_SQL},
+bench AS (
+  SELECT DISTINCT CASE WHEN doc_id % 2 = 0 THEN 'bench_even'
+                       ELSE 'bench_odd' END AS benchmark,
+         shingle
+  FROM sh5 WHERE source = 'src0'
+),
+train AS (SELECT doc_id, shingle FROM sh5 WHERE source <> 'src0'),
+shared AS (
+  SELECT t.doc_id, b.benchmark, COUNT(*) AS n_shared
+  FROM train t JOIN bench b USING (shingle)
+  GROUP BY 1, 2
+),
+totals AS (SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY 1)
+SELECT s.doc_id, s.benchmark,
+       CAST(s.n_shared AS BIGINT) AS n_shared,
+       CAST(t.n_shingles AS BIGINT) AS n_shingles,
+       ROUND(s.n_shared * 1.0 / t.n_shingles, 4) AS contamination_frac,
+       ROUND(s.n_shared * 1.0 / t.n_shingles, 4) >= 0.05 AS contaminated
+FROM shared s JOIN totals t USING (doc_id)
+""",
+)
+def doc_multi_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-benchmark contamination report (operators/text.py:
+    decontaminate_multi — the breakdown an eval card publishes): src0
+    docs split by id parity play TWO eval sets; every (training doc,
+    benchmark) pair with shingle overlap gets its own counts and
+    verdict, from ONE corpus pass covering both benchmarks (never one
+    scan per eval set; the report is sparse — no doc×benchmark dense
+    product). The single-benchmark ``doc_decontaminate`` remains the
+    DROP decision; this is the reporting layer above it."""
+    from mini_feature_store_spark.operators.text import decontaminate_multi
+
+    _utc(spark)
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    benchmarks = docs.where(F.col("source") == "src0").select(
+        F.when(F.col("doc_id") % 2 == 0, "bench_even")
+        .otherwise("bench_odd")
+        .alias("benchmark"),
+        "text",
+    )
+    return decontaminate_multi(
+        docs.where(F.col("source") != "src0"),
+        benchmarks,
+        n=5,
+        threshold=0.05,
+    )
+
+
+@_q(
     "corpus_curation_funnel",
     f"""
 WITH RECURSIVE corpus AS (SELECT * FROM documents WHERE source <> 'src0'),
@@ -5594,6 +5646,7 @@ VERIFY_ORDER: list[str] = [
     "local_supplier_volume",
     "doc_temperature_mixture_sample",
     "doc_upsample_to_parity",
+    "doc_multi_benchmark_contamination",
     # tier 0b — code touched in r7 (broadcast de-hinting sweep, the
     # distinct_stats_exact Expand-free rewrite, rolling limit(65),
     # sampling/scaling/dedup hint removals, ANN limit(10)): r6 rows
@@ -5627,8 +5680,8 @@ VERIFY_ORDER: list[str] = [
     "lineitem_correlations",
     "nation_share_of_region",
     "orders_with_late_lineitems",
-    # tier 2 — last driver row in r4, three rounds old (8 of 25 fit
-    # after the twelve r7-new additions; the 17 overflow below MUST
+    # tier 2 — last driver row in r4, three rounds old (7 of 25 fit
+    # after the thirteen r7-new additions; the 18 overflow below MUST
     # lead the r8 window)
     "important_part_share",
     "pricing_summary",
@@ -5637,11 +5690,11 @@ VERIFY_ORDER: list[str] = [
     "customer_segment_stats",
     "doc_text_stats",
     "doc_lang_id",
-    "doc_quality_filter",
     # ── slot 51+: not in the r7 driver window ──
     # tier 3 — r4-green overflow: 4 rounds stale at r8, so they
     # front-load the r8 re-cut (local 3-SF gate replica covers them
     # meanwhile)
+    "doc_quality_filter",
     "doc_sequence_packing",
     "doc_balanced_mixture_sample",
     "doc_token_budget_selection",

@@ -207,6 +207,12 @@ _ALLOWLIST: dict[str, list[tuple[str, str]]] = {
     "corpus_curation_funnel": [
         ("Deduplicate [shingle#", "eval-benchmark shingle set via decontaminate"),
     ],
+    # decontaminate_multi — same eval-suite contract as above, the
+    # hinted side is the distinct (benchmark, shingle) set of the eval
+    # suites (site marker: the two-column Deduplicate).
+    "doc_multi_benchmark_contamination": [
+        ("Deduplicate [_bench#", "eval-suite (benchmark, shingle) set"),
+    ],
     # operators/retention.py — cohort sizes are keyed by calendar week:
     # O(weeks elapsed), bounded by time, not by data volume.
     "cohort_retention_weekly": [

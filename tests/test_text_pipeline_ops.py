@@ -305,3 +305,45 @@ def test_paragraph_dedup_no_forced_broadcast(spark):
 
     docs = spark.createDataFrame([(0, "a\nb")], "doc_id long, text string")
     assert broadcast_hint_sites(paragraph_dedup(docs)) == []
+
+
+def test_decontaminate_multi_per_benchmark_breakdown(spark):
+    """Each (doc, benchmark) pair is tracked separately; a doc clean
+    against one eval set but contaminated against another gets the
+    correct verdict per pair, and pair overlap counts never exceed the
+    single-benchmark (union) count."""
+    from mini_feature_store_spark.operators.text import (
+        decontaminate,
+        decontaminate_multi,
+    )
+
+    b1 = "alpha beta gamma delta epsilon zeta"
+    b2 = "one two three four five six seven"
+    train = spark.createDataFrame(
+        [
+            (0, b1 + " trailing words here to extend"),   # overlaps bench A
+            (1, b2),                                      # overlaps bench B
+            (2, "completely different text with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    benchmarks = spark.createDataFrame(
+        [("A", b1), ("B", b2)], "benchmark string, text string"
+    )
+    rows = decontaminate_multi(
+        train, benchmarks, n=5, threshold=0.2
+    ).collect()
+    by = {(r.doc_id, r.benchmark): r for r in rows}
+    assert (0, "A") in by and by[(0, "A")].contaminated
+    assert (1, "B") in by and by[(1, "B")].contaminated
+    # sparse: clean pairs produce NO row
+    assert (0, "B") not in by and (2, "A") not in by and (2, "B") not in by
+    # union consistency: per-benchmark share ≤ single-benchmark union share
+    union = {
+        r.doc_id: r.n_shared
+        for r in decontaminate(
+            train, benchmarks.select("text"), n=5, threshold=0.2
+        ).collect()
+    }
+    for (doc, _b), r in by.items():
+        assert r.n_shared <= union[doc]

@@ -451,6 +451,14 @@ AUDITED: dict[str, str] = {
         "copy counts arithmetically; agreement (incl. max_epoch) "
         "proves materialization == arithmetic."
     ),
+    "doc_multi_benchmark_contamination": (
+        "Per-benchmark contamination report (r7-new): the distinct "
+        "(benchmark, shingle) set broadcasts (eval-suite contract, "
+        "allowlisted by site marker), the corpus probes it with ONE "
+        "inner hash join covering all eval sets, then one aggregate "
+        "keyed by (doc, benchmark) — sparse pairs only, the dense "
+        "doc x benchmark product never materializes."
+    ),
     "corpus_curation_funnel": (
         "The composed curation funnel (r7-new, oracled): quality gate → "
         "exact dedup → 3-gram near-dup (capped posting lists + star-"
