@@ -425,6 +425,30 @@ def repetition_stats(
     )
 
 
+def _hashed_shingles(df: DataFrame, text_col: str, n: int, *label_cols: str):
+    """(label_cols…, shingle) rows: per-doc distinct n-gram shingles as
+    8-byte xxhash64 — the one projection every decontamination path
+    shares (hash seed/width, normalization, and the <n-token fallback
+    live HERE and nowhere else)."""
+    from mini_feature_store_spark.operators.dedup import shingles
+
+    return df.select(
+        *[F.col(c) for c in label_cols],
+        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+    ).select(*label_cols, F.xxhash64("shingle").alias("shingle"))
+
+
+def _frac4(num, den):
+    """shared/total contamination ratio rounded to 4dp via the explicit
+    floor form — positive domain, so floor(x·10⁴+0.5)/10⁴ == HALF_UP on
+    BOTH engines. Engine round(4) provably diverges on small-denominator
+    rationals (e.g. 57/800: Spark BigDecimal HALF_UP → 0.0713, DuckDB
+    double → 0.0712 — the playbook's round(4) boundary-row gotcha),
+    which would flake the oracle gate and could flip a threshold
+    verdict."""
+    return F.floor(num / den * 10000 + F.lit(0.5)) / 10000
+
+
 def decontaminate(
     train: DataFrame,
     benchmark: DataFrame,
@@ -448,24 +472,20 @@ def decontaminate(
     8-byte shingle hash, then one aggregate keyed by doc id. The corpus is
     never shuffled by shingle.
     """
-    from mini_feature_store_spark.operators.dedup import shingles
-
-    tr = spread(train).select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
-    ).select("id", F.xxhash64("shingle").alias("shingle"))
-    bench = (
-        benchmark.select(F.explode(shingles(F.col(text_col), n)).alias("shingle"))
-        .select(F.xxhash64("shingle").alias("shingle"))
-        .distinct()
+    tr = _hashed_shingles(
+        spread(train).select(F.col(id_col).alias("id"), text_col),
+        text_col, n, "id",
     )
+    bench = _hashed_shingles(benchmark, text_col, n).distinct()
     shared = (
         tr.join(F.broadcast(bench), "shingle", "left_semi")
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
     totals = tr.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    frac = F.round(F.coalesce(F.col("n_shared"), F.lit(0)) / F.col("n_shingles"), 4)
+    frac = _frac4(
+        F.coalesce(F.col("n_shared"), F.lit(0)), F.col("n_shingles")
+    )
     return (
         totals.join(shared, "id", "left")
         .select(
@@ -508,30 +528,27 @@ def decontaminate_multi(
     ``decontaminate``); the corpus probes them with an INNER hash join
     (a shingle hitting k benchmarks fans out k times — bounded by the
     number of eval sets), then one aggregate keyed by (doc, benchmark).
-    Totals reuse the same exploded corpus subtree; the corpus is never
-    shuffled by shingle.
+    The totals branch shares the shingle subtree LOGICALLY but Catalyst
+    plans it twice (two scans + two shingle explodes — same
+    recomputation trade as the sibling operators; cache ``train``
+    upstream if the second pass matters); the corpus is never shuffled
+    by shingle.
     """
-    from mini_feature_store_spark.operators.dedup import shingles
-
-    tr = spread(train).select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
-    ).select("id", F.xxhash64("shingle").alias("shingle"))
-    bench = (
-        benchmarks.select(
-            F.col(bench_col).alias("_bench"),
-            F.explode(shingles(F.col(text_col), n)).alias("shingle"),
-        )
-        .select("_bench", F.xxhash64("shingle").alias("shingle"))
-        .distinct()
+    tr = _hashed_shingles(
+        spread(train).select(F.col(id_col).alias("id"), text_col),
+        text_col, n, "id",
     )
+    bench = _hashed_shingles(
+        benchmarks.select(F.col(bench_col).alias("_bench"), text_col),
+        text_col, n, "_bench",
+    ).distinct()
     shared = (
         tr.join(F.broadcast(bench), "shingle")
         .groupBy("id", "_bench")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
     totals = tr.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    frac = F.round(F.col("n_shared") / F.col("n_shingles"), 4)
+    frac = _frac4(F.col("n_shared"), F.col("n_shingles"))
     return shared.join(totals, "id").select(
         F.col("id").alias(id_col),
         F.col("_bench").alias(bench_col),

@@ -2265,8 +2265,10 @@ totals AS (SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY 1)
 SELECT t.doc_id,
        CAST(COALESCE(s.n_shared, 0) AS BIGINT) AS n_shared,
        CAST(t.n_shingles AS BIGINT) AS n_shingles,
-       ROUND(COALESCE(s.n_shared, 0) / t.n_shingles, 4) AS contamination_frac,
-       ROUND(COALESCE(s.n_shared, 0) / t.n_shingles, 4) >= 0.05 AS contaminated
+       FLOOR(COALESCE(s.n_shared, 0) * 1.0 / t.n_shingles * 10000 + 0.5)
+         / 10000 AS contamination_frac,
+       FLOOR(COALESCE(s.n_shared, 0) * 1.0 / t.n_shingles * 10000 + 0.5)
+         / 10000 >= 0.05 AS contaminated
 FROM totals t LEFT JOIN shared s ON t.doc_id = s.doc_id
 """,
 )
@@ -2758,8 +2760,10 @@ totals AS (SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY 1)
 SELECT s.doc_id, s.benchmark,
        CAST(s.n_shared AS BIGINT) AS n_shared,
        CAST(t.n_shingles AS BIGINT) AS n_shingles,
-       ROUND(s.n_shared * 1.0 / t.n_shingles, 4) AS contamination_frac,
-       ROUND(s.n_shared * 1.0 / t.n_shingles, 4) >= 0.05 AS contaminated
+       FLOOR(s.n_shared * 1.0 / t.n_shingles * 10000 + 0.5) / 10000
+         AS contamination_frac,
+       FLOOR(s.n_shared * 1.0 / t.n_shingles * 10000 + 0.5) / 10000 >= 0.05
+         AS contaminated
 FROM shared s JOIN totals t USING (doc_id)
 """,
 )
@@ -2890,7 +2894,8 @@ shared AS (
 totals AS (SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY 1),
 contaminated AS (
   SELECT t.doc_id FROM totals t LEFT JOIN shared s ON t.doc_id = s.doc_id
-  WHERE ROUND(COALESCE(s.n_shared, 0) / t.n_shingles, 4) >= 0.05
+  WHERE FLOOR(COALESCE(s.n_shared, 0) * 1.0 / t.n_shingles * 10000 + 0.5)
+          / 10000 >= 0.05
 ),
 clean AS (SELECT doc_id FROM survivors ANTI JOIN contaminated USING (doc_id))
 SELECT 0 AS stage_idx, 'input' AS stage,
