@@ -683,9 +683,9 @@ def paragraph_dedup(
     the frequency that matters is distinct-document frequency. Documents
     whose every paragraph is boilerplate come back with empty text (they
     remain rows: dropping them is the quality gate's decision, not this
-    operator's). ``sep`` is a LITERAL separator (quoted with ``\Q…\E``
+    operator's). ``sep`` is a LITERAL separator (quoted with ``\\Q…\\E``
     before the regex split, so ``'|'`` or ``'. '`` split as written;
-    a separator containing the two-character sequence ``\E`` is
+    a separator containing the two-character sequence ``\\E`` is
     rejected).
 
     ``exact=True`` (default) keys the cross-document frequency and the
