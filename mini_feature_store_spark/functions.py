@@ -39,6 +39,25 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
+def round_half_up(col, scale: int = 4):
+    """Engine-portable fixed-point rounding: ``floor(x·10^scale + 0.5) /
+    10^scale``.
+
+    Engine ``round()`` is NOT portable on doubles: Spark routes through
+    BigDecimal HALF_UP on the decimal expansion of the double while DuckDB
+    rounds in double arithmetic, and the two provably split on
+    small-denominator rationals (57/800 → Spark 0.0713, DuckDB 0.0712).
+    ``floor`` and IEEE multiply/add are bit-identical on both engines, so
+    this form — applied on BOTH sides, the oracle mirror spelled
+    ``FLOOR((x)*10000 + 0.5)/10000`` — is deterministic across them.
+    Ties round toward +∞ (for the positive ratios/fractions this repo
+    rounds, that equals HALF_UP; exact negative halves land one ulp up,
+    consistently on both engines).
+    """
+    p = F.lit(float(10 ** scale))
+    return F.floor(col * p + F.lit(0.5)) / p
+
+
 def melt(
     df: DataFrame,
     id_vars: list[str] | tuple[str, ...],

@@ -33,7 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mini_feature_store_spark.functions import spread
+from mini_feature_store_spark.functions import round_half_up, spread
 from mini_feature_store_spark.operators.similarity import (
     _hash_sample_matrix,
     _pair_cos,
@@ -239,8 +239,8 @@ def pq_topk_indexed(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(
-                _pair_cos("q_v", "c_v", "q_nrm", "c_nrm"), 4
+            round_half_up(
+                _pair_cos("q_v", "c_v", "q_nrm", "c_nrm")
             ).alias("cosine"),
         )
     )

@@ -38,7 +38,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mini_feature_store_spark.functions import spread
-from mini_feature_store_spark.operators.similarity import with_vec_norm
+from mini_feature_store_spark.operators.similarity import (
+    _np_round_half_up,
+    with_vec_norm,
+)
 
 
 def _unit(mat: np.ndarray) -> np.ndarray:
@@ -182,7 +185,7 @@ def kmeans_assign(
                 {
                     "vec_id": pdf["id"].astype("int64"),
                     "cluster": best.astype(np.int32),
-                    "cos_to_centroid": np.round(
+                    "cos_to_centroid": _np_round_half_up(
                         sims[np.arange(len(best)), best], 6
                     ),
                 }
@@ -302,7 +305,7 @@ def cluster_cosine_pairs(
                     {
                         "id_a": np.concatenate(out_a),
                         "id_b": np.concatenate(out_b),
-                        "cosine": np.round(np.concatenate(out_c), 4),
+                        "cosine": _np_round_half_up(np.concatenate(out_c)),
                     }
                 )
 

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from mini_feature_store_spark.functions import spread
+from mini_feature_store_spark.functions import round_half_up, spread
 from mini_feature_store_spark.operators.text import _tokens, normalize
 
 
@@ -191,7 +191,7 @@ def ngram_jaccard_pairs(
         common.select(
             "id_a",
             "id_b",
-            F.round(jac, 4).alias("jaccard"),
+            round_half_up(jac).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
     )
@@ -303,7 +303,7 @@ def minhash_lsh_pairs(
         / F.lit(num_hashes)
     )
     return cand.select(
-        "id_a", "id_b", F.round(est, 4).alias("est_jaccard")
+        "id_a", "id_b", round_half_up(est).alias("est_jaccard")
     ).where(F.col("est_jaccard") >= threshold)
 
 
@@ -602,5 +602,5 @@ def ngram_jaccard_against(
     return common.select(
         "new_id",
         "corpus_id",
-        F.round(jac, 4).alias("jaccard"),
+        round_half_up(jac).alias("jaccard"),
     ).where(F.col("jaccard") >= threshold)

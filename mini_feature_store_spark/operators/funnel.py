@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from mini_feature_store_spark.functions import round_half_up
+
 __all__ = ["funnel_user_steps", "funnel_summary"]
 
 
@@ -80,8 +82,8 @@ def funnel_summary(
                 F.lit(i).cast("int").alias("step_idx"),
                 F.lit(step).alias("step"),
                 c.alias("n_users"),
-                F.when(c0 > 0, F.round(c / c0, 4)).alias("pct_of_first"),
-                F.when(prev > 0, F.round(c / prev, 4)).alias("pct_of_prev"),
+                F.when(c0 > 0, round_half_up(c / c0)).alias("pct_of_first"),
+                F.when(prev > 0, round_half_up(c / prev)).alias("pct_of_prev"),
             )
         )
     return counts.select(

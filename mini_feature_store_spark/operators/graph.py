@@ -38,6 +38,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from mini_feature_store_spark.functions import round_half_up
+
 __all__ = ["connected_components", "dedup_clusters", "pagerank"]
 
 
@@ -357,4 +359,4 @@ def pagerank(
         )
         if i % 3 == 2:
             ranks = ranks.localCheckpoint()
-    return ranks.select("node", F.round("rank", 8).alias("rank"))
+    return ranks.select("node", round_half_up(F.col("rank"), 8).alias("rank"))

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mini_feature_store_spark.functions import round_half_up
+
 __all__ = ["cohort_retention"]
 
 _PERIOD_DAYS = {"day": 1, "week": 7}
@@ -68,7 +70,7 @@ def cohort_retention(
         offset_col,
         "n_active",
         "cohort_size",
-        F.round(F.col("n_active") / F.col("cohort_size"), 4).alias(
+        round_half_up(F.col("n_active") / F.col("cohort_size")).alias(
             "retention_rate"
         ),
     )

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mini_feature_store_spark.functions import round_half_up
+
 __all__ = ["scale_features"]
 
 
@@ -59,8 +61,8 @@ def scale_features(
     rng = F.col("_hi") - F.col("_lo")
     return joined.select(
         *df.columns,
-        F.round(F.when(F.col("_sd") > 0, z), ndigits).alias(f"{value_col}_z"),
-        F.round(F.when(rng > 0, (v - F.col("_lo")) / rng), ndigits).alias(
+        round_half_up(F.when(F.col("_sd") > 0, z), ndigits).alias(f"{value_col}_z"),
+        round_half_up(F.when(rng > 0, (v - F.col("_lo")) / rng), ndigits).alias(
             f"{value_col}_minmax"
         ),
     )

@@ -29,7 +29,17 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from mini_feature_store_spark.functions import spread
+from mini_feature_store_spark.functions import round_half_up, spread
+
+
+def _np_round_half_up(a, scale: int = 4):
+    """Vectorized floor(x*10^scale + 0.5)/10^scale — the numpy mirror of
+    functions.round_half_up, so Arrow-UDF (GEMM) paths round identically
+    to the JVM expression paths and to the DuckDB oracle mirrors
+    (np.round is half-to-even; engine round() isn't portable either —
+    see functions.round_half_up)."""
+    p = float(10 ** scale)
+    return np.floor(a * p + 0.5) / p
 
 
 def _dot(a, b):
@@ -85,7 +95,7 @@ def cosine_topk_bruteforce(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cos, 4).alias("cosine"),
+            round_half_up(cos).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -172,7 +182,7 @@ def cosine_pairs(
                 mb = np.asarray(b_flat, dtype=np.float64).reshape(len(ids_b), dim)
                 na = np.linalg.norm(ma, axis=1)
                 nb = np.linalg.norm(mb, axis=1)
-                cos = np.round((ma @ mb.T) / np.outer(na, nb), 4)
+                cos = _np_round_half_up((ma @ mb.T) / np.outer(na, nb))
                 if a_bid == b_bid:
                     # same block meets itself once: keep one orientation
                     mask = (cos >= threshold) & (ids_a[:, None] < ids_b[None, :])
@@ -308,7 +318,7 @@ def cosine_pairs_lsh(
                 nb = np.linalg.norm(mb, axis=1)
                 out = []
                 if len(ib) > 1:
-                    cos = np.round((mb @ mb.T) / np.outer(nb, nb), 4)
+                    cos = _np_round_half_up((mb @ mb.T) / np.outer(nb, nb))
                     mask = (cos >= threshold) & (ib[:, None] < ib[None, :])
                     ii, jj = np.nonzero(mask)
                     if len(ii):
@@ -317,7 +327,7 @@ def cosine_pairs_lsh(
                     ip = np.asarray(p_ids, dtype=np.int64)
                     mp_ = np.asarray(p_flat, dtype=np.float64).reshape(len(ip), d)
                     np_ = np.linalg.norm(mp_, axis=1)
-                    cos = np.round((mb @ mp_.T) / np.outer(nb, np_), 4)
+                    cos = _np_round_half_up((mb @ mp_.T) / np.outer(nb, np_))
                     # probe member ≠ base member always (signatures differ)
                     mask = cos >= threshold
                     ii, jj = np.nonzero(mask)
@@ -484,7 +494,7 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(_pair_cos("q_v", "c_v", "q_nrm", "c_nrm"), 4).alias(
+            round_half_up(_pair_cos("q_v", "c_v", "q_nrm", "c_nrm")).alias(
                 "cosine"
             ),
         )
@@ -567,7 +577,7 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(_pair_cos("q_v", "c_v", "q_nrm", "c_nrm"), 4).alias(
+            round_half_up(_pair_cos("q_v", "c_v", "q_nrm", "c_nrm")).alias(
                 "cosine"
             ),
         )
@@ -756,7 +766,7 @@ def pq_topk(
     exact = shortlist.join(full, "neighbor_id").select(
         "query_id",
         "neighbor_id",
-        F.round(_pair_cos("q_v", "c_v", "q_nrm", "c_nrm"), 4).alias("cosine"),
+        round_half_up(_pair_cos("q_v", "c_v", "q_nrm", "c_nrm")).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -830,11 +840,11 @@ def int8_quantize(
     mse = F.aggregate(err2, F.lit(0.0), lambda acc, e: acc + e) / F.size("_v")
     return staged.select(
         F.col(id_col),
-        F.round("_scale", 6).alias("qscale"),
+        round_half_up(F.col("_scale"), 6).alias("qscale"),
         F.col("codes"),
         F.array_min("codes").alias("code_min"),
         F.array_max("codes").alias("code_max"),
-        F.round(mse, 6).alias("recon_mse"),
+        round_half_up(mse, 6).alias("recon_mse"),
     )
 
 
@@ -922,8 +932,8 @@ def int8_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(
-                _pair_cos("q_v", "c_v", "q_nrm", "c_nrm"), 4
+            round_half_up(
+                _pair_cos("q_v", "c_v", "q_nrm", "c_nrm")
             ).alias("cosine"),
         )
     )

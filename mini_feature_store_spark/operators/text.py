@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from mini_feature_store_spark.functions import spread
+from mini_feature_store_spark.functions import round_half_up, spread
 
 #: Tiny per-language marker-word lists for the heuristic language ID.
 #: Deterministic and tiny by design — a real lang-ID model is out of scope;
@@ -149,29 +149,25 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
         word_chunk_count(t).alias("n_word_chunks"),
-        F.round(
+        round_half_up(
             F.when(n_tokens > 0, n_chars.cast("double") / n_tokens).otherwise(
                 F.lit(0.0)
-            ),
-            4,
+            )
         ).alias("chars_per_token"),
-        F.round(
+        round_half_up(
             F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(
                 F.lit(0.0)
-            ),
-            4,
+            )
         ).alias("punct_ratio"),
-        F.round(
+        round_half_up(
             F.when(n_chars > 0, n_upper.cast("double") / n_chars).otherwise(
                 F.lit(0.0)
-            ),
-            4,
+            )
         ).alias("upper_ratio"),
-        F.round(
+        round_half_up(
             F.when(n_tokens > 0, stop_hits.cast("double") / n_tokens).otherwise(
                 F.lit(0.0)
-            ),
-            4,
+            )
         ).alias("stopword_ratio"),
         fingerprint(t).alias("fingerprint"),
     )
@@ -240,7 +236,7 @@ def winnow_fingerprints(
     """
     from pyspark.sql import Window
 
-    from mini_feature_store_spark.functions import spread
+    from mini_feature_store_spark.functions import round_half_up, spread
 
     norm = normalize(F.col(text_col))
     toks = _tokens(norm)
@@ -287,8 +283,8 @@ def quality_filter(
     stats = text_stats(df, text_col, id_col)
     stop_part = F.least(F.col("stopword_ratio") * 5, F.lit(1.0))
     len_part = F.least(F.col("n_tokens") / 50.0, F.lit(1.0))
-    score = F.round(
-        0.4 * stop_part + 0.4 * (1 - F.col("punct_ratio")) + 0.2 * len_part, 4
+    score = round_half_up(
+        0.4 * stop_part + 0.4 * (1 - F.col("punct_ratio")) + 0.2 * len_part
     )
     return stats.select(
         F.col(id_col),
@@ -339,10 +335,9 @@ def tf_idf_top_terms(
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "score",
-            F.round(
+            round_half_up(
                 F.col("tf")
-                * F.log((F.col("n_docs") + 1) / (F.col("df") + 1)),
-                4,
+                * F.log((F.col("n_docs") + 1) / (F.col("df") + 1))
             ),
         )
     )
@@ -397,8 +392,8 @@ def repetition_stats(
     tok_counts = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("c"))
     tok_stats = tok_counts.groupBy("id").agg(
         F.sum("c").alias("n_tokens"),
-        F.round(F.count(F.lit(1)) / F.sum("c"), 4).alias("distinct_token_ratio"),
-        F.round(F.max("c") / F.sum("c"), 4).alias("top_token_frac"),
+        round_half_up(F.count(F.lit(1)) / F.sum("c")).alias("distinct_token_ratio"),
+        round_half_up(F.max("c") / F.sum("c")).alias("top_token_frac"),
     )
     grams = spread(df).select(
         F.col(id_col).alias("id"),
@@ -406,11 +401,10 @@ def repetition_stats(
     )
     gram_counts = grams.groupBy("id", "gram").agg(F.count(F.lit(1)).alias("c"))
     gram_stats = gram_counts.groupBy("id").agg(
-        F.round(
+        round_half_up(
             F.coalesce(
                 F.sum(F.when(F.col("c") > 1, F.col("c"))) / F.sum("c"), F.lit(0.0)
-            ),
-            4,
+            )
         ).alias("dup_ngram_frac")
     )
     return (
@@ -446,7 +440,7 @@ def _frac4(num, den):
     double → 0.0712 — the playbook's round(4) boundary-row gotcha),
     which would flake the oracle gate and could flip a threshold
     verdict."""
-    return F.floor(num / den * 10000 + F.lit(0.5)) / 10000
+    return round_half_up(num / den)
 
 
 def decontaminate(
@@ -651,8 +645,8 @@ def quality_classifier_score(
     z = F.lit(float(b))
     for name, coef in w.items():
         z = z + F.lit(float(coef)) * feats[name]
-    logit = F.round(z, 4)
-    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4)
+    logit = round_half_up(z)
+    prob = round_half_up(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
     return stats.select(
         F.col(id_col),
         logit.alias("quality_logit"),

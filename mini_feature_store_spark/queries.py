@@ -20,6 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mini_feature_store_spark.functions import round_half_up
 from mini_feature_store_spark.io import load_testdata
 from mini_feature_store_spark.operators.latest import latest_per_key
 from mini_feature_store_spark.operators.point_in_time import point_in_time_join
@@ -349,7 +350,7 @@ WITH rev AS (
   GROUP BY l_partkey
 )
 SELECT l_partkey, revenue,
-       ROUND(revenue / (SELECT AVG(revenue) FROM rev), 4) AS ratio_to_avg
+       FLOOR((revenue / (SELECT AVG(revenue) FROM rev)) * 10000 + 0.5) / 10000 AS ratio_to_avg
 FROM rev
 WHERE revenue > 1.2 * (SELECT AVG(revenue) FROM rev)
 """,
@@ -371,7 +372,7 @@ def important_part_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_partkey",
             "revenue",
-            F.round(F.col("revenue") / F.col("_avg"), 4).alias("ratio_to_avg"),
+            round_half_up(F.col("revenue") / F.col("_avg")).alias("ratio_to_avg"),
         )
     )
 
@@ -1382,7 +1383,7 @@ SELECT l_returnflag, l_linestatus,
   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
   ROUND(AVG(l_quantity), 2) AS avg_qty,
-  ROUND(AVG(l_discount), 4) AS avg_disc,
+  FLOOR((AVG(l_discount)) * 10000 + 0.5) / 10000 AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
@@ -1403,7 +1404,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            round_half_up(F.avg("l_discount")).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -1523,11 +1524,11 @@ SELECT doc_id,
   CAST(len(toks) AS BIGINT) AS n_tokens,
   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'))
        AS BIGINT) AS n_word_chunks,
-  ROUND(nc * 1.0 / len(toks), 4) AS chars_per_token,
-  ROUND((nc - no_punct) * 1.0 / nc, 4) AS punct_ratio,
-  ROUND((nc - no_upper) * 1.0 / nc, 4) AS upper_ratio,
-  ROUND(len(list_filter(toks, x -> lower(x) IN ('the','a','of','and','to')))
-        * 1.0 / len(toks), 4) AS stopword_ratio,
+  FLOOR((nc * 1.0 / len(toks)) * 10000 + 0.5) / 10000 AS chars_per_token,
+  FLOOR(((nc - no_punct) * 1.0 / nc) * 10000 + 0.5) / 10000 AS punct_ratio,
+  FLOOR(((nc - no_upper) * 1.0 / nc) * 10000 + 0.5) / 10000 AS upper_ratio,
+  FLOOR((len(list_filter(toks, x -> lower(x) IN ('the','a','of','and','to')))
+        * 1.0 / len(toks)) * 10000 + 0.5) / 10000 AS stopword_ratio,
   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
 FROM t
 """,
@@ -1596,18 +1597,18 @@ WITH t AS (
 s AS (
   SELECT doc_id,
     CAST(len(toks) AS BIGINT) AS n_tokens,
-    ROUND(CASE WHEN len(toks) > 0
+    FLOOR((CASE WHEN len(toks) > 0
       THEN len(list_filter(toks, x -> lower(x) IN ('the','a','of','and','to')))
-           * 1.0 / len(toks) ELSE 0.0 END, 4) AS stopword_ratio,
-    ROUND(CASE WHEN nc > 0 THEN (nc - no_punct) * 1.0 / nc ELSE 0.0 END, 4)
+           * 1.0 / len(toks) ELSE 0.0 END) * 10000 + 0.5) / 10000 AS stopword_ratio,
+    FLOOR((CASE WHEN nc > 0 THEN (nc - no_punct) * 1.0 / nc ELSE 0.0 END) * 10000 + 0.5) / 10000
       AS punct_ratio
   FROM t
 ),
 scored AS (
   SELECT doc_id, n_tokens,
-    ROUND(0.4 * LEAST(stopword_ratio * 5, 1.0)
+    FLOOR((0.4 * LEAST(stopword_ratio * 5, 1.0)
         + 0.4 * (1 - punct_ratio)
-        + 0.2 * LEAST(n_tokens / 50.0, 1.0), 4) AS quality_score
+        + 0.2 * LEAST(n_tokens / 50.0, 1.0)) * 10000 + 0.5) / 10000 AS quality_score
   FROM s
 )
 SELECT doc_id, n_tokens, quality_score,
@@ -1973,11 +1974,11 @@ common AS (
   GROUP BY 1, 2
 )
 SELECT id_a, id_b,
-       ROUND(c / (sa.size + sb.size - c), 4) AS jaccard
+       FLOOR((c / (sa.size + sb.size - c)) * 10000 + 0.5) / 10000 AS jaccard
 FROM common
 JOIN szf sa ON id_a = sa.doc_id
 JOIN szf sb ON id_b = sb.doc_id
-WHERE ROUND(c / (sa.size + sb.size - c), 4) >= 0.5
+WHERE FLOOR((c / (sa.size + sb.size - c)) * 10000 + 0.5) / 10000 >= 0.5
 """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2003,7 +2004,7 @@ pairs AS (
   SELECT id_a, id_b FROM common
   JOIN szf sa ON id_a = sa.doc_id
   JOIN szf sb ON id_b = sb.doc_id
-  WHERE ROUND(c / (sa.size + sb.size - c), 4) >= 0.5
+  WHERE FLOOR((c / (sa.size + sb.size - c)) * 10000 + 0.5) / 10000 >= 0.5
 ),
 sym AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
 reach AS (
@@ -2074,7 +2075,7 @@ WITH {_UNIT_SQL},
 q AS (SELECT * FROM n WHERE vec_id < 10),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         ROUND(list_dot_product(q.unit, c.unit), 4) AS cosine
+         FLOOR((list_dot_product(q.unit, c.unit)) * 10000 + 0.5) / 10000 AS cosine
   FROM q JOIN n c ON q.vec_id <> c.vec_id
 ),
 ranked AS (
@@ -2100,9 +2101,9 @@ def embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 WITH {_UNIT_SQL}
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       ROUND(list_dot_product(a.unit, b.unit), 4) AS cosine
+       FLOOR((list_dot_product(a.unit, b.unit)) * 10000 + 0.5) / 10000 AS cosine
 FROM n a JOIN n b ON a.vec_id < b.vec_id
-WHERE ROUND(list_dot_product(a.unit, b.unit), 4) >= 0.4
+WHERE FLOOR((list_dot_product(a.unit, b.unit)) * 10000 + 0.5) / 10000 >= 0.4
 """,
 )
 def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2198,8 +2199,8 @@ tok_rows AS (SELECT doc_id, unnest(toks) AS tok FROM toks),
 tok_counts AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok_rows GROUP BY 1, 2),
 tok_stats AS (
   SELECT doc_id, SUM(c) AS n_tokens,
-         ROUND(COUNT(*) / SUM(c), 4) AS distinct_token_ratio,
-         ROUND(MAX(c) / SUM(c), 4) AS top_token_frac
+         FLOOR((COUNT(*) / SUM(c)) * 10000 + 0.5) / 10000 AS distinct_token_ratio,
+         FLOOR((MAX(c) / SUM(c)) * 10000 + 0.5) / 10000 AS top_token_frac
   FROM tok_counts GROUP BY 1
 ),
 gram_rows AS (
@@ -2211,7 +2212,7 @@ gram_rows AS (
 gram_counts AS (SELECT doc_id, gram, COUNT(*) AS c FROM gram_rows GROUP BY 1, 2),
 gram_stats AS (
   SELECT doc_id,
-         ROUND(COALESCE(SUM(CASE WHEN c > 1 THEN c END) / SUM(c), 0), 4)
+         FLOOR((COALESCE(SUM(CASE WHEN c > 1 THEN c END) / SUM(c), 0)) * 10000 + 0.5) / 10000
            AS dup_ngram_frac
   FROM gram_counts GROUP BY 1
 )
@@ -2379,7 +2380,7 @@ WITH RECURSIVE {_UNIT_SQL},
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
   FROM n a JOIN n b ON a.vec_id < b.vec_id
-  WHERE ROUND(list_dot_product(a.unit, b.unit), 4) >= 0.4
+  WHERE FLOOR((list_dot_product(a.unit, b.unit)) * 10000 + 0.5) / 10000 >= 0.4
 ),
 sym AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
 reach AS (
@@ -2472,11 +2473,11 @@ common AS (
   GROUP BY 1, 2
 )
 SELECT new_id, corpus_id,
-       ROUND(c / (sa.size + sb.size - c), 4) AS jaccard
+       FLOOR((c / (sa.size + sb.size - c)) * 10000 + 0.5) / 10000 AS jaccard
 FROM common
 JOIN szf sa ON new_id = sa.doc_id
 JOIN szf sb ON corpus_id = sb.doc_id
-WHERE ROUND(c / (sa.size + sb.size - c), 4) >= 0.5
+WHERE FLOOR((c / (sa.size + sb.size - c)) * 10000 + 0.5) / 10000 >= 0.5
 """,
 )
 def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2509,7 +2510,7 @@ prs AS (
   SELECT id_a, id_b FROM common
   JOIN szf sa ON id_a = sa.doc_id
   JOIN szf sb ON id_b = sb.doc_id
-  WHERE ROUND(c / (sa.size + sb.size - c), 4) >= 0.5
+  WHERE FLOOR((c / (sa.size + sb.size - c)) * 10000 + 0.5) / 10000 >= 0.5
 ),
 sym AS (SELECT id_a AS u, id_b AS v FROM prs UNION SELECT id_b, id_a FROM prs),
 reach AS (
@@ -2807,19 +2808,19 @@ qt AS (
 qs AS (
   SELECT doc_id,
     CAST(len(toks) AS BIGINT) AS n_tokens,
-    ROUND(CASE WHEN len(toks) > 0
+    FLOOR((CASE WHEN len(toks) > 0
       THEN len(list_filter(toks, x -> lower(x) IN ('the','a','of','and','to')))
-           * 1.0 / len(toks) ELSE 0.0 END, 4) AS stopword_ratio,
-    ROUND(CASE WHEN nc > 0 THEN (nc - no_punct) * 1.0 / nc ELSE 0.0 END, 4)
+           * 1.0 / len(toks) ELSE 0.0 END) * 10000 + 0.5) / 10000 AS stopword_ratio,
+    FLOOR((CASE WHEN nc > 0 THEN (nc - no_punct) * 1.0 / nc ELSE 0.0 END) * 10000 + 0.5) / 10000
       AS punct_ratio
   FROM qt
 ),
 admitted AS (
   SELECT doc_id FROM (
     SELECT doc_id, n_tokens,
-      ROUND(0.4 * LEAST(stopword_ratio * 5, 1.0)
+      FLOOR((0.4 * LEAST(stopword_ratio * 5, 1.0)
           + 0.4 * (1 - punct_ratio)
-          + 0.2 * LEAST(n_tokens / 50.0, 1.0), 4) AS quality_score
+          + 0.2 * LEAST(n_tokens / 50.0, 1.0)) * 10000 + 0.5) / 10000 AS quality_score
     FROM qs
   ) WHERE n_tokens >= 5 AND n_tokens <= 100000 AND quality_score >= 0.3
 ),
@@ -2857,7 +2858,7 @@ nprs AS (
   SELECT id_a, id_b FROM ncommon
   JOIN nszf sa ON id_a = sa.doc_id
   JOIN nszf sb ON id_b = sb.doc_id
-  WHERE ROUND(c / (sa.size + sb.size - c), 4) >= 0.5
+  WHERE FLOOR((c / (sa.size + sb.size - c)) * 10000 + 0.5) / 10000 >= 0.5
 ),
 nsym AS (SELECT id_a AS u, id_b AS v FROM nprs UNION SELECT id_b, id_a FROM nprs),
 nreach AS (
@@ -3166,14 +3167,14 @@ WITH t AS (
 s AS (
   SELECT doc_id,
     len(toks) AS n_tokens,
-    ROUND(CASE WHEN len(toks) > 0
+    FLOOR((CASE WHEN len(toks) > 0
       THEN len(list_filter(toks, x -> lower(x) IN ('the','a','of','and','to')))
-           * 1.0 / len(toks) ELSE 0.0 END, 4) AS stopword_ratio,
-    ROUND(CASE WHEN nc > 0 THEN (nc - no_punct) * 1.0 / nc ELSE 0.0 END, 4)
+           * 1.0 / len(toks) ELSE 0.0 END) * 10000 + 0.5) / 10000 AS stopword_ratio,
+    FLOOR((CASE WHEN nc > 0 THEN (nc - no_punct) * 1.0 / nc ELSE 0.0 END) * 10000 + 0.5) / 10000
       AS punct_ratio,
-    ROUND(CASE WHEN nc > 0 THEN (nc - no_upper) * 1.0 / nc ELSE 0.0 END, 4)
+    FLOOR((CASE WHEN nc > 0 THEN (nc - no_upper) * 1.0 / nc ELSE 0.0 END) * 10000 + 0.5) / 10000
       AS upper_ratio,
-    ROUND(CASE WHEN len(toks) > 0 THEN nc * 1.0 / len(toks) ELSE 0.0 END, 4)
+    FLOOR((CASE WHEN len(toks) > 0 THEN nc * 1.0 / len(toks) ELSE 0.0 END) * 10000 + 0.5) / 10000
       AS chars_per_token
   FROM t
 ),
@@ -3185,9 +3186,9 @@ z AS (
   FROM s
 )
 SELECT doc_id,
-  ROUND(zz, 4) AS quality_logit,
-  ROUND(1.0 / (1.0 + exp(-zz)), 4) AS quality_prob,
-  (ROUND(1.0 / (1.0 + exp(-zz)), 4) >= 0.5) AS keep
+  FLOOR((zz) * 10000 + 0.5) / 10000 AS quality_logit,
+  FLOOR((1.0 / (1.0 + exp(-zz))) * 10000 + 0.5) / 10000 AS quality_prob,
+  (FLOOR((1.0 / (1.0 + exp(-zz))) * 10000 + 0.5) / 10000 >= 0.5) AS keep
 FROM z
 """,
 )
@@ -3225,14 +3226,14 @@ c AS (
   FROM s
 )
 SELECT vec_id,
-  ROUND(scale, 6) AS qscale,
+  FLOOR((scale) * 1000000 + 0.5) / 1000000 AS qscale,
   array_to_string(codes, ',') AS codes_csv,
   list_min(codes) AS code_min,
   list_max(codes) AS code_max,
-  ROUND(list_reduce(
+  FLOOR((list_reduce(
           list_transform(list_zip(vv, codes),
                          p -> (p[1] - p[2] * scale) * (p[1] - p[2] * scale)),
-          (a, b) -> a + b) / len(vv), 6) AS recon_mse
+          (a, b) -> a + b) / len(vv)) * 1000000 + 0.5) / 1000000 AS recon_mse
 FROM c
 """,
 )
@@ -3599,10 +3600,10 @@ def supplier_revenue_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quantiles_by_returnflag",
     """
 SELECT l_returnflag,
-  ROUND(quantile_cont(l_quantity, 0.25), 4) AS q25,
-  ROUND(quantile_cont(l_quantity, 0.5), 4) AS q50,
-  ROUND(quantile_cont(l_quantity, 0.75), 4) AS q75,
-  ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS price_p95
+  FLOOR((quantile_cont(l_quantity, 0.25)) * 10000 + 0.5) / 10000 AS q25,
+  FLOOR((quantile_cont(l_quantity, 0.5)) * 10000 + 0.5) / 10000 AS q50,
+  FLOOR((quantile_cont(l_quantity, 0.75)) * 10000 + 0.5) / 10000 AS q75,
+  FLOOR((quantile_cont(l_extendedprice, 0.95)) * 10000 + 0.5) / 10000 AS price_p95
 FROM lineitem
 GROUP BY l_returnflag
 """,
@@ -3613,10 +3614,10 @@ def quantiles_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     li = load_testdata(spark, sf_dir, "lineitem")["lineitem"]
     return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_quantity", 0.25), 4).alias("q25"),
-        F.round(F.percentile("l_quantity", 0.5), 4).alias("q50"),
-        F.round(F.percentile("l_quantity", 0.75), 4).alias("q75"),
-        F.round(F.percentile("l_extendedprice", 0.95), 4).alias("price_p95"),
+        round_half_up(F.percentile("l_quantity", 0.25)).alias("q25"),
+        round_half_up(F.percentile("l_quantity", 0.5)).alias("q50"),
+        round_half_up(F.percentile("l_quantity", 0.75)).alias("q75"),
+        round_half_up(F.percentile("l_extendedprice", 0.95)).alias("price_p95"),
     )
 
 
@@ -3752,7 +3753,7 @@ def distinct_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_props_stats",
     """
 SELECT event_type,
-  ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+  FLOOR((AVG(CAST(json_extract_string(props, '$.k') AS BIGINT))) * 10000 + 0.5) / 10000 AS avg_k,
   CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
   COUNT(*) AS n
 FROM events
@@ -3768,7 +3769,7 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_testdata(spark, sf_dir, "events")["events"]
     k = F.from_json("props", "k long")["k"]
     return ev.groupBy("event_type").agg(
-        F.round(F.avg(k), 4).alias("avg_k"),
+        round_half_up(F.avg(k)).alias("avg_k"),
         F.max(k).alias("max_k"),
         F.count(F.lit(1)).alias("n"),
     )
@@ -3832,8 +3833,8 @@ SELECT user_id, event_id,
   ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
     AS running_value,
-  ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+  FLOOR((AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) * 10000 + 0.5) / 10000
     AS moving_avg_3
 FROM events
 """,
@@ -3852,7 +3853,7 @@ def user_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
         ).alias("running_value"),
-        F.round(F.avg("value").over(w.rowsBetween(-2, 0)), 4).alias(
+        round_half_up(F.avg("value").over(w.rowsBetween(-2, 0))).alias(
             "moving_avg_3"
         ),
     )
@@ -4406,13 +4407,13 @@ WITH t AS (
 s AS (
   SELECT doc_id, source,
     CAST(len(toks) AS BIGINT) AS n_tokens,
-    ROUND(0.4 * LEAST(ROUND(CASE WHEN len(toks) > 0
+    FLOOR((0.4 * LEAST(FLOOR((CASE WHEN len(toks) > 0
             THEN len(list_filter(toks, x -> lower(x) IN
                      ('the','a','of','and','to'))) * 1.0 / len(toks)
-            ELSE 0.0 END, 4) * 5, 1.0)
-        + 0.4 * (1 - ROUND(CASE WHEN nc > 0
-            THEN (nc - no_punct) * 1.0 / nc ELSE 0.0 END, 4))
-        + 0.2 * LEAST(len(toks) / 50.0, 1.0), 4) AS quality_score
+            ELSE 0.0 END) * 10000 + 0.5) / 10000 * 5, 1.0)
+        + 0.4 * (1 - FLOOR((CASE WHEN nc > 0
+            THEN (nc - no_punct) * 1.0 / nc ELSE 0.0 END) * 10000 + 0.5) / 10000)
+        + 0.2 * LEAST(len(toks) / 50.0, 1.0)) * 10000 + 0.5) / 10000 AS quality_score
   FROM t
 ),
 tiered AS (
@@ -4424,7 +4425,7 @@ tiered AS (
 SELECT source, tier,
   CAST(COUNT(*) AS BIGINT) AS n_docs,
   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-  ROUND(AVG(quality_score), 4) AS avg_score
+  FLOOR((AVG(quality_score)) * 10000 + 0.5) / 10000 AS avg_score
 FROM tiered
 GROUP BY source, tier
 """,
@@ -4452,7 +4453,7 @@ def doc_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
-            F.round(F.avg("quality_score"), 4).alias("avg_score"),
+            round_half_up(F.avg("quality_score")).alias("avg_score"),
         )
     )
 
@@ -4496,7 +4497,7 @@ pairs AS (
   SELECT id_a, id_b FROM common
   JOIN szf sa ON id_a = sa.doc_id
   JOIN szf sb ON id_b = sb.doc_id
-  WHERE ROUND(c / (sa.size + sb.size - c), 4) >= 0.5
+  WHERE FLOOR((c / (sa.size + sb.size - c)) * 10000 + 0.5) / 10000 >= 0.5
 ),
 edges AS (
   SELECT id_a AS src, id_b AS dst FROM pairs
@@ -4508,7 +4509,7 @@ nn AS (SELECT COUNT(*) AS n FROM nodes),
 outd AS (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src),
 r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)
 {_PAGERANK_ITERS_SQL}
-SELECT node, ROUND(rank, 8) AS rank FROM r5
+SELECT node, FLOOR((rank) * 100000000 + 0.5) / 100000000 AS rank FROM r5
 """,
 )
 def doc_content_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4612,7 +4613,7 @@ fm AS (
 )
 SELECT media_id,
   COUNT(*) AS n_sampled_frames,
-  ROUND(AVG(mean_intensity), 4) AS avg_frame_intensity
+  FLOOR((AVG(mean_intensity)) * 10000 + 0.5) / 10000 AS avg_frame_intensity
 FROM fm GROUP BY media_id
 """,
 )
@@ -4647,7 +4648,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded = decode_images(frames.where(F.col("error").isNull()))
     return decoded.groupBy("media_id").agg(
         F.count(F.lit(1)).alias("n_sampled_frames"),
-        F.round(F.avg("mean_intensity"), 4).alias("avg_frame_intensity"),
+        round_half_up(F.avg("mean_intensity")).alias("avg_frame_intensity"),
     )
 
 
@@ -4659,10 +4660,10 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH agg AS (
   SELECT l_returnflag,
-    ROUND(AVG(l_quantity), 4)      AS avg_qty,
-    ROUND(AVG(l_extendedprice), 4) AS avg_price,
-    ROUND(AVG(l_discount), 4)      AS avg_disc,
-    ROUND(AVG(l_tax), 4)           AS avg_tax
+    FLOOR((AVG(l_quantity)) * 10000 + 0.5) / 10000      AS avg_qty,
+    FLOOR((AVG(l_extendedprice)) * 10000 + 0.5) / 10000 AS avg_price,
+    FLOOR((AVG(l_discount)) * 10000 + 0.5) / 10000      AS avg_disc,
+    FLOOR((AVG(l_tax)) * 10000 + 0.5) / 10000           AS avg_tax
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT l_returnflag, 'avg_qty' AS metric, avg_qty AS value FROM agg
@@ -4680,10 +4681,10 @@ def lineitem_metrics_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     li = load_testdata(spark, sf_dir, "lineitem")["lineitem"]
     wide = li.groupBy("l_returnflag").agg(
-        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-        F.round(F.avg("l_tax"), 4).alias("avg_tax"),
+        round_half_up(F.avg("l_quantity")).alias("avg_qty"),
+        round_half_up(F.avg("l_extendedprice")).alias("avg_price"),
+        round_half_up(F.avg("l_discount")).alias("avg_disc"),
+        round_half_up(F.avg("l_tax")).alias("avg_tax"),
     )
     return melt(
         wide,
@@ -4699,8 +4700,8 @@ def lineitem_metrics_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT o_orderkey, o_orderpriority,
   CAST(ntile(4) OVER w AS INTEGER) AS price_quartile,
-  ROUND(percent_rank() OVER w, 6) AS pct_rank,
-  ROUND(cume_dist() OVER w, 6) AS cume,
+  FLOOR((percent_rank() OVER w) * 1000000 + 0.5) / 1000000 AS pct_rank,
+  FLOOR((cume_dist() OVER w) * 1000000 + 0.5) / 1000000 AS cume,
   ROUND(o_totalprice - lag(o_totalprice) OVER w, 2) AS gap_below,
   ROUND(lead(o_totalprice) OVER w - o_totalprice, 2) AS gap_above
 FROM orders
@@ -4721,8 +4722,8 @@ def order_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_orderpriority",
         F.ntile(4).over(w).cast("int").alias("price_quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        round_half_up(F.percent_rank().over(w), 6).alias("pct_rank"),
+        round_half_up(F.cume_dist().over(w), 6).alias("cume"),
         F.round(F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2).alias(
             "gap_below"
         ),
@@ -4885,18 +4886,18 @@ s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM ev e JOIN s1 ON e.user_id = s1.user
 c AS (SELECT (SELECT COUNT(*) FROM s0) AS c0, (SELECT COUNT(*) FROM s1) AS c1,
              (SELECT COUNT(*) FROM s2) AS c2)
 SELECT CAST(0 AS INTEGER) AS step_idx, 'view' AS step, c0 AS n_users,
-       CASE WHEN c0 > 0 THEN ROUND(c0 * 1.0 / c0, 4) END AS pct_of_first,
-       CASE WHEN c0 > 0 THEN ROUND(c0 * 1.0 / c0, 4) END AS pct_of_prev
+       CASE WHEN c0 > 0 THEN FLOOR((c0 * 1.0 / c0) * 10000 + 0.5) / 10000 END AS pct_of_first,
+       CASE WHEN c0 > 0 THEN FLOOR((c0 * 1.0 / c0) * 10000 + 0.5) / 10000 END AS pct_of_prev
 FROM c
 UNION ALL
 SELECT CAST(1 AS INTEGER), 'click', c1,
-       CASE WHEN c0 > 0 THEN ROUND(c1 * 1.0 / c0, 4) END,
-       CASE WHEN c0 > 0 THEN ROUND(c1 * 1.0 / c0, 4) END
+       CASE WHEN c0 > 0 THEN FLOOR((c1 * 1.0 / c0) * 10000 + 0.5) / 10000 END,
+       CASE WHEN c0 > 0 THEN FLOOR((c1 * 1.0 / c0) * 10000 + 0.5) / 10000 END
 FROM c
 UNION ALL
 SELECT CAST(2 AS INTEGER), 'purchase', c2,
-       CASE WHEN c0 > 0 THEN ROUND(c2 * 1.0 / c0, 4) END,
-       CASE WHEN c1 > 0 THEN ROUND(c2 * 1.0 / c1, 4) END
+       CASE WHEN c0 > 0 THEN FLOOR((c2 * 1.0 / c0) * 10000 + 0.5) / 10000 END,
+       CASE WHEN c1 > 0 THEN FLOOR((c2 * 1.0 / c1) * 10000 + 0.5) / 10000 END
 FROM c
 """,
 )
@@ -4981,7 +4982,7 @@ counts AS (
 ),
 sizes AS (SELECT cohort_week, COUNT(*) AS cohort_size FROM cohorts GROUP BY 1)
 SELECT c.cohort_week, c.week_offset, c.n_active, s.cohort_size,
-       ROUND(c.n_active * 1.0 / s.cohort_size, 4) AS retention_rate
+       FLOOR((c.n_active * 1.0 / s.cohort_size) * 10000 + 0.5) / 10000 AS retention_rate
 FROM counts c JOIN sizes s ON c.cohort_week = s.cohort_week
 """,
 )
@@ -5101,7 +5102,7 @@ WITH rev AS (
   GROUP BY 1, 2
 )
 SELECT region, nation, revenue,
-       ROUND(revenue / SUM(revenue) OVER (PARTITION BY region), 6)
+       FLOOR((revenue / SUM(revenue) OVER (PARTITION BY region)) * 1000000 + 0.5) / 1000000
          AS region_share
 FROM rev
 """,
@@ -5127,7 +5128,7 @@ def nation_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         "region",
         "nation",
         "revenue",
-        F.round(F.col("revenue") / F.sum("revenue").over(w), 6).alias(
+        round_half_up(F.col("revenue") / F.sum("revenue").over(w), 6).alias(
             "region_share"
         ),
     )
@@ -5216,7 +5217,7 @@ dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df
 n AS (SELECT COUNT(*) AS n_docs FROM documents),
 scored AS (
   SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
-         ROUND(tf.tf * ln((n.n_docs + 1) * 1.0 / (dfq.df + 1)), 4) AS score
+         FLOOR((tf.tf * ln((n.n_docs + 1) * 1.0 / (dfq.df + 1))) * 10000 + 0.5) / 10000 AS score
   FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN n
 ),
 ranked AS (
@@ -5249,8 +5250,8 @@ WITH stats AS (
   FROM events GROUP BY 1
 )
 SELECT event_id, e.event_type,
-  ROUND(CASE WHEN sd > 0 THEN (value - m) / sd END, 4) + 0 AS value_z,
-  ROUND(CASE WHEN hi - lo > 0 THEN (value - lo) / (hi - lo) END, 4) + 0
+  FLOOR((CASE WHEN sd > 0 THEN (value - m) / sd END) * 10000 + 0.5) / 10000 + 0 AS value_z,
+  FLOOR((CASE WHEN hi - lo > 0 THEN (value - lo) / (hi - lo) END) * 10000 + 0.5) / 10000 + 0
     AS value_minmax
 FROM events e JOIN stats s ON e.event_type = s.event_type
 """,
@@ -5379,9 +5380,9 @@ def bloom_filtered_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lineitem_correlations",
     """
 SELECT l_returnflag,
-  ROUND(corr(l_quantity, l_extendedprice), 4) + 0 AS qty_price_corr,
+  FLOOR((corr(l_quantity, l_extendedprice)) * 10000 + 0.5) / 10000 + 0 AS qty_price_corr,
   ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
-  ROUND(corr(l_discount, l_tax), 4) + 0 AS disc_tax_corr
+  FLOOR((corr(l_discount, l_tax)) * 10000 + 0.5) / 10000 + 0 AS disc_tax_corr
 FROM lineitem
 GROUP BY l_returnflag
 """,
@@ -5393,13 +5394,13 @@ def lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     li = load_testdata(spark, sf_dir, "lineitem")["lineitem"]
     return li.groupBy("l_returnflag").agg(
-        (F.round(F.corr("l_quantity", "l_extendedprice"), 4) + F.lit(0.0)).alias(
+        (round_half_up(F.corr("l_quantity", "l_extendedprice")) + F.lit(0.0)).alias(
             "qty_price_corr"
         ),
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
             "qty_price_covar"
         ),
-        (F.round(F.corr("l_discount", "l_tax"), 4) + F.lit(0.0)).alias(
+        (round_half_up(F.corr("l_discount", "l_tax")) + F.lit(0.0)).alias(
             "disc_tax_corr"
         ),
     )
@@ -5414,9 +5415,9 @@ WITH v AS (
 )
 SELECT vec_id,
   CAST(len(emb) AS INTEGER) AS dim,
-  ROUND(sqrt(list_sum(list_transform(emb, x -> x * x))), 4) AS l2_norm,
-  ROUND(list_sum(emb) / len(emb), 4) + 0 AS mean_component,
-  ROUND(list_max(list_transform(emb, x -> abs(x))), 4) AS max_abs,
+  FLOOR((sqrt(list_sum(list_transform(emb, x -> x * x)))) * 10000 + 0.5) / 10000 AS l2_norm,
+  FLOOR((list_sum(emb) / len(emb)) * 10000 + 0.5) / 10000 + 0 AS mean_component,
+  FLOOR((list_max(list_transform(emb, x -> abs(x)))) * 10000 + 0.5) / 10000 AS max_abs,
   CAST(len(list_filter(emb, x -> x > 0)) AS INTEGER) AS n_positive
 FROM v
 """,
@@ -5433,19 +5434,18 @@ def embedding_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         F.size("embedding").cast("int").alias("dim"),
-        F.round(F.sqrt(sumsq), 4).alias("l2_norm"),
+        round_half_up(F.sqrt(sumsq)).alias("l2_norm"),
         # `+ 0.0` normalizes IEEE negative zero (-0.0 + 0.0 = +0.0): a mean
         # of tiny negatives rounds to -0.0 on some engines and +0.0 on
         # others, which hash-compares unequal despite being the same value.
         (
-            F.round(
+            round_half_up(
                 F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x)
-                / F.size("embedding"),
-                4,
+                / F.size("embedding")
             )
             + F.lit(0.0)
         ).alias("mean_component"),
-        F.round(F.array_max(F.transform(v, F.abs)), 4).alias("max_abs"),
+        round_half_up(F.array_max(F.transform(v, F.abs))).alias("max_abs"),
         F.size(F.filter(v, lambda x: x > 0)).cast("int").alias("n_positive"),
     )
 
