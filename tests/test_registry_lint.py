@@ -46,3 +46,51 @@ def test_oracled_output_is_scalar_only(spark, name):
         f"them (F.array_join / array_to_string / md5) in BOTH the Spark "
         f"query and the oracle SQL"
     )
+
+
+#: Queries whose OPERATOR internals legitimately hold a cache entry at
+#: plan-build time. Two sanctioned classes only (queries.py module
+#: docstring): (a) multi-consumer intermediate tables inside dedup-family
+#: operators — the shingle posting list / signature table feeds both the
+#: candidate join and the size/frequency aggregate, and recomputing it is
+#: an O(corpus) re-shingle per consumer (dedup.py:139,253,368,440,561);
+#: (b) iterative algorithms that materialize per-round state
+#: (graph.py PageRank / connected-components localCheckpoint rounds).
+#: A registry-level persist of a trivially-recomputable subtree (the r7
+#: top_supplier_revenue exception, removed this round) is NOT in either
+#: class and must not be added here without the same justification.
+PLAN_BUILD_CACHE_ALLOWLIST = {
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_incremental_batch",
+    "corpus_dedup_apply",
+    "corpus_curation_funnel",
+    "doc_content_centrality",
+}
+
+
+def test_registry_plans_stay_lazy(spark):
+    """REGISTRY PLANS STAY LAZY (queries.py module docstring): outside the
+    allowlisted operator-internal classes above, no registered callable may
+    leave a CacheManager entry behind after building its (lazy) plan — a
+    persisted registry plan pins cache for the driver's whole session and
+    hides the subtree from the broadcast walker. r7 shipped exactly one
+    such exception (top_supplier_revenue); this pins its removal and blocks
+    the next one."""
+    jcm = spark._jsparkSession.sharedState().cacheManager()
+    jcm.clearCache()
+    offenders = []
+    for name, fn in QUERIES.items():
+        fn(spark, SF_DIR)  # build the lazy plan only — no action
+        if not jcm.isEmpty():
+            if name not in PLAN_BUILD_CACHE_ALLOWLIST:
+                offenders.append(name)
+            jcm.clearCache()
+    assert not offenders, (
+        f"registry callables persist() inside the returned plan: "
+        f"{offenders}; registry plans must stay lazy — either recompute "
+        f"(sub-second for bounded subtrees) or justify a new allowlist "
+        f"entry as operator-internal multi-pass state"
+    )
