@@ -140,6 +140,14 @@ def build_parser() -> argparse.ArgumentParser:
     cc.add_argument("--semantic-k", type=int, default=16)
     cc.add_argument("--contamination-threshold", type=float, default=0.2)
     cc.add_argument(
+        "--url-col", default=None,
+        help="URL column: enables stage-0 canonical-URL dedup",
+    )
+    cc.add_argument(
+        "--max-per-domain", type=int, default=None,
+        help="per-registrable-domain doc cap (needs --url-col)",
+    )
+    cc.add_argument(
         "--shards", type=int, default=None, help="write N training shards + manifest"
     )
 
@@ -385,6 +393,8 @@ def main(argv: list[str] | None = None) -> int:
                     semantic_k=args.semantic_k,
                     contamination_threshold=args.contamination_threshold,
                     n_shards=args.shards,
+                    url_col=args.url_col,
+                    max_per_domain=args.max_per_domain,
                 ),
             )
             for stage, n in funnel.items():

@@ -1,0 +1,280 @@
+"""URL / domain-level corpus curation (the CCNet / RefinedWeb front door;
+no reference analog — built Spark-first for the LLM training-data tier).
+
+Web-crawl curation starts BEFORE any text is read: the same page arrives
+under many URL spellings (scheme/host case, default ports, tracking
+params, fragments, trailing slashes, ``www.``), and a handful of domains
+contribute a wildly disproportionate share of documents. The standard
+pipeline front door is therefore
+
+1. ``canonicalize_url``      one spelling per page
+2. ``url_dedup``             keep one document per canonical URL
+3. ``domain_stats``          per-domain contribution report
+4. ``domain_cap``            bound any one domain's contribution
+   (``domain_cap_approx``    the skew-proof 100 TB variant)
+
+Everything here is pure built-in column expressions (regexp / split /
+array_sort / window) — zero Python UDFs, whole-stage codegen end to end.
+The regexes are deliberately RE2-compatible (simple character classes,
+no lookaround) so the DuckDB oracle mirrors in queries.py run the same
+patterns verbatim.
+
+URL grammar handled: ``scheme://host[:port][/path][?query][#fragment]``.
+Scheme-less input (``example.com/path`` — common in crawls) is parsed
+authority-first: ``url_scheme`` returns '', the leading token becomes the
+host. Nothing here errors on junk — curation must tolerate crawl noise;
+a junk token simply yields a junk host and '' registrable domain.
+
+Scale shape (100 TB):
+- canonicalization / domain extraction are map-only projections;
+- ``url_dedup`` is ONE hash aggregate keyed by the canonical URL
+  (map-side combine collapses same-partition duplicates first);
+- ``domain_cap`` is one window shuffle keyed by domain. A celebrity
+  domain (wikipedia.org at crawl scale) makes that window a straggler —
+  that is what ``domain_cap_approx`` is for: it joins each row to its
+  domain's count and admits by md5 hash threshold (the sampler family's
+  ``_col_threshold`` convention), a pure scan-side filter after one
+  bounded aggregate — no per-domain total order, no single-task domain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from mini_feature_store_spark.functions import round_half_up
+
+#: Query parameters that never change page identity (analytics trackers).
+#: Matched by prefix on the raw ``key=value`` token.
+TRACKING_PARAM_PREFIXES: tuple[str, ...] = (
+    "utm_",  # utm_source / utm_medium / utm_campaign / ...
+    "gclid=",
+    "fbclid=",
+    "msclkid=",
+    "ref=",
+    "ref_src=",
+)
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+
+
+def url_scheme(url: Column) -> Column:
+    """Lower-cased scheme; '' when the value has no ``scheme://``."""
+    return F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+
+
+def _rest(url: Column) -> Column:
+    """Everything after ``scheme://`` with the fragment dropped."""
+    return F.regexp_replace(
+        F.regexp_replace(url, _SCHEME_RE, ""), r"#.*$", ""
+    )
+
+
+def _authority(url: Column) -> Column:
+    return F.regexp_extract(_rest(url), r"^([^/?]+)", 1)
+
+
+def url_host(url: Column) -> Column:
+    """Lower-cased host without the port (``www.`` NOT stripped — that is
+    a canonicalization decision, not a parsing one)."""
+    return F.lower(F.regexp_replace(_authority(url), r":[0-9]+$", ""))
+
+
+def url_port(url: Column) -> Column:
+    """Explicit port as a string, '' when absent."""
+    return F.regexp_extract(_authority(url), r":([0-9]+)$", 1)
+
+
+def registrable_domain(host: Column) -> Column:
+    """Last two dot-labels of a host (``en.src7.com`` → ``src7.com``) —
+    the grouping key for domain-level stats and caps.
+
+    A true registrable domain needs the public-suffix list (``co.uk`` has
+    three labels); that table is an optional broadcast join in a real
+    deployment and out of scope here. The two-label approximation is what
+    the operator contract documents and the oracles mirror."""
+    return F.regexp_extract(host, r"([A-Za-z0-9-]+\.[A-Za-z0-9-]+)$", 1)
+
+
+def _path_and_query(url: Column) -> Column:
+    return F.regexp_replace(_rest(url), r"^[^/?]+", "")
+
+
+def _canonical_path(url: Column) -> Column:
+    path = F.regexp_extract(_path_and_query(url), r"^([^?]*)", 1)
+    stripped = F.regexp_replace(path, r"/+$", "")
+    # '' (no path, or path was only slashes) canonicalizes to '/'
+    return F.when(stripped == "", F.lit("/")).otherwise(stripped)
+
+
+def _canonical_query(url: Column) -> Column:
+    """Tracking params dropped, remaining ``k=v`` tokens sorted — '' when
+    nothing survives (also when the URL had no query at all)."""
+    q = F.regexp_extract(_path_and_query(url), r"\?(.*)$", 1)
+    parts = F.filter(
+        F.split(q, "&"),
+        lambda kv: (kv != "")
+        & ~_is_tracking(kv),
+    )
+    return F.array_join(F.array_sort(parts), "&")
+
+
+def _is_tracking(kv: Column) -> Column:
+    cond = F.lit(False)
+    for p in TRACKING_PARAM_PREFIXES:
+        cond = cond | kv.startswith(p)
+    return cond
+
+
+def canonicalize_url(url: Column) -> Column:
+    """One canonical spelling per page:
+
+    - scheme and host lower-cased, leading ``www.`` dropped;
+    - default ports stripped (``:80`` for http, ``:443`` for https; any
+      other explicit port is kept);
+    - fragment dropped;
+    - tracking query params (``TRACKING_PARAM_PREFIXES``) dropped, the
+      survivors sorted; an emptied query loses its ``?``;
+    - trailing slashes trimmed from the path ('' → '/').
+    """
+    scheme = url_scheme(url)
+    host = F.regexp_replace(url_host(url), r"^www\.", "")
+    port = url_port(url)
+    keep_port = (
+        (port != "")
+        & ~((scheme == "http") & (port == "80"))
+        & ~((scheme == "https") & (port == "443"))
+    )
+    q = _canonical_query(url)
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        _canonical_path(url),
+        F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+    )
+
+
+def url_dedup(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """URL-level exact dedup: one row per canonical URL with the kept
+    document (lowest id — deterministic, engine-portable) and the
+    duplicate count. ``(canonical_url, keep_id, n_dups)``.
+
+    One hash aggregate keyed by the canonical string; map-side combine
+    collapses duplicates before the shuffle, so the exchange carries one
+    row per (partition, canonical URL)."""
+    canon = canonicalize_url(F.col(url_col))
+    return (
+        df.select(F.col(id_col).alias("_id"), canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def domain_stats(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-domain contribution report: ``(domain, n_docs, doc_share)``
+    with ``doc_share`` rounded via the portable floor form (scale 6).
+
+    The corpus total is a global 1-row aggregate — provably bounded, so
+    the hard broadcast is allowed (plan_walk classification)."""
+    dom = registrable_domain(url_host(F.col(url_col)))
+    per = (
+        df.select(dom.alias("domain"), F.col(id_col).alias("_id"))
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    total = per.agg(F.sum("n_docs").alias("_total"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "domain",
+        "n_docs",
+        round_half_up(F.col("n_docs") / F.col("_total"), 6).alias(
+            "doc_share"
+        ),
+    )
+
+
+def _admission_hash(dom: Column, id_col: Column) -> Column:
+    """md5 over (domain, id) — the deterministic per-row rank/admission
+    key both cap variants share. Hash order (not id order) so the cap
+    doesn't systematically favor early-crawled ids."""
+    return F.md5(F.concat_ws("|", dom, id_col.cast("string")))
+
+
+def domain_cap(
+    df: DataFrame,
+    max_per_domain: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact per-domain contribution cap: keep at most ``max_per_domain``
+    documents per registrable domain, chosen by deterministic md5 hash
+    order (ties impossible: the id is in the hash input and breaks them).
+
+    Adds ``domain``; preserves all input columns. One window shuffle keyed
+    by domain — correct and exact, but a celebrity domain serializes into
+    one task; use ``domain_cap_approx`` when the domain distribution is
+    crawl-shaped."""
+    if max_per_domain <= 0:
+        raise ValueError(
+            f"max_per_domain must be positive, got {max_per_domain}"
+        )
+    dom = registrable_domain(url_host(F.col(url_col)))
+    w = Window.partitionBy("domain").orderBy("_adm", id_col)
+    return (
+        df.withColumn("domain", dom)
+        .withColumn("_adm", _admission_hash(F.col("domain"), F.col(id_col)))
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= max_per_domain)
+        .drop("_adm", "_rk")
+    )
+
+
+def domain_cap_approx(
+    df: DataFrame,
+    max_per_domain: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Skew-proof per-domain cap: admit each row iff its md5 admission
+    hash falls under the domain's rate threshold ``max_per_domain /
+    n_docs`` — the sampler family's truncating ``_col_threshold``
+    convention, so the oracle mirror is ``FLOOR(rate·2³²)``.
+
+    Keeps ≈``max_per_domain`` (binomial around it), not exactly it — the
+    price for having NO per-domain total order: after one bounded
+    count aggregate (AQE handles its skew; aggregation skew needs
+    nothing — r7 skew probe), admission is a pure scan-side filter, so a
+    domain with 10⁹ rows costs the same per row as one with 10."""
+    from mini_feature_store_spark.operators.sampling import _col_threshold
+
+    if max_per_domain <= 0:
+        raise ValueError(
+            f"max_per_domain must be positive, got {max_per_domain}"
+        )
+    dom = registrable_domain(url_host(F.col(url_col)))
+    with_dom = df.withColumn("domain", dom)
+    counts = with_dom.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    rate = F.least(F.lit(float(max_per_domain)) / F.col("_n"), F.lit(1.0))
+    return (
+        with_dom.join(counts, "domain")
+        .where(
+            (F.col("_n") <= max_per_domain)
+            | (
+                F.substring(
+                    _admission_hash(F.col("domain"), F.col(id_col)), 1, 8
+                )
+                < _col_threshold(rate)
+            )
+        )
+        .drop("_n")
+    )

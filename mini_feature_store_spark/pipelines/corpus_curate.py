@@ -3,6 +3,10 @@ integration of the cleaning tier; no reference analog).
 
 One command takes a raw document corpus to a training-ready one:
 
+0. URL dedup + domain cap  operators/urls.py (optional — runs when
+                           ``url_col`` is set; the CCNet/RefinedWeb
+                           front door: cheapest stage first, so every
+                           later stage reads fewer rows)
 1. quality gate            operators/text.py:quality_filter
 2. exact dedup             operators/dedup.py:exact_dedup (md5 fingerprint)
 3. near-dup dedup          ngram_jaccard_pairs → dedup_clusters → survivors
@@ -45,6 +49,11 @@ class CorpusCurationConfig:
     text_col: str = "text"
     id_col: str = "doc_id"
     embedding_id_col: str = "vec_id"
+    #: when set, stage 0 dedups by canonical URL before anything reads text
+    url_col: str | None = None
+    #: per-registrable-domain contribution cap (needs ``url_col``);
+    #: exact window form — swap in domain_cap_approx for crawl-shaped skew
+    max_per_domain: int | None = None
 
 
 def run_corpus_curation(
@@ -64,6 +73,23 @@ def run_corpus_curation(
 
     docs = spark.read.parquet(cfg.input_path)
     funnel: dict[str, int] = {"input": docs.count()}
+
+    if cfg.url_col is not None:
+        from mini_feature_store_spark.operators.urls import (
+            domain_cap,
+            url_dedup,
+        )
+
+        keep = url_dedup(docs, cfg.url_col, cfg.id_col).select(
+            F.col("keep_id").alias(cfg.id_col)
+        )
+        docs = docs.join(keep, cfg.id_col, "left_semi")
+        funnel["after_url_dedup"] = docs.count()
+        if cfg.max_per_domain is not None:
+            docs = domain_cap(
+                docs, cfg.max_per_domain, cfg.url_col, cfg.id_col
+            ).drop("domain")
+            funnel["after_domain_cap"] = docs.count()
 
     gate = quality_filter(
         docs,

@@ -5638,6 +5638,217 @@ def dq_orders_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_checks(t["orders"], checks)
 
 
+
+# ── URL / domain-level curation (operators/urls.py — CCNet/RefinedWeb
+#    front door; r7 VERDICT #5) ───────────────────────────────────────────
+
+#: Deterministic synthetic URL per document — the operator inputs a real
+#: crawl would carry. Derivation is mirrored verbatim in the oracles'
+#: ``u`` CTE so both engines canonicalize the same strings. Spellings
+#: deliberately vary case / www / default port / trailing slash /
+#: tracking params / fragment so canonicalization has real work to do.
+_DOC_URL_SQL = """
+u AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END)
+    || '://'
+    || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+    || (CASE WHEN doc_id % 4 = 1 THEN upper(lang || '.' || source || '.com')
+             ELSE lang || '.' || source || '.com' END)
+    || (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END)
+    || '/docs/page' || CAST(doc_id % 10 AS VARCHAR)
+    || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+    || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=rss&b=2&a=1'
+             WHEN doc_id % 3 = 1 THEN '?a=1&b=2' ELSE '' END)
+    || (CASE WHEN doc_id % 7 = 0 THEN '#top' ELSE '' END) AS url
+  FROM documents
+)
+"""
+
+#: Oracle mirror of operators/urls.py canonicalization + domain parsing —
+#: an INDEPENDENT reimplementation in DuckDB SQL (same RE2-safe regexes).
+_URL_CANON_SQL = """
+parsed AS (
+  SELECT doc_id,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    regexp_replace(
+      regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$', ''
+    ) AS rest
+  FROM u
+),
+parts AS (
+  SELECT doc_id, scheme,
+    regexp_extract(rest, '^([^/?]+)', 1) AS auth,
+    regexp_replace(rest, '^[^/?]+', '') AS pq
+  FROM parsed
+),
+comps AS (
+  SELECT doc_id, scheme,
+    lower(regexp_replace(auth, ':[0-9]+$', '')) AS host,
+    regexp_extract(auth, ':([0-9]+)$', 1) AS port,
+    regexp_extract(pq, '^([^?]*)', 1) AS path,
+    regexp_extract(pq, '\\?(.*)$', 1) AS q
+  FROM parts
+),
+canon AS (
+  SELECT doc_id,
+    regexp_extract(host, '([A-Za-z0-9-]+\\.[A-Za-z0-9-]+)$', 1) AS domain,
+    scheme || '://' || regexp_replace(host, '^www\\.', '')
+    || (CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+              AND NOT (scheme = 'https' AND port = '443')
+        THEN ':' || port ELSE '' END)
+    || (CASE WHEN regexp_replace(path, '/+$', '') = '' THEN '/'
+        ELSE regexp_replace(path, '/+$', '') END)
+    || (CASE WHEN cq <> '' THEN '?' || cq ELSE '' END) AS canonical_url
+  FROM (
+    SELECT *,
+      array_to_string(list_sort(list_filter(str_split(q, '&'),
+        p -> p <> '' AND NOT starts_with(p, 'utm_')
+          AND NOT starts_with(p, 'gclid=') AND NOT starts_with(p, 'fbclid=')
+          AND NOT starts_with(p, 'msclkid=') AND NOT starts_with(p, 'ref=')
+          AND NOT starts_with(p, 'ref_src='))), '&') AS cq
+    FROM comps
+  )
+)
+"""
+
+
+def _doc_url() -> "F.Column":
+    """Spark twin of ``_DOC_URL_SQL``'s url expression."""
+    did = F.col("doc_id")
+    host = F.concat(F.col("lang"), F.lit("."), F.col("source"), F.lit(".com"))
+    return F.concat(
+        F.when(did % 2 == 0, F.lit("https")).otherwise(F.lit("HTTPS")),
+        F.lit("://"),
+        F.when(did % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.when(did % 4 == 1, F.upper(host)).otherwise(host),
+        F.when(did % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/docs/page"),
+        (did % 10).cast("string"),
+        F.when(did % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(did % 3 == 0, F.lit("?utm_source=rss&b=2&a=1"))
+        .when(did % 3 == 1, F.lit("?a=1&b=2"))
+        .otherwise(F.lit("")),
+        F.when(did % 7 == 0, F.lit("#top")).otherwise(F.lit("")),
+    )
+
+
+@_q(
+    "doc_url_dedup",
+    f"""
+WITH {_DOC_URL_SQL.strip()},
+{_URL_CANON_SQL.strip()}
+SELECT canonical_url, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+FROM canon
+GROUP BY canonical_url
+""",
+)
+def doc_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level exact dedup (CCNet/RefinedWeb stage 0): canonicalize every
+    spelling — case, www, default port, tracking params, fragment,
+    trailing slash — then keep one doc per canonical URL. Map-only
+    canonicalization (pure codegen regex/split/sort, no UDF) into ONE
+    hash aggregate; the oracle reimplements the whole canonicalizer in
+    DuckDB SQL, so the two engines must agree string-for-string."""
+    from mini_feature_store_spark.operators.urls import url_dedup
+
+    _utc(spark)
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    return url_dedup(docs.withColumn("url", _doc_url()))
+
+
+@_q(
+    "domain_contribution_caps",
+    f"""
+WITH {_DOC_URL_SQL.strip()},
+{_URL_CANON_SQL.strip()},
+ranked AS (
+  SELECT domain, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY domain
+           ORDER BY md5(domain || '|' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM canon
+),
+per AS (
+  SELECT domain,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN rk <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+  FROM ranked GROUP BY domain
+)
+SELECT domain, n_docs, n_kept,
+       n_docs - n_kept AS n_dropped,
+       FLOOR((n_docs * 1.0 / (SELECT SUM(n_docs) FROM per)) * 1000000 + 0.5)
+         / 1000000 AS doc_share
+FROM per
+""",
+)
+def domain_contribution_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain contribution report + exact cap (≤15 docs/domain by
+    deterministic md5 admission order): ``(domain, n_docs, n_kept,
+    n_dropped, doc_share)``. Composes ``domain_stats`` (1-row bounded
+    broadcast total) with ``domain_cap`` (one window shuffle keyed by
+    domain; the skew-proof variant is ``domain_cap_approx``, oracled by
+    ``doc_domain_hash_cap``)."""
+    from mini_feature_store_spark.operators.urls import domain_cap, domain_stats
+
+    _utc(spark)
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    with_url = docs.withColumn("url", _doc_url())
+    stats = domain_stats(with_url, "url", "doc_id")
+    kept = (
+        domain_cap(with_url, 15, "url", "doc_id")
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return stats.join(kept, "domain").select(
+        "domain",
+        "n_docs",
+        "n_kept",
+        (F.col("n_docs") - F.col("n_kept")).alias("n_dropped"),
+        "doc_share",
+    )
+
+
+@_q(
+    "doc_domain_hash_cap",
+    f"""
+WITH {_DOC_URL_SQL.strip()},
+{_URL_CANON_SQL.strip()},
+counts AS (
+  SELECT domain, CAST(COUNT(*) AS BIGINT) AS n FROM canon GROUP BY domain
+),
+admitted AS (
+  SELECT c.domain, c.doc_id
+  FROM canon c JOIN counts t ON c.domain = t.domain
+  WHERE t.n <= 15
+     OR substring(md5(c.domain || '|' || CAST(c.doc_id AS VARCHAR)), 1, 8)
+        < lpad(lower(to_hex(CAST(FLOOR(LEAST(15.0 / t.n, 1.0) * 4294967296)
+                                 AS BIGINT))), 8, '0')
+)
+SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_admitted
+FROM admitted GROUP BY domain
+""",
+)
+def doc_domain_hash_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof approximate per-domain cap (the 100 TB path): admission
+    by md5 hash under a per-domain rate threshold — NO per-domain total
+    order, so a celebrity domain never serializes into one window task.
+    Shares the sampler family's truncating ``FLOOR(rate·2³²)`` threshold
+    convention; returns per-domain admitted counts (≈15 where capped)."""
+    from mini_feature_store_spark.operators.urls import domain_cap_approx
+
+    _utc(spark)
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    return (
+        domain_cap_approx(
+            docs.withColumn("url", _doc_url()), 15, "url", "doc_id"
+        )
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_admitted"))
+    )
+
+
 # ── driver verification order ───────────────────────────────────────────────
 # The correctness driver evaluates only the FIRST 50 entries of the registry
 # dict, in insertion order. Registration order above is thematic; this list is
@@ -5647,6 +5858,9 @@ def dq_orders_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registered name present exactly once — ordered_queries() asserts it.
 
 VERIFY_ORDER: list[str] = [
+    "doc_url_dedup",
+    "domain_contribution_caps",
+    "doc_domain_hash_cap",
     # ── r7 re-cut (r6 VERDICT #1 — the standing rotate rule). Rule:
     # new > touched-this-round > stalest-driver-row > fresh > rows-only.
     # The driver records rows for the FIRST 50 entries only.

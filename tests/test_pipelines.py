@@ -1015,3 +1015,65 @@ def test_corpus_curate_funnel_matches_oracled_query(spark, sf_dir, tmp_path):
         "after_near_dedup", "after_decontamination",
     )]
     assert seq == sorted(seq, reverse=True) and seq[0] > seq[-1]
+
+
+def test_corpus_curate_url_stage(spark, tmp_path):
+    """Optional stage 0: canonical-URL dedup then per-domain cap run
+    BEFORE the quality gate, so later stages read fewer rows. Docs 0/1/2
+    are one page under three spellings; bulk.com gets capped to 2."""
+    from mini_feature_store_spark.pipelines.corpus_curate import (
+        CorpusCurationConfig,
+        run_corpus_curation,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog and the small cat"
+    rows = [
+        (0, text + " alpha", "https://example.com/x?utm_source=a"),
+        (1, text + " bravo", "HTTPS://WWW.EXAMPLE.COM/x"),
+        (2, text + " charlie", "https://example.com:443/x/"),
+    ] + [
+        (10 + i, text + f" variant number {i} of the bulk page",
+         f"https://bulk.com/p{i}")
+        for i in range(6)
+    ]
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, url string"
+    ).write.parquet(inp)
+
+    out = str(tmp_path / "clean")
+    funnel = run_corpus_curation(
+        spark,
+        CorpusCurationConfig(
+            input_path=inp,
+            output_path=out,
+            url_col="url",
+            max_per_domain=2,
+            jaccard_threshold=0.99,
+        ),
+    )
+    assert funnel["input"] == 9
+    # URL dedup keeps doc 0 (min id) for the triple + the 6 bulk pages
+    assert funnel["after_url_dedup"] == 7
+    # example.com contributes 1, bulk.com capped 6 -> 2
+    assert funnel["after_domain_cap"] == 3
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert 0 in kept and kept <= {0} | {10 + i for i in range(6)}
+    assert len(kept) == 3
+
+    # CLI flag wiring
+    from mini_feature_store_spark import cli
+
+    out2 = str(tmp_path / "clean2")
+    rc = cli.main(
+        [
+            "corpus-curate",
+            "--input-path", inp,
+            "--output-path", out2,
+            "--url-col", "url",
+            "--max-per-domain", "2",
+            "--jaccard-threshold", "0.99",
+        ]
+    )
+    assert rc == 0
+    assert spark.read.parquet(out2).count() == 3

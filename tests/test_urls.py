@@ -1,0 +1,158 @@
+"""URL canonicalization / URL dedup / domain caps (operators/urls.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mini_feature_store_spark.operators.urls import (
+    canonicalize_url,
+    domain_cap,
+    domain_cap_approx,
+    domain_stats,
+    registrable_domain,
+    url_dedup,
+    url_host,
+    url_port,
+    url_scheme,
+)
+
+
+def _canon(spark, url: str) -> str:
+    return (
+        spark.createDataFrame([(url,)], "url string")
+        .select(canonicalize_url(F.col("url")).alias("c"))
+        .collect()[0]["c"]
+    )
+
+
+@pytest.mark.parametrize(
+    ("raw", "want"),
+    [
+        # case folding: scheme + host, path case preserved
+        ("HTTPS://WWW.Example.COM/A/B", "https://example.com/A/B"),
+        # default ports stripped, non-default kept
+        ("https://example.com:443/x", "https://example.com/x"),
+        ("http://example.com:80/x", "http://example.com/x"),
+        ("http://example.com:8080/x", "http://example.com:8080/x"),
+        ("https://example.com:80/x", "https://example.com:80/x"),
+        # fragment dropped
+        ("https://example.com/x#frag", "https://example.com/x"),
+        # tracking params dropped, rest sorted; emptied query loses '?'
+        (
+            "https://example.com/x?utm_source=rss&b=2&a=1",
+            "https://example.com/x?a=1&b=2",
+        ),
+        ("https://example.com/x?utm_campaign=c", "https://example.com/x"),
+        (
+            "https://example.com/x?gclid=g&fbclid=f&ref=r&z=1",
+            "https://example.com/x?z=1",
+        ),
+        # trailing slashes trimmed; bare host gets '/'
+        ("https://example.com/x///", "https://example.com/x"),
+        ("https://example.com", "https://example.com/"),
+        ("https://example.com/", "https://example.com/"),
+        # www stripped only as a leading label
+        ("https://www.example.com/x", "https://example.com/x"),
+        ("https://wwwx.example.com/x", "https://wwwx.example.com/x"),
+        # query on a bare host (no path)
+        ("https://example.com?b=2&a=1", "https://example.com/?a=1&b=2"),
+    ],
+)
+def test_canonicalize_url(spark, raw, want):
+    assert _canon(spark, raw) == want
+
+
+def test_part_extractors(spark):
+    df = spark.createDataFrame(
+        [("HTTPS://www.En.Src7.COM:8443/a?x=1#f",), ("no-scheme-junk",)],
+        "url string",
+    )
+    rows = df.select(
+        url_scheme(F.col("url")).alias("s"),
+        url_host(F.col("url")).alias("h"),
+        url_port(F.col("url")).alias("p"),
+        registrable_domain(url_host(F.col("url"))).alias("d"),
+    ).collect()
+    assert (rows[0]["s"], rows[0]["h"], rows[0]["p"], rows[0]["d"]) == (
+        "https",
+        "www.en.src7.com",
+        "8443",
+        "src7.com",
+    )
+    # scheme-less crawl junk parses authority-first, never errors:
+    # the token becomes the host, registrable domain degrades to ''
+    assert (rows[1]["s"], rows[1]["h"], rows[1]["p"], rows[1]["d"]) == (
+        "",
+        "no-scheme-junk",
+        "",
+        "",
+    )
+
+
+def test_url_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://example.com/x?utm_source=a"),
+            (2, "HTTPS://WWW.EXAMPLE.COM/x"),
+            (3, "https://example.com:443/x/"),
+            (4, "https://example.com/y"),
+        ],
+        "doc_id long, url string",
+    )
+    got = {
+        r["canonical_url"]: (r["keep_id"], r["n_dups"])
+        for r in url_dedup(df).collect()
+    }
+    assert got == {
+        "https://example.com/x": (1, 3),
+        "https://example.com/y": (4, 1),
+    }
+
+
+def _cap_corpus(spark):
+    rows = [
+        (i, f"https://{'big' if i < 40 else 'small'}.example-corp.com/p{i}")
+        for i in range(46)
+    ]
+    # big.example-corp.com and small.example-corp.com share the registrable
+    # domain example-corp.com — 46 docs on ONE domain
+    return spark.createDataFrame(rows, "doc_id long, url string")
+
+
+def test_domain_cap_exact(spark):
+    df = _cap_corpus(spark)
+    kept = domain_cap(df, 10).collect()
+    assert len(kept) == 10
+    assert all(r["domain"] == "example-corp.com" for r in kept)
+    # deterministic: same answer twice
+    again = sorted(r["doc_id"] for r in domain_cap(df, 10).collect())
+    assert sorted(r["doc_id"] for r in kept) == again
+    # under-cap domain passes through untouched
+    assert domain_cap(df, 100).count() == 46
+    with pytest.raises(ValueError):
+        domain_cap(df, 0)
+
+
+def test_domain_cap_approx_binomial_and_undercap(spark):
+    df = _cap_corpus(spark)
+    n = domain_cap_approx(df, 10).count()
+    # admission is binomial(46, 10/46): exact count varies, bounded sanity
+    assert 2 <= n <= 25
+    # n <= cap short-circuits the threshold (rate >= 1 would truncate the
+    # 9-hex-digit threshold and wrongly drop ~15/16 of rows)
+    assert domain_cap_approx(df, 46).count() == 46
+    assert domain_cap_approx(df, 1000).count() == 46
+    # deterministic
+    assert domain_cap_approx(df, 10).count() == n
+
+
+def test_domain_stats_shares_sum_to_one(spark):
+    df = spark.createDataFrame(
+        [(i, f"https://d{i % 4}.com/x{i}") for i in range(40)],
+        "doc_id long, url string",
+    )
+    rows = domain_stats(df).collect()
+    assert {r["domain"] for r in rows} == {f"d{k}.com" for k in range(4)}
+    assert all(r["n_docs"] == 10 for r in rows)
+    assert abs(sum(r["doc_share"] for r in rows) - 1.0) < 1e-6
