@@ -5858,78 +5858,12 @@ def doc_domain_hash_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registered name present exactly once — ordered_queries() asserts it.
 
 VERIFY_ORDER: list[str] = [
-    "doc_url_dedup",
-    "domain_contribution_caps",
-    "doc_domain_hash_cap",
-    # ── r7 re-cut (r6 VERDICT #1 — the standing rotate rule). Rule:
-    # new > touched-this-round > stalest-driver-row > fresh > rows-only.
-    # The driver records rows for the FIRST 50 entries only.
-    # tier 0a — never verified (new in r7): Q17/Q19 shapes, the
-    # composed curation funnel, the Q6/Q8/Q9/Q10/Q14/Q15/Q20 shapes,
-    # and the paragraph-level dedup
-    "small_quantity_revenue",
-    "brand_bracket_revenue",
-    "corpus_curation_funnel",
-    "forecast_revenue_change",
-    "nation_market_share",
-    "product_type_profit",
-    "returned_item_customers",
-    "promo_revenue_share",
-    "top_supplier_revenue",
-    "concentrated_part_suppliers",
-    "doc_paragraph_dedup",
-    "late_shipment_priority_counts",
-    "local_supplier_volume",
-    "doc_temperature_mixture_sample",
-    "doc_upsample_to_parity",
-    "doc_multi_benchmark_contamination",
-    # tier 0b — code touched in r7 (broadcast de-hinting sweep, the
-    # distinct_stats_exact Expand-free rewrite, rolling limit(65),
-    # sampling/scaling/dedup hint removals, ANN limit(10)): r6 rows
-    # don't cover the new code
-    "distinct_stats_exact",
-    "min_cost_supplier",
-    "sole_blame_suppliers",
-    "nation_volume_shipping",
-    "nation_trade_volume",
-    "parts_supplier_relationship",
-    "event_value_winsorized",
-    "brand_supplier_stats",
-    "event_value_scaled",
-    "embedding_topk_bruteforce",
-    "features_daily",
-    "pit_training_data",
-    "pit_training_multi",
-    "doc_stratified_sample",
-    "corpus_dedup_apply",
-    "dedup_ngram_jaccard",
-    "dedup_incremental_batch",
-    # tier 1 — last driver row in r3, four rounds old (the r6 stale-12
-    # minus the two already in tier 0b)
-    "bloom_filtered_order_revenue",
-    "doc_tfidf_top_terms",
-    "doc_weighted_sample",
-    "dq_orders_audit",
-    "embedding_vector_stats",
-    "feature_snapshot_diff",
-    "fuzzy_part_names",
-    "lineitem_correlations",
-    "nation_share_of_region",
-    "orders_with_late_lineitems",
-    # tier 2 — last driver row in r4, three rounds old (7 of 25 fit
-    # after the thirteen r7-new additions; the 18 overflow below MUST
-    # lead the r8 window)
-    "important_part_share",
-    "pricing_summary",
-    "revenue_by_nation",
-    "top_orders_per_priority",
-    "customer_segment_stats",
-    "doc_text_stats",
-    "doc_lang_id",
-    # ── slot 51+: not in the r7 driver window ──
-    # tier 3 — r4-green overflow: 4 rounds stale at r8, so they
-    # front-load the r8 re-cut (local 3-SF gate replica covers them
-    # meanwhile)
+    # ── r8 re-cut (standing rotate rule: new > touched-this-round >
+    # stalest-driver-row > fresh > rows-only; the driver records rows for
+    # the FIRST 50 entries only).
+    # tier 0a — the r7 tier-3 overflow: last driver row r4, four rounds
+    # stale, promised the r8 lead slot (r7 VERDICT #2). Five of these were
+    # ALSO touched by the r8 floor-rounding sweep.
     "doc_quality_filter",
     "doc_sequence_packing",
     "doc_balanced_mixture_sample",
@@ -5948,16 +5882,85 @@ VERIFY_ORDER: list[str] = [
     "user_event_patterns",
     "doc_quality_tiers",
     "user_weekly_distinct_exact",
-    # tier 4 — freshest greens: every query here has an r5 or r6
-    # driver row (the r5/r6 windows), untouched this round
+    # tier 0b — never verified (new in r8): the URL/domain curation tier
+    "doc_url_dedup",
+    "domain_contribution_caps",
+    "doc_domain_hash_cap",
+    # tier 0c — oracled queries whose compute changed this round: the
+    # round()->floor(x*10^d+0.5)/10^d portability sweep (operators and/or
+    # oracle mirrors), and top_supplier_revenue's persist removal
+    "dedup_ngram_jaccard",
+    "dedup_incremental_batch",
+    "corpus_dedup_apply",
+    "corpus_curation_funnel",
+    "doc_text_stats",
+    "doc_repetition_scores",
+    "doc_tfidf_top_terms",
+    "embedding_topk_bruteforce",
+    "embedding_cosine_pairs",
+    "embedding_int8_quant",
+    "doc_content_centrality",
+    "funnel_conversion",
+    "cohort_retention_weekly",
+    "event_value_scaled",
+    "important_part_share",
+    "pricing_summary",
+    "quantiles_by_returnflag",
+    "json_props_stats",
+    "user_running_value",
+    "multimodal_frame_sample",
+    "lineitem_metrics_long",
+    "order_rank_metrics",
+    "nation_share_of_region",
+    "lineitem_correlations",
+    "embedding_vector_stats",
+    "top_supplier_revenue",
+    # tier 0d — stalest untouched greens (r5 rows) fill the window
     "latest_event_per_user",
     "large_volume_customers",
     "dormant_rich_customers",
+    # ── slot 51+: not in the r8 driver window ──
+    # remaining queries keep their r7 relative order (r5-r7 driver rows,
+    # or rows-only by nature at the back); the local 3-SF gate replica
+    # covers them every round
+    "small_quantity_revenue",
+    "brand_bracket_revenue",
+    "forecast_revenue_change",
+    "nation_market_share",
+    "product_type_profit",
+    "returned_item_customers",
+    "promo_revenue_share",
+    "concentrated_part_suppliers",
+    "doc_paragraph_dedup",
+    "late_shipment_priority_counts",
+    "local_supplier_volume",
+    "doc_temperature_mixture_sample",
+    "doc_upsample_to_parity",
+    "doc_multi_benchmark_contamination",
+    "distinct_stats_exact",
+    "min_cost_supplier",
+    "sole_blame_suppliers",
+    "nation_volume_shipping",
+    "nation_trade_volume",
+    "parts_supplier_relationship",
+    "event_value_winsorized",
+    "brand_supplier_stats",
+    "features_daily",
+    "pit_training_data",
+    "pit_training_multi",
+    "doc_stratified_sample",
+    "bloom_filtered_order_revenue",
+    "doc_weighted_sample",
+    "dq_orders_audit",
+    "feature_snapshot_diff",
+    "fuzzy_part_names",
+    "orders_with_late_lineitems",
+    "revenue_by_nation",
+    "top_orders_per_priority",
+    "customer_segment_stats",
+    "doc_lang_id",
     "dedup_exact_props",
-    "embedding_cosine_pairs",
-    "doc_repetition_scores",
     "doc_decontaminate",
-    "embedding_int8_quant",
     "set_ops_users",
     "rollup_order_revenue",
     "cube_event_counts",
@@ -5967,11 +5970,8 @@ VERIFY_ORDER: list[str] = [
     "daily_event_deltas",
     "event_type_pivot",
     "supplier_revenue_salted",
-    "quantiles_by_returnflag",
-    "json_props_stats",
     "user_event_type_arrays",
     "weekly_event_buckets",
-    "user_running_value",
     "date_dimension",
     "doc_hash_sample",
     "doc_hash_split_counts",
@@ -5983,18 +5983,10 @@ VERIFY_ORDER: list[str] = [
     "nearest_click_to_purchase",
     "event_promo_attribution",
     "multimodal_decode",
-    "doc_content_centrality",
-    "multimodal_frame_sample",
-    "lineitem_metrics_long",
-    "order_rank_metrics",
     "shipping_priority",
-    "funnel_conversion",
     "user_value_gap_fill",
-    "cohort_retention_weekly",
     "purchase_value_intervals",
     "customer_order_distribution",
-    # tier 5 — rows-only by nature (no oracle): a driver row can never
-    # upgrade these past runs-without-error, already banked in r4
     "embedding_corpus_curate",
     "dedup_minhash_lsh",
     "dedup_simhash",
