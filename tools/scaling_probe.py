@@ -375,8 +375,100 @@ def run_scale(spark, d: Path, only: set[str] | None = None) -> dict[str, float]:
             ],
         )
 
+    # ── r7-new operator probes (r7 VERDICT #4): paragraph dedup,
+    # per-benchmark decontamination, fractional-epoch upsampling,
+    # temperature mixture sampling — plus the r8 URL/domain tier ──
+    from mini_feature_store_spark.operators.sampling import (
+        temperature_mixture_sample,
+        upsample_epochs,
+    )
+    from mini_feature_store_spark.operators.text import (
+        decontaminate_multi,
+        paragraph_dedup,
+    )
+    from mini_feature_store_spark.operators.urls import (
+        domain_cap_approx,
+        url_dedup,
+    )
+
+    # paragraphized corpus: shared header/footer boilerplate on every doc
+    # (df = N — the worst-case hot key for the frequency aggregate), the
+    # Zipf body as the middle paragraph (unique except planted near-dups)
+    para_docs = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("subscribe to our newsletter today\n"),
+            F.col("text"),
+            F.lit("\ncopyright 2024 example corp all rights reserved"),
+        ).alias("text"),
+    )
+
+    def _paragraph_dedup_exact():
+        return paragraph_dedup(para_docs, min_docs=2, exact=True)
+
+    def _paragraph_dedup_hash():
+        # the 100 TB operating point: 8-byte keys on the shuffle
+        return paragraph_dedup(para_docs, min_docs=2, exact=False)
+
+    def _decontaminate_multi():
+        # 3 benchmarks of ~1% of the corpus each: the realistic shape
+        # (eval sets are tiny vs the corpus; contamination is sparse
+        # because only planted near-dups overlap)
+        bench = docs.where(F.col("doc_id") % 97 == 0).select(
+            F.col("text"),
+            F.concat(F.lit("bench"), (F.col("doc_id") % 3).cast("string")).alias(
+                "benchmark"
+            ),
+        )
+        return decontaminate_multi(docs, bench, n=3, threshold=0.1)
+
+    def _upsample_epochs():
+        # rate 2.5: every doc twice + half admitted a third time
+        return upsample_epochs(docs, ["doc_id"], F.lit(2.5))
+
+    def _temperature_sample():
+        # strata = leading text word class via doc_id buckets (synthetic
+        # corpus has no source col); 16 skewed strata from the Zipf ids
+        strata = docs.withColumn(
+            "src", (F.floor(F.sqrt(F.col("doc_id") + 1)) % 16).cast("string")
+        )
+        return temperature_mixture_sample(strata, ["doc_id"], "src", alpha=0.5)
+
+    def _urlify(d):
+        did = F.col("doc_id")
+        return d.withColumn(
+            "url",
+            F.concat(
+                F.when(did % 2 == 0, F.lit("https")).otherwise(F.lit("HTTPS")),
+                F.lit("://"),
+                F.when(did % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+                F.lit("d"),
+                (did % 2000).cast("string"),
+                F.lit(".example.com/p"),
+                (did % 500).cast("string"),
+                F.when(did % 3 == 0, F.lit("?utm_source=rss&b=2&a=1")).otherwise(
+                    F.lit("")
+                ),
+            ),
+        )
+
+    def _url_dedup():
+        return url_dedup(_urlify(docs))
+
+    def _domain_cap_approx():
+        # 2000 domains, celebrity-free by construction; the operator's
+        # skew story is the rate-threshold admission itself
+        return domain_cap_approx(_urlify(docs), 20)
+
     ops.update(
         {
+            "paragraph_dedup_exact": _paragraph_dedup_exact,
+            "paragraph_dedup_hash": _paragraph_dedup_hash,
+            "decontaminate_multi_3bench": _decontaminate_multi,
+            "upsample_epochs_r2_5": _upsample_epochs,
+            "temperature_sample_a05": _temperature_sample,
+            "url_dedup": _url_dedup,
+            "domain_cap_approx": _domain_cap_approx,
             "pagerank_5it": _pagerank,
             "video_phash_neardup": _video_neardup,
             "winsorize_events": _winsorize,
