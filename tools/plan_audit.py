@@ -250,6 +250,36 @@ AUDITED: dict[str, str] = {
         "exchanges before the final 3-group aggregate; the sample filter "
         "variant pushes down like any predicate."
     ),
+    "embedding_topk_ivf": (
+        "r7 flagged 1.23s->2.70s on untouched code; r8 quiet-host "
+        "adjudication (calib probe 0.40 == r6's 0.404): fresh-session "
+        "best-of-3 1.65s (0.42s eager centroid collect at plan build + "
+        "1.2s exec), bench-isolated 2.14s, while IN-SUITE values "
+        "oscillated 2.1s and 9.0s across two otherwise-identical runs "
+        "with a DIFFERENT query spiking each time (multimodal_phash_pairs "
+        "hit 10.6s in the run where ivf was 2.1s, then timed 1.57s "
+        "directly). Verdict: late-suite Python-worker/JVM state, not the "
+        "operator — the plan below is cell-join + window, no quadratic "
+        "term; watch cleared with quiet artifacts, not assumption."
+    ),
+    "doc_url_dedup": (
+        "Canonicalization is a map-only codegen chain (regexp_extract/"
+        "replace, split, array_sort, array_join — zero UDFs) feeding ONE "
+        "hash aggregate on the canonical string; map-side combine "
+        "collapses same-partition duplicate URLs before the exchange."
+    ),
+    "domain_contribution_caps": (
+        "Three consumers of one url projection: per-domain count "
+        "aggregate, bounded 1-row total (hard broadcast allowed — "
+        "global aggregate), and the exact cap's single window exchange "
+        "keyed by domain. Stats join back unhinted (AQE decides)."
+    ),
+    "doc_domain_hash_cap": (
+        "The skew path: one per-domain count aggregate joined back "
+        "(unhinted), admission as a scan-side md5-threshold FILTER — no "
+        "window, no per-domain total order; a celebrity domain costs "
+        "O(rows/partitions) per task, never one task."
+    ),
     "funnel_conversion": (
         "Every per-step conditional-min window stacks on ONE hash exchange "
         "+ sort on user_id (dependent windows share the partitioning); the "
