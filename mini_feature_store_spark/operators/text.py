@@ -236,7 +236,7 @@ def winnow_fingerprints(
     """
     from pyspark.sql import Window
 
-    from mini_feature_store_spark.functions import round_half_up, spread
+    from mini_feature_store_spark.functions import spread
 
     norm = normalize(F.col(text_col))
     toks = _tokens(norm)

@@ -45,14 +45,17 @@ from pyspark.sql import functions as F
 from mini_feature_store_spark.functions import round_half_up
 
 #: Query parameters that never change page identity (analytics trackers).
-#: Matched by prefix on the raw ``key=value`` token.
+#: Matched by prefix on the raw ``key=value`` token. Deliberately NOT
+#: including ``ref=``: unlike utm_/gclid/fbclid it is widely semantic
+#: (git branch selectors, forum thread refs) and a false merge in URL
+#: dedup permanently drops a distinct page — pass a custom
+#: ``strip_prefixes`` to ``canonicalize_url`` for corpora where ``ref``
+#: is known to be referral tracking.
 TRACKING_PARAM_PREFIXES: tuple[str, ...] = (
     "utm_",  # utm_source / utm_medium / utm_campaign / ...
     "gclid=",
     "fbclid=",
     "msclkid=",
-    "ref=",
-    "ref_src=",
 )
 
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
@@ -107,34 +110,39 @@ def _canonical_path(url: Column) -> Column:
     return F.when(stripped == "", F.lit("/")).otherwise(stripped)
 
 
-def _canonical_query(url: Column) -> Column:
+def _canonical_query(
+    url: Column, strip_prefixes: tuple[str, ...] = TRACKING_PARAM_PREFIXES
+) -> Column:
     """Tracking params dropped, remaining ``k=v`` tokens sorted — '' when
     nothing survives (also when the URL had no query at all)."""
     q = F.regexp_extract(_path_and_query(url), r"\?(.*)$", 1)
     parts = F.filter(
         F.split(q, "&"),
         lambda kv: (kv != "")
-        & ~_is_tracking(kv),
+        & ~_is_tracking(kv, strip_prefixes),
     )
     return F.array_join(F.array_sort(parts), "&")
 
 
-def _is_tracking(kv: Column) -> Column:
+def _is_tracking(kv: Column, prefixes: tuple[str, ...]) -> Column:
     cond = F.lit(False)
-    for p in TRACKING_PARAM_PREFIXES:
+    for p in prefixes:
         cond = cond | kv.startswith(p)
     return cond
 
 
-def canonicalize_url(url: Column) -> Column:
+def canonicalize_url(
+    url: Column, strip_prefixes: tuple[str, ...] = TRACKING_PARAM_PREFIXES
+) -> Column:
     """One canonical spelling per page:
 
     - scheme and host lower-cased, leading ``www.`` dropped;
     - default ports stripped (``:80`` for http, ``:443`` for https; any
       other explicit port is kept);
     - fragment dropped;
-    - tracking query params (``TRACKING_PARAM_PREFIXES``) dropped, the
-      survivors sorted; an emptied query loses its ``?``;
+    - tracking query params (prefix-matched against ``strip_prefixes``,
+      default ``TRACKING_PARAM_PREFIXES``) dropped, the survivors sorted;
+      an emptied query loses its ``?``;
     - trailing slashes trimmed from the path ('' → '/').
     """
     scheme = url_scheme(url)
@@ -145,7 +153,7 @@ def canonicalize_url(url: Column) -> Column:
         & ~((scheme == "http") & (port == "80"))
         & ~((scheme == "https") & (port == "443"))
     )
-    q = _canonical_query(url)
+    q = _canonical_query(url, strip_prefixes)
     return F.concat(
         scheme,
         F.lit("://"),
@@ -218,22 +226,27 @@ def domain_cap(
     documents per registrable domain, chosen by deterministic md5 hash
     order (ties impossible: the id is in the hash input and breaks them).
 
-    Adds ``domain``; preserves all input columns. One window shuffle keyed
-    by domain — correct and exact, but a celebrity domain serializes into
-    one task; use ``domain_cap_approx`` when the domain distribution is
-    crawl-shaped."""
+    Returns the input columns UNCHANGED (internal working columns use a
+    collision-safe prefix and are dropped — a pre-existing ``domain``
+    column in a crawl table passes through untouched; recompute the
+    grouping key with ``registrable_domain(url_host(col))`` if needed).
+    One window shuffle keyed by domain — correct and exact, but a
+    celebrity domain serializes into one task; use ``domain_cap_approx``
+    when the domain distribution is crawl-shaped."""
     if max_per_domain <= 0:
         raise ValueError(
             f"max_per_domain must be positive, got {max_per_domain}"
         )
     dom = registrable_domain(url_host(F.col(url_col)))
-    w = Window.partitionBy("domain").orderBy("_adm", id_col)
+    w = Window.partitionBy("_mfss_dom").orderBy("_mfss_adm", id_col)
     return (
-        df.withColumn("domain", dom)
-        .withColumn("_adm", _admission_hash(F.col("domain"), F.col(id_col)))
-        .withColumn("_rk", F.row_number().over(w))
-        .where(F.col("_rk") <= max_per_domain)
-        .drop("_adm", "_rk")
+        df.withColumn("_mfss_dom", dom)
+        .withColumn(
+            "_mfss_adm", _admission_hash(F.col("_mfss_dom"), F.col(id_col))
+        )
+        .withColumn("_mfss_rk", F.row_number().over(w))
+        .where(F.col("_mfss_rk") <= max_per_domain)
+        .drop("_mfss_dom", "_mfss_adm", "_mfss_rk")
     )
 
 
@@ -252,7 +265,10 @@ def domain_cap_approx(
     price for having NO per-domain total order: after one bounded
     count aggregate (AQE handles its skew; aggregation skew needs
     nothing — r7 skew probe), admission is a pure scan-side filter, so a
-    domain with 10⁹ rows costs the same per row as one with 10."""
+    domain with 10⁹ rows costs the same per row as one with 10.
+
+    Returns the input columns UNCHANGED (same contract as
+    ``domain_cap``)."""
     from mini_feature_store_spark.operators.sampling import _col_threshold
 
     if max_per_domain <= 0:
@@ -260,21 +276,23 @@ def domain_cap_approx(
             f"max_per_domain must be positive, got {max_per_domain}"
         )
     dom = registrable_domain(url_host(F.col(url_col)))
-    with_dom = df.withColumn("domain", dom)
-    counts = with_dom.groupBy("domain").agg(
-        F.count(F.lit(1)).alias("_n")
+    with_dom = df.withColumn("_mfss_dom", dom)
+    counts = with_dom.groupBy("_mfss_dom").agg(
+        F.count(F.lit(1)).alias("_mfss_n")
     )
-    rate = F.least(F.lit(float(max_per_domain)) / F.col("_n"), F.lit(1.0))
+    rate = F.least(
+        F.lit(float(max_per_domain)) / F.col("_mfss_n"), F.lit(1.0)
+    )
     return (
-        with_dom.join(counts, "domain")
+        with_dom.join(counts, "_mfss_dom")
         .where(
-            (F.col("_n") <= max_per_domain)
+            (F.col("_mfss_n") <= max_per_domain)
             | (
                 F.substring(
-                    _admission_hash(F.col("domain"), F.col(id_col)), 1, 8
+                    _admission_hash(F.col("_mfss_dom"), F.col(id_col)), 1, 8
                 )
                 < _col_threshold(rate)
             )
         )
-        .drop("_n")
+        .drop("_mfss_dom", "_mfss_n")
     )

@@ -74,6 +74,12 @@ def run_corpus_curation(
     docs = spark.read.parquet(cfg.input_path)
     funnel: dict[str, int] = {"input": docs.count()}
 
+    if cfg.max_per_domain is not None and cfg.url_col is None:
+        raise ValueError(
+            "max_per_domain requires url_col — the cap groups by the "
+            "registrable domain parsed from the URL column"
+        )
+    stage0 = None
     if cfg.url_col is not None:
         from mini_feature_store_spark.operators.urls import (
             domain_cap,
@@ -83,13 +89,20 @@ def run_corpus_curation(
         keep = url_dedup(docs, cfg.url_col, cfg.id_col).select(
             F.col("keep_id").alias(cfg.id_col)
         )
-        docs = docs.join(keep, cfg.id_col, "left_semi")
+        # persisted: the stage-0 result feeds its funnel count, the
+        # optional cap, AND the quality gate — without this the
+        # canonicalize+dedup subtree (the most expensive scans on a
+        # crawl-shaped input) recomputes up to three times
+        docs = docs.join(keep, cfg.id_col, "left_semi").persist()
+        stage0 = docs
         funnel["after_url_dedup"] = docs.count()
         if cfg.max_per_domain is not None:
-            docs = domain_cap(
+            capped = domain_cap(
                 docs, cfg.max_per_domain, cfg.url_col, cfg.id_col
-            ).drop("domain")
-            funnel["after_domain_cap"] = docs.count()
+            ).persist()
+            funnel["after_domain_cap"] = capped.count()
+            stage0.unpersist()
+            docs = stage0 = capped
 
     gate = quality_filter(
         docs,
@@ -102,6 +115,8 @@ def run_corpus_curation(
         gate.where(F.col("kept")).select(cfg.id_col), cfg.id_col, "left_semi"
     ).persist()
     funnel["after_quality"] = admitted.count()
+    if stage0 is not None:
+        stage0.unpersist()
 
     keep_ids = exact_dedup(admitted, cfg.text_col, cfg.id_col).select(
         F.col("keep_id").alias(cfg.id_col)

@@ -5705,8 +5705,7 @@ canon AS (
       array_to_string(list_sort(list_filter(str_split(q, '&'),
         p -> p <> '' AND NOT starts_with(p, 'utm_')
           AND NOT starts_with(p, 'gclid=') AND NOT starts_with(p, 'fbclid=')
-          AND NOT starts_with(p, 'msclkid=') AND NOT starts_with(p, 'ref=')
-          AND NOT starts_with(p, 'ref_src='))), '&') AS cq
+          AND NOT starts_with(p, 'msclkid='))), '&') AS cq
     FROM comps
   )
 )
@@ -5790,7 +5789,12 @@ def domain_contribution_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast total) with ``domain_cap`` (one window shuffle keyed by
     domain; the skew-proof variant is ``domain_cap_approx``, oracled by
     ``doc_domain_hash_cap``)."""
-    from mini_feature_store_spark.operators.urls import domain_cap, domain_stats
+    from mini_feature_store_spark.operators.urls import (
+        domain_cap,
+        domain_stats,
+        registrable_domain,
+        url_host,
+    )
 
     _utc(spark)
     docs = load_testdata(spark, sf_dir, "documents")["documents"]
@@ -5798,7 +5802,7 @@ def domain_contribution_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = domain_stats(with_url, "url", "doc_id")
     kept = (
         domain_cap(with_url, 15, "url", "doc_id")
-        .groupBy("domain")
+        .groupBy(registrable_domain(url_host(F.col("url"))).alias("domain"))
         .agg(F.count(F.lit(1)).alias("n_kept"))
     )
     return stats.join(kept, "domain").select(
@@ -5836,7 +5840,11 @@ def doc_domain_hash_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     order, so a celebrity domain never serializes into one window task.
     Shares the sampler family's truncating ``FLOOR(rate·2³²)`` threshold
     convention; returns per-domain admitted counts (≈15 where capped)."""
-    from mini_feature_store_spark.operators.urls import domain_cap_approx
+    from mini_feature_store_spark.operators.urls import (
+        domain_cap_approx,
+        registrable_domain,
+        url_host,
+    )
 
     _utc(spark)
     docs = load_testdata(spark, sf_dir, "documents")["documents"]
@@ -5844,7 +5852,7 @@ def doc_domain_hash_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         domain_cap_approx(
             docs.withColumn("url", _doc_url()), 15, "url", "doc_id"
         )
-        .groupBy("domain")
+        .groupBy(registrable_domain(url_host(F.col("url"))).alias("domain"))
         .agg(F.count(F.lit(1)).alias("n_admitted"))
     )
 

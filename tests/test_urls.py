@@ -45,8 +45,14 @@ def _canon(spark, url: str) -> str:
         ),
         ("https://example.com/x?utm_campaign=c", "https://example.com/x"),
         (
-            "https://example.com/x?gclid=g&fbclid=f&ref=r&z=1",
+            "https://example.com/x?gclid=g&fbclid=f&msclkid=m&z=1",
             "https://example.com/x?z=1",
+        ),
+        # ref= is SEMANTIC by default (git branch selectors etc.) — kept;
+        # corpora where it is referral tracking pass strip_prefixes
+        (
+            "https://example.com/x?ref=main",
+            "https://example.com/x?ref=main",
         ),
         # trailing slashes trimmed; bare host gets '/'
         ("https://example.com/x///", "https://example.com/x"),
@@ -122,20 +128,38 @@ def _cap_corpus(spark):
 
 def test_domain_cap_exact(spark):
     df = _cap_corpus(spark)
-    kept = domain_cap(df, 10).collect()
-    assert len(kept) == 10
-    assert all(r["domain"] == "example-corp.com" for r in kept)
+    kept = domain_cap(df, 10)
+    # input columns pass through UNCHANGED — no internal columns leak
+    assert kept.columns == df.columns
+    rows = kept.collect()
+    assert len(rows) == 10
     # deterministic: same answer twice
     again = sorted(r["doc_id"] for r in domain_cap(df, 10).collect())
-    assert sorted(r["doc_id"] for r in kept) == again
+    assert sorted(r["doc_id"] for r in rows) == again
     # under-cap domain passes through untouched
     assert domain_cap(df, 100).count() == 46
     with pytest.raises(ValueError):
         domain_cap(df, 0)
 
 
+def test_domain_cap_preserves_user_domain_column(spark):
+    """A crawl table often carries its own 'domain' column; the cap must
+    not overwrite or drop it (r8 review finding)."""
+    df = spark.createDataFrame(
+        [(i, f"https://d{i % 2}.com/x{i}", "user-value") for i in range(8)],
+        "doc_id long, url string, domain string",
+    )
+    out = domain_cap(df, 2)
+    assert out.columns == ["doc_id", "url", "domain"]
+    assert all(r["domain"] == "user-value" for r in out.collect())
+    out2 = domain_cap_approx(df, 2)
+    assert out2.columns == ["doc_id", "url", "domain"]
+    assert all(r["domain"] == "user-value" for r in out2.collect())
+
+
 def test_domain_cap_approx_binomial_and_undercap(spark):
     df = _cap_corpus(spark)
+    assert domain_cap_approx(df, 10).columns == df.columns
     n = domain_cap_approx(df, 10).count()
     # admission is binomial(46, 10/46): exact count varies, bounded sanity
     assert 2 <= n <= 25

@@ -444,7 +444,7 @@ def run_scale(spark, d: Path, only: set[str] | None = None) -> dict[str, float]:
                 F.when(did % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
                 F.lit("d"),
                 (did % 2000).cast("string"),
-                F.lit(".example.com/p"),
+                F.lit(".com/p"),
                 (did % 500).cast("string"),
                 F.when(did % 3 == 0, F.lit("?utm_source=rss&b=2&a=1")).otherwise(
                     F.lit("")
@@ -456,9 +456,24 @@ def run_scale(spark, d: Path, only: set[str] | None = None) -> dict[str, float]:
         return url_dedup(_urlify(docs))
 
     def _domain_cap_approx():
-        # 2000 domains, celebrity-free by construction; the operator's
-        # skew story is the rate-threshold admission itself
+        # 2000 registrable domains (dN.com), celebrity-free; the
+        # operator's skew story is the rate-threshold admission itself
         return domain_cap_approx(_urlify(docs), 20)
+
+    def _domain_cap_approx_hot():
+        # celebrity shape: 60% of the corpus on ONE domain — the workload
+        # the approx cap exists for (window form serializes it)
+        hot = _urlify(docs).withColumn(
+            "url",
+            F.when(
+                F.col("doc_id") % 10 < 6,
+                F.concat(
+                    F.lit("https://hot.example.com/p"),
+                    (F.col("doc_id") % 500).cast("string"),
+                ),
+            ).otherwise(F.col("url")),
+        )
+        return domain_cap_approx(hot, 20)
 
     ops.update(
         {
@@ -469,6 +484,7 @@ def run_scale(spark, d: Path, only: set[str] | None = None) -> dict[str, float]:
             "temperature_sample_a05": _temperature_sample,
             "url_dedup": _url_dedup,
             "domain_cap_approx": _domain_cap_approx,
+            "domain_cap_approx_hot60": _domain_cap_approx_hot,
             "pagerank_5it": _pagerank,
             "video_phash_neardup": _video_neardup,
             "winsorize_events": _winsorize,
