@@ -604,3 +604,117 @@ def ngram_jaccard_against(
         "corpus_id",
         round_half_up(jac).alias("jaccard"),
     ).where(F.col("jaccard") >= threshold)
+
+
+def duplicate_spans(
+    df: DataFrame,
+    k: int = 50,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ExactSubstr-style duplicate-span detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): find, per
+    document, the contiguous token regions covered by ``k``-token windows
+    that also appear in at least ``min_docs`` distinct documents — the
+    verbatim cross-document substrings (mirrored licenses, quoted passages,
+    syndicated paragraphs) that n-gram/MinHash whole-doc scoring cannot
+    localize. Overlapping duplicated windows merge; the output spans are
+    exactly the token ranges Lee et al.'s pipeline cuts (coverage
+    semantics — the union of duplicated windows, not a claim that every
+    sub-window of a merged span is itself duplicated).
+
+    The reference implementation builds a corpus suffix array — inherently
+    sequential and memory-resident. The Spark-first equivalent keys on
+    hashed k-token windows instead (every duplicated substring of length
+    ≥ k contains only duplicated k-windows, so window-level detection finds
+    the same spans with start/end resolution of one token):
+
+    1. one tokenize + window projection per doc (``sequence`` + ``slice``
+       — narrow Generate, whole-stage codegen, no UDF);
+    2. cross-doc window frequency as a TWO-LEVEL hash aggregate
+       ``(doc, hash) → (hash)`` so map-side combine collapses within-doc
+       repeats — the shuffle carries 8-byte xxhash64 keys (the same
+       collision trade-off ``paragraph_dedup(exact=False)`` documents);
+    3. duplicated windows join back (unhinted — boilerplate vocabulary is
+       O(corpus) on a real crawl, AQE decides);
+    4. overlapping windows merge into maximal spans with one window pass
+       per doc: a span breaks where a window's start exceeds the running
+       max end of everything before it (classic interval merge as
+       ``max().over(rowsBetween(unboundedPreceding, -1))`` + running-sum
+       span ids — one shuffle keyed by doc).
+
+    Output: one row per maximal span — ``(id_col, span_id, span_start,
+    span_end, span_len, n_windows)``; token positions are 1-based
+    inclusive. Documents with no duplicated window emit no rows. Spans are
+    evidence for the caller's cut/drop policy (Lee et al. cut the span;
+    Gopher-style filters drop the doc above a coverage threshold).
+    """
+    if k < 2:
+        raise ValueError(f"k must be at least 2, got {k}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be at least 2, got {min_docs}")
+    from pyspark.sql import Window
+
+    toks = _tokens(normalize(F.col(text_col)))
+    wins = (
+        spread(df)
+        .select(
+            F.col(id_col).alias("id"),
+            toks.alias("_toks"),
+            # docs shorter than k emit no windows: sequence(1, 0) would
+            # DESCEND ([1, 0]) and fabricate positions, so gate on size
+            F.explode(
+                F.when(
+                    F.size(toks) >= k,
+                    F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("pos"),
+        )
+        .select(
+            "id",
+            "pos",
+            F.xxhash64(F.array_join(F.slice("_toks", F.col("pos"), k), " ")).alias(
+                "h"
+            ),
+        )
+    )
+    dup = (
+        wins.groupBy("id", "h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= min_docs)
+        .select("h")
+    )
+    marked = wins.join(dup, "h").select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + (k - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = (
+        marked.withColumn(
+            "_new",
+            F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0),
+        )
+        .withColumn(
+            "span_id",
+            F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("id", "span_id")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (k - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+    )
+    return spans.select(
+        F.col("id").alias(id_col),
+        F.col("span_id").cast("long"),
+        F.col("span_start").cast("long"),
+        F.col("span_end").cast("long"),
+        (F.col("span_end") - F.col("span_start") + 1).cast("long").alias(
+            "span_len"
+        ),
+        F.col("n_windows").cast("long"),
+    )

@@ -5857,6 +5857,60 @@ def doc_domain_hash_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@_q(
+    "doc_duplicate_spans",
+    f"""
+WITH docs AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         [{{'pos': i, 'win': array_to_string(toks[i:i+3], ' ')}}
+          for i in generate_series(1, len(toks) - 3)] AS wins
+  FROM docs WHERE len(toks) >= 4
+),
+w AS (SELECT doc_id, unnest(wins, recursive := true) FROM g),
+d AS (
+  SELECT win FROM w GROUP BY win HAVING COUNT(DISTINCT doc_id) >= 2
+),
+m AS (SELECT w.doc_id, w.pos FROM w JOIN d USING (win)),
+s AS (
+  SELECT doc_id, pos,
+    CASE WHEN MAX(pos + 3) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+          OR pos > MAX(pos + 3) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         THEN 1 ELSE 0 END AS is_new
+  FROM m
+),
+sp AS (
+  SELECT doc_id, pos,
+         SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+  FROM s
+)
+SELECT doc_id,
+       CAST(span_id AS BIGINT) AS span_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + 3 AS BIGINT) AS span_end,
+       CAST(MAX(pos) + 3 - MIN(pos) + 1 AS BIGINT) AS span_len,
+       CAST(COUNT(*) AS BIGINT) AS n_windows
+FROM sp GROUP BY doc_id, span_id
+""",
+)
+def doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicate spans (Lee et al. 2022) at k=4 tokens,
+    min_docs=2: per document, the contiguous token regions covered by
+    cross-document duplicated 4-token windows (production k is ~50; the
+    testdata vocabulary needs k=4 for real cross-doc duplicates to
+    exist). The oracle keys windows by their TEXT while the operator keys
+    by xxhash64 — a hash-mode equivalence check, like paragraph_dedup's."""
+    from mini_feature_store_spark.operators.dedup import duplicate_spans
+
+    _utc(spark)
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    return duplicate_spans(docs, k=4, min_docs=2)
+
+
 # ── driver verification order ───────────────────────────────────────────────
 # The correctness driver evaluates only the FIRST 50 entries of the registry
 # dict, in insertion order. Registration order above is thematic; this list is
@@ -5923,6 +5977,8 @@ VERIFY_ORDER: list[str] = [
     "lineitem_correlations",
     "embedding_vector_stats",
     "top_supplier_revenue",
+    # tier 0b2 — new mid-round: ExactSubstr duplicate spans
+    "doc_duplicate_spans",
     # tier 0d — stalest untouched greens (r5 rows) fill the window
     "latest_event_per_user",
     "large_volume_customers",

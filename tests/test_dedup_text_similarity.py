@@ -535,3 +535,59 @@ def test_int8_topk_matches_bruteforce(spark, sf_dir):
     }
     hits = sum(1 for key, n in got.items() if want.get(key) == n)
     assert hits / len(want) >= 0.95, (hits, len(want))
+
+
+def test_duplicate_spans_planted_substring(spark):
+    """ExactSubstr-style spans: a verbatim 6-token license blurb shared by
+    two docs is found in BOTH with correct 1-based token bounds; unique
+    text produces no spans; overlapping windows merge into ONE span."""
+    from mini_feature_store_spark.operators.dedup import duplicate_spans
+
+    blurb = "licensed under the apache software foundation"  # 6 tokens
+    df = spark.createDataFrame(
+        [
+            (1, f"alpha bravo {blurb} charlie delta"),
+            (2, f"echo {blurb} foxtrot golf hotel india"),
+            (3, "nothing shared here at all whatsoever kilo lima"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["span_len"], r["n_windows"])
+        for r in duplicate_spans(df, k=4, min_docs=2).collect()
+    }
+    # doc 1: blurb tokens are positions 3-8 -> windows at 3,4,5 merge
+    # doc 2: positions 2-7 -> windows at 2,3,4 merge
+    assert got == {1: (3, 8, 6, 3), 2: (2, 7, 6, 3)}
+
+
+def test_duplicate_spans_gap_splits_and_short_docs(spark):
+    """Two separated shared regions yield two spans; docs shorter than k
+    emit nothing (the sequence(1,0)-descends guard); k/min_docs validated."""
+    import pytest
+
+    from mini_feature_store_spark.operators.dedup import duplicate_spans
+
+    a = "one two three four"      # shared region A (4 tokens = one window)
+    b = "five six seven eight"    # shared region B
+    df = spark.createDataFrame(
+        [
+            (1, f"{a} unique1 filler1 filler2 {b}"),
+            (2, f"{a} unique2 other1 other2 {b}"),
+            (3, "tiny doc"),  # < k tokens
+        ],
+        "doc_id long, text string",
+    )
+    rows = duplicate_spans(df, k=4, min_docs=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"])
+        )
+    assert sorted(by_doc[1]) == [(1, 4), (8, 11)]
+    assert sorted(by_doc[2]) == [(1, 4), (8, 11)]
+    assert 3 not in by_doc
+    with pytest.raises(ValueError):
+        duplicate_spans(df, k=1)
+    with pytest.raises(ValueError):
+        duplicate_spans(df, min_docs=1)

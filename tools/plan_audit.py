@@ -262,6 +262,14 @@ AUDITED: dict[str, str] = {
         "operator — the plan below is cell-join + window, no quadratic "
         "term; watch cleared with quiet artifacts, not assumption."
     ),
+    "doc_duplicate_spans": (
+        "ExactSubstr spans: ONE tokenize+window Generate (no UDF), "
+        "two-level (doc,hash)->(hash) frequency aggregate so map-side "
+        "combine collapses within-doc repeats and the shuffle carries "
+        "8-byte keys, unhinted dup-window join back (boilerplate "
+        "vocabulary is O(corpus) — AQE decides), then interval merge in "
+        "one window shuffle keyed by doc."
+    ),
     "doc_url_dedup": (
         "Canonicalization is a map-only codegen chain (regexp_extract/"
         "replace, split, array_sort, array_join — zero UDFs) feeding ONE "

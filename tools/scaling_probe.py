@@ -403,6 +403,14 @@ def run_scale(spark, d: Path, only: set[str] | None = None) -> dict[str, float]:
         ).alias("text"),
     )
 
+    def _duplicate_spans():
+        # the 10% planted near-dups share long verbatim runs (7% word
+        # substitution leaves ~75% of k=4 windows intact) — true spans
+        # grow linearly with N
+        from mini_feature_store_spark.operators.dedup import duplicate_spans
+
+        return duplicate_spans(docs, k=4, min_docs=2)
+
     def _paragraph_dedup_exact():
         return paragraph_dedup(para_docs, min_docs=2, exact=True)
 
@@ -477,6 +485,7 @@ def run_scale(spark, d: Path, only: set[str] | None = None) -> dict[str, float]:
 
     ops.update(
         {
+            "duplicate_spans_k4": _duplicate_spans,
             "paragraph_dedup_exact": _paragraph_dedup_exact,
             "paragraph_dedup_hash": _paragraph_dedup_hash,
             "decontaminate_multi_3bench": _decontaminate_multi,
