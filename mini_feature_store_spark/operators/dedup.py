@@ -718,3 +718,68 @@ def duplicate_spans(
         ),
         F.col("n_windows").cast("long"),
     )
+
+
+def cut_duplicate_spans(
+    df: DataFrame,
+    k: int = 50,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply ``duplicate_spans``: remove every covered token region and
+    re-join the survivors — the actual Lee et al. 2022 treatment (cut the
+    duplicated substring, keep the document).
+
+    Returns one row per INPUT document, including null/empty-text and
+    fully-cut ones: ``(id_col, text_cut, n_spans, n_tokens_cut)``.
+    ``text_cut`` is normalized-token text (lowercased, single-spaced) —
+    the same rebuilt-text contract as ``paragraph_dedup``.
+
+    Plan shape: spans explode to (doc, pos) covered rows — bounded by the
+    corpus token count, not quadratic; one posexplode of the corpus
+    tokens; a LEFT ANTI join on (doc, pos); one groupBy(doc) reassembly
+    via sorted structs (array_sort orders by the leading struct field);
+    metadata rides a left join from the span aggregate so span-free
+    documents keep a row with ``n_spans = 0``.
+    """
+    spans = duplicate_spans(df, k, min_docs, text_col, id_col)
+    covered = spans.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.sequence("span_start", "span_end")).alias("pos"),
+    )
+    toks = spread(df).select(
+        F.col(id_col).alias("id"),
+        F.posexplode_outer(_tokens(normalize(F.col(text_col)))).alias(
+            "_p0", "tok"
+        ),
+    ).where(F.col("tok").isNotNull()).select(
+        "id", (F.col("_p0") + 1).alias("pos"), "tok"
+    )
+    kept = toks.join(covered, ["id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("text_cut")
+    )
+    meta = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_len").alias("n_tokens_cut"),
+    )
+    base = df.select(F.col(id_col))
+    return (
+        base.join(rebuilt.withColumnRenamed("id", id_col), id_col, "left")
+        .join(meta, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("text_cut", F.lit("")).alias("text_cut"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("n_tokens_cut", F.lit(0))
+            .cast("long")
+            .alias("n_tokens_cut"),
+        )
+    )

@@ -5911,6 +5911,79 @@ def doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_spans(docs, k=4, min_docs=2)
 
 
+
+@_q(
+    "doc_cut_duplicate_spans",
+    f"""
+WITH docs AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         [{{'pos': i, 'win': array_to_string(toks[i:i+3], ' ')}}
+          for i in generate_series(1, len(toks) - 3)] AS wins
+  FROM docs WHERE len(toks) >= 4
+),
+w AS (SELECT doc_id, unnest(wins, recursive := true) FROM g),
+d AS (SELECT win FROM w GROUP BY win HAVING COUNT(DISTINCT doc_id) >= 2),
+m AS (SELECT w.doc_id, w.pos FROM w JOIN d USING (win)),
+s AS (
+  SELECT doc_id, pos,
+    CASE WHEN MAX(pos + 3) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+          OR pos > MAX(pos + 3) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         THEN 1 ELSE 0 END AS is_new
+  FROM m
+),
+sp AS (
+  SELECT doc_id, pos,
+         SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+  FROM s
+),
+spans AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(pos) + 3 AS e
+  FROM sp GROUP BY doc_id, span_id
+),
+meta AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+         CAST(SUM(e - s + 1) AS BIGINT) AS n_tokens_cut
+  FROM spans GROUP BY doc_id
+),
+cov AS (SELECT DISTINCT doc_id, unnest(generate_series(s, e)) AS pos FROM spans),
+tok AS (
+  SELECT doc_id, unnest([{{'pos': i, 'tok': toks[i]}}
+                         for i in generate_series(1, len(toks))],
+                        recursive := true)
+  FROM docs
+),
+kept AS (SELECT t.doc_id, t.pos, t.tok FROM tok t ANTI JOIN cov USING (doc_id, pos)),
+rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_cut
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id,
+       COALESCE(r.text_cut, '') AS text_cut,
+       COALESCE(m2.n_spans, 0) AS n_spans,
+       COALESCE(m2.n_tokens_cut, 0) AS n_tokens_cut
+FROM (SELECT doc_id FROM documents) b
+LEFT JOIN rebuilt r ON b.doc_id = r.doc_id
+LEFT JOIN meta m2 ON b.doc_id = m2.doc_id
+""",
+)
+def doc_cut_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the ExactSubstr treatment (Lee et al. 2022 cut the span, keep
+    the doc): remove every cross-document duplicated token region found by
+    ``duplicate_spans`` (k=4, min_docs=2) and rebuild the text; one row
+    per input document with the cut metadata. The oracle rebuilds the
+    same text via text-keyed windows + ordered string_agg — hash-mode AND
+    reassembly equivalence in one row."""
+    from mini_feature_store_spark.operators.dedup import cut_duplicate_spans
+
+    _utc(spark)
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    return cut_duplicate_spans(docs, k=4, min_docs=2)
+
+
 # ── driver verification order ───────────────────────────────────────────────
 # The correctness driver evaluates only the FIRST 50 entries of the registry
 # dict, in insertion order. Registration order above is thematic; this list is
@@ -5977,8 +6050,9 @@ VERIFY_ORDER: list[str] = [
     "lineitem_correlations",
     "embedding_vector_stats",
     "top_supplier_revenue",
-    # tier 0b2 — new mid-round: ExactSubstr duplicate spans
+    # tier 0b2 — new mid-round: ExactSubstr duplicate spans + cut
     "doc_duplicate_spans",
+    "doc_cut_duplicate_spans",
     # tier 0d — stalest untouched greens (r5 rows) fill the window
     "latest_event_per_user",
     "large_volume_customers",

@@ -591,3 +591,30 @@ def test_duplicate_spans_gap_splits_and_short_docs(spark):
         duplicate_spans(df, k=1)
     with pytest.raises(ValueError):
         duplicate_spans(df, min_docs=1)
+
+
+def test_cut_duplicate_spans_rebuild(spark):
+    """The cut treatment removes exactly the covered tokens, keeps order,
+    and keeps every input doc — including span-free and too-short ones."""
+    from mini_feature_store_spark.operators.dedup import cut_duplicate_spans
+
+    blurb = "licensed under the apache software foundation"
+    df = spark.createDataFrame(
+        [
+            (1, f"alpha bravo {blurb} charlie delta"),
+            (2, f"echo {blurb} foxtrot golf hotel india"),
+            (3, "completely unique text with nothing shared kilo lima"),
+            (4, "tiny"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["text_cut"], r["n_spans"], r["n_tokens_cut"])
+        for r in cut_duplicate_spans(df, k=4, min_docs=2).collect()
+    }
+    assert got[1] == ("alpha bravo charlie delta", 1, 6)
+    assert got[2] == ("echo foxtrot golf hotel india", 1, 6)
+    assert got[3] == (
+        "completely unique text with nothing shared kilo lima", 0, 0,
+    )
+    assert got[4] == ("tiny", 0, 0)

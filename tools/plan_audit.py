@@ -270,6 +270,14 @@ AUDITED: dict[str, str] = {
         "vocabulary is O(corpus) — AQE decides), then interval merge in "
         "one window shuffle keyed by doc."
     ),
+    "doc_cut_duplicate_spans": (
+        "Cut treatment: spans explode to covered (doc,pos) rows (bounded "
+        "by corpus token count), LEFT ANTI join against one corpus "
+        "posexplode, groupBy(doc) sorted-struct reassembly — the "
+        "paragraph_dedup rebuild pattern; base left-joins keep span-free "
+        "docs. No second corpus explode for metadata (rides the span "
+        "aggregate)."
+    ),
     "doc_url_dedup": (
         "Canonicalization is a map-only codegen chain (regexp_extract/"
         "replace, split, array_sort, array_join — zero UDFs) feeding ONE "
