@@ -447,3 +447,62 @@ def ann_index_ingest_stream(
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(ingest)
     )
+
+
+def incremental_urldedup_stream(
+    stream: DataFrame,
+    admitted_path: str,
+    checkpoint_dir: str,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+):
+    """Streaming URL-level dedup ingest — the crawl-frontier shape: each
+    micro-batch keeps only documents whose CANONICAL URL (operators/urls.py
+    canonicalization: case, www, default ports, tracking params, fragments,
+    trailing slashes) is new within the batch (first id wins) and absent
+    from the admitted store; novel rows append for future batches to check.
+
+    This is ``incremental_dedup_stream`` with the identity key moved from
+    content fingerprint to canonical URL — the stage that runs BEFORE
+    content even downloads in a real crawler, so the steady-state cost per
+    batch is one canonicalize projection + aggregate over the batch plus
+    an anti join against the url-pruned store. Same exactly-once contract
+    via ``foreachBatch`` (a replayed batch re-anti-joins, admits nothing
+    twice).
+
+    Returns the ``DataStreamWriter`` (caller starts/stops it).
+    """
+    from mini_feature_store_spark.operators.urls import canonicalize_url
+
+    def admit(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        spark = batch_df.sparkSession
+        with_canon = batch_df.withColumn(
+            "canonical_url", canonicalize_url(F.col(url_col))
+        )
+        batch_novel = (
+            with_canon.withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("canonical_url").orderBy(
+                        F.col(id_col).asc()
+                    )
+                ),
+            )
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if _store_exists(spark, admitted_path):
+            # Planner-chosen join (store grows without bound — never force
+            # broadcast); clustering the store by canonical_url enables
+            # file pruning on the probe at scale.
+            seen = spark.read.parquet(admitted_path).select("canonical_url")
+            batch_novel = batch_novel.join(seen, "canonical_url", "left_anti")
+        batch_novel.write.mode("append").parquet(admitted_path)
+
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(admit)
+    )

@@ -430,3 +430,54 @@ def test_ann_index_ingest_stream_appends_probe_visible(spark, tmp_path, sf_dir):
     }
     for qid, (nid, cos) in top.items():
         assert nid == qid + 7000 and cos == 1.0
+
+
+def test_incremental_urldedup_stream_admits_only_novel_urls(spark, tmp_path):
+    """Streaming URL-dedup ingest: batch 2's respellings of admitted URLs
+    (tracking params, case, default ports) and its own internal respellings
+    are rejected; a genuinely new canonical URL is admitted."""
+    from mini_feature_store_spark.streaming.ingest import (
+        incremental_urldedup_stream,
+    )
+
+    src_dir = tmp_path / "incoming"
+    src_dir.mkdir()
+    admitted = str(tmp_path / "admitted")
+    schema = "doc_id long, url string"
+
+    spark.createDataFrame(
+        [
+            (1, "https://example.com/a"),
+            (2, "https://example.com/b"),
+            (3, "HTTPS://WWW.EXAMPLE.COM/a"),  # respelling of 1
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").json(str(src_dir))
+
+    stream = spark.readStream.schema(schema).json(str(src_dir))
+    q = incremental_urldedup_stream(
+        stream, admitted, str(tmp_path / "ckpt")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    out1 = {r.doc_id for r in spark.read.parquet(admitted).collect()}
+    assert out1 == {1, 2}
+
+    spark.createDataFrame(
+        [
+            (10, "https://example.com/a?utm_source=feed"),  # respelling of 1
+            (11, "https://example.com/c"),                  # novel
+            (12, "https://example.com:443/b/"),             # respelling of 2
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").json(str(src_dir))
+    q = incremental_urldedup_stream(
+        stream, admitted, str(tmp_path / "ckpt")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    out2 = {r.doc_id for r in spark.read.parquet(admitted).collect()}
+    assert out2 == {1, 2, 11}
+    # the admitted store carries the canonical key for future pruning
+    cols = set(spark.read.parquet(admitted).columns)
+    assert "canonical_url" in cols
