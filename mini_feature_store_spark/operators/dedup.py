@@ -654,10 +654,28 @@ def duplicate_spans(
         raise ValueError(f"k must be at least 2, got {k}")
     if min_docs < 2:
         raise ValueError(f"min_docs must be at least 2, got {min_docs}")
-    from pyspark.sql import Window
+    wins = _token_windows(df, k, text_col, id_col)
+    dup = (
+        wins.groupBy("id", "h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= min_docs)
+        .select("h")
+    )
+    marked = wins.join(dup, "h").select("id", "pos")
+    return _merge_spans(marked, k, id_col)
 
+
+def _token_windows(
+    df: DataFrame, k: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, pos, h) — every k-token window of every doc, 1-based start
+    positions, 8-byte xxhash64 keys over the joined window text. The one
+    projection every span-level operator shares (codegen sequence+slice
+    Generate, no UDF)."""
     toks = _tokens(normalize(F.col(text_col)))
-    wins = (
+    return (
         spread(df)
         .select(
             F.col(id_col).alias("id"),
@@ -679,15 +697,14 @@ def duplicate_spans(
             ),
         )
     )
-    dup = (
-        wins.groupBy("id", "h")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .groupBy("h")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") >= min_docs)
-        .select("h")
-    )
-    marked = wins.join(dup, "h").select("id", "pos")
+
+
+def _merge_spans(marked: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Interval-merge (id, pos) marked window starts into maximal covered
+    spans: one window pass per doc (span breaks where a start exceeds the
+    running max end), then one aggregate per (doc, span)."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("id").orderBy("pos")
     prev_end = F.max(F.col("pos") + (k - 1)).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
@@ -718,6 +735,44 @@ def duplicate_spans(
         ),
         F.col("n_windows").cast("long"),
     )
+
+
+def contamination_spans(
+    train: DataFrame,
+    benchmark: DataFrame,
+    k: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span-LOCALIZED decontamination (the GPT-3 appendix C / PaLM
+    treatment removes the overlapping WINDOW from the training doc, not
+    the doc): per training document, the contiguous token regions covered
+    by ``k``-token windows that appear verbatim anywhere in the benchmark
+    corpus. ``decontaminate`` answers "how contaminated is this doc";
+    this answers "which tokens", so the caller can cut spans (compose
+    with ``cut_duplicate_spans``' rebuild) instead of dropping documents.
+    Default ``k=13`` is GPT-3's collision window.
+
+    Output: ``(id_col, span_id, span_start, span_end, span_len,
+    n_windows)`` — same schema as ``duplicate_spans``.
+
+    Scale shape: the benchmark side reduces to its DISTINCT window-hash
+    set — ~10⁴-10⁶ rows against a 100 TB corpus — joined UNHINTED (AQE
+    broadcasts when it fits, the decontaminate operator's contract);
+    the corpus pass is the shared window projection + one semi join +
+    the per-doc interval merge. The corpus is never shuffled by window
+    hash.
+    """
+    if k < 2:
+        raise ValueError(f"k must be at least 2, got {k}")
+    wins = _token_windows(train, k, text_col, id_col)
+    bench = (
+        _token_windows(benchmark, k, text_col, id_col)
+        .select("h")
+        .distinct()
+    )
+    marked = wins.join(bench, "h", "left_semi").select("id", "pos")
+    return _merge_spans(marked, k, id_col)
 
 
 def cut_duplicate_spans(

@@ -5984,6 +5984,68 @@ def doc_cut_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cut_duplicate_spans(docs, k=4, min_docs=2)
 
 
+
+@_q(
+    "doc_contamination_spans",
+    f"""
+WITH train AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+               WHERE source <> 'src0'),
+bench AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+          WHERE source = 'src0'),
+tw AS (
+  SELECT doc_id, unnest(
+    [{{'pos': i, 'win': array_to_string(toks[i:i+3], ' ')}}
+     for i in generate_series(1, len(toks) - 3)], recursive := true)
+  FROM train WHERE len(toks) >= 4
+),
+bwl AS (
+  SELECT [array_to_string(toks[i:i+3], ' ')
+          for i in generate_series(1, len(toks) - 3)] AS wins
+  FROM bench WHERE len(toks) >= 4
+),
+bw AS (SELECT DISTINCT unnest(wins) AS win FROM bwl),
+m AS (SELECT tw.doc_id, tw.pos FROM tw SEMI JOIN bw ON tw.win = bw.win),
+s AS (
+  SELECT doc_id, pos,
+    CASE WHEN MAX(pos + 3) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+          OR pos > MAX(pos + 3) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         THEN 1 ELSE 0 END AS is_new
+  FROM m
+),
+sp AS (
+  SELECT doc_id, pos,
+         SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+  FROM s
+)
+SELECT doc_id,
+       CAST(span_id AS BIGINT) AS span_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + 3 AS BIGINT) AS span_end,
+       CAST(MAX(pos) + 3 - MIN(pos) + 1 AS BIGINT) AS span_len,
+       CAST(COUNT(*) AS BIGINT) AS n_windows
+FROM sp GROUP BY doc_id, span_id
+""",
+)
+def doc_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-localized decontamination (GPT-3 appendix C treatment — cut
+    the overlapping window, keep the doc): per training doc (sources ≠
+    src0), the token regions whose 4-token windows appear verbatim in the
+    benchmark stand-in (source = src0). Production k is 13 (GPT-3);
+    the testdata vocabulary needs k=4 for real overlaps to exist."""
+    from mini_feature_store_spark.operators.dedup import contamination_spans
+
+    _utc(spark)
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    return contamination_spans(
+        docs.where(F.col("source") != "src0"),
+        docs.where(F.col("source") == "src0"),
+        k=4,
+    )
+
+
 # ── driver verification order ───────────────────────────────────────────────
 # The correctness driver evaluates only the FIRST 50 entries of the registry
 # dict, in insertion order. Registration order above is thematic; this list is
@@ -6050,10 +6112,13 @@ VERIFY_ORDER: list[str] = [
     "lineitem_correlations",
     "embedding_vector_stats",
     "top_supplier_revenue",
-    # tier 0b2 — new mid-round: ExactSubstr duplicate spans + cut
+    # tier 0b2 — new mid-round: the span family (ExactSubstr find/cut +
+    # span-localized decontamination)
     "doc_duplicate_spans",
     "doc_cut_duplicate_spans",
-    # tier 0d — stalest untouched greens (r5 rows) fill the window
+    "doc_contamination_spans",
+    # ── slot 51+: not in the r8 driver window (tier 0a-0c fill all 50;
+    # these stalest r5 greens re-enter next round) ──
     "latest_event_per_user",
     "large_volume_customers",
     "dormant_rich_customers",

@@ -618,3 +618,36 @@ def test_cut_duplicate_spans_rebuild(spark):
         "completely unique text with nothing shared kilo lima", 0, 0,
     )
     assert got[4] == ("tiny", 0, 0)
+
+
+def test_contamination_spans_localizes_benchmark_overlap(spark):
+    """Span-localized decontamination: the verbatim benchmark sentence is
+    found at its exact token positions in the training doc; clean docs and
+    within-TRAIN-only duplicates produce no spans."""
+    import pytest
+
+    from mini_feature_store_spark.operators.dedup import contamination_spans
+
+    eval_q = "what is the capital of france paris"  # 7 tokens
+    train = spark.createDataFrame(
+        [
+            (1, f"intro words {eval_q} trailing text here"),
+            (2, "perfectly clean training document nothing shared at all"),
+            # docs 3+4 duplicate EACH OTHER but not the benchmark —
+            # must NOT be flagged (that's duplicate_spans' job)
+            (3, "twin content alpha beta gamma delta epsilon zeta"),
+            (4, "twin content alpha beta gamma delta epsilon zeta"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, f"q {eval_q} a")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["span_start"], r["span_end"])
+        for r in contamination_spans(train, bench, k=4).collect()
+    }
+    # doc 1: eval_q occupies tokens 3-9; windows 3..6 merge to [3, 9]
+    assert got == {1: (3, 9)}
+    with pytest.raises(ValueError):
+        contamination_spans(train, bench, k=1)

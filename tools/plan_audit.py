@@ -278,6 +278,13 @@ AUDITED: dict[str, str] = {
         "docs. No second corpus explode for metadata (rides the span "
         "aggregate)."
     ),
+    "doc_contamination_spans": (
+        "Span-localized decontamination: one corpus window Generate, the "
+        "benchmark reduced to a DISTINCT hash set before an unhinted "
+        "LEFT SEMI join (AQE broadcasts when it fits — the decontaminate "
+        "contract), interval merge in one window shuffle keyed by doc. "
+        "The corpus is never shuffled by window hash."
+    ),
     "doc_url_dedup": (
         "Canonicalization is a map-only codegen chain (regexp_extract/"
         "replace, split, array_sort, array_join — zero UDFs) feeding ONE "

@@ -411,6 +411,16 @@ def run_scale(spark, d: Path, only: set[str] | None = None) -> dict[str, float]:
 
         return duplicate_spans(docs, k=4, min_docs=2)
 
+    def _contamination_spans():
+        from mini_feature_store_spark.operators.dedup import (
+            contamination_spans,
+        )
+
+        bench = docs.where(F.col("doc_id") % 97 == 0)
+        return contamination_spans(
+            docs.where(F.col("doc_id") % 97 != 0), bench, k=4
+        )
+
     def _paragraph_dedup_exact():
         return paragraph_dedup(para_docs, min_docs=2, exact=True)
 
@@ -486,6 +496,7 @@ def run_scale(spark, d: Path, only: set[str] | None = None) -> dict[str, float]:
     ops.update(
         {
             "duplicate_spans_k4": _duplicate_spans,
+            "contamination_spans_k4": _contamination_spans,
             "paragraph_dedup_exact": _paragraph_dedup_exact,
             "paragraph_dedup_hash": _paragraph_dedup_hash,
             "decontaminate_multi_3bench": _decontaminate_multi,
