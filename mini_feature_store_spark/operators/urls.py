@@ -88,15 +88,44 @@ def url_port(url: Column) -> Column:
     return F.regexp_extract(_authority(url), r":([0-9]+)$", 1)
 
 
-def registrable_domain(host: Column) -> Column:
-    """Last two dot-labels of a host (``en.src7.com`` → ``src7.com``) —
-    the grouping key for domain-level stats and caps.
+#: Common multi-label public suffixes. The FULL public-suffix list is
+#: ~10k entries and revisioned (publicsuffix.org); a production deployment
+#: passes its own. This default covers the high-traffic two-label
+#: suffixes so ``bbc.co.uk`` groups as ``bbc.co.uk``, not ``co.uk``.
+MULTI_LABEL_SUFFIXES: tuple[str, ...] = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "com.br", "com.cn", "com.mx", "com.tr", "com.ar",
+    "co.in", "co.kr", "co.za", "co.nz",
+)
 
-    A true registrable domain needs the public-suffix list (``co.uk`` has
-    three labels); that table is an optional broadcast join in a real
-    deployment and out of scope here. The two-label approximation is what
-    the operator contract documents and the oracles mirror."""
-    return F.regexp_extract(host, r"([A-Za-z0-9-]+\.[A-Za-z0-9-]+)$", 1)
+
+def registrable_domain(
+    host: Column,
+    multi_label_suffixes: tuple[str, ...] = MULTI_LABEL_SUFFIXES,
+) -> Column:
+    """Registrable domain of a host: one label more than its public
+    suffix — ``en.src7.com`` → ``src7.com``, ``news.bbc.co.uk`` →
+    ``bbc.co.uk``. The grouping key for domain-level stats and caps.
+
+    Suffix handling: hosts ending in a ``multi_label_suffixes`` entry
+    keep three labels; everything else keeps two (the single-label
+    public-suffix case). The full revisioned list (publicsuffix.org,
+    ~10k entries incl. wildcard rules) can be passed in; the default
+    covers the high-traffic two-label suffixes. Compiled into ONE
+    alternation regex — still a map-only codegen projection, no join."""
+    if multi_label_suffixes:
+        alts = "|".join(
+            s.replace(".", r"\.") for s in multi_label_suffixes
+        )
+        pat = (
+            r"([A-Za-z0-9-]+\.(?:" + alts + r")|"
+            r"[A-Za-z0-9-]+\.[A-Za-z0-9-]+)$"
+        )
+    else:
+        pat = r"([A-Za-z0-9-]+\.[A-Za-z0-9-]+)$"
+    return F.regexp_extract(host, pat, 1)
 
 
 def _path_and_query(url: Column) -> Column:

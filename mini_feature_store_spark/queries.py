@@ -5665,9 +5665,20 @@ u AS (
 )
 """
 
+from mini_feature_store_spark.operators.urls import MULTI_LABEL_SUFFIXES
+
+#: registrable-domain pattern, derived from the OPERATOR's suffix list so
+#: the oracle mirror cannot drift from the operator default (multi-label
+#: public suffixes keep three host labels, everything else keeps two)
+_DOMAIN_RE_SQL = (
+    "([A-Za-z0-9-]+\\.(?:"
+    + "|".join(sfx.replace(".", "\\.") for sfx in MULTI_LABEL_SUFFIXES)
+    + ")|[A-Za-z0-9-]+\\.[A-Za-z0-9-]+)$"
+)
+
 #: Oracle mirror of operators/urls.py canonicalization + domain parsing —
 #: an INDEPENDENT reimplementation in DuckDB SQL (same RE2-safe regexes).
-_URL_CANON_SQL = """
+_URL_CANON_SQL = f"""
 parsed AS (
   SELECT doc_id,
     lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
@@ -5692,7 +5703,7 @@ comps AS (
 ),
 canon AS (
   SELECT doc_id,
-    regexp_extract(host, '([A-Za-z0-9-]+\\.[A-Za-z0-9-]+)$', 1) AS domain,
+    regexp_extract(host, '{_DOMAIN_RE_SQL}', 1) AS domain,
     scheme || '://' || regexp_replace(host, '^www\\.', '')
     || (CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
               AND NOT (scheme = 'https' AND port = '443')

@@ -96,6 +96,29 @@ def test_part_extractors(spark):
     )
 
 
+def test_registrable_domain_public_suffixes(spark):
+    """Multi-label public suffixes keep three host labels; the plain
+    two-label rule applies elsewhere; empty tuple restores pure two-label."""
+    df = spark.createDataFrame(
+        [("news.bbc.co.uk",), ("deep.sub.shop.com.au",), ("en.src7.com",)],
+        "h string",
+    )
+    got = [
+        r["d"]
+        for r in df.select(
+            registrable_domain(F.col("h")).alias("d")
+        ).collect()
+    ]
+    assert got == ["bbc.co.uk", "shop.com.au", "src7.com"]
+    got2 = [
+        r["d"]
+        for r in df.select(
+            registrable_domain(F.col("h"), multi_label_suffixes=()).alias("d")
+        ).collect()
+    ]
+    assert got2 == ["co.uk", "com.au", "src7.com"]
+
+
 def test_url_dedup_keeps_min_id(spark):
     df = spark.createDataFrame(
         [
