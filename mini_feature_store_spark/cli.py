@@ -148,6 +148,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="per-registrable-domain doc cap (needs --url-col)",
     )
     cc.add_argument(
+        "--cut-spans-k", type=int, default=None,
+        help="ExactSubstr stage: cut cross-doc duplicated spans of this "
+        "window size from surviving docs (GPT-3 used 13)",
+    )
+    cc.add_argument(
         "--shards", type=int, default=None, help="write N training shards + manifest"
     )
 
@@ -395,6 +400,7 @@ def main(argv: list[str] | None = None) -> int:
                     n_shards=args.shards,
                     url_col=args.url_col,
                     max_per_domain=args.max_per_domain,
+                    cut_spans_k=args.cut_spans_k,
                 ),
             )
             for stage, n in funnel.items():

@@ -10,6 +10,9 @@ One command takes a raw document corpus to a training-ready one:
 1. quality gate            operators/text.py:quality_filter
 2. exact dedup             operators/dedup.py:exact_dedup (md5 fingerprint)
 3. near-dup dedup          ngram_jaccard_pairs → dedup_clusters → survivors
+3b. span cut (optional)    operators/dedup.py:cut_duplicate_spans — scrub
+                           residual verbatim cross-doc substrings from
+                           KEPT docs (``cut_spans_k``; Lee et al. 2022)
 4. semantic dedup          operators/clustering.py:semantic_dedup (optional,
                            against a doc-embedding parquet — SemDeDup stage)
 5. decontamination         operators/text.py:decontaminate (optional,
@@ -54,6 +57,11 @@ class CorpusCurationConfig:
     #: per-registrable-domain contribution cap (needs ``url_col``);
     #: exact window form — swap in domain_cap_approx for crawl-shaped skew
     max_per_domain: int | None = None
+    #: when set, an ExactSubstr stage (Lee et al. 2022) runs after
+    #: near-dup dedup: cross-document duplicated spans of this window
+    #: size are CUT from surviving docs (text rebuilt normalized) rather
+    #: than dropping the docs; production value ~50, GPT-3 used 13
+    cut_spans_k: int | None = None
 
 
 def run_corpus_curation(
@@ -135,6 +143,38 @@ def run_corpus_curation(
     )
     survivors: DataFrame = deduped.join(drops, cfg.id_col, "left_anti")
     funnel["after_near_dedup"] = survivors.count()
+
+    if cfg.cut_spans_k is not None:
+        from mini_feature_store_spark.operators.dedup import (
+            cut_duplicate_spans,
+        )
+
+        # span CUT, not doc drop: whole-doc near-dups are already gone,
+        # this scrubs the residual verbatim cross-doc substrings
+        # (licenses, syndication) from the KEPT docs. Text is replaced by
+        # the normalized rebuild (paragraph_dedup's contract); row count
+        # is unchanged, so the funnel records docs TOUCHED instead.
+        cut = cut_duplicate_spans(
+            survivors,
+            k=cfg.cut_spans_k,
+            text_col=cfg.text_col,
+            id_col=cfg.id_col,
+        )
+        survivors = (
+            survivors.drop(cfg.text_col)
+            .join(
+                cut.select(
+                    cfg.id_col,
+                    F.col("text_cut").alias(cfg.text_col),
+                    "n_spans",
+                ),
+                cfg.id_col,
+            )
+        )
+        funnel["spans_cut_docs"] = survivors.where(
+            F.col("n_spans") > 0
+        ).count()
+        survivors = survivors.drop("n_spans")
 
     if cfg.embeddings_path is not None:
         from mini_feature_store_spark.operators.clustering import (

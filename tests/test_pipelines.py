@@ -1077,3 +1077,40 @@ def test_corpus_curate_url_stage(spark, tmp_path):
     )
     assert rc == 0
     assert spark.read.parquet(out2).count() == 3
+
+
+def test_corpus_curate_span_cut_stage(spark, tmp_path):
+    """Optional ExactSubstr stage: a shared verbatim blurb is CUT from
+    surviving docs (docs kept, text rebuilt); unique docs untouched in
+    content. Near-dup stage is disabled via threshold 0.99 so the span
+    stage's own effect is isolated."""
+    from mini_feature_store_spark.pipelines.corpus_curate import (
+        CorpusCurationConfig,
+        run_corpus_curation,
+    )
+
+    blurb = "this content is licensed under creative commons attribution"
+    rows = [
+        (1, f"alpha bravo charlie {blurb} delta echo foxtrot golf"),
+        (2, f"hotel india juliet kilo {blurb} lima mike november"),
+        (3, "completely original words with no shared license text here"),
+    ]
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(inp)
+
+    out = str(tmp_path / "clean")
+    funnel = run_corpus_curation(
+        spark,
+        CorpusCurationConfig(
+            input_path=inp,
+            output_path=out,
+            jaccard_threshold=0.99,
+            cut_spans_k=4,
+        ),
+    )
+    assert funnel["after_near_dedup"] == 3
+    assert funnel["spans_cut_docs"] == 2
+    got = {r.doc_id: r.text for r in spark.read.parquet(out).collect()}
+    assert got[1] == "alpha bravo charlie delta echo foxtrot golf"
+    assert got[2] == "hotel india juliet kilo lima mike november"
+    assert got[3] == "completely original words with no shared license text here"
