@@ -203,3 +203,46 @@ def test_domain_stats_shares_sum_to_one(spark):
     assert {r["domain"] for r in rows} == {f"d{k}.com" for k in range(4)}
     assert all(r["n_docs"] == 10 for r in rows)
     assert abs(sum(r["doc_share"] for r in rows) - 1.0) < 1e-6
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_label = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-",
+    min_size=1,
+    max_size=8,
+).filter(lambda s: not s.startswith("-") and not s.endswith("-"))
+_param = st.tuples(
+    st.sampled_from(["a", "b", "zz", "utm_source", "gclid", "fbclid", "page"]),
+    st.text(alphabet="abc123", min_size=0, max_size=4),
+)
+
+
+@st.composite
+def _urls(draw):
+    scheme = draw(st.sampled_from(["http", "https", "HTTP", "HTTPS", "ftp"]))
+    www = draw(st.sampled_from(["", "www.", "WWW."]))
+    host = ".".join(draw(st.lists(_label, min_size=1, max_size=3)))
+    port = draw(st.sampled_from(["", ":80", ":443", ":8080"]))
+    path = "".join(
+        "/" + draw(_label) for _ in range(draw(st.integers(0, 3)))
+    ) + draw(st.sampled_from(["", "/", "//"]))
+    params = draw(st.lists(_param, max_size=3))
+    query = "&".join(f"{k}={v}" for k, v in params)
+    frag = draw(st.sampled_from(["", "#top", "#a/b?c"]))
+    return f"{scheme}://{www}{host}{port}{path}{'?' + query if query else ''}{frag}"
+
+
+@settings(max_examples=30, deadline=None)
+@given(url=_urls())
+def test_canonicalize_url_idempotent(spark, url):
+    """canonicalize(canonicalize(u)) == canonicalize(u) for well-formed
+    URLs — the canonical form is a fixed point, so re-ingesting an
+    already-canonicalized crawl table never re-groups anything."""
+    df = spark.createDataFrame([(url,)], "url string")
+    once = df.select(canonicalize_url(F.col("url")).alias("c"))
+    row = once.select(
+        "c", canonicalize_url(F.col("c")).alias("c2")
+    ).collect()[0]
+    assert row["c2"] == row["c"], url
