@@ -131,6 +131,26 @@ def main() -> None:
         out = Path(__file__).resolve().parent / "bench_results.json"
         out.write_text(json.dumps(payload, indent=1) + "\n")
     print(json.dumps(payload))
+    # The driver archives only the LAST 2000 chars of stdout (measured:
+    # BENCH_r08.json "tail" is exactly 2000 chars and "parsed" has been
+    # null every round because the verbose line's opening brace is cut
+    # off). Print a final COMPACT line sized to survive that window: the
+    # headline numbers plus per-query milliseconds as a list in registry
+    # (insertion) order — ~6 bytes/query instead of ~31, so 132 queries
+    # fit with room to spare. Names → ms mapping lives in
+    # bench_results.json (committed) and in the verbose line above.
+    compact = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "calib_sec": calib,
+        "calib_sec_end": payload["calib_sec_end"],
+        "n_queries": len(timings),
+        "queries_ms": [int(round(v * 1000)) for v in timings.values()],
+        "names_in": "bench_results.json",
+    }
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

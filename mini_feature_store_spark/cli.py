@@ -150,7 +150,9 @@ def build_parser() -> argparse.ArgumentParser:
     cc.add_argument(
         "--cut-spans-k", type=int, default=None,
         help="ExactSubstr stage: cut cross-doc duplicated spans of this "
-        "window size from surviving docs (GPT-3 used 13)",
+        "window size from surviving docs (GPT-3 used 13); docs that lose "
+        "a span are rewritten as normalized token text (lowercased, "
+        "single-spaced), untouched docs keep their original bytes",
     )
     cc.add_argument(
         "--shards", type=int, default=None, help="write N training shards + manifest"

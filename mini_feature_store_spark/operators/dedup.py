@@ -638,11 +638,13 @@ def duplicate_spans(
        collision trade-off ``paragraph_dedup(exact=False)`` documents);
     3. duplicated windows join back (unhinted — boilerplate vocabulary is
        O(corpus) on a real crawl, AQE decides);
-    4. overlapping windows merge into maximal spans with one window pass
-       per doc: a span breaks where a window's start exceeds the running
-       max end of everything before it (classic interval merge as
+    4. overlapping or abutting windows merge into maximal spans with one
+       window pass per doc: a span breaks only where a window's start
+       leaves a GAP after the running max end of everything before it
+       (``pos > prev_end + 1`` — classic interval merge as
        ``max().over(rowsBetween(unboundedPreceding, -1))`` + running-sum
-       span ids — one shuffle keyed by doc).
+       span ids — one shuffle keyed by doc). Two windows covering
+       [1, k] and [k+1, 2k] therefore report ONE contiguous span.
 
     Output: one row per maximal span — ``(id_col, span_id, span_start,
     span_end, span_len, n_windows)``; token positions are 1-based
@@ -701,8 +703,10 @@ def _token_windows(
 
 def _merge_spans(marked: DataFrame, k: int, id_col: str) -> DataFrame:
     """Interval-merge (id, pos) marked window starts into maximal covered
-    spans: one window pass per doc (span breaks where a start exceeds the
-    running max end), then one aggregate per (doc, span)."""
+    spans: one window pass per doc (span breaks only where a start leaves
+    a GAP after the running max end — ``pos > prev_end + 1`` — so abutting
+    windows merge into one contiguous span), then one aggregate per
+    (doc, span)."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("id").orderBy("pos")
@@ -712,7 +716,9 @@ def _merge_spans(marked: DataFrame, k: int, id_col: str) -> DataFrame:
     spans = (
         marked.withColumn(
             "_new",
-            F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0),
+            F.when(
+                prev_end.isNull() | (F.col("pos") > prev_end + 1), 1
+            ).otherwise(0),
         )
         .withColumn(
             "span_id",
@@ -791,16 +797,22 @@ def cut_duplicate_spans(
     ``text_cut`` is normalized-token text (lowercased, single-spaced) —
     the same rebuilt-text contract as ``paragraph_dedup``.
 
-    Plan shape: spans explode to (doc, pos) covered rows — bounded by the
+    Plan shape — the span-detection subtree is consumed exactly ONCE:
+    spans explode to (doc, span_id, pos) covered rows — bounded by the
     corpus token count, not quadratic; one posexplode of the corpus
-    tokens; a LEFT ANTI join on (doc, pos); one groupBy(doc) reassembly
-    via sorted structs (array_sort orders by the leading struct field);
-    metadata rides a left join from the span aggregate so span-free
-    documents keep a row with ``n_spans = 0``.
+    tokens (``posexplode_outer`` so null/empty-text docs keep a row and
+    every input doc survives the final aggregate without a third scan);
+    a LEFT join on (doc, pos) tags each token with its covering span;
+    one groupBy(doc) then produces the rebuilt text (sorted structs over
+    the UNcovered tokens — collect_list drops the nulls the ``when``
+    emits for covered/missing tokens), ``n_spans`` (distinct covering
+    span ids) and ``n_tokens_cut`` (covered-position count — spans are
+    disjoint after the interval merge, so this equals Σ span_len).
     """
     spans = duplicate_spans(df, k, min_docs, text_col, id_col)
     covered = spans.select(
         F.col(id_col).alias("id"),
+        "span_id",
         F.explode(F.sequence("span_start", "span_end")).alias("pos"),
     )
     toks = spread(df).select(
@@ -808,33 +820,33 @@ def cut_duplicate_spans(
         F.posexplode_outer(_tokens(normalize(F.col(text_col)))).alias(
             "_p0", "tok"
         ),
-    ).where(F.col("tok").isNotNull()).select(
-        "id", (F.col("_p0") + 1).alias("pos"), "tok"
-    )
-    kept = toks.join(covered, ["id", "pos"], "left_anti")
-    rebuilt = kept.groupBy("id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s["tok"],
-            ),
-            " ",
-        ).alias("text_cut")
-    )
-    meta = spans.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_spans"),
-        F.sum("span_len").alias("n_tokens_cut"),
-    )
-    base = df.select(F.col(id_col))
+    ).select("id", (F.col("_p0") + 1).alias("pos"), "tok")
+    tagged = toks.join(covered, ["id", "pos"], "left")
     return (
-        base.join(rebuilt.withColumnRenamed("id", id_col), id_col, "left")
-        .join(meta, id_col, "left")
+        tagged.groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("span_id").isNull()
+                                & F.col("tok").isNotNull(),
+                                F.struct("pos", "tok"),
+                            )
+                        )
+                    ),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("text_cut"),
+            F.count_distinct(F.col("span_id")).alias("n_spans"),
+            F.count(F.col("span_id")).alias("n_tokens_cut"),
+        )
         .select(
-            F.col(id_col),
-            F.coalesce("text_cut", F.lit("")).alias("text_cut"),
-            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
-            F.coalesce("n_tokens_cut", F.lit(0))
-            .cast("long")
-            .alias("n_tokens_cut"),
+            F.col("id").alias(id_col),
+            "text_cut",
+            F.col("n_spans").cast("long").alias("n_spans"),
+            F.col("n_tokens_cut").cast("long").alias("n_tokens_cut"),
         )
     )

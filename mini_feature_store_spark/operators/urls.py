@@ -78,9 +78,16 @@ def _authority(url: Column) -> Column:
 
 
 def url_host(url: Column) -> Column:
-    """Lower-cased host without the port (``www.`` NOT stripped — that is
-    a canonicalization decision, not a parsing one)."""
-    return F.lower(F.regexp_replace(_authority(url), r":[0-9]+$", ""))
+    """Lower-cased host without the userinfo or port (RFC 3986 authority
+    is ``[userinfo@]host[:port]``; real crawls contain ``user:pass@host``
+    spellings, and a raw ``@`` cannot appear inside userinfo, so the
+    greedy strip-to-last-``@`` is exact). ``www.`` is NOT stripped — that
+    is a canonicalization decision, not a parsing one."""
+    return F.lower(
+        F.regexp_replace(
+            F.regexp_replace(_authority(url), r"^.*@", ""), r":[0-9]+$", ""
+        )
+    )
 
 
 def url_port(url: Column) -> Column:
@@ -165,7 +172,12 @@ def canonicalize_url(
 ) -> Column:
     """One canonical spelling per page:
 
-    - scheme and host lower-cased, leading ``www.`` dropped;
+    - scheme and host lower-cased; userinfo (``user:pass@``) dropped —
+      ``https://bob@example.com/`` and ``https://example.com/`` are the
+      same page;
+    - ALL leading ``www.`` labels dropped (``(www\\.)+`` so the function
+      is a fixed point: canonicalizing an already-canonical URL is a
+      no-op — re-ingesting a canonicalized crawl table cannot re-group);
     - default ports stripped (``:80`` for http, ``:443`` for https; any
       other explicit port is kept);
     - fragment dropped;
@@ -175,7 +187,7 @@ def canonicalize_url(
     - trailing slashes trimmed from the path ('' → '/').
     """
     scheme = url_scheme(url)
-    host = F.regexp_replace(url_host(url), r"^www\.", "")
+    host = F.regexp_replace(url_host(url), r"^(www\.)+", "")
     port = url_port(url)
     keep_port = (
         (port != "")

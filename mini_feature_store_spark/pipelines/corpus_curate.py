@@ -151,30 +151,39 @@ def run_corpus_curation(
 
         # span CUT, not doc drop: whole-doc near-dups are already gone,
         # this scrubs the residual verbatim cross-doc substrings
-        # (licenses, syndication) from the KEPT docs. Text is replaced by
-        # the normalized rebuild (paragraph_dedup's contract); row count
-        # is unchanged, so the funnel records docs TOUCHED instead.
+        # (licenses, syndication) from the KEPT docs. Only documents that
+        # actually lost a span get the normalized rebuild
+        # (paragraph_dedup's contract — lowercased, single-spaced);
+        # span-free docs keep their original bytes. Row count is
+        # unchanged, so the funnel records docs TOUCHED instead.
+        # survivors feeds the cut operator (which scans it for windows
+        # and tokens), the metadata join below, AND the touched count —
+        # persist across the stage like stage 0 / the quality gate
+        # (pipeline tier persists; registry gate replicas stay lazy).
+        cut_input = survivors.persist()
         cut = cut_duplicate_spans(
-            survivors,
+            cut_input,
             k=cfg.cut_spans_k,
             text_col=cfg.text_col,
             id_col=cfg.id_col,
         )
         survivors = (
-            survivors.drop(cfg.text_col)
-            .join(
-                cut.select(
-                    cfg.id_col,
-                    F.col("text_cut").alias(cfg.text_col),
-                    "n_spans",
-                ),
-                cfg.id_col,
+            cut_input.join(
+                cut.select(cfg.id_col, "text_cut", "n_spans"), cfg.id_col
             )
+            .withColumn(
+                cfg.text_col,
+                F.when(
+                    F.col("n_spans") > 0, F.col("text_cut")
+                ).otherwise(F.col(cfg.text_col)),
+            )
+            .drop("text_cut")
         )
         funnel["spans_cut_docs"] = survivors.where(
             F.col("n_spans") > 0
         ).count()
         survivors = survivors.drop("n_spans")
+        cut_input.unpersist()
 
     if cfg.embeddings_path is not None:
         from mini_feature_store_spark.operators.clustering import (

@@ -5695,7 +5695,8 @@ parts AS (
 ),
 comps AS (
   SELECT doc_id, scheme,
-    lower(regexp_replace(auth, ':[0-9]+$', '')) AS host,
+    lower(regexp_replace(regexp_replace(auth, '^.*@', ''), ':[0-9]+$', ''))
+      AS host,
     regexp_extract(auth, ':([0-9]+)$', 1) AS port,
     regexp_extract(pq, '^([^?]*)', 1) AS path,
     regexp_extract(pq, '\\?(.*)$', 1) AS q
@@ -5704,7 +5705,7 @@ comps AS (
 canon AS (
   SELECT doc_id,
     regexp_extract(host, '{_DOMAIN_RE_SQL}', 1) AS domain,
-    scheme || '://' || regexp_replace(host, '^www\\.', '')
+    scheme || '://' || regexp_replace(host, '^(www\\.)+', '')
     || (CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
               AND NOT (scheme = 'https' AND port = '443')
         THEN ':' || port ELSE '' END)
@@ -5889,7 +5890,7 @@ s AS (
     CASE WHEN MAX(pos + 3) OVER (PARTITION BY doc_id ORDER BY pos
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
           OR pos > MAX(pos + 3) OVER (PARTITION BY doc_id ORDER BY pos
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
          THEN 1 ELSE 0 END AS is_new
   FROM m
 ),
@@ -5941,7 +5942,7 @@ s AS (
     CASE WHEN MAX(pos + 3) OVER (PARTITION BY doc_id ORDER BY pos
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
           OR pos > MAX(pos + 3) OVER (PARTITION BY doc_id ORDER BY pos
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
          THEN 1 ELSE 0 END AS is_new
   FROM m
 ),
@@ -6021,7 +6022,7 @@ s AS (
     CASE WHEN MAX(pos + 3) OVER (PARTITION BY doc_id ORDER BY pos
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
           OR pos > MAX(pos + 3) OVER (PARTITION BY doc_id ORDER BY pos
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
          THEN 1 ELSE 0 END AS is_new
   FROM m
 ),

@@ -593,6 +593,36 @@ def test_duplicate_spans_gap_splits_and_short_docs(spark):
         duplicate_spans(df, min_docs=1)
 
 
+def test_duplicate_spans_abutting_windows_merge(spark):
+    """Two duplicated windows that abut exactly (coverage [1,4] and [5,8],
+    no overlap, no gap) merge into ONE contiguous span — the documented
+    'maximal contiguous token regions' contract (span breaks only on a
+    genuine gap: pos > prev_end + 1)."""
+    from mini_feature_store_spark.operators.dedup import duplicate_spans
+
+    df = spark.createDataFrame(
+        [
+            # doc 1: window at pos 1 ("a b c d") shared with doc 2 only;
+            # window at pos 5 ("e f g h") shared with doc 3 only; the
+            # bridging windows (pos 2-4) are unique to doc 1.
+            (1, "a b c d e f g h"),
+            (2, "a b c d qq ww ee rr"),
+            (3, "zz xx cc vv e f g h"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["span_id"]): (
+            r["span_start"], r["span_end"], r["span_len"], r["n_windows"]
+        )
+        for r in duplicate_spans(df, k=4, min_docs=2).collect()
+    }
+    assert got[(1, 1)] == (1, 8, 8, 2)  # abutting coverage merges
+    assert got[(2, 1)] == (1, 4, 4, 1)
+    assert got[(3, 1)] == (5, 8, 4, 1)
+    assert len(got) == 3
+
+
 def test_cut_duplicate_spans_rebuild(spark):
     """The cut treatment removes exactly the covered tokens, keeps order,
     and keeps every input doc — including span-free and too-short ones."""

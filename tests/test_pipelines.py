@@ -1094,6 +1094,10 @@ def test_corpus_curate_span_cut_stage(spark, tmp_path):
         (1, f"alpha bravo charlie {blurb} delta echo foxtrot golf"),
         (2, f"hotel india juliet kilo {blurb} lima mike november"),
         (3, "completely original words with no shared license text here"),
+        # span-free doc with case + irregular whitespace: the stage must
+        # keep its ORIGINAL bytes (only touched docs get the normalized
+        # token rebuild)
+        (4, "Untouched MixedCase  doc   with Original   Spacing kept"),
     ]
     inp = str(tmp_path / "docs")
     spark.createDataFrame(rows, "doc_id long, text string").write.parquet(inp)
@@ -1108,9 +1112,10 @@ def test_corpus_curate_span_cut_stage(spark, tmp_path):
             cut_spans_k=4,
         ),
     )
-    assert funnel["after_near_dedup"] == 3
+    assert funnel["after_near_dedup"] == 4
     assert funnel["spans_cut_docs"] == 2
     got = {r.doc_id: r.text for r in spark.read.parquet(out).collect()}
     assert got[1] == "alpha bravo charlie delta echo foxtrot golf"
     assert got[2] == "hotel india juliet kilo lima mike november"
     assert got[3] == "completely original words with no shared license text here"
+    assert got[4] == "Untouched MixedCase  doc   with Original   Spacing kept"
