@@ -282,3 +282,106 @@ def backfill_features_window_form(
         )
         .where(F.col("day") >= start_lit)
     )
+
+
+def backfill_features_typed(
+    events: DataFrame,
+    start: str | dt.date,
+    end: str | dt.date,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """The TYPED feature view the reference's schema promises (SURVEY §1.4):
+    ``event_type_counts`` as a real ``map<string,long>`` — per event type,
+    the event count in the rolling 30-day window — instead of the
+    distinct-type COUNT the string contract carries. Same dense (user ×
+    day) grid and 7d/30d/recency features as
+    ``backfill_features_window_form``.
+
+    Scale plan (window form only — the 31× fanout join form stays an
+    oracle-side mirror): a TWO-LEVEL daily pre-aggregate,
+    ``(user, day, type) → (user, day)``, builds one small per-day count
+    map (map-side combine collapses raw events before either shuffle);
+    the rolling map is then merged per output row from the ≤31 daily maps
+    the ``rangeBetween`` frame exposes — ``aggregate`` over
+    ``collect_list(type_map)`` with a ``map_zip_with`` additive merge.
+    Per-row cost is O(window_days × |types in window|), bounded by the
+    window length and type cardinality, never by raw event volume; a
+    celebrity user still contributes at most one DAILY row per day to the
+    user partition. The merge lambdas are interpreted (no codegen), which
+    is the right trade against materializing per-type rolling state: the
+    alternative long-form plan shuffles (user, type) and re-densifies per
+    type — |types|× the rows of this plan.
+
+    Output: ``(user_id, day, event_count_7d, event_count_30d,
+    last_event_days_ago, event_type_counts map<string,long>)`` — the map
+    is EMPTY (not null) on windowless days; invariants
+    ``size(map) = distinct types in window`` and
+    ``Σ map values = event_count_30d`` are pinned by tests against the
+    string-contract form.
+    """
+    ev = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(type_col).alias("event_type"),
+        F.to_date(F.col(ts_col)).alias("day"),
+    ).where(
+        (F.col("day") >= F.date_sub(F.lit(start).cast("date"), LONG_WINDOW_DAYS))
+        & (F.col("day") <= F.lit(end).cast("date"))
+    )
+    daily = (
+        ev.groupBy("user_id", "day", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("user_id", "day")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.map_from_entries(
+                F.collect_list(F.struct("event_type", "n"))
+            ).alias("type_map"),
+        )
+    )
+    grid = _scaffold(
+        events.select(F.col(user_col).alias("user_id")),
+        start,
+        end,
+        "user_id",
+        "day",
+    )
+    start_lit = F.lit(start).cast("date")
+    dense = grid.join(daily, ["user_id", "day"], "full")
+
+    day_no = F.unix_date(F.col("day"))
+    w7 = (
+        Window.partitionBy("user_id")
+        .orderBy(day_no)
+        .rangeBetween(-SHORT_WINDOW_DAYS, 0)
+    )
+    w30 = (
+        Window.partitionBy("user_id")
+        .orderBy(day_no)
+        .rangeBetween(-LONG_WINDOW_DAYS, 0)
+    )
+    last_event_day = F.max(F.when(F.col("n_events") > 0, F.col("day"))).over(w30)
+    # collect_list skips the nulls event-free grid days contribute, so the
+    # fold sees exactly the window's daily maps; additive map_zip_with
+    # union-merges them (either side null for a type the other day lacks).
+    merged = F.aggregate(
+        F.collect_list("type_map").over(w30),
+        F.create_map().cast("map<string,bigint>"),
+        lambda acc, m: F.map_zip_with(
+            acc,
+            m,
+            lambda _k, a, b: F.coalesce(a, F.lit(0).cast("bigint"))
+            + F.coalesce(b, F.lit(0).cast("bigint")),
+        ),
+    )
+    return dense.select(
+        "user_id",
+        "day",
+        F.coalesce(F.sum("n_events").over(w7), F.lit(0)).alias("event_count_7d"),
+        F.coalesce(F.sum("n_events").over(w30), F.lit(0)).alias("event_count_30d"),
+        F.datediff(F.col("day"), last_event_day).cast("int").alias(
+            "last_event_days_ago"
+        ),
+        merged.alias("event_type_counts"),
+    ).where(F.col("day") >= start_lit)

@@ -110,6 +110,87 @@ def features_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "features_daily_typed",
+    f"""
+WITH ev AS (
+  SELECT user_id, event_type, CAST(ts AS DATE) AS event_date FROM events
+),
+days AS (
+  SELECT CAST(unnest(generate_series(DATE '{EVENTS_START}', DATE '{EVENTS_END}',
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+),
+grid AS (
+  SELECT u.user_id, d.day
+  FROM (SELECT DISTINCT user_id FROM ev) u CROSS JOIN days d
+),
+base AS (
+  SELECT g.user_id, g.day,
+    CAST(SUM(CASE WHEN e.event_date >= g.day - 7 THEN 1 ELSE 0 END) AS BIGINT)
+      AS event_count_7d,
+    CAST(SUM(CASE WHEN e.event_date IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS event_count_30d,
+    CAST(MIN(g.day - e.event_date) AS INTEGER) AS last_event_days_ago
+  FROM grid g
+  LEFT JOIN ev e
+    ON g.user_id = e.user_id
+   AND e.event_date <= g.day AND e.event_date >= g.day - 30
+  GROUP BY g.user_id, g.day
+),
+pt AS (
+  SELECT g.user_id, g.day, e.event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM grid g
+  JOIN ev e
+    ON g.user_id = e.user_id
+   AND e.event_date <= g.day AND e.event_date >= g.day - 30
+  GROUP BY g.user_id, g.day, e.event_type
+),
+ser AS (
+  SELECT user_id, day,
+         string_agg(event_type || ':' || CAST(n AS VARCHAR), ','
+                    ORDER BY event_type) AS etc
+  FROM pt GROUP BY user_id, day
+)
+SELECT b.user_id, b.day, b.event_count_7d, b.event_count_30d,
+       b.last_event_days_ago,
+       COALESCE(s.etc, '') AS event_type_counts
+FROM base b
+LEFT JOIN ser s ON b.user_id = s.user_id AND b.day = s.day
+""",
+)
+def features_daily_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TYPED feature view (SURVEY §1.4's map-valued schema):
+    ``event_type_counts`` as a real per-type ``map<string,long>`` of
+    rolling 30-day counts (``operators/rolling.py:backfill_features_typed``,
+    window-frame scale form). Map columns can't hash in the driver compare
+    (r4 lesson), so the gate row serializes the map as sorted
+    ``type:count`` pairs — the oracle rebuilds the identical string from a
+    per-(user, day, type) aggregate via ordered ``string_agg``."""
+    from mini_feature_store_spark.operators.rolling import (
+        backfill_features_typed,
+    )
+
+    _utc(spark)
+    events = load_testdata(spark, sf_dir, "events")["events"]
+    typed = backfill_features_typed(events, EVENTS_START, EVENTS_END)
+    return typed.select(
+        "user_id",
+        "day",
+        "event_count_7d",
+        "event_count_30d",
+        "last_event_days_ago",
+        F.array_join(
+            F.transform(
+                F.array_sort(F.map_entries("event_type_counts")),
+                lambda e: F.concat_ws(
+                    ":", e["key"], e["value"].cast("string")
+                ),
+            ),
+            ",",
+        ).alias("event_type_counts"),
+    )
+
+
+@_q(
     "pit_training_data",
     _FEATURES_SQL
     + """
@@ -6067,113 +6148,25 @@ def doc_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registered name present exactly once — ordered_queries() asserts it.
 
 VERIFY_ORDER: list[str] = [
-    # ── r8 re-cut (standing rotate rule: new > touched-this-round >
+    # ── r9 re-cut (standing rotate rule: new > touched-this-round >
     # stalest-driver-row > fresh > rows-only; the driver records rows for
     # the FIRST 50 entries only).
-    # tier 0a — the r7 tier-3 overflow: last driver row r4, four rounds
-    # stale, promised the r8 lead slot (r7 VERDICT #2). Five of these were
-    # ALSO touched by the r8 floor-rounding sweep.
-    "doc_quality_filter",
-    "doc_sequence_packing",
-    "doc_balanced_mixture_sample",
-    "doc_token_budget_selection",
-    "doc_chunk_windows",
-    "doc_winnow_fingerprints",
-    "dedup_clusters",
-    "event_rollup_tiers",
-    "doc_pii_scrub",
-    "embedding_dedup_clusters",
-    "user_value_trend",
-    "doc_training_shuffle",
-    "doc_quality_classifier",
-    "customers_without_orders",
-    "customers_with_big_orders",
-    "user_event_patterns",
-    "doc_quality_tiers",
-    "user_weekly_distinct_exact",
-    # tier 0b — never verified (new in r8): the URL/domain curation tier
-    "doc_url_dedup",
-    "domain_contribution_caps",
-    "doc_domain_hash_cap",
-    # tier 0c — oracled queries whose compute changed this round: the
-    # round()->floor(x*10^d+0.5)/10^d portability sweep (operators and/or
-    # oracle mirrors), and top_supplier_revenue's persist removal
-    "dedup_ngram_jaccard",
-    "dedup_incremental_batch",
-    "corpus_dedup_apply",
-    "corpus_curation_funnel",
-    "doc_text_stats",
-    "doc_repetition_scores",
-    "doc_tfidf_top_terms",
-    "embedding_topk_bruteforce",
-    "embedding_cosine_pairs",
-    "embedding_int8_quant",
-    "doc_content_centrality",
-    "funnel_conversion",
-    "cohort_retention_weekly",
-    "event_value_scaled",
-    "important_part_share",
-    "pricing_summary",
-    "quantiles_by_returnflag",
-    "json_props_stats",
-    "user_running_value",
-    "multimodal_frame_sample",
-    "lineitem_metrics_long",
-    "order_rank_metrics",
-    "nation_share_of_region",
-    "lineitem_correlations",
-    "embedding_vector_stats",
-    "top_supplier_revenue",
-    # tier 0b2 — new mid-round: the span family (ExactSubstr find/cut +
-    # span-localized decontamination)
+    # tier 0 — new (features_daily_typed) + oracled queries whose compute
+    # or oracle mirror changed this round: the span family (abutting-merge
+    # semantics + single-pass cut rewrite) and the URL tier (userinfo +
+    # repeated-www canonicalization).
+    "features_daily_typed",
     "doc_duplicate_spans",
     "doc_cut_duplicate_spans",
     "doc_contamination_spans",
-    # ── slot 51+: not in the r8 driver window (tier 0a-0c fill all 50;
-    # these stalest r5 greens re-enter next round) ──
+    "doc_url_dedup",
+    "domain_contribution_caps",
+    "doc_domain_hash_cap",
+    # tier 1 — the 31 stalest greens (last driver row r6, three
+    # rounds old) lead the rest of the window per the freshness rule.
     "latest_event_per_user",
     "large_volume_customers",
     "dormant_rich_customers",
-    # ── slot 51+: not in the r8 driver window ──
-    # remaining queries keep their r7 relative order (r5-r7 driver rows,
-    # or rows-only by nature at the back); the local 3-SF gate replica
-    # covers them every round
-    "small_quantity_revenue",
-    "brand_bracket_revenue",
-    "forecast_revenue_change",
-    "nation_market_share",
-    "product_type_profit",
-    "returned_item_customers",
-    "promo_revenue_share",
-    "concentrated_part_suppliers",
-    "doc_paragraph_dedup",
-    "late_shipment_priority_counts",
-    "local_supplier_volume",
-    "doc_temperature_mixture_sample",
-    "doc_upsample_to_parity",
-    "doc_multi_benchmark_contamination",
-    "distinct_stats_exact",
-    "min_cost_supplier",
-    "sole_blame_suppliers",
-    "nation_volume_shipping",
-    "nation_trade_volume",
-    "parts_supplier_relationship",
-    "event_value_winsorized",
-    "brand_supplier_stats",
-    "features_daily",
-    "pit_training_data",
-    "pit_training_multi",
-    "doc_stratified_sample",
-    "bloom_filtered_order_revenue",
-    "doc_weighted_sample",
-    "dq_orders_audit",
-    "feature_snapshot_diff",
-    "fuzzy_part_names",
-    "orders_with_late_lineitems",
-    "revenue_by_nation",
-    "top_orders_per_priority",
-    "customer_segment_stats",
-    "doc_lang_id",
     "dedup_exact_props",
     "doc_decontaminate",
     "set_ops_users",
@@ -6202,6 +6195,90 @@ VERIFY_ORDER: list[str] = [
     "user_value_gap_fill",
     "purchase_value_intervals",
     "customer_order_distribution",
+    # tier 2 — the 12 oldest r7 greens that fit (window = exactly 50).
+    "small_quantity_revenue",
+    "brand_bracket_revenue",
+    "forecast_revenue_change",
+    "nation_market_share",
+    "product_type_profit",
+    "returned_item_customers",
+    "promo_revenue_share",
+    "concentrated_part_suppliers",
+    "doc_paragraph_dedup",
+    "late_shipment_priority_counts",
+    "local_supplier_volume",
+    "doc_temperature_mixture_sample",
+    # ── slot 51+: not in the r9 driver window — the remaining r7
+    # greens, then the 50 r8 greens, then rows-only-by-nature at the
+    # back; the local 3-SF gate replica covers them every round ──
+    "doc_upsample_to_parity",
+    "doc_multi_benchmark_contamination",
+    "distinct_stats_exact",
+    "min_cost_supplier",
+    "sole_blame_suppliers",
+    "nation_volume_shipping",
+    "nation_trade_volume",
+    "parts_supplier_relationship",
+    "event_value_winsorized",
+    "brand_supplier_stats",
+    "features_daily",
+    "pit_training_data",
+    "pit_training_multi",
+    "doc_stratified_sample",
+    "bloom_filtered_order_revenue",
+    "doc_weighted_sample",
+    "dq_orders_audit",
+    "feature_snapshot_diff",
+    "fuzzy_part_names",
+    "orders_with_late_lineitems",
+    "revenue_by_nation",
+    "top_orders_per_priority",
+    "customer_segment_stats",
+    "doc_lang_id",
+    "doc_quality_filter",
+    "doc_sequence_packing",
+    "doc_balanced_mixture_sample",
+    "doc_token_budget_selection",
+    "doc_chunk_windows",
+    "doc_winnow_fingerprints",
+    "dedup_clusters",
+    "event_rollup_tiers",
+    "doc_pii_scrub",
+    "embedding_dedup_clusters",
+    "user_value_trend",
+    "doc_training_shuffle",
+    "doc_quality_classifier",
+    "customers_without_orders",
+    "customers_with_big_orders",
+    "user_event_patterns",
+    "doc_quality_tiers",
+    "user_weekly_distinct_exact",
+    "dedup_ngram_jaccard",
+    "dedup_incremental_batch",
+    "corpus_dedup_apply",
+    "corpus_curation_funnel",
+    "doc_text_stats",
+    "doc_repetition_scores",
+    "doc_tfidf_top_terms",
+    "embedding_topk_bruteforce",
+    "embedding_cosine_pairs",
+    "embedding_int8_quant",
+    "doc_content_centrality",
+    "funnel_conversion",
+    "cohort_retention_weekly",
+    "event_value_scaled",
+    "important_part_share",
+    "pricing_summary",
+    "quantiles_by_returnflag",
+    "json_props_stats",
+    "user_running_value",
+    "multimodal_frame_sample",
+    "lineitem_metrics_long",
+    "order_rank_metrics",
+    "nation_share_of_region",
+    "lineitem_correlations",
+    "embedding_vector_stats",
+    "top_supplier_revenue",
     "embedding_corpus_curate",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -208,3 +208,76 @@ def test_window_form_known_types_unseen_type_fails_loudly(spark):
     )
     with _pytest.raises((Py4JJavaError, SparkRuntimeException, Exception)):
         df.collect()
+
+
+def test_typed_form_golden(spark):
+    """Map-valued variant: per-type rolling 30d counts with the exact same
+    grid/7d/30d/recency semantics; empty map (not null) on windowless
+    days; repeated same-type events accumulate."""
+    from mini_feature_store_spark.operators.rolling import (
+        backfill_features_typed,
+    )
+
+    events = _events(
+        spark,
+        [
+            ("u1", "click", "2024-01-02 10:00:00"),
+            ("u1", "click", "2024-01-02 11:00:00"),
+            ("u1", "purchase", "2024-01-03 09:00:00"),
+            ("u2", "view", "2024-01-05 08:00:00"),
+        ],
+    )
+    out = {
+        (r.user_id, r.day.isoformat()): (
+            r.event_count_7d,
+            r.event_count_30d,
+            r.last_event_days_ago,
+            dict(r.event_type_counts),
+        )
+        for r in backfill_features_typed(
+            events, "2024-01-01", "2024-01-06"
+        ).collect()
+    }
+    assert len(out) == 12  # dense: 2 users x 6 days
+    assert out[("u1", "2024-01-01")] == (0, 0, None, {})
+    assert out[("u1", "2024-01-02")] == (2, 2, 0, {"click": 2})
+    assert out[("u1", "2024-01-03")] == (3, 3, 0, {"click": 2, "purchase": 1})
+    assert out[("u1", "2024-01-06")] == (3, 3, 3, {"click": 2, "purchase": 1})
+    assert out[("u2", "2024-01-04")] == (0, 0, None, {})
+    assert out[("u2", "2024-01-05")] == (1, 1, 0, {"view": 1})
+
+
+def test_typed_form_agrees_with_string_contract(spark, sf_dir):
+    """Property on the real events table: the typed map REFINES the string
+    contract — size(map) = distinct-type count, sum(map values) =
+    event_count_30d, and the shared columns are identical row-for-row."""
+    from mini_feature_store_spark.io import load_testdata
+    from mini_feature_store_spark.operators.rolling import (
+        backfill_features_typed,
+        backfill_features_window_form,
+    )
+
+    events = load_testdata(spark, sf_dir, "events")["events"].withColumn(
+        "user_id", F.col("user_id").cast("string")
+    )
+    typed = backfill_features_typed(events, "2024-01-01", "2024-01-30")
+    flat = typed.select(
+        "user_id",
+        "day",
+        "event_count_7d",
+        "event_count_30d",
+        "last_event_days_ago",
+        F.size("event_type_counts").cast("long").cast("string").alias(
+            "event_type_counts"
+        ),
+        F.aggregate(
+            F.map_values("event_type_counts"),
+            F.lit(0).cast("bigint"),
+            lambda a, b: a + b,
+        ).alias("_sum_counts"),
+    )
+    bad = flat.where(F.col("_sum_counts") != F.col("event_count_30d"))
+    assert bad.isEmpty()
+    base = backfill_features_window_form(events, "2024-01-01", "2024-01-30")
+    a, b = flat.drop("_sum_counts"), base
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
