@@ -805,15 +805,24 @@ def cut_duplicate_spans(
     a LEFT join on (doc, pos) tags each token with its covering span;
     one groupBy(doc) then produces the rebuilt text (sorted structs over
     the UNcovered tokens — collect_list drops the nulls the ``when``
-    emits for covered/missing tokens), ``n_spans`` (distinct covering
-    span ids) and ``n_tokens_cut`` (covered-position count — spans are
-    disjoint after the interval merge, so this equals Σ span_len).
+    emits for covered/missing tokens), ``n_spans`` (sum of the
+    span-START flags the explode carries — cheaper than a distinct
+    aggregate over span ids, which would add a (doc, span) keyed
+    pre-aggregate phase over every corpus token) and ``n_tokens_cut``
+    (covered-position count — spans are disjoint after the interval
+    merge, so this equals Σ span_len).
     """
     spans = duplicate_spans(df, k, min_docs, text_col, id_col)
     covered = spans.select(
         F.col(id_col).alias("id"),
         "span_id",
+        "span_start",
         F.explode(F.sequence("span_start", "span_end")).alias("pos"),
+    ).select(
+        "id",
+        "span_id",
+        "pos",
+        (F.col("pos") == F.col("span_start")).cast("long").alias("_is_start"),
     )
     toks = spread(df).select(
         F.col(id_col).alias("id"),
@@ -840,7 +849,7 @@ def cut_duplicate_spans(
                 ),
                 " ",
             ).alias("text_cut"),
-            F.count_distinct(F.col("span_id")).alias("n_spans"),
+            F.coalesce(F.sum("_is_start"), F.lit(0)).alias("n_spans"),
             F.count(F.col("span_id")).alias("n_tokens_cut"),
         )
         .select(

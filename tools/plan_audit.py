@@ -27,6 +27,17 @@ AUDITED: dict[str, str] = {
         "a 64-bit dictionary mask (no per-row collections). The grid cross "
         "join broadcasts the date side."
     ),
+    "features_daily_typed": (
+        "Map-valued feature view (r9): TWO-LEVEL daily pre-aggregate "
+        "(user,day,type)->(user,day) builds one small per-day count map "
+        "before the user_id window exchange; the rolling map is an "
+        "aggregate/map_zip_with fold over the <=31 daily maps the "
+        "range frame exposes — per-row cost bounded by window length x "
+        "type cardinality, never raw event volume. Same full-outer "
+        "densify + broadcast date grid as features_daily; the gate row "
+        "serializes the map as sorted type:count pairs (maps can't "
+        "hash in the driver compare)."
+    ),
     "pit_training_data": (
         "As-of join: single shuffle on user_id for the left join, window "
         "rank inside the same partitioning, rank=1 filter. No driver "
@@ -277,12 +288,21 @@ AUDITED: dict[str, str] = {
         "one window shuffle keyed by doc."
     ),
     "doc_cut_duplicate_spans": (
-        "Cut treatment: spans explode to covered (doc,pos) rows (bounded "
-        "by corpus token count), LEFT ANTI join against one corpus "
-        "posexplode, groupBy(doc) sorted-struct reassembly — the "
-        "paragraph_dedup rebuild pattern; base left-joins keep span-free "
-        "docs. No second corpus explode for metadata (rides the span "
-        "aggregate)."
+        "Cut treatment (r9 single-pass rewrite — r8 verdict #1 cleared, "
+        "6 scans -> 3, 12 exchanges -> 10): the span subtree is consumed "
+        "exactly ONCE — spans explode to covered (doc,span_id,pos) rows "
+        "(bounded by corpus token count), a LEFT join tags one corpus "
+        "posexplode (outer, so null-text docs keep a row — no third "
+        "scan for the base id list), and a single groupBy(doc) produces "
+        "the sorted-struct text rebuild, n_spans (count_distinct "
+        "span_id — summed as a span-START flag carried by the explode, "
+        "not a distinct aggregate) and n_tokens_cut (covered-row count) "
+        "together. sf0.1 wall time is fixed-overhead-dominated and "
+        "measures NEUTRAL (interleaved A/B vs r8 code: r8 best 2.95s / "
+        "HEAD best 3.11s, both oscillating to 4.4s on the same host); "
+        "the win is structural — the corpus is read 3x instead of 6x "
+        "and the span-detection shuffles execute once instead of twice, "
+        "which is what scales."
     ),
     "doc_contamination_spans": (
         "Span-localized decontamination: one corpus window Generate, the "
@@ -477,7 +497,20 @@ AUDITED: dict[str, str] = {
         "(UNHINTED, O(corpus) vocabulary), and one groupBy(doc) that "
         "computes counts AND the positional reassembly from "
         "(pos,para,boiler) structs — no second explode, no totals "
-        "join. The oracle hash-matches the REBUILT text, pinning order."
+        "join. The oracle hash-matches the REBUILT text, pinning order. "
+        "r8 flagged this query +44% in-suite alongside corpus_dedup_apply"
+        "/dedup_clusters/doc_content_centrality (code untouched beyond "
+        "the perf-neutral floor sweep); r9 adjudication with the quiet-"
+        "host protocol (two isolated best-of-3 A/B replicate pairs, HEAD "
+        "vs a 79703fc r7 worktree, calib flat 0.395-0.463, artifact "
+        "committed as BENCH_WATCH_r09_dedup_apply.json): r7-vs-HEAD "
+        "best-of-6 ratios 0.94/1.12/0.98/0.89 — no code effect; the "
+        "WITHIN-code replicate spread on identical HEAD code was 1.90s "
+        "vs 2.73s (44%) minutes apart at flat calib, i.e. the r8->r8 "
+        "suite drift is the same shuffle/Python-heavy host oscillation "
+        "documented for the ANN family. Watch cleared: doc_paragraph_"
+        "dedup r7=2.011/HEAD=1.896, corpus_dedup_apply 1.909/2.129, "
+        "dedup_clusters 1.623/1.589, doc_content_centrality 3.821/3.412."
     ),
     "late_shipment_priority_counts": (
         "Q12 shape (r7-new): two-way CASE-conditional counts in ONE "

@@ -421,6 +421,55 @@ def run_scale(spark, d: Path, only: set[str] | None = None) -> dict[str, float]:
             docs.where(F.col("doc_id") % 97 != 0), bench, k=4
         )
 
+    def _cut_duplicate_spans():
+        # the apply form: detection subtree consumed once + one corpus
+        # posexplode + one groupBy(doc) rebuild — r9 single-pass plan
+        from mini_feature_store_spark.operators.dedup import (
+            cut_duplicate_spans,
+        )
+
+        return cut_duplicate_spans(docs, k=4, min_docs=2)
+
+    def _urldedup_stream():
+        # REAL streaming run (foreachBatch, availableNow): 5 micro-batches
+        # of N/5 urlified docs against a growing admitted store — returns
+        # its own wall seconds (the _stream suffix routes around time_op).
+        # The %2000-domain / %500-path url construction makes ~3/4 of
+        # each batch collide with earlier batches' canonical URLs, so the
+        # anti join does real work at every batch.
+        import shutil
+        import tempfile
+
+        from mini_feature_store_spark.streaming.ingest import (
+            incremental_urldedup_stream,
+        )
+
+        base = Path(tempfile.mkdtemp(prefix="mfss-urlstream-"))
+        src = base / "incoming"
+        src.mkdir()
+        urled = _urlify(docs).select("doc_id", "url")
+        for b in range(5):
+            urled.where(F.col("doc_id") % 5 == b).coalesce(1).write.mode(
+                "append"
+            ).json(str(src))
+        stream = (
+            spark.readStream.schema("doc_id long, url string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        t0 = time.perf_counter()
+        q = (
+            incremental_urldedup_stream(
+                stream, str(base / "admitted"), str(base / "ckpt")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        dt = round(time.perf_counter() - t0, 2)
+        shutil.rmtree(base, ignore_errors=True)
+        return dt
+
     def _paragraph_dedup_exact():
         return paragraph_dedup(para_docs, min_docs=2, exact=True)
 
@@ -497,6 +546,8 @@ def run_scale(spark, d: Path, only: set[str] | None = None) -> dict[str, float]:
         {
             "duplicate_spans_k4": _duplicate_spans,
             "contamination_spans_k4": _contamination_spans,
+            "cut_duplicate_spans_k4": _cut_duplicate_spans,
+            "urldedup_5batch_stream": _urldedup_stream,
             "paragraph_dedup_exact": _paragraph_dedup_exact,
             "paragraph_dedup_hash": _paragraph_dedup_hash,
             "decontaminate_multi_3bench": _decontaminate_multi,
@@ -516,7 +567,12 @@ def run_scale(spark, d: Path, only: set[str] | None = None) -> dict[str, float]:
     for name, build in ops.items():
         if only and name not in only:
             continue
-        out[name] = time_op(spark, build)
+        if name.endswith("_stream"):
+            # streaming probes time themselves (a second run would hit a
+            # pre-populated admitted store — a different steady state)
+            out[name] = build()
+        else:
+            out[name] = time_op(spark, build)
         print(f"    {name:28s} {out[name]:8.2f}s", flush=True)
     return out
 
