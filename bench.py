@@ -148,7 +148,14 @@ def main() -> None:
         "calib_sec_end": payload["calib_sec_end"],
         "n_queries": len(timings),
         "queries_ms": [int(round(v * 1000)) for v in timings.values()],
-        "names_in": "bench_results.json",
+        # full runs point at the committed artifact for the name order;
+        # subset runs (which skip writing bench_results.json) carry their
+        # few names inline so the ms list is never paired with a stale map
+        **(
+            {"names": list(timings)}
+            if subset
+            else {"names_in": "bench_results.json"}
+        ),
     }
     print(json.dumps(compact, separators=(",", ":")))
 

@@ -105,6 +105,75 @@ def backfill_features_join_form(
     )
 
 
+def _events_in_lookback(
+    events: DataFrame,
+    start,
+    end,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+) -> DataFrame:
+    """(user_id, event_type, day) rows for [start - 30d, end]: events older
+    than ``start`` by up to the long window still influence early rows, so
+    the daily pre-agg keeps the lookback and the scaffold join trims to
+    [start, end] afterwards. Shared by both window-form feature views."""
+    return events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(type_col).alias("event_type"),
+        F.to_date(F.col(ts_col)).alias("day"),
+    ).where(
+        (F.col("day") >= F.date_sub(F.lit(start).cast("date"), LONG_WINDOW_DAYS))
+        & (F.col("day") <= F.lit(end).cast("date"))
+    )
+
+
+def _densify_and_frames(events: DataFrame, daily: DataFrame, start, end, user_col: str):
+    """Shared densify + rolling-frame scaffolding for the window-form
+    feature views. ``daily`` is a (user_id, day)-keyed pre-aggregate
+    carrying at least ``n_events``.
+
+    Rows before ``start`` must still be visible to the range frames of
+    early days. A FULL OUTER join expresses both needs with ONE daily
+    aggregate: grid rows (day ∈ [start, end]) pick up their stats or stay
+    null-padded, and pre-start daily rows (day < start, never in the grid)
+    ride along as the daily-only side. (A left-join + union of two daily
+    branches scans and aggregates the events twice — visible as duplicate
+    subtrees in the physical plan.) The caller's final day >= start filter
+    trims the pre rows.
+
+    Returns ``(dense, w7, w30, last_event_day, start_lit)``.
+    """
+    grid = _scaffold(
+        events.select(F.col(user_col).alias("user_id")), start, end, "user_id", "day"
+    )
+    dense = grid.join(daily, ["user_id", "day"], "full")
+    day_no = F.unix_date(F.col("day"))
+    w7 = (
+        Window.partitionBy("user_id")
+        .orderBy(day_no)
+        .rangeBetween(-SHORT_WINDOW_DAYS, 0)
+    )
+    w30 = (
+        Window.partitionBy("user_id")
+        .orderBy(day_no)
+        .rangeBetween(-LONG_WINDOW_DAYS, 0)
+    )
+    last_event_day = F.max(F.when(F.col("n_events") > 0, F.col("day"))).over(w30)
+    return dense, w7, w30, last_event_day, F.lit(start).cast("date")
+
+
+def _base_feature_cols(w7, w30, last_event_day) -> list:
+    """The three features both window-form views share, over the frames
+    ``_densify_and_frames`` built."""
+    return [
+        F.coalesce(F.sum("n_events").over(w7), F.lit(0)).alias("event_count_7d"),
+        F.coalesce(F.sum("n_events").over(w30), F.lit(0)).alias("event_count_30d"),
+        F.datediff(F.col("day"), last_event_day).cast("int").alias(
+            "last_event_days_ago"
+        ),
+    ]
+
+
 def backfill_features_window_form(
     events: DataFrame,
     start: str | dt.date,
@@ -145,14 +214,7 @@ def backfill_features_window_form(
             f"unknown distinct_types_strategy: {distinct_types_strategy!r}"
         )
 
-    ev = events.select(
-        F.col(user_col).alias("user_id"),
-        F.col(type_col).alias("event_type"),
-        F.to_date(F.col(ts_col)).alias("day"),
-    ).where(
-        (F.col("day") >= F.date_sub(F.lit(start).cast("date"), LONG_WINDOW_DAYS))
-        & (F.col("day") <= F.lit(end).cast("date"))
-    )
+    ev = _events_in_lookback(events, start, end, user_col, ts_col, type_col)
 
     if distinct_types_strategy == "probe":
         types_seen = [
@@ -233,32 +295,9 @@ def backfill_features_window_form(
             F.collect_set("event_type").alias("types"),
         )
 
-    grid = _scaffold(
-        events.select(F.col(user_col).alias("user_id")), start, end, "user_id", "day"
+    dense, w7, w30, last_event_day, start_lit = _densify_and_frames(
+        events, daily, start, end, user_col
     )
-    start_lit = F.lit(start).cast("date")
-    # Rows before `start` must still be visible to the range frames of early
-    # days. A FULL OUTER join expresses both needs with ONE daily aggregate:
-    # grid rows (day ∈ [start, end]) pick up their stats or stay null-padded,
-    # and pre-start daily rows (day < start, never in the grid) ride along as
-    # the daily-only side. (A left-join + union of two daily branches scans
-    # and aggregates the events twice — visible as duplicate subtrees in the
-    # physical plan.) The final day >= start filter trims the pre rows.
-    dense = grid.join(daily, ["user_id", "day"], "full")
-
-    day_no = F.unix_date(F.col("day"))
-    w7 = (
-        Window.partitionBy("user_id")
-        .orderBy(day_no)
-        .rangeBetween(-SHORT_WINDOW_DAYS, 0)
-    )
-    w30 = (
-        Window.partitionBy("user_id")
-        .orderBy(day_no)
-        .rangeBetween(-LONG_WINDOW_DAYS, 0)
-    )
-
-    last_event_day = F.max(F.when(F.col("n_events") > 0, F.col("day"))).over(w30)
     if use_bitmask:
         distinct_types = F.coalesce(
             F.bit_count(F.bit_or("type_mask").over(w30)), F.lit(0)
@@ -271,13 +310,7 @@ def backfill_features_window_form(
         dense.select(
             "user_id",
             "day",
-            F.coalesce(F.sum("n_events").over(w7), F.lit(0)).alias("event_count_7d"),
-            F.coalesce(F.sum("n_events").over(w30), F.lit(0)).alias(
-                "event_count_30d"
-            ),
-            F.datediff(F.col("day"), last_event_day).cast("int").alias(
-                "last_event_days_ago"
-            ),
+            *_base_feature_cols(w7, w30, last_event_day),
             distinct_types.cast("long").cast("string").alias("event_type_counts"),
         )
         .where(F.col("day") >= start_lit)
@@ -321,14 +354,7 @@ def backfill_features_typed(
     ``Σ map values = event_count_30d`` are pinned by tests against the
     string-contract form.
     """
-    ev = events.select(
-        F.col(user_col).alias("user_id"),
-        F.col(type_col).alias("event_type"),
-        F.to_date(F.col(ts_col)).alias("day"),
-    ).where(
-        (F.col("day") >= F.date_sub(F.lit(start).cast("date"), LONG_WINDOW_DAYS))
-        & (F.col("day") <= F.lit(end).cast("date"))
-    )
+    ev = _events_in_lookback(events, start, end, user_col, ts_col, type_col)
     daily = (
         ev.groupBy("user_id", "day", "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -340,28 +366,9 @@ def backfill_features_typed(
             ).alias("type_map"),
         )
     )
-    grid = _scaffold(
-        events.select(F.col(user_col).alias("user_id")),
-        start,
-        end,
-        "user_id",
-        "day",
+    dense, w7, w30, last_event_day, start_lit = _densify_and_frames(
+        events, daily, start, end, user_col
     )
-    start_lit = F.lit(start).cast("date")
-    dense = grid.join(daily, ["user_id", "day"], "full")
-
-    day_no = F.unix_date(F.col("day"))
-    w7 = (
-        Window.partitionBy("user_id")
-        .orderBy(day_no)
-        .rangeBetween(-SHORT_WINDOW_DAYS, 0)
-    )
-    w30 = (
-        Window.partitionBy("user_id")
-        .orderBy(day_no)
-        .rangeBetween(-LONG_WINDOW_DAYS, 0)
-    )
-    last_event_day = F.max(F.when(F.col("n_events") > 0, F.col("day"))).over(w30)
     # collect_list skips the nulls event-free grid days contribute, so the
     # fold sees exactly the window's daily maps; additive map_zip_with
     # union-merges them (either side null for a type the other day lacks).
@@ -378,10 +385,6 @@ def backfill_features_typed(
     return dense.select(
         "user_id",
         "day",
-        F.coalesce(F.sum("n_events").over(w7), F.lit(0)).alias("event_count_7d"),
-        F.coalesce(F.sum("n_events").over(w30), F.lit(0)).alias("event_count_30d"),
-        F.datediff(F.col("day"), last_event_day).cast("int").alias(
-            "last_event_days_ago"
-        ),
+        *_base_feature_cols(w7, w30, last_event_day),
         merged.alias("event_type_counts"),
     ).where(F.col("day") >= start_lit)

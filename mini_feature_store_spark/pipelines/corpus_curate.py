@@ -157,8 +157,10 @@ def run_corpus_curation(
         # span-free docs keep their original bytes. Row count is
         # unchanged, so the funnel records docs TOUCHED instead.
         # survivors feeds the cut operator (which scans it for windows
-        # and tokens), the metadata join below, AND the touched count —
-        # persist across the stage like stage 0 / the quality gate
+        # and tokens), the metadata join below, the touched count, AND —
+        # through the returned plan's lineage — every downstream stage
+        # count and the final write, so the persist must outlive them
+        # all: unpersist happens at the end next to admitted/deduped
         # (pipeline tier persists; registry gate replicas stay lazy).
         cut_input = survivors.persist()
         cut = cut_duplicate_spans(
@@ -183,7 +185,6 @@ def run_corpus_curation(
             F.col("n_spans") > 0
         ).count()
         survivors = survivors.drop("n_spans")
-        cut_input.unpersist()
 
     if cfg.embeddings_path is not None:
         from mini_feature_store_spark.operators.clustering import (
@@ -256,4 +257,6 @@ def run_corpus_curation(
         )
     admitted.unpersist()
     deduped.unpersist()
+    if cfg.cut_spans_k is not None:
+        cut_input.unpersist()
     return funnel
