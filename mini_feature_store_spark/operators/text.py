@@ -755,3 +755,165 @@ def paragraph_dedup(
         F.count(F.lit(1)).alias("n_paras"),
         F.count(F.when(F.col("_boiler").isNull(), 1)).alias("n_kept"),
     )
+
+
+#: C4's terminal-punctuation rule (Raffel et al. 2020 §2.2): a line only
+#: counts as a sentence when it ends in one of these. ASCII-only so the
+#: Java-regex operator and the RE2 DuckDB oracle mirror match identically.
+TERMINAL_PUNCT_RE = "[.!?\"']$"
+
+
+def line_filter(
+    df: DataFrame,
+    min_words: int = 3,
+    min_lines: int = 3,
+    banned_line_terms: tuple[str, ...] = ("javascript",),
+    banned_doc_terms: tuple[str, ...] = ("lorem ipsum", "{"),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style LINE-level cleaning + page-level gate (Raffel et al. 2020
+    §2.2 — the rules behind the C4 corpus): keep a line only when it
+
+    - ends in terminal punctuation (``TERMINAL_PUNCT_RE``),
+    - has at least ``min_words`` whitespace words, and
+    - contains none of ``banned_line_terms`` (case-insensitive;
+      C4 drops lines with the word "javascript");
+
+    and keep the PAGE only when at least ``min_lines`` lines survive and
+    the whole text contains none of ``banned_doc_terms`` (C4 discards any
+    page containing "lorem ipsum" or a curly brace). This is finer-grained
+    than ``quality_filter`` (whole-doc signals) and complements
+    ``paragraph_dedup`` (cross-doc frequency): these rules are per-line
+    LOCAL — no cross-document state, so the operator is a pure projection.
+
+    Output: one row per input document —
+    ``(id_col, text_clean, n_lines, n_kept_lines, kept)``; ``text_clean``
+    is the surviving lines re-joined with ``\\n`` ('' when none survive).
+    NULL text is treated as empty (0 lines, not kept — a page with no
+    sentences fails the ``min_lines`` gate by construction).
+
+    Scale shape: split / filter / array_join higher-order expressions over
+    one scan — zero shuffles, zero UDFs, whole-stage codegen; Catalyst
+    prunes the scan to (id, text).
+    """
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+    # split('') yields [''] — strip blank-only entries from the line count
+    # so an empty page has 0 lines, not 1
+    real_lines = F.filter(lines, lambda l: F.trim(l) != "")
+
+    def _line_ok(l: Column) -> Column:
+        cond = (
+            F.trim(l).rlike(TERMINAL_PUNCT_RE)
+            & (F.size(F.split(F.trim(l), r"\s+")) >= min_words)
+        )
+        for term in banned_line_terms:
+            cond = cond & ~F.lower(l).contains(term.lower())
+        return cond
+
+    kept_lines = F.filter(real_lines, _line_ok)
+    doc_banned = F.lit(False)
+    for term in banned_doc_terms:
+        doc_banned = doc_banned | F.lower(
+            F.coalesce(F.col(text_col), F.lit(""))
+        ).contains(term.lower())
+    return spread(df).select(
+        F.col(id_col),
+        F.array_join(kept_lines, "\n").alias("text_clean"),
+        F.size(real_lines).cast("long").alias("n_lines"),
+        F.size(kept_lines).cast("long").alias("n_kept_lines"),
+        ((F.size(kept_lines) >= min_lines) & ~doc_banned).alias("kept"),
+    )
+
+
+def bigram_lm_score(
+    train: DataFrame,
+    df: DataFrame,
+    alpha: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style LM quality scoring (Wenzek et al. 2020 score crawl text
+    with a KenLM trained on Wikipedia; the lower the perplexity, the more
+    Wikipedia-like the page): score every document in ``df`` by the
+    average negative log-likelihood of its bigrams under an
+    add-``alpha``-smoothed bigram model of the REFERENCE corpus ``train``:
+
+        p(w2 | w1) = (C(w1 w2) + alpha) / (C(w1) + alpha * V)
+
+    over normalized whitespace tokens, where ``C(w1 w2)`` / ``C(w1)`` are
+    bigram / context counts from ``train`` and ``V`` is ``train``'s
+    unigram vocabulary size. A w1 unseen in training backs off to
+    ``1 / V``-scale mass. ``avg_nll`` is ln-based; perplexity is
+    ``exp(avg_nll)`` — left to the caller so the stored score stays in
+    the numerically flat log domain.
+
+    Output: one row per document WITH at least one bigram (< 2 tokens →
+    no row, the ``duplicate_spans`` convention):
+    ``(id_col, n_bigrams, n_oov_bigrams, avg_nll)`` where
+    ``n_oov_bigrams`` counts bigrams absent from the training table.
+
+    Scale shape: the model is two hash aggregates over one training-side
+    bigram explosion (counts, shuffled by token keys — map-side combine
+    collapses repeats) plus a 1-row vocabulary aggregate (bounded
+    broadcast); the score side explodes each doc's bigrams ONCE and joins
+    the two count tables UNHINTED — vocabulary tables are O(types), AQE
+    broadcasts them when they fit — then one groupBy(doc). The corpus is
+    never shuffled except by (doc) for the final aggregate.
+    """
+
+    def _bigrams(frame: DataFrame) -> DataFrame:
+        t = _tokens(normalize(F.col(text_col)))
+        return (
+            spread(frame)
+            .select(
+                F.col(id_col).alias("id"),
+                t.alias("_toks"),
+                F.explode(
+                    F.when(
+                        F.size(t) >= 2, F.sequence(F.lit(1), F.size(t) - 1)
+                    ).otherwise(F.array().cast("array<int>"))
+                ).alias("i"),
+            )
+            .select(
+                "id",
+                F.element_at("_toks", F.col("i")).alias("w1"),
+                F.element_at("_toks", F.col("i") + 1).alias("w2"),
+            )
+        )
+
+    tb = _bigrams(train)
+    cb = tb.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_cb"))
+    cu = tb.groupBy("w1").agg(F.count(F.lit(1)).alias("_cu"))
+    vocab = (
+        spread(train)
+        .select(
+            F.explode(_tokens(normalize(F.col(text_col)))).alias("w")
+        )
+        .agg(F.count_distinct("w").alias("_v"))
+    )
+    scored = (
+        _bigrams(df)
+        .join(cb, ["w1", "w2"], "left")
+        .join(cu, ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+    )
+    p = (F.coalesce(F.col("_cb"), F.lit(0)) + F.lit(alpha)) / (
+        F.coalesce(F.col("_cu"), F.lit(0)) + F.lit(alpha) * F.col("_v")
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.count(F.when(F.col("_cb").isNull(), 1)).alias(
+                "n_oov_bigrams"
+            ),
+            round_half_up(F.avg(-F.log(p)), 4).alias("avg_nll"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_bigrams").cast("long"),
+            F.col("n_oov_bigrams").cast("long"),
+            "avg_nll",
+        )
+    )

@@ -347,3 +347,76 @@ def test_decontaminate_multi_per_benchmark_breakdown(spark):
     }
     for (doc, _b), r in by.items():
         assert r.n_shared <= union[doc]
+
+
+def test_line_filter_c4_rules(spark):
+    """C4 rules: line kept iff terminal punctuation + >=3 words + no
+    'javascript'; page kept iff >=3 surviving lines and no doc-level
+    banned term; NULL text -> 0 lines, not kept; dropped pages still
+    report their line stats."""
+    from mini_feature_store_spark.operators.text import line_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "This is a good sentence.\nshort.\n"
+                "Another fine long sentence here!\nno terminal punct here\n"
+                "Ends with a quote.'\nGreat third full sentence wow."),
+            # 'javascript' kills the LINE, not the page (C4 semantics)
+            (2, "Contains javascript so dropped.\nGood line number two.\n"
+                "Good line number three.\nGood line number four."),
+            # doc-level ban: lines survive individually, page does not
+            (3, "lorem ipsum dolor sit amet.\nA perfectly good sentence.\n"
+                "Another good one here.\nAnd a third one too."),
+            (4, None),
+            (5, "Only one good sentence here."),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_lines, r.n_kept_lines, r.kept, r.text_clean)
+        for r in line_filter(docs).collect()
+    }
+    assert got[1][:3] == (6, 4, True)
+    assert got[1][3].split("\n")[0] == "This is a good sentence."
+    assert got[2][:3] == (4, 3, True)
+    assert "javascript" not in got[2][3]
+    assert got[3][:3] == (4, 4, False)
+    assert got[4] == (0, 0, False, "")
+    assert got[5][:3] == (1, 1, False)
+    # page with a curly brace is banned even when every line is clean
+    brace = spark.createDataFrame(
+        [(9, "Fine sentence one here.\nFine sentence two here.\n"
+             "Config value { is embedded.\nFine sentence four here.")],
+        "doc_id long, text string",
+    )
+    assert line_filter(brace).collect()[0].kept is False
+
+
+def test_bigram_lm_score_hand_case(spark):
+    """Add-1 bigram NLL against a tiny reference corpus, verified by hand:
+    train 'the cat sat on the mat the cat ran' -> C(the,cat)=2 C(the)=3
+    C(cat,sat)=1 C(cat)=2, V=6; doc 'the cat sat' NLL =
+    (ln(9/3) + ln(8/2)) / 2 = 1.24245...; unseen-context bigrams count as
+    OOV and back off to 1/V-scale mass; single-token docs emit no row."""
+    from mini_feature_store_spark.operators.text import bigram_lm_score
+
+    train = spark.createDataFrame(
+        [(100, "the cat sat on the mat the cat ran")],
+        "doc_id long, text string",
+    )
+    score = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the dog sat"), (3, "x")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.n_oov_bigrams, r.avg_nll)
+        for r in bigram_lm_score(train, score).collect()
+    }
+    assert got[1] == (2, 0, 1.2425)
+    # (the,dog): OOV bigram, seen context -> (0+1)/(3+6);
+    # (dog,sat): OOV bigram, unseen context -> (0+1)/(0+6)
+    import math
+
+    assert got[2][0] == 2 and got[2][1] == 2
+    assert abs(got[2][2] - (math.floor((math.log(9) + math.log(6)) / 2 * 10000 + 0.5) / 10000)) < 1e-12
+    assert 3 not in got

@@ -311,6 +311,22 @@ AUDITED: dict[str, str] = {
         "contract), interval merge in one window shuffle keyed by doc. "
         "The corpus is never shuffled by window hash."
     ),
+    "doc_line_quality_filter": (
+        "C4 line rules (r9): one scan, zero exchanges — line split, "
+        "per-line rule filter, and page gate are all higher-order "
+        "array expressions in a single codegen projection; the "
+        "deterministic line synthesis (the _doc_url pattern) is part "
+        "of the same stage."
+    ),
+    "doc_lm_perplexity": (
+        "CCNet-style bigram LM scoring (r9): the model is two hash "
+        "aggregates over the reference slice's bigram explosion plus a "
+        "1-row vocabulary aggregate (bounded broadcast); the corpus "
+        "explodes its bigrams once and joins the count tables UNHINTED "
+        "(O(types) — AQE broadcasts when they fit), then one "
+        "groupBy(doc). The corpus is never shuffled except by doc for "
+        "the final aggregate."
+    ),
     "doc_url_dedup": (
         "Canonicalization is a map-only codegen chain (regexp_extract/"
         "replace, split, array_sort, array_join — zero UDFs) feeding ONE "
