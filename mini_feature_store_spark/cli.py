@@ -148,6 +148,24 @@ def build_parser() -> argparse.ArgumentParser:
         help="per-registrable-domain doc cap (needs --url-col)",
     )
     cc.add_argument(
+        "--line-filter-min-lines", type=int, default=None,
+        help="C4 line-cleaning stage: apply per-line terminal-punctuation/"
+        "min-words/'javascript' rules before the quality gate and drop "
+        "pages with fewer than this many surviving lines (or containing "
+        "'{' / 'lorem ipsum'); kept pages keep their cleaned text",
+    )
+    cc.add_argument(
+        "--lm-reference-path", default=None,
+        help="CCNet-style LM filter stage: train an add-1 bigram model on "
+        "this parquet and drop docs whose average bigram NLL exceeds "
+        "--lm-max-nll",
+    )
+    cc.add_argument(
+        "--lm-max-nll", type=float, default=7.0,
+        help="max average bigram NLL (natural log) a doc may score under "
+        "the --lm-reference-path model (default 7.0)",
+    )
+    cc.add_argument(
         "--cut-spans-k", type=int, default=None,
         help="ExactSubstr stage: cut cross-doc duplicated spans of this "
         "window size from surviving docs (GPT-3 used 13); docs that lose "
@@ -402,6 +420,9 @@ def main(argv: list[str] | None = None) -> int:
                     n_shards=args.shards,
                     url_col=args.url_col,
                     max_per_domain=args.max_per_domain,
+                    line_filter_min_lines=args.line_filter_min_lines,
+                    lm_reference_path=args.lm_reference_path,
+                    lm_max_nll=args.lm_max_nll,
                     cut_spans_k=args.cut_spans_k,
                 ),
             )

@@ -7,7 +7,14 @@ One command takes a raw document corpus to a training-ready one:
                            ``url_col`` is set; the CCNet/RefinedWeb
                            front door: cheapest stage first, so every
                            later stage reads fewer rows)
+0b. line cleaning (opt.)   operators/text.py:line_filter — C4's
+                           per-line rules + page gate (runs when
+                           ``line_filter_min_lines`` is set); kept
+                           pages carry their cleaned text forward
 1. quality gate            operators/text.py:quality_filter
+1b. LM filter (optional)   operators/text.py:bigram_lm_score — CCNet's
+                           perplexity gate against a reference corpus
+                           (``lm_reference_path`` / ``lm_max_nll``)
 2. exact dedup             operators/dedup.py:exact_dedup (md5 fingerprint)
 3. near-dup dedup          ngram_jaccard_pairs → dedup_clusters → survivors
 3b. span cut (optional)    operators/dedup.py:cut_duplicate_spans — scrub
@@ -57,6 +64,18 @@ class CorpusCurationConfig:
     #: per-registrable-domain contribution cap (needs ``url_col``);
     #: exact window form — swap in domain_cap_approx for crawl-shaped skew
     max_per_domain: int | None = None
+    #: when set, a C4-style line-cleaning stage (Raffel et al. 2020 §2.2)
+    #: runs before the quality gate: per-line terminal-punctuation /
+    #: min-words / 'javascript' rules, page dropped when fewer than this
+    #: many lines survive (or on '{' / 'lorem ipsum'); kept pages carry
+    #: the cleaned text into every later stage
+    line_filter_min_lines: int | None = None
+    #: when set, a CCNet-style LM quality stage runs after the quality
+    #: gate: docs scoring above ``lm_max_nll`` average bigram NLL under
+    #: an add-1 model trained on THIS reference parquet are dropped
+    #: (Wenzek et al. 2020 keep the low-perplexity bucket)
+    lm_reference_path: str | None = None
+    lm_max_nll: float = 7.0
     #: when set, an ExactSubstr stage (Lee et al. 2022) runs after
     #: near-dup dedup: cross-document duplicated spans of this window
     #: size are CUT from surviving docs (text rebuilt normalized) rather
@@ -112,6 +131,33 @@ def run_corpus_curation(
             stage0.unpersist()
             docs = stage0 = capped
 
+    if cfg.line_filter_min_lines is not None:
+        from mini_feature_store_spark.operators.text import line_filter
+
+        lf = line_filter(
+            docs,
+            min_lines=cfg.line_filter_min_lines,
+            text_col=cfg.text_col,
+            id_col=cfg.id_col,
+        )
+        # page gate + line-level rewrite in one join: non-kept pages
+        # drop, kept pages carry the CLEANED text into every later stage
+        # (kept lines pass through byte-identical — no normalization)
+        cleaned = (
+            docs.drop(cfg.text_col)
+            .join(
+                lf.where(F.col("kept")).select(
+                    cfg.id_col, F.col("text_clean").alias(cfg.text_col)
+                ),
+                cfg.id_col,
+            )
+            .persist()
+        )
+        funnel["after_line_filter"] = cleaned.count()
+        if stage0 is not None:
+            stage0.unpersist()
+        docs = stage0 = cleaned
+
     gate = quality_filter(
         docs,
         min_tokens=cfg.min_tokens,
@@ -125,6 +171,24 @@ def run_corpus_curation(
     funnel["after_quality"] = admitted.count()
     if stage0 is not None:
         stage0.unpersist()
+
+    if cfg.lm_reference_path is not None:
+        from mini_feature_store_spark.operators.text import bigram_lm_score
+
+        ref = spark.read.parquet(cfg.lm_reference_path)
+        scored = bigram_lm_score(
+            ref, admitted, text_col=cfg.text_col, id_col=cfg.id_col
+        )
+        keep_lm = scored.where(F.col("avg_nll") <= cfg.lm_max_nll).select(
+            cfg.id_col
+        )
+        # docs with < 2 tokens have no score and drop here — the default
+        # min_tokens quality gate already excludes them, so the semi join
+        # only removes high-NLL pages in practice
+        prev = admitted
+        admitted = admitted.join(keep_lm, cfg.id_col, "left_semi").persist()
+        funnel["after_lm_filter"] = admitted.count()
+        prev.unpersist()
 
     keep_ids = exact_dedup(admitted, cfg.text_col, cfg.id_col).select(
         F.col("keep_id").alias(cfg.id_col)

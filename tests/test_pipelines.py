@@ -1119,3 +1119,95 @@ def test_corpus_curate_span_cut_stage(spark, tmp_path):
     assert got[2] == "hotel india juliet kilo lima mike november"
     assert got[3] == "completely original words with no shared license text here"
     assert got[4] == "Untouched MixedCase  doc   with Original   Spacing kept"
+
+
+def test_corpus_curate_line_filter_stage(spark, tmp_path):
+    """Optional C4 line-cleaning stage: bad lines are scrubbed from kept
+    pages (surviving lines byte-identical), pages failing the min-lines /
+    banned-term gate drop BEFORE the quality gate, and the funnel records
+    the stage. min_tokens=1 so the quality gate can't mask the stage."""
+    from mini_feature_store_spark.pipelines.corpus_curate import (
+        CorpusCurationConfig,
+        run_corpus_curation,
+    )
+
+    rows = [
+        # 3 good sentences + 1 junk line -> kept, junk scrubbed
+        (1, "The first Good sentence stays intact.\nno terminal punct\n"
+            "Another quality sentence right here.\n"
+            "A third full sentence closes it."),
+        # only 2 surviving lines -> page dropped at the line stage
+        (2, "One good sentence here exists.\nAnd a second one too.\n"
+            "but this line never ends"),
+        # page-level ban: curly brace
+        (3, "Fine sentence one is here.\nFine sentence two is here.\n"
+            "Fine sentence three { breaks it.\nFine sentence four is here."),
+    ]
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(inp)
+
+    out = str(tmp_path / "clean")
+    funnel = run_corpus_curation(
+        spark,
+        CorpusCurationConfig(
+            input_path=inp,
+            output_path=out,
+            min_tokens=1,
+            jaccard_threshold=0.99,
+            line_filter_min_lines=3,
+        ),
+    )
+    assert funnel["input"] == 3
+    assert funnel["after_line_filter"] == 1
+    got = {r.doc_id: r.text for r in spark.read.parquet(out).collect()}
+    assert list(got) == [1]
+    assert got[1] == (
+        "The first Good sentence stays intact.\n"
+        "Another quality sentence right here.\n"
+        "A third full sentence closes it."
+    )
+
+
+def test_corpus_curate_lm_filter_stage(spark, tmp_path):
+    """Optional CCNet-style LM stage: docs far from the reference corpus
+    (high avg bigram NLL) drop; in-domain docs survive. min_tokens=1 and
+    near-dup threshold 0.99 isolate the stage's own effect."""
+    from mini_feature_store_spark.pipelines.corpus_curate import (
+        CorpusCurationConfig,
+        run_corpus_curation,
+    )
+
+    ref_path = str(tmp_path / "ref")
+    spark.createDataFrame(
+        [
+            (100, "the cat sat on the mat and the cat ran home"),
+            (101, "the dog sat on the mat and the dog ran home"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(ref_path)
+
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),        # in-domain, low NLL
+            (2, "zq xv qqk jjw zzt pmm wrx kkj"),  # gibberish, all-OOV
+        ],
+        "doc_id long, text string",
+    ).write.parquet(inp)
+
+    out = str(tmp_path / "clean")
+    funnel = run_corpus_curation(
+        spark,
+        CorpusCurationConfig(
+            input_path=inp,
+            output_path=out,
+            min_tokens=1,
+            jaccard_threshold=0.99,
+            lm_reference_path=ref_path,
+            lm_max_nll=2.0,
+        ),
+    )
+    assert funnel["after_quality"] == 2
+    assert funnel["after_lm_filter"] == 1
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept == {1}
