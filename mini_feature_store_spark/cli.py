@@ -118,6 +118,20 @@ def build_parser() -> argparse.ArgumentParser:
         "--ids-path", required=True, help="parquet path with rows to delete (key columns)"
     )
 
+    cs = sub.add_parser(
+        "compact-store",
+        help="rewrite a streaming-ingest admitted store as few "
+        "range-clustered files (run while the stream is stopped)",
+    )
+    cs.add_argument("--store-path", required=True, help="admitted store dir")
+    cs.add_argument(
+        "--cluster-col", default="canonical_url",
+        help="dedup key to range-cluster and sort by (default canonical_url)",
+    )
+    cs.add_argument(
+        "--target-files", type=int, default=8, help="output file count"
+    )
+
     cc = sub.add_parser(
         "corpus-curate",
         help="raw documents parquet → training-ready corpus: quality gate, "
@@ -428,6 +442,21 @@ def main(argv: list[str] | None = None) -> int:
             )
             for stage, n in funnel.items():
                 print(f"{stage}: {n}")
+        elif args.pipeline == "compact-store":
+            from mini_feature_store_spark.streaming.ingest import (
+                compact_admitted_store,
+            )
+
+            report = compact_admitted_store(
+                spark,
+                args.store_path,
+                args.cluster_col,
+                target_files=args.target_files,
+            )
+            print(
+                f"compacted {args.store_path}: "
+                + ", ".join(f"{k}={v}" for k, v in report.items())
+            )
         elif args.pipeline == "ann-index-build":
             from mini_feature_store_spark.operators.ann_index import (
                 build_ivfpq_index,

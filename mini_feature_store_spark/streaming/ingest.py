@@ -506,3 +506,73 @@ def incremental_urldedup_stream(
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(admit)
     )
+
+
+def compact_admitted_store(
+    spark: SparkSession,
+    admitted_path: str,
+    cluster_col: str,
+    target_files: int = 8,
+) -> dict[str, int]:
+    """Compact an incremental-dedup admitted store (the maintenance job
+    every ``foreachBatch``-append store needs): each micro-batch appended
+    its own small parquet file, so after N batches the anti-join probe
+    reads N footers — the classic streaming small-files problem. This
+    rewrites the store as ``target_files`` range-clustered,
+    internally-sorted files keyed by the dedup column, which also gives
+    the probe min/max footer pruning on ``cluster_col`` (the property the
+    urldedup docstring promises "at scale").
+
+    MUST run while the ingest stream is stopped (the swap is
+    directory-level: write to ``<path>__compacting``, then atomically
+    rename over the original via the Hadoop FileSystem API — same-scheme
+    rename, no driver-local os calls, so s3a/hdfs stores work the same
+    way). The rewrite is content-preserving: compaction never drops rows
+    (the exactly-once ingest contract means the store has no duplicates
+    to collapse; a lossy compactor would silently re-admit URLs after a
+    crash-restore from an older store copy).
+
+    Returns ``{"rows": n, "files_before": b, "files_after": a}``.
+    """
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(admitted_path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        raise ValueError(f"admitted store does not exist: {admitted_path}")
+
+    def _count_parquet(p) -> int:
+        n, it = 0, fs.listFiles(p, True)
+        while it.hasNext():
+            if it.next().getPath().getName().endswith(".parquet"):
+                n += 1
+        return n
+
+    files_before = _count_parquet(hpath)
+    df = spark.read.parquet(admitted_path)
+    rows = df.count()
+    tmp = admitted_path.rstrip("/") + "__compacting"
+    tpath = jvm.org.apache.hadoop.fs.Path(tmp)
+    if fs.exists(tpath):
+        fs.delete(tpath, True)
+    (
+        df.repartitionByRange(target_files, F.col(cluster_col))
+        .sortWithinPartitions(cluster_col)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    # swap: the store is replaced in one rename (readers started before
+    # the swap keep their snapshot of the old file listing)
+    old = jvm.org.apache.hadoop.fs.Path(admitted_path.rstrip("/") + "__old")
+    if fs.exists(old):
+        fs.delete(old, True)
+    if not fs.rename(hpath, old):
+        raise RuntimeError(f"could not stage old store aside: {admitted_path}")
+    if not fs.rename(tpath, hpath):
+        fs.rename(old, hpath)  # roll back
+        raise RuntimeError(f"could not swap compacted store: {admitted_path}")
+    fs.delete(old, True)
+    return {
+        "rows": rows,
+        "files_before": files_before,
+        "files_after": _count_parquet(hpath),
+    }

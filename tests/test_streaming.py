@@ -481,3 +481,74 @@ def test_incremental_urldedup_stream_admits_only_novel_urls(spark, tmp_path):
     # the admitted store carries the canonical key for future pruning
     cols = set(spark.read.parquet(admitted).columns)
     assert "canonical_url" in cols
+
+
+def test_compact_admitted_store(spark, tmp_path):
+    """Store compaction: N per-batch parquet appends collapse to
+    target_files range-clustered files; content byte-identical; the
+    ingest stream still dedups correctly against the compacted store."""
+    from mini_feature_store_spark.streaming.ingest import (
+        compact_admitted_store,
+        incremental_urldedup_stream,
+    )
+
+    src_dir = tmp_path / "incoming"
+    src_dir.mkdir()
+    admitted = str(tmp_path / "admitted")
+    schema = "doc_id long, url string"
+
+    # 4 micro-batches -> 4+ small files in the store
+    for b in range(4):
+        spark.createDataFrame(
+            [(b * 10 + i, f"https://example.com/{b}-{i}") for i in range(5)],
+            schema,
+        ).coalesce(1).write.mode("append").json(str(src_dir))
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).json(str(src_dir))
+    q = incremental_urldedup_stream(
+        stream, admitted, str(tmp_path / "ckpt")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    before = {
+        tuple(r) for r in spark.read.parquet(admitted).collect()
+    }
+    report = compact_admitted_store(
+        spark, admitted, "canonical_url", target_files=2
+    )
+    assert report["rows"] == 20
+    assert report["files_before"] >= 4
+    assert report["files_after"] <= 2
+    after = {tuple(r) for r in spark.read.parquet(admitted).collect()}
+    assert after == before
+
+    # stream continues correctly against the compacted store: one
+    # respelling (rejected) + one novel URL (admitted)
+    spark.createDataFrame(
+        [(100, "HTTPS://WWW.EXAMPLE.COM/0-0"), (101, "https://example.com/new")],
+        schema,
+    ).coalesce(1).write.mode("append").json(str(src_dir))
+    q = incremental_urldedup_stream(
+        stream, admitted, str(tmp_path / "ckpt")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    ids = {r.doc_id for r in spark.read.parquet(admitted).collect()}
+    assert 101 in ids and 100 not in ids
+
+
+def test_compact_store_cli(spark, tmp_path):
+    """CLI wiring for the compaction maintenance job."""
+    from mini_feature_store_spark import cli
+
+    store = str(tmp_path / "store")
+    for i in range(3):
+        spark.createDataFrame(
+            [(i, f"https://example.com/{i}")],
+            "doc_id long, canonical_url string",
+        ).coalesce(1).write.mode("append").parquet(store)
+    rc = cli.main(
+        ["compact-store", "--store-path", store, "--target-files", "1"]
+    )
+    assert rc == 0
+    assert spark.read.parquet(store).count() == 3
