@@ -859,3 +859,52 @@ def cut_duplicate_spans(
             F.col("n_tokens_cut").cast("long").alias("n_tokens_cut"),
         )
     )
+
+
+def duplicate_span_coverage(
+    df: DataFrame,
+    k: int = 50,
+    min_docs: int = 2,
+    max_share: float = 0.3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Doc-level policy over ``duplicate_spans``: the fraction of each
+    document's tokens covered by cross-document duplicated spans, plus a
+    drop flag at ``max_share`` — the Gopher-style alternative to cutting
+    (Lee et al. 2022 cut the span; Rae et al. 2021-style filters drop the
+    whole doc when too much of it is duplicated, since a mostly-verbatim
+    page is boilerplate even where it differs).
+
+    Returns one row per input document:
+    ``(id_col, n_tokens, n_dup_tokens, dup_share, keep)``; ``dup_share``
+    uses the portable floor-rounding at scale 6 and is 0.0 for span-free
+    and empty docs (``keep = true``).
+
+    Plan shape: the span subtree once (its two corpus scans), one
+    token-count projection, one LEFT join on doc id — spans are disjoint
+    after the interval merge so ``Σ span_len`` IS the covered-token
+    count, no explode needed.
+    """
+    spans = duplicate_spans(df, k, min_docs, text_col, id_col)
+    per_doc = spans.groupBy(id_col).agg(
+        F.sum("span_len").alias("n_dup_tokens")
+    )
+    base = spread(df).select(
+        F.col(id_col),
+        F.size(_tokens(normalize(F.col(text_col)))).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    share = F.when(F.col("n_tokens") > 0, round_half_up(
+        F.coalesce(F.col("n_dup_tokens"), F.lit(0)) / F.col("n_tokens"), 6
+    )).otherwise(F.lit(0.0))
+    return base.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        "n_tokens",
+        F.coalesce(F.col("n_dup_tokens"), F.lit(0)).cast("long").alias(
+            "n_dup_tokens"
+        ),
+        share.alias("dup_share"),
+        (share < max_share).alias("keep"),
+    )

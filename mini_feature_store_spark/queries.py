@@ -6281,6 +6281,70 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_score(docs.where(F.col("source") == "src0"), docs)
 
 
+@_q(
+    "doc_dup_coverage",
+    f"""
+WITH docs AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         [{{'pos': i, 'win': array_to_string(toks[i:i+3], ' ')}}
+          for i in generate_series(1, len(toks) - 3)] AS wins
+  FROM docs WHERE len(toks) >= 4
+),
+w AS (SELECT doc_id, unnest(wins, recursive := true) FROM g),
+d AS (SELECT win FROM w GROUP BY win HAVING COUNT(DISTINCT doc_id) >= 2),
+m AS (SELECT w.doc_id, w.pos FROM w JOIN d USING (win)),
+s AS (
+  SELECT doc_id, pos,
+    CASE WHEN MAX(pos + 3) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+          OR pos > MAX(pos + 3) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+         THEN 1 ELSE 0 END AS is_new
+  FROM m
+),
+sp AS (
+  SELECT doc_id, pos,
+         SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+  FROM s
+),
+cov AS (
+  SELECT doc_id, SUM(e - st + 1) AS n_dup
+  FROM (SELECT doc_id, MIN(pos) AS st, MAX(pos) + 3 AS e
+        FROM sp GROUP BY doc_id, span_id)
+  GROUP BY doc_id
+),
+base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM docs)
+SELECT b.doc_id, b.n_tokens,
+  CAST(COALESCE(c.n_dup, 0) AS BIGINT) AS n_dup_tokens,
+  CASE WHEN b.n_tokens > 0
+       THEN FLOOR(COALESCE(c.n_dup, 0) * 1.0 / b.n_tokens * 1000000 + 0.5)
+            / 1000000
+       ELSE 0.0 END AS dup_share,
+  (CASE WHEN b.n_tokens > 0
+        THEN FLOOR(COALESCE(c.n_dup, 0) * 1.0 / b.n_tokens * 1000000 + 0.5)
+             / 1000000
+        ELSE 0.0 END) < 0.3 AS keep
+FROM base b LEFT JOIN cov c ON b.doc_id = c.doc_id
+""",
+)
+def doc_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style duplicate-coverage gate (the doc-DROP alternative to
+    the ExactSubstr span CUT): fraction of each doc's tokens covered by
+    cross-document duplicated spans (k=4, min_docs=2 — the testdata
+    operating point the span family shares), keep = share < 0.3.
+    ``operators/dedup.py:duplicate_span_coverage``; the oracle re-derives
+    coverage as Σ merged-span lengths over the text-keyed window chain."""
+    from mini_feature_store_spark.operators.dedup import (
+        duplicate_span_coverage,
+    )
+
+    _utc(spark)
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    return duplicate_span_coverage(docs, k=4, min_docs=2, max_share=0.3)
+
+
 # ── driver verification order ───────────────────────────────────────────────
 # The correctness driver evaluates only the FIRST 50 entries of the registry
 # dict, in insertion order. Registration order above is thematic; this list is
@@ -6300,6 +6364,7 @@ VERIFY_ORDER: list[str] = [
     # filtering and CCNet bigram-LM scoring.
     "doc_line_quality_filter",
     "doc_lm_perplexity",
+    "doc_dup_coverage",
     "features_daily_typed",
     "doc_duplicate_spans",
     "doc_cut_duplicate_spans",

@@ -681,3 +681,32 @@ def test_contamination_spans_localizes_benchmark_overlap(spark):
     assert got == {1: (3, 9)}
     with pytest.raises(ValueError):
         contamination_spans(train, bench, k=1)
+
+
+def test_duplicate_span_coverage_gate(spark):
+    """Coverage gate: share = covered tokens / total tokens; mostly-
+    verbatim docs flagged, span-free docs keep with share 0."""
+    from mini_feature_store_spark.operators.dedup import (
+        duplicate_span_coverage,
+    )
+
+    blurb = "licensed under the apache software foundation"  # 6 tokens
+    df = spark.createDataFrame(
+        [
+            # 6 of 8 tokens covered -> share 0.75 -> dropped at 0.3
+            (1, f"alpha {blurb} omega"),
+            # 6 of 24 covered -> share 0.25 -> kept
+            (2, f"{blurb} " + " ".join(f"u{i}" for i in range(18))),
+            (3, "entirely unique text with nothing shared here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_dup_tokens, r.dup_share, r.keep)
+        for r in duplicate_span_coverage(
+            df, k=4, min_docs=2, max_share=0.3
+        ).collect()
+    }
+    assert got[1] == (8, 6, 0.75, False)
+    assert got[2] == (24, 6, 0.25, True)
+    assert got[3] == (9, 0, 0.0, True)

@@ -420,3 +420,42 @@ def test_bigram_lm_score_hand_case(spark):
     assert got[2][0] == 2 and got[2][1] == 2
     assert abs(got[2][2] - (math.floor((math.log(9) + math.log(6)) / 2 * 10000 + 0.5) / 10000)) < 1e-12
     assert 3 not in got
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _pages(draw):
+    line = st.text(
+        alphabet="abcdefg .!?'\"{j", min_size=0, max_size=30
+    )
+    return "\n".join(draw(st.lists(line, min_size=0, max_size=6)))
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(text=_pages())
+def test_line_filter_idempotent(spark, text):
+    """Property: filtering an already-cleaned page is a no-op — kept
+    lines pass the rules again (they're byte-preserved), and a kept
+    page stays kept (its surviving-line count can't shrink). Pages the
+    doc-level ban dropped are excluded: their text_clean may retain
+    banned bytes by design."""
+    from mini_feature_store_spark.operators.text import line_filter
+
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    first = line_filter(df).collect()[0]
+    again = line_filter(
+        spark.createDataFrame(
+            [(1, first.text_clean)], "doc_id long, text string"
+        )
+    ).collect()[0]
+    assert again.text_clean == first.text_clean
+    assert again.n_kept_lines == first.n_kept_lines
+    if first.kept:
+        assert again.kept
