@@ -87,3 +87,79 @@ def pack_sequences(
         )
         .drop("_cum_before")
     )
+
+
+def pack_documents_greedy(
+    df: DataFrame,
+    max_tokens: int,
+    shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Doc-PRESERVING packing: next-fit-decreasing bin packing per shard —
+    the packing mode that never splits a document across training
+    contexts (``pack_sequences`` is the concat-then-chunk mode that
+    does). Each document lands in exactly one bin of capacity
+    ``max_tokens``; within a shard, docs are taken longest-first
+    (ties by id) and a bin closes the first time the next doc no longer
+    fits — the classic NFD approximation (≤ 2× optimal bin count;
+    longest-first ordering makes the big items anchor bins so padding
+    concentrates where it is unavoidable). A single document longer than
+    ``max_tokens`` gets a bin of its own (truncation is the caller's
+    policy, not the packer's).
+
+    Output: one row per input document — ``(id_col, shard, bin_id,
+    n_tokens)``; bin ids are 1-based PER (shard); global pack identity is
+    the pair (shard, bin_id), exactly like ``pack_sequences``.
+
+    Scale shape: bin packing is inherently sequential, so — like the
+    cumsum in ``pack_sequences`` — it runs independently PER SHARD
+    (deterministic md5 bucket of the id): one hash exchange on the shard
+    key, then a linear Arrow-batched pass per shard
+    (``applyInPandas`` — the greedy fold is state Spark's built-ins
+    can't express; this is the sanctioned Pandas-UDF escape hatch).
+    Size ``shards`` so one shard's docs fit an executor's Arrow batch
+    budget; at 100 TB that is thousands of shards, each a few GB.
+    """
+    import pandas as pd
+
+    from mini_feature_store_spark.operators.text import token_count
+
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    if shards <= 0:
+        raise ValueError(f"shards must be positive, got {shards}")
+
+    base = df.select(
+        F.col(id_col),
+        (
+            F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % shards
+        ).alias("shard"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    )
+
+    def _pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(
+            ["n_tokens", id_col], ascending=[False, True], kind="mergesort"
+        )
+        bin_ids: list[int] = []
+        bin_id, fill = 0, 0
+        for n in pdf["n_tokens"]:
+            if bin_id == 0 or fill + n > max_tokens:
+                bin_id += 1
+                fill = int(n)
+            else:
+                fill += int(n)
+            bin_ids.append(bin_id)
+        pdf = pdf.assign(bin_id=bin_ids)
+        return pdf[[id_col, "shard", "bin_id", "n_tokens"]]
+
+    return base.groupBy("shard").applyInPandas(
+        _pack,
+        f"{id_col} long, shard long, bin_id long, n_tokens long",
+    )

@@ -6345,6 +6345,53 @@ def doc_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_span_coverage(docs, k=4, min_docs=2, max_share=0.3)
 
 
+@_q(
+    "doc_greedy_packing",
+    f"""
+WITH RECURSIVE docs AS (
+  SELECT doc_id,
+    CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+         % 8 AS BIGINT) AS shard
+  FROM documents
+),
+ordered AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY shard
+                               ORDER BY n_tokens DESC, doc_id) AS rn
+  FROM docs
+),
+acc AS (
+  SELECT shard, rn, doc_id, n_tokens,
+         CAST(1 AS BIGINT) AS bin_id, n_tokens AS fill
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
+    CASE WHEN a.fill + d.n_tokens <= 128
+         THEN a.bin_id ELSE a.bin_id + 1 END,
+    CASE WHEN a.fill + d.n_tokens <= 128
+         THEN a.fill + d.n_tokens ELSE d.n_tokens END
+  FROM acc a JOIN ordered d ON d.shard = a.shard AND d.rn = a.rn + 1
+)
+SELECT doc_id, shard, bin_id, n_tokens FROM acc
+""",
+)
+def doc_greedy_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-preserving next-fit-decreasing packing (bins of 128 tokens,
+    8 md5 shards) — ``operators/packing.py:pack_documents_greedy``. The
+    greedy fold is inherently sequential state (the sanctioned
+    applyInPandas escape hatch, per shard); the DuckDB oracle replays
+    the identical fold as a per-shard recursive CTE over the same
+    longest-first order — a rare case where WITH RECURSIVE is the
+    natural mirror of imperative per-partition logic."""
+    from mini_feature_store_spark.operators.packing import (
+        pack_documents_greedy,
+    )
+
+    _utc(spark)
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    return pack_documents_greedy(docs, max_tokens=128, shards=8)
+
+
 # ── driver verification order ───────────────────────────────────────────────
 # The correctness driver evaluates only the FIRST 50 entries of the registry
 # dict, in insertion order. Registration order above is thematic; this list is
@@ -6365,6 +6412,7 @@ VERIFY_ORDER: list[str] = [
     "doc_line_quality_filter",
     "doc_lm_perplexity",
     "doc_dup_coverage",
+    "doc_greedy_packing",
     "features_daily_typed",
     "doc_duplicate_spans",
     "doc_cut_duplicate_spans",

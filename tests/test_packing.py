@@ -118,3 +118,46 @@ def test_zero_token_doc_at_exact_pack_boundary(spark):
     df2 = spark.createDataFrame([(0, 0), (1, 5)], "doc_id long, n_tokens long")
     z0 = {r.doc_id: r for r in pack_sequences(df2, budget=128).collect()}[0]
     assert z0.start_pack == 0 and z0.n_packs == 0
+
+
+def test_pack_documents_greedy_nfd(spark):
+    """Doc-preserving NFD packing: longest-first per shard, bin closes
+    when the next doc doesn't fit, oversized docs get their own bin,
+    every doc packed exactly once, no bin over capacity (except a
+    single-oversized-doc bin)."""
+    from mini_feature_store_spark.operators.packing import (
+        pack_documents_greedy,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"w{j}" for j in range(n)))
+            for i, n in [(1, 60), (2, 50), (3, 40), (4, 30), (5, 150), (6, 10)]
+        ],
+        "doc_id long, text string",
+    )
+    out = pack_documents_greedy(docs, max_tokens=100, shards=1).collect()
+    assert {r.doc_id for r in out} == {1, 2, 3, 4, 5, 6}
+    by_doc = {r.doc_id: r for r in out}
+    # order: 150, 60, 50, 40, 30, 10 -> bins: [150] [60] [50+40+10=100]... 
+    # next-fit: 150 opens b1 (overful alone); 60 -> b2 (150+60>100);
+    # 50 -> b3 (60+50>100); 40 joins b3 (90); 30 -> b4 (90+30>100);
+    # 10 joins b4 (40)
+    assert by_doc[5].bin_id == 1
+    assert by_doc[1].bin_id == 2
+    assert by_doc[2].bin_id == 3 and by_doc[3].bin_id == 3
+    assert by_doc[4].bin_id == 4 and by_doc[6].bin_id == 4
+    # capacity invariant over a larger random-ish shape
+    big = spark.createDataFrame(
+        [(i, " ".join("w" for _ in range((i * 37) % 90 + 1))) for i in range(60)],
+        "doc_id long, text string",
+    )
+    rows = pack_documents_greedy(big, max_tokens=100, shards=4).collect()
+    fills = {}
+    for r in rows:
+        fills[(r.shard, r.bin_id)] = fills.get((r.shard, r.bin_id), 0) + r.n_tokens
+    for (s, b), fill in fills.items():
+        assert fill <= 100 or len(
+            [r for r in rows if (r.shard, r.bin_id) == (s, b)]
+        ) == 1
+    assert len(rows) == 60

@@ -311,6 +311,19 @@ AUDITED: dict[str, str] = {
         "contract), interval merge in one window shuffle keyed by doc. "
         "The corpus is never shuffled by window hash."
     ),
+    "doc_greedy_packing": (
+        "Doc-preserving NFD packing (r9): one projection (md5 shard + "
+        "token count), one hash exchange on shard, one Arrow-batched "
+        "applyInPandas pass per shard (the greedy fold is sequential "
+        "state — the sanctioned Pandas escape hatch); shard count is "
+        "the parallelism knob at 100 TB."
+    ),
+    "doc_dup_coverage": (
+        "Gopher-style coverage gate (r9): the span subtree once, a "
+        "per-doc SUM(span_len) (spans are disjoint after the interval "
+        "merge, so no covered-position explode), one token-count "
+        "projection, one LEFT join on doc id."
+    ),
     "doc_line_quality_filter": (
         "C4 line rules (r9): one scan, zero exchanges — line split, "
         "per-line rule filter, and page gate are all higher-order "
