@@ -421,6 +421,49 @@ def run_scale(spark, d: Path, only: set[str] | None = None) -> dict[str, float]:
             docs.where(F.col("doc_id") % 97 != 0), bench, k=4
         )
 
+    def _line_filter_c4():
+        # synthesize line structure + terminal punctuation from the token
+        # stream (the registry query's pattern): 7-token lines, every
+        # third missing its '.'
+        from mini_feature_store_spark.operators.text import line_filter
+
+        toks = F.split(F.col("text"), r"\s+")
+        nlines = F.ceil(F.size(toks) / F.lit(7.0)).cast("int")
+        lines = F.transform(
+            F.sequence(F.lit(1), F.greatest(nlines, F.lit(1))),
+            lambda i: F.concat(
+                F.array_join(F.slice(toks, (i - 1) * 7 + 1, 7), " "),
+                F.when((F.col("doc_id") + i) % 3 != 0, F.lit(".")).otherwise(
+                    F.lit("")
+                ),
+            ),
+        )
+        synth = docs.select(
+            "doc_id", F.array_join(lines, "\n").alias("text")
+        )
+        return line_filter(synth)
+
+    def _bigram_lm():
+        # reference model = ~2% slice, score the whole corpus — the CCNet
+        # shape (tiny trusted reference, big crawl)
+        from mini_feature_store_spark.operators.text import bigram_lm_score
+
+        return bigram_lm_score(docs.where(F.col("doc_id") % 47 == 0), docs)
+
+    def _dup_span_coverage():
+        from mini_feature_store_spark.operators.dedup import (
+            duplicate_span_coverage,
+        )
+
+        return duplicate_span_coverage(docs, k=4, min_docs=2)
+
+    def _greedy_packing():
+        from mini_feature_store_spark.operators.packing import (
+            pack_documents_greedy,
+        )
+
+        return pack_documents_greedy(docs, max_tokens=128, shards=32)
+
     def _cut_duplicate_spans():
         # the apply form: detection subtree consumed once + one corpus
         # posexplode + one groupBy(doc) rebuild — r9 single-pass plan
@@ -548,6 +591,10 @@ def run_scale(spark, d: Path, only: set[str] | None = None) -> dict[str, float]:
             "contamination_spans_k4": _contamination_spans,
             "cut_duplicate_spans_k4": _cut_duplicate_spans,
             "urldedup_5batch_stream": _urldedup_stream,
+            "line_filter_c4": _line_filter_c4,
+            "bigram_lm_ref2pct": _bigram_lm,
+            "dup_span_coverage_k4": _dup_span_coverage,
+            "greedy_packing_128": _greedy_packing,
             "paragraph_dedup_exact": _paragraph_dedup_exact,
             "paragraph_dedup_hash": _paragraph_dedup_hash,
             "decontaminate_multi_3bench": _decontaminate_multi,
