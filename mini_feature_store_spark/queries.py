@@ -6453,9 +6453,9 @@ VERIFY_ORDER: list[str] = [
     "user_value_gap_fill",
     "purchase_value_intervals",
     "customer_order_distribution",
-    # tier 2 — the oldest r7 greens that fit (window = exactly 50: 9 new/
-    # touched + 31 r6 + the first 10 below; the last two of this tier sit
-    # at slots 51-52 and re-enter next round).
+    # tier 2 — the oldest r7 greens that fit (window = exactly 50:
+    # 11 new/touched + 31 r6 + the first 8 below; the last four of this
+    # tier sit at slots 51-54 and re-enter next round).
     "small_quantity_revenue",
     "brand_bracket_revenue",
     "forecast_revenue_change",
