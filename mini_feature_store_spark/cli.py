@@ -187,6 +187,16 @@ def build_parser() -> argparse.ArgumentParser:
         "single-spaced), untouched docs keep their original bytes",
     )
     cc.add_argument(
+        "--max-dup-share", type=float, default=None,
+        help="Gopher-style coverage gate: drop docs whose cross-document "
+        "duplicated-token share (windows of --dup-share-k) is at or above "
+        "this fraction (runs after near-dup dedup and any span cut)",
+    )
+    cc.add_argument(
+        "--dup-share-k", type=int, default=50,
+        help="window size for --max-dup-share coverage (default 50)",
+    )
+    cc.add_argument(
         "--shards", type=int, default=None, help="write N training shards + manifest"
     )
 
@@ -438,6 +448,8 @@ def main(argv: list[str] | None = None) -> int:
                     lm_reference_path=args.lm_reference_path,
                     lm_max_nll=args.lm_max_nll,
                     cut_spans_k=args.cut_spans_k,
+                    max_dup_share=args.max_dup_share,
+                    dup_share_k=args.dup_share_k,
                 ),
             )
             for stage, n in funnel.items():

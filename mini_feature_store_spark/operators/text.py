@@ -861,6 +861,8 @@ def bigram_lm_score(
     broadcasts them when they fit — then one groupBy(doc). The corpus is
     never shuffled except by (doc) for the final aggregate.
     """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive, got {alpha}")
 
     def _bigrams(frame: DataFrame) -> DataFrame:
         t = _tokens(normalize(F.col(text_col)))
@@ -898,8 +900,17 @@ def bigram_lm_score(
         .join(cu, ["w1"], "left")
         .crossJoin(F.broadcast(vocab))
     )
+    # an EMPTY reference corpus would make the smoothing denominator
+    # alpha * 0 = 0 and every score NULL — fail loudly instead (in-plan,
+    # so laziness is preserved and the check costs nothing)
+    v_checked = F.when(F.col("_v") > 0, F.col("_v")).otherwise(
+        F.expr(
+            "raise_error('bigram_lm_score: reference corpus has an empty"
+            " vocabulary - nothing to train on')"
+        ).cast("long")
+    )
     p = (F.coalesce(F.col("_cb"), F.lit(0)) + F.lit(alpha)) / (
-        F.coalesce(F.col("_cu"), F.lit(0)) + F.lit(alpha) * F.col("_v")
+        F.coalesce(F.col("_cu"), F.lit(0)) + F.lit(alpha) * v_checked
     )
     return (
         scored.groupBy("id")

@@ -20,6 +20,12 @@ One command takes a raw document corpus to a training-ready one:
 3b. span cut (optional)    operators/dedup.py:cut_duplicate_spans — scrub
                            residual verbatim cross-doc substrings from
                            KEPT docs (``cut_spans_k``; Lee et al. 2022)
+3c. coverage drop (opt.)   operators/dedup.py:duplicate_span_coverage —
+                           DROP docs whose duplicated-token share
+                           exceeds ``max_dup_share`` (the Gopher-style
+                           doc-level policy; composes with or replaces
+                           the cut: cut first, then drop what's still
+                           mostly duplicated)
 4. semantic dedup          operators/clustering.py:semantic_dedup (optional,
                            against a doc-embedding parquet — SemDeDup stage)
 5. decontamination         operators/text.py:decontaminate (optional,
@@ -81,6 +87,12 @@ class CorpusCurationConfig:
     #: size are CUT from surviving docs (text rebuilt normalized) rather
     #: than dropping the docs; production value ~50, GPT-3 used 13
     cut_spans_k: int | None = None
+    #: when set, docs whose cross-document duplicated-token share (at
+    #: window size ``dup_share_k``) is >= this fraction are DROPPED after
+    #: near-dup dedup (and after the optional span cut) — the Gopher-style
+    #: doc-level policy for mostly-verbatim pages
+    max_dup_share: float | None = None
+    dup_share_k: int = 50
 
 
 def run_corpus_curation(
@@ -249,6 +261,27 @@ def run_corpus_curation(
             F.col("n_spans") > 0
         ).count()
         survivors = survivors.drop("n_spans")
+
+    if cfg.max_dup_share is not None:
+        from mini_feature_store_spark.operators.dedup import (
+            duplicate_span_coverage,
+        )
+
+        # doc-level drop: pages still mostly duplicated after the
+        # upstream dedup stages (and the optional cut) are boilerplate
+        # wherever they differ — the Gopher-style policy. Coverage is
+        # recomputed over the CURRENT survivor text, so a preceding cut
+        # stage has already lowered every share it scrubbed.
+        cov_keep = duplicate_span_coverage(
+            survivors,
+            k=cfg.dup_share_k,
+            min_docs=2,
+            max_share=cfg.max_dup_share,
+            text_col=cfg.text_col,
+            id_col=cfg.id_col,
+        ).where(F.col("keep")).select(cfg.id_col)
+        survivors = survivors.join(cov_keep, cfg.id_col, "left_semi")
+        funnel["after_dup_share_drop"] = survivors.count()
 
     if cfg.embeddings_path is not None:
         from mini_feature_store_spark.operators.clustering import (

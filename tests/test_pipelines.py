@@ -1211,3 +1211,42 @@ def test_corpus_curate_lm_filter_stage(spark, tmp_path):
     assert funnel["after_lm_filter"] == 1
     kept = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert kept == {1}
+
+
+def test_corpus_curate_dup_share_drop_stage(spark, tmp_path):
+    """Optional Gopher-style coverage drop: a mostly-verbatim doc (high
+    duplicated-token share) drops; a doc sharing the same blurb inside
+    plenty of unique text survives. Near-dup threshold 0.99 keeps the
+    near-dup stage out of the way."""
+    from mini_feature_store_spark.pipelines.corpus_curate import (
+        CorpusCurationConfig,
+        run_corpus_curation,
+    )
+
+    blurb = "licensed under the creative commons attribution license terms"
+    rows = [
+        # 8 blurb tokens of 10 -> share 0.8 -> dropped at 0.5
+        (1, f"alpha {blurb} omega"),
+        # 8 of 26 -> share ~0.31 -> kept
+        (2, f"{blurb} " + " ".join(f"unique{i}" for i in range(18))),
+        (3, "a fully original document with no shared content at all"),
+    ]
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(inp)
+
+    out = str(tmp_path / "clean")
+    funnel = run_corpus_curation(
+        spark,
+        CorpusCurationConfig(
+            input_path=inp,
+            output_path=out,
+            min_tokens=1,
+            jaccard_threshold=0.99,
+            max_dup_share=0.5,
+            dup_share_k=4,
+        ),
+    )
+    assert funnel["after_near_dedup"] == 3
+    assert funnel["after_dup_share_drop"] == 2
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept == {2, 3}

@@ -459,3 +459,23 @@ def test_line_filter_idempotent(spark, text):
     assert again.n_kept_lines == first.n_kept_lines
     if first.kept:
         assert again.kept
+
+
+def test_bigram_lm_score_validations(spark):
+    """Empty reference vocabulary fails loudly at execution (not NULL
+    scores); non-positive alpha rejected at plan build."""
+    import pytest as _pytest
+
+    from mini_feature_store_spark.operators.text import bigram_lm_score
+
+    score = spark.createDataFrame(
+        [(1, "some text here")], "doc_id long, text string"
+    )
+    empty_ref = spark.createDataFrame(
+        [(9, "")], "doc_id long, text string"
+    )
+    with _pytest.raises(ValueError, match="alpha"):
+        bigram_lm_score(empty_ref, score, alpha=0.0)
+    df = bigram_lm_score(empty_ref, score)
+    with _pytest.raises(Exception, match="empty vocabulary"):
+        df.collect()
