@@ -318,6 +318,13 @@ AUDITED: dict[str, str] = {
         "state — the sanctioned Pandas escape hatch); shard count is "
         "the parallelism knob at 100 TB."
     ),
+    "doc_lm_buckets": (
+        "CCNet head/middle/tail terciles (r9): the LM-score subtree "
+        "plus one lang-keyed NTILE window over the ROUNDED score with "
+        "an id tie-break (deterministic total order — the "
+        "doc_quality_tiers discipline); never a global single-partition "
+        "window."
+    ),
     "doc_dup_coverage": (
         "Gopher-style coverage gate (r9): the span subtree once, a "
         "per-doc SUM(span_len) (spans are disjoint after the interval "
