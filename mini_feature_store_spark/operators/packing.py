@@ -130,6 +130,10 @@ def pack_documents_greedy(
     if shards <= 0:
         raise ValueError(f"shards must be positive, got {shards}")
 
+    # the output schema carries the id column at its INPUT type (string
+    # URLs, longs, ... — the md5 shard hash accepts any castable type)
+    id_type = dict(df.dtypes)[id_col]
+
     base = df.select(
         F.col(id_col),
         (
@@ -161,5 +165,5 @@ def pack_documents_greedy(
 
     return base.groupBy("shard").applyInPandas(
         _pack,
-        f"{id_col} long, shard long, bin_id long, n_tokens long",
+        f"{id_col} {id_type}, shard long, bin_id long, n_tokens long",
     )

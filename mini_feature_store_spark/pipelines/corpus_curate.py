@@ -118,6 +118,18 @@ def run_corpus_curation(
             "max_per_domain requires url_col — the cap groups by the "
             "registrable domain parsed from the URL column"
         )
+    # fail BEFORE any stage runs (at scale the upstream stages are hours):
+    # a negative share would silently drop the whole corpus (share >= 0 is
+    # never < a negative bound), and duplicate_spans rejects k < 2 only
+    # when stage 3c finally executes
+    if cfg.max_dup_share is not None and not (0.0 < cfg.max_dup_share <= 1.0):
+        raise ValueError(
+            f"max_dup_share must be in (0, 1], got {cfg.max_dup_share}"
+        )
+    if cfg.max_dup_share is not None and cfg.dup_share_k < 2:
+        raise ValueError(
+            f"dup_share_k must be at least 2, got {cfg.dup_share_k}"
+        )
     stage0 = None
     if cfg.url_col is not None:
         from mini_feature_store_spark.operators.urls import (
@@ -272,15 +284,21 @@ def run_corpus_curation(
         # wherever they differ — the Gopher-style policy. Coverage is
         # recomputed over the CURRENT survivor text, so a preceding cut
         # stage has already lowered every share it scrubbed.
+        # survivors' lineage (the near-dedup pair mining when no cut
+        # stage persisted it) feeds the span subtree TWICE, the
+        # token-count base, the semi-join left side, the funnel count,
+        # AND the downstream stages — persist like the sibling stages,
+        # release at the end next to admitted/deduped.
+        cov_input = survivors.persist()
         cov_keep = duplicate_span_coverage(
-            survivors,
+            cov_input,
             k=cfg.dup_share_k,
             min_docs=2,
             max_share=cfg.max_dup_share,
             text_col=cfg.text_col,
             id_col=cfg.id_col,
         ).where(F.col("keep")).select(cfg.id_col)
-        survivors = survivors.join(cov_keep, cfg.id_col, "left_semi")
+        survivors = cov_input.join(cov_keep, cfg.id_col, "left_semi")
         funnel["after_dup_share_drop"] = survivors.count()
 
     if cfg.embeddings_path is not None:
@@ -356,4 +374,6 @@ def run_corpus_curation(
     deduped.unpersist()
     if cfg.cut_spans_k is not None:
         cut_input.unpersist()
+    if cfg.max_dup_share is not None:
+        cov_input.unpersist()
     return funnel

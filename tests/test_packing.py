@@ -161,3 +161,24 @@ def test_pack_documents_greedy_nfd(spark):
             [r for r in rows if (r.shard, r.bin_id) == (s, b)]
         ) == 1
     assert len(rows) == 60
+
+
+def test_pack_documents_greedy_string_ids(spark):
+    """The id column keeps its INPUT type in the output (string URLs
+    pack the same as long ids)."""
+    from mini_feature_store_spark.operators.packing import (
+        pack_documents_greedy,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("https://a.com/1", "w " * 60),
+            ("https://a.com/2", "w " * 50),
+            ("https://a.com/3", "w " * 40),
+        ],
+        "url string, text string",
+    )
+    out = pack_documents_greedy(docs, max_tokens=100, shards=1, id_col="url")
+    assert dict(out.dtypes)["url"] == "string"
+    rows = {r.url: (r.bin_id, r.n_tokens) for r in out.collect()}
+    assert len(rows) == 3 and all(n in (60, 50, 40) for _, n in rows.values())

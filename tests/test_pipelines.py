@@ -1250,3 +1250,35 @@ def test_corpus_curate_dup_share_drop_stage(spark, tmp_path):
     assert funnel["after_dup_share_drop"] == 2
     kept = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert kept == {2, 3}
+
+
+def test_corpus_curate_dup_share_validations(spark, tmp_path):
+    """Config validation fails BEFORE any stage runs: negative share
+    (would silently drop everything) and k < 2."""
+    import pytest as _pytest
+
+    from mini_feature_store_spark.pipelines.corpus_curate import (
+        CorpusCurationConfig,
+        run_corpus_curation,
+    )
+
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "some text here")], "doc_id long, text string"
+    ).write.parquet(inp)
+    with _pytest.raises(ValueError, match="max_dup_share"):
+        run_corpus_curation(
+            spark,
+            CorpusCurationConfig(
+                input_path=inp, output_path=str(tmp_path / "o1"),
+                max_dup_share=-0.1,
+            ),
+        )
+    with _pytest.raises(ValueError, match="dup_share_k"):
+        run_corpus_curation(
+            spark,
+            CorpusCurationConfig(
+                input_path=inp, output_path=str(tmp_path / "o2"),
+                max_dup_share=0.5, dup_share_k=1,
+            ),
+        )
