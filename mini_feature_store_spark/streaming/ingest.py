@@ -519,9 +519,13 @@ def compact_admitted_store(
     its own small parquet file, so after N batches the anti-join probe
     reads N footers — the classic streaming small-files problem. This
     rewrites the store as ``target_files`` range-clustered,
-    internally-sorted files keyed by the dedup column, which also gives
-    the probe min/max footer pruning on ``cluster_col`` (the property the
-    urldedup docstring promises "at scale").
+    internally-sorted files keyed by the dedup column. Clustering bounds
+    each file's key range in its parquet footer, so point/range lookups
+    on ``cluster_col`` skip files outright — and an anti-join probe can
+    too where runtime bloom/min-max join filtering is enabled (the
+    join itself does not footer-prune under default confs; the
+    guaranteed win at every conf is N-batches → ``target_files``
+    footers/tasks per probe).
 
     MUST run while the ingest stream is stopped (the swap is
     directory-level: write to ``<path>__compacting``, then atomically
