@@ -1282,3 +1282,51 @@ def test_corpus_curate_dup_share_validations(spark, tmp_path):
                 max_dup_share=0.5, dup_share_k=1,
             ),
         )
+
+
+def test_corpus_curate_lm_funnel_matches_oracled_query(
+    spark, sf_dir, tmp_path
+):
+    """Transitive oracle for the pipeline's LM stage: the funnel dict
+    run_corpus_curation reports with lm_reference_path/lm_max_nll=3.5
+    over the real testdata must equal the per-stage counts of the
+    corpus_curation_funnel_lm registry query — which the DuckDB oracle
+    hash-matches at 3 SFs."""
+    from mini_feature_store_spark.io import load_testdata
+    from mini_feature_store_spark.pipelines.corpus_curate import (
+        CorpusCurationConfig,
+        run_corpus_curation,
+    )
+    from mini_feature_store_spark.queries import QUERIES
+
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    inp = str(tmp_path / "corpus")
+    ref = str(tmp_path / "ref")
+    docs.where(F.col("source") != "src0").write.parquet(inp)
+    docs.where(F.col("source") == "src0").write.parquet(ref)
+
+    funnel = run_corpus_curation(
+        spark,
+        CorpusCurationConfig(
+            input_path=inp,
+            output_path=str(tmp_path / "clean"),
+            lm_reference_path=ref,
+            lm_max_nll=3.5,
+        ),
+    )
+    rows = {
+        r.stage: r.n_admitted
+        for r in QUERIES["corpus_curation_funnel_lm"](
+            spark, sf_dir
+        ).collect()
+    }
+    for stage in (
+        "input",
+        "after_quality",
+        "after_lm_filter",
+        "after_exact_dedup",
+        "after_near_dedup",
+    ):
+        assert funnel[stage] == rows[stage], (stage, funnel, rows)
+    # the LM stage must BIND at the test SF
+    assert funnel["after_lm_filter"] < funnel["after_quality"]

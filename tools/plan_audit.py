@@ -318,6 +318,15 @@ AUDITED: dict[str, str] = {
         "state — the sanctioned Pandas escape hatch); shard count is "
         "the parallelism knob at 100 TB."
     ),
+    "corpus_curation_funnel_lm": (
+        "The modern funnel with the CCNet LM stage composed in (r9): "
+        "quality gate -> bigram-LM filter (the model trains INSIDE the "
+        "same lazy plan on the src0 slice) -> exact dedup -> near-dup. "
+        "Same gate-replica-honesty cost model as corpus_curation_funnel "
+        "(lazy recompute across count branches; the production pipeline "
+        "persists instead); tied to the pipeline by "
+        "test_corpus_curate_lm_funnel_matches_oracled_query."
+    ),
     "doc_lm_buckets": (
         "CCNet head/middle/tail terciles (r9): the LM-score subtree "
         "plus one lang-keyed NTILE window over the ROUNDED score with "
