@@ -67,6 +67,10 @@ PLAN_BUILD_CACHE_ALLOWLIST = {
     "dedup_incremental_batch",
     "corpus_dedup_apply",
     "corpus_curation_funnel",
+    # same operator-internal state as corpus_curation_funnel: the cache
+    # entry comes from ngram_jaccard_pairs' posting-list persist inside
+    # the near-dup stage, not from the query composition itself
+    "corpus_curation_funnel_lm",
     "doc_content_centrality",
 }
 
