@@ -324,7 +324,11 @@ AUDITED: dict[str, str] = {
         "same lazy plan on the src0 slice) -> exact dedup -> near-dup. "
         "Same gate-replica-honesty cost model as corpus_curation_funnel "
         "(lazy recompute across count branches; the production pipeline "
-        "persists instead); tied to the pipeline by "
+        "persists instead) — measured 9.2 s at sf0.1 in-suite, the "
+        "suite's most expensive query, because the LM-scoring chain "
+        "rebuilds in three of the five count branches on top of the "
+        "funnel's usual recompute; the honest-lazy adjudication from "
+        "the original funnel applies unchanged. Tied to the pipeline by "
         "test_corpus_curate_lm_funnel_matches_oracled_query."
     ),
     "doc_lm_buckets": (
