@@ -6598,8 +6598,21 @@ def corpus_curation_funnel_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup → near-dup dedup. Each stage consumes the previous admitted
     set; the LM model itself is part of the composition (trained inside
     the same lazy plan). What this pins beyond corpus_curation_funnel:
-    the LM stage's placement — its scores are computed over
-    POST-quality-gate docs only, and exact dedup groups post-LM text."""
+    the LM stage's placement — its admission is evaluated over
+    POST-quality-gate docs only, and exact dedup groups post-LM text.
+
+    Plan shape: TWO tagged passes instead of five count branches — the
+    first three counts (input / quality / LM) are one conditional
+    aggregate over (kept, lm_ok) flags (per-doc LM scores are
+    independent of the gate, so corpus-wide scoring masked by the gate
+    flag IS the staged admission), and the last two (exact / near-dup)
+    are one aggregate over the deduped set LEFT-tagged with its
+    near-dup drops. The expensive quality+LM chain therefore builds
+    exactly twice instead of the five-branch form's 3-4× — sf0.1 wall
+    time measures NEUTRAL (~9.5 s either way: per-stage fixed costs
+    dominate at that size, the repo's standing bench-noise lesson), so
+    the win is the scan/shuffle count, which is what matters at scale.
+    """
     from mini_feature_store_spark.operators.dedup import (
         exact_dedup,
         ngram_jaccard_pairs,
@@ -6616,37 +6629,55 @@ def corpus_curation_funnel_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = docs.where(F.col("source") == "src0")
 
     gate = quality_filter(corpus, min_tokens=5, min_score=0.3)
-    admitted = corpus.join(
-        gate.where(F.col("kept")).select("doc_id"), "doc_id", "left_semi"
+    # scoring the whole corpus and masking with the gate flag is EXACTLY
+    # lm-filtering the admitted set (scores are per-doc-independent) —
+    # and lets one pass produce the first three funnel counts
+    scores = bigram_lm_score(ref, corpus)
+    flags = (
+        gate.select("doc_id", "kept")
+        .join(scores.select("doc_id", "avg_nll"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "kept",
+            (
+                F.col("kept")
+                & F.coalesce(F.col("avg_nll") <= 3.5, F.lit(False))
+            ).alias("lm_ok"),
+        )
     )
-    lm_keep = (
-        bigram_lm_score(ref, admitted)
-        .where(F.col("avg_nll") <= 3.5)
-        .select("doc_id")
+    lm_admitted = corpus.join(
+        flags.where(F.col("lm_ok")).select("doc_id"), "doc_id", "left_semi"
     )
-    lm_admitted = admitted.join(lm_keep, "doc_id", "left_semi")
     keep_ids = exact_dedup(lm_admitted).select(
         F.col("keep_id").alias("doc_id")
     )
     deduped = lm_admitted.join(keep_ids, "doc_id", "left_semi")
     pairs = ngram_jaccard_pairs(deduped, threshold=0.5, max_shingle_freq=1000)
     drops = dedup_clusters(pairs).where(~F.col("keep")).select("doc_id")
-    survivors = deduped.join(drops, "doc_id", "left_anti")
 
-    def count_stage(idx: int, name: str, df: DataFrame) -> DataFrame:
-        return df.agg(F.count(F.lit(1)).alias("n_admitted")).select(
-            F.lit(idx).alias("stage_idx"),
-            F.lit(name).alias("stage"),
-            "n_admitted",
+    first3 = flags.agg(
+        F.count(F.lit(1)).alias("_input"),
+        F.count(F.when(F.col("kept"), 1)).alias("_q"),
+        F.count(F.when(F.col("lm_ok"), 1)).alias("_lm"),
+    ).select(
+        F.expr(
+            "stack(3, 0, 'input', _input, 1, 'after_quality', _q,"
+            " 2, 'after_lm_filter', _lm) AS (stage_idx, stage, n_admitted)"
         )
-
-    return (
-        count_stage(0, "input", corpus)
-        .unionAll(count_stage(1, "after_quality", admitted))
-        .unionAll(count_stage(2, "after_lm_filter", lm_admitted))
-        .unionAll(count_stage(3, "after_exact_dedup", deduped))
-        .unionAll(count_stage(4, "after_near_dedup", survivors))
     )
+
+    last2 = deduped.join(
+        drops.withColumn("_dropped", F.lit(1)), "doc_id", "left"
+    ).agg(
+        F.count(F.lit(1)).alias("_dd"),
+        F.count(F.when(F.col("_dropped").isNull(), 1)).alias("_sv"),
+    ).select(
+        F.expr(
+            "stack(2, 3, 'after_exact_dedup', _dd,"
+            " 4, 'after_near_dedup', _sv) AS (stage_idx, stage, n_admitted)"
+        )
+    )
+    return first3.unionAll(last2)
 
 
 # ── driver verification order ───────────────────────────────────────────────

@@ -323,13 +323,16 @@ AUDITED: dict[str, str] = {
         "quality gate -> bigram-LM filter (the model trains INSIDE the "
         "same lazy plan on the src0 slice) -> exact dedup -> near-dup. "
         "Same gate-replica-honesty cost model as corpus_curation_funnel "
-        "(lazy recompute across count branches; the production pipeline "
-        "persists instead) — measured 9.2 s at sf0.1 in-suite, the "
-        "suite's most expensive query, because the LM-scoring chain "
-        "rebuilds in three of the five count branches on top of the "
-        "funnel's usual recompute; the honest-lazy adjudication from "
-        "the original funnel applies unchanged. Tied to the pipeline by "
-        "test_corpus_curate_lm_funnel_matches_oracled_query."
+        "(lazy, no persist in the returned plan; the production pipeline "
+        "persists instead), but the five counts come from TWO tagged "
+        "conditional aggregates (input/quality/LM from the per-doc flag "
+        "frame; exact/near-dup from the deduped set left-tagged with "
+        "its drops), so the quality+LM chain builds twice, not 3-4x. "
+        "sf0.1 wall time ~9.5 s either way (per-stage fixed costs "
+        "dominate — suite's most expensive query, inherent to composing "
+        "an LM model + two dedup tiers in one lazy plan); the reduced "
+        "scan/shuffle count is the at-scale win. Tied to the pipeline "
+        "by test_corpus_curate_lm_funnel_matches_oracled_query."
     ),
     "doc_lm_buckets": (
         "CCNet head/middle/tail terciles (r9): the LM-score subtree "
