@@ -6680,6 +6680,121 @@ def corpus_curation_funnel_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return first3.unionAll(last2)
 
 
+@_q(
+    "pit_training_typed",
+    f"""
+WITH ev AS (
+  SELECT user_id, event_type, CAST(ts AS DATE) AS event_date FROM events
+),
+days AS (
+  SELECT CAST(unnest(generate_series(DATE '{EVENTS_START}', DATE '{EVENTS_END}',
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+),
+grid AS (
+  SELECT u.user_id, d.day
+  FROM (SELECT DISTINCT user_id FROM ev) u CROSS JOIN days d
+),
+base AS (
+  SELECT g.user_id, g.day,
+    CAST(SUM(CASE WHEN e.event_date >= g.day - 7 THEN 1 ELSE 0 END) AS BIGINT)
+      AS event_count_7d,
+    CAST(SUM(CASE WHEN e.event_date IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS event_count_30d,
+    CAST(MIN(g.day - e.event_date) AS INTEGER) AS last_event_days_ago
+  FROM grid g
+  LEFT JOIN ev e
+    ON g.user_id = e.user_id
+   AND e.event_date <= g.day AND e.event_date >= g.day - 30
+  GROUP BY g.user_id, g.day
+),
+pt AS (
+  SELECT g.user_id, g.day, e.event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM grid g
+  JOIN ev e
+    ON g.user_id = e.user_id
+   AND e.event_date <= g.day AND e.event_date >= g.day - 30
+  GROUP BY g.user_id, g.day, e.event_type
+),
+ser AS (
+  SELECT user_id, day,
+         string_agg(event_type || ':' || CAST(n AS VARCHAR), ','
+                    ORDER BY event_type) AS etc
+  FROM pt GROUP BY user_id, day
+),
+features AS (
+  SELECT b.user_id, b.day, b.event_count_7d, b.event_count_30d,
+         b.last_event_days_ago,
+         COALESCE(s.etc, '') AS event_type_counts
+  FROM base b
+  LEFT JOIN ser s ON b.user_id = s.user_id AND b.day = s.day
+),
+labels AS (
+  SELECT DISTINCT user_id, CAST(1.0 AS DOUBLE) AS label,
+         CAST(ts AS TIMESTAMP) AS as_of_ts
+  FROM events WHERE event_type = 'purchase'
+),
+cand AS (
+  SELECT l.user_id, l.label, l.as_of_ts, f.day, f.event_count_7d,
+         f.event_count_30d, f.last_event_days_ago, f.event_type_counts,
+         ROW_NUMBER() OVER (PARTITION BY l.user_id, l.as_of_ts
+                            ORDER BY f.day DESC) AS rk
+  FROM labels l
+  LEFT JOIN features f
+    ON l.user_id = f.user_id AND f.day <= CAST(l.as_of_ts AS DATE)
+)
+SELECT user_id, label, as_of_ts, day, event_count_7d, event_count_30d,
+       last_event_days_ago, event_type_counts
+FROM cand WHERE rk = 1
+""",
+)
+def pit_training_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TYPED feature view composed through the leakage-safe as-of
+    join — training-set assembly with the map-valued per-type counts
+    riding through the join (window strategy: ``row_number`` handles any
+    value type; maps are not orderable so they could never be a sort
+    key, only payload). The map serializes to sorted ``type:count``
+    pairs AFTER the join for the gate row, pinning that the join carried
+    the full map intact."""
+    from mini_feature_store_spark.operators.point_in_time import (
+        point_in_time_join,
+    )
+    from mini_feature_store_spark.operators.rolling import (
+        backfill_features_typed,
+    )
+
+    _utc(spark)
+    events = load_testdata(spark, sf_dir, "events")["events"]
+    features = backfill_features_typed(events, EVENTS_START, EVENTS_END)
+    labels = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.lit(1.0).alias("label"),
+            F.col("ts").alias("as_of_ts"),
+        )
+        .distinct()
+    )
+    out = point_in_time_join(labels, features, strategy="window")
+    return out.select(
+        "user_id",
+        "label",
+        "as_of_ts",
+        "day",
+        "event_count_7d",
+        "event_count_30d",
+        "last_event_days_ago",
+        F.array_join(
+            F.transform(
+                F.array_sort(F.map_entries("event_type_counts")),
+                lambda e: F.concat_ws(
+                    ":", e["key"], e["value"].cast("string")
+                ),
+            ),
+            ",",
+        ).alias("event_type_counts"),
+    )
+
+
 # ── driver verification order ───────────────────────────────────────────────
 # The correctness driver evaluates only the FIRST 50 entries of the registry
 # dict, in insertion order. Registration order above is thematic; this list is
@@ -6701,6 +6816,7 @@ VERIFY_ORDER: list[str] = [
     "doc_lm_perplexity",
     "doc_lm_buckets",
     "corpus_curation_funnel_lm",
+    "pit_training_typed",
     "doc_dup_coverage",
     "doc_greedy_packing",
     "features_daily_typed",
@@ -6744,7 +6860,7 @@ VERIFY_ORDER: list[str] = [
     "purchase_value_intervals",
     "customer_order_distribution",
     # tier 2 — the oldest r7 greens that fit (window = exactly 50:
-    # 13 new/touched + 31 r6 + the first 6 below; the rest of this
+    # 14 new/touched + 31 r6 + the first 5 below; the rest of this
     # tier sits at slots 51+ and re-enters next round).
     "small_quantity_revenue",
     "brand_bracket_revenue",
