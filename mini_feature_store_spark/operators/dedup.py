@@ -892,9 +892,13 @@ def duplicate_span_coverage(
     )
     base = spread(df).select(
         F.col(id_col),
-        F.size(_tokens(normalize(F.col(text_col)))).cast("long").alias(
-            "n_tokens"
-        ),
+        # greatest(…, 0): size(null) is -1 (or null under ansi), and a
+        # NULL-text doc has zero tokens, not -1 — without the clamp it
+        # would emit n_tokens=-1 (share still 0.0, but the count is a lie)
+        F.greatest(
+            F.size(_tokens(normalize(F.col(text_col)))).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("n_tokens"),
     )
     share = F.when(F.col("n_tokens") > 0, round_half_up(
         F.coalesce(F.col("n_dup_tokens"), F.lit(0)) / F.col("n_tokens"), 6

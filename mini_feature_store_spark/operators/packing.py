@@ -144,7 +144,14 @@ def pack_documents_greedy(
             ).cast("long")
             % shards
         ).alias("shard"),
-        token_count(F.col(text_col)).alias("n_tokens"),
+        # NULL text must pack as 0 tokens: bare token_count(NULL) is -1
+        # under default size(null) semantics (it would DECREASE the
+        # running bin fill) and null under ansi/sizeOfNull=false (int(NaN)
+        # raises inside the Arrow fold). greatest(col, 0) fixes both —
+        # greatest ignores nulls unless all args are null.
+        F.greatest(token_count(F.col(text_col)), F.lit(0).cast("long")).alias(
+            "n_tokens"
+        ),
     )
 
     def _pack(pdf: "pd.DataFrame") -> "pd.DataFrame":

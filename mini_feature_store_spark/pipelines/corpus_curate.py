@@ -203,14 +203,17 @@ def run_corpus_curation(
         scored = bigram_lm_score(
             ref, admitted, text_col=cfg.text_col, id_col=cfg.id_col
         )
-        keep_lm = scored.where(F.col("avg_nll") <= cfg.lm_max_nll).select(
+        # anti-join on the HIGH-NLL set, not semi-join on the low-NLL
+        # set: docs with < 2 tokens have no bigrams and therefore no
+        # score row, and "unscorable" is not "high-perplexity" — a
+        # semi join would silently drop every such doc whenever the
+        # caller configures min_tokens below 2 (the quality gate only
+        # masks this at its default). Scoreless docs pass through.
+        drop_lm = scored.where(F.col("avg_nll") > cfg.lm_max_nll).select(
             cfg.id_col
         )
-        # docs with < 2 tokens have no score and drop here — the default
-        # min_tokens quality gate already excludes them, so the semi join
-        # only removes high-NLL pages in practice
         prev = admitted
-        admitted = admitted.join(keep_lm, cfg.id_col, "left_semi").persist()
+        admitted = admitted.join(drop_lm, cfg.id_col, "left_anti").persist()
         funnel["after_lm_filter"] = admitted.count()
         prev.unpersist()
 

@@ -6142,19 +6142,25 @@ def doc_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "doc_line_quality_filter",
     f"""
-WITH docs AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+WITH docs AS (
+  SELECT doc_id, trim(text) AS tt, {_TOKS_SQL} AS toks FROM documents
+),
 synth AS (
   SELECT doc_id,
     CASE WHEN doc_id % 41 = 0
          THEN list_append(lines0, '{{ bad json artifact }}.')
          ELSE lines0 END AS lines
   FROM (
+    -- empty/blank text synthesizes ZERO lines (without the gate the
+    -- tokenizer yields [''] and a phantom one-line page would appear —
+    -- mirrored by the trim(text)='' gate on the Spark side)
     SELECT doc_id,
+      CASE WHEN COALESCE(tt, '') = '' THEN CAST([] AS VARCHAR[]) ELSE
       [array_to_string(toks[(i-1)*7+1:(i-1)*7+7], ' ')
        || (CASE WHEN i = 1 AND doc_id % 17 = 0 THEN ' javascript' ELSE '' END)
        || (CASE WHEN (doc_id + i) % 3 <> 0 THEN '.' ELSE '' END)
        for i in generate_series(1, CAST(ceil(len(toks) / 7.0) AS BIGINT))]
-        AS lines0
+      END AS lines0
     FROM docs
   )
 ),
@@ -6195,14 +6201,22 @@ def doc_line_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id%17 docs get a 'javascript' word in line 1, doc_id%41 docs get
     a curly-brace artifact line) and the oracle re-implements BOTH the
     synthesis and the full rule set independently in DuckDB."""
-    from mini_feature_store_spark.operators.text import line_filter
+    from mini_feature_store_spark.operators.text import line_filter, normalize
 
     _utc(spark)
     docs = load_testdata(spark, sf_dir, "documents")["documents"]
-    toks = F.split(F.col("text"), r"\s+")
+    # the SAME normalized tokenization the oracle's _TOKS_SQL uses
+    # (lower+trim, whitespace collapsed) — raw split(text) only agreed
+    # because the testdata happens to be lowercase and whitespace-clean;
+    # and blank text gates on trim(text)='' (a size(toks) guard can never
+    # fire: split always yields at least one element)
+    toks = F.split(normalize(F.col("text")), " ")
     did = F.col("doc_id")
     nlines = F.ceil(F.size(toks) / F.lit(7.0)).cast("int")
-    lines = F.when(F.size(toks) < 1, F.array().cast("array<string>")).otherwise(
+    lines = F.when(
+        F.coalesce(F.trim(F.col("text")), F.lit("")) == "",
+        F.array().cast("array<string>"),
+    ).otherwise(
         F.transform(
             F.sequence(F.lit(1), nlines),
             lambda i: F.concat(

@@ -36,12 +36,50 @@ EVENT_STREAM_SCHEMA = T.StructType(
 )
 
 
+def recover_admitted_store(spark: SparkSession, path: str) -> bool:
+    """Repair a half-finished ``compact_admitted_store`` swap. The swap is
+    two renames (store → ``__old``, ``__compacting`` → store); a process
+    death between them leaves NO store at the admitted path, and a
+    restarted ingest stream would then see an empty store and silently
+    re-admit every key — the lossy-compactor failure the compaction
+    contract forbids. Recovery rules, in order:
+
+    - store missing + ``__old`` present → restore ``__old`` (the crash
+      happened between the two renames; ``__old`` IS the store).
+    - store present + ``__old`` present → the crash happened after the
+      second rename but before cleanup; ``__old`` is a stale copy, drop it.
+    - ``__compacting`` present → an unfinished rewrite; the store (or the
+      restored ``__old``) holds truth, drop the partial output.
+
+    Returns True iff the store itself was restored from ``__old``."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__old")
+    tmp = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compacting")
+    restored = False
+    if fs.exists(old):
+        if not fs.exists(hpath):
+            if not fs.rename(old, hpath):
+                raise RuntimeError(
+                    f"could not restore admitted store from {old}"
+                )
+            restored = True
+        else:
+            fs.delete(old, True)
+    if fs.exists(tmp):
+        fs.delete(tmp, True)
+    return restored
+
+
 def _store_exists(spark: SparkSession, path: str) -> bool:
     """Scheme-agnostic 'does the admitted store have data yet' probe via
     the Hadoop FileSystem API — a driver-local ``os.path.isdir`` silently
     returns False forever for s3://...hdfs:// stores, which would skip
     the against-corpus dedup probe (and its replay idempotency) on every
-    batch."""
+    batch. Runs swap recovery first: a store that is 'missing' because a
+    compaction died mid-swap must be restored, not treated as empty."""
+    recover_admitted_store(spark, path)
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -528,16 +566,26 @@ def compact_admitted_store(
     footers/tasks per probe).
 
     MUST run while the ingest stream is stopped (the swap is
-    directory-level: write to ``<path>__compacting``, then atomically
-    rename over the original via the Hadoop FileSystem API — same-scheme
-    rename, no driver-local os calls, so s3a/hdfs stores work the same
-    way). The rewrite is content-preserving: compaction never drops rows
+    directory-level: write to ``<path>__compacting``, stage the store
+    aside as ``<path>__old``, rename the rewrite into place, then drop
+    ``__old`` — all via the Hadoop FileSystem API, no driver-local os
+    calls). The two-rename window is crash-covered: both this function
+    and the ingest streams' store probe run ``recover_admitted_store``
+    first, so a death between the renames restores ``__old`` instead of
+    leaving a missing store that would silently re-admit every key.
+    Each rename is atomic only on rename-capable filesystems
+    (HDFS/posix/abfs); on s3a a "rename" is a non-atomic O(data)
+    copy+delete, so there the swap is neither atomic nor cheap — on
+    object stores run compaction strictly offline (stream stopped, no
+    concurrent readers) or target a table format with commit semantics.
+    The rewrite is content-preserving: compaction never drops rows
     (the exactly-once ingest contract means the store has no duplicates
     to collapse; a lossy compactor would silently re-admit URLs after a
     crash-restore from an older store copy).
 
     Returns ``{"rows": n, "files_before": b, "files_after": a}``.
     """
+    recover_admitted_store(spark, admitted_path)
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(admitted_path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -564,8 +612,9 @@ def compact_admitted_store(
         .write.mode("overwrite")
         .parquet(tmp)
     )
-    # swap: the store is replaced in one rename (readers started before
-    # the swap keep their snapshot of the old file listing)
+    # swap: stage aside, rename into place (recover_admitted_store covers
+    # a death between the two renames; readers started before the swap
+    # keep their snapshot of the old file listing)
     old = jvm.org.apache.hadoop.fs.Path(admitted_path.rstrip("/") + "__old")
     if fs.exists(old):
         fs.delete(old, True)

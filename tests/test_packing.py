@@ -163,6 +163,38 @@ def test_pack_documents_greedy_nfd(spark):
     assert len(rows) == 60
 
 
+def test_pack_documents_greedy_null_text(spark):
+    """NULL-text docs pack as 0 tokens (joining whatever bin is open),
+    never -1 — a negative count would DECREASE the running bin fill and
+    corrupt packing for every later doc in the shard. Same clamp in
+    duplicate_span_coverage's token base."""
+    from mini_feature_store_spark.operators.dedup import (
+        duplicate_span_coverage,
+    )
+    from mini_feature_store_spark.operators.packing import (
+        pack_documents_greedy,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "w " * 60), (2, None), (3, "w " * 50)],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in pack_documents_greedy(docs, max_tokens=100, shards=1).collect()
+    }
+    assert out[2].n_tokens == 0
+    assert all(r.n_tokens >= 0 for r in out.values())
+    # next-fit longest-first: 60 opens b1, 50 -> b2 (110>100), 0 joins b2
+    assert out[1].bin_id == 1 and out[3].bin_id == 2 and out[2].bin_id == 2
+
+    cov = {
+        r.doc_id: r
+        for r in duplicate_span_coverage(docs, k=2, min_docs=2).collect()
+    }
+    assert cov[2].n_tokens == 0 and cov[2].dup_share == 0.0 and cov[2].keep
+
+
 def test_pack_documents_greedy_string_ids(spark):
     """The id column keeps its INPUT type in the output (string URLs
     pack the same as long ids)."""

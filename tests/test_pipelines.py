@@ -1191,6 +1191,7 @@ def test_corpus_curate_lm_filter_stage(spark, tmp_path):
         [
             (1, "the cat sat on the mat"),        # in-domain, low NLL
             (2, "zq xv qqk jjw zzt pmm wrx kkj"),  # gibberish, all-OOV
+            (3, "mat"),  # 1 token -> no bigrams -> UNSCORABLE, must pass
         ],
         "doc_id long, text string",
     ).write.parquet(inp)
@@ -1207,10 +1208,14 @@ def test_corpus_curate_lm_filter_stage(spark, tmp_path):
             lm_max_nll=2.0,
         ),
     )
-    assert funnel["after_quality"] == 2
-    assert funnel["after_lm_filter"] == 1
+    assert funnel["after_quality"] == 3
+    # the gibberish doc drops on high NLL; the 1-token doc has no score
+    # row at all and "unscorable" is NOT "high-perplexity" — with
+    # min_tokens below 2 a semi join on the low-NLL set would silently
+    # drop it (the ADVICE r9 finding); the anti join keeps it
+    assert funnel["after_lm_filter"] == 2
     kept = {r.doc_id for r in spark.read.parquet(out).collect()}
-    assert kept == {1}
+    assert kept == {1, 3}
 
 
 def test_corpus_curate_dup_share_drop_stage(spark, tmp_path):

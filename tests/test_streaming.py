@@ -537,6 +537,51 @@ def test_compact_admitted_store(spark, tmp_path):
     assert 101 in ids and 100 not in ids
 
 
+def test_compact_swap_crash_recovery(spark, tmp_path):
+    """A process death between the swap's two renames leaves NO store at
+    the admitted path; recovery must restore __old (NOT treat the store
+    as empty and re-admit everything), finish half-done cleanups, and
+    drop partial __compacting output."""
+    import shutil
+
+    from mini_feature_store_spark.streaming.ingest import (
+        _store_exists,
+        recover_admitted_store,
+    )
+
+    store = str(tmp_path / "store")
+    spark.createDataFrame(
+        [(i, f"https://example.com/{i}") for i in range(6)],
+        "doc_id long, canonical_url string",
+    ).coalesce(1).write.parquet(store)
+    rows = {tuple(r) for r in spark.read.parquet(store).collect()}
+
+    # crash window 1: after rename(store -> __old), before the second
+    # rename — the store is GONE and __compacting holds a partial write
+    shutil.move(store, store + "__old")
+    (tmp_path / "store__compacting").mkdir()
+    (tmp_path / "store__compacting" / "part-partial.parquet").write_bytes(
+        b"partial"
+    )
+    assert recover_admitted_store(spark, store) is True
+    assert {tuple(r) for r in spark.read.parquet(store).collect()} == rows
+    assert not (tmp_path / "store__old").exists()
+    assert not (tmp_path / "store__compacting").exists()
+
+    # crash window 2: after the second rename, before __old cleanup —
+    # the store is live, __old is a stale copy that must be dropped
+    shutil.copytree(store, store + "__old")
+    assert recover_admitted_store(spark, store) is False
+    assert not (tmp_path / "store__old").exists()
+    assert {tuple(r) for r in spark.read.parquet(store).collect()} == rows
+
+    # the ingest-side probe runs recovery implicitly: a mid-swap store
+    # must read as EXISTING (window 1 restored), never as empty
+    shutil.move(store, store + "__old")
+    assert _store_exists(spark, store) is True
+    assert {tuple(r) for r in spark.read.parquet(store).collect()} == rows
+
+
 def test_compact_store_cli(spark, tmp_path):
     """CLI wiring for the compaction maintenance job."""
     from mini_feature_store_spark import cli
