@@ -268,6 +268,7 @@ def quality_filter(
     min_score: float = 0.3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    with_fingerprint: bool = False,
 ) -> DataFrame:
     """Composite quality gate over the ``text_stats`` signals — the actual
     pipeline operator that decides which documents enter a training corpus.
@@ -278,7 +279,13 @@ def quality_filter(
     ``min_score``. Pure column arithmetic over one projection — the gate
     adds zero shuffles on top of the stats scan.
 
-    Output: (doc_id, n_tokens, quality_score, kept).
+    Output: (doc_id, n_tokens, quality_score, kept); with
+    ``with_fingerprint=True`` the exact-dedup fingerprint (which
+    ``text_stats`` already computes in the same scan) rides along as a
+    fifth column, so a downstream funnel can derive its exact-dedup count
+    from the SAME pass instead of rebuilding the gate chain (opt-in: the
+    extra column would change the schema of every query that returns the
+    gate frame directly).
     """
     stats = text_stats(df, text_col, id_col)
     stop_part = F.least(F.col("stopword_ratio") * 5, F.lit(1.0))
@@ -286,16 +293,19 @@ def quality_filter(
     score = round_half_up(
         0.4 * stop_part + 0.4 * (1 - F.col("punct_ratio")) + 0.2 * len_part
     )
-    return stats.select(
+    cols = [
         F.col(id_col),
-        "n_tokens",
+        F.col("n_tokens"),
         score.alias("quality_score"),
         (
             (F.col("n_tokens") >= min_tokens)
             & (F.col("n_tokens") <= max_tokens)
             & (score >= min_score)
         ).alias("kept"),
-    )
+    ]
+    if with_fingerprint:
+        cols.append(F.col("fingerprint"))
+    return stats.select(*cols)
 
 
 def tf_idf_top_terms(

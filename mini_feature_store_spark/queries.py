@@ -3023,14 +3023,24 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors. A bug in any stage's join direction (semi vs anti,
     pre- vs post-filter) shifts every downstream count.
 
-    Scale: each stage is one of the audited distributed operators; the
-    five counts are global 1-row aggregates UNION'd — no collect, no
-    driver loop, and the composed plan stays visible to the broadcast
-    discipline walker and the plan audit."""
-    from mini_feature_store_spark.operators.dedup import (
-        exact_dedup,
-        ngram_jaccard_pairs,
-    )
+    Plan shape (r9 VERDICT #1 — the tagged form its LM sibling proved):
+    the old five-branch UNION rebuilt the quality chain in up to four
+    count branches (24 parquet scans / 19 exchanges). Now the flag pass
+    carries the exact-dedup fingerprint (``text_stats`` computes it in
+    the same scan), so THREE counts — input, after_quality, and
+    after_exact_dedup as ``count_distinct(fingerprint) FILTER (kept)`` —
+    come from ONE aggregate over one gate build. The near-dup and
+    decontamination stages genuinely need the deduped DOCUMENT set
+    (shingles read text), so that subtree builds once more; their counts
+    are 1-row aggregates of the DROP sets (drops ⊆ deduped,
+    contaminated-survivors ⊆ survivors — both stages flag per-doc
+    independently), combined by arithmetic in a single stack:
+    after_near_dedup = |deduped| − |drops|, after_decontamination =
+    |deduped| − |drops| − |contaminated ∩ survivors|. Still fully
+    declarative — no collect, no persist in the returned plan; the
+    production pipeline (run_corpus_curate) persists around its eager
+    counts instead."""
+    from mini_feature_store_spark.operators.dedup import ngram_jaccard_pairs
     from mini_feature_store_spark.operators.graph import dedup_clusters
     from mini_feature_store_spark.operators.text import (
         decontaminate,
@@ -3042,48 +3052,51 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.where(F.col("source") != "src0")
     bench = docs.where(F.col("source") == "src0")
 
-    gate = quality_filter(corpus, min_tokens=5, min_score=0.3)
-    # Fully DECLARATIVE on purpose (r7 code review round-trip): an eager
-    # collect would hide the composed plan from the broadcast-discipline
-    # walker and the plan audit, and a lazily-returned persist() pins
-    # CacheManager entries for the session lifetime. The cost of neither
-    # is that downstream count branches recompute upstream stages (the
-    # quality gate runs in up to 4 branches) — measured ~0.8 s extra at
-    # sf0.1, bounded because Catalyst shares the scan and the expensive
-    # near-dup chain feeds only the last three branches. The production
-    # pipeline (run_corpus_curate) persists + unpersists around its
-    # eager counts instead — the right trade on each side of the
-    # lazy/eager line.
-    admitted = corpus.join(
-        gate.where(F.col("kept")).select("doc_id"), "doc_id", "left_semi"
+    flags = quality_filter(
+        corpus, min_tokens=5, min_score=0.3, with_fingerprint=True
+    ).select("doc_id", "kept", "fingerprint")
+    # same keep rule as exact_dedup (min id per fingerprint group), but
+    # derived from the flag frame so no second gate build feeds it
+    keep_ids = (
+        flags.where(F.col("kept"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
     )
-    keep_ids = exact_dedup(admitted).select(F.col("keep_id").alias("doc_id"))
-    deduped = admitted.join(keep_ids, "doc_id", "left_semi")
+    deduped = corpus.join(keep_ids, "doc_id", "left_semi")
     pairs = ngram_jaccard_pairs(deduped, threshold=0.5, max_shingle_freq=1000)
-    drops = (
-        dedup_clusters(pairs).where(~F.col("keep")).select("doc_id")
-    )
-    survivors = deduped.join(drops, "doc_id", "left_anti")
-    flagged = decontaminate(survivors, bench, n=5, threshold=0.05)
-    clean = survivors.join(
-        flagged.where(F.col("contaminated")).select("doc_id"),
-        "doc_id",
-        "left_anti",
+    drops = dedup_clusters(pairs).where(~F.col("keep")).select("doc_id")
+    # contamination is a per-doc flag (shingle overlap vs the benchmark
+    # set), so flag the DEDUPED set and mask by the near-dup drops —
+    # identical to flagging survivors, without rebuilding them
+    contaminated_sv = (
+        decontaminate(deduped, bench, n=5, threshold=0.05)
+        .where(F.col("contaminated"))
+        .select("doc_id")
+        .join(drops, "doc_id", "left_anti")
     )
 
-    def count_stage(idx: int, name: str, df: DataFrame) -> DataFrame:
-        return df.agg(F.count(F.lit(1)).alias("n_admitted")).select(
-            F.lit(idx).alias("stage_idx"),
-            F.lit(name).alias("stage"),
-            "n_admitted",
-        )
-
+    first3 = flags.agg(
+        F.count(F.lit(1)).alias("_input"),
+        F.count(F.when(F.col("kept"), 1)).alias("_q"),
+        F.count_distinct(
+            F.when(F.col("kept"), F.col("fingerprint"))
+        ).alias("_dd"),
+    )
+    n_drop = drops.agg(F.count(F.lit(1)).alias("_ndrop"))
+    n_ct = contaminated_sv.agg(F.count(F.lit(1)).alias("_nct"))
     return (
-        count_stage(0, "input", corpus)
-        .unionAll(count_stage(1, "after_quality", admitted))
-        .unionAll(count_stage(2, "after_exact_dedup", deduped))
-        .unionAll(count_stage(3, "after_near_dedup", survivors))
-        .unionAll(count_stage(4, "after_decontamination", clean))
+        first3.crossJoin(n_drop)
+        .crossJoin(n_ct)
+        .select(
+            F.expr(
+                "stack(5, 0, 'input', _input, 1, 'after_quality', _q,"
+                " 2, 'after_exact_dedup', _dd,"
+                " 3, 'after_near_dedup', _dd - _ndrop,"
+                " 4, 'after_decontamination', _dd - _ndrop - _nct)"
+                " AS (stage_idx, stage, n_admitted)"
+            )
+        )
     )
 
 
@@ -6615,22 +6628,23 @@ def corpus_curation_funnel_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     the LM stage's placement — its admission is evaluated over
     POST-quality-gate docs only, and exact dedup groups post-LM text.
 
-    Plan shape: TWO tagged passes instead of five count branches — the
-    first three counts (input / quality / LM) are one conditional
-    aggregate over (kept, lm_ok) flags (per-doc LM scores are
-    independent of the gate, so corpus-wide scoring masked by the gate
-    flag IS the staged admission), and the last two (exact / near-dup)
-    are one aggregate over the deduped set LEFT-tagged with its
-    near-dup drops. The expensive quality+LM chain therefore builds
-    exactly twice instead of the five-branch form's 3-4× — sf0.1 wall
-    time measures NEUTRAL (~9.5 s either way: per-stage fixed costs
-    dominate at that size, the repo's standing bench-noise lesson), so
-    the win is the scan/shuffle count, which is what matters at scale.
+    Plan shape (r9 VERDICT #2): ONE build of the quality+LM chain in the
+    count path, plus the near-dup subtree. The flag pass carries the
+    exact-dedup fingerprint corpus-wide (fingerprints are per-doc
+    independent — the same argument that justified corpus-wide LM
+    scoring), so FOUR counts (input / quality / LM / exact-dedup as
+    ``count_distinct(fingerprint) FILTER (lm_ok)``) come from a single
+    conditional aggregate over the flag frame. Only the near-dup stage
+    genuinely needs the admitted DOCUMENT set (shingling reads text), so
+    its subtree — deduped docs via min-id-per-fingerprint over the flag
+    frame, pair mining, connected components — builds the chain once
+    more; its count is a 1-row aggregate of the DROP set (drops ⊆
+    deduped) combined by arithmetic: after_near_dedup = |deduped| −
+    |drops|. sf0.1 wall time measures NEUTRAL (per-stage fixed costs
+    dominate at that size, the repo's standing bench-noise lesson); the
+    win is the scan/shuffle count, which is what matters at scale.
     """
-    from mini_feature_store_spark.operators.dedup import (
-        exact_dedup,
-        ngram_jaccard_pairs,
-    )
+    from mini_feature_store_spark.operators.dedup import ngram_jaccard_pairs
     from mini_feature_store_spark.operators.graph import dedup_clusters
     from mini_feature_store_spark.operators.text import (
         bigram_lm_score,
@@ -6642,56 +6656,56 @@ def corpus_curation_funnel_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.where(F.col("source") != "src0")
     ref = docs.where(F.col("source") == "src0")
 
-    gate = quality_filter(corpus, min_tokens=5, min_score=0.3)
+    gate = quality_filter(
+        corpus, min_tokens=5, min_score=0.3, with_fingerprint=True
+    )
     # scoring the whole corpus and masking with the gate flag is EXACTLY
     # lm-filtering the admitted set (scores are per-doc-independent) —
-    # and lets one pass produce the first three funnel counts
+    # and lets one pass produce the first four funnel counts
     scores = bigram_lm_score(ref, corpus)
     flags = (
-        gate.select("doc_id", "kept")
+        gate.select("doc_id", "kept", "fingerprint")
         .join(scores.select("doc_id", "avg_nll"), "doc_id", "left")
         .select(
             "doc_id",
             "kept",
+            "fingerprint",
             (
                 F.col("kept")
                 & F.coalesce(F.col("avg_nll") <= 3.5, F.lit(False))
             ).alias("lm_ok"),
         )
     )
-    lm_admitted = corpus.join(
-        flags.where(F.col("lm_ok")).select("doc_id"), "doc_id", "left_semi"
+    # same keep rule as exact_dedup (min id per fingerprint group),
+    # derived from the flag frame — no second gate+LM build feeds it
+    keep_ids = (
+        flags.where(F.col("lm_ok"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
     )
-    keep_ids = exact_dedup(lm_admitted).select(
-        F.col("keep_id").alias("doc_id")
-    )
-    deduped = lm_admitted.join(keep_ids, "doc_id", "left_semi")
+    deduped = corpus.join(keep_ids, "doc_id", "left_semi")
     pairs = ngram_jaccard_pairs(deduped, threshold=0.5, max_shingle_freq=1000)
     drops = dedup_clusters(pairs).where(~F.col("keep")).select("doc_id")
 
-    first3 = flags.agg(
+    first4 = flags.agg(
         F.count(F.lit(1)).alias("_input"),
         F.count(F.when(F.col("kept"), 1)).alias("_q"),
         F.count(F.when(F.col("lm_ok"), 1)).alias("_lm"),
-    ).select(
+        F.count_distinct(
+            F.when(F.col("lm_ok"), F.col("fingerprint"))
+        ).alias("_dd"),
+    )
+    n_drop = drops.agg(F.count(F.lit(1)).alias("_ndrop"))
+    return first4.crossJoin(n_drop).select(
         F.expr(
-            "stack(3, 0, 'input', _input, 1, 'after_quality', _q,"
-            " 2, 'after_lm_filter', _lm) AS (stage_idx, stage, n_admitted)"
+            "stack(5, 0, 'input', _input, 1, 'after_quality', _q,"
+            " 2, 'after_lm_filter', _lm,"
+            " 3, 'after_exact_dedup', _dd,"
+            " 4, 'after_near_dedup', _dd - _ndrop)"
+            " AS (stage_idx, stage, n_admitted)"
         )
     )
-
-    last2 = deduped.join(
-        drops.withColumn("_dropped", F.lit(1)), "doc_id", "left"
-    ).agg(
-        F.count(F.lit(1)).alias("_dd"),
-        F.count(F.when(F.col("_dropped").isNull(), 1)).alias("_sv"),
-    ).select(
-        F.expr(
-            "stack(2, 3, 'after_exact_dedup', _dd,"
-            " 4, 'after_near_dedup', _sv) AS (stage_idx, stage, n_admitted)"
-        )
-    )
-    return first3.unionAll(last2)
 
 
 @_q(

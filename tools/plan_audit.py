@@ -324,14 +324,15 @@ AUDITED: dict[str, str] = {
         "same lazy plan on the src0 slice) -> exact dedup -> near-dup. "
         "Same gate-replica-honesty cost model as corpus_curation_funnel "
         "(lazy, no persist in the returned plan; the production pipeline "
-        "persists instead), but the five counts come from TWO tagged "
-        "conditional aggregates (input/quality/LM from the per-doc flag "
-        "frame; exact/near-dup from the deduped set left-tagged with "
-        "its drops), so the quality+LM chain builds twice, not 3-4x. "
-        "sf0.1 wall time ~9.5 s either way (per-stage fixed costs "
-        "dominate — suite's most expensive query, inherent to composing "
-        "an LM model + two dedup tiers in one lazy plan); the reduced "
-        "scan/shuffle count is the at-scale win. Tied to the pipeline "
+        "persists instead). r10 (verdict #2; was 17 scans / 31 "
+        "exchanges): the flag frame carries the exact-dedup fingerprint "
+        "corpus-wide (per-doc independent, the same argument as "
+        "corpus-wide LM scoring), so FOUR counts (input/quality/LM/"
+        "exact-dedup via count_distinct(fingerprint) FILTER lm_ok) come "
+        "from ONE conditional aggregate over ONE quality+LM chain "
+        "build; only the near-dup subtree builds the chain again (its "
+        "admission decides which documents get shingled), and its count "
+        "is |deduped| - |drops| by arithmetic. Tied to the pipeline "
         "by test_corpus_curate_lm_funnel_matches_oracled_query."
     ),
     "doc_lm_buckets": (
@@ -604,16 +605,21 @@ AUDITED: dict[str, str] = {
         "doc x benchmark product never materializes."
     ),
     "corpus_curation_funnel": (
-        "The composed curation funnel (r7-new, oracled): quality gate → "
-        "exact dedup → 3-gram near-dup (capped posting lists + star-"
-        "round CC) → 5-gram decontamination, each stage consuming the "
-        "previous stage's admitted set; five global 1-row counts "
-        "UNION'd — fully DECLARATIVE so the composed plan stays visible "
-        "to the broadcast walker and this audit (an eager collect hid "
-        "it; a lazy persist pins CacheManager entries). Downstream "
-        "count branches recompute upstream stages (~0.8 s extra at "
-        "sf0.1, measured); the production pipeline persists around its "
-        "eager counts instead. Every stage is an audited operator."
+        "The composed curation funnel, tagged two-pass form (r10 — the "
+        "r9 verdict #1 rewrite; was 24 scans / 19 exchanges as a "
+        "five-branch UNION): the flag pass carries kept + the "
+        "exact-dedup fingerprint (text_stats computes both in one "
+        "scan), so input / after_quality / after_exact_dedup "
+        "(count_distinct(fingerprint) FILTER kept) are ONE conditional "
+        "aggregate over ONE gate build. Near-dup + decontamination "
+        "genuinely need the deduped document set (shingling reads "
+        "text), so that subtree builds once more; their counts are "
+        "1-row aggregates of the DROP sets combined by arithmetic in "
+        "a single stack (drops ⊆ deduped; contamination flags per-doc "
+        "independently, so it's computed over deduped and masked by "
+        "the drops). Still fully DECLARATIVE — no collect, no persist "
+        "in the returned plan; the production pipeline persists around "
+        "its eager counts instead. Every stage is an audited operator."
     ),
 }
 
