@@ -199,6 +199,18 @@ def build_parser() -> argparse.ArgumentParser:
     cc.add_argument(
         "--shards", type=int, default=None, help="write N training shards + manifest"
     )
+    cc.add_argument(
+        "--pack-max-tokens", type=int, default=None,
+        help="terminal packing stage: assign every exported doc a "
+        "training context (shard, bin_id) by doc-preserving "
+        "next-fit-decreasing bin packing at this token capacity; the "
+        "assignment manifest lands at <output-path>_packing",
+    )
+    cc.add_argument(
+        "--pack-shards", type=int, default=8,
+        help="parallel shards for the packing stage (the greedy fold is "
+        "sequential per shard; default 8)",
+    )
 
     ai = sub.add_parser(
         "ann-index-build",
@@ -450,6 +462,8 @@ def main(argv: list[str] | None = None) -> int:
                     cut_spans_k=args.cut_spans_k,
                     max_dup_share=args.max_dup_share,
                     dup_share_k=args.dup_share_k,
+                    pack_max_tokens=args.pack_max_tokens,
+                    pack_shards=args.pack_shards,
                 ),
             )
             for stage, n in funnel.items():

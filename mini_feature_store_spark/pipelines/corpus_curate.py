@@ -32,6 +32,11 @@ One command takes a raw document corpus to a training-ready one:
                            against a benchmark/eval parquet)
 6. export                  plain parquet, or deterministic training shards
                            with a rows/bytes manifest (io/sinks.py)
+7. packing (optional)      operators/packing.py:pack_documents_greedy —
+                           doc-preserving NFD bin packing at
+                           ``pack_max_tokens`` capacity; writes the
+                           (shard, bin_id) assignment manifest to
+                           ``<output_path>_packing`` alongside the export
 
 Every stage is the already-tested distributed operator; this module only
 sequences them and reports the funnel (admitted counts per stage — the
@@ -93,6 +98,17 @@ class CorpusCurationConfig:
     #: doc-level policy for mostly-verbatim pages
     max_dup_share: float | None = None
     dup_share_k: int = 50
+    #: when set, a doc-preserving packing stage runs LAST: every exported
+    #: document is assigned a training context (shard, bin_id) by
+    #: next-fit-decreasing bin packing at this token capacity
+    #: (operators/packing.py:pack_documents_greedy), and the assignment
+    #: manifest is written to ``<output_path>_packing`` alongside the
+    #: corpus export — the (shard, bin_id) pair is the pack identity a
+    #: dataloader groups on
+    pack_max_tokens: int | None = None
+    #: parallelism knob for the packing stage (the greedy fold is
+    #: sequential PER SHARD; at 100 TB this is thousands)
+    pack_shards: int = 8
 
 
 def run_corpus_curation(
@@ -129,6 +145,16 @@ def run_corpus_curation(
     if cfg.max_dup_share is not None and cfg.dup_share_k < 2:
         raise ValueError(
             f"dup_share_k must be at least 2, got {cfg.dup_share_k}"
+        )
+    # packing knobs validated up front too — the stage runs LAST, after
+    # every expensive dedup stage, so a bad knob must not cost hours
+    if cfg.pack_max_tokens is not None and cfg.pack_max_tokens <= 0:
+        raise ValueError(
+            f"pack_max_tokens must be positive, got {cfg.pack_max_tokens}"
+        )
+    if cfg.pack_max_tokens is not None and cfg.pack_shards <= 0:
+        raise ValueError(
+            f"pack_shards must be positive, got {cfg.pack_shards}"
         )
     stage0 = None
     if cfg.url_col is not None:
@@ -357,6 +383,13 @@ def run_corpus_curation(
         )
         funnel["after_decontamination"] = survivors.count()
 
+    pack_input = None
+    if cfg.pack_max_tokens is not None:
+        # the final survivor set feeds BOTH the corpus export and the
+        # packing pass below — persist around the double consumption
+        pack_input = survivors.persist()
+        survivors = pack_input
+
     if cfg.n_shards:
         manifest = write_training_shards(
             survivors, cfg.output_path, cfg.n_shards, key_col=cfg.id_col
@@ -373,10 +406,38 @@ def run_corpus_curation(
             )
             if k in funnel
         )
+
+    if cfg.pack_max_tokens is not None:
+        from mini_feature_store_spark.operators.packing import (
+            pack_documents_greedy,
+        )
+
+        # terminal packing stage: assign every EXPORTED doc its training
+        # context (shard, bin_id) and write the assignment manifest next
+        # to the corpus — a dataloader joins corpus x manifest on the id
+        # and groups on (shard, bin_id). Counts are read back from the
+        # written manifest so the Arrow packing pass runs exactly once.
+        packing = pack_documents_greedy(
+            survivors,
+            max_tokens=cfg.pack_max_tokens,
+            shards=cfg.pack_shards,
+            text_col=cfg.text_col,
+            id_col=cfg.id_col,
+        )
+        pack_path = cfg.output_path.rstrip("/") + "_packing"
+        packing.write.mode("overwrite").parquet(pack_path)
+        written = spark.read.parquet(pack_path)
+        funnel["packed_docs"] = written.count()
+        funnel["packing_bins"] = (
+            written.select("shard", "bin_id").distinct().count()
+        )
+
     admitted.unpersist()
     deduped.unpersist()
     if cfg.cut_spans_k is not None:
         cut_input.unpersist()
     if cfg.max_dup_share is not None:
         cov_input.unpersist()
+    if pack_input is not None:
+        pack_input.unpersist()
     return funnel

@@ -858,6 +858,73 @@ def test_corpus_curate_cli_end_to_end(spark, tmp_path):
     assert sum(s["rows"] for s in manifest) == 2
 
 
+def test_corpus_curate_packing_stage(spark, tmp_path):
+    """Optional terminal packing stage (--pack-max-tokens): every exported
+    doc gets exactly one (shard, bin_id) assignment in the manifest at
+    <output>_packing, no bin exceeds capacity (except single-oversized-doc
+    bins), the funnel records packed_docs/packing_bins, and bad knobs fail
+    BEFORE any stage runs."""
+    import pytest
+
+    from mini_feature_store_spark import cli
+    from mini_feature_store_spark.pipelines.corpus_curate import (
+        CorpusCurationConfig,
+        run_corpus_curation,
+    )
+
+    # distinct texts (no dedup interference), token counts 12 / 9 / 7
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog every single day"),
+        (2, "a very different story about spark shuffles and broadcast joins"),
+        (3, "the optimizer prunes columns and pushes filters down"),
+    ]
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(inp)
+    out = str(tmp_path / "clean")
+
+    rc = cli.main(
+        [
+            "corpus-curate",
+            "--input-path", inp,
+            "--output-path", out,
+            "--jaccard-threshold", "0.99",
+            "--pack-max-tokens", "20",
+            "--pack-shards", "1",
+        ]
+    )
+    assert rc == 0
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept == {1, 2, 3}
+    packing = spark.read.parquet(out + "_packing").collect()
+    by_doc = {r.doc_id: r for r in packing}
+    assert set(by_doc) == kept  # every exported doc packed exactly once
+    assert len(packing) == 3
+    # NFD at capacity 20: 12 opens b1, 9 -> b2 (12+9>20), 7 joins b2 (16)
+    assert by_doc[1].bin_id != by_doc[2].bin_id
+    assert by_doc[2].bin_id == by_doc[3].bin_id
+    fills: dict = {}
+    for r in packing:
+        fills[(r.shard, r.bin_id)] = fills.get((r.shard, r.bin_id), 0) + r.n_tokens
+    assert all(f <= 20 for f in fills.values())
+
+    # knob validation is up-front (the stage itself runs last)
+    with pytest.raises(ValueError, match="pack_max_tokens"):
+        run_corpus_curation(
+            spark,
+            CorpusCurationConfig(
+                input_path=inp, output_path=out, pack_max_tokens=0
+            ),
+        )
+    with pytest.raises(ValueError, match="pack_shards"):
+        run_corpus_curation(
+            spark,
+            CorpusCurationConfig(
+                input_path=inp, output_path=out,
+                pack_max_tokens=10, pack_shards=0,
+            ),
+        )
+
+
 def test_corpus_curate_semantic_stage(spark, tmp_path):
     """The optional SemDeDup stage drops semantic duplicates (identical
     embeddings, different enough text to pass n-gram dedup) while leaving
