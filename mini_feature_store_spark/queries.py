@@ -6823,6 +6823,156 @@ def pit_training_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ── training-data pipeline: BPE vocabulary induction (operators/bpe.py) ─────
+
+#: fixed merge count for the oracled BPE queries — the round count is a
+#: constant, so the DuckDB mirror can UNROLL the training loop as a CTE
+#: chain (pair-count → deterministic argmax → greedy rewrite per round)
+_BPE_N_MERGES = 10
+
+
+def _bpe_ctes(n_rounds: int) -> str:
+    """The unrolled DuckDB replay of distributed BPE training — the
+    ``doc_greedy_packing`` mirroring pattern without recursion (a
+    recursive CTE cannot aggregate over its own working table, but a
+    FIXED round count needs no recursion). Per round r: ``p{r}``
+    pair-counts the current symbol splits (freq-weighted), ``b{r}``
+    picks the max with the (count DESC, left, right) tie-break, and
+    ``w{r}`` rewrites every word by greedy left-to-right non-overlapping
+    merge — selection by position parity: a match at i is taken iff an
+    even number of consecutive matches immediately precede it (equal to
+    the fold the Spark operator applies; overlaps only occur when
+    left == right, where greedy takes every other match in a run)."""
+    ctes = [
+        "wd AS (SELECT unnest(regexp_extract_all(lower(text),"
+        f" '{_CHUNK_RE_SQL}')) AS word FROM documents)",
+        "w0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,"
+        " [word[i] for i in generate_series(1, length(word))] AS syms"
+        " FROM wd GROUP BY word)",
+    ]
+    for r in range(1, n_rounds + 1):
+        prev = f"w{r - 1}"
+        ctes.append(
+            f"p{r} AS (SELECT l, r2, CAST(SUM(freq) AS BIGINT) AS cnt"
+            " FROM (SELECT freq, unnest(CASE WHEN len(syms) < 2 THEN []"
+            " ELSE [{'l': syms[i], 'r2': syms[i+1]}"
+            " for i in generate_series(1, len(syms)-1)] END,"
+            f" recursive := true) FROM {prev}) GROUP BY l, r2)"
+        )
+        ctes.append(
+            f"b{r} AS (SELECT l, r2, cnt FROM p{r}"
+            " ORDER BY cnt DESC, l, r2 LIMIT 1)"
+        )
+        # DuckDB forbids subqueries inside lambda/comprehension bodies,
+        # so the round's best pair enters row scope via LEFT JOIN ON
+        # TRUE (LEFT, not CROSS: an empty b{r} — vocabulary fully
+        # merged — must pass words through unchanged, and NULL l/r2
+        # makes every match predicate NULL → no selection)
+        ctes.append(
+            f"w{r} AS (SELECT word, freq,"
+            " flatten([CASE WHEN list_contains(sel, i)"
+            " THEN [l || r2]"
+            " WHEN list_contains(sel, i-1) THEN []"
+            " ELSE [syms[i]] END"
+            " for i in generate_series(1, len(syms))]) AS syms"
+            " FROM (SELECT word, freq, syms, l, r2,"
+            " [i for i in generate_series(1, len(mm)) if mm[i] AND"
+            " ((i - 1 - COALESCE(list_max([k for k in"
+            " generate_series(1, i-1) if NOT mm[k]]), 0)) % 2 = 0)] AS sel"
+            " FROM (SELECT word, freq, syms, l, r2,"
+            " CASE WHEN len(syms) < 2 THEN []"
+            " ELSE [syms[i] = l AND syms[i+1] = r2"
+            " for i in generate_series(1, len(syms)-1)] END AS mm"
+            f" FROM {prev} LEFT JOIN b{r} ON TRUE)))"
+        )
+    return ",\n".join(ctes)
+
+
+# the CHUNK_RE classes are disjoint, so Java regex (Spark) and RE2
+# (DuckDB) produce identical matches — the text.py contract
+_CHUNK_RE_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+@_q(
+    "doc_bpe_vocab",
+    "WITH "
+    + _bpe_ctes(_BPE_N_MERGES)
+    + "\n"
+    + "\nUNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_rank, l AS left_sym,"
+        f" r2 AS right_sym, cnt AS pair_count FROM b{r}"
+        for r in range(1, _BPE_N_MERGES + 1)
+    ),
+)
+def doc_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary induction (Sennrich et al. 2016; the
+    byte-pair idea from Gage 1994): the learned merge table after
+    ``_BPE_N_MERGES`` rounds over the whole document corpus —
+    ``operators/bpe.py:bpe_train``. One corpus pass builds the
+    distinct-chunk word table; every round after is a pair-count hash
+    aggregate + deterministic argmax (count DESC, then lexicographic)
+    + a greedy symbol rewrite on the WORD table, never the corpus —
+    the Heaps'-law separation that makes vocabulary induction tractable
+    at 100 TB. The oracle replays all rounds as an unrolled CTE chain
+    and must reproduce the merge table exactly, tie-breaks included."""
+    from mini_feature_store_spark.operators.bpe import bpe_train
+
+    _utc(spark)
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    merges, vocab = bpe_train(docs, n_merges=_BPE_N_MERGES)
+    # the merge table is already driver-materialized (bounded: one row
+    # per round); the vocab cache is only needed by the tokenizer query
+    vocab.unpersist()
+    return merges
+
+
+@_q(
+    "doc_bpe_tokenize",
+    "WITH "
+    + _bpe_ctes(_BPE_N_MERGES)
+    + f""",
+smp AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_CHUNK_RE_SQL}') AS cks
+  FROM documents WHERE doc_id % 11 = 0
+),
+tk AS (
+  SELECT doc_id, pos, word FROM (
+    SELECT doc_id, unnest([{{'pos': i, 'word': cks[i]}}
+                           for i in generate_series(1, len(cks))],
+                          recursive := true)
+    FROM smp
+  )
+),
+j AS (
+  SELECT t.doc_id, t.pos,
+         COALESCE(w.syms, [t.word[i]
+                           for i in generate_series(1, length(t.word))])
+           AS syms
+  FROM tk t LEFT JOIN w{_BPE_N_MERGES} w ON t.word = w.word
+)
+SELECT doc_id, CAST(SUM(len(syms)) AS BIGINT) AS n_tokens,
+       string_agg(array_to_string(syms, ' '), ' ' ORDER BY pos) AS tokens
+FROM j GROUP BY doc_id
+""",
+)
+def doc_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize a deterministic document sample (doc_id % 11) with the
+    vocabulary ``doc_bpe_vocab`` induces — ``operators/bpe.py:
+    bpe_tokenize``: chunk the text, join each chunk against the trained
+    word table's final symbol split (AQE broadcasts the small vocab —
+    never hinted), reassemble in position order. Pins that the learned
+    merges actually APPLY: the emitted symbol stream is the oracle's
+    independently-retrained tokenization, space-joined (the driver gate
+    cannot hash arrays)."""
+    from mini_feature_store_spark.operators.bpe import bpe_tokenize, bpe_train
+
+    _utc(spark)
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    _, vocab = bpe_train(docs, n_merges=_BPE_N_MERGES)
+    sample = docs.where(F.col("doc_id") % 11 == 0)
+    return bpe_tokenize(sample, vocab)
+
+
 # ── driver verification order ───────────────────────────────────────────────
 # The correctness driver evaluates only the FIRST 50 entries of the registry
 # dict, in insertion order. Registration order above is thematic; this list is
@@ -6832,6 +6982,10 @@ def pit_training_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registered name present exactly once — ordered_queries() asserts it.
 
 VERIFY_ORDER: list[str] = [
+    # ── r10: new queries lead (BPE vocabulary induction tier); the full
+    # r10 re-cut happens at round end per the standing freshness rule.
+    "doc_bpe_vocab",
+    "doc_bpe_tokenize",
     # ── r9 re-cut (standing rotate rule: new > touched-this-round >
     # stalest-driver-row > fresh > rows-only; the driver records rows for
     # the FIRST 50 entries only).

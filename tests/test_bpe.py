@@ -1,0 +1,147 @@
+"""BPE vocabulary induction (operators/bpe.py) — the merge fold against a
+Python reference, end-to-end training against an independent in-memory
+implementation, tokenizer application, and plan/discipline shape."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _ref_apply(syms: list[str], p1: str, p2: str) -> list[str]:
+    """Reference greedy left-to-right non-overlapping merge."""
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == p1 and syms[i + 1] == p2:
+            out.append(p1 + p2)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _ref_train(texts: list[str], n_merges: int):
+    """Independent single-machine BPE trainer (the subword-nmt shape)."""
+    import re
+
+    words = Counter()
+    for t in texts:
+        for w in re.findall(
+            r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+", t.lower()
+        ):
+            words[w] += 1
+    splits = {w: [c for c in w] for w in words}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs: Counter = Counter()
+        for w, freq in words.items():
+            s = splits[w]
+            for a, b in zip(s, s[1:]):
+                pairs[(a, b)] += freq
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (p1, p2), cnt = best
+        merges.append((rank, p1, p2, cnt))
+        splits = {w: _ref_apply(s, p1, p2) for w, s in splits.items()}
+    return merges, splits
+
+
+def test_apply_merge_matches_reference(spark):
+    """The F.aggregate fold == the reference single-pass merge, including
+    the overlapping-run case (p1 == p2 takes every other match)."""
+    import itertools
+
+    from mini_feature_store_spark.operators.bpe import _apply_merge
+
+    cases = [
+        list(c)
+        for n in range(0, 5)
+        for c in itertools.product("ab", repeat=n)
+    ] + [["aa", "a", "aa", "aa"], ["b", "ab", "a", "b"], ["ab", "b", "b"]]
+    for p1, p2 in [("a", "a"), ("a", "b"), ("b", "a"), ("aa", "aa"), ("a", "ab")]:
+        df = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cases)], "i long, syms array<string>"
+        )
+        got = {
+            r.i: list(r.m)
+            for r in df.select(
+                "i", _apply_merge(F.col("syms"), p1, p2).alias("m")
+            ).collect()
+        }
+        for i, c in enumerate(cases):
+            assert got[i] == _ref_apply(c, p1, p2), (c, p1, p2)
+
+
+def test_bpe_train_matches_reference(spark):
+    """Full distributed training == the independent Python trainer:
+    identical merge table (order, pairs, counts) and identical final
+    word splits."""
+    from mini_feature_store_spark.operators.bpe import bpe_train
+
+    texts = [
+        "the cat sat on the mat",
+        "the cats sat on the mats",
+        "that hat is the cat hat",
+        "matting and batting 123 123!",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges, vocab = bpe_train(df, n_merges=8)
+    ref_merges, ref_splits = _ref_train(texts, 8)
+    got = [
+        (r.merge_rank, r.left_sym, r.right_sym, r.pair_count)
+        for r in merges.orderBy("merge_rank").collect()
+    ]
+    assert got == ref_merges
+    got_splits = {r.word: list(r.syms) for r in vocab.collect()}
+    assert got_splits == ref_splits
+    vocab.unpersist()
+
+
+def test_bpe_train_runs_dry_on_tiny_vocab(spark):
+    """When every word is fully merged the loop stops early and the merge
+    table is shorter than n_merges (no crash, no phantom rows)."""
+    from mini_feature_store_spark.operators.bpe import bpe_train
+
+    df = spark.createDataFrame(
+        [(0, "ab ab ab"), (1, "ab")], "doc_id long, text string"
+    )
+    merges, vocab = bpe_train(df, n_merges=10)
+    rows = merges.orderBy("merge_rank").collect()
+    # 'ab' has exactly one pair to learn; afterwards no pairs remain
+    assert len(rows) == 1
+    assert (rows[0].left_sym, rows[0].right_sym) == ("a", "b")
+    assert {tuple(r.syms) for r in vocab.collect()} == {("ab",)}
+    vocab.unpersist()
+
+    with pytest.raises(ValueError, match="n_merges"):
+        bpe_train(df, n_merges=0)
+
+
+def test_bpe_tokenize_applies_vocab_and_falls_back(spark):
+    """Tokenization joins the trained splits in document order; chunks
+    unseen at training time fall back to their character split."""
+    from mini_feature_store_spark.operators.bpe import bpe_tokenize, bpe_train
+
+    train = spark.createDataFrame(
+        [(0, "low lower lowest low low")], "doc_id long, text string"
+    )
+    _, vocab = bpe_train(train, n_merges=3)
+    sample = spark.createDataFrame(
+        [(7, "low lower"), (8, "unseen low")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in bpe_tokenize(sample, vocab).collect()}
+    assert set(out) == {7, 8}
+    # 'low' trained to a single symbol within 3 merges (freq 4 dominates)
+    assert out[7].tokens.startswith("low ")
+    toks8 = out[8].tokens.split(" ")
+    # 'unseen' was never trained: char-split fallback, then trained 'low'
+    assert toks8[: len("unseen")] == list("unseen")
+    assert out[8].n_tokens == len(toks8)
+    vocab.unpersist()

@@ -72,6 +72,12 @@ PLAN_BUILD_CACHE_ALLOWLIST = {
     # the near-dup stage, not from the query composition itself
     "corpus_curation_funnel_lm",
     "doc_content_centrality",
+    # class (b) iterative state: bpe_train's per-round rewritten word
+    # table is persisted (k-means/PageRank pattern) and the final round's
+    # cache IS the tokenizer's lookup table, consumed by the returned
+    # plan's vocab join (doc_bpe_vocab itself unpersists and needs no
+    # entry)
+    "doc_bpe_tokenize",
 }
 
 

@@ -335,6 +335,27 @@ AUDITED: dict[str, str] = {
         "is |deduped| - |drops| by arithmetic. Tied to the pipeline "
         "by test_corpus_curate_lm_funnel_matches_oracled_query."
     ),
+    "doc_bpe_vocab": (
+        "Distributed BPE induction (r10): ONE corpus pass builds the "
+        "distinct-chunk word table (hash aggregate, map-side combine); "
+        "every merge round after is a pair-count aggregate + 1-row "
+        "argmax collect + greedy rewrite over the WORD table only — "
+        "the Heaps'-law separation (at 100 TB the corpus is PB-scan "
+        "territory, the vocab is millions of rows). The per-round "
+        "collect is the sanctioned bounded iteration pattern "
+        "(k-means/PageRank); word table persisted per round, parent "
+        "released eagerly. The audited plan is the returned merge "
+        "table (driver-built, limit-bounded for the walker) — the "
+        "iteration's own plans are per-round and identical in shape."
+    ),
+    "doc_bpe_tokenize": (
+        "Trained-vocab tokenization (r10): one corpus posexplode keyed "
+        "by (doc, chunk position), an UNHINTED equi-join against the "
+        "small final word table (AQE broadcasts when it fits), one "
+        "groupBy(doc) position-ordered reassembly. The corpus is never "
+        "shuffled by symbol; unseen chunks fall back to char split "
+        "in-plan (coalesce), no second pass."
+    ),
     "doc_lm_buckets": (
         "CCNet head/middle/tail terciles (r9): the LM-score subtree "
         "plus one lang-keyed NTILE window over the ROUNDED score with "

@@ -450,6 +450,95 @@ def run_scale(spark, d: Path, only: set[str] | None = None) -> dict[str, float]:
 
         return bigram_lm_score(docs.where(F.col("doc_id") % 47 == 0), docs)
 
+    def _lm_buckets():
+        # the NTILE-over-LM-subtree shape of doc_lm_buckets: per-language
+        # perplexity terciles (5 synthetic langs; window keyed by lang,
+        # ordered by score + id tie-break — never a global window)
+        from pyspark.sql import Window
+
+        from mini_feature_store_spark.operators.text import bigram_lm_score
+
+        langs = docs.withColumn(
+            "lang", (F.col("doc_id") % 5).cast("string")
+        )
+        scored = bigram_lm_score(
+            langs.where(F.col("doc_id") % 47 == 0), langs
+        )
+        t = F.ntile(3).over(
+            Window.partitionBy("lang").orderBy("avg_nll", "doc_id")
+        )
+        return (
+            langs.select("doc_id", "lang")
+            .join(scored.select("doc_id", "avg_nll"), "doc_id")
+            .select(
+                "doc_id",
+                "lang",
+                "avg_nll",
+                F.when(t == 1, "head")
+                .when(t == 2, "middle")
+                .otherwise("tail")
+                .alias("bucket"),
+            )
+        )
+
+    def _bpe_train10():
+        # full distributed BPE induction: one corpus pass to the word
+        # table, then 10 pair-count/argmax/rewrite rounds on the vocab
+        # (the training happens eagerly inside the build — time_op's
+        # noop write of the driver-built merge table adds nothing)
+        from mini_feature_store_spark.operators.bpe import bpe_train
+
+        merges, vocab = bpe_train(docs, n_merges=10)
+        vocab.unpersist()
+        return merges
+
+    def _compact_store_job():
+        # small-files maintenance: build an admitted store of ~n/5000*10
+        # per-batch files (the foreachBatch append shape), time the
+        # compaction swap itself, and print the anti-join probe latency
+        # before/after plus the file counts (the row's evidence)
+        import shutil
+        import tempfile
+
+        from mini_feature_store_spark.streaming.ingest import (
+            compact_admitted_store,
+        )
+
+        base = Path(tempfile.mkdtemp(prefix="mfss-compact-"))
+        store = str(base / "admitted")
+        urled = _urlify(docs).select(
+            "doc_id", F.col("url").alias("canonical_url")
+        )
+        n = urled.count()
+        nfiles = max(10, n // 5_000 * 10)
+        for b in range(nfiles):
+            urled.where(F.col("doc_id") % nfiles == b).coalesce(
+                1
+            ).write.mode("append").parquet(store)
+
+        def _probe() -> float:
+            batch = urled.where(F.col("doc_id") % 7 == 0)
+            t0 = time.perf_counter()
+            batch.join(
+                spark.read.parquet(store), "canonical_url", "left_anti"
+            ).write.format("noop").mode("overwrite").save()
+            return round(time.perf_counter() - t0, 2)
+
+        before = _probe()
+        t0 = time.perf_counter()
+        report = compact_admitted_store(
+            spark, store, "canonical_url", target_files=8
+        )
+        dt = round(time.perf_counter() - t0, 2)
+        after = _probe()
+        print(
+            f"      compact_store: files {report['files_before']}->"
+            f"{report['files_after']}, probe {before}s->{after}s",
+            flush=True,
+        )
+        shutil.rmtree(base, ignore_errors=True)
+        return dt
+
     def _dup_span_coverage():
         from mini_feature_store_spark.operators.dedup import (
             duplicate_span_coverage,
@@ -595,6 +684,9 @@ def run_scale(spark, d: Path, only: set[str] | None = None) -> dict[str, float]:
             "bigram_lm_ref2pct": _bigram_lm,
             "dup_span_coverage_k4": _dup_span_coverage,
             "greedy_packing_128": _greedy_packing,
+            "lm_buckets_ntile": _lm_buckets,
+            "bpe_train_10merges": _bpe_train10,
+            "compact_store_job": _compact_store_job,
             "paragraph_dedup_exact": _paragraph_dedup_exact,
             "paragraph_dedup_hash": _paragraph_dedup_hash,
             "decontaminate_multi_3bench": _decontaminate_multi,
@@ -614,9 +706,10 @@ def run_scale(spark, d: Path, only: set[str] | None = None) -> dict[str, float]:
     for name, build in ops.items():
         if only and name not in only:
             continue
-        if name.endswith("_stream"):
-            # streaming probes time themselves (a second run would hit a
-            # pre-populated admitted store — a different steady state)
+        if name.endswith(("_stream", "_job")):
+            # streaming/maintenance probes time themselves (a second run
+            # would hit a pre-populated admitted store — a different
+            # steady state — and the compaction swap is one-shot)
             out[name] = build()
         else:
             out[name] = time_op(spark, build)
