@@ -175,6 +175,97 @@ def resize_images(
     return media.select(id_col, "payload").mapInPandas(resize_batches, out_schema)
 
 
+#: shared projection dimensionality of the two-tower alignment stub —
+#: must divide into every FAKE image's pixel count (min w·h·c = 36 under
+#: the standard synthesis), so every histogram bin is non-empty
+IMAGE_EMBED_DIM = 16
+
+IMAGE_EMBED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField(
+            "image_embedding", T.ArrayType(T.DoubleType()), True
+        ),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def image_embed_stub(
+    media: DataFrame, dim: int = IMAGE_EMBED_DIM, id_col: str = "media_id"
+) -> DataFrame:
+    """STUB image tower for cross-modal alignment: decode the FAKE blob
+    and emit a deterministic ``dim``-bin pixel histogram embedding —
+    ``embedding[j] = Σ pixel[i] for i ≡ j (mod dim)`` (exact integer
+    sums, emitted as doubles; every value < 2^53 so the double is
+    exact). Replace the body with a real vision encoder (CLIP image
+    tower) in production — same signature, same Arrow batching, same
+    row-level error channel as ``decode_images``.
+
+    The fake payload is ``(seed + 31·i) % 256``, so an oracle can
+    recompute every bin with ``generate_series`` arithmetic without
+    materializing bytes — the ``multimodal_decode`` convention."""
+
+    def embed_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf[id_col], pdf["payload"]):
+                row = {"media_id": mid, "image_embedding": None, "error": None}
+                try:
+                    meta = decode_image_stub(blob)
+                    n = meta["width"] * meta["height"] * meta["channels"]
+                    px = np.frombuffer(
+                        bytes(blob)[9 : 9 + n], dtype=np.uint8
+                    ).astype(np.int64)
+                    bins = np.zeros(dim, dtype=np.int64)
+                    np.add.at(bins, np.arange(n) % dim, px)
+                    row["image_embedding"] = bins.astype(np.float64).tolist()
+                except (NotImplementedError, ValueError, struct.error) as e:
+                    row["error"] = f"{type(e).__name__}: {e}"
+                out.append(row)
+            yield pd.DataFrame(out)
+
+    return media.select(id_col, "payload").mapInPandas(
+        embed_batches, IMAGE_EMBED_SCHEMA
+    )
+
+
+def alignment_gate(
+    pairs: DataFrame,
+    image_col: str = "image_embedding",
+    text_col: str = "text_embedding",
+    threshold: float = 0.2,
+) -> DataFrame:
+    """LAION-style image↔text pair admission (Schuhmann et al. 2021:
+    keep pairs whose CLIP image/text cosine clears a threshold — theirs
+    was 0.3): appends ``align_cos`` (floor-rounded at scale 4, the
+    portable GEMM discipline) and ``admitted`` to a PAIRED frame.
+
+    Scale shape: pairs arrive 1-1 (each image joined to ITS caption by
+    id) so the cosine is a per-row column expression — there is no
+    similarity search here and therefore no all-pairs product to avoid;
+    the whole gate is one projection, zero shuffles, zero Python. Both
+    embeddings must share the projection dimensionality (the caller
+    applies the projection-head stub — e.g. a ``slice`` — before the
+    gate)."""
+    from mini_feature_store_spark.functions import round_half_up
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    img, txt = F.col(image_col), F.col(text_col)
+    cos = round_half_up(
+        dot(img, txt) / (F.sqrt(dot(img, img)) * F.sqrt(dot(txt, txt))), 4
+    )
+    return pairs.withColumn("align_cos", cos).withColumn(
+        "admitted", F.col("align_cos") >= F.lit(threshold)
+    )
+
+
 def media_metadata_stats(media: DataFrame) -> DataFrame:
     """Metadata-only aggregation — projection pruning means the binary
     ``payload`` column is never read from parquet for this query."""

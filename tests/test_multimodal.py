@@ -206,3 +206,54 @@ def test_video_phash_neardup_planted_copies(spark):
     assert pairs[(1, 2)] == 4          # full keyframe overlap
     assert pairs[(1, 3)] == 2 and pairs[(2, 3)] == 2
     assert not any(4 in p for p in pairs)  # unrelated video never pairs
+
+
+def test_image_embed_stub_histogram_and_error_channel(spark):
+    """The stub image tower's embedding is the exact mod-dim pixel
+    histogram of the FAKE payload (integer sums, emitted as exact
+    doubles); undecodable blobs land in the error column like
+    decode_images."""
+    from mini_feature_store_spark.operators.multimodal import (
+        encode_fake_image,
+        image_embed_stub,
+    )
+
+    w, h, c, seed = 5, 4, 3, 9
+    rows = [
+        (1, encode_fake_image(w, h, c, seed=seed)),
+        (2, b"JPEGnotreally"),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r.media_id: r for r in image_embed_stub(media, dim=16).collect()}
+
+    n = w * h * c
+    expect = [0] * 16
+    for i in range(n):
+        expect[i % 16] += (seed + 31 * i) % 256
+    assert [int(v) for v in out[1].image_embedding] == expect
+    assert out[1].error is None
+    assert out[2].image_embedding is None
+    assert "NotImplementedError" in out[2].error
+
+
+def test_alignment_gate_planted_pairs(spark):
+    """Planted alignment: identical embeddings score cosine 1.0 and pass;
+    orthogonal embeddings score 0.0 and fail; an anti-aligned pair is
+    negative. The gate is a pure projection (no joins of its own)."""
+    from mini_feature_store_spark.operators.multimodal import alignment_gate
+
+    v = [1.0, 2.0, 3.0, 4.0]
+    rows = [
+        (1, v, v),                                  # aligned
+        (2, [1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]),  # orthogonal
+        (3, v, [-x for x in v]),                    # anti-aligned
+    ]
+    pairs = spark.createDataFrame(
+        rows,
+        "doc_id long, image_embedding array<double>, "
+        "text_embedding array<double>",
+    )
+    got = {r.doc_id: r for r in alignment_gate(pairs, threshold=0.2).collect()}
+    assert got[1].align_cos == 1.0 and got[1].admitted
+    assert got[2].align_cos == 0.0 and not got[2].admitted
+    assert got[3].align_cos == -1.0 and not got[3].admitted

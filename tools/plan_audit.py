@@ -335,6 +335,15 @@ AUDITED: dict[str, str] = {
         "is |deduped| - |drops| by arithmetic. Tied to the pipeline "
         "by test_corpus_curate_lm_funnel_matches_oracled_query."
     ),
+    "multimodal_text_alignment": (
+        "LAION-style cross-modal pair gate (r10): the stub image tower "
+        "is one Arrow mapInPandas over the synthesized media (the "
+        "sanctioned decode escape hatch), the text projection is a "
+        "slice, the pair join is 1-1 BY ID (no all-pairs product "
+        "exists in the plan), and the cosine+threshold gate is a "
+        "single zero-shuffle projection (zip_with/aggregate fold, "
+        "floor-round 4)."
+    ),
     "doc_bpe_vocab": (
         "Distributed BPE induction (r10): ONE corpus pass builds the "
         "distinct-chunk word table (hash aggregate, map-side combine); "
