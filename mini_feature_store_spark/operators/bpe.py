@@ -128,6 +128,7 @@ def bpe_train(
 
     words = word_table(df, text_col).persist()
     merges: list[tuple[int, str, str, int]] = []
+    nxt = None
     try:
         for rank in range(1, n_merges + 1):
             pair_structs = F.when(
@@ -157,8 +158,13 @@ def bpe_train(
             ).persist()
             nxt.count()  # materialize before releasing the parent cache
             words.unpersist()
-            words = nxt
+            words, nxt = nxt, None
     except Exception:
+        # release BOTH handles: a round whose materializing count()
+        # failed has already persisted nxt, and leaving it behind pins
+        # a CacheManager entry for the driver session lifetime
+        if nxt is not None:
+            nxt.unpersist()
         words.unpersist()
         raise
 

@@ -400,8 +400,14 @@ def run_corpus_curation(
         funnel["written"] = next(
             funnel[k]
             for k in (
+                # latest-configured-filter first: each optional stage
+                # that changes the ROW COUNT must appear here or
+                # 'written' over-reports when it is the last one on
+                # (the span cut rewrites text without dropping rows,
+                # so it has no entry)
                 "after_decontamination",
                 "after_semantic_dedup",
+                "after_dup_share_drop",
                 "after_near_dedup",
             )
             if k in funnel

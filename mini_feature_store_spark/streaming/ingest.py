@@ -42,16 +42,30 @@ def recover_admitted_store(spark: SparkSession, path: str) -> bool:
     death between them leaves NO store at the admitted path, and a
     restarted ingest stream would then see an empty store and silently
     re-admit every key — the lossy-compactor failure the compaction
-    contract forbids. Recovery rules, in order:
+    contract forbids. Decision table, in order (``old``/``tmp`` are the
+    ``__old`` / ``__compacting`` siblings):
 
-    - store missing + ``__old`` present → restore ``__old`` (the crash
-      happened between the two renames; ``__old`` IS the store).
-    - store present + ``__old`` present → the crash happened after the
-      second rename but before cleanup; ``__old`` is a stale copy, drop it.
-    - ``__compacting`` present → an unfinished rewrite; the store (or the
-      restored ``__old``) holds truth, drop the partial output.
+    1. ``old`` present, store missing → restore ``old`` (the crash
+       happened between the two renames; ``old`` IS the store), then
+       drop ``tmp`` (an uncommitted rewrite).
+    2. ``old`` AND store AND ``tmp`` all present → RAISE. On a
+       rename-atomic filesystem this state is unreachable (``tmp`` only
+       disappears by BECOMING the store); it arises only on copy+delete
+       "rename" stores (s3a) after a mid-rename crash, where rows are
+       split between store and ``old`` and any automatic delete loses
+       data. Manual reconciliation is the only safe move.
+    3. ``old`` and store present, no ``tmp`` → post-swap cleanup died
+       before removing ``old``; it is a stale complete copy — drop it.
+       (Safe on every filesystem: the second rename must have fully
+       completed for ``tmp`` to be gone.)
+    4. ``tmp`` present alone → a rewrite that never reached the swap —
+       drop it.
 
-    Returns True iff the store itself was restored from ``__old``."""
+    Concurrent recovery (two streams probing one store) is tolerated:
+    a lost restore race re-checks that the store now exists instead of
+    failing the healthy batch.
+
+    Returns True iff the store itself was restored from ``old``."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -61,13 +75,29 @@ def recover_admitted_store(spark: SparkSession, path: str) -> bool:
     if fs.exists(old):
         if not fs.exists(hpath):
             if not fs.rename(old, hpath):
-                raise RuntimeError(
-                    f"could not restore admitted store from {old}"
-                )
-            restored = True
+                # a concurrent recoverer may have won the rename race —
+                # the store being present is success, not failure
+                if not fs.exists(hpath):
+                    raise RuntimeError(
+                        f"could not restore admitted store from {old}"
+                    )
+            else:
+                restored = True
+            if fs.exists(tmp):
+                fs.delete(tmp, True)
+        elif fs.exists(tmp):
+            raise RuntimeError(
+                f"admitted store {path} is in an ambiguous mid-swap state "
+                f"(store, __old and __compacting all present) — this only "
+                f"happens on non-atomic-rename filesystems (s3a) after a "
+                f"mid-rename crash, where rows may be split between the "
+                f"store and __old; reconcile manually (union the two "
+                f"directories' rows, dedup on the cluster key) before "
+                f"restarting ingest"
+            )
         else:
             fs.delete(old, True)
-    if fs.exists(tmp):
+    elif fs.exists(tmp):
         fs.delete(tmp, True)
     return restored
 
@@ -77,9 +107,10 @@ def _store_exists(spark: SparkSession, path: str) -> bool:
     the Hadoop FileSystem API — a driver-local ``os.path.isdir`` silently
     returns False forever for s3://...hdfs:// stores, which would skip
     the against-corpus dedup probe (and its replay idempotency) on every
-    batch. Runs swap recovery first: a store that is 'missing' because a
-    compaction died mid-swap must be restored, not treated as empty."""
-    recover_admitted_store(spark, path)
+    batch. Swap recovery runs ONCE at stream construction (the ingest
+    builders call ``recover_admitted_store``), not here — per-batch
+    recovery would add FileSystem round-trips to every micro-batch for a
+    condition that can only be true after a crash."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -330,6 +361,12 @@ def incremental_dedup_stream(
     """
     from mini_feature_store_spark.operators.text import fingerprint
 
+    # once, at stream construction (NOT per batch — that would add
+    # FileSystem round-trips to every micro-batch): heal a compaction
+    # swap that died mid-rename, so the first probe can't mistake a
+    # mid-swap store for an empty one and re-admit everything
+    recover_admitted_store(stream.sparkSession, admitted_path)
+
     def admit(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window
 
@@ -398,6 +435,9 @@ def incremental_neardedup_stream(
         ngram_jaccard_against,
         ngram_jaccard_pairs,
     )
+
+    # construction-time swap recovery — see incremental_dedup_stream
+    recover_admitted_store(stream.sparkSession, admitted_path)
 
     def admit(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -512,6 +552,9 @@ def incremental_urldedup_stream(
     """
     from mini_feature_store_spark.operators.urls import canonicalize_url
 
+    # construction-time swap recovery — see incremental_dedup_stream
+    recover_admitted_store(stream.sparkSession, admitted_path)
+
     def admit(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window
 
@@ -570,9 +613,10 @@ def compact_admitted_store(
     aside as ``<path>__old``, rename the rewrite into place, then drop
     ``__old`` — all via the Hadoop FileSystem API, no driver-local os
     calls). The two-rename window is crash-covered: both this function
-    and the ingest streams' store probe run ``recover_admitted_store``
-    first, so a death between the renames restores ``__old`` instead of
-    leaving a missing store that would silently re-admit every key.
+    and the ingest stream BUILDERS run ``recover_admitted_store`` first
+    (once at construction, never per batch), so a death between the
+    renames restores ``__old`` instead of leaving a missing store that
+    would silently re-admit every key.
     Each rename is atomic only on rename-capable filesystems
     (HDFS/posix/abfs); on s3a a "rename" is a non-atomic O(data)
     copy+delete, so there the swap is neither atomic nor cheap — on

@@ -1322,6 +1322,10 @@ def test_corpus_curate_dup_share_drop_stage(spark, tmp_path):
     assert funnel["after_dup_share_drop"] == 2
     kept = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert kept == {2, 3}
+    # 'written' reflects the LAST row-changing stage — when the dup-share
+    # drop is the final configured filter it must not fall through to the
+    # pre-drop near-dedup count (r10 review finding)
+    assert funnel["written"] == 2
 
 
 def test_corpus_curate_dup_share_validations(spark, tmp_path):

@@ -540,12 +540,16 @@ def test_compact_admitted_store(spark, tmp_path):
 def test_compact_swap_crash_recovery(spark, tmp_path):
     """A process death between the swap's two renames leaves NO store at
     the admitted path; recovery must restore __old (NOT treat the store
-    as empty and re-admit everything), finish half-done cleanups, and
-    drop partial __compacting output."""
+    as empty and re-admit everything), finish half-done cleanups, refuse
+    the ambiguous three-way state (s3a partial rename — any automatic
+    delete there loses rows), and run automatically when an ingest
+    stream is CONSTRUCTED."""
     import shutil
 
+    import pytest
+
     from mini_feature_store_spark.streaming.ingest import (
-        _store_exists,
+        incremental_urldedup_stream,
         recover_admitted_store,
     )
 
@@ -556,29 +560,49 @@ def test_compact_swap_crash_recovery(spark, tmp_path):
     ).coalesce(1).write.parquet(store)
     rows = {tuple(r) for r in spark.read.parquet(store).collect()}
 
+    def _mk_tmpdir():
+        (tmp_path / "store__compacting").mkdir()
+        (
+            tmp_path / "store__compacting" / "part-partial.parquet"
+        ).write_bytes(b"partial")
+
     # crash window 1: after rename(store -> __old), before the second
-    # rename — the store is GONE and __compacting holds a partial write
+    # rename — the store is GONE and __compacting holds the uncommitted
+    # rewrite
     shutil.move(store, store + "__old")
-    (tmp_path / "store__compacting").mkdir()
-    (tmp_path / "store__compacting" / "part-partial.parquet").write_bytes(
-        b"partial"
-    )
+    _mk_tmpdir()
     assert recover_admitted_store(spark, store) is True
     assert {tuple(r) for r in spark.read.parquet(store).collect()} == rows
     assert not (tmp_path / "store__old").exists()
     assert not (tmp_path / "store__compacting").exists()
 
     # crash window 2: after the second rename, before __old cleanup —
-    # the store is live, __old is a stale copy that must be dropped
+    # the store is live, __compacting is gone (it BECAME the store),
+    # __old is a stale complete copy that must be dropped
     shutil.copytree(store, store + "__old")
     assert recover_admitted_store(spark, store) is False
     assert not (tmp_path / "store__old").exists()
     assert {tuple(r) for r in spark.read.parquet(store).collect()} == rows
 
-    # the ingest-side probe runs recovery implicitly: a mid-swap store
-    # must read as EXISTING (window 1 restored), never as empty
+    # ambiguous three-way state (only reachable via non-atomic s3a-style
+    # renames): store + __old + __compacting all present -> recovery
+    # must RAISE, never silently delete either side
+    shutil.copytree(store, store + "__old")
+    _mk_tmpdir()
+    with pytest.raises(RuntimeError, match="ambiguous"):
+        recover_admitted_store(spark, store)
+    assert (tmp_path / "store__old").exists()
+    shutil.rmtree(store + "__old")
+    shutil.rmtree(store + "__compacting")
+
+    # builder-construction recovery: constructing an ingest stream over a
+    # mid-swap store heals it BEFORE any batch can observe it as empty
     shutil.move(store, store + "__old")
-    assert _store_exists(spark, store) is True
+    (tmp_path / "never-started").mkdir()
+    stream = spark.readStream.schema("doc_id long, url string").json(
+        str(tmp_path / "never-started")
+    )
+    incremental_urldedup_stream(stream, store, str(tmp_path / "ckpt2"))
     assert {tuple(r) for r in spark.read.parquet(store).collect()} == rows
 
 

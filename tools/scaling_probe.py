@@ -511,10 +511,14 @@ def run_scale(spark, d: Path, only: set[str] | None = None) -> dict[str, float]:
         )
         n = urled.count()
         nfiles = max(10, n // 5_000 * 10)
-        for b in range(nfiles):
-            urled.where(F.col("doc_id") % nfiles == b).coalesce(
-                1
-            ).write.mode("append").parquet(store)
+        # one job produces the nfiles-file fragmented layout (a per-file
+        # append loop would full-scan the table nfiles times; only the
+        # compaction swap below is what's being measured)
+        # range partitioning: exactly one of the nfiles bucket values per
+        # partition (hash repartition collides values -> lumpy/empty files)
+        urled.withColumn(
+            "_b", F.col("doc_id") % nfiles
+        ).repartitionByRange(nfiles, "_b").drop("_b").write.parquet(store)
 
         def _probe() -> float:
             batch = urled.where(F.col("doc_id") % 7 == 0)
