@@ -212,6 +212,18 @@ def build_parser() -> argparse.ArgumentParser:
         "sequential per shard; default 8)",
     )
 
+    bp = sub.add_parser(
+        "bpe-train",
+        help="induce a BPE tokenizer vocabulary from a documents parquet: "
+        "writes merges.parquet (the learned merge table, rank order) and "
+        "vocab.parquet (final symbol split per distinct chunk) under "
+        "--output-dir",
+    )
+    bp.add_argument("--input-path", required=True, help="documents parquet")
+    bp.add_argument("--output-dir", required=True)
+    bp.add_argument("--n-merges", type=int, default=1000)
+    bp.add_argument("--text-col", default="text")
+
     ai = sub.add_parser(
         "ann-index-build",
         help="build a persistent IVF-PQ ANN index (cell-partitioned codes "
@@ -483,6 +495,27 @@ def main(argv: list[str] | None = None) -> int:
                 f"compacted {args.store_path}: "
                 + ", ".join(f"{k}={v}" for k, v in report.items())
             )
+        elif args.pipeline == "bpe-train":
+            from pyspark.sql import functions as F
+
+            from mini_feature_store_spark.operators.bpe import bpe_train
+
+            merges, vocab = bpe_train(
+                spark.read.parquet(args.input_path),
+                n_merges=args.n_merges,
+                text_col=args.text_col,
+            )
+            base = args.output_dir.rstrip("/")
+            merges.write.mode("overwrite").parquet(base + "/merges.parquet")
+            # serialize the symbol split as a space-joined string column
+            # too, so non-Spark consumers (tokenizer runtimes) don't need
+            # array-typed parquet support
+            vocab.withColumn(
+                "syms_str", F.array_join("syms", " ")
+            ).write.mode("overwrite").parquet(base + "/vocab.parquet")
+            n = merges.count()
+            vocab.unpersist()
+            print(f"learned {n} merges -> {base}/merges.parquet")
         elif args.pipeline == "ann-index-build":
             from mini_feature_store_spark.operators.ann_index import (
                 build_ivfpq_index,

@@ -172,42 +172,23 @@ def bpe_train(
     return merges_df, words
 
 
-def bpe_tokenize(
-    df: DataFrame,
-    vocab: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """Tokenize documents with a trained vocabulary: pre-tokenize to
-    chunks, look each chunk's final symbol split up in ``vocab``
-    (chunks unseen at training time fall back to their character split
-    — the merge-replay encoder for open vocabularies is the follow-up),
-    and reassemble in document order.
-
-    Output: ``(id_col, n_tokens, tokens)`` with ``tokens`` the
-    space-joined symbol string (serialized — the driver gate cannot
-    hash array columns).
-
-    Scale shape: one corpus explode keyed by (doc, chunk position), an
-    equi-join against the vocab on ``word`` (vocab is small — AQE
-    broadcasts it when it fits; never hinted, the discipline contract),
-    one groupBy(doc) reassembly. The corpus is never shuffled by
-    symbol."""
-    chunks = df.select(
+def _chunk_positions(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, pos, word) — the pre-tokenized chunk stream of a corpus."""
+    return df.select(
         F.col(id_col),
         F.posexplode(
             F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(CHUNK_RE), 0)
         ).alias("pos", "word"),
     )
-    joined = chunks.join(
-        vocab.select("word", "syms"), "word", "left"
-    ).select(
-        F.col(id_col),
-        "pos",
-        F.coalesce(F.col("syms"), _char_split("word")).alias("syms"),
-    )
+
+
+def _reassemble(per_chunk: DataFrame, id_col: str) -> DataFrame:
+    """Position-ordered per-document reassembly of per-chunk symbol
+    arrays → ``(id_col, n_tokens, tokens)`` with ``tokens`` the
+    space-joined symbol string (serialized — the driver gate cannot
+    hash array columns)."""
     return (
-        joined.groupBy(id_col)
+        per_chunk.groupBy(id_col)
         .agg(
             F.flatten(
                 F.transform(
@@ -222,3 +203,71 @@ def bpe_tokenize(
             F.array_join("_toks", " ").alias("tokens"),
         )
     )
+
+
+def bpe_tokenize(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize documents with a trained vocabulary TABLE: pre-tokenize
+    to chunks, look each chunk's final symbol split up in ``vocab``
+    (chunks unseen at training time fall back to their character split
+    — use ``bpe_encode`` for the open-vocabulary merge-replay encoder),
+    and reassemble in document order.
+
+    Output: ``(id_col, n_tokens, tokens)``.
+
+    Scale shape: one corpus explode keyed by (doc, chunk position), an
+    equi-join against the vocab on ``word`` (vocab is small — AQE
+    broadcasts it when it fits; never hinted, the discipline contract),
+    one groupBy(doc) reassembly. The corpus is never shuffled by
+    symbol."""
+    chunks = _chunk_positions(df, text_col, id_col)
+    joined = chunks.join(
+        vocab.select("word", "syms"), "word", "left"
+    ).select(
+        F.col(id_col),
+        "pos",
+        F.coalesce(F.col("syms"), _char_split("word")).alias("syms"),
+    )
+    return _reassemble(joined, id_col)
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The OPEN-vocabulary tokenizer: encode arbitrary text by replaying
+    the learned merge table in rank order — the canonical BPE encode
+    (subword-nmt applies merges in learned order; replay on a training
+    word reproduces its training split exactly, and an unseen word gets
+    the deepest merges its characters admit, never a blind char split).
+
+    The merge table is collected driver-side (bounded: one row per
+    learned merge — the same class as IVF centroids / the limit(65)
+    type contract) and compiled into a chain of greedy-fold column
+    rewrites applied to the DISTINCT chunk set of the input, which then
+    joins back to chunk positions — so the per-chunk replay cost is
+    paid once per distinct word, not once per occurrence.
+
+    Output: ``(id_col, n_tokens, tokens)`` — identical contract to
+    ``bpe_tokenize``."""
+    rules = [
+        (r["left_sym"], r["right_sym"])
+        for r in merges.orderBy("merge_rank").collect()
+    ]
+    chunks = _chunk_positions(df, text_col, id_col)
+    syms = _char_split("word")
+    for p1, p2 in rules:
+        syms = _apply_merge(syms, p1, p2)
+    encoded = chunks.select(F.col("word")).distinct().select(
+        F.col("word"), syms.alias("syms")
+    )
+    joined = chunks.join(encoded, "word").select(
+        F.col(id_col), "pos", "syms"
+    )
+    return _reassemble(joined, id_col)

@@ -6863,29 +6863,35 @@ def _bpe_ctes(n_rounds: int) -> str:
             f"b{r} AS (SELECT l, r2, cnt FROM p{r}"
             " ORDER BY cnt DESC, l, r2 LIMIT 1)"
         )
-        # DuckDB forbids subqueries inside lambda/comprehension bodies,
-        # so the round's best pair enters row scope via LEFT JOIN ON
-        # TRUE (LEFT, not CROSS: an empty b{r} — vocabulary fully
-        # merged — must pass words through unchanged, and NULL l/r2
-        # makes every match predicate NULL → no selection)
-        ctes.append(
-            f"w{r} AS (SELECT word, freq,"
-            " flatten([CASE WHEN list_contains(sel, i)"
-            " THEN [l || r2]"
-            " WHEN list_contains(sel, i-1) THEN []"
-            " ELSE [syms[i]] END"
-            " for i in generate_series(1, len(syms))]) AS syms"
-            " FROM (SELECT word, freq, syms, l, r2,"
-            " [i for i in generate_series(1, len(mm)) if mm[i] AND"
-            " ((i - 1 - COALESCE(list_max([k for k in"
-            " generate_series(1, i-1) if NOT mm[k]]), 0)) % 2 = 0)] AS sel"
-            " FROM (SELECT word, freq, syms, l, r2,"
-            " CASE WHEN len(syms) < 2 THEN []"
-            " ELSE [syms[i] = l AND syms[i+1] = r2"
-            " for i in generate_series(1, len(syms)-1)] END AS mm"
-            f" FROM {prev} LEFT JOIN b{r} ON TRUE)))"
-        )
+        ctes.append(_bpe_rewrite_cte(f"w{r}", prev, f"b{r}", "word, freq"))
     return ",\n".join(ctes)
+
+
+def _bpe_rewrite_cte(out: str, prev: str, best: str, carry: str) -> str:
+    """One greedy-merge application round as a CTE: rewrite ``prev``'s
+    ``syms`` with ``best``'s pair, carrying ``carry`` columns through.
+    DuckDB forbids subqueries inside lambda/comprehension bodies, so the
+    round's best pair enters row scope via LEFT JOIN ON TRUE (LEFT, not
+    CROSS: an empty best — vocabulary fully merged — must pass words
+    through unchanged, and NULL l/r2 makes every match predicate NULL →
+    no selection)."""
+    return (
+        f"{out} AS (SELECT {carry},"
+        " flatten([CASE WHEN list_contains(sel, i)"
+        " THEN [l || r2]"
+        " WHEN list_contains(sel, i-1) THEN []"
+        " ELSE [syms[i]] END"
+        " for i in generate_series(1, len(syms))]) AS syms"
+        f" FROM (SELECT {carry}, syms, l, r2,"
+        " [i for i in generate_series(1, len(mm)) if mm[i] AND"
+        " ((i - 1 - COALESCE(list_max([k for k in"
+        " generate_series(1, i-1) if NOT mm[k]]), 0)) % 2 = 0)] AS sel"
+        f" FROM (SELECT {carry}, syms, l, r2,"
+        " CASE WHEN len(syms) < 2 THEN []"
+        " ELSE [syms[i] = l AND syms[i+1] = r2"
+        " for i in generate_series(1, len(syms)-1)] END AS mm"
+        f" FROM {prev} LEFT JOIN {best} ON TRUE)))"
+    )
 
 
 # the CHUNK_RE classes are disjoint, so Java regex (Spark) and RE2
@@ -6971,6 +6977,74 @@ def doc_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, vocab = bpe_train(docs, n_merges=_BPE_N_MERGES)
     sample = docs.where(F.col("doc_id") % 11 == 0)
     return bpe_tokenize(sample, vocab)
+
+
+@_q(
+    "doc_bpe_encode",
+    "WITH "
+    + _bpe_ctes(_BPE_N_MERGES)
+    + f""",
+smp AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 26 = 0
+              THEN regexp_replace(lower(text), '\\s+', '', 'g')
+              ELSE lower(text) END AS stext
+  FROM documents WHERE doc_id % 13 = 0
+),
+ck AS (
+  SELECT doc_id, regexp_extract_all(stext, '{_CHUNK_RE_SQL}') AS cks FROM smp
+),
+tk AS (
+  SELECT doc_id, pos, word FROM (
+    SELECT doc_id, unnest([{{'pos': i, 'word': cks[i]}}
+                           for i in generate_series(1, len(cks))],
+                          recursive := true)
+    FROM ck
+  )
+),
+e0 AS (
+  SELECT word, [word[i] for i in generate_series(1, length(word))] AS syms
+  FROM (SELECT DISTINCT word FROM tk)
+),
+"""
+    + ",\n".join(
+        _bpe_rewrite_cte(f"e{r}", f"e{r - 1}", f"b{r}", "word")
+        for r in range(1, _BPE_N_MERGES + 1)
+    )
+    + f"""
+SELECT t.doc_id, CAST(SUM(len(e.syms)) AS BIGINT) AS n_tokens,
+       string_agg(array_to_string(e.syms, ' '), ' ' ORDER BY t.pos) AS tokens
+FROM tk t JOIN e{_BPE_N_MERGES} e USING (word)
+GROUP BY t.doc_id
+""",
+)
+def doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OPEN-vocabulary encoder (``operators/bpe.py:bpe_encode``):
+    replay the learned merge table in rank order over arbitrary text —
+    the canonical BPE encode, which reproduces training splits for
+    in-vocab chunks and gives unseen chunks the deepest merges their
+    characters admit (never a blind char split). The sample plants real
+    OOV: every ``doc_id % 26`` doc has its whitespace stripped, fusing
+    the whole document into one giant never-trained letter-run chunk.
+    The oracle retrains the model AND replays the encode independently
+    (the merge-application CTE machinery, applied per rank to the
+    sample's distinct chunk set)."""
+    from mini_feature_store_spark.operators.bpe import bpe_encode, bpe_train
+
+    _utc(spark)
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    merges, vocab = bpe_train(docs, n_merges=_BPE_N_MERGES)
+    vocab.unpersist()
+    sample = docs.where(F.col("doc_id") % 13 == 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 26 == 0,
+            F.regexp_replace(F.col("text"), r"\s+", ""),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return bpe_encode(sample, merges)
 
 
 # ── training-data pipeline: cross-modal alignment (operators/multimodal.py) ─
@@ -7116,6 +7190,7 @@ VERIFY_ORDER: list[str] = [
     # standing freshness rule.
     "doc_bpe_vocab",
     "doc_bpe_tokenize",
+    "doc_bpe_encode",
     "multimodal_text_alignment",
     "multimodal_alignment_retention",
     # ── r9 re-cut (standing rotate rule: new > touched-this-round >

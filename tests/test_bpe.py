@@ -145,3 +145,69 @@ def test_bpe_tokenize_applies_vocab_and_falls_back(spark):
     assert toks8[: len("unseen")] == list("unseen")
     assert out[8].n_tokens == len(toks8)
     vocab.unpersist()
+
+
+def test_bpe_encode_replays_training_splits_and_handles_oov(spark):
+    """Merge-rank replay reproduces the training split for every trained
+    word (the canonical BPE encode property), and an UNSEEN word gets
+    the deepest merges its characters admit — strictly better than the
+    vocab-lookup fallback's blind char split."""
+    from mini_feature_store_spark.operators.bpe import (
+        bpe_encode,
+        bpe_tokenize,
+        bpe_train,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (0, "low low low low lower lower lowest"),
+            (1, "newer newest new wider wide widest"),
+        ],
+        "doc_id long, text string",
+    )
+    merges, vocab = bpe_train(train, n_merges=6)
+
+    # in-vocab: encode == vocab-table tokenize, doc for doc
+    enc = {r.doc_id: r.tokens for r in bpe_encode(train, merges).collect()}
+    tok = {
+        r.doc_id: r.tokens for r in bpe_tokenize(train, vocab).collect()
+    }
+    assert enc == tok
+
+    # OOV: 'lowerest' was never trained, but its prefix shares trained
+    # merges — replay must apply them (no 'l o w e r e s t' char soup)
+    oov = spark.createDataFrame(
+        [(9, "lowerest")], "doc_id long, text string"
+    )
+    enc_oov = bpe_encode(oov, merges).collect()[0]
+    fallback = bpe_tokenize(oov, vocab).collect()[0]
+    assert enc_oov.n_tokens < fallback.n_tokens  # deeper than char split
+    assert "".join(enc_oov.tokens.split(" ")) == "lowerest"  # lossless
+    vocab.unpersist()
+
+
+def test_bpe_train_cli(spark, tmp_path):
+    """CLI wiring: bpe-train writes merges.parquet + vocab.parquet."""
+    from mini_feature_store_spark import cli
+
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(0, "the cat sat on the mat the cat")], "doc_id long, text string"
+    ).write.parquet(inp)
+    out = str(tmp_path / "tok")
+    rc = cli.main(
+        [
+            "bpe-train",
+            "--input-path", inp,
+            "--output-dir", out,
+            "--n-merges", "4",
+        ]
+    )
+    assert rc == 0
+    merges = spark.read.parquet(out + "/merges.parquet")
+    assert merges.count() == 4
+    assert set(merges.columns) == {
+        "merge_rank", "left_sym", "right_sym", "pair_count"
+    }
+    vocab = spark.read.parquet(out + "/vocab.parquet")
+    assert {r.word for r in vocab.collect()} >= {"the", "cat", "sat"}

@@ -365,6 +365,14 @@ AUDITED: dict[str, str] = {
         "shuffled by symbol; unseen chunks fall back to char split "
         "in-plan (coalesce), no second pass."
     ),
+    "doc_bpe_encode": (
+        "Open-vocabulary merge-replay encoder (r10): the learned merge "
+        "table (bounded driver collect, one row per rank) compiles into "
+        "a chain of greedy-fold rewrites applied to the DISTINCT chunk "
+        "set, which joins back to chunk positions — replay cost is per "
+        "distinct word, never per occurrence; same reassembly aggregate "
+        "as doc_bpe_tokenize."
+    ),
     "doc_lm_buckets": (
         "CCNet head/middle/tail terciles (r9): the LM-score subtree "
         "plus one lang-keyed NTILE window over the ROUNDED score with "
