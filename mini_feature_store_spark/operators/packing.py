@@ -95,6 +95,7 @@ def pack_documents_greedy(
     shards: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Doc-PRESERVING packing: next-fit-decreasing bin packing per shard —
     the packing mode that never splits a document across training
@@ -120,6 +121,12 @@ def pack_documents_greedy(
     can't express; this is the sanctioned Pandas-UDF escape hatch).
     Size ``shards`` so one shard's docs fit an executor's Arrow batch
     budget; at 100 TB that is thousands of shards, each a few GB.
+
+    ``tokens_col`` switches the size measure from the whitespace
+    ``token_count(text_col)`` to a PRECOMPUTED per-doc count column —
+    how production packing runs, sized by the actual tokenizer's counts
+    (e.g. ``bpe_tokenize(...).n_tokens``) rather than a whitespace
+    proxy; ``text_col`` is ignored (and need not exist) in that mode.
     """
     import pandas as pd
 
@@ -134,6 +141,16 @@ def pack_documents_greedy(
     # URLs, longs, ... — the md5 shard hash accepts any castable type)
     id_type = dict(df.dtypes)[id_col]
 
+    # NULL text/count must pack as 0 tokens: bare token_count(NULL) is -1
+    # under default size(null) semantics (it would DECREASE the running
+    # bin fill) and null under ansi/sizeOfNull=false (int(NaN) raises
+    # inside the Arrow fold). greatest(col, 0) fixes both — greatest
+    # ignores nulls unless all args are null.
+    measure = (
+        F.col(tokens_col).cast("long")
+        if tokens_col is not None
+        else token_count(F.col(text_col))
+    )
     base = df.select(
         F.col(id_col),
         (
@@ -144,14 +161,7 @@ def pack_documents_greedy(
             ).cast("long")
             % shards
         ).alias("shard"),
-        # NULL text must pack as 0 tokens: bare token_count(NULL) is -1
-        # under default size(null) semantics (it would DECREASE the
-        # running bin fill) and null under ansi/sizeOfNull=false (int(NaN)
-        # raises inside the Arrow fold). greatest(col, 0) fixes both —
-        # greatest ignores nulls unless all args are null.
-        F.greatest(token_count(F.col(text_col)), F.lit(0).cast("long")).alias(
-            "n_tokens"
-        ),
+        F.greatest(measure, F.lit(0).cast("long")).alias("n_tokens"),
     )
 
     def _pack(pdf: "pd.DataFrame") -> "pd.DataFrame":

@@ -7047,6 +7047,75 @@ def doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(sample, merges)
 
 
+@_q(
+    "doc_bpe_greedy_packing",
+    "WITH RECURSIVE "
+    + _bpe_ctes(_BPE_N_MERGES)
+    + f""",
+cw AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{_CHUNK_RE_SQL}')) AS word
+  FROM documents
+),
+cnt AS (
+  SELECT c.doc_id, CAST(SUM(len(w.syms)) AS BIGINT) AS n_tokens
+  FROM cw c JOIN w{_BPE_N_MERGES} w USING (word)
+  GROUP BY c.doc_id
+),
+pdocs AS (
+  SELECT doc_id, n_tokens,
+    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+         % 8 AS BIGINT) AS shard
+  FROM cnt
+),
+-- MATERIALIZED is load-bearing: the recursive fold below re-evaluates
+-- its joined CTE per iteration unless pinned, and 'ordered' sits on
+-- top of the whole retrained-BPE chain (625 iterations x 10 merge
+-- rounds re-run = minutes; materialized it's one pass)
+ordered AS MATERIALIZED (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY shard
+                               ORDER BY n_tokens DESC, doc_id) AS rn
+  FROM pdocs
+),
+acc AS (
+  SELECT shard, rn, doc_id, n_tokens,
+         CAST(1 AS BIGINT) AS bin_id, n_tokens AS fill
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
+    CASE WHEN a.fill + d.n_tokens <= 192
+         THEN a.bin_id ELSE a.bin_id + 1 END,
+    CASE WHEN a.fill + d.n_tokens <= 192
+         THEN a.fill + d.n_tokens ELSE d.n_tokens END
+  FROM acc a JOIN ordered d ON d.shard = a.shard AND d.rn = a.rn + 1
+)
+SELECT doc_id, shard, bin_id, n_tokens FROM acc
+""",
+)
+def doc_bpe_greedy_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing sized by the REAL tokenizer — the composition production
+    training prep actually runs: train BPE on the corpus, count each
+    document's tokens under the learned vocabulary (chunk join against
+    the trained splits — whitespace counts are only a proxy), then
+    doc-preserving NFD packing at 192-token capacity over those counts
+    (``pack_documents_greedy(tokens_col=...)``). The oracle retrains
+    the model, recounts, and replays the per-shard greedy fold as a
+    recursive CTE — the full two-operator composition independently
+    re-derived."""
+    from mini_feature_store_spark.operators.bpe import bpe_tokenize, bpe_train
+    from mini_feature_store_spark.operators.packing import (
+        pack_documents_greedy,
+    )
+
+    _utc(spark)
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    _, vocab = bpe_train(docs, n_merges=_BPE_N_MERGES)
+    counts = bpe_tokenize(docs, vocab).select("doc_id", "n_tokens")
+    return pack_documents_greedy(
+        counts, max_tokens=192, shards=8, tokens_col="n_tokens"
+    )
+
+
 # ── training-data pipeline: cross-modal alignment (operators/multimodal.py) ─
 
 #: shared pair CTE of the cross-modal queries: the image tower's
@@ -7191,6 +7260,7 @@ VERIFY_ORDER: list[str] = [
     "doc_bpe_vocab",
     "doc_bpe_tokenize",
     "doc_bpe_encode",
+    "doc_bpe_greedy_packing",
     "multimodal_text_alignment",
     "multimodal_alignment_retention",
     # ── r9 re-cut (standing rotate rule: new > touched-this-round >

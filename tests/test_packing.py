@@ -195,6 +195,30 @@ def test_pack_documents_greedy_null_text(spark):
     assert cov[2].n_tokens == 0 and cov[2].dup_share == 0.0 and cov[2].keep
 
 
+def test_pack_documents_greedy_tokens_col(spark):
+    """tokens_col mode: the size measure comes from a precomputed count
+    column (the real-tokenizer path); text_col is ignored and need not
+    exist; NULL counts clamp to 0."""
+    from mini_feature_store_spark.operators.packing import (
+        pack_documents_greedy,
+    )
+
+    counts = spark.createDataFrame(
+        [(1, 60), (2, 50), (3, 40), (4, None)],
+        "doc_id long, n_tokens int",
+    )
+    out = {
+        r.doc_id: r
+        for r in pack_documents_greedy(
+            counts, max_tokens=100, shards=1, tokens_col="n_tokens"
+        ).collect()
+    }
+    assert [out[i].n_tokens for i in (1, 2, 3, 4)] == [60, 50, 40, 0]
+    # NFD: 60 -> b1; 50 -> b2; 40 joins b2 (90); 0 joins b2
+    assert out[1].bin_id == 1
+    assert out[2].bin_id == 2 and out[3].bin_id == 2 and out[4].bin_id == 2
+
+
 def test_pack_documents_greedy_string_ids(spark):
     """The id column keeps its INPUT type in the output (string URLs
     pack the same as long ids)."""

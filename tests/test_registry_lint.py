@@ -75,9 +75,10 @@ PLAN_BUILD_CACHE_ALLOWLIST = {
     # class (b) iterative state: bpe_train's per-round rewritten word
     # table is persisted (k-means/PageRank pattern) and the final round's
     # cache IS the tokenizer's lookup table, consumed by the returned
-    # plan's vocab join (doc_bpe_vocab itself unpersists and needs no
-    # entry)
+    # plan's vocab join (doc_bpe_vocab/doc_bpe_encode unpersist or
+    # driver-compile the merge table and need no entry)
     "doc_bpe_tokenize",
+    "doc_bpe_greedy_packing",
 }
 
 
