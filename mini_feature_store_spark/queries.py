@@ -7254,30 +7254,74 @@ def multimodal_alignment_retention(
 # registered name present exactly once — ordered_queries() asserts it.
 
 VERIFY_ORDER: list[str] = [
-    # ── r10: new queries lead (BPE vocabulary induction + cross-modal
-    # alignment tiers); the full r10 re-cut happens at round end per the
-    # standing freshness rule.
+    # ── r10 re-cut (standing rotate rule: new > touched-this-round >
+    # stalest-driver-row > fresh; the driver records rows for the FIRST
+    # 50 entries only). Ledger going in: {r9: 50, r8: 44, r7: 31}.
+    # tier 0 — the six r10-new oracled queries (BPE induction/encode/
+    # composed packing + the cross-modal alignment pair).
     "doc_bpe_vocab",
     "doc_bpe_tokenize",
     "doc_bpe_encode",
     "doc_bpe_greedy_packing",
     "multimodal_text_alignment",
     "multimodal_alignment_retention",
-    # ── r9 re-cut (standing rotate rule: new > touched-this-round >
-    # stalest-driver-row > fresh > rows-only; the driver records rows for
-    # the FIRST 50 entries only).
-    # tier 0 — new (features_daily_typed) + oracled queries whose compute
-    # or oracle mirror changed this round: the span family (abutting-merge
-    # semantics + single-pass cut rewrite) and the URL tier (userinfo +
-    # repeated-www canonicalization), plus the second r9 batch: C4 line
-    # filtering and CCNet bigram-LM scoring.
-    "doc_line_quality_filter",
-    "doc_lm_perplexity",
-    "doc_lm_buckets",
+    # tier 0b — oracled queries whose Spark side (or both sides) changed
+    # this round: the two funnel plan-shape rewrites, the line-filter
+    # tokenization-parity fix, the NULL-token clamps, and quality_filter
+    # (gained the opt-in with_fingerprint column the funnels use).
+    "corpus_curation_funnel",
     "corpus_curation_funnel_lm",
-    "pit_training_typed",
+    "doc_line_quality_filter",
     "doc_dup_coverage",
     "doc_greedy_packing",
+    "doc_quality_filter",
+    # tier 1 — the 31 stalest greens (last driver row r7, three rounds
+    # old) per the freshness rule: post-r10 the ledger has nothing
+    # staler than r8.
+    "bloom_filtered_order_revenue",
+    "brand_supplier_stats",
+    "concentrated_part_suppliers",
+    "customer_segment_stats",
+    "distinct_stats_exact",
+    "doc_lang_id",
+    "doc_multi_benchmark_contamination",
+    "doc_paragraph_dedup",
+    "doc_stratified_sample",
+    "doc_temperature_mixture_sample",
+    "doc_upsample_to_parity",
+    "doc_weighted_sample",
+    "dq_orders_audit",
+    "event_value_winsorized",
+    "feature_snapshot_diff",
+    "features_daily",
+    "fuzzy_part_names",
+    "late_shipment_priority_counts",
+    "local_supplier_volume",
+    "min_cost_supplier",
+    "nation_trade_volume",
+    "nation_volume_shipping",
+    "orders_with_late_lineitems",
+    "parts_supplier_relationship",
+    "pit_training_data",
+    "pit_training_multi",
+    "promo_revenue_share",
+    "returned_item_customers",
+    "revenue_by_nation",
+    "sole_blame_suppliers",
+    "top_orders_per_priority",
+    # tier 2 — fill to exactly 50 with the oldest r8 greens.
+    "cohort_retention_weekly",
+    "corpus_dedup_apply",
+    "customers_with_big_orders",
+    "customers_without_orders",
+    "dedup_clusters",
+    "dedup_incremental_batch",
+    "dedup_ngram_jaccard",
+    # ── below this line: not in the r10 driver window (greens from
+    # r8/r9 plus rows-only queries), prior relative order preserved.
+    "doc_lm_perplexity",
+    "doc_lm_buckets",
+    "pit_training_typed",
     "features_daily_typed",
     "doc_duplicate_spans",
     "doc_cut_duplicate_spans",
@@ -7285,8 +7329,6 @@ VERIFY_ORDER: list[str] = [
     "doc_url_dedup",
     "domain_contribution_caps",
     "doc_domain_hash_cap",
-    # tier 1 — the 31 stalest greens (last driver row r6, three
-    # rounds old) lead the rest of the window per the freshness rule.
     "latest_event_per_user",
     "large_volume_customers",
     "dormant_rich_customers",
@@ -7318,70 +7360,25 @@ VERIFY_ORDER: list[str] = [
     "user_value_gap_fill",
     "purchase_value_intervals",
     "customer_order_distribution",
-    # tier 2 — the oldest r7 greens that fit (window = exactly 50:
-    # 14 new/touched + 31 r6 + the first 5 below; the rest of this
-    # tier sits at slots 51+ and re-enters next round).
     "small_quantity_revenue",
     "brand_bracket_revenue",
     "forecast_revenue_change",
     "nation_market_share",
     "product_type_profit",
-    "returned_item_customers",
-    "promo_revenue_share",
-    "concentrated_part_suppliers",
-    "doc_paragraph_dedup",
-    "late_shipment_priority_counts",
-    "local_supplier_volume",
-    "doc_temperature_mixture_sample",
-    # ── slot 51+: not in the r9 driver window — the remaining r7
-    # greens, then the 50 r8 greens, then rows-only-by-nature at the
-    # back; the local 3-SF gate replica covers them every round ──
-    "doc_upsample_to_parity",
-    "doc_multi_benchmark_contamination",
-    "distinct_stats_exact",
-    "min_cost_supplier",
-    "sole_blame_suppliers",
-    "nation_volume_shipping",
-    "nation_trade_volume",
-    "parts_supplier_relationship",
-    "event_value_winsorized",
-    "brand_supplier_stats",
-    "features_daily",
-    "pit_training_data",
-    "pit_training_multi",
-    "doc_stratified_sample",
-    "bloom_filtered_order_revenue",
-    "doc_weighted_sample",
-    "dq_orders_audit",
-    "feature_snapshot_diff",
-    "fuzzy_part_names",
-    "orders_with_late_lineitems",
-    "revenue_by_nation",
-    "top_orders_per_priority",
-    "customer_segment_stats",
-    "doc_lang_id",
-    "doc_quality_filter",
     "doc_sequence_packing",
     "doc_balanced_mixture_sample",
     "doc_token_budget_selection",
     "doc_chunk_windows",
     "doc_winnow_fingerprints",
-    "dedup_clusters",
     "event_rollup_tiers",
     "doc_pii_scrub",
     "embedding_dedup_clusters",
     "user_value_trend",
     "doc_training_shuffle",
     "doc_quality_classifier",
-    "customers_without_orders",
-    "customers_with_big_orders",
     "user_event_patterns",
     "doc_quality_tiers",
     "user_weekly_distinct_exact",
-    "dedup_ngram_jaccard",
-    "dedup_incremental_batch",
-    "corpus_dedup_apply",
-    "corpus_curation_funnel",
     "doc_text_stats",
     "doc_repetition_scores",
     "doc_tfidf_top_terms",
@@ -7390,7 +7387,6 @@ VERIFY_ORDER: list[str] = [
     "embedding_int8_quant",
     "doc_content_centrality",
     "funnel_conversion",
-    "cohort_retention_weekly",
     "event_value_scaled",
     "important_part_share",
     "pricing_summary",

@@ -373,6 +373,13 @@ AUDITED: dict[str, str] = {
         "distinct word, never per occurrence; same reassembly aggregate "
         "as doc_bpe_tokenize."
     ),
+    "doc_bpe_greedy_packing": (
+        "Tokenizer-sized packing (r10): BPE token counts (chunk join "
+        "against the trained splits — the vocab cache from training) "
+        "feed pack_documents_greedy's tokens_col mode; one shard "
+        "exchange + the per-shard Arrow fold, counts precomputed "
+        "upstream so the packer never re-reads text."
+    ),
     "doc_lm_buckets": (
         "CCNet head/middle/tail terciles (r9): the LM-score subtree "
         "plus one lang-keyed NTILE window over the ROUNDED score with "
