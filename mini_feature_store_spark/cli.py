@@ -505,16 +505,24 @@ def main(argv: list[str] | None = None) -> int:
                 n_merges=args.n_merges,
                 text_col=args.text_col,
             )
-            base = args.output_dir.rstrip("/")
-            merges.write.mode("overwrite").parquet(base + "/merges.parquet")
-            # serialize the symbol split as a space-joined string column
-            # too, so non-Spark consumers (tokenizer runtimes) don't need
-            # array-typed parquet support
-            vocab.withColumn(
-                "syms_str", F.array_join("syms", " ")
-            ).write.mode("overwrite").parquet(base + "/vocab.parquet")
+            # count first (driver-local frame, no data job) and release
+            # the vocab cache even if a write fails — a pinned final
+            # word table is the CacheManager leak bpe_train itself
+            # guards against in its exception path
             n = merges.count()
-            vocab.unpersist()
+            try:
+                base = args.output_dir.rstrip("/")
+                merges.write.mode("overwrite").parquet(
+                    base + "/merges.parquet"
+                )
+                # serialize the symbol split as a space-joined string
+                # column too, so non-Spark consumers (tokenizer
+                # runtimes) don't need array-typed parquet support
+                vocab.withColumn(
+                    "syms_str", F.array_join("syms", " ")
+                ).write.mode("overwrite").parquet(base + "/vocab.parquet")
+            finally:
+                vocab.unpersist()
             print(f"learned {n} merges -> {base}/merges.parquet")
         elif args.pipeline == "ann-index-build":
             from mini_feature_store_spark.operators.ann_index import (

@@ -254,6 +254,17 @@ def bpe_encode(
     joins back to chunk positions — so the per-chunk replay cost is
     paid once per distinct word, not once per occurrence.
 
+    Plan-shape trade, chosen deliberately: the input is scanned TWICE
+    (the distinct-word branch and the position branch — both
+    column-pruned to the text/id columns). The single-scan alternative
+    — ``groupBy(word).agg(collect_list(struct(id, pos)))`` then explode
+    back — reads once but materializes every occurrence of a word in
+    ONE row, and natural-language hot words ("the") make that a
+    straggler/OOM at corpus scale; the join form lets AQE handle the
+    hot-word skew. Callers encoding the same frame repeatedly should
+    persist it (the production tokenize job does; the double scan is
+    the lesser evil only when the input isn't already cached).
+
     Output: ``(id_col, n_tokens, tokens)`` — identical contract to
     ``bpe_tokenize``."""
     rules = [

@@ -107,15 +107,20 @@ def _store_exists(spark: SparkSession, path: str) -> bool:
     the Hadoop FileSystem API — a driver-local ``os.path.isdir`` silently
     returns False forever for s3://...hdfs:// stores, which would skip
     the against-corpus dedup probe (and its replay idempotency) on every
-    batch. Swap recovery runs ONCE at stream construction (the ingest
-    builders call ``recover_admitted_store``), not here — per-batch
-    recovery would add FileSystem round-trips to every micro-batch for a
-    condition that can only be true after a crash."""
+    batch. Swap recovery runs at stream construction (the ingest
+    builders) AND — conditionally — here: only when the store looks
+    MISSING, which in steady state never happens, so batches pay zero
+    extra FileSystem round-trips, yet a writer restarted via ``.start()``
+    after a compaction crashed mid-swap (no builder re-run) still heals
+    instead of re-admitting its whole batch against a 'missing' store."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(hpath):
-        return False
+        if not recover_admitted_store(spark, path):
+            return False
+        if not fs.exists(hpath):
+            return False
     it = fs.listFiles(hpath, True)
     while it.hasNext():
         if it.next().getPath().getName().endswith(".parquet"):

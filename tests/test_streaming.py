@@ -605,6 +605,16 @@ def test_compact_swap_crash_recovery(spark, tmp_path):
     incremental_urldedup_stream(stream, store, str(tmp_path / "ckpt2"))
     assert {tuple(r) for r in spark.read.parquet(store).collect()} == rows
 
+    # per-batch probe recovery (restarted-writer path: .start() without
+    # re-running the builder): a MISSING store triggers recovery inside
+    # _store_exists and must read as existing — steady-state probes on a
+    # present store pay no recovery round-trips
+    from mini_feature_store_spark.streaming.ingest import _store_exists
+
+    shutil.move(store, store + "__old")
+    assert _store_exists(spark, store) is True
+    assert {tuple(r) for r in spark.read.parquet(store).collect()} == rows
+
 
 def test_compact_store_cli(spark, tmp_path):
     """CLI wiring for the compaction maintenance job."""

@@ -514,11 +514,11 @@ def run_scale(spark, d: Path, only: set[str] | None = None) -> dict[str, float]:
         # one job produces the nfiles-file fragmented layout (a per-file
         # append loop would full-scan the table nfiles times; only the
         # compaction swap below is what's being measured)
-        # range partitioning: exactly one of the nfiles bucket values per
-        # partition (hash repartition collides values -> lumpy/empty files)
-        urled.withColumn(
-            "_b", F.col("doc_id") % nfiles
-        ).repartitionByRange(nfiles, "_b").drop("_b").write.parquet(store)
+        # round-robin: exactly nfiles non-empty, evenly-sized files (hash
+        # repartition collides bucket values -> lumpy/empty files, and
+        # range partitioning samples boundaries so counts can drift; the
+        # probe only needs a fragmented N-file layout, not clustering)
+        urled.repartition(nfiles).write.parquet(store)
 
         def _probe() -> float:
             batch = urled.where(F.col("doc_id") % 7 == 0)
