@@ -115,12 +115,15 @@ def bpe_train(
       the handle (``vocab.unpersist()`` when done — same contract as
       the dedup posting lists).
 
-    Each round is two jobs over the persisted word table (a pair-count
-    hash aggregate + the 1-row max collect) and a rewrite that feeds
-    the next round's persist; the previous round's cache is released
-    eagerly. The per-round collect is the sanctioned bounded driver
-    action of the iterative operators (k-means centroids, PageRank
-    convergence probes) — one 3-column row per round, never data.
+    Each round is ONE job over the persisted word table: the pair-count
+    aggregate + 1-row max collect, which as a side effect materializes
+    the current round's cache — so the PREVIOUS round's cache is
+    released one round late instead of paying a dedicated
+    materializing count() per round (r10 bench: the extra job was ~40%
+    of training wall at small SFs). The per-round collect is the
+    sanctioned bounded driver action of the iterative operators
+    (k-means centroids, PageRank convergence probes) — one 3-column
+    row per round, never data.
     """
     if n_merges <= 0:
         raise ValueError(f"n_merges must be positive, got {n_merges}")
@@ -128,7 +131,7 @@ def bpe_train(
 
     words = word_table(df, text_col).persist()
     merges: list[tuple[int, str, str, int]] = []
-    nxt = None
+    prev = None  # released once `words` is materialized by the collect
     try:
         for rank in range(1, n_merges + 1):
             pair_structs = F.when(
@@ -149,22 +152,31 @@ def bpe_train(
                 .limit(1)
                 .collect()
             )
+            # the collect just materialized `words`' cache — the parent
+            # it was rewritten from is now safe to release (released any
+            # earlier and a cache-miss rebuild of `words` would recompute
+            # every prior round's chain from the corpus)
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             if not best:
                 break  # vocabulary fully merged — no adjacent pairs left
             p1, p2, cnt = best[0]["l"], best[0]["r2"], int(best[0]["cnt"])
             merges.append((rank, p1, p2, cnt))
-            nxt = words.withColumn(
+            prev, words = words, words.withColumn(
                 "syms", _apply_merge(F.col("syms"), p1, p2)
             ).persist()
-            nxt.count()  # materialize before releasing the parent cache
-            words.unpersist()
-            words, nxt = nxt, None
+        # materialize the FINAL table once before releasing its parent
+        # (one job total, replacing the removed per-round count())
+        if prev is not None:
+            words.count()
+            prev.unpersist()
     except Exception:
-        # release BOTH handles: a round whose materializing count()
-        # failed has already persisted nxt, and leaving it behind pins
-        # a CacheManager entry for the driver session lifetime
-        if nxt is not None:
-            nxt.unpersist()
+        # release BOTH handles: the in-flight round's table is persisted
+        # but possibly unmaterialized, and leaving either behind pins a
+        # CacheManager entry for the driver session lifetime
+        if prev is not None:
+            prev.unpersist()
         words.unpersist()
         raise
 
