@@ -361,3 +361,26 @@ def test_zordered_write_validation(spark, tmp_path):
         write_parquet_zordered(
             df, str(tmp_path / "z2"), zorder_by=["a", "b"], bits=32
         )
+
+
+def test_funnel_plan_shapes_stay_tagged(spark):
+    """The r10 funnel rewrites are PLAN contracts: the five-branch UNION
+    form cost 24 scans (classic) / 17 scans + 31 exchanges (LM); the
+    tagged single-stack form costs 6/5 scans. Pin generous ceilings so a
+    refactor that silently reintroduces per-count chain rebuilds fails
+    here rather than at the 100 TB gate."""
+    import re
+
+    from mini_feature_store_spark.functions import plan_text
+    from mini_feature_store_spark.queries import QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    for name, max_scans, max_exchanges in (
+        ("corpus_curation_funnel", 8, 16),
+        ("corpus_curation_funnel_lm", 7, 16),
+    ):
+        plan = plan_text(QUERIES[name](spark, sf_dir))
+        scans = len(set(re.findall(r"\((\d+)\) Scan parquet", plan)))
+        exchanges = len(set(re.findall(r"\((\d+)\) Exchange", plan)))
+        assert scans <= max_scans, (name, scans)
+        assert exchanges <= max_exchanges, (name, exchanges)
