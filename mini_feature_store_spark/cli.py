@@ -211,6 +211,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="parallel shards for the packing stage (the greedy fold is "
         "sequential per shard; default 8)",
     )
+    cc.add_argument(
+        "--pack-tokenizer-dir", default=None,
+        help="size packing bins by a TRAINED BPE tokenizer instead of "
+        "whitespace counts: directory holding merges.parquet (the "
+        "bpe-train output); requires --pack-max-tokens",
+    )
 
     bp = sub.add_parser(
         "bpe-train",
@@ -476,6 +482,7 @@ def main(argv: list[str] | None = None) -> int:
                     dup_share_k=args.dup_share_k,
                     pack_max_tokens=args.pack_max_tokens,
                     pack_shards=args.pack_shards,
+                    pack_tokenizer_dir=args.pack_tokenizer_dir,
                 ),
             )
             for stage, n in funnel.items():

@@ -109,6 +109,12 @@ class CorpusCurationConfig:
     #: parallelism knob for the packing stage (the greedy fold is
     #: sequential PER SHARD; at 100 TB this is thousands)
     pack_shards: int = 8
+    #: when set (requires ``pack_max_tokens``), the packing stage sizes
+    #: bins by the REAL tokenizer instead of whitespace counts: the
+    #: merge table at ``<dir>/merges.parquet`` (the ``bpe-train`` CLI's
+    #: output) is replayed over every exported doc
+    #: (operators/bpe.py:bpe_encode) and those counts feed the packer
+    pack_tokenizer_dir: str | None = None
 
 
 def run_corpus_curation(
@@ -155,6 +161,12 @@ def run_corpus_curation(
     if cfg.pack_max_tokens is not None and cfg.pack_shards <= 0:
         raise ValueError(
             f"pack_shards must be positive, got {cfg.pack_shards}"
+        )
+    if cfg.pack_tokenizer_dir is not None and cfg.pack_max_tokens is None:
+        raise ValueError(
+            "pack_tokenizer_dir requires pack_max_tokens — the tokenizer "
+            "only decides how bins are SIZED, the capacity enables the "
+            "stage"
         )
     stage0 = None
     if cfg.url_col is not None:
@@ -423,13 +435,41 @@ def run_corpus_curation(
         # to the corpus — a dataloader joins corpus x manifest on the id
         # and groups on (shard, bin_id). Counts are read back from the
         # written manifest so the Arrow packing pass runs exactly once.
-        packing = pack_documents_greedy(
-            survivors,
-            max_tokens=cfg.pack_max_tokens,
-            shards=cfg.pack_shards,
-            text_col=cfg.text_col,
-            id_col=cfg.id_col,
-        )
+        if cfg.pack_tokenizer_dir is not None:
+            from pyspark.sql import functions as _F
+
+            from mini_feature_store_spark.operators.bpe import bpe_encode
+
+            # size bins by the TRAINED tokenizer: replay the merge table
+            # over the exported docs; docs the pre-tokenizer yields no
+            # chunks for (blank text) pack as 0 tokens via the left join
+            merges = spark.read.parquet(
+                cfg.pack_tokenizer_dir.rstrip("/") + "/merges.parquet"
+            )
+            counts = bpe_encode(
+                survivors, merges, text_col=cfg.text_col, id_col=cfg.id_col
+            ).select(cfg.id_col, "n_tokens")
+            sized = survivors.select(cfg.id_col).join(
+                counts, cfg.id_col, "left"
+            ).select(
+                cfg.id_col,
+                _F.coalesce(_F.col("n_tokens"), _F.lit(0)).alias("n_tokens"),
+            )
+            packing = pack_documents_greedy(
+                sized,
+                max_tokens=cfg.pack_max_tokens,
+                shards=cfg.pack_shards,
+                id_col=cfg.id_col,
+                tokens_col="n_tokens",
+            )
+        else:
+            packing = pack_documents_greedy(
+                survivors,
+                max_tokens=cfg.pack_max_tokens,
+                shards=cfg.pack_shards,
+                text_col=cfg.text_col,
+                id_col=cfg.id_col,
+            )
         pack_path = cfg.output_path.rstrip("/") + "_packing"
         packing.write.mode("overwrite").parquet(pack_path)
         written = spark.read.parquet(pack_path)

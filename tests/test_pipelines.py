@@ -907,6 +907,52 @@ def test_corpus_curate_packing_stage(spark, tmp_path):
         fills[(r.shard, r.bin_id)] = fills.get((r.shard, r.bin_id), 0) + r.n_tokens
     assert all(f <= 20 for f in fills.values())
 
+    # tokenizer-sized packing: train a BPE tokenizer via the CLI, then
+    # curate with --pack-tokenizer-dir — manifest counts must be the
+    # TOKENIZER's (chunk-level: punctuation splits off, so counts exceed
+    # whitespace counts for punctuated text)
+    tok_dir = str(tmp_path / "tok")
+    assert cli.main(
+        ["bpe-train", "--input-path", inp, "--output-dir", tok_dir,
+         "--n-merges", "3"]
+    ) == 0
+    out2 = str(tmp_path / "clean2")
+    rc = cli.main(
+        [
+            "corpus-curate",
+            "--input-path", inp,
+            "--output-path", out2,
+            "--jaccard-threshold", "0.99",
+            "--pack-max-tokens", "50",
+            "--pack-shards", "1",
+            "--pack-tokenizer-dir", tok_dir,
+        ]
+    )
+    assert rc == 0
+    from mini_feature_store_spark.operators.bpe import bpe_encode
+
+    merges_df = spark.read.parquet(tok_dir + "/merges.parquet")
+    expect = {
+        r.doc_id: r.n_tokens
+        for r in bpe_encode(
+            spark.read.parquet(out2), merges_df
+        ).collect()
+    }
+    got = {
+        r.doc_id: r.n_tokens
+        for r in spark.read.parquet(out2 + "_packing").collect()
+    }
+    assert got == expect
+
+    # tokenizer dir without a capacity is a config error, up front
+    with pytest.raises(ValueError, match="pack_tokenizer_dir"):
+        run_corpus_curation(
+            spark,
+            CorpusCurationConfig(
+                input_path=inp, output_path=out, pack_tokenizer_dir=tok_dir
+            ),
+        )
+
     # knob validation is up-front (the stage itself runs last)
     with pytest.raises(ValueError, match="pack_max_tokens"):
         run_corpus_curation(
