@@ -258,8 +258,17 @@ def alignment_gate(
         )
 
     img, txt = F.col(image_col), F.col(text_col)
-    cos = round_half_up(
-        dot(img, txt) / (F.sqrt(dot(img, img)) * F.sqrt(dot(txt, txt))), 4
+    # a zero-norm tower output makes the quotient 0/0 → NULL under
+    # Spark's non-ANSI float division, which would leave ``admitted``
+    # NULL instead of a concrete boolean (a ``where(~admitted)``
+    # rejection branch would silently skip the row) — coalesce to 0.0
+    # so degenerate embeddings are concretely rejected, not dropped
+    cos = F.coalesce(
+        round_half_up(
+            dot(img, txt) / (F.sqrt(dot(img, img)) * F.sqrt(dot(txt, txt))),
+            4,
+        ),
+        F.lit(0.0),
     )
     return pairs.withColumn("align_cos", cos).withColumn(
         "admitted", F.col("align_cos") >= F.lit(threshold)

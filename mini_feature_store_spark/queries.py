@@ -3076,6 +3076,12 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(drops, "doc_id", "left_anti")
     )
 
+    # INVARIANT the _dd arithmetic rests on: kept ⇒ fingerprint IS NOT
+    # NULL (kept requires n_tokens >= min_tokens >= 1 ⇒ non-null text ⇒
+    # md5 fingerprint non-null). count_distinct silently drops a NULL
+    # group that exact_dedup's groupBy would keep as one row — if a
+    # future quality-gate change lets null-text docs through, this
+    # aggregate (and its oracle mirror) must count the NULL group.
     first3 = flags.agg(
         F.count(F.lit(1)).alias("_input"),
         F.count(F.when(F.col("kept"), 1)).alias("_q"),
@@ -6561,11 +6567,16 @@ nll AS (
   LEFT JOIN cbl ON s.w1 = cbl.w1 AND s.w2 = cbl.w2
   LEFT JOIN cul ON s.w1 = cul.w1
 ),
+-- anti-join the HIGH-NLL set (scoreless <2-token docs PASS — the
+-- pipeline stage-1b semantics; at this funnel's min_tokens=5 every
+-- admitted doc is scorable so the two forms coincide)
 lm_admitted AS (
-  SELECT doc_id FROM (
-    SELECT doc_id, FLOOR(AVG(nll) * 10000 + 0.5) / 10000 AS avg_nll
-    FROM nll GROUP BY doc_id
-  ) WHERE avg_nll <= 3.5
+  SELECT doc_id FROM admitted ANTI JOIN (
+    SELECT doc_id FROM (
+      SELECT doc_id, FLOOR(AVG(nll) * 10000 + 0.5) / 10000 AS avg_nll
+      FROM nll GROUP BY doc_id
+    ) WHERE avg_nll > 3.5
+  ) hi USING (doc_id)
 ),
 deduped AS (
   SELECT MIN(doc_id) AS doc_id
@@ -6670,9 +6681,14 @@ def corpus_curation_funnel_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "kept",
             "fingerprint",
+            # coalesce-TRUE: an unscorable (<2-token) doc PASSES the LM
+            # stage — the pipeline's stage-1b anti-join semantics
+            # (corpus_curate.py drops only the high-NLL set), so query
+            # and pipeline agree for ANY min_tokens config, not just
+            # values >= 2 where kept implies scorable
             (
                 F.col("kept")
-                & F.coalesce(F.col("avg_nll") <= 3.5, F.lit(False))
+                & F.coalesce(F.col("avg_nll") <= 3.5, F.lit(True))
             ).alias("lm_ok"),
         )
     )
@@ -6688,6 +6704,9 @@ def corpus_curation_funnel_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(deduped, threshold=0.5, max_shingle_freq=1000)
     drops = dedup_clusters(pairs).where(~F.col("keep")).select("doc_id")
 
+    # INVARIANT (same as corpus_curation_funnel): lm_ok ⇒ kept ⇒
+    # fingerprint IS NOT NULL, so count_distinct never drops a
+    # NULL-fingerprint group exact_dedup's groupBy would keep.
     first4 = flags.agg(
         F.count(F.lit(1)).alias("_input"),
         F.count(F.when(F.col("kept"), 1)).alias("_q"),
@@ -7139,10 +7158,10 @@ t AS (SELECT vec_id,
       FROM embeddings),
 p AS (
   SELECT doc_id, source,
-    FLOOR(list_dot_product(iemb, temb)
+    COALESCE(FLOOR(list_dot_product(iemb, temb)
           / (sqrt(list_dot_product(iemb, iemb))
              * sqrt(list_dot_product(temb, temb)))
-          * 10000 + 0.5) / 10000 AS align_cos
+          * 10000 + 0.5) / 10000, 0.0) AS align_cos
   FROM img JOIN t ON doc_id = vec_id
 )
 """

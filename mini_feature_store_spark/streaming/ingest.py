@@ -102,25 +102,43 @@ def recover_admitted_store(spark: SparkSession, path: str) -> bool:
     return restored
 
 
+#: admitted-store paths whose ``__old`` sibling has been probed by THIS
+#: process — the restart-path ambiguity check below runs once per path,
+#: so steady-state batches pay zero extra FileSystem round-trips.
+#: Tests that re-create a store at a reused path may clear this set.
+_SWAP_PROBED: set[str] = set()
+
+
 def _store_exists(spark: SparkSession, path: str) -> bool:
     """Scheme-agnostic 'does the admitted store have data yet' probe via
     the Hadoop FileSystem API — a driver-local ``os.path.isdir`` silently
     returns False forever for s3://...hdfs:// stores, which would skip
     the against-corpus dedup probe (and its replay idempotency) on every
     batch. Swap recovery runs at stream construction (the ingest
-    builders) AND — conditionally — here: only when the store looks
-    MISSING, which in steady state never happens, so batches pay zero
-    extra FileSystem round-trips, yet a writer restarted via ``.start()``
-    after a compaction crashed mid-swap (no builder re-run) still heals
-    instead of re-admitting its whole batch against a 'missing' store."""
+    builders) AND — conditionally — here: when the store looks MISSING
+    (heals the between-renames crash), and ONCE per path when the store
+    is present but a ``__old`` sibling survives — a writer restarted via
+    ``.start()`` (no builder re-run) after a non-atomic-rename (s3a)
+    compaction crash would otherwise silently resume against a
+    possibly-split store instead of hitting the recovery RuntimeError.
+    Steady state pays one extra ``exists()`` on the first batch only."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(hpath):
+        _SWAP_PROBED.add(path)
         if not recover_admitted_store(spark, path):
             return False
         if not fs.exists(hpath):
             return False
+    elif path not in _SWAP_PROBED:
+        _SWAP_PROBED.add(path)
+        old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__old")
+        if fs.exists(old):
+            # store AND __old both present: either a stale complete copy
+            # (cleaned) or the ambiguous s3a 3-way state (raises) —
+            # recover_admitted_store's decision table adjudicates
+            recover_admitted_store(spark, path)
     it = fs.listFiles(hpath, True)
     while it.hasNext():
         if it.next().getPath().getName().endswith(".parquet"):

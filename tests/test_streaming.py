@@ -615,6 +615,28 @@ def test_compact_swap_crash_recovery(spark, tmp_path):
     assert _store_exists(spark, store) is True
     assert {tuple(r) for r in spark.read.parquet(store).collect()} == rows
 
+    # restart-path ambiguity detection: a PRESENT store with a surviving
+    # __old sibling is probed once per path — the stale-complete-copy
+    # state heals, the ambiguous 3-way state raises instead of letting a
+    # restarted writer silently resume against a possibly-split store
+    from mini_feature_store_spark.streaming.ingest import _SWAP_PROBED
+
+    shutil.copytree(store, store + "__old")
+    _SWAP_PROBED.discard(store)
+    assert _store_exists(spark, store) is True
+    assert not (tmp_path / "store__old").exists()
+
+    shutil.copytree(store, store + "__old")
+    _mk_tmpdir()
+    _SWAP_PROBED.discard(store)
+    with pytest.raises(RuntimeError, match="ambiguous"):
+        _store_exists(spark, store)
+    # once probed, steady-state batches skip the sibling check entirely
+    assert _store_exists(spark, store) is True
+    shutil.rmtree(store + "__old")
+    shutil.rmtree(store + "__compacting")
+    _SWAP_PROBED.discard(store)
+
 
 def test_compact_store_cli(spark, tmp_path):
     """CLI wiring for the compaction maintenance job."""
