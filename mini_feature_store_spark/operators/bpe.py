@@ -35,6 +35,11 @@ takes every other match in each run.
 
 from __future__ import annotations
 
+import heapq
+from collections import Counter, defaultdict
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -44,6 +49,26 @@ from mini_feature_store_spark.operators.text import CHUNK_RE
 MERGES_SCHEMA = (
     "merge_rank long, left_sym string, right_sym string, pair_count long"
 )
+
+#: ``bpe_encode(strategy="auto")`` compiles the column-fold form only up
+#: to this many merges — the fold chain's Catalyst expression tree is
+#: depth ∝ n_merges (one interpreted ``F.aggregate`` per merge), so
+#: analysis/codegen cost grows superlinearly and a real 32k-merge
+#: vocabulary is unplannable; past the knee the Arrow merge-replay path
+#: (flat cost per distinct word) takes over. 48 sits well inside the
+#: measured-fine region (SCALING.md: fold vs replay plan-build curve).
+FOLD_MAX_MERGES = 48
+
+#: ``bpe_train(strategy="auto")`` collects the distinct-word table and
+#: runs the merge loop driver-side when it fits in this many rows
+#: (Heaps' law keeps real corpora's distinct-chunk tables in the
+#: 10^5–10^7 range; 200k rows of short strings is a few MB on the
+#: driver). Above it, ``prune_min_freq`` (what SentencePiece's
+#: frequency threshold does) can cut the table down; otherwise training
+#: falls back to the exact one-Spark-job-per-round loop, whose
+#: tractable envelope is a few hundred merges (scheduler overhead ∝
+#: rounds) — the local loop is the 32k-merge path.
+LOCAL_MAX_WORDS = 200_000
 
 
 def _char_split(word) -> "F.Column":
@@ -78,6 +103,166 @@ def _apply_merge(syms, p1: str, p2: str) -> "F.Column":
     )
 
 
+def _greedy_merge(syms: list[str], p1: str, p2: str) -> list[str]:
+    """Python twin of ``_apply_merge`` — the same left-to-right
+    non-overlapping greedy pass, used by the driver-local trainer and
+    the Arrow replay encoder (equality with the column fold is pinned
+    by ``tests/test_bpe.py``)."""
+    out: list[str] = []
+    i, n = 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == p1 and syms[i + 1] == p2:
+            out.append(p1 + p2)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _replay_word(
+    word: str, rank_of: dict[tuple[str, str], int]
+) -> list[str]:
+    """Replay a learned merge table over one word, EXACTLY equal to the
+    sequential rank-order fold chain (`_apply_merge` per rank 1..n).
+
+    The naive equal form scans all n_merges rules per word; this one
+    walks a rank CURSOR instead: repeatedly find the minimum-rank pair
+    present in the current split **with rank > cursor**, apply its
+    greedy pass, advance the cursor — O(len²) per word, independent of
+    n_merges. Cursor equivalence: ranks the fold chain no-ops (pair
+    absent when its turn comes) don't change state, so the next
+    state-changing rank is precisely the minimum rank > cursor whose
+    pair is present NOW. The ``> cursor`` guard is load-bearing — a
+    pair string can be RE-created by a later merge (two merge paths can
+    concatenate to the same string), and the fold chain never revisits
+    a passed rank, so neither may the replay (plain min-rank-first,
+    what subword-nmt's encoder does, would diverge on that corner)."""
+    syms = list(word)
+    cursor = 0
+    while len(syms) >= 2:
+        nxt_rank = None
+        nxt_pair = None
+        for pair in zip(syms, syms[1:]):
+            r = rank_of.get(pair)
+            if r is not None and r > cursor and (
+                nxt_rank is None or r < nxt_rank
+            ):
+                nxt_rank, nxt_pair = r, pair
+        if nxt_rank is None:
+            break
+        cursor = nxt_rank
+        syms = _greedy_merge(syms, nxt_pair[0], nxt_pair[1])
+    return syms
+
+
+def _with_replayed_syms(
+    words: DataFrame, rules: list[tuple[str, str]]
+) -> DataFrame:
+    """Append/replace ``syms`` on a frame bearing a ``word`` column by
+    replaying ``rules`` (rank order) per DISTINCT input row — the Arrow
+    escape hatch for large merge tables (the packer pattern): cost is
+    per-word Python, batched through ``mapInPandas``, with the merge
+    table shipped ONCE per executor via a broadcast variable rather
+    than re-pickled per task."""
+    spark = words.sparkSession
+    bc = spark.sparkContext.broadcast(
+        {pair: rank for rank, pair in enumerate(rules, start=1)}
+    )
+    out_fields = [
+        f"{name} {dtype}"
+        for name, dtype in words.dtypes
+        if name != "syms"
+    ]
+    schema = ", ".join(out_fields + ["syms array<string>"])
+
+    def replay(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rank_of = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                # an empty batch with a list column types as float64 and
+                # fails Arrow conversion — skip the yield entirely
+                continue
+            if "syms" in pdf.columns:
+                pdf = pdf.drop(columns=["syms"])
+            pdf = pdf.copy()
+            pdf["syms"] = [_replay_word(w, rank_of) for w in pdf["word"]]
+            yield pdf
+
+    return words.mapInPandas(replay, schema)
+
+
+def _local_merge_loop(
+    rows: list[tuple[str, int]], n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """Driver-local BPE merge loop over a collected ``(word, freq)``
+    table — exact same semantics as the distributed rounds (overlapping
+    adjacent-pair counts weighted by freq; (count DESC, left ASC, right
+    ASC) tie-break; greedy left-to-right rewrite), pinned equal by
+    ``tests/test_bpe.py``. Incremental shape (the subword-nmt trainer):
+    a pair→words inverted index limits each round's rewrite to the
+    words actually containing the chosen pair, and a lazy max-heap
+    (stale entries skipped on pop, fresh entry pushed on every count
+    change) replaces the full pair scan — per-round cost ∝ words
+    touched, so a 32k-merge run is minutes, not 32k Spark jobs."""
+    words: list[list[str]] = [list(w) for w, _ in rows]
+    freqs: list[int] = [f for _, f in rows]
+    pair_counts: Counter = Counter()
+    index: defaultdict[tuple[str, str], set[int]] = defaultdict(set)
+    for wid, syms in enumerate(words):
+        f = freqs[wid]
+        for pair in zip(syms, syms[1:]):
+            pair_counts[pair] += f
+            index[pair].add(wid)
+    heap: list[tuple[int, str, str]] = [
+        (-c, p[0], p[1]) for p, c in pair_counts.items()
+    ]
+    heapq.heapify(heap)
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        best = None
+        while heap:
+            negc, l, r = heapq.heappop(heap)
+            # stale guard: the entry must match the CURRENT count (a
+            # pair's fresh entry is re-pushed on every change, so the
+            # first matching pop is the true max with the right
+            # tie-break order: count DESC, left ASC, right ASC)
+            if -negc > 0 and pair_counts.get((l, r), 0) == -negc:
+                best = (l, r, -negc)
+                break
+        if best is None:
+            break
+        p1, p2, cnt = best
+        merges.append((rank, p1, p2, cnt))
+        changed: set[tuple[str, str]] = set()
+        for wid in list(index[(p1, p2)]):
+            syms = words[wid]
+            new_syms = _greedy_merge(syms, p1, p2)
+            f = freqs[wid]
+            old_pairs = list(zip(syms, syms[1:]))
+            new_pairs = list(zip(new_syms, new_syms[1:]))
+            for p in old_pairs:
+                pair_counts[p] -= f
+                changed.add(p)
+            new_set = set(new_pairs)
+            for p in set(old_pairs) - new_set:
+                index[p].discard(wid)
+            for p in new_pairs:
+                pair_counts[p] += f
+                changed.add(p)
+                index[p].add(wid)
+            words[wid] = new_syms
+        for p in changed:
+            c = pair_counts.get(p, 0)
+            if c > 0:
+                heapq.heappush(heap, (-c, p[0], p[1]))
+            else:
+                pair_counts.pop(p, None)
+                index.pop(p, None)
+    return merges
+
+
 def word_table(df: DataFrame, text_col: str = "text") -> DataFrame:
     """The one corpus pass: distinct pre-tokenized chunks with corpus
     frequencies and their initial (character) symbol split."""
@@ -99,6 +284,9 @@ def bpe_train(
     df: DataFrame,
     n_merges: int,
     text_col: str = "text",
+    strategy: str = "auto",
+    local_max_words: int = LOCAL_MAX_WORDS,
+    prune_min_freq: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Induce a BPE merge table from a document corpus.
 
@@ -115,21 +303,76 @@ def bpe_train(
       the handle (``vocab.unpersist()`` when done — same contract as
       the dedup posting lists).
 
-    Each round is ONE job over the persisted word table: the pair-count
-    aggregate + 1-row max collect, which as a side effect materializes
-    the current round's cache — so the PREVIOUS round's cache is
-    released one round late instead of paying a dedicated
-    materializing count() per round (r10 bench: the extra job was ~40%
-    of training wall at small SFs). The per-round collect is the
-    sanctioned bounded driver action of the iterative operators
-    (k-means centroids, PageRank convergence probes) — one 3-column
-    row per round, never data.
+    Two merge-loop strategies, both preceded by the same ONE corpus
+    pass (``word_table``) and both producing the identical merge table
+    (pinned by ``tests/test_bpe.py``):
+
+    - ``"local"`` — collect the distinct-word table (bounded by
+      ``local_max_words``; raises if it doesn't fit) and run the
+      incremental heap trainer driver-side; the vocab's final splits
+      come from ONE distributed merge-replay pass over the word table
+      (``_with_replayed_syms`` — exactly the fold chain, see
+      ``_replay_word``). Total Spark jobs: 3, independent of
+      n_merges — the 32k-merge production path. ``prune_min_freq``
+      drops sub-threshold chunks BEFORE the collect (SentencePiece's
+      frequency threshold; hapax chunks rarely decide a merge) —
+      pruning is an explicit opt-in approximation: counts then differ
+      from the exact loop's, but the vocab still covers ALL words.
+    - ``"distributed"`` — the exact per-round Spark loop; each round is
+      ONE job over the persisted word table (pair-count aggregate +
+      1-row max collect, which as a side effect materializes the
+      round's cache, releasing the previous round's one round late).
+      The per-round collect is the sanctioned bounded driver action of
+      the iterative operators — one 3-column row per round, never
+      data. Scheduler overhead is ∝ rounds, so the tractable envelope
+      is a few hundred merges; beyond that, prune to the local path.
+    - ``"auto"`` (default) — local when the (optionally pruned) word
+      table fits ``local_max_words``, else distributed.
     """
     if n_merges <= 0:
         raise ValueError(f"n_merges must be positive, got {n_merges}")
+    if strategy not in ("auto", "local", "distributed"):
+        raise ValueError(f"unknown bpe_train strategy: {strategy!r}")
     spark = df.sparkSession
 
     words = word_table(df, text_col).persist()
+
+    if strategy != "distributed":
+        candidates = words
+        if prune_min_freq is not None and prune_min_freq > 1:
+            candidates = words.where(F.col("freq") >= prune_min_freq)
+        # limit(+1) bounds the driver transfer whether or not the table
+        # fits — an oversized table costs one discarded batch, never an
+        # unbounded collect
+        head = (
+            candidates.select("word", "freq")
+            .limit(local_max_words + 1)
+            .collect()
+        )
+        if len(head) <= local_max_words:
+            merge_rows = _local_merge_loop(
+                [(r["word"], int(r["freq"])) for r in head], n_merges
+            )
+            rules = [(p1, p2) for _, p1, p2, _ in merge_rows]
+            vocab = _with_replayed_syms(words, rules).persist()
+            try:
+                vocab.count()  # materialize before releasing the parent
+            except Exception:
+                vocab.unpersist()
+                raise
+            finally:
+                words.unpersist()
+            merges_df = spark.createDataFrame(
+                merge_rows, MERGES_SCHEMA
+            ).limit(n_merges)
+            return merges_df, vocab
+        if strategy == "local":
+            words.unpersist()
+            raise ValueError(
+                f"bpe_train(strategy='local'): word table exceeds "
+                f"local_max_words={local_max_words}; prune with "
+                f"prune_min_freq or use strategy='distributed'"
+            )
     merges: list[tuple[int, str, str, int]] = []
     prev = None  # released once `words` is materialized by the collect
     try:
@@ -252,6 +495,8 @@ def bpe_encode(
     merges: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    strategy: str = "auto",
+    fold_max_merges: int = FOLD_MAX_MERGES,
 ) -> DataFrame:
     """The OPEN-vocabulary tokenizer: encode arbitrary text by replaying
     the learned merge table in rank order — the canonical BPE encode
@@ -261,10 +506,22 @@ def bpe_encode(
 
     The merge table is collected driver-side (bounded: one row per
     learned merge — the same class as IVF centroids / the limit(65)
-    type contract) and compiled into a chain of greedy-fold column
-    rewrites applied to the DISTINCT chunk set of the input, which then
-    joins back to chunk positions — so the per-chunk replay cost is
-    paid once per distinct word, not once per occurrence.
+    type contract) and replayed over the DISTINCT chunk set of the
+    input, which then joins back to chunk positions — so the per-chunk
+    replay cost is paid once per distinct word, not once per
+    occurrence. Two replay strategies, pinned equal by
+    ``tests/test_bpe.py``:
+
+    - ``"fold"`` — compile one greedy ``F.aggregate`` fold per merge
+      into a column-expression chain. Whole plan stays declarative
+      (the oracle form), but the Catalyst tree is depth ∝ n_merges —
+      fine at a few dozen merges, unplannable at a real 32k-merge
+      vocabulary (SCALING.md: plan cost curve).
+    - ``"replay"`` — one Arrow ``mapInPandas`` cursor replay per
+      distinct word (``_replay_word``; merge table broadcast once per
+      executor). Flat in n_merges — the real-vocabulary path.
+    - ``"auto"`` (default) — fold up to ``fold_max_merges``, replay
+      beyond.
 
     Plan-shape trade, chosen deliberately: the input is scanned TWICE
     (the distinct-word branch and the position branch — both
@@ -279,17 +536,23 @@ def bpe_encode(
 
     Output: ``(id_col, n_tokens, tokens)`` — identical contract to
     ``bpe_tokenize``."""
+    if strategy not in ("auto", "fold", "replay"):
+        raise ValueError(f"unknown bpe_encode strategy: {strategy!r}")
     rules = [
         (r["left_sym"], r["right_sym"])
         for r in merges.orderBy("merge_rank").collect()
     ]
     chunks = _chunk_positions(df, text_col, id_col)
-    syms = _char_split("word")
-    for p1, p2 in rules:
-        syms = _apply_merge(syms, p1, p2)
-    encoded = chunks.select(F.col("word")).distinct().select(
-        F.col("word"), syms.alias("syms")
-    )
+    distinct_words = chunks.select(F.col("word")).distinct()
+    if strategy == "fold" or (
+        strategy == "auto" and len(rules) <= fold_max_merges
+    ):
+        syms = _char_split("word")
+        for p1, p2 in rules:
+            syms = _apply_merge(syms, p1, p2)
+        encoded = distinct_words.select(F.col("word"), syms.alias("syms"))
+    else:
+        encoded = _with_replayed_syms(distinct_words, rules)
     joined = chunks.join(encoded, "word").select(
         F.col(id_col), "pos", "syms"
     )

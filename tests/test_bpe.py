@@ -186,6 +186,133 @@ def test_bpe_encode_replays_training_splits_and_handles_oov(spark):
     vocab.unpersist()
 
 
+def test_replay_word_cursor_equals_fold_chain():
+    """_replay_word == applying _ref_apply per rank 1..n, INCLUDING the
+    re-created-pair corner: a rank-1 pair whose left symbol only comes
+    into existence via a rank-2 merge must stay UNapplied (the fold
+    chain never revisits a passed rank), where a plain min-rank-first
+    replay would wrongly apply it."""
+    from mini_feature_store_spark.operators.bpe import _replay_word
+
+    # hand-built table: rank 1 references a symbol rank 2 creates
+    rank_of = {("ab", "c"): 1, ("a", "b"): 2}
+    assert _replay_word("abc", rank_of) == ["ab", "c"]  # NOT ["abc"]
+
+    # random-ish exhaustive check against the sequential reference
+    import itertools
+
+    rules = [("a", "b"), ("b", "a"), ("ab", "a"), ("a", "a"), ("ba", "b")]
+    rank_of = {p: i for i, p in enumerate(rules, start=1)}
+    for n in range(1, 7):
+        for chars in itertools.product("ab", repeat=n):
+            word = "".join(chars)
+            ref = [c for c in word]
+            for p1, p2 in rules:
+                ref = _ref_apply(ref, p1, p2)
+            assert _replay_word(word, rank_of) == ref, word
+
+
+def test_bpe_encode_fold_equals_replay(spark):
+    """The column-fold form (the oracle form) and the Arrow merge-replay
+    form (the real-vocabulary path) produce identical encodings, doc
+    for doc — the directive's fold ≡ replay pin, on the gate's own
+    training corpus shape."""
+    from mini_feature_store_spark.operators.bpe import bpe_encode, bpe_train
+
+    texts = [
+        "the cat sat on the mat",
+        "the cats sat on the mats",
+        "that hat is the cat hat 123!",
+        "lower lowest low low newer newest",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges, vocab = bpe_train(df, n_merges=10)
+    vocab.unpersist()
+    fold = {
+        r.doc_id: (r.n_tokens, r.tokens)
+        for r in bpe_encode(df, merges, strategy="fold").collect()
+    }
+    replay = {
+        r.doc_id: (r.n_tokens, r.tokens)
+        for r in bpe_encode(df, merges, strategy="replay").collect()
+    }
+    assert fold == replay
+
+    # auto dispatch: past fold_max_merges the plan must carry the Arrow
+    # replay (MapInPandas), not an n_merges-deep fold chain
+    auto = bpe_encode(df, merges, fold_max_merges=4)
+    plan = auto._jdf.queryExecution().optimizedPlan().toString()
+    assert "MapInPandas" in plan
+    small = bpe_encode(df, merges, fold_max_merges=64)
+    plan_small = small._jdf.queryExecution().optimizedPlan().toString()
+    assert "MapInPandas" not in plan_small
+
+
+def test_bpe_train_local_equals_distributed(spark):
+    """The driver-local heap trainer and the per-round Spark loop learn
+    the IDENTICAL merge table and final vocab splits (the prune-then-
+    local directive's exactness pin — no pruning configured)."""
+    from mini_feature_store_spark.operators.bpe import bpe_train
+
+    texts = [
+        "the cat sat on the mat",
+        "the cats sat on the mats",
+        "that hat is the cat hat",
+        "matting and batting 123 123!",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    m_loc, v_loc = bpe_train(df, n_merges=8, strategy="local")
+    m_dist, v_dist = bpe_train(df, n_merges=8, strategy="distributed")
+    rows = lambda m: [  # noqa: E731
+        tuple(r)
+        for r in m.orderBy("merge_rank")
+        .select("merge_rank", "left_sym", "right_sym", "pair_count")
+        .collect()
+    ]
+    assert rows(m_loc) == rows(m_dist)
+    splits = lambda v: {  # noqa: E731
+        r.word: (r.freq, tuple(r.syms)) for r in v.collect()
+    }
+    assert splits(v_loc) == splits(v_dist)
+    v_loc.unpersist()
+    v_dist.unpersist()
+
+
+def test_bpe_train_local_bounds_and_prune(spark):
+    """strategy='local' refuses an oversized word table instead of an
+    unbounded collect; 'auto' falls back to the distributed loop on the
+    same input; prune_min_freq trains on frequent chunks only while the
+    vocab still covers EVERY word (pruned words get replayed splits)."""
+    from mini_feature_store_spark.operators.bpe import bpe_train
+
+    df = spark.createDataFrame(
+        [(0, "aa bb cc dd ee ff aa bb aa")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="local_max_words"):
+        bpe_train(df, n_merges=2, strategy="local", local_max_words=3)
+
+    m_auto, v_auto = bpe_train(
+        df, n_merges=2, strategy="auto", local_max_words=3
+    )
+    assert m_auto.count() == 2  # distributed fallback still trains
+    v_auto.unpersist()
+
+    # prune: only 'aa' (freq 3) and 'bb' (freq 2) survive min_freq=2 —
+    # the learned merges come from those, but every word keeps a vocab
+    # row with the merges replayed over it
+    m, v = bpe_train(df, n_merges=1, strategy="local", prune_min_freq=2)
+    got = m.collect()[0]
+    assert (got.left_sym, got.right_sym, got.pair_count) == ("a", "a", 3)
+    vd = {r.word: tuple(r.syms) for r in v.collect()}
+    assert set(vd) == {"aa", "bb", "cc", "dd", "ee", "ff"}
+    assert vd["aa"] == ("aa",) and vd["bb"] == ("b", "b")
+    v.unpersist()
+
+
 def test_bpe_train_cli(spark, tmp_path):
     """CLI wiring: bpe-train writes merges.parquet + vocab.parquet."""
     from mini_feature_store_spark import cli
