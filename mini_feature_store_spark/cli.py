@@ -176,8 +176,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     cc.add_argument(
         "--lm-max-nll", type=float, default=7.0,
-        help="max average bigram NLL (natural log) a doc may score under "
+        help="max average n-gram NLL (natural log) a doc may score under "
         "the --lm-reference-path model (default 7.0)",
+    )
+    cc.add_argument(
+        "--lm-order", type=int, default=2, choices=(2, 3),
+        help="n-gram order of the LM filter stage: 2 = add-1 bigram, "
+        "3 = stupid-backoff trigram (Brants 2007; default 2)",
     )
     cc.add_argument(
         "--cut-spans-k", type=int, default=None,
@@ -477,6 +482,7 @@ def main(argv: list[str] | None = None) -> int:
                     line_filter_min_lines=args.line_filter_min_lines,
                     lm_reference_path=args.lm_reference_path,
                     lm_max_nll=args.lm_max_nll,
+                    lm_order=args.lm_order,
                     cut_spans_k=args.cut_spans_k,
                     max_dup_share=args.max_dup_share,
                     dup_share_k=args.dup_share_k,

@@ -938,3 +938,157 @@ def bigram_lm_score(
             "avg_nll",
         )
     )
+
+
+def trigram_lm_score(
+    train: DataFrame,
+    df: DataFrame,
+    backoff: float = 0.4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Stupid-backoff trigram LM scoring (Brants et al. 2007, "Large
+    Language Models in Machine Translation" — the web-scale scorer that
+    drops normalization in favor of raw relative frequencies with a
+    fixed backoff multiplier λ; CCNet's real filter is a 5-gram KenLM,
+    and this closes most of that order gap while staying a pure
+    deterministic count composition, i.e. oracle-able):
+
+        S(w3|w1 w2) = C(w1w2w3)/C(w1w2)        if C(w1w2w3) > 0
+                    = λ · S(w3|w2)             otherwise
+        S(w3|w2)    = C(w2w3)/C(w2)            if C(w2w3) > 0
+                    = λ · S(w3)                otherwise
+        S(w3)       = C(w3)/N                  if C(w3) > 0
+                    = λ/N                      otherwise (OOV floor —
+                      Brants leaves the unigram OOV case to the
+                      vocabulary closure; one more λ step to uniform
+                      1/N mass keeps S total and deterministic)
+
+    with λ = ``backoff`` (0.4, the paper's value). ``avg_nll`` is the
+    mean of ``-ln S`` over the doc's trigram positions, floor-rounded
+    at scale 4 (counts are exact small integers, quotients IEEE-exact
+    enough that ln outputs never sit on rounding midpoints — the
+    proven ``bigram_lm_score`` convention).
+
+    Output: one row per document WITH at least one trigram (< 3 tokens
+    → no row): ``(id_col, n_trigrams, n_oov_trigrams, avg_nll)`` where
+    ``n_oov_trigrams`` counts positions whose full trigram is absent
+    from training (i.e. positions that took ANY backoff).
+
+    Scale shape: three hash-aggregate count tables (trigram / bigram /
+    unigram) plus a 1-row total off the SAME training-side explosions
+    the bigram scorer uses — all O(types), joined UNHINTED onto the
+    score-side trigram explosion (AQE broadcasts them when they fit;
+    vocabulary tables, never the corpus). The corpus is shuffled only
+    by (doc) for the final aggregate — identical discipline to
+    ``bigram_lm_score``, one order deeper."""
+    if not 0 < backoff < 1:
+        raise ValueError(f"backoff must be in (0, 1), got {backoff}")
+
+    def _ngrams(frame: DataFrame, n: int) -> DataFrame:
+        t = _tokens(normalize(F.col(text_col)))
+        cols = [
+            F.element_at("_toks", F.col("i") + k).alias(f"w{k + 1}")
+            for k in range(n)
+        ]
+        return (
+            spread(frame)
+            .select(
+                F.col(id_col).alias("id"),
+                t.alias("_toks"),
+                F.explode(
+                    F.when(
+                        F.size(t) >= n,
+                        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                    ).otherwise(F.array().cast("array<int>"))
+                ).alias("i"),
+            )
+            .select("id", *cols)
+        )
+
+    t3 = _ngrams(train, 3)
+    t2 = _ngrams(train, 2)
+    c3 = t3.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("_c3"))
+    cb = t2.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_cb"))
+    cu = (
+        spread(train)
+        .select(F.explode(_tokens(normalize(F.col(text_col)))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("_cu"))
+    )
+    total = (
+        spread(train)
+        .select(F.explode(_tokens(normalize(F.col(text_col)))).alias("w"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+
+    scored = (
+        _ngrams(df, 3)
+        .join(c3, ["w1", "w2", "w3"], "left")
+        .join(
+            cb.select(
+                F.col("w1"), F.col("w2"), F.col("_cb").alias("_ctx12")
+            ),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(
+            cb.select(
+                F.col("w1").alias("w2"),
+                F.col("w2").alias("w3"),
+                F.col("_cb").alias("_cb23"),
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(
+            cu.select(F.col("w").alias("w2"), F.col("_cu").alias("_cu2")),
+            ["w2"],
+            "left",
+        )
+        .join(
+            cu.select(F.col("w").alias("w3"), F.col("_cu").alias("_cu3")),
+            ["w3"],
+            "left",
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    # empty reference → N = 0 and every score NULL: fail loudly in-plan
+    # (laziness preserved), the bigram scorer's guard pattern
+    n_checked = F.when(F.col("_n") > 0, F.col("_n")).otherwise(
+        F.expr(
+            "raise_error('trigram_lm_score: reference corpus is empty"
+            " - nothing to train on')"
+        ).cast("long")
+    )
+    lam = F.lit(backoff)
+    # C(w1w2w3) > 0 implies C(w1w2) > 0, and C(w2w3) > 0 implies
+    # C(w2) > 0 (every trigram/bigram occurrence embeds its prefix), so
+    # each branch's denominator is non-null exactly when it fires
+    s = (
+        F.when(F.col("_c3").isNotNull(), F.col("_c3") / F.col("_ctx12"))
+        .when(
+            F.col("_cb23").isNotNull(),
+            lam * F.col("_cb23") / F.col("_cu2"),
+        )
+        .when(
+            F.col("_cu3").isNotNull(), lam * lam * F.col("_cu3") / n_checked
+        )
+        .otherwise(lam * lam * lam / n_checked)
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.count(F.when(F.col("_c3").isNull(), 1)).alias(
+                "n_oov_trigrams"
+            ),
+            round_half_up(F.avg(-F.log(s)), 4).alias("avg_nll"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_trigrams").cast("long"),
+            F.col("n_oov_trigrams").cast("long"),
+            "avg_nll",
+        )
+    )

@@ -87,6 +87,10 @@ class CorpusCurationConfig:
     #: (Wenzek et al. 2020 keep the low-perplexity bucket)
     lm_reference_path: str | None = None
     lm_max_nll: float = 7.0
+    #: n-gram order of the LM stage: 2 = add-1 bigram (Wenzek-style),
+    #: 3 = stupid-backoff trigram (Brants et al. 2007) — one order
+    #: closer to CCNet's actual 5-gram KenLM
+    lm_order: int = 2
     #: when set, an ExactSubstr stage (Lee et al. 2022) runs after
     #: near-dup dedup: cross-document duplicated spans of this window
     #: size are CUT from surviving docs (text rebuilt normalized) rather
@@ -168,6 +172,11 @@ def run_corpus_curation(
             "only decides how bins are SIZED, the capacity enables the "
             "stage"
         )
+    if cfg.lm_reference_path is not None and cfg.lm_order not in (2, 3):
+        raise ValueError(
+            f"lm_order must be 2 (bigram) or 3 (trigram), "
+            f"got {cfg.lm_order}"
+        )
     stage0 = None
     if cfg.url_col is not None:
         from mini_feature_store_spark.operators.urls import (
@@ -235,18 +244,22 @@ def run_corpus_curation(
         stage0.unpersist()
 
     if cfg.lm_reference_path is not None:
-        from mini_feature_store_spark.operators.text import bigram_lm_score
+        from mini_feature_store_spark.operators.text import (
+            bigram_lm_score,
+            trigram_lm_score,
+        )
 
+        scorer = bigram_lm_score if cfg.lm_order == 2 else trigram_lm_score
         ref = spark.read.parquet(cfg.lm_reference_path)
-        scored = bigram_lm_score(
+        scored = scorer(
             ref, admitted, text_col=cfg.text_col, id_col=cfg.id_col
         )
         # anti-join on the HIGH-NLL set, not semi-join on the low-NLL
-        # set: docs with < 2 tokens have no bigrams and therefore no
-        # score row, and "unscorable" is not "high-perplexity" — a
+        # set: docs with < lm_order tokens have no n-grams and therefore
+        # no score row, and "unscorable" is not "high-perplexity" — a
         # semi join would silently drop every such doc whenever the
-        # caller configures min_tokens below 2 (the quality gate only
-        # masks this at its default). Scoreless docs pass through.
+        # caller configures min_tokens below lm_order (the quality gate
+        # only masks this at its default). Scoreless docs pass through.
         drop_lm = scored.where(F.col("avg_nll") > cfg.lm_max_nll).select(
             cfg.id_col
         )

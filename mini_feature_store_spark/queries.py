@@ -6315,6 +6315,87 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "doc_trigram_lm_score",
+    f"""
+WITH docs AS (SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents),
+t3 AS (
+  SELECT w1, w2, w3 FROM (
+    SELECT unnest([{{'w1': toks[i], 'w2': toks[i+1], 'w3': toks[i+2]}}
+                   for i in generate_series(1, len(toks) - 2)],
+                  recursive := true)
+    FROM docs WHERE source = 'src0' AND len(toks) >= 3
+  )
+),
+t2 AS (
+  SELECT w1, w2 FROM (
+    SELECT unnest([{{'w1': toks[i], 'w2': toks[i+1]}}
+                   for i in generate_series(1, len(toks) - 1)],
+                  recursive := true)
+    FROM docs WHERE source = 'src0' AND len(toks) >= 2
+  )
+),
+c3 AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM t3 GROUP BY 1, 2, 3),
+cb AS (SELECT w1, w2, COUNT(*) AS cb FROM t2 GROUP BY 1, 2),
+cu AS (
+  SELECT w, COUNT(*) AS cu
+  FROM (SELECT unnest(toks) AS w FROM docs WHERE source = 'src0')
+  GROUP BY 1
+),
+nn AS (
+  SELECT COUNT(*) AS n
+  FROM (SELECT unnest(toks) AS w FROM docs WHERE source = 'src0')
+),
+sb AS (
+  SELECT doc_id, w1, w2, w3 FROM (
+    SELECT doc_id,
+           unnest([{{'w1': toks[i], 'w2': toks[i+1], 'w3': toks[i+2]}}
+                   for i in generate_series(1, len(toks) - 2)],
+                  recursive := true)
+    FROM docs WHERE len(toks) >= 3
+  )
+),
+j AS (
+  SELECT s.doc_id,
+         c3.c3 IS NULL AS oov,
+         -ln(CASE
+             WHEN c3.c3 IS NOT NULL THEN c3.c3 * 1.0 / ctx.cb
+             WHEN bk.cb IS NOT NULL THEN 0.4 * bk.cb / cu2.cu
+             WHEN cu3.cu IS NOT NULL
+               THEN 0.4 * 0.4 * cu3.cu / (SELECT n FROM nn)
+             ELSE 0.4 * 0.4 * 0.4 / (SELECT n FROM nn)
+           END) AS nll
+  FROM sb s
+  LEFT JOIN c3 ON s.w1 = c3.w1 AND s.w2 = c3.w2 AND s.w3 = c3.w3
+  LEFT JOIN cb ctx ON s.w1 = ctx.w1 AND s.w2 = ctx.w2
+  LEFT JOIN cb bk ON s.w2 = bk.w1 AND s.w3 = bk.w2
+  LEFT JOIN cu cu2 ON s.w2 = cu2.w
+  LEFT JOIN cu cu3 ON s.w3 = cu3.w
+)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+  CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov_trigrams,
+  FLOOR(AVG(nll) * 10000 + 0.5) / 10000 AS avg_nll
+FROM j GROUP BY doc_id
+""",
+)
+def doc_trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff trigram LM scoring (Brants et al. 2007) of every
+    document against a model trained on the ``source = 'src0'`` slice —
+    one n-gram order closer to CCNet's actual 5-gram KenLM filter than
+    ``doc_lm_perplexity``, with raw-count relative frequencies and a
+    fixed λ=0.4 backoff instead of smoothing (the web-scale trade the
+    paper makes). ``operators/text.py:trigram_lm_score``; the oracle
+    re-derives the full backoff CASE over independently-built DuckDB
+    count tables. Branch arithmetic is parenthesization-matched on both
+    sides so the IEEE doubles agree exactly at floor-round scale 4."""
+    from mini_feature_store_spark.operators.text import trigram_lm_score
+
+    _utc(spark)
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    return trigram_lm_score(docs.where(F.col("source") == "src0"), docs)
+
+
+@_q(
     "doc_dup_coverage",
     f"""
 WITH docs AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
@@ -7273,6 +7354,8 @@ def multimodal_alignment_retention(
 # registered name present exactly once — ordered_queries() asserts it.
 
 VERIFY_ORDER: list[str] = [
+    # r11 additions (full r11 re-cut happens at round close)
+    "doc_trigram_lm_score",
     # ── r10 re-cut (standing rotate rule: new > touched-this-round >
     # stalest-driver-row > fresh; the driver records rows for the FIRST
     # 50 entries only). Ledger going in: {r9: 50, r8: 44, r7: 31}.

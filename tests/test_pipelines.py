@@ -1452,3 +1452,66 @@ def test_corpus_curate_lm_funnel_matches_oracled_query(
         assert funnel[stage] == rows[stage], (stage, funnel, rows)
     # the LM stage must BIND at the test SF
     assert funnel["after_lm_filter"] < funnel["after_quality"]
+
+
+def test_corpus_curate_lm_order_3(spark, sf_dir, tmp_path):
+    """--lm-order 3 routes the LM stage through the stupid-backoff
+    trigram scorer: the drop set must equal an independent
+    trigram_lm_score run over the quality-admitted docs, and an invalid
+    order is rejected before any stage runs."""
+    import pytest as _pytest
+
+    from mini_feature_store_spark.io import load_testdata
+    from mini_feature_store_spark.operators.text import (
+        quality_filter,
+        trigram_lm_score,
+    )
+    from mini_feature_store_spark.pipelines.corpus_curate import (
+        CorpusCurationConfig,
+        run_corpus_curation,
+    )
+
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    inp = str(tmp_path / "corpus")
+    ref = str(tmp_path / "ref")
+    docs.where(F.col("source") != "src0").write.parquet(inp)
+    docs.where(F.col("source") == "src0").write.parquet(ref)
+
+    funnel = run_corpus_curation(
+        spark,
+        CorpusCurationConfig(
+            input_path=inp,
+            output_path=str(tmp_path / "clean"),
+            lm_reference_path=ref,
+            lm_max_nll=3.5,
+            lm_order=3,
+        ),
+    )
+    corpus = spark.read.parquet(inp)
+    admitted = corpus.join(
+        quality_filter(corpus, min_tokens=5, min_score=0.3)
+        .where(F.col("kept"))
+        .select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    n_dropped = (
+        trigram_lm_score(spark.read.parquet(ref), admitted)
+        .where(F.col("avg_nll") > 3.5)
+        .count()
+    )
+    assert (
+        funnel["after_quality"] - funnel["after_lm_filter"] == n_dropped
+    )
+    assert n_dropped > 0  # the trigram stage binds at the test SF
+
+    with _pytest.raises(ValueError, match="lm_order"):
+        run_corpus_curation(
+            spark,
+            CorpusCurationConfig(
+                input_path=inp,
+                output_path=str(tmp_path / "clean2"),
+                lm_reference_path=ref,
+                lm_order=5,
+            ),
+        )

@@ -479,3 +479,68 @@ def test_bigram_lm_score_validations(spark):
     df = bigram_lm_score(empty_ref, score)
     with _pytest.raises(Exception, match="empty vocabulary"):
         df.collect()
+
+
+def test_trigram_lm_score_hand_case(spark):
+    """Stupid-backoff trigram scoring, every backoff branch verified by
+    hand against the Brants 2007 recursion on a tiny reference:
+    train 'a b c a b c a b d' -> C3(a,b,c)=2 C2(a,b)=3 C1(c)=2 N=9."""
+    import math
+
+    from mini_feature_store_spark.operators.text import trigram_lm_score
+
+    train = spark.createDataFrame(
+        [(100, "a b c a b c a b d")], "doc_id long, text string"
+    )
+    score = spark.createDataFrame(
+        [
+            (1, "a b c"),        # branch 1: trigram hit
+            (2, "c a b d x"),    # branches 1, 1, 4 (full OOV floor)
+            (4, "d a b c c"),    # branches 2 (bigram), 1, 3 (unigram)
+            (3, "a b"),          # < 3 tokens: no row
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_trigrams, r.n_oov_trigrams, r.avg_nll)
+        for r in trigram_lm_score(train, score).collect()
+    }
+
+    def fr4(x):
+        return math.floor(x * 10000 + 0.5) / 10000
+
+    # doc 1: S(c|a b) = C3(a,b,c)/C2(a,b) = 2/3
+    assert got[1] == (1, 0, fr4(-math.log(2 / 3)))
+    # doc 2: (c,a,b) = 2/C2(c,a)=2/2 -> nll 0; (a,b,d) = 1/3;
+    # (b,d,x): no trigram, no bigram (d,x), no unigram x ->
+    # lambda^3 / N = 0.4*0.4*0.4/9
+    exp2 = (0.0 - math.log(1 / 3) - math.log(0.4 * 0.4 * 0.4 / 9)) / 3
+    assert got[2] == (3, 1, fr4(exp2))
+    # doc 4: (d,a,b): no trigram, bigram (a,b)=3, C1(a)=3 -> 0.4*3/3;
+    # (a,b,c) = 2/3; (b,c,c): no trigram, no bigram (c,c),
+    # unigram c=2 -> 0.4*0.4*2/9
+    exp4 = (
+        -math.log(0.4 * 3 / 3)
+        - math.log(2 / 3)
+        - math.log(0.4 * 0.4 * 2 / 9)
+    ) / 3
+    assert got[4] == (3, 2, fr4(exp4))
+    assert 3 not in got
+
+
+def test_trigram_lm_score_validations(spark):
+    """Empty reference fails loudly at execution; backoff outside (0,1)
+    rejected at plan build."""
+    import pytest as _pytest
+
+    from mini_feature_store_spark.operators.text import trigram_lm_score
+
+    score = spark.createDataFrame(
+        [(1, "some text here now")], "doc_id long, text string"
+    )
+    empty_ref = spark.createDataFrame([(9, "")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="backoff"):
+        trigram_lm_score(empty_ref, score, backoff=1.0)
+    df = trigram_lm_score(empty_ref, score)
+    with _pytest.raises(Exception, match="reference corpus is empty"):
+        df.collect()
