@@ -218,6 +218,7 @@ def temperature_mixture_sample(
     keys: list[str] | tuple[str, ...],
     strata_col: str,
     alpha: float = 0.5,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Temperature-based mixture sampling (the mT5/PaLM multilingual
     recipe): keep a per-stratum share proportional to ``n_s^alpha``, so
@@ -243,6 +244,20 @@ def temperature_mixture_sample(
     should prefer; other exponents go through ``pow``, whose last-ulp
     behavior is implementation-defined (Java ``Math.pow`` vs C libm)
     and can flip a document sitting exactly on the admission threshold.
+
+    ``tokens_col``: when set, strata are weighed by their TOKEN MASS
+    (``sum(tokens_col)``) instead of document counts — training
+    mixtures are token-budgeted in practice (a stratum of few huge docs
+    costs as much budget as one of many small docs), so the kept share
+    becomes ∝ ``m_s^alpha`` over token masses. Same ``tokens_col``
+    convention as the packer (``packing.py:pack_documents_greedy``):
+    feed it real tokenizer counts (``bpe_encode``'s ``n_tokens``).
+    NULL counts weigh 0; a stratum's mass is clamped to ≥ 1 (mirroring
+    doc counts, which are never 0) so an all-empty stratum keeps a
+    defined rate instead of dividing by zero — and note the admission
+    stays PER-DOCUMENT (each doc of a stratum keeps with probability
+    ``rate_s``): the expected KEPT TOKEN mass is ``rate_s · m_s``
+    because the md5 predicate is independent of document length.
     """
     if not 0.0 <= alpha <= 1.0:
         raise ValueError(f"alpha must be in [0, 1], got {alpha}")
@@ -250,7 +265,14 @@ def temperature_mixture_sample(
         F.col(strata_col).cast("string"), F.lit("\x00<null-stratum>")
     )
     tagged = df.withColumn("_sk", sk)
-    counts = tagged.groupBy("_sk").agg(F.count(F.lit(1)).alias("_n"))
+    mass = (
+        F.count(F.lit(1))
+        if tokens_col is None
+        else F.greatest(
+            F.sum(F.coalesce(F.col(tokens_col), F.lit(0))), F.lit(1)
+        )
+    )
+    counts = tagged.groupBy("_sk").agg(mass.alias("_n"))
     w = Window.partitionBy(F.lit(0))
     ratio = F.min("_n").over(w).cast("double") / F.col("_n")
     if alpha == 0.5:

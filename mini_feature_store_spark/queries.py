@@ -7216,6 +7216,193 @@ def doc_bpe_greedy_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "bpe_tokenizer_metrics",
+    "WITH "
+    + _bpe_ctes(_BPE_N_MERGES)
+    + f""",
+ck AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_CHUNK_RE_SQL}') AS cks
+  FROM documents
+),
+tk AS (SELECT doc_id, unnest(cks) AS word FROM ck),
+jn AS (
+  SELECT t.doc_id,
+         COALESCE(len(w.syms), length(t.word)) AS n_syms
+  FROM tk t LEFT JOIN w{_BPE_N_MERGES} w ON t.word = w.word
+),
+enc AS (
+  SELECT doc_id, CAST(SUM(n_syms) AS BIGINT) AS n_tokens
+  FROM jn GROUP BY doc_id
+),
+lt AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+ls AS (SELECT doc_id,
+  {_SCORE_COLS}
+FROM lt),
+lg AS (SELECT doc_id, {_GUESS_CASE} AS lang_guess FROM ls),
+base AS (
+  SELECT d.doc_id, lg.lang_guess,
+         CAST(len(regexp_extract_all(lower(d.text), '{_CHUNK_RE_SQL}'))
+              AS BIGINT) AS n_words,
+         CAST(length(regexp_replace(d.text, '\\s+', '', 'g'))
+              AS BIGINT) AS n_chars,
+         COALESCE(e.n_tokens, CAST(0 AS BIGINT)) AS n_tokens
+  FROM documents d
+  JOIN lg USING (doc_id)
+  LEFT JOIN enc e USING (doc_id)
+)
+SELECT lang_guess,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+  CASE WHEN COALESCE(SUM(n_words), 0) = 0 THEN NULL
+       ELSE FLOOR((CAST(SUM(n_tokens) AS BIGINT) * 1.0
+                   / CAST(SUM(n_words) AS BIGINT)) * 10000 + 0.5) / 10000
+  END AS fertility,
+  CASE WHEN COALESCE(SUM(n_tokens), 0) = 0 THEN NULL
+       ELSE FLOOR((CAST(SUM(n_chars) AS BIGINT) * 1.0
+                   / CAST(SUM(n_tokens) AS BIGINT)) * 10000 + 0.5) / 10000
+  END AS compression
+FROM base GROUP BY lang_guess
+""",
+)
+def bpe_tokenizer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer evaluation metrics per detected language — the standard
+    intrinsic pair (Ács 2019; Rust et al. 2021 use fertility to compare
+    multilingual tokenizers): **fertility** = BPE tokens per
+    pre-tokenized word, **compression** = non-whitespace chars per BPE
+    token, each over corpus-level sums (never averaged per-doc — short
+    docs would dominate). The tokenizer→analysis composition mirroring
+    r10's tokenizer→packing: train on the corpus
+    (``bpe.py:bpe_train``), open-vocabulary encode every document
+    (``bpe_encode``), group by ``lang_id``'s guess. Sums are exact
+    longs, the two ratios IEEE-exact divisions floor-rounded at scale 4.
+    The oracle retrains the vocabulary (unrolled CTE chain) and
+    re-derives both the encoding and the language guess independently.
+    Scale shape: the corpus is read for chunks (encode) and tokens
+    (lang-id) and shuffled only by doc_id for the joins; the final
+    aggregate is a tiny (≤ 6-language) hash agg."""
+    from mini_feature_store_spark.operators.bpe import bpe_encode, bpe_train
+    from mini_feature_store_spark.operators.text import CHUNK_RE, lang_id
+
+    _utc(spark)
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    merges, vocab = bpe_train(docs, n_merges=_BPE_N_MERGES)
+    vocab.unpersist()
+    enc = bpe_encode(docs, merges).select("doc_id", "n_tokens")
+    langs = lang_id(docs).select("doc_id", "lang_guess")
+    base = (
+        docs.select(
+            "doc_id",
+            F.size(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit(CHUNK_RE), 0
+                )
+            )
+            .cast("long")
+            .alias("n_words"),
+            F.length(F.regexp_replace(F.col("text"), r"\s+", ""))
+            .cast("long")
+            .alias("n_chars"),
+        )
+        .join(langs, "doc_id")
+        .join(enc, "doc_id", "left")
+        .withColumn(
+            "n_tokens", F.coalesce(F.col("n_tokens"), F.lit(0).cast("long"))
+        )
+    )
+    return base.groupBy("lang_guess").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.when(F.coalesce(F.sum("n_words"), F.lit(0)) == 0, F.lit(None))
+        .otherwise(round_half_up(F.sum("n_tokens") / F.sum("n_words"), 4))
+        .alias("fertility"),
+        F.when(F.coalesce(F.sum("n_tokens"), F.lit(0)) == 0, F.lit(None))
+        .otherwise(round_half_up(F.sum("n_chars") / F.sum("n_tokens"), 4))
+        .alias("compression"),
+    )
+
+
+@_q(
+    "doc_token_budget_mixture",
+    "WITH "
+    + _bpe_ctes(_BPE_N_MERGES)
+    + f""",
+ck AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_CHUNK_RE_SQL}') AS cks
+  FROM documents
+),
+tk AS (SELECT doc_id, unnest(cks) AS word FROM ck),
+jn AS (
+  SELECT t.doc_id,
+         COALESCE(len(w.syms), length(t.word)) AS n_syms
+  FROM tk t LEFT JOIN w{_BPE_N_MERGES} w ON t.word = w.word
+),
+enc AS (
+  SELECT doc_id, CAST(SUM(n_syms) AS BIGINT) AS n_tokens
+  FROM jn GROUP BY doc_id
+),
+base AS (
+  SELECT d.doc_id, d.lang,
+         COALESCE(e.n_tokens, CAST(0 AS BIGINT)) AS n_tokens
+  FROM documents d LEFT JOIN enc e USING (doc_id)
+),
+c AS (
+  SELECT lang, GREATEST(CAST(SUM(n_tokens) AS BIGINT), 1) AS m
+  FROM base GROUP BY lang
+),
+r AS (SELECT lang, SQRT((SELECT MIN(m) FROM c) * 1.0 / m) AS rate FROM c),
+k AS (
+  SELECT b.lang, b.n_tokens FROM base b JOIN r USING (lang)
+  WHERE rate >= 1.0
+     OR substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+        lpad(lower(to_hex(CAST(FLOOR(rate * 4294967296) AS BIGINT))), 8, '0')
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens
+FROM k GROUP BY lang
+""",
+)
+def doc_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted temperature mixture at alpha=0.5 — the
+    ``doc_temperature_mixture_sample`` recipe with strata weighed by
+    BPE TOKEN MASS instead of document counts (training mixtures are
+    token-budgeted in practice: mT5/PaLM sampling exponents apply to
+    token shares, and a stratum of few huge documents costs as much
+    budget as one of many small ones). The tokenizer→sampling
+    composition: train BPE on the corpus, open-vocabulary encode every
+    document (``bpe_encode``), feed the counts through the packer's
+    ``tokens_col`` convention into
+    ``sampling.py:temperature_mixture_sample``. Per-language kept-doc
+    AND kept-token totals pin that the admission predicate keyed on the
+    token masses (sqrt of exact integer-mass ratios — IEEE
+    correctly-rounded, engine-portable) and stayed per-document. The
+    oracle retrains the vocabulary and replays the whole chain."""
+    from mini_feature_store_spark.operators.bpe import bpe_encode, bpe_train
+    from mini_feature_store_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    _utc(spark)
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    merges, vocab = bpe_train(docs, n_merges=_BPE_N_MERGES)
+    vocab.unpersist()
+    counts = bpe_encode(docs, merges).select("doc_id", "n_tokens")
+    base = (
+        docs.select("doc_id", "lang")
+        .join(counts, "doc_id", "left")
+        .withColumn(
+            "n_tokens", F.coalesce(F.col("n_tokens"), F.lit(0).cast("long"))
+        )
+    )
+    kept = temperature_mixture_sample(
+        base, ["doc_id"], "lang", alpha=0.5, tokens_col="n_tokens"
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tokens").cast("long").alias("kept_tokens"),
+    )
+
+
 # ── training-data pipeline: cross-modal alignment (operators/multimodal.py) ─
 
 #: shared pair CTE of the cross-modal queries: the image tower's
@@ -7356,6 +7543,8 @@ def multimodal_alignment_retention(
 VERIFY_ORDER: list[str] = [
     # r11 additions (full r11 re-cut happens at round close)
     "doc_trigram_lm_score",
+    "bpe_tokenizer_metrics",
+    "doc_token_budget_mixture",
     # ── r10 re-cut (standing rotate rule: new > touched-this-round >
     # stalest-driver-row > fresh; the driver records rows for the FIRST
     # 50 entries only). Ledger going in: {r9: 50, r8: 44, r7: 31}.

@@ -255,6 +255,63 @@ def test_temperature_mixture_half_interpolates(spark, sf_dir):
         )
 
 
+def test_temperature_mixture_token_budget(spark):
+    """tokens_col weighs strata by token MASS: a stratum of few huge
+    docs is down-sampled like one of many small docs. Doc-count
+    weighting would keep 'big' whole (fewest docs); token weighting
+    must keep 'small' whole instead (least mass) and sample 'big' at
+    sqrt(m_small/m_big). NULL token counts weigh 0; an all-NULL stratum
+    clamps to mass 1 and is kept whole."""
+    import math
+
+    from mini_feature_store_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    rows = (
+        [(i, "big", 1000) for i in range(50)]          # mass 50_000
+        + [(1000 + i, "small", 10) for i in range(200)]  # mass 2_000
+        + [(9000 + i, "nulls", None) for i in range(5)]  # mass -> 1
+    )
+    df = spark.createDataFrame(rows, "doc_id long, src string, n_tok long")
+    kept = (
+        temperature_mixture_sample(
+            df, ["doc_id"], "src", alpha=0.5, tokens_col="n_tok"
+        )
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    by = {r.src: r.n for r in kept.collect()}
+    assert by.get("nulls") == 5  # min mass 1 -> rate 1 for itself
+    # rates vs mass 1 minimum: sqrt(1/50000) and sqrt(1/2000) — tiny;
+    # use a mass-only frame to test the big-vs-small relationship
+    df2 = df.where(F.col("src") != "nulls")
+    by2 = {
+        r.src: r.n
+        for r in temperature_mixture_sample(
+            df2, ["doc_id"], "src", alpha=0.5, tokens_col="n_tok"
+        )
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert by2.get("small") == 200  # least token mass: kept whole
+    # big: per-doc admission at rate sqrt(2000/50000) = 0.2 -> ~10 docs
+    target = 50 * math.sqrt(2000 / 50000)
+    sigma = math.sqrt(target)
+    assert abs(by2.get("big", 0) - target) <= 4 * sigma + 1, by2
+
+    # doc-count weighting (the default) flips which stratum is whole
+    by3 = {
+        r.src: r.n
+        for r in temperature_mixture_sample(df2, ["doc_id"], "src", alpha=0.5)
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert by3.get("big") == 50  # fewest DOCS: kept whole under counts
+
+
 def test_temperature_mixture_rejects_out_of_range_alpha(spark, sf_dir):
     from mini_feature_store_spark.io import load_testdata
     from mini_feature_store_spark.operators.sampling import (
