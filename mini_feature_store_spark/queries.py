@@ -7541,34 +7541,76 @@ def multimodal_alignment_retention(
 # registered name present exactly once — ordered_queries() asserts it.
 
 VERIFY_ORDER: list[str] = [
-    # r11 additions (full r11 re-cut happens at round close)
+    # ── r11 re-cut (standing rotate rule: new > touched-this-round >
+    # stalest-driver-row > fresh; the driver records rows for the FIRST
+    # 50 entries only). Ledger going in (artifact-reconstructed):
+    # {r10: 50, r9: 46, r8: 35} over 131 previously-oracled queries.
+    # tier 0 — the three r11-new oracled queries (stupid-backoff trigram
+    # LM, tokenizer eval metrics, token-budgeted temperature mixture).
     "doc_trigram_lm_score",
     "bpe_tokenizer_metrics",
     "doc_token_budget_mixture",
-    # ── r10 re-cut (standing rotate rule: new > touched-this-round >
-    # stalest-driver-row > fresh; the driver records rows for the FIRST
-    # 50 entries only). Ledger going in: {r9: 50, r8: 44, r7: 31}.
-    # tier 0 — the six r10-new oracled queries (BPE induction/encode/
-    # composed packing + the cross-modal alignment pair).
+    # tier 0b — oracled queries whose Spark side changed this round:
+    # the four BPE queries (bpe_train local path + bpe_encode dispatch),
+    # the temperature sampler (tokens_col mass expression), the
+    # cross-modal pair (zero-norm cosine guard, both sides), and the
+    # two funnels (lm_ok scoreless-pass semantics, both sides).
     "doc_bpe_vocab",
     "doc_bpe_tokenize",
     "doc_bpe_encode",
     "doc_bpe_greedy_packing",
+    "doc_temperature_mixture_sample",
     "multimodal_text_alignment",
     "multimodal_alignment_retention",
-    # tier 0b — oracled queries whose Spark side (or both sides) changed
-    # this round: the two funnel plan-shape rewrites, the line-filter
-    # tokenization-parity fix, the NULL-token clamps, and quality_filter
-    # (gained the opt-in with_fingerprint column the funnels use).
-    "corpus_curation_funnel",
     "corpus_curation_funnel_lm",
+    "corpus_curation_funnel",
+    # tier 1 — the 35 stalest greens (last driver row r8, three rounds
+    # old): post-r11 the ledger has nothing staler than r9.
+    "doc_balanced_mixture_sample",
+    "doc_chunk_windows",
+    "doc_content_centrality",
+    "doc_pii_scrub",
+    "doc_quality_classifier",
+    "doc_quality_tiers",
+    "doc_repetition_scores",
+    "doc_sequence_packing",
+    "doc_text_stats",
+    "doc_tfidf_top_terms",
+    "doc_token_budget_selection",
+    "doc_training_shuffle",
+    "doc_winnow_fingerprints",
+    "embedding_cosine_pairs",
+    "embedding_dedup_clusters",
+    "embedding_int8_quant",
+    "embedding_topk_bruteforce",
+    "embedding_vector_stats",
+    "event_rollup_tiers",
+    "event_value_scaled",
+    "funnel_conversion",
+    "important_part_share",
+    "json_props_stats",
+    "lineitem_correlations",
+    "lineitem_metrics_long",
+    "multimodal_frame_sample",
+    "nation_share_of_region",
+    "order_rank_metrics",
+    "pricing_summary",
+    "quantiles_by_returnflag",
+    "top_supplier_revenue",
+    "user_event_patterns",
+    "user_running_value",
+    "user_value_trend",
+    "user_weekly_distinct_exact",
+    # tier 2 — fill to exactly 50 with the oldest r9 greens.
+    "doc_lm_perplexity",
+    "doc_lm_buckets",
+    "pit_training_typed",
+    # ── below this line: not in the r11 driver window (greens from
+    # r9/r10 plus rows-only queries), prior relative order preserved.
     "doc_line_quality_filter",
     "doc_dup_coverage",
     "doc_greedy_packing",
     "doc_quality_filter",
-    # tier 1 — the 31 stalest greens (last driver row r7, three rounds
-    # old) per the freshness rule: post-r10 the ledger has nothing
-    # staler than r8.
     "bloom_filtered_order_revenue",
     "brand_supplier_stats",
     "concentrated_part_suppliers",
@@ -7578,7 +7620,6 @@ VERIFY_ORDER: list[str] = [
     "doc_multi_benchmark_contamination",
     "doc_paragraph_dedup",
     "doc_stratified_sample",
-    "doc_temperature_mixture_sample",
     "doc_upsample_to_parity",
     "doc_weighted_sample",
     "dq_orders_audit",
@@ -7600,7 +7641,6 @@ VERIFY_ORDER: list[str] = [
     "revenue_by_nation",
     "sole_blame_suppliers",
     "top_orders_per_priority",
-    # tier 2 — fill to exactly 50 with the oldest r8 greens.
     "cohort_retention_weekly",
     "corpus_dedup_apply",
     "customers_with_big_orders",
@@ -7608,11 +7648,6 @@ VERIFY_ORDER: list[str] = [
     "dedup_clusters",
     "dedup_incremental_batch",
     "dedup_ngram_jaccard",
-    # ── below this line: not in the r10 driver window (greens from
-    # r8/r9 plus rows-only queries), prior relative order preserved.
-    "doc_lm_perplexity",
-    "doc_lm_buckets",
-    "pit_training_typed",
     "features_daily_typed",
     "doc_duplicate_spans",
     "doc_cut_duplicate_spans",
@@ -7656,41 +7691,6 @@ VERIFY_ORDER: list[str] = [
     "forecast_revenue_change",
     "nation_market_share",
     "product_type_profit",
-    "doc_sequence_packing",
-    "doc_balanced_mixture_sample",
-    "doc_token_budget_selection",
-    "doc_chunk_windows",
-    "doc_winnow_fingerprints",
-    "event_rollup_tiers",
-    "doc_pii_scrub",
-    "embedding_dedup_clusters",
-    "user_value_trend",
-    "doc_training_shuffle",
-    "doc_quality_classifier",
-    "user_event_patterns",
-    "doc_quality_tiers",
-    "user_weekly_distinct_exact",
-    "doc_text_stats",
-    "doc_repetition_scores",
-    "doc_tfidf_top_terms",
-    "embedding_topk_bruteforce",
-    "embedding_cosine_pairs",
-    "embedding_int8_quant",
-    "doc_content_centrality",
-    "funnel_conversion",
-    "event_value_scaled",
-    "important_part_share",
-    "pricing_summary",
-    "quantiles_by_returnflag",
-    "json_props_stats",
-    "user_running_value",
-    "multimodal_frame_sample",
-    "lineitem_metrics_long",
-    "order_rank_metrics",
-    "nation_share_of_region",
-    "lineitem_correlations",
-    "embedding_vector_stats",
-    "top_supplier_revenue",
     "embedding_corpus_curate",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -678,6 +678,148 @@ def run_scale(spark, d: Path, only: set[str] | None = None) -> dict[str, float]:
         )
         return domain_cap_approx(hot, 20)
 
+    # ── r11 additions: the four r10-new gaps (VERDICT #7) + the three
+    # r11-new operators. BPE artifacts are trained ONCE per scale and
+    # parquet-round-tripped so time_op's clearCache() can't force a
+    # retrain inside the timed region — the rows measure tokenize/encode
+    # cost, not training.
+    _bpe_state: dict[str, str] = {}
+
+    def _bpe_artifacts() -> str:
+        if "dir" not in _bpe_state:
+            import tempfile
+
+            from mini_feature_store_spark.operators.bpe import bpe_train
+
+            base = Path(tempfile.mkdtemp(prefix="mfss-bpe-"))
+            merges, vocab = bpe_train(docs, n_merges=200)
+            merges.write.mode("overwrite").parquet(
+                str(base / "merges.parquet")
+            )
+            vocab.write.mode("overwrite").parquet(str(base / "vocab.parquet"))
+            vocab.unpersist()
+            _bpe_state["dir"] = str(base)
+        return _bpe_state["dir"]
+
+    def _bpe_tokenize_trained():
+        from mini_feature_store_spark.operators.bpe import bpe_tokenize
+
+        d_ = _bpe_artifacts()
+        vocab = spark.read.parquet(d_ + "/vocab.parquet")
+        return bpe_tokenize(docs, vocab)
+
+    def _bpe_encode_replay200():
+        # 200 merges > FOLD_MAX_MERGES → the Arrow replay path (the
+        # real-vocabulary form this row exists to certify)
+        from mini_feature_store_spark.operators.bpe import bpe_encode
+
+        d_ = _bpe_artifacts()
+        merges = spark.read.parquet(d_ + "/merges.parquet")
+        return bpe_encode(docs, merges)
+
+    def _packing_tokenizer_sized():
+        # tokenizer→packing composition (pipeline --pack-tokenizer-dir):
+        # replay-encode counts feed the per-shard greedy fold
+        from mini_feature_store_spark.operators.bpe import bpe_encode
+        from mini_feature_store_spark.operators.packing import (
+            pack_documents_greedy,
+        )
+
+        d_ = _bpe_artifacts()
+        merges = spark.read.parquet(d_ + "/merges.parquet")
+        counts = bpe_encode(docs, merges).select("doc_id", "n_tokens")
+        return pack_documents_greedy(
+            counts, max_tokens=512, shards=32, tokens_col="n_tokens"
+        )
+
+    def _xmodal_alignment():
+        # LAION-style 1-1 pair gate: stub image tower over synthesized
+        # payloads + 16-dim text projection; zero-shuffle cosine
+        from mini_feature_store_spark.operators.multimodal import (
+            alignment_gate,
+            encode_fake_image,
+            image_embed_stub,
+            synthesize_payloads,
+        )
+
+        def make_blob(doc_id: int, n_chars: int) -> bytes:
+            w = 4 + doc_id % 13
+            h = 3 + n_chars % 7
+            return encode_fake_image(w, h, 3, seed=doc_id)
+
+        media = synthesize_payloads(docs, make_blob)
+        iemb = image_embed_stub(media).select("media_id", "image_embedding")
+        tproj = emb.select(
+            "vec_id",
+            F.transform(
+                F.slice("embedding", 1, 16), lambda x: x.cast("double")
+            ).alias("text_embedding"),
+        )
+        pairs = iemb.join(tproj, iemb["media_id"] == tproj["vec_id"])
+        return alignment_gate(pairs, threshold=0.2)
+
+    def _trigram_lm():
+        # same CCNet shape as bigram_lm_ref2pct, one order deeper
+        from mini_feature_store_spark.operators.text import trigram_lm_score
+
+        return trigram_lm_score(docs.where(F.col("doc_id") % 47 == 0), docs)
+
+    def _tokenizer_metrics():
+        # tokenizer→analysis composition: per-language fertility and
+        # compression over encode counts (vocab-join form for the probe)
+        from mini_feature_store_spark.operators.bpe import bpe_tokenize
+        from mini_feature_store_spark.operators.text import CHUNK_RE
+
+        d_ = _bpe_artifacts()
+        vocab = spark.read.parquet(d_ + "/vocab.parquet")
+        enc = bpe_tokenize(docs, vocab).select("doc_id", "n_tokens")
+        base = (
+            docs.select(
+                "doc_id",
+                "lang",
+                F.size(
+                    F.regexp_extract_all(
+                        F.lower(F.col("text")), F.lit(CHUNK_RE), 0
+                    )
+                )
+                .cast("long")
+                .alias("n_words"),
+                F.length(F.regexp_replace(F.col("text"), r"\s+", ""))
+                .cast("long")
+                .alias("n_chars"),
+            ).join(enc, "doc_id", "left")
+        )
+        return base.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("n_tokens") / F.sum("n_words")).alias("fertility"),
+            (F.sum("n_chars") / F.sum("n_tokens")).alias("compression"),
+        )
+
+    def _token_budget_mixture():
+        from mini_feature_store_spark.operators.bpe import bpe_tokenize
+        from mini_feature_store_spark.operators.sampling import (
+            temperature_mixture_sample,
+        )
+
+        d_ = _bpe_artifacts()
+        vocab = spark.read.parquet(d_ + "/vocab.parquet")
+        enc = bpe_tokenize(docs, vocab).select("doc_id", "n_tokens")
+        base = docs.select("doc_id", "lang").join(enc, "doc_id", "left")
+        return temperature_mixture_sample(
+            base, ["doc_id"], "lang", alpha=0.5, tokens_col="n_tokens"
+        )
+
+    ops.update(
+        {
+            "bpe_tokenize_trained": _bpe_tokenize_trained,
+            "bpe_encode_replay200": _bpe_encode_replay200,
+            "packing_tokenizer_sized": _packing_tokenizer_sized,
+            "xmodal_alignment_gate": _xmodal_alignment,
+            "trigram_lm_ref2pct": _trigram_lm,
+            "tokenizer_metrics": _tokenizer_metrics,
+            "token_budget_mixture": _token_budget_mixture,
+        }
+    )
     ops.update(
         {
             "duplicate_spans_k4": _duplicate_spans,
