@@ -344,11 +344,17 @@ def bpe_train(
         # limit(+1) bounds the driver transfer whether or not the table
         # fits — an oversized table costs one discarded batch, never an
         # unbounded collect
-        head = (
-            candidates.select("word", "freq")
-            .limit(local_max_words + 1)
-            .collect()
-        )
+        try:
+            head = (
+                candidates.select("word", "freq")
+                .limit(local_max_words + 1)
+                .collect()
+            )
+        except Exception:
+            # a failed corpus read must not pin the word-table cache for
+            # the driver session (same contract as the distributed loop)
+            words.unpersist()
+            raise
         if len(head) <= local_max_words:
             merge_rows = _local_merge_loop(
                 [(r["word"], int(r["freq"])) for r in head], n_merges

@@ -258,18 +258,18 @@ def alignment_gate(
         )
 
     img, txt = F.col(image_col), F.col(text_col)
-    # a zero-norm tower output makes the quotient 0/0 → NULL under
-    # Spark's non-ANSI float division, which would leave ``admitted``
-    # NULL instead of a concrete boolean (a ``where(~admitted)``
-    # rejection branch would silently skip the row) — coalesce to 0.0
-    # so degenerate embeddings are concretely rejected, not dropped
-    cos = F.coalesce(
-        round_half_up(
-            dot(img, txt) / (F.sqrt(dot(img, img)) * F.sqrt(dot(txt, txt))),
-            4,
-        ),
-        F.lit(0.0),
-    )
+    # a zero-norm tower output makes the quotient 0/0 — a hard
+    # DIVIDE_BY_ZERO error under ANSI (Spark 4's default, so a single
+    # degenerate embedding would kill the whole job) and NULL under
+    # legacy mode (silently skipping the row in a ``where(~admitted)``
+    # rejection branch). Guard the denominator instead of dividing:
+    # CaseWhen only evaluates the division when the norm product is
+    # positive, so degenerate (zero-norm or NULL) embeddings get a
+    # concrete align_cos = 0.0 / admitted = False in EITHER mode.
+    den = F.sqrt(dot(img, img)) * F.sqrt(dot(txt, txt))
+    cos = F.when(
+        den > 0, round_half_up(dot(img, txt) / den, 4)
+    ).otherwise(F.lit(0.0))
     return pairs.withColumn("align_cos", cos).withColumn(
         "admitted", F.col("align_cos") >= F.lit(threshold)
     )

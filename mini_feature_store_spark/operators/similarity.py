@@ -42,6 +42,19 @@ def _np_round_half_up(a, scale: int = 4):
     return np.floor(a * p + 0.5) / p
 
 
+def _np_safe_div(num, den):
+    """Elementwise num/den with zero-norm guards: degenerate (zero)
+    denominators yield cosine 0.0 instead of a NaN that poisons
+    threshold masks and orderings (np.divide would warn + emit nan; the
+    JVM-side twin of this guard is the CaseWhen in
+    ``cosine_topk_bruteforce``). dot(a, 0-vector) is 0, so 0.0 is also
+    the value the limit argument gives."""
+    num = np.asarray(num, dtype=np.float64)
+    den = np.asarray(den, dtype=np.float64)
+    return np.divide(num, den, out=np.zeros_like(num), where=den > 0)
+
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -87,7 +100,12 @@ def cosine_topk_bruteforce(
         F.col("v").alias("c_v"),
         F.col("nrm").alias("c_nrm"),
     )
-    cos = _dot(F.col("q_v"), F.col("c_v")) / (F.col("q_nrm") * F.col("c_nrm"))
+    # ANSI mode (Spark 4's default) turns a zero-norm denominator into a
+    # hard DIVIDE_BY_ZERO job failure; the CaseWhen only evaluates the
+    # division when the norm product is positive, and a degenerate pair
+    # scores NULL (never in any top-k band above real matches)
+    den = F.col("q_nrm") * F.col("c_nrm")
+    cos = F.when(den > 0, _dot(F.col("q_v"), F.col("c_v")) / den)
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -182,7 +200,7 @@ def cosine_pairs(
                 mb = np.asarray(b_flat, dtype=np.float64).reshape(len(ids_b), dim)
                 na = np.linalg.norm(ma, axis=1)
                 nb = np.linalg.norm(mb, axis=1)
-                cos = _np_round_half_up((ma @ mb.T) / np.outer(na, nb))
+                cos = _np_round_half_up(_np_safe_div(ma @ mb.T, np.outer(na, nb)))
                 if a_bid == b_bid:
                     # same block meets itself once: keep one orientation
                     mask = (cos >= threshold) & (ids_a[:, None] < ids_b[None, :])
@@ -318,7 +336,7 @@ def cosine_pairs_lsh(
                 nb = np.linalg.norm(mb, axis=1)
                 out = []
                 if len(ib) > 1:
-                    cos = _np_round_half_up((mb @ mb.T) / np.outer(nb, nb))
+                    cos = _np_round_half_up(_np_safe_div(mb @ mb.T, np.outer(nb, nb)))
                     mask = (cos >= threshold) & (ib[:, None] < ib[None, :])
                     ii, jj = np.nonzero(mask)
                     if len(ii):
@@ -327,7 +345,7 @@ def cosine_pairs_lsh(
                     ip = np.asarray(p_ids, dtype=np.int64)
                     mp_ = np.asarray(p_flat, dtype=np.float64).reshape(len(ip), d)
                     np_ = np.linalg.norm(mp_, axis=1)
-                    cos = _np_round_half_up((mb @ mp_.T) / np.outer(nb, np_))
+                    cos = _np_round_half_up(_np_safe_div(mb @ mp_.T, np.outer(nb, np_)))
                     # probe member ≠ base member always (signatures differ)
                     mask = cos >= threshold
                     ii, jj = np.nonzero(mask)
@@ -368,7 +386,9 @@ def _pair_cos(qv, cv, qn, cn):
         a = np.array(qv.tolist(), dtype=np.float64)
         b = np.array(cv.tolist(), dtype=np.float64)
         return pd.Series(
-            np.einsum("ij,ij->i", a, b) / (qn.to_numpy() * cn.to_numpy())
+            _np_safe_div(
+                np.einsum("ij,ij->i", a, b), qn.to_numpy() * cn.to_numpy()
+            )
         )
 
     return cosf(qv, cv, qn, cn)
@@ -543,7 +563,7 @@ def ivf_topk(
         .collect()
     )
     cent = np.array([r["v"] for r in cent_rows], dtype=np.float64)
-    cent_unit = cent / np.array([r["nrm"] for r in cent_rows])[:, None]
+    cent_unit = _np_safe_div(cent, np.array([r["nrm"] for r in cent_rows])[:, None])
 
     @F.pandas_udf("int")
     def nearest_cell(vs: pd.Series) -> pd.Series:
@@ -737,7 +757,9 @@ def pq_topk(
             [books[j][cm[:, j]] for j in range(m_sub)], axis=1
         )
         return pd.Series(
-            np.einsum("ij,ij->i", qm, dec) / (qn.to_numpy() * cn.to_numpy())
+            _np_safe_div(
+                np.einsum("ij,ij->i", qm, dec), qn.to_numpy() * cn.to_numpy()
+            )
         )
 
     cand = (

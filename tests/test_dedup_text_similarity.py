@@ -710,3 +710,38 @@ def test_duplicate_span_coverage_gate(spark):
     assert got[1] == (8, 6, 0.75, False)
     assert got[2] == (24, 6, 0.25, True)
     assert got[3] == (9, 0, 0.0, True)
+
+
+def test_cosine_zero_norm_vectors_never_crash_or_match(spark):
+    """A zero vector in the corpus must not kill the job (ANSI mode
+    turns an unguarded 0/0 into a hard DIVIDE_BY_ZERO failure) and must
+    never surface as a near-duplicate: bruteforce top-k scores the
+    degenerate pair NULL (ranked below every real neighbor), the GEMM
+    pair miners score it 0.0 (below any positive threshold)."""
+    from mini_feature_store_spark.operators.similarity import (
+        cosine_pairs,
+        cosine_topk_bruteforce,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.1, 0.0, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),  # degenerate
+        (3, [0.9, 0.2, 0.1, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got = cosine_topk_bruteforce(
+        emb.where(F.col("vec_id") == 0), emb, k=3
+    ).collect()
+    assert len(got) == 3  # completes — no divide-by-zero job failure
+    by_rank = {r.rank: r for r in got}
+    # the zero vector is ranked LAST with an undefined (NULL) cosine
+    assert by_rank[3].neighbor_id == 2 and by_rank[3].cosine is None
+    assert by_rank[1].cosine is not None
+
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in cosine_pairs(emb, threshold=0.5).collect()
+    }
+    assert pairs and all(2 not in p for p in pairs)

@@ -257,3 +257,27 @@ def test_alignment_gate_planted_pairs(spark):
     assert got[1].align_cos == 1.0 and got[1].admitted
     assert got[2].align_cos == 0.0 and not got[2].admitted
     assert got[3].align_cos == -1.0 and not got[3].admitted
+
+
+def test_alignment_gate_zero_norm_rejects_concretely(spark):
+    """A zero-norm tower output (0/0 cosine — NULL under legacy float
+    division, NaN under ANSI/IEEE) must gate to align_cos = 0.0 and
+    admitted = False, never NULL/NaN: a ``where(~admitted)`` rejection
+    branch has to SEE the row (r10 ADVICE)."""
+    from mini_feature_store_spark.operators.multimodal import alignment_gate
+
+    pairs = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0, 0.0], [1.0, 2.0, 3.0]),  # zero image tower
+            (2, [1.0, 2.0, 3.0], [0.0, 0.0, 0.0]),  # zero text tower
+        ],
+        "doc_id long, image_embedding array<double>, "
+        "text_embedding array<double>",
+    )
+    out = alignment_gate(pairs, threshold=0.2)
+    got = {r.doc_id: r for r in out.collect()}
+    for i in (1, 2):
+        assert got[i].align_cos == 0.0, got[i]
+        assert got[i].admitted is False
+    # the rejection branch must count both rows
+    assert out.where(~F.col("admitted")).count() == 2
