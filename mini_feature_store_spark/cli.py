@@ -235,6 +235,22 @@ def build_parser() -> argparse.ArgumentParser:
     bp.add_argument("--n-merges", type=int, default=1000)
     bp.add_argument("--text-col", default="text")
 
+    ut = sub.add_parser(
+        "unigram-train",
+        help="induce a unigram-LM (SentencePiece-style) piece vocabulary "
+        "from a documents parquet: writes pieces.parquet (piece, freq) "
+        "under --output-dir",
+    )
+    ut.add_argument("--input-path", required=True, help="documents parquet")
+    ut.add_argument("--output-dir", required=True)
+    ut.add_argument("--vocab-size", type=int, default=8000)
+    ut.add_argument("--max-piece-len", type=int, default=8)
+    ut.add_argument(
+        "--refine-rounds", type=int, default=1,
+        help="usage-re-estimation rounds (the integer EM step; default 1)",
+    )
+    ut.add_argument("--text-col", default="text")
+
     ai = sub.add_parser(
         "ann-index-build",
         help="build a persistent IVF-PQ ANN index (cell-partitioned codes "
@@ -537,6 +553,22 @@ def main(argv: list[str] | None = None) -> int:
             finally:
                 vocab.unpersist()
             print(f"learned {n} merges -> {base}/merges.parquet")
+        elif args.pipeline == "unigram-train":
+            from mini_feature_store_spark.operators.unigram import (
+                unigram_train,
+            )
+
+            pieces = unigram_train(
+                spark.read.parquet(args.input_path),
+                vocab_size=args.vocab_size,
+                max_piece_len=args.max_piece_len,
+                refine_rounds=args.refine_rounds,
+                text_col=args.text_col,
+            )
+            n = pieces.count()  # driver-local frame, no data job
+            base = args.output_dir.rstrip("/")
+            pieces.write.mode("overwrite").parquet(base + "/pieces.parquet")
+            print(f"selected {n} pieces -> {base}/pieces.parquet")
         elif args.pipeline == "ann-index-build":
             from mini_feature_store_spark.operators.ann_index import (
                 build_ivfpq_index,

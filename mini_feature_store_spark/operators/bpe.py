@@ -156,19 +156,15 @@ def _replay_word(
     return syms
 
 
-def _with_replayed_syms(
-    words: DataFrame, rules: list[tuple[str, str]]
-) -> DataFrame:
+def map_word_syms(words: DataFrame, word_fn_factory) -> DataFrame:
     """Append/replace ``syms`` on a frame bearing a ``word`` column by
-    replaying ``rules`` (rank order) per DISTINCT input row — the Arrow
-    escape hatch for large merge tables (the packer pattern): cost is
-    per-word Python, batched through ``mapInPandas``, with the merge
-    table shipped ONCE per executor via a broadcast variable rather
-    than re-pickled per task."""
-    spark = words.sparkSession
-    bc = spark.sparkContext.broadcast(
-        {pair: rank for rank, pair in enumerate(rules, start=1)}
-    )
+    applying a per-word Python function over Arrow batches — the escape
+    hatch for tokenizer state too large/deep for a column expression
+    (the packer pattern). ``word_fn_factory()`` is invoked once per
+    Python task and returns the ``word -> list[str]`` function; close
+    it over a broadcast variable so the tokenizer state ships once per
+    executor, never re-pickled per task. Shared by the BPE replay
+    encoder and the unigram segmenter (``operators/unigram.py``)."""
     out_fields = [
         f"{name} {dtype}"
         for name, dtype in words.dtypes
@@ -176,8 +172,8 @@ def _with_replayed_syms(
     ]
     schema = ", ".join(out_fields + ["syms array<string>"])
 
-    def replay(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rank_of = bc.value
+    def apply(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fn = word_fn_factory()
         for pdf in batches:
             if len(pdf) == 0:
                 # an empty batch with a list column types as float64 and
@@ -186,10 +182,26 @@ def _with_replayed_syms(
             if "syms" in pdf.columns:
                 pdf = pdf.drop(columns=["syms"])
             pdf = pdf.copy()
-            pdf["syms"] = [_replay_word(w, rank_of) for w in pdf["word"]]
+            pdf["syms"] = [fn(w) for w in pdf["word"]]
             yield pdf
 
-    return words.mapInPandas(replay, schema)
+    return words.mapInPandas(apply, schema)
+
+
+def _with_replayed_syms(
+    words: DataFrame, rules: list[tuple[str, str]]
+) -> DataFrame:
+    """BPE merge replay over a ``word`` frame via ``map_word_syms`` —
+    the large-merge-table path (``_replay_word`` per distinct word)."""
+    bc = words.sparkSession.sparkContext.broadcast(
+        {pair: rank for rank, pair in enumerate(rules, start=1)}
+    )
+
+    def factory():
+        rank_of = bc.value
+        return lambda w: _replay_word(w, rank_of)
+
+    return map_word_syms(words, factory)
 
 
 def _local_merge_loop(

@@ -7403,6 +7403,193 @@ def doc_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ── training-data pipeline: unigram-LM tokenizer (operators/unigram.py) ─────
+
+#: unigram gate knobs — vocab_size binds (the sf piece table has ~228
+#: candidates vs the 64 cut) and max word length is 8 at every SF; the
+#: DP unroll below goes to 12 for margin (stages past the true max
+#: filter to empty)
+_UNI_VOCAB = 64
+_UNI_PLEN = 4
+_UNI_MAX_WLEN = 12
+
+
+def _unigram_dp_ctes(
+    prefix: str, words_cte: str, vocab_cte: str
+) -> str:
+    """Unrolled DuckDB Viterbi over word prefixes — the BPE-unroll
+    pattern applied to dynamic programming: ``{prefix}{i}`` holds the
+    best state for every word's length-``i`` prefix under the integer
+    score ``(piece_count, -freq_sum, key)``, built from the ≤
+    ``_UNI_PLEN`` predecessor stages (one UNION ALL branch per
+    predecessor, LEFT JOIN against the vocabulary for the piece's
+    frequency; absent pieces are only admissible at length 1, the
+    freq-0 closure fallback). ``{prefix}F`` unions each word's
+    full-length state. ``words_cte`` must provide (word, wlen)."""
+    ctes = [
+        f"{prefix}0 AS MATERIALIZED (SELECT word, wlen, 0 AS cnt,"
+        f" CAST(0 AS BIGINT) AS negf, '' AS key FROM {words_cte})"
+    ]
+    for i in range(1, _UNI_MAX_WLEN + 1):
+        branches = []
+        for j in range(max(0, i - _UNI_PLEN), i):
+            ln = i - j
+            sub = f"substring(d.word, {j + 1}, {ln})"
+            guard = "" if ln == 1 else " AND v.piece IS NOT NULL"
+            branches.append(
+                f"SELECT d.word, d.wlen, d.cnt + 1 AS cnt,"
+                f" d.negf - CAST(COALESCE(v.freq, 0) AS BIGINT) AS negf,"
+                f" CASE WHEN d.key = '' THEN {sub}"
+                f" ELSE d.key || ' ' || {sub} END AS key"
+                f" FROM {prefix}{j} d"
+                f" LEFT JOIN {vocab_cte} v ON v.piece = {sub}"
+                f" WHERE d.wlen >= {i}{guard}"
+            )
+        ctes.append(
+            f"{prefix}{i} AS MATERIALIZED ("
+            f"SELECT word, wlen, cnt, negf, key FROM ("
+            f"SELECT word, wlen, cnt, negf, key, ROW_NUMBER() OVER ("
+            f"PARTITION BY word ORDER BY cnt, negf, key) AS rn FROM ("
+            + " UNION ALL ".join(branches)
+            + ")) WHERE rn = 1)"
+        )
+    final = " UNION ALL ".join(
+        f"SELECT word, cnt, negf, key FROM {prefix}{i} WHERE wlen = {i}"
+        for i in range(1, _UNI_MAX_WLEN + 1)
+    )
+    ctes.append(f"{prefix}F AS MATERIALIZED ({final})")
+    return ",\n".join(ctes)
+
+
+#: shared training chain of the unigram queries: word table → substring
+#: piece table → seed vocabulary (top-V ∪ chars) → one usage-refinement
+#: round (Viterbi over the word table, integer usage counts, re-select)
+_UNI_TRAIN_SQL = (
+    f"""wt AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '{_CHUNK_RE_SQL}')) AS word
+    FROM documents) GROUP BY word
+),
+pc0 AS MATERIALIZED (
+  SELECT piece, CAST(SUM(freq) AS BIGINT) AS freq FROM (
+    SELECT freq, unnest(flatten([[substring(word, i, l)
+        for l in generate_series(1, least({_UNI_PLEN},
+                                          length(word) - i + 1))]
+        for i in generate_series(1, length(word))])) AS piece
+    FROM wt) GROUP BY piece
+),
+v1 AS MATERIALIZED (
+  SELECT piece, freq FROM
+    (SELECT piece, freq FROM pc0 ORDER BY freq DESC, piece LIMIT {_UNI_VOCAB})
+  UNION
+  SELECT piece, freq FROM pc0 WHERE length(piece) = 1
+),
+dw AS MATERIALIZED (SELECT word, length(word) AS wlen FROM wt),
+"""
+    + _unigram_dp_ctes("u", "dw", "v1")
+    + f""",
+usage AS MATERIALIZED (
+  SELECT piece, CAST(SUM(freq) AS BIGINT) AS freq FROM (
+    SELECT w.freq, unnest(string_split(f.key, ' ')) AS piece
+    FROM uF f JOIN wt w USING (word)
+  ) GROUP BY piece
+),
+v2 AS MATERIALIZED (
+  SELECT piece, freq FROM
+    (SELECT piece, freq FROM usage
+     ORDER BY freq DESC, piece LIMIT {_UNI_VOCAB})
+  UNION
+  SELECT c.piece, CAST(COALESCE(u.freq, 0) AS BIGINT) AS freq
+  FROM (SELECT piece FROM pc0 WHERE length(piece) = 1) c
+  LEFT JOIN usage u USING (piece)
+)"""
+)
+
+
+@_q(
+    "doc_unigram_vocab",
+    "WITH " + _UNI_TRAIN_SQL + "\nSELECT piece, freq FROM v2",
+)
+def doc_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) vocabulary induction — the
+    ALTERNATIVE algorithm to BPE (Kudo 2018: seed a large candidate set
+    and SHRINK it, where BPE grows one): substring piece table over the
+    distinct-chunk words, top-V frequency seed plus the single-char
+    closure, then ONE usage-refinement round — segment the word table
+    by the integer Viterbi score (fewest pieces, then highest total
+    frequency, then lexicographic key) and re-select by actual usage,
+    the exact-integer sufficient statistic of Kudo's EM M-step
+    (``operators/unigram.py:unigram_train``). The oracle replays the
+    WHOLE training — substring explode, both selections, and the
+    Viterbi itself as an unrolled per-prefix-length DP chain (the BPE
+    unroll pattern applied to dynamic programming)."""
+    from mini_feature_store_spark.operators.unigram import unigram_train
+
+    _utc(spark)
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    return unigram_train(
+        docs,
+        vocab_size=_UNI_VOCAB,
+        max_piece_len=_UNI_PLEN,
+        refine_rounds=1,
+    )
+
+
+@_q(
+    "doc_unigram_tokenize",
+    "WITH "
+    + _UNI_TRAIN_SQL
+    + f""",
+smp AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_CHUNK_RE_SQL}') AS cks
+  FROM documents WHERE doc_id % 11 = 0
+),
+tk AS MATERIALIZED (
+  SELECT doc_id, pos, word FROM (
+    SELECT doc_id, unnest([{{'pos': i, 'word': cks[i]}}
+                           for i in generate_series(1, len(cks))],
+                          recursive := true)
+    FROM smp
+  )
+),
+dw2 AS MATERIALIZED (SELECT word, length(word) AS wlen FROM (SELECT DISTINCT word FROM tk)),
+"""
+    + _unigram_dp_ctes("q", "dw2", "v2")
+    + """
+SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       string_agg(key, ' ' ORDER BY pos) AS tokens
+FROM (SELECT t.doc_id, t.pos, f.cnt, f.key
+      FROM tk t JOIN qF f USING (word))
+GROUP BY doc_id
+""",
+)
+def doc_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize a deterministic document sample (doc_id % 11) with the
+    refined unigram vocabulary ``doc_unigram_vocab`` induces —
+    ``operators/unigram.py:unigram_tokenize``: Viterbi-segment the
+    DISTINCT chunk set (Arrow ``mapInPandas``, vocabulary by
+    broadcast), join back to chunk positions, reassemble in document
+    order. Pins that the integer Viterbi (ties included) and the
+    usage-refined vocabulary both replay exactly: the oracle re-trains
+    everything AND re-segments the sample through a second unrolled DP
+    chain. Output contract identical to ``doc_bpe_tokenize``."""
+    from mini_feature_store_spark.operators.unigram import (
+        unigram_tokenize,
+        unigram_train,
+    )
+
+    _utc(spark)
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    vocab = unigram_train(
+        docs,
+        vocab_size=_UNI_VOCAB,
+        max_piece_len=_UNI_PLEN,
+        refine_rounds=1,
+    )
+    sample = docs.where(F.col("doc_id") % 11 == 0)
+    return unigram_tokenize(sample, vocab, max_piece_len=_UNI_PLEN)
+
+
 # ── training-data pipeline: cross-modal alignment (operators/multimodal.py) ─
 
 #: shared pair CTE of the cross-modal queries: the image tower's
@@ -7550,6 +7737,8 @@ VERIFY_ORDER: list[str] = [
     "doc_trigram_lm_score",
     "bpe_tokenizer_metrics",
     "doc_token_budget_mixture",
+    "doc_unigram_vocab",
+    "doc_unigram_tokenize",
     # tier 0b — oracled queries whose Spark side changed this round:
     # the four BPE queries (bpe_train local path + bpe_encode dispatch),
     # the temperature sampler (tokens_col mass expression), the

@@ -1,0 +1,177 @@
+"""Unigram-LM tokenizer (operators/unigram.py) — Viterbi segmentation
+against hand cases, full training against an independent in-memory
+implementation (seed + usage refinement), tokenizer application."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pytest
+
+
+def _ref_segment(word, freq_of, max_piece_len):
+    """Independent Viterbi under (count, -freq_sum, key) — a fresh
+    implementation of the documented score, not a copy."""
+    n = len(word)
+    best_at = {0: (0, 0, "", [])}
+    for i in range(1, n + 1):
+        cands = []
+        for j in range(max(0, i - max_piece_len), i):
+            if j not in best_at:
+                continue
+            piece = word[j:i]
+            if piece in freq_of:
+                f = freq_of[piece]
+            elif len(piece) == 1:
+                f = 0
+            else:
+                continue
+            c, nf, key, seq = best_at[j]
+            cands.append(
+                (c + 1, nf - f, (key + " " + piece).strip(), seq + [piece])
+            )
+        if cands:
+            best_at[i] = min(cands, key=lambda t: t[:3])
+    return best_at[n][3]
+
+
+def _ref_train(texts, vocab_size, max_piece_len, refine_rounds):
+    words = Counter()
+    for t in texts:
+        for w in re.findall(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+", t.lower()):
+            words[w] += 1
+    pieces = Counter()
+    for w, f in words.items():
+        for i in range(len(w)):
+            for ln in range(1, min(max_piece_len, len(w) - i) + 1):
+                pieces[w[i : i + ln]] += f
+    chars = {p for p in pieces if len(p) == 1}
+
+    def select(tbl):
+        top = sorted(tbl.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size]
+        vocab = dict(top)
+        for c in chars:
+            vocab.setdefault(c, tbl.get(c, 0))
+        return vocab
+
+    vocab = select(pieces)
+    for _ in range(refine_rounds):
+        usage = Counter()
+        for w, f in words.items():
+            for piece in _ref_segment(w, vocab, max_piece_len):
+                usage[piece] += f
+        vocab = select(usage)
+    return vocab
+
+
+def test_segment_word_hand_cases():
+    from mini_feature_store_spark.operators.unigram import _segment_word
+
+    vocab = {"ab": 10, "bc": 8, "a": 5, "b": 4, "c": 3}
+    # [ab,c] and [a,bc] tie on (2 pieces, freq 13); the lexicographic
+    # key breaks it: 'a bc' < 'ab c'
+    assert _segment_word("abc", vocab, 4) == ["a", "bc"]
+    # fewest pieces beats raw frequency: [ab] (1 piece) over [a, b] (2)
+    assert _segment_word("ab", vocab, 4) == ["ab"]
+    # unseen single chars fall back to freq-0 closure
+    assert _segment_word("xq", vocab, 4) == ["x", "q"]
+    # max_piece_len bounds the window: with window 1 only chars apply
+    assert _segment_word("abc", vocab, 1) == ["a", "b", "c"]
+    # within-budget frequency tiebreak: 'aab' -> [a, ab] (13) not [ab?]..
+    assert _segment_word("aab", vocab, 4) == ["a", "ab"]
+
+
+@pytest.mark.parametrize("refine_rounds", [0, 1, 2])
+def test_unigram_train_matches_reference(spark, refine_rounds):
+    """Distributed training == the independent Python trainer, for the
+    frequency seed and every usage-refinement round."""
+    from mini_feature_store_spark.operators.unigram import unigram_train
+
+    texts = [
+        "the cat sat on the mat",
+        "the cats sat on the mats",
+        "that hat is the cat hat 123!",
+        "matting and batting",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    vocab = unigram_train(
+        df, vocab_size=12, max_piece_len=4, refine_rounds=refine_rounds
+    )
+    got = {r.piece: r.freq for r in vocab.collect()}
+    ref = _ref_train(texts, 12, 4, refine_rounds)
+    assert got == ref
+
+
+def test_unigram_tokenize_contract(spark):
+    """Tokenize output matches the bpe_tokenize contract (n_tokens,
+    space-joined tokens, lossless reassembly), and each chunk's pieces
+    equal the reference Viterbi segmentation."""
+    from mini_feature_store_spark.operators.unigram import (
+        unigram_tokenize,
+        unigram_train,
+    )
+
+    texts = ["the cat sat on the mat", "that cat is the best cat"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    vocab = unigram_train(df, vocab_size=10, max_piece_len=4)
+    freq_of = {r.piece: r.freq for r in vocab.collect()}
+    out = {r.doc_id: r for r in unigram_tokenize(df, vocab).collect()}
+    for i, t in enumerate(texts):
+        toks = out[i].tokens.split(" ")
+        assert out[i].n_tokens == len(toks)
+        # lossless: pieces re-concatenate to the chunk stream
+        chunks = re.findall(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+", t.lower())
+        assert "".join(toks) == "".join(chunks)
+        # per-chunk: exactly the reference segmentation
+        expect = [
+            p for c in chunks for p in _ref_segment(c, freq_of, 4)
+        ]
+        assert toks == expect
+
+    # unseen chunk at tokenize time: closure fallback, no crash
+    oov = spark.createDataFrame([(9, "zzqq")], "doc_id long, text string")
+    got = unigram_tokenize(oov, vocab).collect()[0]
+    assert "".join(got.tokens.split(" ")) == "zzqq"
+
+
+def test_unigram_train_cli(spark, tmp_path):
+    """CLI wiring: unigram-train writes pieces.parquet."""
+    from mini_feature_store_spark import cli
+
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(0, "the cat sat on the mat the cat")], "doc_id long, text string"
+    ).write.parquet(inp)
+    out = str(tmp_path / "tok")
+    rc = cli.main(
+        [
+            "unigram-train",
+            "--input-path", inp,
+            "--output-dir", out,
+            "--vocab-size", "8",
+            "--max-piece-len", "3",
+        ]
+    )
+    assert rc == 0
+    pieces = spark.read.parquet(out + "/pieces.parquet")
+    got = {r.piece for r in pieces.collect()}
+    assert set(pieces.columns) == {"piece", "freq"}
+    # closure: every training character present
+    assert got >= set("thecasonm")
+
+
+def test_unigram_train_validations(spark):
+    from mini_feature_store_spark.operators.unigram import unigram_train
+
+    df = spark.createDataFrame([(0, "ab")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="vocab_size"):
+        unigram_train(df, vocab_size=0)
+    with pytest.raises(ValueError, match="max_piece_len"):
+        unigram_train(df, vocab_size=4, max_piece_len=0)
+    with pytest.raises(ValueError, match="refine_rounds"):
+        unigram_train(df, vocab_size=4, refine_rounds=-1)

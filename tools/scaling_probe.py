@@ -809,8 +809,37 @@ def run_scale(spark, d: Path, only: set[str] | None = None) -> dict[str, float]:
             base, ["doc_id"], "lang", alpha=0.5, tokens_col="n_tokens"
         )
 
+    def _unigram_train():
+        # seed + one usage-refinement round; like bpe_train the timed
+        # region includes training (the result is a driver-built frame,
+        # so the noop write itself adds nothing)
+        from mini_feature_store_spark.operators.unigram import unigram_train
+
+        return unigram_train(
+            docs, vocab_size=2000, max_piece_len=6, refine_rounds=1
+        )
+
+    def _unigram_tokenize():
+        from mini_feature_store_spark.operators.unigram import (
+            unigram_tokenize,
+            unigram_train,
+        )
+
+        if "uni_vocab" not in _bpe_state:
+            import tempfile
+
+            base = Path(tempfile.mkdtemp(prefix="mfss-uni-"))
+            unigram_train(
+                docs, vocab_size=2000, max_piece_len=6, refine_rounds=1
+            ).write.parquet(str(base / "pieces.parquet"))
+            _bpe_state["uni_vocab"] = str(base / "pieces.parquet")
+        vocab = spark.read.parquet(_bpe_state["uni_vocab"])
+        return unigram_tokenize(docs, vocab, max_piece_len=6)
+
     ops.update(
         {
+            "unigram_train_v2000_r1": _unigram_train,
+            "unigram_tokenize_trained": _unigram_tokenize,
             "bpe_tokenize_trained": _bpe_tokenize_trained,
             "bpe_encode_replay200": _bpe_encode_replay200,
             "packing_tokenizer_sized": _packing_tokenizer_sized,
