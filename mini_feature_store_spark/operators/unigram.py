@@ -121,20 +121,25 @@ def _segment_word(
     return list(final[3])
 
 
-def _with_segmented_syms(
-    words: DataFrame, vocab: DataFrame, max_piece_len: int
-) -> DataFrame:
+def _with_segmented_syms(words: DataFrame, vocab: DataFrame) -> DataFrame:
     """Attach each word's Viterbi segmentation as ``syms`` — vocabulary
     collected driver-side (bounded: vocab_size + alphabet rows, the
-    IVF-centroid class) and shipped once per executor by broadcast."""
+    IVF-centroid class) and shipped once per executor by broadcast.
+    The DP window is DERIVED from the vocabulary (its longest piece),
+    so a tokenize call can never silently under-window a vocabulary
+    trained with a larger ``max_piece_len`` — candidates longer than
+    any vocab piece are unmatchable anyway, so the derived window is
+    exactly equivalent to the training one."""
     freq_of = {
-        r["piece"]: int(r["freq"]) for r in vocab.select("piece", "freq").collect()
+        r["piece"]: int(r["freq"])
+        for r in vocab.select("piece", "freq").collect()
     }
+    window = max((len(p) for p in freq_of), default=1)
     bc = words.sparkSession.sparkContext.broadcast(freq_of)
 
     def factory():
         fo = bc.value
-        return lambda w: _segment_word(w, fo, max_piece_len)
+        return lambda w: _segment_word(w, fo, window)
 
     return map_word_syms(words, factory)
 
@@ -180,7 +185,7 @@ def unigram_train(
         vocab = top.unionByName(chars).distinct()
 
         for _ in range(refine_rounds):
-            seg = _with_segmented_syms(words, vocab, max_piece_len)
+            seg = _with_segmented_syms(words, vocab)
             usage = (
                 seg.select("freq", F.explode("syms").alias("piece"))
                 .groupBy("piece")
@@ -212,17 +217,17 @@ def unigram_train(
 def unigram_tokenize(
     df: DataFrame,
     vocab: DataFrame,
-    max_piece_len: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Tokenize documents with a trained piece vocabulary — identical
     output contract to ``bpe.py:bpe_tokenize``:
     ``(id_col, n_tokens, tokens)``. Chunk the text, Viterbi-segment the
-    DISTINCT chunk set (cost per distinct word, never per occurrence),
-    join back to chunk positions, reassemble in document order."""
+    DISTINCT chunk set (cost per distinct word, never per occurrence;
+    DP window derived from the vocabulary's longest piece), join back
+    to chunk positions, reassemble in document order."""
     chunks = _chunk_positions(df, text_col, id_col)
     distinct_words = chunks.select("word").distinct()
-    seg = _with_segmented_syms(distinct_words, vocab, max_piece_len)
+    seg = _with_segmented_syms(distinct_words, vocab)
     joined = chunks.join(seg, "word").select(F.col(id_col), "pos", "syms")
     return _reassemble(joined, id_col)

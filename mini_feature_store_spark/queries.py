@@ -7587,7 +7587,7 @@ def doc_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         refine_rounds=1,
     )
     sample = docs.where(F.col("doc_id") % 11 == 0)
-    return unigram_tokenize(sample, vocab, max_piece_len=_UNI_PLEN)
+    return unigram_tokenize(sample, vocab)
 
 
 # ── training-data pipeline: cross-modal alignment (operators/multimodal.py) ─

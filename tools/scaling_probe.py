@@ -834,7 +834,7 @@ def run_scale(spark, d: Path, only: set[str] | None = None) -> dict[str, float]:
             ).write.parquet(str(base / "pieces.parquet"))
             _bpe_state["uni_vocab"] = str(base / "pieces.parquet")
         vocab = spark.read.parquet(_bpe_state["uni_vocab"])
-        return unigram_tokenize(docs, vocab, max_piece_len=6)
+        return unigram_tokenize(docs, vocab)
 
     ops.update(
         {
