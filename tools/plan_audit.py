@@ -380,6 +380,45 @@ AUDITED: dict[str, str] = {
         "exchange + the per-shard Arrow fold, counts precomputed "
         "upstream so the packer never re-reads text."
     ),
+    "doc_trigram_lm_score": (
+        "Stupid-backoff trigram LM (r11): three O(types) count tables "
+        "(trigram/bigram/unigram) + a 1-row total off the reference "
+        "slice's explosions, joined UNHINTED (five joins — AQE "
+        "broadcasts vocabulary-scale tables) onto ONE score-side "
+        "trigram explosion; the backoff is a single CaseWhen "
+        "projection, the corpus shuffles only by doc for the final "
+        "aggregate — doc_lm_perplexity's shape one order deeper."
+    ),
+    "bpe_tokenizer_metrics": (
+        "Tokenizer eval metrics (r11): the bpe_encode subtree for "
+        "counts, the lang_id aggregate for the guess, a doc-keyed "
+        "join, then ONE constant-size (≤ languages) hash aggregate of "
+        "exact integer sums — fertility/compression are two IEEE "
+        "divisions of those sums, guarded against empty groups."
+    ),
+    "doc_token_budget_mixture": (
+        "Token-budgeted temperature mixture (r11): encode counts ride "
+        "a doc join into ONE per-stratum mass aggregate (clamped ≥ 1), "
+        "rate = sqrt of an exact integer ratio, admission a scan-side "
+        "md5-threshold FILTER — temperature_sample's shape with a "
+        "token SUM instead of a doc count; no window over the corpus."
+    ),
+    "doc_unigram_vocab": (
+        "Unigram-LM induction (r11): one corpus pass to the word "
+        "table, substring explode + top-V selection on the DISTINCT-"
+        "chunk table only, then the usage-refinement round's Viterbi "
+        "as Arrow mapInPandas over the word table (vocab by broadcast) "
+        "feeding a usage aggregate + re-selection. The returned vocab "
+        "is a bounded driver-built frame (the bpe merge-table class); "
+        "training costs never scale with corpus occurrences."
+    ),
+    "doc_unigram_tokenize": (
+        "Unigram Viterbi tokenization (r11): chunk posexplode keyed by "
+        "(doc, position), segmentation over the DISTINCT chunk set "
+        "(mapInPandas + broadcast vocab — cost per distinct word), "
+        "position join-back, one groupBy(doc) reassembly. Same "
+        "never-shuffled-by-piece discipline as doc_bpe_tokenize."
+    ),
     "doc_lm_buckets": (
         "CCNet head/middle/tail terciles (r9): the LM-score subtree "
         "plus one lang-keyed NTILE window over the ROUNDED score with "
