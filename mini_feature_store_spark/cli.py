@@ -218,9 +218,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     cc.add_argument(
         "--pack-tokenizer-dir", default=None,
-        help="size packing bins by a TRAINED BPE tokenizer instead of "
-        "whitespace counts: directory holding merges.parquet (the "
-        "bpe-train output); requires --pack-max-tokens",
+        help="size packing bins by a TRAINED tokenizer instead of "
+        "whitespace counts: directory holding merges.parquet (bpe-train "
+        "output) or pieces.parquet (unigram-train output); requires "
+        "--pack-max-tokens",
     )
 
     bp = sub.add_parser(

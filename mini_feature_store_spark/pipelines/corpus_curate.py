@@ -114,10 +114,12 @@ class CorpusCurationConfig:
     #: sequential PER SHARD; at 100 TB this is thousands)
     pack_shards: int = 8
     #: when set (requires ``pack_max_tokens``), the packing stage sizes
-    #: bins by the REAL tokenizer instead of whitespace counts: the
-    #: merge table at ``<dir>/merges.parquet`` (the ``bpe-train`` CLI's
-    #: output) is replayed over every exported doc
-    #: (operators/bpe.py:bpe_encode) and those counts feed the packer
+    #: bins by the REAL tokenizer instead of whitespace counts: a
+    #: ``merges.parquet`` in the dir (the ``bpe-train`` CLI's output)
+    #: replays BPE merges (operators/bpe.py:bpe_encode); otherwise a
+    #: ``pieces.parquet`` (the ``unigram-train`` output) Viterbi-
+    #: segments (operators/unigram.py:unigram_tokenize) — both feed
+    #: their counts to the packer
     pack_tokenizer_dir: str | None = None
 
 
@@ -451,17 +453,39 @@ def run_corpus_curation(
         if cfg.pack_tokenizer_dir is not None:
             from pyspark.sql import functions as _F
 
-            from mini_feature_store_spark.operators.bpe import bpe_encode
-
-            # size bins by the TRAINED tokenizer: replay the merge table
-            # over the exported docs; docs the pre-tokenizer yields no
-            # chunks for (blank text) pack as 0 tokens via the left join
-            merges = spark.read.parquet(
-                cfg.pack_tokenizer_dir.rstrip("/") + "/merges.parquet"
+            # size bins by the TRAINED tokenizer: the dir's artifact
+            # decides the family — merges.parquet (bpe-train) replays
+            # the merge table, pieces.parquet (unigram-train) Viterbi-
+            # segments; docs the pre-tokenizer yields no chunks for
+            # (blank text) pack as 0 tokens via the left join
+            base_dir = cfg.pack_tokenizer_dir.rstrip("/")
+            jvm = spark._jvm
+            hpath = jvm.org.apache.hadoop.fs.Path(
+                base_dir + "/merges.parquet"
             )
-            counts = bpe_encode(
-                survivors, merges, text_col=cfg.text_col, id_col=cfg.id_col
-            ).select(cfg.id_col, "n_tokens")
+            fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            if fs.exists(hpath):
+                from mini_feature_store_spark.operators.bpe import bpe_encode
+
+                merges = spark.read.parquet(base_dir + "/merges.parquet")
+                counts = bpe_encode(
+                    survivors,
+                    merges,
+                    text_col=cfg.text_col,
+                    id_col=cfg.id_col,
+                ).select(cfg.id_col, "n_tokens")
+            else:
+                from mini_feature_store_spark.operators.unigram import (
+                    unigram_tokenize,
+                )
+
+                pieces = spark.read.parquet(base_dir + "/pieces.parquet")
+                counts = unigram_tokenize(
+                    survivors,
+                    pieces,
+                    text_col=cfg.text_col,
+                    id_col=cfg.id_col,
+                ).select(cfg.id_col, "n_tokens")
             sized = survivors.select(cfg.id_col).join(
                 counts, cfg.id_col, "left"
             ).select(

@@ -7590,6 +7590,141 @@ def doc_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_tokenize(sample, vocab)
 
 
+@_q(
+    "tokenizer_comparison",
+    "WITH "
+    + _bpe_ctes(_BPE_N_MERGES)
+    + ",\n"
+    + _UNI_TRAIN_SQL
+    + f""",
+ck AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_CHUNK_RE_SQL}') AS cks
+  FROM documents
+),
+tk2 AS (SELECT doc_id, unnest(cks) AS word FROM ck),
+jb AS (
+  SELECT t.doc_id, COALESCE(len(w.syms), length(t.word)) AS n
+  FROM tk2 t LEFT JOIN w{_BPE_N_MERGES} w ON t.word = w.word
+),
+encb AS (
+  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens FROM jb GROUP BY doc_id
+),
+dwc AS MATERIALIZED (
+  SELECT word, length(word) AS wlen FROM (SELECT DISTINCT word FROM tk2)
+),
+"""
+    + _unigram_dp_ctes("q", "dwc", "v2")
+    + f""",
+encu AS (
+  SELECT t.doc_id, CAST(SUM(f.cnt) AS BIGINT) AS n_tokens
+  FROM tk2 t JOIN qF f USING (word) GROUP BY t.doc_id
+),
+cbase AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '{_CHUNK_RE_SQL}'))
+              AS BIGINT) AS n_words,
+         CAST(length(regexp_replace(text, '\\s+', '', 'g'))
+              AS BIGINT) AS n_chars
+  FROM documents
+)
+SELECT 'bpe' AS tokenizer,
+  CAST(SUM(COALESCE(e.n_tokens, 0)) AS BIGINT) AS total_tokens,
+  CASE WHEN COALESCE(SUM(n_words), 0) = 0 THEN NULL
+       ELSE FLOOR((CAST(SUM(COALESCE(e.n_tokens, 0)) AS BIGINT) * 1.0
+                   / CAST(SUM(n_words) AS BIGINT)) * 10000 + 0.5) / 10000
+  END AS fertility,
+  CASE WHEN COALESCE(SUM(COALESCE(e.n_tokens, 0)), 0) = 0 THEN NULL
+       ELSE FLOOR((CAST(SUM(n_chars) AS BIGINT) * 1.0
+                   / CAST(SUM(COALESCE(e.n_tokens, 0)) AS BIGINT))
+                  * 10000 + 0.5) / 10000
+  END AS compression
+FROM cbase b LEFT JOIN encb e USING (doc_id)
+UNION ALL
+SELECT 'unigram' AS tokenizer,
+  CAST(SUM(COALESCE(e.n_tokens, 0)) AS BIGINT) AS total_tokens,
+  CASE WHEN COALESCE(SUM(n_words), 0) = 0 THEN NULL
+       ELSE FLOOR((CAST(SUM(COALESCE(e.n_tokens, 0)) AS BIGINT) * 1.0
+                   / CAST(SUM(n_words) AS BIGINT)) * 10000 + 0.5) / 10000
+  END AS fertility,
+  CASE WHEN COALESCE(SUM(COALESCE(e.n_tokens, 0)), 0) = 0 THEN NULL
+       ELSE FLOOR((CAST(SUM(n_chars) AS BIGINT) * 1.0
+                   / CAST(SUM(COALESCE(e.n_tokens, 0)) AS BIGINT))
+                  * 10000 + 0.5) / 10000
+  END AS compression
+FROM cbase b LEFT JOIN encu e USING (doc_id)
+""",
+)
+def tokenizer_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vs unigram-LM head-to-head on the SAME corpus — the actual
+    use of the fertility/compression pair (Rust et al. 2021 compare
+    tokenizers this way): train both families in-gate (BPE at
+    ``_BPE_N_MERGES`` merges, unigram at ``_UNI_VOCAB`` pieces with one
+    refinement round), encode every document with each, and report one
+    row per tokenizer of corpus-level total tokens, tokens-per-word and
+    chars-per-token. The oracle replays BOTH trainings (the unrolled
+    merge-round chain AND the unrolled Viterbi DP) plus both encodings
+    — the heaviest composed oracle in the registry, and the reason the
+    two tokenizer tiers share one chunk convention."""
+    from mini_feature_store_spark.operators.bpe import (
+        CHUNK_RE,
+        bpe_encode,
+        bpe_train,
+    )
+    from mini_feature_store_spark.operators.unigram import (
+        unigram_tokenize,
+        unigram_train,
+    )
+
+    _utc(spark)
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    merges, vocab = bpe_train(docs, n_merges=_BPE_N_MERGES)
+    vocab.unpersist()
+    enc_b = bpe_encode(docs, merges).select("doc_id", "n_tokens")
+    pieces = unigram_train(
+        docs,
+        vocab_size=_UNI_VOCAB,
+        max_piece_len=_UNI_PLEN,
+        refine_rounds=1,
+    )
+    enc_u = unigram_tokenize(docs, pieces).select("doc_id", "n_tokens")
+    base = docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(CHUNK_RE), 0)
+        )
+        .cast("long")
+        .alias("n_words"),
+        F.length(F.regexp_replace(F.col("text"), r"\s+", ""))
+        .cast("long")
+        .alias("n_chars"),
+    )
+
+    def stats(name: str, enc: DataFrame) -> DataFrame:
+        j = base.join(enc, "doc_id", "left").withColumn(
+            "n_tokens", F.coalesce(F.col("n_tokens"), F.lit(0).cast("long"))
+        )
+        return j.agg(
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.when(
+                F.coalesce(F.sum("n_words"), F.lit(0)) == 0, F.lit(None)
+            )
+            .otherwise(round_half_up(F.sum("n_tokens") / F.sum("n_words"), 4))
+            .alias("fertility"),
+            F.when(F.coalesce(F.sum("n_tokens"), F.lit(0)) == 0, F.lit(None))
+            .otherwise(
+                round_half_up(F.sum("n_chars") / F.sum("n_tokens"), 4)
+            )
+            .alias("compression"),
+        ).select(
+            F.lit(name).alias("tokenizer"),
+            "total_tokens",
+            "fertility",
+            "compression",
+        )
+
+    return stats("bpe", enc_b).unionByName(stats("unigram", enc_u))
+
+
 # ── training-data pipeline: cross-modal alignment (operators/multimodal.py) ─
 
 #: shared pair CTE of the cross-modal queries: the image tower's
@@ -7739,6 +7874,7 @@ VERIFY_ORDER: list[str] = [
     "doc_token_budget_mixture",
     "doc_unigram_vocab",
     "doc_unigram_tokenize",
+    "tokenizer_comparison",
     # tier 0b — oracled queries whose Spark side changed this round:
     # the four BPE queries (bpe_train local path + bpe_encode dispatch),
     # the temperature sampler (tokens_col mass expression), the

@@ -944,6 +944,41 @@ def test_corpus_curate_packing_stage(spark, tmp_path):
     }
     assert got == expect
 
+    # unigram variant: a pieces.parquet dir (no merges.parquet) routes
+    # the sizing through the Viterbi segmenter instead
+    uni_dir = str(tmp_path / "unitok")
+    assert cli.main(
+        ["unigram-train", "--input-path", inp, "--output-dir", uni_dir,
+         "--vocab-size", "8", "--max-piece-len", "3"]
+    ) == 0
+    out3 = str(tmp_path / "clean3")
+    rc = cli.main(
+        [
+            "corpus-curate",
+            "--input-path", inp,
+            "--output-path", out3,
+            "--jaccard-threshold", "0.99",
+            "--pack-max-tokens", "50",
+            "--pack-shards", "1",
+            "--pack-tokenizer-dir", uni_dir,
+        ]
+    )
+    assert rc == 0
+    from mini_feature_store_spark.operators.unigram import unigram_tokenize
+
+    pieces_df = spark.read.parquet(uni_dir + "/pieces.parquet")
+    expect_u = {
+        r.doc_id: r.n_tokens
+        for r in unigram_tokenize(
+            spark.read.parquet(out3), pieces_df
+        ).collect()
+    }
+    got_u = {
+        r.doc_id: r.n_tokens
+        for r in spark.read.parquet(out3 + "_packing").collect()
+    }
+    assert got_u == expect_u and got_u != got  # families genuinely differ
+
     # tokenizer dir without a capacity is a config error, up front
     with pytest.raises(ValueError, match="pack_tokenizer_dir"):
         run_corpus_curation(
