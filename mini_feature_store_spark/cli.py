@@ -180,9 +180,10 @@ def build_parser() -> argparse.ArgumentParser:
         "the --lm-reference-path model (default 7.0)",
     )
     cc.add_argument(
-        "--lm-order", type=int, default=2, choices=(2, 3),
+        "--lm-order", type=int, default=2, choices=(2, 3, 4, 5),
         help="n-gram order of the LM filter stage: 2 = add-1 bigram, "
-        "3 = stupid-backoff trigram (Brants 2007; default 2)",
+        "3-5 = stupid-backoff n-gram (Brants 2007; 5 matches CCNet's "
+        "KenLM order; default 2)",
     )
     cc.add_argument(
         "--cut-spans-k", type=int, default=None,

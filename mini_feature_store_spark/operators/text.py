@@ -940,6 +940,149 @@ def bigram_lm_score(
     )
 
 
+def _exploded_ngrams(
+    frame: DataFrame, n: int, text_col: str, id_col: str
+) -> DataFrame:
+    """``(id, w1..wn)`` — one row per length-``n`` token window of each
+    document (normalized whitespace tokens; docs with < n tokens emit
+    no rows)."""
+    t = _tokens(normalize(F.col(text_col)))
+    cols = [
+        F.element_at("_toks", F.col("i") + k).alias(f"w{k + 1}")
+        for k in range(n)
+    ]
+    return (
+        spread(frame)
+        .select(
+            F.col(id_col).alias("id"),
+            t.alias("_toks"),
+            F.explode(
+                F.when(
+                    F.size(t) >= n,
+                    F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("i"),
+        )
+        .select("id", *cols)
+    )
+
+
+def ngram_lm_score(
+    train: DataFrame,
+    df: DataFrame,
+    order: int = 5,
+    backoff: float = 0.4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Stupid-backoff LM scoring at ARBITRARY n-gram order (Brants et
+    al. 2007 — their production system ran order 5, which is also what
+    CCNet's KenLM filter uses; ``trigram_lm_score`` is the order-3
+    special case, kept as the documented hand-checkable form):
+
+        S(w | ctx_k) = C(k-gram)/C(context)   if the k-gram was seen
+                     = λ · S(w | ctx_{k-1})   otherwise
+        S(w)         = C(w)/N, else λ/N       (the uniform floor)
+
+    evaluated from k = ``order`` down. Every count is an exact integer
+    and the backoff CASE is parenthesization-matched in the oracle, so
+    any order replays cross-engine.
+
+    Output: one row per document WITH at least one order-``order``
+    window: ``(id_col, n_ngrams, n_oov_ngrams, avg_nll)`` —
+    ``n_oov_ngrams`` counts positions whose FULL n-gram is unseen
+    (positions that took any backoff).
+
+    Scale shape: ``order`` count tables + a 1-row total off the
+    reference slice (the top-order table is O(reference positions) —
+    still model ∝ reference, the CCNet asymmetry), joined UNHINTED
+    (2·order−1 joins, AQE broadcasts what fits) onto ONE score-side
+    n-gram explosion; the corpus shuffles only by doc for the final
+    aggregate."""
+    if order < 2:
+        raise ValueError(f"order must be at least 2, got {order}")
+    if not 0 < backoff < 1:
+        raise ValueError(f"backoff must be in (0, 1), got {backoff}")
+
+    counts = {
+        k: _exploded_ngrams(train, k, text_col, id_col)
+        .groupBy(*[f"w{j + 1}" for j in range(k)])
+        .agg(F.count(F.lit(1)).alias(f"_c{k}"))
+        for k in range(1, order + 1)
+    }
+    total = (
+        spread(train)
+        .select(F.explode(_tokens(normalize(F.col(text_col)))).alias("w"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+
+    scored = _exploded_ngrams(df, order, text_col, id_col)
+    # numerator joins: the k-gram ENDING at the position is the suffix
+    # (w_{order-k+1} .. w_order); rename each count table's columns to
+    # those suffix positions so the equi-join lines up
+    for k in range(order, 0, -1):
+        suffix = [f"w{order - k + 1 + j}" for j in range(k)]
+        tbl = counts[k].select(
+            *[
+                F.col(f"w{j + 1}").alias(suffix[j])
+                for j in range(k)
+            ],
+            F.col(f"_c{k}"),
+        )
+        scored = scored.join(tbl, suffix, "left")
+    # context joins: level k's denominator is the (k-1)-gram context
+    # (w_{order-k+1} .. w_{order-1}); k = order .. 2 (level 1 divides N)
+    for k in range(order, 1, -1):
+        ctx = [f"w{order - k + 1 + j}" for j in range(k - 1)]
+        tbl = counts[k - 1].select(
+            *[F.col(f"w{j + 1}").alias(ctx[j]) for j in range(k - 1)],
+            F.col(f"_c{k - 1}").alias(f"_x{k}"),
+        )
+        scored = scored.join(tbl, ctx, "left")
+    scored = scored.crossJoin(F.broadcast(total))
+
+    n_checked = F.when(F.col("_n") > 0, F.col("_n")).otherwise(
+        F.expr(
+            "raise_error('ngram_lm_score: reference corpus is empty"
+            " - nothing to train on')"
+        ).cast("long")
+    )
+    lam = F.lit(backoff)
+
+    def lam_pow(p: int):
+        e = F.lit(1.0)
+        for _ in range(p):
+            e = e * lam
+        return e
+
+    # seen k-gram ⇒ seen context (every k-gram occurrence embeds its
+    # prefix), so each branch's denominator is non-null when it fires
+    s = None
+    for k in range(order, 0, -1):
+        den = F.col(f"_x{k}") if k > 1 else n_checked
+        branch = lam_pow(order - k) * F.col(f"_c{k}") / den
+        cond = F.col(f"_c{k}").isNotNull()
+        s = F.when(cond, branch) if s is None else s.when(cond, branch)
+    s = s.otherwise(lam_pow(order) / n_checked)
+
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.count(F.when(F.col(f"_c{order}").isNull(), 1)).alias(
+                "n_oov_ngrams"
+            ),
+            round_half_up(F.avg(-F.log(s)), 4).alias("avg_nll"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_ngrams").cast("long"),
+            F.col("n_oov_ngrams").cast("long"),
+            "avg_nll",
+        )
+    )
+
+
 def trigram_lm_score(
     train: DataFrame,
     df: DataFrame,

@@ -88,8 +88,8 @@ class CorpusCurationConfig:
     lm_reference_path: str | None = None
     lm_max_nll: float = 7.0
     #: n-gram order of the LM stage: 2 = add-1 bigram (Wenzek-style),
-    #: 3 = stupid-backoff trigram (Brants et al. 2007) — one order
-    #: closer to CCNet's actual 5-gram KenLM
+    #: 3-5 = stupid-backoff n-gram (Brants et al. 2007); 5 matches
+    #: CCNet's actual KenLM order
     lm_order: int = 2
     #: when set, an ExactSubstr stage (Lee et al. 2022) runs after
     #: near-dup dedup: cross-document duplicated spans of this window
@@ -174,10 +174,10 @@ def run_corpus_curation(
             "only decides how bins are SIZED, the capacity enables the "
             "stage"
         )
-    if cfg.lm_reference_path is not None and cfg.lm_order not in (2, 3):
+    if cfg.lm_reference_path is not None and cfg.lm_order not in (2, 3, 4, 5):
         raise ValueError(
-            f"lm_order must be 2 (bigram) or 3 (trigram), "
-            f"got {cfg.lm_order}"
+            f"lm_order must be 2 (add-1 bigram) or 3-5 (stupid-backoff "
+            f"n-gram), got {cfg.lm_order}"
         )
     stage0 = None
     if cfg.url_col is not None:
@@ -246,12 +246,23 @@ def run_corpus_curation(
         stage0.unpersist()
 
     if cfg.lm_reference_path is not None:
+        import functools
+
         from mini_feature_store_spark.operators.text import (
             bigram_lm_score,
+            ngram_lm_score,
             trigram_lm_score,
         )
 
-        scorer = bigram_lm_score if cfg.lm_order == 2 else trigram_lm_score
+        # 2 = Wenzek-style add-1 bigram; 3 = the hand-checkable trigram
+        # form; 4-5 = the generalized scorer (ngram order 3 is pinned
+        # equal to trigram_lm_score by test, so any route is consistent)
+        if cfg.lm_order == 2:
+            scorer = bigram_lm_score
+        elif cfg.lm_order == 3:
+            scorer = trigram_lm_score
+        else:
+            scorer = functools.partial(ngram_lm_score, order=cfg.lm_order)
         ref = spark.read.parquet(cfg.lm_reference_path)
         scored = scorer(
             ref, admitted, text_col=cfg.text_col, id_col=cfg.id_col

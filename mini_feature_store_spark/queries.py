@@ -6314,6 +6314,113 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_score(docs.where(F.col("source") == "src0"), docs)
 
 
+def _ngram_lm_sql(order: int) -> str:
+    """DuckDB mirror of ``text.py:ngram_lm_score`` at a fixed order —
+    the trigram oracle's structure generated for any n: one count CTE
+    per order off the src0 slice, a 1-row total, the score-side n-gram
+    explosion, 2·order−1 LEFT JOINs, and the backoff CASE with λ-power
+    products parenthesization-matched to the Spark fold (left-assoc
+    ``0.4 * 0.4 * …``)."""
+    ctes = [f"docs AS (SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents)"]
+    for k in range(1, order + 1):
+        if k == 1:
+            ctes.append(
+                "c1 AS (SELECT w1, COUNT(*) AS c1 FROM ("
+                "SELECT unnest(toks) AS w1 FROM docs WHERE source = 'src0'"
+                ") GROUP BY 1)"
+            )
+            continue
+        struct = "{" + ", ".join(
+            f"'w{j + 1}': toks[i+{j}]" if j else f"'w{j + 1}': toks[i]"
+            for j in range(k)
+        ) + "}"
+        cols = ", ".join(f"w{j + 1}" for j in range(k))
+        ctes.append(
+            f"c{k} AS (SELECT {cols}, COUNT(*) AS c{k} FROM ("
+            f"SELECT unnest([{struct}"
+            f" for i in generate_series(1, len(toks) - {k - 1})],"
+            f" recursive := true)"
+            f" FROM docs WHERE source = 'src0' AND len(toks) >= {k}"
+            f") GROUP BY {cols})"
+        )
+    ctes.append(
+        "nn AS (SELECT COUNT(*) AS n FROM "
+        "(SELECT unnest(toks) AS w FROM docs WHERE source = 'src0'))"
+    )
+    struct = "{" + ", ".join(
+        f"'w{j + 1}': toks[i+{j}]" if j else f"'w{j + 1}': toks[i]"
+        for j in range(order)
+    ) + "}"
+    ctes.append(
+        f"sb AS (SELECT doc_id, "
+        + ", ".join(f"w{j + 1}" for j in range(order))
+        + f" FROM (SELECT doc_id, unnest([{struct}"
+        f" for i in generate_series(1, len(toks) - {order - 1})],"
+        f" recursive := true)"
+        f" FROM docs WHERE len(toks) >= {order}))"
+    )
+    joins = []
+    for k in range(order, 0, -1):
+        suffix = [f"w{order - k + 1 + j}" for j in range(k)]
+        on = " AND ".join(
+            f"s.{sc} = a{k}.w{j + 1}" for j, sc in enumerate(suffix)
+        )
+        joins.append(f"LEFT JOIN c{k} a{k} ON {on}")
+    for k in range(order, 1, -1):
+        ctx = [f"w{order - k + 1 + j}" for j in range(k - 1)]
+        on = " AND ".join(
+            f"s.{cc} = x{k}.w{j + 1}" for j, cc in enumerate(ctx)
+        )
+        joins.append(f"LEFT JOIN c{k - 1} x{k} ON {on}")
+    branches = []
+    for k in range(order, 0, -1):
+        lam = "0.4 * " * (order - k)
+        den = f"x{k}.c{k - 1}" if k > 1 else "(SELECT n FROM nn)"
+        branches.append(
+            f"WHEN a{k}.c{k} IS NOT NULL"
+            f" THEN {lam}a{k}.c{k} * 1.0 / {den}"
+        )
+    floor_branch = "0.4 * " * order + "1.0 / (SELECT n FROM nn)"
+    case = (
+        "CASE " + " ".join(branches) + f" ELSE {floor_branch} END"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+j AS (
+  SELECT s.doc_id, a{order}.c{order} IS NULL AS oov, -ln({case}) AS nll
+  FROM sb s
+  {chr(10).join('  ' + jn for jn in joins)}
+)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+  CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov_ngrams,
+  FLOOR(AVG(nll) * 10000 + 0.5) / 10000 AS avg_nll
+FROM j GROUP BY doc_id
+"""
+    )
+
+
+@_q("doc_5gram_lm_score", _ngram_lm_sql(5))
+def doc_5gram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff LM scoring at order FIVE — CCNet's actual filter
+    order (Wenzek et al. 2020 use a 5-gram KenLM; Brants et al. 2007
+    ran order 5 in production): ``text.py:ngram_lm_score`` evaluated
+    with the full trigram→…→uniform backoff chain at λ=0.4, closing
+    the LM-order gap completely with exact integer counts. The oracle
+    is GENERATED for the order (``_ngram_lm_sql``): five count tables,
+    nine joins, and a λ-power CASE parenthesization-matched to the
+    Spark fold."""
+    from mini_feature_store_spark.operators.text import ngram_lm_score
+
+    _utc(spark)
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    return ngram_lm_score(
+        docs.where(F.col("source") == "src0"), docs, order=5
+    )
+
+
 @_q(
     "doc_trigram_lm_score",
     f"""
@@ -7875,6 +7982,7 @@ VERIFY_ORDER: list[str] = [
     "doc_unigram_vocab",
     "doc_unigram_tokenize",
     "tokenizer_comparison",
+    "doc_5gram_lm_score",
     # tier 0b — oracled queries whose Spark side changed this round:
     # the four BPE queries (bpe_train local path + bpe_encode dispatch),
     # the temperature sampler (tokens_col mass expression), the

@@ -1540,6 +1540,29 @@ def test_corpus_curate_lm_order_3(spark, sf_dir, tmp_path):
     )
     assert n_dropped > 0  # the trigram stage binds at the test SF
 
+    # order 5 (CCNet's KenLM order) routes through the generalized
+    # scorer; the drop set must equal an independent order-5 run
+    from mini_feature_store_spark.operators.text import ngram_lm_score
+
+    funnel5 = run_corpus_curation(
+        spark,
+        CorpusCurationConfig(
+            input_path=inp,
+            output_path=str(tmp_path / "clean5"),
+            lm_reference_path=ref,
+            lm_max_nll=3.5,
+            lm_order=5,
+        ),
+    )
+    n_dropped5 = (
+        ngram_lm_score(spark.read.parquet(ref), admitted, order=5)
+        .where(F.col("avg_nll") > 3.5)
+        .count()
+    )
+    assert (
+        funnel5["after_quality"] - funnel5["after_lm_filter"] == n_dropped5
+    )
+
     with _pytest.raises(ValueError, match="lm_order"):
         run_corpus_curation(
             spark,
@@ -1547,6 +1570,6 @@ def test_corpus_curate_lm_order_3(spark, sf_dir, tmp_path):
                 input_path=inp,
                 output_path=str(tmp_path / "clean2"),
                 lm_reference_path=ref,
-                lm_order=5,
+                lm_order=7,
             ),
         )

@@ -528,6 +528,55 @@ def test_trigram_lm_score_hand_case(spark):
     assert 3 not in got
 
 
+def test_ngram_lm_score_order3_equals_trigram(spark):
+    """The generalized arbitrary-order scorer at order=3 reproduces
+    trigram_lm_score exactly (counts, OOV flags, rounded NLL) — the pin
+    that lets the pipeline route any order through one code path — and
+    at order=5 short docs lose their rows while backoff still scores
+    partially-seen windows."""
+    from mini_feature_store_spark.operators.text import (
+        ngram_lm_score,
+        trigram_lm_score,
+    )
+
+    train = spark.createDataFrame(
+        [(100, "a b c a b c a b d e f g a b c d")],
+        "doc_id long, text string",
+    )
+    score = spark.createDataFrame(
+        [
+            (1, "a b c"),
+            (2, "c a b d x"),
+            (3, "a b c d e f g"),
+            (4, "a b"),
+        ],
+        "doc_id long, text string",
+    )
+    tri = {
+        r.doc_id: (r.n_trigrams, r.n_oov_trigrams, r.avg_nll)
+        for r in trigram_lm_score(train, score).collect()
+    }
+    gen = {
+        r.doc_id: (r.n_ngrams, r.n_oov_ngrams, r.avg_nll)
+        for r in ngram_lm_score(train, score, order=3).collect()
+    }
+    assert tri == gen and set(tri) == {1, 2, 3}
+
+    five = {
+        r.doc_id: r for r in ngram_lm_score(train, score, order=5).collect()
+    }
+    assert set(five) == {2, 3}  # docs 1 and 4 have < 5 tokens
+    assert five[3].n_ngrams == 3
+    # 'a b c d e' is a seen 5-gram? train has 'g a b c d' and 'a b c d'
+    # contexts — full-OOV positions must take backoff, never crash
+    assert five[2].avg_nll is not None
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="order"):
+        ngram_lm_score(train, score, order=1)
+
+
 def test_trigram_lm_score_validations(spark):
     """Empty reference fails loudly at execution; backoff outside (0,1)
     rejected at plan build."""

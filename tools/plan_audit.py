@@ -389,6 +389,13 @@ AUDITED: dict[str, str] = {
         "projection, the corpus shuffles only by doc for the final "
         "aggregate — doc_lm_perplexity's shape one order deeper."
     ),
+    "doc_5gram_lm_score": (
+        "Arbitrary-order stupid backoff at CCNet's order (r11): five "
+        "count tables + a 1-row total off the reference slice, nine "
+        "unhinted LEFT joins onto ONE score-side 5-gram explosion, a "
+        "single λ-power CaseWhen — doc_trigram_lm_score's shape "
+        "generated for any order; corpus shuffles only by doc."
+    ),
     "bpe_tokenizer_metrics": (
         "Tokenizer eval metrics (r11): the bpe_encode subtree for "
         "counts, the lang_id aggregate for the guess, a doc-keyed "

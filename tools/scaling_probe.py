@@ -764,6 +764,14 @@ def run_scale(spark, d: Path, only: set[str] | None = None) -> dict[str, float]:
 
         return trigram_lm_score(docs.where(F.col("doc_id") % 47 == 0), docs)
 
+    def _fivegram_lm():
+        # CCNet's actual KenLM order via the generalized scorer
+        from mini_feature_store_spark.operators.text import ngram_lm_score
+
+        return ngram_lm_score(
+            docs.where(F.col("doc_id") % 47 == 0), docs, order=5
+        )
+
     def _tokenizer_metrics():
         # tokenizer→analysis composition: per-language fertility and
         # compression over encode counts (vocab-join form for the probe)
@@ -845,6 +853,7 @@ def run_scale(spark, d: Path, only: set[str] | None = None) -> dict[str, float]:
             "packing_tokenizer_sized": _packing_tokenizer_sized,
             "xmodal_alignment_gate": _xmodal_alignment,
             "trigram_lm_ref2pct": _trigram_lm,
+            "fivegram_lm_ref2pct": _fivegram_lm,
             "tokenizer_metrics": _tokenizer_metrics,
             "token_budget_mixture": _token_budget_mixture,
         }
