@@ -7996,7 +7996,9 @@ VERIFY_ORDER: list[str] = [
     "multimodal_text_alignment",
     "multimodal_alignment_retention",
     "corpus_curation_funnel_lm",
-    "corpus_curation_funnel",
+    # (corpus_curation_funnel's r11 change was a comment only — demoted
+    # below the window so all 35 r8-stale greens fit after the 4 late
+    # additions; its oracle was still re-verified locally at 3 SFs)
     # tier 1 — the 35 stalest greens (last driver row r8, three rounds
     # old): post-r11 the ledger has nothing staler than r9.
     "doc_balanced_mixture_sample",
@@ -8040,6 +8042,7 @@ VERIFY_ORDER: list[str] = [
     "pit_training_typed",
     # ── below this line: not in the r11 driver window (greens from
     # r9/r10 plus rows-only queries), prior relative order preserved.
+    "corpus_curation_funnel",
     "doc_line_quality_filter",
     "doc_dup_coverage",
     "doc_greedy_packing",
