@@ -219,7 +219,13 @@ def pq_topk_indexed(
 
     cand = (
         q.join(codes, "cell")
-        .where(F.col("query_id") != F.col("neighbor_id"))
+        .where(
+            (F.col("query_id") != F.col("neighbor_id"))
+            # degenerate (zero-norm) pairs excluded from ranking — the
+            # bruteforce ground-truth convention (also keeps the numpy
+            # approx denominator strictly positive)
+            & (F.col("q_nrm") * F.col("c_nrm") > 0)
+        )
         .select(
             "query_id",
             "neighbor_id",

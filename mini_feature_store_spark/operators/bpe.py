@@ -338,8 +338,13 @@ def bpe_train(
       the iterative operators — one 3-column row per round, never
       data. Scheduler overhead is ∝ rounds, so the tractable envelope
       is a few hundred merges; beyond that, prune to the local path.
+      ``prune_min_freq`` is honored here too (the merge loop runs on
+      the pruned table; the returned vocab is rebuilt by one replay
+      pass over the FULL word table, so coverage matches the local
+      path) — an auto-mode fallthrough can no longer silently ignore a
+      requested prune.
     - ``"auto"`` (default) — local when the (optionally pruned) word
-      table fits ``local_max_words``, else distributed.
+      table fits ``local_max_words``, else distributed (still pruned).
     """
     if n_merges <= 0:
         raise ValueError(f"n_merges must be positive, got {n_merges}")
@@ -391,8 +396,16 @@ def bpe_train(
                 f"local_max_words={local_max_words}; prune with "
                 f"prune_min_freq or use strategy='distributed'"
             )
+    # a requested prune is honored on the distributed path too (the
+    # auto-mode fallthrough used to silently train exact/unpruned —
+    # n_merges rounds over the FULL table the caller asked to shrink):
+    # the merge loop runs on the pruned table, and the vocab is then
+    # rebuilt by ONE replay pass over the full word table so coverage
+    # stays identical to the local path (vocab covers ALL words)
+    pruned = prune_min_freq is not None and prune_min_freq > 1
+    cur = words.where(F.col("freq") >= prune_min_freq) if pruned else words
     merges: list[tuple[int, str, str, int]] = []
-    prev = None  # released once `words` is materialized by the collect
+    prev = None  # released once `cur` is materialized by the collect
     try:
         for rank in range(1, n_merges + 1):
             pair_structs = F.when(
@@ -406,7 +419,7 @@ def bpe_train(
                 ),
             ).otherwise(F.array().cast("array<struct<l:string,r2:string>>"))
             best = (
-                words.select(F.col("freq"), F.explode(pair_structs).alias("p"))
+                cur.select(F.col("freq"), F.explode(pair_structs).alias("p"))
                 .groupBy("p.l", "p.r2")
                 .agg(F.sum("freq").alias("cnt"))
                 .orderBy(F.col("cnt").desc(), "l", "r2")
@@ -424,25 +437,39 @@ def bpe_train(
                 break  # vocabulary fully merged — no adjacent pairs left
             p1, p2, cnt = best[0]["l"], best[0]["r2"], int(best[0]["cnt"])
             merges.append((rank, p1, p2, cnt))
-            prev, words = words, words.withColumn(
+            prev, cur = cur, cur.withColumn(
                 "syms", _apply_merge(F.col("syms"), p1, p2)
             ).persist()
         # materialize the FINAL table once before releasing its parent
         # (one job total, replacing the removed per-round count())
         if prev is not None:
-            words.count()
+            cur.count()
             prev.unpersist()
     except Exception:
-        # release BOTH handles: the in-flight round's table is persisted
-        # but possibly unmaterialized, and leaving either behind pins a
-        # CacheManager entry for the driver session lifetime
+        # release EVERY handle: the in-flight round's table is persisted
+        # but possibly unmaterialized, and leaving any behind pins a
+        # CacheManager entry for the driver session lifetime (unpersist
+        # is idempotent, so the overlap when cur/prev IS words is safe)
         if prev is not None:
             prev.unpersist()
+        cur.unpersist()
         words.unpersist()
         raise
 
     merges_df = spark.createDataFrame(merges, MERGES_SCHEMA).limit(n_merges)
-    return merges_df, words
+    if pruned:
+        rules = [(p1, p2) for _, p1, p2, _ in merges]
+        vocab = _with_replayed_syms(words, rules).persist()
+        try:
+            vocab.count()  # materialize before releasing the parents
+        except Exception:
+            vocab.unpersist()
+            raise
+        finally:
+            cur.unpersist()
+            words.unpersist()
+        return merges_df, vocab
+    return merges_df, cur
 
 
 def _chunk_positions(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

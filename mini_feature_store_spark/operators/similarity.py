@@ -44,11 +44,13 @@ def _np_round_half_up(a, scale: int = 4):
 
 def _np_safe_div(num, den):
     """Elementwise num/den with zero-norm guards: degenerate (zero)
-    denominators yield cosine 0.0 instead of a NaN that poisons
-    threshold masks and orderings (np.divide would warn + emit nan; the
-    JVM-side twin of this guard is the CaseWhen in
-    ``cosine_topk_bruteforce``). dot(a, 0-vector) is 0, so 0.0 is also
-    the value the limit argument gives."""
+    denominators yield 0.0 instead of a NaN that poisons threshold
+    masks and orderings (np.divide would warn + emit nan; the JVM-side
+    twin of this guard is the CaseWhen in ``cosine_topk_bruteforce``).
+    The 0.0 is a crash guard, NOT a score: every ranking/emission site
+    additionally EXCLUDES den <= 0 pairs (the repo-wide convention —
+    cosine is undefined for zero vectors), so the filled value never
+    reaches an output row."""
     num = np.asarray(num, dtype=np.float64)
     den = np.asarray(den, dtype=np.float64)
     return np.divide(num, den, out=np.zeros_like(num), where=den > 0)
@@ -102,14 +104,17 @@ def cosine_topk_bruteforce(
     )
     # ANSI mode (Spark 4's default) turns a zero-norm denominator into a
     # hard DIVIDE_BY_ZERO job failure; the CaseWhen only evaluates the
-    # division when the norm product is positive, and a degenerate pair
-    # scores NULL (never in any top-k band above real matches)
+    # division when the norm product is positive. Degenerate (zero-norm)
+    # pairs are EXCLUDED from the ranking entirely — the repo-wide
+    # convention shared by the GEMM pair miners and every ANN rescorer,
+    # so recall comparisons against this ground truth never skew on
+    # zero vectors (cosine is simply undefined for them).
     den = F.col("q_nrm") * F.col("c_nrm")
     cos = F.when(den > 0, _dot(F.col("q_v"), F.col("c_v")) / den)
     scored = (
         F.broadcast(q)
         .crossJoin(c)
-        .where(F.col("query_id") != F.col("neighbor_id"))
+        .where((F.col("query_id") != F.col("neighbor_id")) & (den > 0))
         .select(
             "query_id",
             "neighbor_id",
@@ -200,14 +205,19 @@ def cosine_pairs(
                 mb = np.asarray(b_flat, dtype=np.float64).reshape(len(ids_b), dim)
                 na = np.linalg.norm(ma, axis=1)
                 nb = np.linalg.norm(mb, axis=1)
-                cos = _np_round_half_up(_np_safe_div(ma @ mb.T, np.outer(na, nb)))
+                den = np.outer(na, nb)
+                cos = _np_round_half_up(_np_safe_div(ma @ mb.T, den))
                 if a_bid == b_bid:
                     # same block meets itself once: keep one orientation
-                    mask = (cos >= threshold) & (ids_a[:, None] < ids_b[None, :])
+                    mask = (
+                        (cos >= threshold)
+                        & (den > 0)  # degenerate pairs never emit
+                        & (ids_a[:, None] < ids_b[None, :])
+                    )
                 else:
                     # disjoint blocks meet once; normalize pair orientation
                     # to (min, max) — id order is independent of block order
-                    mask = cos >= threshold
+                    mask = (cos >= threshold) & (den > 0)
                 ii, jj = np.nonzero(mask)
                 if len(ii):
                     ia, ib = ids_a[ii], ids_b[jj]
@@ -336,8 +346,13 @@ def cosine_pairs_lsh(
                 nb = np.linalg.norm(mb, axis=1)
                 out = []
                 if len(ib) > 1:
-                    cos = _np_round_half_up(_np_safe_div(mb @ mb.T, np.outer(nb, nb)))
-                    mask = (cos >= threshold) & (ib[:, None] < ib[None, :])
+                    den = np.outer(nb, nb)
+                    cos = _np_round_half_up(_np_safe_div(mb @ mb.T, den))
+                    mask = (
+                        (cos >= threshold)
+                        & (den > 0)  # degenerate pairs never emit
+                        & (ib[:, None] < ib[None, :])
+                    )
                     ii, jj = np.nonzero(mask)
                     if len(ii):
                         out.append((ib[ii], ib[jj], cos[ii, jj]))
@@ -345,9 +360,10 @@ def cosine_pairs_lsh(
                     ip = np.asarray(p_ids, dtype=np.int64)
                     mp_ = np.asarray(p_flat, dtype=np.float64).reshape(len(ip), d)
                     np_ = np.linalg.norm(mp_, axis=1)
-                    cos = _np_round_half_up(_np_safe_div(mb @ mp_.T, np.outer(nb, np_)))
+                    den = np.outer(nb, np_)
+                    cos = _np_round_half_up(_np_safe_div(mb @ mp_.T, den))
                     # probe member ≠ base member always (signatures differ)
-                    mask = cos >= threshold
+                    mask = (cos >= threshold) & (den > 0)
                     ii, jj = np.nonzero(mask)
                     if len(ii):
                         ia, ic = ib[ii], ip[jj]
@@ -511,6 +527,9 @@ def lsh_topk(
     cand = (
         cand_ids.join(c_unit, "neighbor_id")
         .join(F.broadcast(q_unit), "query_id")
+        # degenerate (zero-norm) pairs are excluded from every ranking —
+        # the bruteforce ground-truth convention, so recall never skews
+        .where(F.col("q_nrm") * F.col("c_nrm") > 0)
         .select(
             "query_id",
             "neighbor_id",
@@ -593,7 +612,11 @@ def ivf_topk(
 
     cand = (
         q.join(corpus_cells, "cell")
-        .where(F.col("query_id") != F.col("neighbor_id"))
+        .where(
+            (F.col("query_id") != F.col("neighbor_id"))
+            # degenerate pairs excluded — bruteforce convention
+            & (F.col("q_nrm") * F.col("c_nrm") > 0)
+        )
         .select(
             "query_id",
             "neighbor_id",
@@ -785,10 +808,17 @@ def pq_topk(
         F.col("v").alias("c_v"),
         F.col("nrm").alias("c_nrm"),
     )
-    exact = shortlist.join(full, "neighbor_id").select(
-        "query_id",
-        "neighbor_id",
-        round_half_up(_pair_cos("q_v", "c_v", "q_nrm", "c_nrm")).alias("cosine"),
+    exact = (
+        shortlist.join(full, "neighbor_id")
+        # degenerate pairs excluded — bruteforce convention
+        .where(F.col("q_nrm") * F.col("c_nrm") > 0)
+        .select(
+            "query_id",
+            "neighbor_id",
+            round_half_up(_pair_cos("q_v", "c_v", "q_nrm", "c_nrm")).alias(
+                "cosine"
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -951,6 +981,8 @@ def int8_topk(
     exact = (
         shortlist.join(full, "neighbor_id")
         .join(F.broadcast(q_full), "query_id")
+        # degenerate pairs excluded — bruteforce convention
+        .where(F.col("q_nrm") * F.col("c_nrm") > 0)
         .select(
             "query_id",
             "neighbor_id",

@@ -863,13 +863,16 @@ def bigram_lm_score(
     ``(id_col, n_bigrams, n_oov_bigrams, avg_nll)`` where
     ``n_oov_bigrams`` counts bigrams absent from the training table.
 
-    Scale shape: the model is two hash aggregates over one training-side
-    bigram explosion (counts, shuffled by token keys — map-side combine
-    collapses repeats) plus a 1-row vocabulary aggregate (bounded
-    broadcast); the score side explodes each doc's bigrams ONCE and joins
-    the two count tables UNHINTED — vocabulary tables are O(types), AQE
-    broadcasts them when they fit — then one groupBy(doc). The corpus is
-    never shuffled except by (doc) for the final aggregate.
+    Scale shape (TYPE-level scoring): the model is two hash aggregates
+    over one training-side bigram explosion (counts, shuffled by token
+    keys — map-side combine collapses repeats) plus a 1-row vocabulary
+    aggregate (bounded broadcast). The score side collapses to DISTINCT
+    observed bigram TYPES (Heaps-law-small vs positions), joins the two
+    count tables onto the type table UNHINTED, and joins the per-type
+    score back to positions on the bigram key — ONE corpus-side shuffle
+    (AQE broadcasts the scored-type table when it fits) instead of two
+    corpus re-shuffles on different keys once the count tables outgrow
+    broadcast — then one groupBy(doc) for the final aggregate.
     """
     if alpha <= 0:
         raise ValueError(f"alpha must be positive, got {alpha}")
@@ -904,8 +907,10 @@ def bigram_lm_score(
         )
         .agg(F.count_distinct("w").alias("_v"))
     )
-    scored = (
-        _bigrams(df)
+    pos = _bigrams(df)
+    typed = (
+        pos.select("w1", "w2")
+        .distinct()
         .join(cb, ["w1", "w2"], "left")
         .join(cu, ["w1"], "left")
         .crossJoin(F.broadcast(vocab))
@@ -922,14 +927,19 @@ def bigram_lm_score(
     p = (F.coalesce(F.col("_cb"), F.lit(0)) + F.lit(alpha)) / (
         F.coalesce(F.col("_cu"), F.lit(0)) + F.lit(alpha) * v_checked
     )
+    scored_types = typed.select(
+        "w1",
+        "w2",
+        (-F.log(p)).alias("_nll"),
+        F.col("_cb").isNull().alias("_oov"),
+    )
     return (
-        scored.groupBy("id")
+        pos.join(scored_types, ["w1", "w2"])
+        .groupBy("id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.count(F.when(F.col("_cb").isNull(), 1)).alias(
-                "n_oov_bigrams"
-            ),
-            round_half_up(F.avg(-F.log(p)), 4).alias("avg_nll"),
+            F.count(F.when(F.col("_oov"), 1)).alias("n_oov_bigrams"),
+            round_half_up(F.avg("_nll"), 4).alias("avg_nll"),
         )
         .select(
             F.col("id").alias(id_col),
@@ -967,6 +977,56 @@ def _exploded_ngrams(
     )
 
 
+def _stacked_gram_counts(
+    train: DataFrame, order: int, text_col: str
+) -> DataFrame:
+    """``(g, _c)`` — exact occurrence counts of EVERY k-gram of the
+    reference corpus for k = 1..``order``, keyed by the space-joined
+    gram string (tokens are whitespace-split so the key is injective
+    and its token count recovers k), plus one sentinel ``''`` row whose
+    count is the corpus token total N.
+
+    One scan + one map-side-combined hash aggregate replaces ``order``
+    separate train-side explosions: each token position emits its
+    sentinel and the grams of every length that still fits, so the
+    union over positions is exactly the per-order window counts."""
+    t = _tokens(normalize(F.col(text_col)))
+    pos = (
+        spread(train)
+        .select(t.alias("_toks"))
+        .select(
+            "_toks",
+            F.explode(
+                F.when(
+                    F.size("_toks") >= 1,
+                    F.sequence(F.lit(1), F.size("_toks")),
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("i"),
+        )
+    )
+    grams = pos.select(
+        F.explode(
+            F.concat(
+                # one sentinel per token position ⇒ C('') = N
+                F.array(F.lit("")),
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.least(
+                            F.lit(order),
+                            F.size("_toks") - F.col("i") + F.lit(1),
+                        ),
+                    ),
+                    lambda k: F.array_join(
+                        F.slice("_toks", F.col("i"), k), " "
+                    ),
+                ),
+            )
+        ).alias("g")
+    )
+    return grams.groupBy("g").agg(F.count(F.lit(1)).alias("_c"))
+
+
 def ngram_lm_score(
     train: DataFrame,
     df: DataFrame,
@@ -993,55 +1053,79 @@ def ngram_lm_score(
     ``n_oov_ngrams`` counts positions whose FULL n-gram is unseen
     (positions that took any backoff).
 
-    Scale shape: ``order`` count tables + a 1-row total off the
-    reference slice (the top-order table is O(reference positions) —
-    still model ∝ reference, the CCNet asymmetry), joined UNHINTED
-    (2·order−1 joins, AQE broadcasts what fits) onto ONE score-side
-    n-gram explosion; the corpus shuffles only by doc for the final
+    Scale shape (TYPE-level scoring): the model is ONE stacked count
+    table off a single train-slice pass (``_stacked_gram_counts`` —
+    every k-gram order plus the token total N in one map-side-combined
+    aggregate, instead of ``order`` + 1 separate explosions). Scoring
+    never joins counts onto the per-position explosion: the score side
+    collapses to DISTINCT observed n-gram TYPES (Heaps-law-small vs
+    positions), each type explodes into its 2·order−1 count lookups
+    (suffix numerators + context denominators + the N sentinel) which
+    join the stacked table ONCE on the gram key and pivot back to one
+    row per type; the per-type score then joins back to positions on
+    the full n-gram key — ONE corpus-side shuffle at any order (AQE
+    broadcasts the scored-type table when it fits), instead of up to
+    2·order−1 corpus re-shuffles once count tables outgrow broadcast.
+    The corpus otherwise shuffles only by doc for the final
     aggregate."""
     if order < 2:
         raise ValueError(f"order must be at least 2, got {order}")
     if not 0 < backoff < 1:
         raise ValueError(f"backoff must be in (0, 1), got {backoff}")
 
-    counts = {
-        k: _exploded_ngrams(train, k, text_col, id_col)
-        .groupBy(*[f"w{j + 1}" for j in range(k)])
-        .agg(F.count(F.lit(1)).alias(f"_c{k}"))
-        for k in range(1, order + 1)
-    }
-    total = (
-        spread(train)
-        .select(F.explode(_tokens(normalize(F.col(text_col)))).alias("w"))
-        .agg(F.count(F.lit(1)).alias("_n"))
+    counts = _stacked_gram_counts(train, order, text_col)
+
+    wcols = [f"w{j + 1}" for j in range(order)]
+    pos = _exploded_ngrams(df, order, text_col, id_col)
+    key = F.concat_ws(" ", *wcols)
+
+    # one lookup slot per count the backoff CASE consumes: numerator
+    # c_k = the k-gram ENDING at the position (suffix w_{order-k+1} ..
+    # w_order), denominator x_k = level k's context (w_{order-k+1} ..
+    # w_{order-1}), and the sentinel '' row carrying N
+    slots: list[tuple[str, Column]] = []
+    for k in range(1, order + 1):
+        suffix = [f"w{order - k + j}" for j in range(1, k + 1)]
+        slots.append((f"c{k}", F.concat_ws(" ", *suffix)))
+    for k in range(2, order + 1):
+        ctx = [f"w{order - k + j}" for j in range(1, k)]
+        slots.append((f"x{k}", F.concat_ws(" ", *ctx)))
+    slots.append(("n", F.lit("")))
+
+    lookups = (
+        pos.select(*wcols)
+        .distinct()
+        .select(
+            key.alias("_g"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(s).alias("slot"), g.alias("g"))
+                        for s, g in slots
+                    ]
+                )
+            ).alias("_lk"),
+        )
+        .select("_g", "_lk.slot", "_lk.g")
+    )
+    typed = (
+        lookups.join(counts, "g", "left")
+        .groupBy("_g")
+        .agg(
+            *[
+                F.max(F.when(F.col("slot") == s, F.col("_c"))).alias(
+                    f"_{s}"
+                )
+                for s, _ in slots
+            ]
+        )
     )
 
-    scored = _exploded_ngrams(df, order, text_col, id_col)
-    # numerator joins: the k-gram ENDING at the position is the suffix
-    # (w_{order-k+1} .. w_order); rename each count table's columns to
-    # those suffix positions so the equi-join lines up
-    for k in range(order, 0, -1):
-        suffix = [f"w{order - k + 1 + j}" for j in range(k)]
-        tbl = counts[k].select(
-            *[
-                F.col(f"w{j + 1}").alias(suffix[j])
-                for j in range(k)
-            ],
-            F.col(f"_c{k}"),
-        )
-        scored = scored.join(tbl, suffix, "left")
-    # context joins: level k's denominator is the (k-1)-gram context
-    # (w_{order-k+1} .. w_{order-1}); k = order .. 2 (level 1 divides N)
-    for k in range(order, 1, -1):
-        ctx = [f"w{order - k + 1 + j}" for j in range(k - 1)]
-        tbl = counts[k - 1].select(
-            *[F.col(f"w{j + 1}").alias(ctx[j]) for j in range(k - 1)],
-            F.col(f"_c{k - 1}").alias(f"_x{k}"),
-        )
-        scored = scored.join(tbl, ctx, "left")
-    scored = scored.crossJoin(F.broadcast(total))
-
-    n_checked = F.when(F.col("_n") > 0, F.col("_n")).otherwise(
+    # empty reference ⇒ the stacked table has no sentinel row and _n is
+    # NULL on every type: fail loudly in-plan (laziness preserved)
+    n_checked = F.when(
+        F.col("_n").isNotNull() & (F.col("_n") > 0), F.col("_n")
+    ).otherwise(
         F.expr(
             "raise_error('ngram_lm_score: reference corpus is empty"
             " - nothing to train on')"
@@ -1065,14 +1149,20 @@ def ngram_lm_score(
         s = F.when(cond, branch) if s is None else s.when(cond, branch)
     s = s.otherwise(lam_pow(order) / n_checked)
 
+    scored_types = typed.select(
+        "_g",
+        (-F.log(s)).alias("_nll"),
+        F.col(f"_c{order}").isNull().alias("_oov"),
+    )
+
     return (
-        scored.groupBy("id")
+        pos.select("id", key.alias("_g"))
+        .join(scored_types, "_g")
+        .groupBy("id")
         .agg(
             F.count(F.lit(1)).alias("n_ngrams"),
-            F.count(F.when(F.col(f"_c{order}").isNull(), 1)).alias(
-                "n_oov_ngrams"
-            ),
-            round_half_up(F.avg(-F.log(s)), 4).alias("avg_nll"),
+            F.count(F.when(F.col("_oov"), 1)).alias("n_oov_ngrams"),
+            round_half_up(F.avg("_nll"), 4).alias("avg_nll"),
         )
         .select(
             F.col("id").alias(id_col),
@@ -1118,120 +1208,24 @@ def trigram_lm_score(
     ``n_oov_trigrams`` counts positions whose full trigram is absent
     from training (i.e. positions that took ANY backoff).
 
-    Scale shape: three hash-aggregate count tables (trigram / bigram /
-    unigram) plus a 1-row total off the SAME training-side explosions
-    the bigram scorer uses — all O(types), joined UNHINTED onto the
-    score-side trigram explosion (AQE broadcasts them when they fit;
-    vocabulary tables, never the corpus). The corpus is shuffled only
-    by (doc) for the final aggregate — identical discipline to
-    ``bigram_lm_score``, one order deeper."""
-    if not 0 < backoff < 1:
-        raise ValueError(f"backoff must be in (0, 1), got {backoff}")
-
-    def _ngrams(frame: DataFrame, n: int) -> DataFrame:
-        t = _tokens(normalize(F.col(text_col)))
-        cols = [
-            F.element_at("_toks", F.col("i") + k).alias(f"w{k + 1}")
-            for k in range(n)
-        ]
-        return (
-            spread(frame)
-            .select(
-                F.col(id_col).alias("id"),
-                t.alias("_toks"),
-                F.explode(
-                    F.when(
-                        F.size(t) >= n,
-                        F.sequence(F.lit(1), F.size(t) - (n - 1)),
-                    ).otherwise(F.array().cast("array<int>"))
-                ).alias("i"),
-            )
-            .select("id", *cols)
-        )
-
-    t3 = _ngrams(train, 3)
-    t2 = _ngrams(train, 2)
-    c3 = t3.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("_c3"))
-    cb = t2.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_cb"))
-    cu = (
-        spread(train)
-        .select(F.explode(_tokens(normalize(F.col(text_col)))).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("_cu"))
+    Implementation: the exact order-3 case of ``ngram_lm_score`` (the
+    CASE chains are term-for-term identical — pinned by
+    ``test_ngram_lm_score_order3_equals_trigram`` before this became a
+    delegation), renamed to the documented trigram column names. The
+    delegation inherits the TYPE-level scale shape: one stacked count
+    pass over the reference, per-type scoring over distinct trigram
+    types, and a single corpus-side join back on the trigram key."""
+    out = ngram_lm_score(
+        train,
+        df,
+        order=3,
+        backoff=backoff,
+        text_col=text_col,
+        id_col=id_col,
     )
-    total = (
-        spread(train)
-        .select(F.explode(_tokens(normalize(F.col(text_col)))).alias("w"))
-        .agg(F.count(F.lit(1)).alias("_n"))
-    )
-
-    scored = (
-        _ngrams(df, 3)
-        .join(c3, ["w1", "w2", "w3"], "left")
-        .join(
-            cb.select(
-                F.col("w1"), F.col("w2"), F.col("_cb").alias("_ctx12")
-            ),
-            ["w1", "w2"],
-            "left",
-        )
-        .join(
-            cb.select(
-                F.col("w1").alias("w2"),
-                F.col("w2").alias("w3"),
-                F.col("_cb").alias("_cb23"),
-            ),
-            ["w2", "w3"],
-            "left",
-        )
-        .join(
-            cu.select(F.col("w").alias("w2"), F.col("_cu").alias("_cu2")),
-            ["w2"],
-            "left",
-        )
-        .join(
-            cu.select(F.col("w").alias("w3"), F.col("_cu").alias("_cu3")),
-            ["w3"],
-            "left",
-        )
-        .crossJoin(F.broadcast(total))
-    )
-    # empty reference → N = 0 and every score NULL: fail loudly in-plan
-    # (laziness preserved), the bigram scorer's guard pattern
-    n_checked = F.when(F.col("_n") > 0, F.col("_n")).otherwise(
-        F.expr(
-            "raise_error('trigram_lm_score: reference corpus is empty"
-            " - nothing to train on')"
-        ).cast("long")
-    )
-    lam = F.lit(backoff)
-    # C(w1w2w3) > 0 implies C(w1w2) > 0, and C(w2w3) > 0 implies
-    # C(w2) > 0 (every trigram/bigram occurrence embeds its prefix), so
-    # each branch's denominator is non-null exactly when it fires
-    s = (
-        F.when(F.col("_c3").isNotNull(), F.col("_c3") / F.col("_ctx12"))
-        .when(
-            F.col("_cb23").isNotNull(),
-            lam * F.col("_cb23") / F.col("_cu2"),
-        )
-        .when(
-            F.col("_cu3").isNotNull(), lam * lam * F.col("_cu3") / n_checked
-        )
-        .otherwise(lam * lam * lam / n_checked)
-    )
-    return (
-        scored.groupBy("id")
-        .agg(
-            F.count(F.lit(1)).alias("n_trigrams"),
-            F.count(F.when(F.col("_c3").isNull(), 1)).alias(
-                "n_oov_trigrams"
-            ),
-            round_half_up(F.avg(-F.log(s)), 4).alias("avg_nll"),
-        )
-        .select(
-            F.col("id").alias(id_col),
-            F.col("n_trigrams").cast("long"),
-            F.col("n_oov_trigrams").cast("long"),
-            "avg_nll",
-        )
+    return out.select(
+        id_col,
+        F.col("n_ngrams").alias("n_trigrams"),
+        F.col("n_oov_ngrams").alias("n_oov_trigrams"),
+        "avg_nll",
     )

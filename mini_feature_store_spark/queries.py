@@ -7564,7 +7564,17 @@ def _unigram_dp_ctes(
         f"SELECT word, cnt, negf, key FROM {prefix}{i} WHERE wlen = {i}"
         for i in range(1, _UNI_MAX_WLEN + 1)
     )
-    ctes.append(f"{prefix}F AS MATERIALIZED ({final})")
+    # loud bound check: the unroll only covers words up to _UNI_MAX_WLEN
+    # chars — a longer word at some future SF must FAIL the oracle run
+    # (error() is row-lazy in DuckDB, so this branch is free when the
+    # bound holds), never silently vanish from usage counts/output
+    guard = (
+        f" UNION ALL SELECT word, 0 AS cnt, CAST(0 AS BIGINT) AS negf,"
+        f" error('unigram oracle: word exceeds the unrolled DP depth"
+        f" {_UNI_MAX_WLEN}: ' || word) AS key"
+        f" FROM {words_cte} WHERE wlen > {_UNI_MAX_WLEN}"
+    )
+    ctes.append(f"{prefix}F AS MATERIALIZED ({final}{guard})")
     return ",\n".join(ctes)
 
 

@@ -313,6 +313,39 @@ def test_bpe_train_local_bounds_and_prune(spark):
     v.unpersist()
 
 
+def test_bpe_train_prune_honored_on_distributed_fallthrough(spark):
+    """auto mode with prune_min_freq whose pruned table STILL exceeds
+    local_max_words must run the pruned training distributed — same
+    merges and same full-coverage vocab as the pruned local path (it
+    used to silently train exact/unpruned)."""
+    from mini_feature_store_spark.operators.bpe import bpe_train
+
+    df = spark.createDataFrame(
+        [(0, "aa bb cc dd ee ff aa bb aa cc")], "doc_id long, text string"
+    )
+    m_loc, v_loc = bpe_train(
+        df, n_merges=2, strategy="local", prune_min_freq=2
+    )
+    # pruned table has 3 words (aa/bb/cc) > local_max_words=2 → the
+    # auto path falls through to the distributed loop, pruned
+    m_dist, v_dist = bpe_train(
+        df,
+        n_merges=2,
+        strategy="auto",
+        local_max_words=2,
+        prune_min_freq=2,
+    )
+    assert [tuple(r) for r in m_loc.collect()] == [
+        tuple(r) for r in m_dist.collect()
+    ]
+    vl = {r.word: tuple(r.syms) for r in v_loc.collect()}
+    vdst = {r.word: tuple(r.syms) for r in v_dist.collect()}
+    assert vl == vdst
+    assert set(vl) == {"aa", "bb", "cc", "dd", "ee", "ff"}  # full coverage
+    v_loc.unpersist()
+    v_dist.unpersist()
+
+
 def test_bpe_train_cli(spark, tmp_path):
     """CLI wiring: bpe-train writes merges.parquet + vocab.parquet."""
     from mini_feature_store_spark import cli

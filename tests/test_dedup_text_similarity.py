@@ -715,12 +715,14 @@ def test_duplicate_span_coverage_gate(spark):
 def test_cosine_zero_norm_vectors_never_crash_or_match(spark):
     """A zero vector in the corpus must not kill the job (ANSI mode
     turns an unguarded 0/0 into a hard DIVIDE_BY_ZERO failure) and must
-    never surface as a near-duplicate: bruteforce top-k scores the
-    degenerate pair NULL (ranked below every real neighbor), the GEMM
-    pair miners score it 0.0 (below any positive threshold)."""
+    never surface in ANY output: degenerate (zero-norm) pairs are
+    EXCLUDED from rankings and pair emission everywhere — bruteforce,
+    GEMM pair miners, and every ANN rescorer share the convention, so
+    recall comparisons between paths can't skew on zero vectors."""
     from mini_feature_store_spark.operators.similarity import (
         cosine_pairs,
         cosine_topk_bruteforce,
+        lsh_topk,
     )
 
     rows = [
@@ -734,14 +736,29 @@ def test_cosine_zero_norm_vectors_never_crash_or_match(spark):
     got = cosine_topk_bruteforce(
         emb.where(F.col("vec_id") == 0), emb, k=3
     ).collect()
-    assert len(got) == 3  # completes — no divide-by-zero job failure
-    by_rank = {r.rank: r for r in got}
-    # the zero vector is ranked LAST with an undefined (NULL) cosine
-    assert by_rank[3].neighbor_id == 2 and by_rank[3].cosine is None
-    assert by_rank[1].cosine is not None
+    # completes (no divide-by-zero job failure) and the zero vector is
+    # absent entirely — only the two real neighbors rank
+    assert sorted(r.neighbor_id for r in got) == [1, 3]
+    assert all(r.cosine is not None for r in got)
+    # a degenerate QUERY emits no rows at all
+    assert (
+        cosine_topk_bruteforce(
+            emb.where(F.col("vec_id") == 2), emb, k=3
+        ).count()
+        == 0
+    )
 
     pairs = {
         (r.id_a, r.id_b)
         for r in cosine_pairs(emb, threshold=0.5).collect()
     }
     assert pairs and all(2 not in p for p in pairs)
+    # even a 0.0/negative threshold never admits a degenerate pair
+    pairs0 = {
+        (r.id_a, r.id_b)
+        for r in cosine_pairs(emb, threshold=0.0).collect()
+    }
+    assert pairs0 and all(2 not in p for p in pairs0)
+
+    ann = lsh_topk(emb.where(F.col("vec_id") == 0), emb, k=3).collect()
+    assert all(r.neighbor_id != 2 for r in ann)

@@ -175,3 +175,33 @@ def test_unigram_train_validations(spark):
         unigram_train(df, vocab_size=4, max_piece_len=0)
     with pytest.raises(ValueError, match="refine_rounds"):
         unigram_train(df, vocab_size=4, refine_rounds=-1)
+
+
+def test_unigram_oracle_dp_unroll_guard_fires_loudly():
+    """The DuckDB oracle's Viterbi unroll only covers words up to
+    _UNI_MAX_WLEN chars; a longer word must make the oracle RAISE (via
+    the row-lazy error() branch in the final union), never silently
+    drop out of usage counts (ADVICE r11)."""
+    import duckdb
+
+    from mini_feature_store_spark.queries import (
+        _UNI_MAX_WLEN,
+        _unigram_dp_ctes,
+    )
+
+    con = duckdb.connect()
+    sql_tpl = (
+        "WITH dw AS (SELECT word, length(word) AS wlen FROM "
+        "(SELECT unnest({words}) AS word)), "
+        "v1 AS (SELECT piece, CAST(freq AS BIGINT) AS freq FROM "
+        "(SELECT unnest(['a', 'b']) AS piece, unnest([3, 2]) AS freq)), "
+        + _unigram_dp_ctes("u", "dw", "v1")
+        + " SELECT word, key FROM uF"
+    )
+
+    ok = con.execute(sql_tpl.format(words="['ab', 'ba']")).fetchall()
+    assert {w for w, _ in ok} == {"ab", "ba"}
+
+    long_word = "a" * (_UNI_MAX_WLEN + 1)
+    with pytest.raises(Exception, match="exceeds the unrolled DP depth"):
+        con.execute(sql_tpl.format(words=f"['ab', '{long_word}']")).fetchall()
