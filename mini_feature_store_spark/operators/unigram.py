@@ -214,6 +214,235 @@ def unigram_train(
     return spark.createDataFrame(rows, PIECES_SCHEMA).limit(len(rows) or 1)
 
 
+def _em_expected_counts(
+    words: DataFrame, logp: dict[str, float]
+) -> DataFrame:
+    """E-step of Kudo's EM over a ``(word, freq)`` table: per distinct
+    word, forward-backward over the segmentation lattice (log domain —
+    piece probabilities are small and chunk length is unbounded, so
+    plain products would underflow), emitting each piece's expected
+    occurrence count weighted by word frequency. Arrow ``mapInPandas``
+    partials → one vocab-keyed hash aggregate; the vocabulary ships by
+    broadcast (the ``map_word_syms`` contract). Output:
+    ``(piece, c: double)`` — O(vocab) rows."""
+    import numpy as np
+
+    window = max((len(p) for p in logp), default=1)
+    bc = words.sparkSession.sparkContext.broadcast(logp)
+
+    def apply(batches):
+        lp = bc.value
+        for pdf in batches:
+            acc: dict[str, float] = {}
+            for word, freq in zip(pdf["word"], pdf["freq"]):
+                n = len(word)
+                if n == 0:
+                    continue
+                # forward
+                la = [-np.inf] * (n + 1)
+                la[0] = 0.0
+                arcs: list[tuple[int, int, str, float]] = []
+                for i in range(1, n + 1):
+                    for j in range(max(0, i - window), i):
+                        piece = word[j:i]
+                        w_lp = lp.get(piece)
+                        if w_lp is None:
+                            continue
+                        arcs.append((j, i, piece, w_lp))
+                        if la[j] > -np.inf:
+                            la[i] = np.logaddexp(la[i], la[j] + w_lp)
+                total = la[n]
+                if total == -np.inf:
+                    continue  # unsegmentable (char missing) — skip
+                # backward
+                lb = [-np.inf] * (n + 1)
+                lb[n] = 0.0
+                for j in range(n - 1, -1, -1):
+                    for i in range(j + 1, min(n, j + window) + 1):
+                        piece = word[j:i]
+                        w_lp = lp.get(piece)
+                        if w_lp is not None and lb[i] > -np.inf:
+                            lb[j] = np.logaddexp(lb[j], w_lp + lb[i])
+                f = float(freq)
+                for j, i, piece, w_lp in arcs:
+                    post = la[j] + w_lp + lb[i] - total
+                    if post > -60.0:  # exp underflow guard
+                        acc[piece] = acc.get(piece, 0.0) + f * float(
+                            np.exp(post)
+                        )
+            if acc:
+                yield pd.DataFrame(
+                    {"piece": list(acc), "c": list(acc.values())}
+                )
+
+    import pandas as pd  # noqa: F401 — closure import for executors
+
+    return (
+        words.mapInPandas(apply, "piece string, c double")
+        .groupBy("piece")
+        .agg(F.sum("c").alias("c"))
+    )
+
+
+def _viterbi_logp(s: str, logp: dict[str, float], skip: str) -> float:
+    """Driver-side Viterbi log-probability of ``s`` under ``logp`` with
+    piece ``skip`` excluded — the alternative-decomposition term of
+    Kudo's prune loss. Unreachable prefixes propagate -inf (can only
+    happen if a character is missing, which the closure prevents)."""
+    import math
+
+    n = len(s)
+    window = max((len(p) for p in logp), default=1)
+    dp = [-math.inf] * (n + 1)
+    dp[0] = 0.0
+    for i in range(1, n + 1):
+        for j in range(max(0, i - window), i):
+            piece = s[j:i]
+            if piece == skip:
+                continue
+            w_lp = logp.get(piece)
+            if w_lp is not None and dp[j] + w_lp > dp[i]:
+                dp[i] = dp[j] + w_lp
+    return dp[n]
+
+
+def unigram_train_em(
+    df: DataFrame,
+    vocab_size: int = 64,
+    max_piece_len: int = 4,
+    seed_multiplier: int = 4,
+    em_iters: int = 2,
+    shrink: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """TRUE Kudo (2018) unigram-LM training with FLOAT probabilities —
+    the algorithmically complete sibling of ``unigram_train`` (whose
+    integer usage counts are the deterministic sufficient statistic;
+    this variant runs the real E/M steps and likelihood-loss pruning,
+    and is therefore rows-only: float EM is engine-divergent at argmax
+    boundaries, so no DuckDB oracle can replay it bit-exactly).
+
+    Algorithm (SentencePiece's unigram trainer):
+
+    1. **Seed** — top ``seed_multiplier × vocab_size`` substrings of the
+       distinct-chunk word table by weighted frequency, plus ALL single
+       characters (closure); initial p ∝ frequency.
+    2. **EM** (``em_iters`` per round) — E-step: forward-backward over
+       every word's segmentation lattice accumulates each piece's
+       expected count (frequency-weighted posterior over ALL
+       segmentations, not just the best one — the difference from the
+       integer variant's Viterbi usage counts); M-step: renormalize
+       ``p = c / Σc`` (characters floored so closure survives).
+    3. **Prune** — per multi-char piece, Kudo's loss approximation:
+       ``loss(x) = c_x · (logp(x) − alt(x))`` where ``alt(x)`` is the
+       Viterbi log-probability of x's own string with x excluded (how
+       much corpus likelihood drops if x's occurrences re-segment).
+       Keep characters + the highest-loss pieces, shrinking by
+       ``shrink`` per round until ``vocab_size`` remains; then one
+       final EM round re-estimates the surviving probabilities.
+
+    Returns ``(piece, logprob double)`` — a bounded driver-built frame
+    (vocab_size + alphabet rows; the ``unigram_train`` contract).
+    Scale shape: identical to the integer variant — every EM round is
+    one Arrow ``mapInPandas`` pass + one vocab-keyed aggregate over the
+    DISTINCT word table with a vocab-bounded collect; pruning is
+    driver-side over O(vocab) strings. Nothing ever touches corpus
+    occurrences.
+    """
+    if vocab_size <= 0:
+        raise ValueError(f"vocab_size must be positive, got {vocab_size}")
+    if max_piece_len <= 0:
+        raise ValueError(
+            f"max_piece_len must be positive, got {max_piece_len}"
+        )
+    if em_iters <= 0:
+        raise ValueError(f"em_iters must be positive, got {em_iters}")
+    if not 0 < shrink < 1:
+        raise ValueError(f"shrink must be in (0, 1), got {shrink}")
+    import math
+
+    words = word_table(df, text_col).select("word", "freq").persist()
+    try:
+        pieces = _pieces_from_words(words, max_piece_len)
+        chars = {
+            r["piece"]: int(r["freq"])
+            for r in pieces.where(F.length("piece") == 1).collect()
+        }
+        if not chars:
+            raise ValueError(
+                "unigram_train_em: corpus has no chunks to train on"
+            )
+        seed_n = seed_multiplier * vocab_size
+        top = {
+            r["piece"]: int(r["freq"])
+            for r in pieces.orderBy(F.col("freq").desc(), "piece")
+            .limit(seed_n)
+            .collect()
+        }
+        freq0 = {**top, **chars}
+        z0 = float(sum(freq0.values()))
+        logp = {p: math.log(f / z0) for p, f in freq0.items() if f > 0}
+
+        def run_em(rounds: int) -> dict[str, float]:
+            cur = dict(logp)
+            counts: dict[str, float] = {}
+            for _ in range(rounds):
+                counts = {
+                    r["piece"]: float(r["c"])
+                    for r in _em_expected_counts(words, cur).collect()
+                }
+                z = sum(counts.values())
+                floor = z * 1e-12
+                nxt = {}
+                for p in cur:
+                    c = counts.get(p, 0.0)
+                    if c <= 0.0:
+                        if len(p) > 1:
+                            continue  # dead multi-char piece drops out
+                        c = floor  # characters survive (closure)
+                    nxt[p] = math.log(c / z)
+                cur = nxt
+            # stash the last expected counts for the prune step
+            run_em.last_counts = counts  # type: ignore[attr-defined]
+            return cur
+
+        logp = run_em(em_iters)
+        while sum(1 for p in logp if len(p) > 1) + len(chars) > max(
+            vocab_size, len(chars)
+        ) and sum(1 for p in logp if len(p) > 1) > 0:
+            counts = run_em.last_counts  # type: ignore[attr-defined]
+            multi = [p for p in logp if len(p) > 1]
+            target = max(
+                max(vocab_size - len(chars), 0),
+                int(math.ceil(len(multi) * shrink)) - 1
+                if len(multi) + len(chars) > vocab_size
+                else len(multi),
+            )
+            if target >= len(multi):
+                target = max(vocab_size - len(chars), 0)
+            losses = []
+            for x in multi:
+                alt = _viterbi_logp(x, logp, skip=x)
+                c_x = counts.get(x, 0.0)
+                loss = c_x * (logp[x] - alt) if alt > -math.inf else math.inf
+                losses.append((loss, x))
+            # highest loss = most valuable; deterministic piece tie-break
+            losses.sort(key=lambda t: (-t[0], t[1]))
+            keep = {x for _, x in losses[:target]}
+            logp = {
+                p: v for p, v in logp.items() if len(p) == 1 or p in keep
+            }
+            logp = run_em(em_iters)
+    finally:
+        words.unpersist()
+
+    rows = sorted((p, float(v)) for p, v in logp.items())
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        rows, "piece string, logprob double"
+    ).limit(len(rows) or 1)
+
+
 def unigram_tokenize(
     df: DataFrame,
     vocab: DataFrame,

@@ -7707,6 +7707,37 @@ def doc_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_tokenize(sample, vocab)
 
 
+@_q("doc_unigram_vocab_em")  # rows-only: true float-probability Kudo EM
+# is engine-divergent at argmax boundaries, so no DuckDB mirror can
+# replay it bit-exactly; the integer-scored doc_unigram_vocab IS the
+# oracled variant, and tests pin this one against it on vocabulary
+# overlap + normalization + closure (test_unigram.py)
+def doc_unigram_vocab_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The algorithmically complete unigram-LM trainer (Kudo 2018 —
+    real E/M steps over the full segmentation lattice plus
+    likelihood-loss pruning), float probabilities:
+    ``operators/unigram.py:unigram_train_em``. Output
+    ``(piece, logprob)`` with logprob floor-rounded at scale 6 for a
+    stable gate row (the E-step's distributed float sums are
+    order-nondeterministic at the last ulp)."""
+    from mini_feature_store_spark.operators.unigram import unigram_train_em
+
+    _utc(spark)
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    # seed_multiplier=2 halves the prune rounds at the gate (each round
+    # is em_iters E-step jobs) — the algorithm is identical, and the
+    # production path trains once via CLI/caches anyway
+    em = unigram_train_em(
+        docs,
+        vocab_size=_UNI_VOCAB,
+        max_piece_len=_UNI_PLEN,
+        seed_multiplier=2,
+    )
+    return em.select(
+        "piece", round_half_up(F.col("logprob"), 6).alias("logprob")
+    )
+
+
 @_q(
     "tokenizer_comparison",
     "WITH "
@@ -7980,6 +8011,9 @@ def multimodal_alignment_retention(
 # registered name present exactly once — ordered_queries() asserts it.
 
 VERIFY_ORDER: list[str] = [
+    # ── r12 provisional: new queries lead (full re-cut happens at round
+    # end once all r12 additions are registered).
+    "doc_unigram_vocab_em",
     # ── r11 re-cut (standing rotate rule: new > touched-this-round >
     # stalest-driver-row > fresh; the driver records rows for the FIRST
     # 50 entries only). Ledger going in (artifact-reconstructed):

@@ -205,3 +205,89 @@ def test_unigram_oracle_dp_unroll_guard_fires_loudly():
     long_word = "a" * (_UNI_MAX_WLEN + 1)
     with pytest.raises(Exception, match="exceeds the unrolled DP depth"):
         con.execute(sql_tpl.format(words=f"['ab', '{long_word}']")).fetchall()
+
+
+def test_unigram_train_em_properties(spark):
+    """True-EM trainer (Kudo 2018, float probabilities): probabilities
+    normalize, the character closure survives pruning, the vocabulary
+    bound holds, and the result substantially overlaps the
+    integer-scored variant's vocabulary on the same corpus (the two
+    are the same algorithm family — EM posterior counts vs Viterbi
+    usage counts)."""
+    import math
+
+    from mini_feature_store_spark.operators.unigram import (
+        unigram_train,
+        unigram_train_em,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat"),
+            (1, "the cats sat on mats"),
+            (2, "a mat on the cat"),
+            (3, "that cat on that mat sat"),
+        ],
+        "doc_id long, text string",
+    )
+    em = unigram_train_em(df, vocab_size=16, max_piece_len=4)
+    rows = em.collect()
+    got = {r.piece: r.logprob for r in rows}
+
+    chars = set("thecasonmat")
+    assert chars <= set(got), "character closure lost in pruning"
+    assert len(got) <= max(16, len(chars))
+    # probabilities are a distribution over the final vocabulary
+    assert abs(sum(math.exp(v) for v in got.values()) - 1.0) < 1e-6
+    assert all(v < 0 for v in got.values())
+
+    integer = {
+        r.piece
+        for r in unigram_train(
+            df, vocab_size=16, max_piece_len=4, refine_rounds=1
+        ).collect()
+    }
+    overlap = len(set(got) & integer) / len(integer)
+    assert overlap >= 0.5, f"EM vocab diverged from integer variant: {overlap}"
+
+
+def test_unigram_train_em_prefers_frequent_long_pieces(spark):
+    """A dominant repeated word must survive likelihood-loss pruning as
+    a whole piece and outweigh rare characters. (EM from substring-
+    frequency seeds is a local-optimum search — the mass may settle on
+    the word's sub-pieces like 'z'/'zz' rather than the full 'zzzz';
+    what pruning guarantees is that the high-loss whole piece is KEPT,
+    not that it wins the argmax.)"""
+    from mini_feature_store_spark.operators.unigram import unigram_train_em
+
+    df = spark.createDataFrame(
+        [(0, "zzzz " * 30 + "q r s t u v w x y")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.piece: r.logprob
+        for r in unigram_train_em(df, vocab_size=12, max_piece_len=4).collect()
+    }
+    assert "zzzz" in got
+    # the dominant word's pieces outweigh every rare letter
+    assert got["zzzz"] > got["q"]
+    assert max(got, key=got.get) in {"z", "zz", "zzz", "zzzz"}
+
+
+def test_unigram_train_em_validations(spark):
+    from mini_feature_store_spark.operators.unigram import unigram_train_em
+
+    df = spark.createDataFrame([(0, "ab")], "doc_id long, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="vocab_size"):
+        unigram_train_em(df, vocab_size=0)
+    with _pytest.raises(ValueError, match="max_piece_len"):
+        unigram_train_em(df, vocab_size=4, max_piece_len=0)
+    with _pytest.raises(ValueError, match="em_iters"):
+        unigram_train_em(df, vocab_size=4, em_iters=0)
+    with _pytest.raises(ValueError, match="shrink"):
+        unigram_train_em(df, vocab_size=4, shrink=1.5)
+    empty = spark.createDataFrame([(0, "   ")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="no chunks"):
+        unigram_train_em(empty, vocab_size=4)

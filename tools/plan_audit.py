@@ -695,6 +695,19 @@ AUDITED: dict[str, str] = {
         "keyed by (doc, benchmark) — sparse pairs only, the dense "
         "doc x benchmark product never materializes."
     ),
+    "doc_unigram_vocab_em": (
+        "True Kudo EM unigram trainer (r12, rows-only — float EM is "
+        "engine-divergent at argmax boundaries): every E-step is one "
+        "Arrow mapInPandas forward-backward pass over the persisted "
+        "DISTINCT word table (vocab by broadcast) + one vocab-keyed "
+        "aggregate + a vocab-bounded collect; M-step renormalize and "
+        "the likelihood-loss prune are driver-side over O(vocab) "
+        "strings. Spark jobs ∝ em_iters × prune rounds "
+        "(log_{1/shrink}(seed/target)), independent of corpus size; "
+        "the word-table cache is released before the bounded "
+        "driver-built result returns. Gate wall is in-gate training "
+        "by design (the tokenizer_comparison precedent)."
+    ),
     "tokenizer_comparison": (
         "BPE vs unigram head-to-head (r11 — the heaviest composed gate "
         "by design: BOTH trainings + BOTH encodings run in-gate, the "
