@@ -224,6 +224,22 @@ def build_parser() -> argparse.ArgumentParser:
         "output) or pieces.parquet (unigram-train output); requires "
         "--pack-max-tokens",
     )
+    cc.add_argument(
+        "--mixture-strata-col", default=None,
+        help="temperature-mixture stage before export: rebalance the "
+        "surviving corpus across this stratum column (mT5/PaLM recipe, "
+        "deterministic md5 admission)",
+    )
+    cc.add_argument(
+        "--mixture-alpha", type=float, default=0.5,
+        help="temperature exponent for --mixture-strata-col (default "
+        "0.5 — the engine-portable sqrt case)",
+    )
+    cc.add_argument(
+        "--mixture-by-tokens", action="store_true",
+        help="weigh mixture strata by token mass (BPE-ish chunk counts) "
+        "instead of document counts — the token-budgeted form",
+    )
 
     bp = sub.add_parser(
         "bpe-train",
@@ -507,6 +523,9 @@ def main(argv: list[str] | None = None) -> int:
                     pack_max_tokens=args.pack_max_tokens,
                     pack_shards=args.pack_shards,
                     pack_tokenizer_dir=args.pack_tokenizer_dir,
+                    mixture_strata_col=args.mixture_strata_col,
+                    mixture_alpha=args.mixture_alpha,
+                    mixture_by_tokens=args.mixture_by_tokens,
                 ),
             )
             for stage, n in funnel.items():

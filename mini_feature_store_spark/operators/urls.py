@@ -262,6 +262,7 @@ def domain_cap(
     max_per_domain: int,
     url_col: str = "url",
     id_col: str = "doc_id",
+    keep_col: str | None = None,
 ) -> DataFrame:
     """Exact per-domain contribution cap: keep at most ``max_per_domain``
     documents per registrable domain, chosen by deterministic md5 hash
@@ -273,21 +274,31 @@ def domain_cap(
     grouping key with ``registrable_domain(url_host(col))`` if needed).
     One window shuffle keyed by domain — correct and exact, but a
     celebrity domain serializes into one task; use ``domain_cap_approx``
-    when the domain distribution is crawl-shaped."""
+    when the domain distribution is crawl-shaped.
+
+    ``keep_col``: when set, NO rows are dropped — every input row comes
+    back with a boolean admission flag under this name instead (the
+    ``quality_filter`` with-fingerprint pattern), so a funnel can count
+    input and capped in ONE conditional aggregate over one chain build."""
     if max_per_domain <= 0:
         raise ValueError(
             f"max_per_domain must be positive, got {max_per_domain}"
         )
     dom = registrable_domain(url_host(F.col(url_col)))
     w = Window.partitionBy("_mfss_dom").orderBy("_mfss_adm", id_col)
-    return (
+    ranked = (
         df.withColumn("_mfss_dom", dom)
         .withColumn(
             "_mfss_adm", _admission_hash(F.col("_mfss_dom"), F.col(id_col))
         )
         .withColumn("_mfss_rk", F.row_number().over(w))
-        .where(F.col("_mfss_rk") <= max_per_domain)
-        .drop("_mfss_dom", "_mfss_adm", "_mfss_rk")
+    )
+    if keep_col is not None:
+        return ranked.withColumn(
+            keep_col, F.col("_mfss_rk") <= max_per_domain
+        ).drop("_mfss_dom", "_mfss_adm", "_mfss_rk")
+    return ranked.where(F.col("_mfss_rk") <= max_per_domain).drop(
+        "_mfss_dom", "_mfss_adm", "_mfss_rk"
     )
 
 

@@ -30,6 +30,12 @@ One command takes a raw document corpus to a training-ready one:
                            against a doc-embedding parquet — SemDeDup stage)
 5. decontamination         operators/text.py:decontaminate (optional,
                            against a benchmark/eval parquet)
+5b. mixture (optional)     operators/sampling.py:temperature_mixture_sample
+                           — temperature-weighted stratum rebalance
+                           (``mixture_strata_col`` / ``mixture_alpha``;
+                           ``mixture_by_tokens`` weighs strata by token
+                           mass instead of doc counts — the mT5/PaLM
+                           token-budgeted recipe)
 6. export                  plain parquet, or deterministic training shards
                            with a rows/bytes manifest (io/sinks.py)
 7. packing (optional)      operators/packing.py:pack_documents_greedy —
@@ -121,6 +127,18 @@ class CorpusCurationConfig:
     #: segments (operators/unigram.py:unigram_tokenize) — both feed
     #: their counts to the packer
     pack_tokenizer_dir: str | None = None
+    #: when set, a temperature-mixture stage (mT5/PaLM) rebalances the
+    #: surviving corpus across this stratum column before export:
+    #: per-stratum keep rate (n_min/n_s)^(1-alpha) via deterministic md5
+    #: admission (operators/sampling.py:temperature_mixture_sample)
+    mixture_strata_col: str | None = None
+    #: temperature exponent; 0.5 is the oracle-portable choice (sqrt is
+    #: IEEE correctly-rounded — see the operator's portability note)
+    mixture_alpha: float = 0.5
+    #: weigh strata by TOKEN MASS (BPE-ish chunk counts,
+    #: text.py:word_chunk_count) instead of document counts — the
+    #: token-budgeted form a real pretraining mixture uses
+    mixture_by_tokens: bool = False
 
 
 def run_corpus_curation(
@@ -178,6 +196,16 @@ def run_corpus_curation(
         raise ValueError(
             f"lm_order must be 2 (add-1 bigram) or 3-5 (stupid-backoff "
             f"n-gram), got {cfg.lm_order}"
+        )
+    if cfg.mixture_strata_col is not None and not 0.0 <= cfg.mixture_alpha <= 1.0:
+        raise ValueError(
+            f"mixture_alpha must be in [0, 1], got {cfg.mixture_alpha}"
+        )
+    if cfg.mixture_by_tokens and cfg.mixture_strata_col is None:
+        raise ValueError(
+            "mixture_by_tokens requires mixture_strata_col — token mass "
+            "only decides how strata are WEIGHED, the stratum column "
+            "enables the stage"
         )
     stage0 = None
     if cfg.url_col is not None:
@@ -421,6 +449,38 @@ def run_corpus_curation(
         )
         funnel["after_decontamination"] = survivors.count()
 
+    if cfg.mixture_strata_col is not None:
+        from mini_feature_store_spark.operators.sampling import (
+            temperature_mixture_sample,
+        )
+        from mini_feature_store_spark.operators.text import word_chunk_count
+
+        if cfg.mixture_by_tokens:
+            # chunk-count mass never null: blank/NULL text weighs 0 (the
+            # packer's greatest(count, 0) convention)
+            sized = survivors.withColumn(
+                "_mix_tokens",
+                F.greatest(
+                    word_chunk_count(F.col(cfg.text_col)),
+                    F.lit(0).cast("long"),
+                ),
+            )
+            survivors = temperature_mixture_sample(
+                sized,
+                [cfg.id_col],
+                cfg.mixture_strata_col,
+                alpha=cfg.mixture_alpha,
+                tokens_col="_mix_tokens",
+            ).drop("_mix_tokens")
+        else:
+            survivors = temperature_mixture_sample(
+                survivors,
+                [cfg.id_col],
+                cfg.mixture_strata_col,
+                alpha=cfg.mixture_alpha,
+            )
+        funnel["after_mixture"] = survivors.count()
+
     pack_input = None
     if cfg.pack_max_tokens is not None:
         # the final survivor set feeds BOTH the corpus export and the
@@ -443,6 +503,7 @@ def run_corpus_curation(
                 # 'written' over-reports when it is the last one on
                 # (the span cut rewrites text without dropping rows,
                 # so it has no entry)
+                "after_mixture",
                 "after_decontamination",
                 "after_semantic_dedup",
                 "after_dup_share_drop",

@@ -6314,20 +6314,25 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_score(docs.where(F.col("source") == "src0"), docs)
 
 
-def _ngram_lm_sql(order: int) -> str:
-    """DuckDB mirror of ``text.py:ngram_lm_score`` at a fixed order —
-    the trigram oracle's structure generated for any n: one count CTE
-    per order off the src0 slice, a 1-row total, the score-side n-gram
-    explosion, 2·order−1 LEFT JOINs, and the backoff CASE with λ-power
-    products parenthesization-matched to the Spark fold (left-assoc
+def _ngram_lm_fragment(
+    order: int, ref_cte: str, score_cte: str, prefix: str = ""
+) -> tuple[str, str]:
+    """CTE-fragment form of the stupid-backoff mirror, scoped so any
+    composed oracle (e.g. the LM funnel) can score an arbitrary
+    document subset: ``ref_cte`` must provide ``(toks)``, ``score_cte``
+    ``(doc_id, toks)``. Returns ``(ctes_sql, nll_cte)`` where the final
+    CTE ``{prefix}j`` holds one row per scored n-gram position:
+    ``(doc_id, oov, nll)`` — exact integer counts, λ-power products
+    parenthesization-matched to the Spark fold (left-assoc
     ``0.4 * 0.4 * …``)."""
-    ctes = [f"docs AS (SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents)"]
+    p = prefix
+    ctes = []
     for k in range(1, order + 1):
         if k == 1:
             ctes.append(
-                "c1 AS (SELECT w1, COUNT(*) AS c1 FROM ("
-                "SELECT unnest(toks) AS w1 FROM docs WHERE source = 'src0'"
-                ") GROUP BY 1)"
+                f"{p}c1 AS (SELECT w1, COUNT(*) AS c1 FROM ("
+                f"SELECT unnest(toks) AS w1 FROM {ref_cte}"
+                f") GROUP BY 1)"
             )
             continue
         struct = "{" + ", ".join(
@@ -6336,28 +6341,28 @@ def _ngram_lm_sql(order: int) -> str:
         ) + "}"
         cols = ", ".join(f"w{j + 1}" for j in range(k))
         ctes.append(
-            f"c{k} AS (SELECT {cols}, COUNT(*) AS c{k} FROM ("
+            f"{p}c{k} AS (SELECT {cols}, COUNT(*) AS c{k} FROM ("
             f"SELECT unnest([{struct}"
             f" for i in generate_series(1, len(toks) - {k - 1})],"
             f" recursive := true)"
-            f" FROM docs WHERE source = 'src0' AND len(toks) >= {k}"
+            f" FROM {ref_cte} WHERE len(toks) >= {k}"
             f") GROUP BY {cols})"
         )
     ctes.append(
-        "nn AS (SELECT COUNT(*) AS n FROM "
-        "(SELECT unnest(toks) AS w FROM docs WHERE source = 'src0'))"
+        f"{p}nn AS (SELECT COUNT(*) AS n FROM "
+        f"(SELECT unnest(toks) AS w FROM {ref_cte}))"
     )
     struct = "{" + ", ".join(
         f"'w{j + 1}': toks[i+{j}]" if j else f"'w{j + 1}': toks[i]"
         for j in range(order)
     ) + "}"
     ctes.append(
-        f"sb AS (SELECT doc_id, "
+        f"{p}sb AS (SELECT doc_id, "
         + ", ".join(f"w{j + 1}" for j in range(order))
         + f" FROM (SELECT doc_id, unnest([{struct}"
         f" for i in generate_series(1, len(toks) - {order - 1})],"
         f" recursive := true)"
-        f" FROM docs WHERE len(toks) >= {order}))"
+        f" FROM {score_cte} WHERE len(toks) >= {order}))"
     )
     joins = []
     for k in range(order, 0, -1):
@@ -6365,39 +6370,54 @@ def _ngram_lm_sql(order: int) -> str:
         on = " AND ".join(
             f"s.{sc} = a{k}.w{j + 1}" for j, sc in enumerate(suffix)
         )
-        joins.append(f"LEFT JOIN c{k} a{k} ON {on}")
+        joins.append(f"LEFT JOIN {p}c{k} a{k} ON {on}")
     for k in range(order, 1, -1):
         ctx = [f"w{order - k + 1 + j}" for j in range(k - 1)]
         on = " AND ".join(
             f"s.{cc} = x{k}.w{j + 1}" for j, cc in enumerate(ctx)
         )
-        joins.append(f"LEFT JOIN c{k - 1} x{k} ON {on}")
+        joins.append(f"LEFT JOIN {p}c{k - 1} x{k} ON {on}")
     branches = []
     for k in range(order, 0, -1):
         lam = "0.4 * " * (order - k)
-        den = f"x{k}.c{k - 1}" if k > 1 else "(SELECT n FROM nn)"
+        den = f"x{k}.c{k - 1}" if k > 1 else f"(SELECT n FROM {p}nn)"
         branches.append(
             f"WHEN a{k}.c{k} IS NOT NULL"
             f" THEN {lam}a{k}.c{k} * 1.0 / {den}"
         )
-    floor_branch = "0.4 * " * order + "1.0 / (SELECT n FROM nn)"
+    floor_branch = "0.4 * " * order + f"1.0 / (SELECT n FROM {p}nn)"
     case = (
         "CASE " + " ".join(branches) + f" ELSE {floor_branch} END"
     )
-    return (
-        "WITH "
-        + ",\n".join(ctes)
-        + f""",
-j AS (
+    ctes.append(
+        f"""{p}j AS (
   SELECT s.doc_id, a{order}.c{order} IS NULL AS oov, -ln({case}) AS nll
-  FROM sb s
+  FROM {p}sb s
   {chr(10).join('  ' + jn for jn in joins)}
-)
+)"""
+    )
+    return ",\n".join(ctes), f"{p}j"
+
+
+def _ngram_lm_sql(order: int) -> str:
+    """DuckDB mirror of ``text.py:ngram_lm_score`` at a fixed order —
+    the trigram oracle's structure generated for any n (via
+    ``_ngram_lm_fragment``): one count CTE per order off the src0
+    slice, a 1-row total, the score-side n-gram explosion, 2·order−1
+    LEFT JOINs, and the backoff CASE."""
+    frag, j = _ngram_lm_fragment(order, "refd", "scd")
+    return (
+        f"WITH docs AS (SELECT doc_id, source, {_TOKS_SQL} AS toks"
+        f" FROM documents),\n"
+        f"refd AS (SELECT toks FROM docs WHERE source = 'src0'),\n"
+        f"scd AS (SELECT doc_id, toks FROM docs),\n"
+        + frag
+        + f"""
 SELECT doc_id,
   CAST(COUNT(*) AS BIGINT) AS n_ngrams,
   CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov_ngrams,
   FLOOR(AVG(nll) * 10000 + 0.5) / 10000 AS avg_nll
-FROM j GROUP BY doc_id
+FROM {j} GROUP BY doc_id
 """
     )
 
@@ -6697,10 +6717,13 @@ def doc_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q(
-    "corpus_curation_funnel_lm",
-    f"""
-WITH RECURSIVE corpus AS (SELECT * FROM documents WHERE source <> 'src0'),
+#: shared funnel fragments: the quality head (corpus slice → token/
+#: punct signals → quality-admitted set) and the dedup tail (exact
+#: dedup of the lm_admitted set → near-dup CC → the 5 stage counts) —
+#: composed by corpus_curation_funnel_lm (order 2, add-1 bigram) and
+#: corpus_curation_funnel_lm3 (order 3, stupid backoff), which differ
+#: ONLY in the stage-1b scorer between them.
+_FUNNEL_QUALITY_HEAD_SQL = f"""corpus AS (SELECT * FROM documents WHERE source <> 'src0'),
 qt AS (
   SELECT doc_id, text, {_TOKS_SQL} AS toks, length(text) AS nc,
          length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS no_punct
@@ -6724,55 +6747,15 @@ admitted AS (
           + 0.2 * LEAST(n_tokens / 50.0, 1.0)) * 10000 + 0.5) / 10000 AS quality_score
     FROM qs
   ) WHERE n_tokens >= 5 AND n_tokens <= 100000 AND quality_score >= 0.3
-),
--- stage 1b: CCNet LM filter — add-1 bigram NLL under the src0 reference
-refd AS (SELECT {_TOKS_SQL} AS toks FROM documents WHERE source = 'src0'),
-tb AS (
-  SELECT w1, w2 FROM (
-    SELECT unnest([{{'w1': toks[i], 'w2': toks[i+1]}}
-                   for i in generate_series(1, len(toks) - 1)],
-                  recursive := true)
-    FROM refd WHERE len(toks) >= 2
-  )
-),
-cbl AS (SELECT w1, w2, COUNT(*) AS cb FROM tb GROUP BY 1, 2),
-cul AS (SELECT w1, COUNT(*) AS cu FROM tb GROUP BY 1),
-vv AS (SELECT COUNT(DISTINCT w) AS v FROM (SELECT unnest(toks) AS w FROM refd)),
-sb AS (
-  SELECT doc_id, w1, w2 FROM (
-    SELECT c.doc_id, unnest([{{'w1': toks[i], 'w2': toks[i+1]}}
-                             for i in generate_series(1, len(toks) - 1)],
-                            recursive := true)
-    FROM qt c SEMI JOIN admitted a USING (doc_id)
-    WHERE len(toks) >= 2
-  )
-),
-nll AS (
-  SELECT s.doc_id,
-         -ln((COALESCE(cbl.cb, 0) + 1.0)
-             / (COALESCE(cul.cu, 0) + 1.0 * (SELECT v FROM vv))) AS nll
-  FROM sb s
-  LEFT JOIN cbl ON s.w1 = cbl.w1 AND s.w2 = cbl.w2
-  LEFT JOIN cul ON s.w1 = cul.w1
-),
--- anti-join the HIGH-NLL set (scoreless <2-token docs PASS — the
--- pipeline stage-1b semantics; at this funnel's min_tokens=5 every
--- admitted doc is scorable so the two forms coincide)
-lm_admitted AS (
-  SELECT doc_id FROM admitted ANTI JOIN (
-    SELECT doc_id FROM (
-      SELECT doc_id, FLOOR(AVG(nll) * 10000 + 0.5) / 10000 AS avg_nll
-      FROM nll GROUP BY doc_id
-    ) WHERE avg_nll > 3.5
-  ) hi USING (doc_id)
-),
-deduped AS (
+)"""
+
+_FUNNEL_DEDUP_TAIL_SQL = """deduped AS (
   SELECT MIN(doc_id) AS doc_id
   FROM corpus SEMI JOIN lm_admitted USING (doc_id)
   GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
 ),
 ndocs AS (
-  SELECT doc_id, {_TOKS_SQL} AS toks
+  SELECT doc_id, {toks} AS toks
   FROM corpus SEMI JOIN deduped USING (doc_id)
 ),
 nshl AS (
@@ -6814,7 +6797,57 @@ UNION ALL SELECT 1, 'after_quality', COUNT(*) FROM admitted
 UNION ALL SELECT 2, 'after_lm_filter', COUNT(*) FROM lm_admitted
 UNION ALL SELECT 3, 'after_exact_dedup', COUNT(*) FROM deduped
 UNION ALL SELECT 4, 'after_near_dedup', COUNT(*) FROM survivors
-""",
+""".replace("{toks}", _TOKS_SQL)
+
+
+@_q(
+    "corpus_curation_funnel_lm",
+    "WITH RECURSIVE "
+    + _FUNNEL_QUALITY_HEAD_SQL
+    + f""",
+-- stage 1b: CCNet LM filter — add-1 bigram NLL under the src0 reference
+refd AS (SELECT {_TOKS_SQL} AS toks FROM documents WHERE source = 'src0'),
+tb AS (
+  SELECT w1, w2 FROM (
+    SELECT unnest([{{'w1': toks[i], 'w2': toks[i+1]}}
+                   for i in generate_series(1, len(toks) - 1)],
+                  recursive := true)
+    FROM refd WHERE len(toks) >= 2
+  )
+),
+cbl AS (SELECT w1, w2, COUNT(*) AS cb FROM tb GROUP BY 1, 2),
+cul AS (SELECT w1, COUNT(*) AS cu FROM tb GROUP BY 1),
+vv AS (SELECT COUNT(DISTINCT w) AS v FROM (SELECT unnest(toks) AS w FROM refd)),
+sb AS (
+  SELECT doc_id, w1, w2 FROM (
+    SELECT c.doc_id, unnest([{{'w1': toks[i], 'w2': toks[i+1]}}
+                             for i in generate_series(1, len(toks) - 1)],
+                            recursive := true)
+    FROM qt c SEMI JOIN admitted a USING (doc_id)
+    WHERE len(toks) >= 2
+  )
+),
+nll AS (
+  SELECT s.doc_id,
+         -ln((COALESCE(cbl.cb, 0) + 1.0)
+             / (COALESCE(cul.cu, 0) + 1.0 * (SELECT v FROM vv))) AS nll
+  FROM sb s
+  LEFT JOIN cbl ON s.w1 = cbl.w1 AND s.w2 = cbl.w2
+  LEFT JOIN cul ON s.w1 = cul.w1
+),
+-- anti-join the HIGH-NLL set (scoreless <2-token docs PASS — the
+-- pipeline stage-1b semantics; at this funnel's min_tokens=5 every
+-- admitted doc is scorable so the two forms coincide)
+lm_admitted AS (
+  SELECT doc_id FROM admitted ANTI JOIN (
+    SELECT doc_id FROM (
+      SELECT doc_id, FLOOR(AVG(nll) * 10000 + 0.5) / 10000 AS avg_nll
+      FROM nll GROUP BY doc_id
+    ) WHERE avg_nll > 3.5
+  ) hi USING (doc_id)
+),
+"""
+    + _FUNNEL_DEDUP_TAIL_SQL,
 )
 def corpus_curation_funnel_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The modern funnel with the CCNet LM stage composed in (pipeline
@@ -6842,13 +6875,70 @@ def corpus_curation_funnel_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     |drops|. sf0.1 wall time measures NEUTRAL (per-stage fixed costs
     dominate at that size, the repo's standing bench-noise lesson); the
     win is the scan/shuffle count, which is what matters at scale.
-    """
+
+    Implementation shared with ``corpus_curation_funnel_lm3`` via
+    ``_lm_funnel_counts`` (the two differ only in the stage-1b scorer
+    and threshold)."""
+    from mini_feature_store_spark.operators.text import bigram_lm_score
+
+    return _lm_funnel_counts(spark, sf_dir, bigram_lm_score, 3.5)
+
+
+_LM3_FRAG, _LM3_J = _ngram_lm_fragment(3, "refd", "scd", "L")
+
+
+@_q(
+    "corpus_curation_funnel_lm3",
+    "WITH RECURSIVE "
+    + _FUNNEL_QUALITY_HEAD_SQL
+    + f""",
+-- stage 1b at ORDER 3: stupid-backoff trigram NLL under src0
+-- (the --lm-order pipeline knob's 3-5 family; λ = 0.4)
+refd AS (SELECT {_TOKS_SQL} AS toks FROM documents WHERE source = 'src0'),
+scd AS (SELECT c.doc_id, c.toks FROM qt c SEMI JOIN admitted a USING (doc_id)),
+"""
+    + _LM3_FRAG
+    + f""",
+lm_admitted AS (
+  SELECT doc_id FROM admitted ANTI JOIN (
+    SELECT doc_id FROM (
+      SELECT doc_id, FLOOR(AVG(nll) * 10000 + 0.5) / 10000 AS avg_nll
+      FROM {_LM3_J} GROUP BY doc_id
+    ) WHERE avg_nll > 4.0
+  ) hi USING (doc_id)
+),
+"""
+    + _FUNNEL_DEDUP_TAIL_SQL,
+)
+def corpus_curation_funnel_lm3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``corpus_curation_funnel_lm`` with the LM stage at ORDER 3
+    (stupid-backoff trigram, λ=0.4, NLL ≤ 4.0 — the threshold sits
+    inside the post-quality trigram-NLL distribution at every SF, so
+    the stage BINDS) — the oracled form of the pipeline's
+    ``--lm-order 3`` knob now that ``_ngram_lm_fragment`` generates the
+    mirror for any order. Identical tagged single-chain count shape
+    (see corpus_curation_funnel_lm); the scorer itself is the
+    TYPE-level ``ngram_lm_score`` (r12 rewrite — distinct n-gram types
+    scored once, one corpus-side join back)."""
+    from mini_feature_store_spark.operators.text import ngram_lm_score
+
+    return _lm_funnel_counts(
+        spark, sf_dir, lambda ref, corpus: ngram_lm_score(
+            ref, corpus, order=3
+        ), 4.0
+    )
+
+
+def _lm_funnel_counts(
+    spark: SparkSession, sf_dir: str, scorer, max_nll: float
+) -> DataFrame:
+    """Shared Spark side of the LM funnels: quality flags + corpus-wide
+    LM scores → one conditional aggregate for the first four counts,
+    near-dup drop set by arithmetic (the corpus_curation_funnel_lm plan
+    shape, parameterized on the stage-1b scorer)."""
     from mini_feature_store_spark.operators.dedup import ngram_jaccard_pairs
     from mini_feature_store_spark.operators.graph import dedup_clusters
-    from mini_feature_store_spark.operators.text import (
-        bigram_lm_score,
-        quality_filter,
-    )
+    from mini_feature_store_spark.operators.text import quality_filter
 
     _utc(spark)
     docs = load_testdata(spark, sf_dir, "documents")["documents"]
@@ -6861,7 +6951,7 @@ def corpus_curation_funnel_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scoring the whole corpus and masking with the gate flag is EXACTLY
     # lm-filtering the admitted set (scores are per-doc-independent) —
     # and lets one pass produce the first four funnel counts
-    scores = bigram_lm_score(ref, corpus)
+    scores = scorer(ref, corpus)
     flags = (
         gate.select("doc_id", "kept", "fingerprint")
         .join(scores.select("doc_id", "avg_nll"), "doc_id", "left")
@@ -6869,19 +6959,20 @@ def corpus_curation_funnel_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "kept",
             "fingerprint",
-            # coalesce-TRUE: an unscorable (<2-token) doc PASSES the LM
-            # stage — the pipeline's stage-1b anti-join semantics
-            # (corpus_curate.py drops only the high-NLL set), so query
-            # and pipeline agree for ANY min_tokens config, not just
-            # values >= 2 where kept implies scorable
+            # coalesce-TRUE: an unscorable (< order tokens) doc PASSES
+            # the LM stage — the pipeline's stage-1b anti-join semantics
+            # (corpus_curate.py drops only the high-NLL set)
             (
                 F.col("kept")
-                & F.coalesce(F.col("avg_nll") <= 3.5, F.lit(True))
+                & F.coalesce(F.col("avg_nll") <= max_nll, F.lit(True))
             ).alias("lm_ok"),
         )
     )
     # same keep rule as exact_dedup (min id per fingerprint group),
-    # derived from the flag frame — no second gate+LM build feeds it
+    # derived from the flag frame — no second gate+LM build feeds it.
+    # INVARIANT (same as corpus_curation_funnel): lm_ok ⇒ kept ⇒
+    # fingerprint IS NOT NULL, so count_distinct never drops a
+    # NULL-fingerprint group exact_dedup's groupBy would keep.
     keep_ids = (
         flags.where(F.col("lm_ok"))
         .groupBy("fingerprint")
@@ -6892,9 +6983,6 @@ def corpus_curation_funnel_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(deduped, threshold=0.5, max_shingle_freq=1000)
     drops = dedup_clusters(pairs).where(~F.col("keep")).select("doc_id")
 
-    # INVARIANT (same as corpus_curation_funnel): lm_ok ⇒ kept ⇒
-    # fingerprint IS NOT NULL, so count_distinct never drops a
-    # NULL-fingerprint group exact_dedup's groupBy would keep.
     first4 = flags.agg(
         F.count(F.lit(1)).alias("_input"),
         F.count(F.when(F.col("kept"), 1)).alias("_q"),
@@ -7510,6 +7598,166 @@ def doc_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "corpus_mixture_manifest",
+    f"""
+WITH RECURSIVE {_DOC_URL_SQL.strip()},
+{_URL_CANON_SQL.strip()},
+tok AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(COALESCE(len(regexp_extract_all(text, '{_CHUNK_RE_SQL}')), 0)
+              AS BIGINT) AS n_tokens
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY domain
+           ORDER BY md5(domain || '|' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM canon
+),
+base AS MATERIALIZED (
+  SELECT d.doc_id, d.lang, t.n_tokens
+  FROM documents d
+  JOIN ranked r ON d.doc_id = r.doc_id AND r.rk <= 15
+  JOIN tok t ON t.doc_id = d.doc_id
+),
+cm AS (
+  SELECT lang, GREATEST(CAST(SUM(n_tokens) AS BIGINT), 1) AS m
+  FROM base GROUP BY lang
+),
+rr AS (SELECT lang, SQRT((SELECT MIN(m) FROM cm) * 1.0 / m) AS rate FROM cm),
+k AS MATERIALIZED (
+  SELECT b.doc_id, b.n_tokens FROM base b JOIN rr USING (lang)
+  WHERE rate >= 1.0
+     OR substring(md5(CAST(b.doc_id AS VARCHAR)), 1, 8) <
+        lpad(lower(to_hex(CAST(FLOOR(rate * 4294967296) AS BIGINT))), 8, '0')
+),
+pdocs AS (
+  SELECT doc_id, n_tokens,
+    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+         % 8 AS BIGINT) AS shard
+  FROM k
+),
+ordered AS MATERIALIZED (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY shard
+                               ORDER BY n_tokens DESC, doc_id) AS rn
+  FROM pdocs
+),
+acc AS (
+  SELECT shard, rn, doc_id, n_tokens,
+         CAST(1 AS BIGINT) AS bin_id, n_tokens AS fill
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
+    CASE WHEN a.fill + d.n_tokens <= 128
+         THEN a.bin_id ELSE a.bin_id + 1 END,
+    CASE WHEN a.fill + d.n_tokens <= 128
+         THEN a.fill + d.n_tokens ELSE d.n_tokens END
+  FROM acc a JOIN ordered d ON d.shard = a.shard AND d.rn = a.rn + 1
+),
+s_in AS (SELECT CAST(COUNT(*) AS BIGINT) AS d,
+                CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS t FROM tok),
+s_cap AS (SELECT CAST(COUNT(*) AS BIGINT) AS d,
+                 CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS t FROM base),
+s_mix AS (SELECT CAST(COUNT(*) AS BIGINT) AS d,
+                 CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS t FROM k),
+s_pack AS (SELECT CAST(COUNT(DISTINCT CAST(shard AS VARCHAR) || '|'
+                              || CAST(bin_id AS VARCHAR)) AS BIGINT) AS p
+           FROM acc)
+SELECT '0_input' AS stage, d AS n_docs, t AS n_tokens,
+       CAST(NULL AS BIGINT) AS n_packs FROM s_in
+UNION ALL SELECT '1_domain_cap', d, t, CAST(NULL AS BIGINT) FROM s_cap
+UNION ALL SELECT '2_token_mixture', d, t, CAST(NULL AS BIGINT) FROM s_mix
+UNION ALL SELECT '3_packed', d, t, (SELECT p FROM s_pack) FROM s_mix
+""",
+)
+def corpus_mixture_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed MIXTURE-MANIFEST funnel — what a real
+    pretraining-data run ships, as one oracled query: per-domain
+    contribution caps (``urls.py:domain_cap``, exact window form) →
+    token-budgeted temperature mixing
+    (``sampling.py:temperature_mixture_sample`` at α=0.5 weighing
+    strata by BPE-ish chunk-token mass) → tokenizer-sized doc-preserving
+    packing (``packing.py:pack_documents_greedy``). Every stage was
+    already green individually (``domain_contribution_caps``,
+    ``doc_token_budget_mixture``, ``doc_greedy_packing``); this pins the
+    COMPOSITION end to end, including that packing preserves the
+    admitted docs and token mass 1:1 (stage 3 repeats stage 2's totals
+    plus the bin count).
+
+    Funnel-count shape: stage 0/1 come from ONE conditional aggregate
+    over ONE flagged chain build (``domain_cap(keep_col=...)`` — the
+    quality_filter with-fingerprint pattern); stages 2/3 come from ONE
+    aggregate over the packed frame (packing is 1:1), so the full chain
+    builds exactly twice and the Arrow packing fold runs once. The
+    oracle replays the whole composition: URL canonicalization, md5 cap
+    ranks, sqrt token-mass rates, FLOOR-threshold admission, and the
+    per-shard recursive-CTE packing fold."""
+    from mini_feature_store_spark.operators.packing import (
+        pack_documents_greedy,
+    )
+    from mini_feature_store_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+    from mini_feature_store_spark.operators.text import word_chunk_count
+    from mini_feature_store_spark.operators.urls import domain_cap
+
+    _utc(spark)
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    with_url = docs.select(
+        "doc_id",
+        "lang",
+        _doc_url().alias("url"),
+        F.greatest(
+            word_chunk_count(F.col("text")), F.lit(0).cast("long")
+        ).alias("n_tokens"),
+    )
+    flagged = domain_cap(with_url, 15, keep_col="_cap_keep")
+    c1 = flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("in_docs"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0))
+        .cast("long")
+        .alias("in_toks"),
+        F.count(F.when(F.col("_cap_keep"), 1))
+        .cast("long")
+        .alias("cap_docs"),
+        F.coalesce(
+            F.sum(F.when(F.col("_cap_keep"), F.col("n_tokens"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("cap_toks"),
+    )
+    capped = domain_cap(with_url, 15).select("doc_id", "lang", "n_tokens")
+    admitted = temperature_mixture_sample(
+        capped, ["doc_id"], "lang", alpha=0.5, tokens_col="n_tokens"
+    )
+    packed = pack_documents_greedy(
+        admitted, max_tokens=128, shards=8, tokens_col="n_tokens"
+    )
+    c2 = packed.agg(
+        F.count(F.lit(1)).cast("long").alias("mix_docs"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0))
+        .cast("long")
+        .alias("mix_toks"),
+        F.count_distinct("shard", "bin_id").cast("long").alias("n_packs"),
+    )
+    rows1 = c1.selectExpr(
+        "stack(2, "
+        "'0_input', in_docs, in_toks, CAST(NULL AS BIGINT), "
+        "'1_domain_cap', cap_docs, cap_toks, CAST(NULL AS BIGINT)"
+        ") AS (stage, n_docs, n_tokens, n_packs)"
+    )
+    rows2 = c2.selectExpr(
+        "stack(2, "
+        "'2_token_mixture', mix_docs, mix_toks, CAST(NULL AS BIGINT), "
+        "'3_packed', mix_docs, mix_toks, n_packs"
+        ") AS (stage, n_docs, n_tokens, n_packs)"
+    )
+    return rows1.unionByName(rows2)
+
+
 # ── training-data pipeline: unigram-LM tokenizer (operators/unigram.py) ─────
 
 #: unigram gate knobs — vocab_size binds (the sf piece table has ~228
@@ -8011,27 +8259,88 @@ def multimodal_alignment_retention(
 # registered name present exactly once — ordered_queries() asserts it.
 
 VERIFY_ORDER: list[str] = [
-    # ── r12 provisional: new queries lead (full re-cut happens at round
-    # end once all r12 additions are registered).
-    "doc_unigram_vocab_em",
-    # ── r11 re-cut (standing rotate rule: new > touched-this-round >
+    # ── r12 re-cut (standing rotate rule: new > touched-this-round >
     # stalest-driver-row > fresh; the driver records rows for the FIRST
     # 50 entries only). Ledger going in (artifact-reconstructed):
-    # {r10: 50, r9: 46, r8: 35} over 131 previously-oracled queries.
-    # tier 0 — the three r11-new oracled queries (stupid-backoff trigram
-    # LM, tokenizer eval metrics, token-budgeted temperature mixture).
+    # {r11: 50, r10: 42, r9: 46} over 138 previously-oracled queries.
+    # tier 0 — the three r12-new queries (true-EM unigram trainer
+    # [rows-only], composed mixture-manifest funnel, order-3 LM funnel).
+    "doc_unigram_vocab_em",
+    "corpus_mixture_manifest",
+    "corpus_curation_funnel_lm3",
+    # tier 0b — oracled queries the r12 type-level LM rewrite touches
+    # (ngram_lm_score rewritten; trigram delegates to it; bigram got the
+    # same type-level score side, so perplexity/buckets inherit — the
+    # last two were ALSO r9-stale, so they pull double duty here).
     "doc_trigram_lm_score",
+    "doc_5gram_lm_score",
+    "corpus_curation_funnel_lm",
+    "doc_lm_perplexity",
+    "doc_lm_buckets",
+    # tier 1 — 42 of the 44 remaining r9-stale greens (three driver
+    # rounds old). Two spill past the window (positions 51-52 below) —
+    # 3 new + 5 touched + 44 would be 52; the spilled pair is the
+    # lowest-risk stale (a literal date generator and a tiny hash
+    # sampler), queued to lead the r13 window.
+    "brand_bracket_revenue",
+    "cube_event_counts",
+    "customer_order_distribution",
+    "customers_above_segment_avg",
+    "daily_event_deltas",
+    "dedup_exact_props",
+    "doc_contamination_spans",
+    "doc_cut_duplicate_spans",
+    "doc_decontaminate",
+    "doc_domain_hash_cap",
+    "doc_duplicate_spans",
+    "doc_hash_split_counts",
+    "doc_term_frequencies",
+    "doc_url_dedup",
+    "domain_contribution_caps",
+    "dormant_rich_customers",
+    "event_promo_attribution",
+    "event_type_pivot",
+    "events_capped_per_user",
+    "features_daily_typed",
+    "forecast_revenue_change",
+    "grouping_sets_sql",
+    "large_volume_customers",
+    "latest_event_per_user",
+    "lineitem_profile",
+    "multimodal_decode",
+    "nation_market_share",
+    "nearest_click_to_purchase",
+    "next_click_after_purchase",
+    "pit_training_typed",
+    "price_histogram",
+    "product_type_profit",
+    "purchase_value_intervals",
+    "rollup_order_revenue",
+    "set_ops_users",
+    "shipping_priority",
+    "small_quantity_revenue",
+    "supplier_revenue_salted",
+    "user_event_type_arrays",
+    "user_sessions",
+    "user_value_gap_fill",
+    "weekly_event_buckets",
+    # ── below this line: not in the r12 driver window.
+    # positions 51-52 — the two spilled r9-stale greens (r13 tier 1):
+    "date_dimension",
+    "doc_hash_sample",
+    # zero-norm-exclusion-touched pair, r11-fresh AND re-verified
+    # locally at 3 SFs this round (degenerate-pair exclusion cannot
+    # change output on testdata — no zero vectors exist, proven by the
+    # post-change hash match):
+    "embedding_topk_bruteforce",
+    "embedding_cosine_pairs",
+    # greens from r10/r11 plus rows-only queries, prior relative order
+    # preserved:
     "bpe_tokenizer_metrics",
     "doc_token_budget_mixture",
     "doc_unigram_vocab",
     "doc_unigram_tokenize",
     "tokenizer_comparison",
-    "doc_5gram_lm_score",
-    # tier 0b — oracled queries whose Spark side changed this round:
-    # the four BPE queries (bpe_train local path + bpe_encode dispatch),
-    # the temperature sampler (tokens_col mass expression), the
-    # cross-modal pair (zero-norm cosine guard, both sides), and the
-    # two funnels (lm_ok scoreless-pass semantics, both sides).
     "doc_bpe_vocab",
     "doc_bpe_tokenize",
     "doc_bpe_encode",
@@ -8039,12 +8348,6 @@ VERIFY_ORDER: list[str] = [
     "doc_temperature_mixture_sample",
     "multimodal_text_alignment",
     "multimodal_alignment_retention",
-    "corpus_curation_funnel_lm",
-    # (corpus_curation_funnel's r11 change was a comment only — demoted
-    # below the window so all 35 r8-stale greens fit after the 4 late
-    # additions; its oracle was still re-verified locally at 3 SFs)
-    # tier 1 — the 35 stalest greens (last driver row r8, three rounds
-    # old): post-r11 the ledger has nothing staler than r9.
     "doc_balanced_mixture_sample",
     "doc_chunk_windows",
     "doc_content_centrality",
@@ -8058,10 +8361,8 @@ VERIFY_ORDER: list[str] = [
     "doc_token_budget_selection",
     "doc_training_shuffle",
     "doc_winnow_fingerprints",
-    "embedding_cosine_pairs",
     "embedding_dedup_clusters",
     "embedding_int8_quant",
-    "embedding_topk_bruteforce",
     "embedding_vector_stats",
     "event_rollup_tiers",
     "event_value_scaled",
@@ -8080,12 +8381,6 @@ VERIFY_ORDER: list[str] = [
     "user_running_value",
     "user_value_trend",
     "user_weekly_distinct_exact",
-    # tier 2 — fill to exactly 50 with the oldest r9 greens.
-    "doc_lm_perplexity",
-    "doc_lm_buckets",
-    "pit_training_typed",
-    # ── below this line: not in the r11 driver window (greens from
-    # r9/r10 plus rows-only queries), prior relative order preserved.
     "corpus_curation_funnel",
     "doc_line_quality_filter",
     "doc_dup_coverage",
@@ -8128,49 +8423,6 @@ VERIFY_ORDER: list[str] = [
     "dedup_clusters",
     "dedup_incremental_batch",
     "dedup_ngram_jaccard",
-    "features_daily_typed",
-    "doc_duplicate_spans",
-    "doc_cut_duplicate_spans",
-    "doc_contamination_spans",
-    "doc_url_dedup",
-    "domain_contribution_caps",
-    "doc_domain_hash_cap",
-    "latest_event_per_user",
-    "large_volume_customers",
-    "dormant_rich_customers",
-    "dedup_exact_props",
-    "doc_decontaminate",
-    "set_ops_users",
-    "rollup_order_revenue",
-    "cube_event_counts",
-    "grouping_sets_sql",
-    "user_sessions",
-    "customers_above_segment_avg",
-    "daily_event_deltas",
-    "event_type_pivot",
-    "supplier_revenue_salted",
-    "user_event_type_arrays",
-    "weekly_event_buckets",
-    "date_dimension",
-    "doc_hash_sample",
-    "doc_hash_split_counts",
-    "events_capped_per_user",
-    "doc_term_frequencies",
-    "lineitem_profile",
-    "price_histogram",
-    "next_click_after_purchase",
-    "nearest_click_to_purchase",
-    "event_promo_attribution",
-    "multimodal_decode",
-    "shipping_priority",
-    "user_value_gap_fill",
-    "purchase_value_intervals",
-    "customer_order_distribution",
-    "small_quantity_revenue",
-    "brand_bracket_revenue",
-    "forecast_revenue_change",
-    "nation_market_share",
-    "product_type_profit",
     "embedding_corpus_curate",
     "dedup_minhash_lsh",
     "dedup_simhash",

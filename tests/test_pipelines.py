@@ -1573,3 +1573,144 @@ def test_corpus_curate_lm_order_3(spark, sf_dir, tmp_path):
                 lm_order=7,
             ),
         )
+
+
+def test_corpus_curate_mixture_stage_ties_to_operators(spark, tmp_path):
+    """Optional stage 5b (temperature mixture) composed with the domain
+    cap and the packing stage — the pipeline's funnel must match the
+    DIRECT operator composition (domain_cap → temperature_mixture_sample
+    → pack_documents_greedy) on a corpus where the intervening
+    quality/dedup stages pass everything through: the transitive-oracle
+    pattern (corpus_mixture_manifest pins the same composition against
+    DuckDB on the testdata tables)."""
+    from mini_feature_store_spark.operators.packing import (
+        pack_documents_greedy,
+    )
+    from mini_feature_store_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+    from mini_feature_store_spark.operators.text import word_chunk_count
+    from mini_feature_store_spark.operators.urls import domain_cap
+    from mini_feature_store_spark.pipelines.corpus_curate import (
+        CorpusCurationConfig,
+        run_corpus_curation,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog and the small cat"
+    rows = [
+        (
+            i,
+            text + f" english page number {i} with extra words here",
+            "en",
+            f"https://en.com/p{i}",
+        )
+        for i in range(12)
+    ] + [
+        (
+            100 + i,
+            text + f" german page {i}",
+            "de",
+            f"https://de.com/p{i}",
+        )
+        for i in range(3)
+    ]
+    inp = str(tmp_path / "docs")
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, url string"
+    )
+    docs.write.parquet(inp)
+
+    out = str(tmp_path / "clean")
+    funnel = run_corpus_curation(
+        spark,
+        CorpusCurationConfig(
+            input_path=inp,
+            output_path=out,
+            url_col="url",
+            max_per_domain=8,
+            jaccard_threshold=0.99,
+            mixture_strata_col="lang",
+            mixture_by_tokens=True,
+            pack_max_tokens=64,
+            pack_shards=4,
+        ),
+    )
+
+    # direct operator composition on the same frame (URL dedup and the
+    # quality/dedup stages are no-ops on this corpus by construction)
+    capped = domain_cap(docs, 8, "url", "doc_id")
+    sized = capped.withColumn(
+        "_t",
+        F.greatest(word_chunk_count(F.col("text")), F.lit(0).cast("long")),
+    )
+    admitted = temperature_mixture_sample(
+        sized, ["doc_id"], "lang", alpha=0.5, tokens_col="_t"
+    )
+    packed = pack_documents_greedy(
+        admitted, max_tokens=64, shards=4, tokens_col="_t"
+    )
+
+    assert funnel["input"] == 15
+    assert funnel["after_domain_cap"] == 8 + 3
+    n_admitted = admitted.count()
+    # the cap binds (12 -> 8) and the mixture drops some en docs toward
+    # the de token mass — the stage must actually do something here
+    assert funnel["after_mixture"] == n_admitted < 11
+    assert funnel["written"] == n_admitted
+    assert funnel["packed_docs"] == n_admitted
+    assert (
+        funnel["packing_bins"]
+        == packed.select("shard", "bin_id").distinct().count()
+    )
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept == {r.doc_id for r in admitted.collect()}
+
+    # CLI flag wiring
+    from mini_feature_store_spark import cli
+
+    out2 = str(tmp_path / "clean2")
+    rc = cli.main(
+        [
+            "corpus-curate",
+            "--input-path", inp,
+            "--output-path", out2,
+            "--url-col", "url",
+            "--max-per-domain", "8",
+            "--jaccard-threshold", "0.99",
+            "--mixture-strata-col", "lang",
+            "--mixture-by-tokens",
+        ]
+    )
+    assert rc == 0
+    assert spark.read.parquet(out2).count() == n_admitted
+
+
+def test_corpus_curate_mixture_validations(spark, tmp_path):
+    from mini_feature_store_spark.pipelines.corpus_curate import (
+        CorpusCurationConfig,
+        run_corpus_curation,
+    )
+
+    inp = str(tmp_path / "docs_v")
+    spark.createDataFrame(
+        [(0, "some text here for the gate", "en")],
+        "doc_id long, text string, lang string",
+    ).write.parquet(inp)
+    out = str(tmp_path / "out_v")
+    with pytest.raises(ValueError, match="mixture_alpha"):
+        run_corpus_curation(
+            spark,
+            CorpusCurationConfig(
+                input_path=inp,
+                output_path=out,
+                mixture_strata_col="lang",
+                mixture_alpha=1.5,
+            ),
+        )
+    with pytest.raises(ValueError, match="mixture_by_tokens"):
+        run_corpus_curation(
+            spark,
+            CorpusCurationConfig(
+                input_path=inp, output_path=out, mixture_by_tokens=True
+            ),
+        )

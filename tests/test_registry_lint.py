@@ -71,6 +71,7 @@ PLAN_BUILD_CACHE_ALLOWLIST = {
     # entry comes from ngram_jaccard_pairs' posting-list persist inside
     # the near-dup stage, not from the query composition itself
     "corpus_curation_funnel_lm",
+    "corpus_curation_funnel_lm3",
     "doc_content_centrality",
     # class (b) iterative state: bpe_train's per-round rewritten word
     # table is persisted (k-means/PageRank pattern) and the final round's

@@ -318,6 +318,30 @@ AUDITED: dict[str, str] = {
         "state — the sanctioned Pandas escape hatch); shard count is "
         "the parallelism knob at 100 TB."
     ),
+    "corpus_mixture_manifest": (
+        "Composed mixture-manifest funnel (r12): per-domain cap → "
+        "token-budgeted temperature mixture → doc-preserving packing, "
+        "as ONE oracled query. Stage 0/1 counts come from a single "
+        "conditional aggregate over ONE flagged chain build "
+        "(domain_cap(keep_col=...) — the quality_filter "
+        "with-fingerprint pattern); stage 2/3 counts come from ONE "
+        "aggregate over the packed frame (packing is 1:1 per doc, so "
+        "mixture totals and bin counts share a pass). The full chain "
+        "builds exactly twice and the Arrow packing fold runs once; "
+        "per-stage shuffles are the component operators' own (domain "
+        "window, stratum-mass aggregate + scan-side md5 admission, one "
+        "shard exchange)."
+    ),
+    "corpus_curation_funnel_lm3": (
+        "corpus_curation_funnel_lm with stage 1b at ORDER 3 (r12): "
+        "identical tagged single-chain count shape — ONE quality+LM "
+        "chain build for the first four counts, near-dup drops by "
+        "arithmetic — with the stupid-backoff trigram scorer in its "
+        "r12 TYPE-level form (distinct n-gram types scored against the "
+        "stacked count table, one corpus-side join back). Shares "
+        "_lm_funnel_counts with the order-2 form; the oracle's LM "
+        "stage is generated by _ngram_lm_fragment."
+    ),
     "corpus_curation_funnel_lm": (
         "The modern funnel with the CCNet LM stage composed in (r9): "
         "quality gate -> bigram-LM filter (the model trains INSIDE the "

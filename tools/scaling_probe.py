@@ -827,22 +827,113 @@ def run_scale(spark, d: Path, only: set[str] | None = None) -> dict[str, float]:
             docs, vocab_size=2000, max_piece_len=6, refine_rounds=1
         )
 
-    def _unigram_tokenize():
-        from mini_feature_store_spark.operators.unigram import (
-            unigram_tokenize,
-            unigram_train,
-        )
-
+    def _uni_artifacts() -> str:
         if "uni_vocab" not in _bpe_state:
             import tempfile
+
+            from mini_feature_store_spark.operators.unigram import (
+                unigram_train,
+            )
 
             base = Path(tempfile.mkdtemp(prefix="mfss-uni-"))
             unigram_train(
                 docs, vocab_size=2000, max_piece_len=6, refine_rounds=1
             ).write.parquet(str(base / "pieces.parquet"))
             _bpe_state["uni_vocab"] = str(base / "pieces.parquet")
-        vocab = spark.read.parquet(_bpe_state["uni_vocab"])
+        return _bpe_state["uni_vocab"]
+
+    def _unigram_tokenize():
+        from mini_feature_store_spark.operators.unigram import (
+            unigram_tokenize,
+        )
+
+        vocab = spark.read.parquet(_uni_artifacts())
         return unigram_tokenize(docs, vocab)
+
+    # ── r12 additions: the comparison composition + true-EM trainer +
+    # the composed mixture-manifest funnel (the three r12-new gates).
+    def _tokenizer_comparison():
+        # BPE-vs-unigram head-to-head over TRAINED artifacts (training
+        # has its own rows; this times the comparison composition: two
+        # corpus encodes + the base projection + two 1-row aggregates)
+        from mini_feature_store_spark.operators.bpe import (
+            CHUNK_RE,
+            bpe_encode,
+        )
+        from mini_feature_store_spark.operators.unigram import (
+            unigram_tokenize,
+        )
+
+        merges = spark.read.parquet(_bpe_artifacts() + "/merges.parquet")
+        pieces = spark.read.parquet(_uni_artifacts())
+        enc_b = bpe_encode(docs, merges).select("doc_id", "n_tokens")
+        enc_u = unigram_tokenize(docs, pieces).select("doc_id", "n_tokens")
+        base = docs.select(
+            "doc_id",
+            F.size(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit(CHUNK_RE), 0
+                )
+            )
+            .cast("long")
+            .alias("n_words"),
+            F.length(F.regexp_replace(F.col("text"), r"\s+", ""))
+            .cast("long")
+            .alias("n_chars"),
+        )
+
+        def stats(name, enc):
+            j = base.join(enc, "doc_id", "left")
+            return j.agg(
+                F.lit(name).alias("tokenizer"),
+                F.sum("n_tokens").alias("total_tokens"),
+                (F.sum("n_tokens") / F.sum("n_words")).alias("fertility"),
+                (F.sum("n_chars") / F.sum("n_tokens")).alias("compression"),
+            )
+
+        return stats("bpe", enc_b).unionByName(stats("unigram", enc_u))
+
+    def _unigram_train_em():
+        # the true-EM trainer: E-step jobs ∝ em_iters × prune rounds,
+        # each one Arrow pass over the DISTINCT word table
+        from mini_feature_store_spark.operators.unigram import (
+            unigram_train_em,
+        )
+
+        return unigram_train_em(
+            docs, vocab_size=2000, max_piece_len=6, seed_multiplier=2
+        )
+
+    def _mixture_manifest():
+        # the composed r12 gate: domain cap → token-budgeted temperature
+        # mixture → doc-preserving packing (chunk-count token measure)
+        from mini_feature_store_spark.operators.packing import (
+            pack_documents_greedy,
+        )
+        from mini_feature_store_spark.operators.text import (
+            word_chunk_count,
+        )
+        from mini_feature_store_spark.operators.urls import domain_cap
+
+        with_url = _urlify(docs).select(
+            "doc_id",
+            "url",
+            (F.floor(F.sqrt(F.col("doc_id") + 1)) % 16)
+            .cast("string")
+            .alias("lang"),
+            F.greatest(
+                word_chunk_count(F.col("text")), F.lit(0).cast("long")
+            ).alias("n_tokens"),
+        )
+        capped = domain_cap(with_url, 20).select(
+            "doc_id", "lang", "n_tokens"
+        )
+        admitted = temperature_mixture_sample(
+            capped, ["doc_id"], "lang", alpha=0.5, tokens_col="n_tokens"
+        )
+        return pack_documents_greedy(
+            admitted, max_tokens=2048, shards=32, tokens_col="n_tokens"
+        )
 
     ops.update(
         {
@@ -856,6 +947,9 @@ def run_scale(spark, d: Path, only: set[str] | None = None) -> dict[str, float]:
             "fivegram_lm_ref2pct": _fivegram_lm,
             "tokenizer_metrics": _tokenizer_metrics,
             "token_budget_mixture": _token_budget_mixture,
+            "tokenizer_comparison_trained": _tokenizer_comparison,
+            "unigram_train_em_v2000": _unigram_train_em,
+            "mixture_manifest_composed": _mixture_manifest,
         }
     )
     ops.update(
