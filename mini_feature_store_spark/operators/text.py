@@ -842,6 +842,8 @@ def bigram_lm_score(
     alpha: float = 1.0,
     text_col: str = "text",
     id_col: str = "doc_id",
+    strategy: str = "auto",
+    broadcast_ref_max_docs: int = 10_000,
 ) -> DataFrame:
     """CCNet-style LM quality scoring (Wenzek et al. 2020 score crawl text
     with a KenLM trained on Wikipedia; the lower the perplexity, the more
@@ -863,19 +865,29 @@ def bigram_lm_score(
     ``(id_col, n_bigrams, n_oov_bigrams, avg_nll)`` where
     ``n_oov_bigrams`` counts bigrams absent from the training table.
 
-    Scale shape (TYPE-level scoring): the model is two hash aggregates
-    over one training-side bigram explosion (counts, shuffled by token
-    keys — map-side combine collapses repeats) plus a 1-row vocabulary
-    aggregate (bounded broadcast). The score side collapses to DISTINCT
-    observed bigram TYPES (Heaps-law-small vs positions), joins the two
-    count tables onto the type table UNHINTED, and joins the per-type
-    score back to positions on the bigram key — ONE corpus-side shuffle
-    (AQE broadcasts the scored-type table when it fits) instead of two
-    corpus re-shuffles on different keys once the count tables outgrow
-    broadcast — then one groupBy(doc) for the final aggregate.
+    Two scoring strategies producing the IDENTICAL result (pinned by
+    test), dispatched exactly like ``ngram_lm_score``:
+
+    - ``"position"`` — the two count tables + 1-row vocabulary join
+      UNHINTED onto the score-side bigram explosion; when the reference
+      is small (the CCNet regime) AQE broadcasts them and the corpus is
+      never shuffled except by doc — the best plan in that regime.
+    - ``"type"`` — DISTINCT observed bigram types score once and join
+      back to positions on the bigram key — corpus-side shuffles capped
+      at distinct + join-back once the count tables outgrow broadcast.
+    - ``"auto"`` (default) — position under a provably small reference
+      (bounded ``limit(broadcast_ref_max_docs + 1).count()`` probe),
+      type otherwise.
     """
     if alpha <= 0:
         raise ValueError(f"alpha must be positive, got {alpha}")
+    if strategy not in ("auto", "position", "type"):
+        raise ValueError(f"unknown bigram_lm_score strategy: {strategy!r}")
+    if strategy == "auto":
+        n_probe = train.limit(broadcast_ref_max_docs + 1).count()
+        strategy = (
+            "position" if n_probe <= broadcast_ref_max_docs else "type"
+        )
 
     def _bigrams(frame: DataFrame) -> DataFrame:
         t = _tokens(normalize(F.col(text_col)))
@@ -908,10 +920,11 @@ def bigram_lm_score(
         .agg(F.count_distinct("w").alias("_v"))
     )
     pos = _bigrams(df)
-    typed = (
-        pos.select("w1", "w2")
-        .distinct()
-        .join(cb, ["w1", "w2"], "left")
+    score_side = (
+        pos.select("w1", "w2").distinct() if strategy == "type" else pos
+    )
+    scored = (
+        score_side.join(cb, ["w1", "w2"], "left")
         .join(cu, ["w1"], "left")
         .crossJoin(F.broadcast(vocab))
     )
@@ -927,19 +940,24 @@ def bigram_lm_score(
     p = (F.coalesce(F.col("_cb"), F.lit(0)) + F.lit(alpha)) / (
         F.coalesce(F.col("_cu"), F.lit(0)) + F.lit(alpha) * v_checked
     )
-    scored_types = typed.select(
-        "w1",
-        "w2",
-        (-F.log(p)).alias("_nll"),
-        F.col("_cb").isNull().alias("_oov"),
-    )
+    if strategy == "type":
+        scored_types = scored.select(
+            "w1",
+            "w2",
+            (-F.log(p)).alias("_nll"),
+            F.col("_cb").isNull().alias("_oov"),
+        )
+        scored = pos.join(scored_types, ["w1", "w2"])
+        nll = F.col("_nll")
+    else:
+        scored = scored.withColumn("_oov", F.col("_cb").isNull())
+        nll = -F.log(p)
     return (
-        pos.join(scored_types, ["w1", "w2"])
-        .groupBy("id")
+        scored.groupBy("id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
             F.count(F.when(F.col("_oov"), 1)).alias("n_oov_bigrams"),
-            round_half_up(F.avg("_nll"), 4).alias("avg_nll"),
+            round_half_up(F.avg(nll), 4).alias("avg_nll"),
         )
         .select(
             F.col("id").alias(id_col),
@@ -1027,6 +1045,53 @@ def _stacked_gram_counts(
     return grams.groupBy("g").agg(F.count(F.lit(1)).alias("_c"))
 
 
+def _backoff_case(order: int, backoff: float, n_checked: Column) -> Column:
+    """The stupid-backoff score CASE over ``_c{k}`` / ``_x{k}`` columns
+    (shared by both scoring strategies — the expression tree, and so
+    the IEEE result, is identical either way):
+
+        S = λ^(order−k) · _c{k} / den_k   for the deepest seen k,
+        den_k = _x{k} (k > 1) or N;  floor = λ^order / N.
+
+    seen k-gram ⇒ seen context (every k-gram occurrence embeds its
+    prefix), so each branch's denominator is non-null when it fires."""
+    lam = F.lit(backoff)
+
+    def lam_pow(p: int):
+        e = F.lit(1.0)
+        for _ in range(p):
+            e = e * lam
+        return e
+
+    s = None
+    for k in range(order, 0, -1):
+        den = F.col(f"_x{k}") if k > 1 else n_checked
+        branch = lam_pow(order - k) * F.col(f"_c{k}") / den
+        cond = F.col(f"_c{k}").isNotNull()
+        s = F.when(cond, branch) if s is None else s.when(cond, branch)
+    return s.otherwise(lam_pow(order) / n_checked)
+
+
+def _lm_doc_aggregate(scored: DataFrame, id_col: str, nll):
+    """One row per doc from per-position rows carrying the ``_oov``
+    marker and the score/nll expression — the shared tail of both
+    strategies."""
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.count(F.when(F.col("_oov"), 1)).alias("n_oov_ngrams"),
+            round_half_up(F.avg(nll), 4).alias("avg_nll"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_ngrams").cast("long"),
+            F.col("n_oov_ngrams").cast("long"),
+            "avg_nll",
+        )
+    )
+
+
 def ngram_lm_score(
     train: DataFrame,
     df: DataFrame,
@@ -1034,6 +1099,8 @@ def ngram_lm_score(
     backoff: float = 0.4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    strategy: str = "auto",
+    broadcast_ref_max_docs: int = 10_000,
 ) -> DataFrame:
     """Stupid-backoff LM scoring at ARBITRARY n-gram order (Brants et
     al. 2007 — their production system ran order 5, which is also what
@@ -1046,33 +1113,119 @@ def ngram_lm_score(
 
     evaluated from k = ``order`` down. Every count is an exact integer
     and the backoff CASE is parenthesization-matched in the oracle, so
-    any order replays cross-engine.
+    any order replays cross-engine. Output: one row per document WITH
+    at least one order-``order`` window: ``(id_col, n_ngrams,
+    n_oov_ngrams, avg_nll)`` — ``n_oov_ngrams`` counts positions whose
+    FULL n-gram is unseen (positions that took any backoff).
 
-    Output: one row per document WITH at least one order-``order``
-    window: ``(id_col, n_ngrams, n_oov_ngrams, avg_nll)`` —
-    ``n_oov_ngrams`` counts positions whose FULL n-gram is unseen
-    (positions that took any backoff).
+    Two scoring strategies producing the IDENTICAL result (pinned by
+    test), dispatched like ``bpe_encode``'s fold→replay:
 
-    Scale shape (TYPE-level scoring): the model is ONE stacked count
-    table off a single train-slice pass (``_stacked_gram_counts`` —
-    every k-gram order plus the token total N in one map-side-combined
-    aggregate, instead of ``order`` + 1 separate explosions). Scoring
-    never joins counts onto the per-position explosion: the score side
-    collapses to DISTINCT observed n-gram TYPES (Heaps-law-small vs
-    positions), each type explodes into its 2·order−1 count lookups
-    (suffix numerators + context denominators + the N sentinel) which
-    join the stacked table ONCE on the gram key and pivot back to one
-    row per type; the per-type score then joins back to positions on
-    the full n-gram key — ONE corpus-side shuffle at any order (AQE
-    broadcasts the scored-type table when it fits), instead of up to
-    2·order−1 corpus re-shuffles once count tables outgrow broadcast.
-    The corpus otherwise shuffles only by doc for the final
-    aggregate."""
+    - ``"position"`` — ``order`` + 1 count aggregates off the reference
+      joined UNHINTED onto the per-position n-gram explosion. When the
+      reference is small (the CCNet regime: a curated slice ≪ the
+      crawl), AQE broadcasts every count table and the corpus is NEVER
+      shuffled except by doc — strictly the best plan in that regime.
+      Past broadcast scale it degrades to up to 2·order−1 corpus-wide
+      SMJ re-shuffles, each on a different key — the 100× hazard.
+    - ``"type"`` — ONE stacked count pass (``_stacked_gram_counts``:
+      every order + the token total N in a single map-side-combined
+      aggregate; order+1 reference explosions → 1), scoring over
+      DISTINCT observed n-gram types (each type explodes into its
+      2·order−1 count lookups, joins the stacked table once, pivots to
+      one row per type), per-type scores joined back to positions on
+      the n-gram key — corpus-side shuffles capped at distinct +
+      join-back at ANY order and ANY reference size. The scale-safe
+      shape; at broadcast scale it pays the distinct/join-back that
+      ``position`` avoids (and on low-repetition corpora high-order
+      types approach positions, so the collapse is modest).
+    - ``"auto"`` (default) — ``position`` when the reference is
+      provably small: a ``limit(broadcast_ref_max_docs + 1).count()``
+      probe (the ``bpe_train`` bounded-probe pattern — one tiny job at
+      plan build, never an unbounded action) decides; ``type``
+      otherwise.
+    """
     if order < 2:
         raise ValueError(f"order must be at least 2, got {order}")
     if not 0 < backoff < 1:
         raise ValueError(f"backoff must be in (0, 1), got {backoff}")
+    if strategy not in ("auto", "position", "type"):
+        raise ValueError(f"unknown ngram_lm_score strategy: {strategy!r}")
+    if strategy == "auto":
+        n_probe = train.limit(broadcast_ref_max_docs + 1).count()
+        strategy = (
+            "position" if n_probe <= broadcast_ref_max_docs else "type"
+        )
+    if strategy == "position":
+        return _ngram_lm_positions(
+            train, df, order, backoff, text_col, id_col
+        )
+    return _ngram_lm_types(train, df, order, backoff, text_col, id_col)
 
+
+def _ngram_lm_positions(
+    train: DataFrame,
+    df: DataFrame,
+    order: int,
+    backoff: float,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Position-join strategy (see ``ngram_lm_score``)."""
+    counts = {
+        k: _exploded_ngrams(train, k, text_col, id_col)
+        .groupBy(*[f"w{j + 1}" for j in range(k)])
+        .agg(F.count(F.lit(1)).alias(f"_c{k}"))
+        for k in range(1, order + 1)
+    }
+    total = (
+        spread(train)
+        .select(F.explode(_tokens(normalize(F.col(text_col)))).alias("w"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+
+    scored = _exploded_ngrams(df, order, text_col, id_col)
+    # numerator joins: the k-gram ENDING at the position is the suffix
+    # (w_{order-k+1} .. w_order); rename each count table's columns to
+    # those suffix positions so the equi-join lines up
+    for k in range(order, 0, -1):
+        suffix = [f"w{order - k + 1 + j}" for j in range(k)]
+        tbl = counts[k].select(
+            *[F.col(f"w{j + 1}").alias(suffix[j]) for j in range(k)],
+            F.col(f"_c{k}"),
+        )
+        scored = scored.join(tbl, suffix, "left")
+    # context joins: level k's denominator is the (k-1)-gram context
+    # (w_{order-k+1} .. w_{order-1}); k = order .. 2 (level 1 divides N)
+    for k in range(order, 1, -1):
+        ctx = [f"w{order - k + 1 + j}" for j in range(k - 1)]
+        tbl = counts[k - 1].select(
+            *[F.col(f"w{j + 1}").alias(ctx[j]) for j in range(k - 1)],
+            F.col(f"_c{k - 1}").alias(f"_x{k}"),
+        )
+        scored = scored.join(tbl, ctx, "left")
+    scored = scored.crossJoin(F.broadcast(total))
+
+    n_checked = F.when(F.col("_n") > 0, F.col("_n")).otherwise(
+        F.expr(
+            "raise_error('ngram_lm_score: reference corpus is empty"
+            " - nothing to train on')"
+        ).cast("long")
+    )
+    s = _backoff_case(order, backoff, n_checked)
+    scored = scored.withColumn("_oov", F.col(f"_c{order}").isNull())
+    return _lm_doc_aggregate(scored, id_col, -F.log(s))
+
+
+def _ngram_lm_types(
+    train: DataFrame,
+    df: DataFrame,
+    order: int,
+    backoff: float,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Type-level strategy (see ``ngram_lm_score``)."""
     counts = _stacked_gram_counts(train, order, text_col)
 
     wcols = [f"w{j + 1}" for j in range(order)]
@@ -1131,46 +1284,14 @@ def ngram_lm_score(
             " - nothing to train on')"
         ).cast("long")
     )
-    lam = F.lit(backoff)
-
-    def lam_pow(p: int):
-        e = F.lit(1.0)
-        for _ in range(p):
-            e = e * lam
-        return e
-
-    # seen k-gram ⇒ seen context (every k-gram occurrence embeds its
-    # prefix), so each branch's denominator is non-null when it fires
-    s = None
-    for k in range(order, 0, -1):
-        den = F.col(f"_x{k}") if k > 1 else n_checked
-        branch = lam_pow(order - k) * F.col(f"_c{k}") / den
-        cond = F.col(f"_c{k}").isNotNull()
-        s = F.when(cond, branch) if s is None else s.when(cond, branch)
-    s = s.otherwise(lam_pow(order) / n_checked)
-
+    s = _backoff_case(order, backoff, n_checked)
     scored_types = typed.select(
         "_g",
         (-F.log(s)).alias("_nll"),
         F.col(f"_c{order}").isNull().alias("_oov"),
     )
-
-    return (
-        pos.select("id", key.alias("_g"))
-        .join(scored_types, "_g")
-        .groupBy("id")
-        .agg(
-            F.count(F.lit(1)).alias("n_ngrams"),
-            F.count(F.when(F.col("_oov"), 1)).alias("n_oov_ngrams"),
-            round_half_up(F.avg("_nll"), 4).alias("avg_nll"),
-        )
-        .select(
-            F.col("id").alias(id_col),
-            F.col("n_ngrams").cast("long"),
-            F.col("n_oov_ngrams").cast("long"),
-            "avg_nll",
-        )
-    )
+    scored = pos.select("id", key.alias("_g")).join(scored_types, "_g")
+    return _lm_doc_aggregate(scored, id_col, F.col("_nll"))
 
 
 def trigram_lm_score(
@@ -1179,6 +1300,7 @@ def trigram_lm_score(
     backoff: float = 0.4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    strategy: str = "auto",
 ) -> DataFrame:
     """Stupid-backoff trigram LM scoring (Brants et al. 2007, "Large
     Language Models in Machine Translation" — the web-scale scorer that
@@ -1212,9 +1334,9 @@ def trigram_lm_score(
     CASE chains are term-for-term identical — pinned by
     ``test_ngram_lm_score_order3_equals_trigram`` before this became a
     delegation), renamed to the documented trigram column names. The
-    delegation inherits the TYPE-level scale shape: one stacked count
-    pass over the reference, per-type scoring over distinct trigram
-    types, and a single corpus-side join back on the trigram key."""
+    delegation inherits the strategy dispatch (``strategy`` passes
+    through): position-join under a small reference, TYPE-level at
+    scale."""
     out = ngram_lm_score(
         train,
         df,
@@ -1222,6 +1344,7 @@ def trigram_lm_score(
         backoff=backoff,
         text_col=text_col,
         id_col=id_col,
+        strategy=strategy,
     )
     return out.select(
         id_col,

@@ -6311,7 +6311,13 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _utc(spark)
     docs = load_testdata(spark, sf_dir, "documents")["documents"]
-    return bigram_lm_score(docs.where(F.col("source") == "src0"), docs)
+    # position strategy pinned: the src0 reference is the broadcast
+    # regime by construction (measured 3.3s vs 8.0s for type at sf0.1);
+    # the type path exists, is pinned equal by test, and is measured in
+    # SCALING.md — production callers get the auto dispatch
+    return bigram_lm_score(
+        docs.where(F.col("source") == "src0"), docs, strategy="position"
+    )
 
 
 def _ngram_lm_fragment(
@@ -6436,8 +6442,13 @@ def doc_5gram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _utc(spark)
     docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    # strategy pinned to the scale-safe TYPE form: the gate plan is the
+    # audited 3-scan shape (PLANS.md) regardless of the src0 slice size;
+    # production callers get the auto dispatch (position under a small
+    # reference — the faster plan in the broadcast regime)
     return ngram_lm_score(
-        docs.where(F.col("source") == "src0"), docs, order=5
+        docs.where(F.col("source") == "src0"), docs, order=5,
+        strategy="type",
     )
 
 
@@ -6519,7 +6530,10 @@ def doc_trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _utc(spark)
     docs = load_testdata(spark, sf_dir, "documents")["documents"]
-    return trigram_lm_score(docs.where(F.col("source") == "src0"), docs)
+    # type strategy pinned — same rationale as doc_5gram_lm_score
+    return trigram_lm_score(
+        docs.where(F.col("source") == "src0"), docs, strategy="type"
+    )
 
 
 @_q(
@@ -6698,7 +6712,9 @@ def doc_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _utc(spark)
     docs = load_testdata(spark, sf_dir, "documents")["documents"]
-    scored = bigram_lm_score(docs.where(F.col("source") == "src0"), docs)
+    scored = bigram_lm_score(
+        docs.where(F.col("source") == "src0"), docs, strategy="position"
+    )  # position pinned — same rationale as doc_lm_perplexity
     t = F.ntile(3).over(
         Window.partitionBy("lang").orderBy("avg_nll", "doc_id")
     )
@@ -6881,7 +6897,15 @@ def corpus_curation_funnel_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     and threshold)."""
     from mini_feature_store_spark.operators.text import bigram_lm_score
 
-    return _lm_funnel_counts(spark, sf_dir, bigram_lm_score, 3.5)
+    import functools
+
+    return _lm_funnel_counts(
+        spark,
+        sf_dir,
+        # position pinned — same rationale as doc_lm_perplexity
+        functools.partial(bigram_lm_score, strategy="position"),
+        3.5,
+    )
 
 
 _LM3_FRAG, _LM3_J = _ngram_lm_fragment(3, "refd", "scd", "L")
@@ -6924,7 +6948,7 @@ def corpus_curation_funnel_lm3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return _lm_funnel_counts(
         spark, sf_dir, lambda ref, corpus: ngram_lm_score(
-            ref, corpus, order=3
+            ref, corpus, order=3, strategy="type"
         ), 4.0
     )
 

@@ -593,3 +593,107 @@ def test_trigram_lm_score_validations(spark):
     df = trigram_lm_score(empty_ref, score)
     with _pytest.raises(Exception, match="reference corpus is empty"):
         df.collect()
+
+
+def test_ngram_lm_score_position_equals_type_strategy(spark):
+    """The two scoring strategies (position-join under a broadcastable
+    reference vs type-level at scale) must produce IDENTICAL results —
+    the bpe_encode fold≡replay pin applied to the LM dispatch — and
+    auto picks position under a tiny reference / type past the probe
+    bound."""
+    from mini_feature_store_spark.operators.text import ngram_lm_score
+
+    train = spark.createDataFrame(
+        [
+            (100, "a b c a b c a b d e f g a b c d"),
+            (101, "b c d e f a a b"),
+        ],
+        "doc_id long, text string",
+    )
+    score = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "c a b d x y z"),
+            (3, "a b c d e f g"),
+            (4, "q r s t u"),  # fully OOV
+        ],
+        "doc_id long, text string",
+    )
+    for order in (2, 3, 5):
+        pos_r = {
+            r.doc_id: tuple(r)[1:]
+            for r in ngram_lm_score(
+                train, score, order=order, strategy="position"
+            ).collect()
+        }
+        typ_r = {
+            r.doc_id: tuple(r)[1:]
+            for r in ngram_lm_score(
+                train, score, order=order, strategy="type"
+            ).collect()
+        }
+        assert pos_r == typ_r, f"strategy divergence at order {order}"
+
+    # auto dispatch: tiny reference -> position path; past the probe
+    # bound -> type path (results identical either way, so pin the
+    # dispatch by comparing against both explicit forms)
+    auto_small = {
+        r.doc_id: tuple(r)[1:]
+        for r in ngram_lm_score(
+            train, score, order=3, strategy="auto",
+            broadcast_ref_max_docs=10,
+        ).collect()
+    }
+    auto_large = {
+        r.doc_id: tuple(r)[1:]
+        for r in ngram_lm_score(
+            train, score, order=3, strategy="auto",
+            broadcast_ref_max_docs=1,
+        ).collect()
+    }
+    assert auto_small == auto_large == {
+        r.doc_id: tuple(r)[1:]
+        for r in ngram_lm_score(
+            train, score, order=3, strategy="type"
+        ).collect()
+    }
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="strategy"):
+        ngram_lm_score(train, score, strategy="nope")
+
+
+def test_bigram_lm_score_position_equals_type_strategy(spark):
+    """bigram_lm_score's two strategies (and the auto dispatch on both
+    sides of the probe bound) are result-identical — the same pin as
+    ngram_lm_score's."""
+    from mini_feature_store_spark.operators.text import bigram_lm_score
+
+    train = spark.createDataFrame(
+        [(100, "a b c a b c a b d e"), (101, "b c d e f a a b")],
+        "doc_id long, text string",
+    )
+    score = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x y z"), (3, "a b")],
+        "doc_id long, text string",
+    )
+    want = {
+        r.doc_id: tuple(r)[1:]
+        for r in bigram_lm_score(train, score, strategy="position").collect()
+    }
+    assert want == {
+        r.doc_id: tuple(r)[1:]
+        for r in bigram_lm_score(train, score, strategy="type").collect()
+    }
+    assert want == {
+        r.doc_id: tuple(r)[1:]
+        for r in bigram_lm_score(
+            train, score, strategy="auto", broadcast_ref_max_docs=1
+        ).collect()
+    }
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="strategy"):
+        bigram_lm_score(train, score, strategy="nope")

@@ -405,20 +405,31 @@ AUDITED: dict[str, str] = {
         "upstream so the packer never re-reads text."
     ),
     "doc_trigram_lm_score": (
-        "Stupid-backoff trigram LM (r11): three O(types) count tables "
-        "(trigram/bigram/unigram) + a 1-row total off the reference "
-        "slice's explosions, joined UNHINTED (five joins — AQE "
-        "broadcasts vocabulary-scale tables) onto ONE score-side "
-        "trigram explosion; the backoff is a single CaseWhen "
-        "projection, the corpus shuffles only by doc for the final "
-        "aggregate — doc_lm_perplexity's shape one order deeper."
+        "Stupid-backoff trigram LM, TYPE-level strategy pinned (r12 "
+        "rewrite of the r11 weak flag): ONE stacked count pass over "
+        "the reference (_stacked_gram_counts — every order + the N "
+        "sentinel in a single map-side-combined aggregate, keyed by "
+        "the space-joined gram string), DISTINCT observed trigram "
+        "types explode into their 5 count lookups, join the stacked "
+        "table once, pivot to one row per type (max-when), and the "
+        "per-type score joins back to positions on the trigram key — "
+        "corpus-side shuffles capped at distinct + join-back at ANY "
+        "reference size (the old form re-shuffled the corpus per "
+        "count-table level once they outgrew broadcast). Production "
+        "callers get strategy='auto': the position-join form (zero "
+        "corpus shuffles) under a provably-small reference via the "
+        "bounded limit-probe, type past it; position ≡ type pinned by "
+        "test. 3 scans / 9 exchanges."
     ),
     "doc_5gram_lm_score": (
-        "Arbitrary-order stupid backoff at CCNet's order (r11): five "
-        "count tables + a 1-row total off the reference slice, nine "
-        "unhinted LEFT joins onto ONE score-side 5-gram explosion, a "
-        "single λ-power CaseWhen — doc_trigram_lm_score's shape "
-        "generated for any order; corpus shuffles only by doc."
+        "Arbitrary-order stupid backoff at CCNet's order, TYPE-level "
+        "strategy pinned (r12): doc_trigram_lm_score's shape at order "
+        "5 — the stacked count pass replaces SIX reference explosions "
+        "and the type-level join-back replaces NINE unhinted joins "
+        "onto the per-position explosion (11 scans → 3, 22 exchanges "
+        "→ 9). SCALING.md carries both strategies' curves: position "
+        "wins while count tables broadcast (the CCNet regime), type "
+        "caps corpus shuffles when the reference itself is huge."
     ),
     "bpe_tokenizer_metrics": (
         "Tokenizer eval metrics (r11): the bpe_encode subtree for "
@@ -471,13 +482,19 @@ AUDITED: dict[str, str] = {
         "of the same stage."
     ),
     "doc_lm_perplexity": (
-        "CCNet-style bigram LM scoring (r9): the model is two hash "
-        "aggregates over the reference slice's bigram explosion plus a "
-        "1-row vocabulary aggregate (bounded broadcast); the corpus "
-        "explodes its bigrams once and joins the count tables UNHINTED "
-        "(O(types) — AQE broadcasts when they fit), then one "
-        "groupBy(doc). The corpus is never shuffled except by doc for "
-        "the final aggregate."
+        "CCNet-style bigram LM scoring (r9; strategy dispatch r12): "
+        "the model is two hash aggregates over the reference slice's "
+        "bigram explosion plus a 1-row vocabulary aggregate (bounded "
+        "broadcast). The gate pins strategy='position' — the src0 "
+        "reference is the broadcast regime by construction, so the "
+        "count tables join the score-side explosion via AQE broadcast "
+        "and the corpus is never shuffled except by doc (measured "
+        "3.3s vs 8.0s for the type path at sf0.1). The TYPE path "
+        "(distinct bigram types scored once, one corpus join-back — "
+        "the shape that caps corpus shuffles when the reference "
+        "outgrows broadcast) is pinned result-equal by test and "
+        "curve-measured in SCALING.md; production callers get "
+        "strategy='auto' (bounded limit-probe picks)."
     ),
     "doc_url_dedup": (
         "Canonicalization is a map-only codegen chain (regexp_extract/"

@@ -759,17 +759,50 @@ def run_scale(spark, d: Path, only: set[str] | None = None) -> dict[str, float]:
         return alignment_gate(pairs, threshold=0.2)
 
     def _trigram_lm():
-        # same CCNet shape as bigram_lm_ref2pct, one order deeper
+        # same CCNet shape as bigram_lm_ref2pct, one order deeper; the
+        # auto dispatch resolves to the POSITION strategy here (2%
+        # reference → count tables broadcast)
         from mini_feature_store_spark.operators.text import trigram_lm_score
 
         return trigram_lm_score(docs.where(F.col("doc_id") % 47 == 0), docs)
 
     def _fivegram_lm():
-        # CCNet's actual KenLM order via the generalized scorer
+        # CCNet's actual KenLM order via the generalized scorer (auto →
+        # position at this reference size)
         from mini_feature_store_spark.operators.text import ngram_lm_score
 
         return ngram_lm_score(
             docs.where(F.col("doc_id") % 47 == 0), docs, order=5
+        )
+
+    def _bigram_lm_type():
+        from mini_feature_store_spark.operators.text import bigram_lm_score
+
+        return bigram_lm_score(
+            docs.where(F.col("doc_id") % 47 == 0), docs, strategy="type"
+        )
+
+    def _trigram_lm_type():
+        # the scale-path strategy measured against the same inputs —
+        # pays distinct + join-back here, caps corpus shuffles at 100×
+        from mini_feature_store_spark.operators.text import ngram_lm_score
+
+        out = ngram_lm_score(
+            docs.where(F.col("doc_id") % 47 == 0),
+            docs,
+            order=3,
+            strategy="type",
+        )
+        return out
+
+    def _fivegram_lm_type():
+        from mini_feature_store_spark.operators.text import ngram_lm_score
+
+        return ngram_lm_score(
+            docs.where(F.col("doc_id") % 47 == 0),
+            docs,
+            order=5,
+            strategy="type",
         )
 
     def _tokenizer_metrics():
@@ -945,6 +978,9 @@ def run_scale(spark, d: Path, only: set[str] | None = None) -> dict[str, float]:
             "xmodal_alignment_gate": _xmodal_alignment,
             "trigram_lm_ref2pct": _trigram_lm,
             "fivegram_lm_ref2pct": _fivegram_lm,
+            "bigram_lm_type_strategy": _bigram_lm_type,
+            "trigram_lm_type_strategy": _trigram_lm_type,
+            "fivegram_lm_type_strategy": _fivegram_lm_type,
             "tokenizer_metrics": _tokenizer_metrics,
             "token_budget_mixture": _token_budget_mixture,
             "tokenizer_comparison_trained": _tokenizer_comparison,
