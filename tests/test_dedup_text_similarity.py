@@ -760,5 +760,7 @@ def test_cosine_zero_norm_vectors_never_crash_or_match(spark):
     }
     assert pairs0 and all(2 not in p for p in pairs0)
 
-    ann = lsh_topk(emb.where(F.col("vec_id") == 0), emb, k=3).collect()
+    ann = lsh_topk(
+        emb.where(F.col("vec_id") == 0), emb, k=3, dim=4
+    ).collect()
     assert all(r.neighbor_id != 2 for r in ann)
