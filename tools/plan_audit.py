@@ -185,6 +185,18 @@ AUDITED: dict[str, str] = {
         "Hamming equi-join as text SimHash — binary payloads never "
         "reach a shuffle."
     ),
+    "embedding_dedup_clusters": (
+        "Exact embedding near-dup dedup (verification baseline of the "
+        "LSH default): cosine_pairs' block-GEMM (hash blocks → "
+        "B(B+1)/2 block-pair join → one numpy matmul per pair inside "
+        "Arrow mapInPandas — work O(n²·d) by definition of EXACT "
+        "all-pairs at threshold 0.4, where quadratic scoring is "
+        "information-theoretically forced) feeding the star-rounds CC "
+        "and one canonical survivor per cluster. In-suite wall time "
+        "rides the documented Arrow-heavy oscillation family "
+        "(embedding_topk_ivf note below); the 100 TB path is "
+        "embedding_dedup_clusters_lsh (next entry)."
+    ),
     "embedding_dedup_clusters_lsh": (
         "LSH bucket-GEMM (r4 rewrite): one Arrow matmul computes all "
         "tables' sign-bit codes per vector; memberships (base + 1-bit-flip "
@@ -336,9 +348,9 @@ AUDITED: dict[str, str] = {
         "corpus_curation_funnel_lm with stage 1b at ORDER 3 (r12): "
         "identical tagged single-chain count shape — ONE quality+LM "
         "chain build for the first four counts, near-dup drops by "
-        "arithmetic — with the stupid-backoff trigram scorer in its "
-        "r12 TYPE-level form (distinct n-gram types scored against the "
-        "stacked count table, one corpus-side join back). Shares "
+        "arithmetic — with the stupid-backoff trigram scorer pinned "
+        "to the position strategy (src0 is the broadcast regime; same "
+        "measured rationale as doc_trigram_lm_score). Shares "
         "_lm_funnel_counts with the order-2 form; the oracle's LM "
         "stage is generated by _ngram_lm_fragment."
     ),
@@ -405,21 +417,19 @@ AUDITED: dict[str, str] = {
         "upstream so the packer never re-reads text."
     ),
     "doc_trigram_lm_score": (
-        "Stupid-backoff trigram LM, TYPE-level strategy pinned (r12 "
-        "rewrite of the r11 weak flag): ONE stacked count pass over "
-        "the reference (_stacked_gram_counts — every order + the N "
-        "sentinel in a single map-side-combined aggregate, keyed by "
-        "the space-joined gram string), DISTINCT observed trigram "
-        "types explode into their 5 count lookups, join the stacked "
-        "table once, pivot to one row per type (max-when), and the "
-        "per-type score joins back to positions on the trigram key — "
-        "corpus-side shuffles capped at distinct + join-back at ANY "
-        "reference size (the old form re-shuffled the corpus per "
-        "count-table level once they outgrew broadcast). Production "
-        "callers get strategy='auto': the position-join form (zero "
-        "corpus shuffles) under a provably-small reference via the "
-        "bounded limit-probe, type past it; position ≡ type pinned by "
-        "test. 3 scans / 9 exchanges."
+        "Stupid-backoff trigram LM, POSITION strategy pinned (r12 "
+        "dispatch): the src0 reference is the broadcast regime by "
+        "construction, so the three count tables + 1-row total join "
+        "the score-side explosion via AQE broadcast and the corpus is "
+        "never shuffled except by doc — measured 2.2s vs 4.2s for the "
+        "type path at sf0.1 (at order 3 the stacked pass saves only "
+        "three reference aggregates while type pays distinct + "
+        "join-back). The TYPE path — the r11 weak-flag fix that caps "
+        "corpus shuffles at ANY reference size — is exhibited and "
+        "plan-audited by doc_5gram_lm_score, pinned result-equal at "
+        "orders 2/3/5 by test, and curve-measured in SCALING.md; "
+        "production callers get strategy='auto' (bounded limit-probe "
+        "picks)."
     ),
     "doc_5gram_lm_score": (
         "Arbitrary-order stupid backoff at CCNet's order, TYPE-level "
