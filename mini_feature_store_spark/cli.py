@@ -267,6 +267,14 @@ def build_parser() -> argparse.ArgumentParser:
         "--refine-rounds", type=int, default=1,
         help="usage-re-estimation rounds (the integer EM step; default 1)",
     )
+    ut.add_argument(
+        "--em", action="store_true",
+        help="train with TRUE Kudo EM (float probabilities, likelihood-"
+        "loss pruning) instead of the integer-scored variant; writes "
+        "pieces.parquet with (piece, logprob) — unigram_tokenize and "
+        "--pack-tokenizer-dir auto-detect the column and segment by "
+        "max sum-logprob",
+    )
     ut.add_argument("--text-col", default="text")
 
     ai = sub.add_parser(
@@ -577,15 +585,24 @@ def main(argv: list[str] | None = None) -> int:
         elif args.pipeline == "unigram-train":
             from mini_feature_store_spark.operators.unigram import (
                 unigram_train,
+                unigram_train_em,
             )
 
-            pieces = unigram_train(
-                spark.read.parquet(args.input_path),
-                vocab_size=args.vocab_size,
-                max_piece_len=args.max_piece_len,
-                refine_rounds=args.refine_rounds,
-                text_col=args.text_col,
-            )
+            if args.em:
+                pieces = unigram_train_em(
+                    spark.read.parquet(args.input_path),
+                    vocab_size=args.vocab_size,
+                    max_piece_len=args.max_piece_len,
+                    text_col=args.text_col,
+                )
+            else:
+                pieces = unigram_train(
+                    spark.read.parquet(args.input_path),
+                    vocab_size=args.vocab_size,
+                    max_piece_len=args.max_piece_len,
+                    refine_rounds=args.refine_rounds,
+                    text_col=args.text_col,
+                )
             n = pieces.count()  # driver-local frame, no data job
             base = args.output_dir.rstrip("/")
             pieces.write.mode("overwrite").parquet(base + "/pieces.parquet")

@@ -443,6 +443,52 @@ def unigram_train_em(
     ).limit(len(rows) or 1)
 
 
+def _segment_word_logp(
+    word: str, logp_of: dict[str, float], max_piece_len: int
+) -> list[str]:
+    """Viterbi segmentation under FLOAT log-probabilities (the true
+    Kudo decoding rule — maximize Σ logp): dp over prefix lengths with
+    the deterministic tie-break (fewest pieces, space-joined key) so
+    equal-probability decompositions resolve stably. Characters unseen
+    at training segment as themselves with a floor far below any real
+    piece (the closure fallback, same convention as the integer
+    scorer)."""
+    import math
+
+    n = len(word)
+    floor_lp = min(logp_of.values(), default=0.0) - 100.0
+    # dp state: (-total_logp, piece_count, key, pieces) — minimized
+    dp: list[tuple[float, int, str, tuple[str, ...]] | None] = [None] * (
+        n + 1
+    )
+    dp[0] = (0.0, 0, "", ())
+    for i in range(1, n + 1):
+        best = None
+        for j in range(max(0, i - max_piece_len), i):
+            prev = dp[j]
+            if prev is None:
+                continue
+            piece = word[j:i]
+            lp = logp_of.get(piece)
+            if lp is None:
+                if i - j != 1:
+                    continue
+                lp = floor_lp
+            key = piece if not prev[2] else prev[2] + " " + piece
+            cand = (
+                prev[0] - lp,
+                prev[1] + 1,
+                key,
+                prev[3] + (piece,),
+            )
+            if best is None or cand[:3] < best[:3]:
+                best = cand
+        dp[i] = best
+    final = dp[n]
+    assert final is not None  # single-char fallback keeps dp total
+    return list(final[3])
+
+
 def unigram_tokenize(
     df: DataFrame,
     vocab: DataFrame,
@@ -454,9 +500,31 @@ def unigram_tokenize(
     ``(id_col, n_tokens, tokens)``. Chunk the text, Viterbi-segment the
     DISTINCT chunk set (cost per distinct word, never per occurrence;
     DP window derived from the vocabulary's longest piece), join back
-    to chunk positions, reassemble in document order."""
+    to chunk positions, reassemble in document order.
+
+    Accepts EITHER trained artifact: the integer-scored vocabulary
+    (``unigram_train`` — columns ``piece, freq``; deterministic
+    oracle-able segmentation) or the true-EM one (``unigram_train_em``
+    — columns ``piece, logprob``; maximize Σ logp, the real Kudo
+    decoding rule, rows-only like its trainer). The pipeline's
+    ``--pack-tokenizer-dir`` auto-detection therefore works with both
+    families' ``pieces.parquet``."""
     chunks = _chunk_positions(df, text_col, id_col)
     distinct_words = chunks.select("word").distinct()
-    seg = _with_segmented_syms(distinct_words, vocab)
+    if "logprob" in vocab.columns:
+        logp_of = {
+            r["piece"]: float(r["logprob"])
+            for r in vocab.select("piece", "logprob").collect()
+        }
+        window = max((len(p) for p in logp_of), default=1)
+        bc = df.sparkSession.sparkContext.broadcast(logp_of)
+
+        def factory():
+            lo = bc.value
+            return lambda w: _segment_word_logp(w, lo, window)
+
+        seg = map_word_syms(distinct_words, factory)
+    else:
+        seg = _with_segmented_syms(distinct_words, vocab)
     joined = chunks.join(seg, "word").select(F.col(id_col), "pos", "syms")
     return _reassemble(joined, id_col)

@@ -291,3 +291,92 @@ def test_unigram_train_em_validations(spark):
     empty = spark.createDataFrame([(0, "   ")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="no chunks"):
         unigram_train_em(empty, vocab_size=4)
+
+
+def test_unigram_tokenize_accepts_em_logprob_vocab(spark):
+    """unigram_tokenize auto-detects the EM artifact (piece, logprob)
+    and segments by max Σ logp — the true Kudo decoding rule — so the
+    float-probability trainer's output is end-to-end usable (including
+    via --pack-tokenizer-dir). Segmentations rebuild the exact words;
+    a dominant whole-word piece with most of the mass is chosen over
+    its character decomposition."""
+    import math
+
+    from mini_feature_store_spark.operators.unigram import (
+        unigram_tokenize,
+        unigram_train_em,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "that cat on the mat sat")],
+        "doc_id long, text string",
+    )
+    em = unigram_train_em(df, vocab_size=16, max_piece_len=4)
+    out = {r.doc_id: r for r in unigram_tokenize(df, em).collect()}
+    assert set(out) == {0, 1}
+    for doc_id, text in [(0, "the cat sat on the mat"), (1, "that cat on the mat sat")]:
+        toks = out[doc_id].tokens.split(" ")
+        assert "".join(toks) == text.replace(" ", "")
+        assert out[doc_id].n_tokens == len(toks)
+
+    # hand-built vocab: 'ab' carries almost all mass -> must win over a+b
+    vocab = spark.createDataFrame(
+        [("ab", math.log(0.90)), ("a", math.log(0.05)), ("b", math.log(0.05))],
+        "piece string, logprob double",
+    )
+    d2 = spark.createDataFrame([(0, "ab abq")], "doc_id long, text string")
+    got = unigram_tokenize(d2, vocab).collect()[0]
+    # 'ab' as one piece both times; 'q' falls back to the char floor
+    assert got.tokens == "ab ab q"
+
+
+def test_unigram_train_em_cli_and_packing_autodetect(spark, tmp_path):
+    """unigram-train --em writes (piece, logprob) pieces.parquet, and
+    the curation pipeline's --pack-tokenizer-dir auto-detect sizes
+    packing bins through the EM artifact (the logprob tokenize path) —
+    the float trainer is end-to-end usable."""
+    from mini_feature_store_spark import cli
+    from mini_feature_store_spark.pipelines.corpus_curate import (
+        CorpusCurationConfig,
+        run_corpus_curation,
+    )
+
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat and the cat sat again today"),
+            (1, "that cat on the mat sat with the other cat there"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(inp)
+    tok = str(tmp_path / "tok")
+    rc = cli.main(
+        [
+            "unigram-train",
+            "--input-path", inp,
+            "--output-dir", tok,
+            "--vocab-size", "16",
+            "--max-piece-len", "4",
+            "--em",
+        ]
+    )
+    assert rc == 0
+    pieces = spark.read.parquet(tok + "/pieces.parquet")
+    assert set(pieces.columns) == {"piece", "logprob"}
+
+    out = str(tmp_path / "clean")
+    funnel = run_corpus_curation(
+        spark,
+        CorpusCurationConfig(
+            input_path=inp,
+            output_path=out,
+            jaccard_threshold=0.99,
+            pack_max_tokens=16,
+            pack_shards=2,
+            pack_tokenizer_dir=tok,
+        ),
+    )
+    assert funnel["packed_docs"] == funnel["written"] == 2
+    manifest = spark.read.parquet(out + "_packing")
+    assert {r.doc_id for r in manifest.collect()} == {0, 1}
+    assert all(r.n_tokens > 0 for r in manifest.collect())
