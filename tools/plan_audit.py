@@ -178,6 +178,17 @@ AUDITED: dict[str, str] = {
         "in one projection — zero exchanges; codes stay exact integers "
         "end to end (oracle hash-matches the full code arrays)."
     ),
+    "multimodal_video_neardup": (
+        "Video near-dup pairs: keyframe sampling + per-frame pHash in "
+        "ONE Arrow mapInPandas over the synthesized payloads (binary "
+        "never crosses a shuffle), then the same pigeonhole Hamming "
+        "equi-join as image/text SimHash over the DISTINCT hash "
+        "vocabulary, aggregated to per-video-pair match counts — no "
+        "all-pairs video product exists in the plan. In-suite wall "
+        "time rides the Arrow-heavy oscillation family (see "
+        "embedding_topk_ivf); scaling row video_phash_neardup is "
+        "linear in frame count."
+    ),
     "multimodal_phash_pairs": (
         "Perceptual-hash image near-dup: payloads decode+hash in one "
         "Arrow mapInPandas (per-shape batched integral-image resize + "
