@@ -2390,6 +2390,111 @@ def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "corpus_split_decontaminated",
+    f"""
+WITH sp AS (
+  SELECT doc_id, CASE
+           WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccd'
+             THEN 'train'
+           WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'
+             THEN 'val'
+           ELSE 'test'
+         END AS split
+  FROM documents
+),
+d5 AS (
+  SELECT d.doc_id, s.split,
+         regexp_split_to_array(
+           regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g'), ' ')
+           AS toks
+  FROM documents d JOIN sp s USING (doc_id)
+),
+sh5 AS (
+  SELECT doc_id, split,
+         unnest(CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+                ELSE list_distinct([toks[i] || ' ' || toks[i+1] || ' '
+                                    || toks[i+2] || ' ' || toks[i+3] || ' '
+                                    || toks[i+4]
+                                    for i in generate_series(1, len(toks) - 4)])
+                END) AS shingle
+  FROM d5
+),
+bench AS (SELECT DISTINCT shingle FROM sh5 WHERE split = 'val'),
+tr AS (SELECT doc_id, shingle FROM sh5 WHERE split = 'train'),
+shared AS (
+  SELECT doc_id, COUNT(*) AS n_shared FROM tr
+  WHERE shingle IN (SELECT shingle FROM bench) GROUP BY 1
+),
+totals AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tr GROUP BY 1),
+cont AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_cont
+  FROM totals t LEFT JOIN shared s USING (doc_id)
+  WHERE FLOOR(COALESCE(s.n_shared, 0) * 1.0 / t.n_shingles * 10000 + 0.5)
+          / 10000 >= 0.05
+),
+per AS (SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs FROM sp GROUP BY 1)
+SELECT split, n_docs,
+       CASE WHEN split = 'train' THEN (SELECT n_cont FROM cont)
+            ELSE CAST(NULL AS BIGINT) END AS n_contaminated,
+       n_docs - CASE WHEN split = 'train' THEN (SELECT n_cont FROM cont)
+                     ELSE 0 END AS n_kept
+FROM per
+""",
+)
+def corpus_split_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val split HYGIENE — the composition every evaluation-honest
+    pretraining run ships: deterministic 80/10/10 md5 split
+    (``sampling.py:hash_split``; same key → same split in every table),
+    then the TRAIN split decontaminated against its own VALIDATION
+    split (``text.py:decontaminate`` — GPT-3 appendix C / PaLM n-gram
+    overlap, val's shingles as the benchmark set), so validation loss
+    is measured on text the model could not have memorized verbatim.
+    Output: one row per split with ``n_docs``, train's
+    ``n_contaminated``, and ``n_kept`` after the drop.
+
+    Plan shape: the split label is a pure md5-prefix projection (no
+    shuffle); the val shingle set distinct-aggregates then BROADCASTs
+    (1/10 of the corpus's distinct shingles — the decontaminate
+    contract); the train side probes it with a shuffle-free semi-join
+    + one doc-keyed aggregate; per-split counts are one tiny groupBy.
+    The corpus is never shuffled by shingle."""
+    from mini_feature_store_spark.operators.sampling import hash_split
+    from mini_feature_store_spark.operators.text import decontaminate
+
+    _utc(spark)
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    split = hash_split(
+        docs, ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    flagged = decontaminate(
+        split.where(F.col("split") == "train"),
+        split.where(F.col("split") == "val"),
+        n=5,
+        threshold=0.05,
+    )
+    n_cont = flagged.agg(
+        F.count(F.when(F.col("contaminated"), 1))
+        .cast("long")
+        .alias("_nc")
+    )
+    per_split = split.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    is_train = F.col("split") == "train"
+    return per_split.crossJoin(F.broadcast(n_cont)).select(
+        "split",
+        "n_docs",
+        F.when(is_train, F.col("_nc")).cast("long").alias("n_contaminated"),
+        (
+            F.col("n_docs")
+            - F.when(is_train, F.col("_nc")).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n_kept"),
+    )
+
+
+@_q(
     "doc_pii_scrub",
     r"""
 WITH planted AS (
@@ -8292,11 +8397,13 @@ VERIFY_ORDER: list[str] = [
     # stalest-driver-row > fresh; the driver records rows for the FIRST
     # 50 entries only). Ledger going in (artifact-reconstructed):
     # {r11: 50, r10: 42, r9: 46} over 138 previously-oracled queries.
-    # tier 0 — the three r12-new queries (true-EM unigram trainer
-    # [rows-only], composed mixture-manifest funnel, order-3 LM funnel).
+    # tier 0 — the four r12-new queries (true-EM unigram trainer
+    # [rows-only], composed mixture-manifest funnel, order-3 LM funnel,
+    # split-hygiene decontamination).
     "doc_unigram_vocab_em",
     "corpus_mixture_manifest",
     "corpus_curation_funnel_lm3",
+    "corpus_split_decontaminated",
     # tier 0b — oracled queries the r12 type-level LM rewrite touches
     # (ngram_lm_score rewritten; trigram delegates to it; bigram got the
     # same type-level score side, so perplexity/buckets inherit — the
@@ -8306,11 +8413,11 @@ VERIFY_ORDER: list[str] = [
     "corpus_curation_funnel_lm",
     "doc_lm_perplexity",
     "doc_lm_buckets",
-    # tier 1 — 42 of the 44 remaining r9-stale greens (three driver
-    # rounds old). Two spill past the window (positions 51-52 below) —
-    # 3 new + 5 touched + 44 would be 52; the spilled pair is the
-    # lowest-risk stale (a literal date generator and a tiny hash
-    # sampler), queued to lead the r13 window.
+    # tier 1 — 41 of the 44 remaining r9-stale greens (three driver
+    # rounds old). Three spill past the window (positions 51-53 below) —
+    # 4 new + 5 touched + 44 would be 53; the spilled trio is the
+    # lowest-risk stale (a per-week bucket aggregate, a literal date
+    # generator, a tiny hash sampler), queued to lead the r13 window.
     "brand_bracket_revenue",
     "cube_event_counts",
     "customer_order_distribution",
@@ -8352,9 +8459,9 @@ VERIFY_ORDER: list[str] = [
     "user_event_type_arrays",
     "user_sessions",
     "user_value_gap_fill",
-    "weekly_event_buckets",
     # ── below this line: not in the r12 driver window.
-    # positions 51-52 — the two spilled r9-stale greens (r13 tier 1):
+    # positions 51-53 — the three spilled r9-stale greens (r13 tier 1):
+    "weekly_event_buckets",
     "date_dimension",
     "doc_hash_sample",
     # zero-norm-exclusion-touched pair, r11-fresh AND re-verified

@@ -341,6 +341,16 @@ AUDITED: dict[str, str] = {
         "state — the sanctioned Pandas escape hatch); shard count is "
         "the parallelism knob at 100 TB."
     ),
+    "corpus_split_decontaminated": (
+        "Train/val split hygiene (r12): the 80/10/10 split label is a "
+        "pure md5-prefix projection (zero shuffles; same key → same "
+        "split in every table), the val split's distinct shingle set "
+        "BROADCASTs (1/10 of corpus shingles — the decontaminate "
+        "contract), the train side probes it with a shuffle-free "
+        "semi-join + one doc-keyed aggregate, and per-split counts are "
+        "one tiny groupBy crossed with the 1-row contaminated count. "
+        "The corpus is never shuffled by shingle."
+    ),
     "corpus_mixture_manifest": (
         "Composed mixture-manifest funnel (r12): per-domain cap → "
         "token-budgeted temperature mixture → doc-preserving packing, "
