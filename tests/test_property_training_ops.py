@@ -114,3 +114,53 @@ class TestProperties:
         nrm[nrm < 1e-30] = 1e-30
         want = np.argmax((mat / nrm[:, None]) @ cents.T, axis=1)
         assert (got == want).all()
+
+
+class TestLmStrategyProperties:
+    @settings(max_examples=5, deadline=None)
+    @given(
+        data=st.data(),
+        order=st.integers(min_value=2, max_value=4),
+    )
+    def test_ngram_lm_position_equals_type_on_random_corpora(
+        self, sp, data, order
+    ):
+        """Strategy-equality law on randomized corpora: for ANY reference
+        and score set (tiny vocab so n-gram collisions/backoff branches
+        all fire, docs of mixed lengths incl. < order tokens), the
+        position-join and type-level scorers return identical rows —
+        the dispatch can never change answers, only plans."""
+        from mini_feature_store_spark.operators.text import ngram_lm_score
+
+        word = st.sampled_from(["a", "b", "c", "dd"])
+        doc = st.lists(word, min_size=0, max_size=12).map(" ".join)
+        train_texts = data.draw(
+            st.lists(doc, min_size=1, max_size=5), label="train"
+        )
+        score_texts = data.draw(
+            st.lists(doc, min_size=1, max_size=6), label="score"
+        )
+        train = sp.createDataFrame(
+            [(i, t) for i, t in enumerate(train_texts)],
+            "doc_id long, text string",
+        )
+        score = sp.createDataFrame(
+            [(i, t) for i, t in enumerate(score_texts)],
+            "doc_id long, text string",
+        )
+        # an all-empty reference raises identically on both paths; skip
+        if not any(t.strip() for t in train_texts):
+            return
+        pos_r = {
+            r.doc_id: tuple(r)[1:]
+            for r in ngram_lm_score(
+                train, score, order=order, strategy="position"
+            ).collect()
+        }
+        typ_r = {
+            r.doc_id: tuple(r)[1:]
+            for r in ngram_lm_score(
+                train, score, order=order, strategy="type"
+            ).collect()
+        }
+        assert pos_r == typ_r
