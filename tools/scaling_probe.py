@@ -937,6 +937,23 @@ def run_scale(spark, d: Path, only: set[str] | None = None) -> dict[str, float]:
             docs, vocab_size=2000, max_piece_len=6, seed_multiplier=2
         )
 
+    def _split_decontaminate():
+        # r12 split hygiene: 80/10/10 md5 split, then train
+        # decontaminated against its own val split (val shingles
+        # broadcast; corpus never shuffled by shingle)
+        from mini_feature_store_spark.operators.sampling import hash_split
+        from mini_feature_store_spark.operators.text import decontaminate
+
+        split = hash_split(
+            docs, ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1}
+        )
+        return decontaminate(
+            split.where(F.col("split") == "train"),
+            split.where(F.col("split") == "val"),
+            n=5,
+            threshold=0.05,
+        )
+
     def _mixture_manifest():
         # the composed r12 gate: domain cap → token-budgeted temperature
         # mixture → doc-preserving packing (chunk-count token measure)
@@ -986,6 +1003,7 @@ def run_scale(spark, d: Path, only: set[str] | None = None) -> dict[str, float]:
             "tokenizer_comparison_trained": _tokenizer_comparison,
             "unigram_train_em_v2000": _unigram_train_em,
             "mixture_manifest_composed": _mixture_manifest,
+            "split_decontaminate": _split_decontaminate,
         }
     )
     ops.update(
