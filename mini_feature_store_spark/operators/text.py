@@ -460,6 +460,7 @@ def decontaminate(
     threshold: float = 0.2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_benchmark: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination: flag training docs sharing n-gram shingles
     with an evaluation/benchmark corpus (the standard guard against test-set
@@ -470,19 +471,28 @@ def decontaminate(
     benchmark), ``n_shingles`` (doc's distinct shingles),
     ``contamination_frac`` = shared/total, ``contaminated`` ≥ threshold.
 
-    Scale shape: the benchmark shingle set is distinct-aggregated then
-    BROADCAST (benchmarks are ~10⁴-10⁶ rows — always the small side against
-    a 100 TB corpus); the probe is a shuffle-free broadcast semi-join on the
-    8-byte shingle hash, then one aggregate keyed by doc id. The corpus is
-    never shuffled by shingle.
+    Scale shape: with ``broadcast_benchmark=True`` (the default — the
+    EVAL-SUITE regime, where the benchmark is ~10⁴-10⁶ rows fixed by
+    the suite and does not grow with the corpus) the benchmark shingle
+    set is distinct-aggregated then BROADCAST, so the probe is a
+    shuffle-free semi-join on the 8-byte shingle hash and the corpus is
+    never shuffled by shingle. Pass ``broadcast_benchmark=False`` when
+    the "benchmark" side is CORPUS-SCALE (e.g. a held-out split of the
+    training corpus itself, 10% of it): the hard hint would force an
+    unbounded build side at 100×, so the semi-join goes UNHINTED — AQE
+    still broadcasts when the set fits, and degrades to a shingle-keyed
+    SMJ (the honest price of corpus-vs-corpus overlap) instead of
+    OOMing. Either way the result is identical; only the plan differs.
     """
     tr = _hashed_shingles(
         spread(train).select(F.col(id_col).alias("id"), text_col),
         text_col, n, "id",
     )
     bench = _hashed_shingles(benchmark, text_col, n).distinct()
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
     shared = (
-        tr.join(F.broadcast(bench), "shingle", "left_semi")
+        tr.join(bench, "shingle", "left_semi")
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )

@@ -2471,6 +2471,10 @@ def corpus_split_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
         split.where(F.col("split") == "val"),
         n=5,
         threshold=0.05,
+        # the "benchmark" here is 10% of the CORPUS — it grows with the
+        # data, so no hard broadcast hint (AQE promotes while it fits,
+        # SMJ beyond; the broadcast-discipline test enforces this)
+        broadcast_benchmark=False,
     )
     n_cont = flagged.agg(
         F.count(F.when(F.col("contaminated"), 1))

@@ -344,12 +344,16 @@ AUDITED: dict[str, str] = {
     "corpus_split_decontaminated": (
         "Train/val split hygiene (r12): the 80/10/10 split label is a "
         "pure md5-prefix projection (zero shuffles; same key → same "
-        "split in every table), the val split's distinct shingle set "
-        "BROADCASTs (1/10 of corpus shingles — the decontaminate "
-        "contract), the train side probes it with a shuffle-free "
-        "semi-join + one doc-keyed aggregate, and per-split counts are "
-        "one tiny groupBy crossed with the 1-row contaminated count. "
-        "The corpus is never shuffled by shingle."
+        "split in every table); the val split's distinct shingle set "
+        "joins the train side UNHINTED (broadcast_benchmark=False — "
+        "the 'benchmark' here is 10% of the CORPUS, so a hard hint "
+        "would force an unbounded build side at 100×; AQE promotes "
+        "while it fits and degrades to a shingle-keyed SMJ instead of "
+        "OOMing — the broadcast-discipline test caught and enforces "
+        "exactly this), then one doc-keyed aggregate and a tiny "
+        "per-split groupBy crossed with the 1-row contaminated count. "
+        "The eval-suite-sized decontaminate gates keep their "
+        "allowlisted hard broadcast."
     ),
     "corpus_mixture_manifest": (
         "Composed mixture-manifest funnel (r12): per-domain cap → "
