@@ -27,6 +27,27 @@ measured costs here are sub-second (``top_supplier_revenue``: +0.04 s at
 sf0.1; ``corpus_curation_funnel``: +0.8 s for 4× recompute). Pipelines that
 MATERIALIZE results (``pipelines/``) may persist-then-unpersist around the
 action — that is the production shape, not the registry's.
+
+ONE sanctioned exception — the BOUNDED-COLLECT-AT-PLAN-BUILD class: a
+TRAINER whose model artifact is a bounded driver-side table may run its
+training jobs when the callable builds the plan, because the returned
+plan consumes the artifact as a literal/driver-built frame (the gate
+timing honestly includes the work). This is a deliberate, ENUMERATED
+list, not a default:
+
+- ``doc_bpe_vocab`` / ``doc_bpe_tokenize`` / ``doc_bpe_encode`` /
+  ``doc_bpe_greedy_packing`` / ``bpe_tokenizer_metrics`` /
+  ``doc_token_budget_mixture`` / ``tokenizer_comparison`` — BPE merge
+  table (≤ n_merges rows) via ``bpe_train``;
+- ``doc_unigram_vocab`` / ``doc_unigram_tokenize`` /
+  ``tokenizer_comparison`` — piece table (vocab_size + alphabet rows)
+  via ``unigram_train``, plus its per-round vocab-bounded collects;
+- ``doc_unigram_vocab_em`` — the EM trainer's per-round vocab-bounded
+  expected-count collects (rows-only query);
+- ``embedding_kmeans`` / ``embedding_semantic_dedup`` / IVF/PQ queries —
+  centroid/codebook collects (k·d floats);
+- every collect is ``limit``-bounded or vocab-bounded by construction —
+  never O(data). New trainers must be added HERE or stay lazy.
 """
 
 from __future__ import annotations
