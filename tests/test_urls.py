@@ -195,6 +195,23 @@ def test_domain_cap_exact(spark):
         domain_cap(df, 0)
 
 
+def test_domain_cap_keep_col_flag_mode(spark):
+    """keep_col mode (r12): every input row comes back with a boolean
+    admission flag instead of being filtered, the flagged-true set is
+    EXACTLY the rows the filtering form keeps, and no internal working
+    columns leak — the one-conditional-aggregate funnel contract
+    (corpus_mixture_manifest's stage 0/1)."""
+    df = _cap_corpus(spark)
+    flagged = domain_cap(df, 10, keep_col="_keep")
+    assert flagged.columns == df.columns + ["_keep"]
+    assert flagged.count() == df.count()  # nothing dropped
+    kept_flag = sorted(
+        r["doc_id"] for r in flagged.where("_keep").collect()
+    )
+    kept_filter = sorted(r["doc_id"] for r in domain_cap(df, 10).collect())
+    assert kept_flag == kept_filter
+
+
 def test_domain_cap_preserves_user_domain_column(spark):
     """A crawl table often carries its own 'domain' column; the cap must
     not overwrite or drop it (r8 review finding)."""
