@@ -1,0 +1,263 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al. 2023).
+
+Selects raw-corpus documents whose hashed n-gram distribution looks like
+a curated TARGET corpus (arXiv:2302.03169, NeurIPS 2023 — the standard
+pretraining data-selection recipe): fit bag-of-hashed-ngram generative
+models on the target and raw corpora, weight each raw document by its
+log importance ratio log p_target(x) − log p_raw(x), and resample k
+documents without replacement under Gumbel noise on the log weights.
+
+The reference repo has no data-selection tier (it is a feature store;
+see SURVEY.md §2.11) — this operator belongs to the beyond-reference
+training-data tier alongside dedup/decontamination/sampling.
+
+Spark-first shape (designed for 100 TB):
+
+- the hashed feature space is BOUNDED (``n_buckets`` rows, default
+  8192), so both corpus count tables collapse to ≤ n_buckets rows via
+  one map-side-combined hash aggregate each, the totals are 1-row
+  aggregates OVER those bounded tables (no extra corpus scan), and the
+  dense weight table is broadcast BY CONSTRUCTION — the per-document
+  scoring join never shuffles the corpus;
+- per-document scoring is ONE corpus-side shuffle (the ``groupBy(id)``
+  sum of broadcast-joined bucket weights), independent of ``max_order``;
+- resampling is a deterministic md5-Gumbel key + ``orderBy().limit(k)``
+  → TakeOrderedAndProject (distributed partial top-k, never a
+  single-task global sort).
+
+Engine-parity conventions (the repo's standing oracle rules): md5 is the
+portable hash (``sampling.py``), per-bucket weights are fixed-point
+rounded at scale 8 BEFORE document summation so only the (sub-rounding)
+float-sum order noise differs across engines, and all document-level
+floats are ``round_half_up(·, 4)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mini_feature_store_spark.functions import round_half_up, spread
+from mini_feature_store_spark.operators.text import _tokens, normalize
+
+#: 2^32 — the md5-prefix digit space shared with the samplers.
+_HASH_SPACE = 4294967296.0
+
+
+def _bucket(col: Column, n_buckets: int) -> Column:
+    """Hash bucket of a gram string: first 8 hex chars of md5 as an
+    integer, mod ``n_buckets`` (md5 is identical in Spark / DuckDB /
+    Python — the repo's portable-hash convention)."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+        % F.lit(n_buckets)
+    ).alias("bucket")
+
+
+def _bucketed_grams(
+    df: DataFrame,
+    text_col: str,
+    n_buckets: int,
+    max_order: int,
+    id_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """One row per n-gram OCCURRENCE (k = 1..``max_order``, space-joined
+    over the normalized whitespace tokens), carrying ``id_cols`` and the
+    hashed ``bucket``. One scan, map-only."""
+    t = _tokens(normalize(F.col(text_col)))
+    pos = (
+        spread(df)
+        .select(*id_cols, t.alias("_toks"))
+        .select(
+            *id_cols,
+            "_toks",
+            F.explode(
+                F.when(
+                    F.size("_toks") >= 1,
+                    F.sequence(F.lit(1), F.size("_toks")),
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("i"),
+        )
+    )
+    grams = pos.select(
+        *id_cols,
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.least(
+                        F.lit(max_order),
+                        F.size("_toks") - F.col("i") + F.lit(1),
+                    ),
+                ),
+                lambda k: F.array_join(F.slice("_toks", F.col("i"), k), " "),
+            )
+        ).alias("g"),
+    )
+    return grams.select(*id_cols, _bucket(F.col("g"), n_buckets))
+
+
+def dsir_bucket_weights(
+    target: DataFrame,
+    raw: DataFrame,
+    *,
+    text_col: str = "text",
+    n_buckets: int = 8192,
+    max_order: int = 2,
+) -> DataFrame:
+    """DENSE per-bucket importance weights ``(bucket, weight)`` — one row
+    for EVERY bucket 0..n_buckets−1, so downstream scoring is a plain
+    inner join with no unseen-bucket default path:
+
+        weight[b] = log(c_t[b]+1) − log(c_r[b]+1)
+                    + log(N_r + B) − log(N_t + B)
+
+    (add-1 smoothed bag-of-hashed-ngrams log likelihood ratio; the two
+    total terms fold the normalizers into the per-bucket weight so a
+    document's log importance is exactly the sum of its grams' weights).
+    Weights are fixed-point rounded at scale 8 — coarse enough to absorb
+    cross-engine libm ``log`` ulp differences, fine enough that document
+    sums stay exact at the scale-4 output rounding.
+
+    Everything here is bounded: the two count aggregates are map-side
+    combined to ≤ B rows, totals are 1-row aggregates over those tables
+    (no second corpus scan), and the result is B rows — broadcast by
+    construction at any corpus size.
+    """
+    tc = (
+        _bucketed_grams(target, text_col, n_buckets, max_order)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("_ct"))
+    )
+    rc = (
+        _bucketed_grams(raw, text_col, n_buckets, max_order)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("_cr"))
+    )
+    nt = tc.agg(F.coalesce(F.sum("_ct"), F.lit(0)).alias("_nt"))
+    nr = rc.agg(F.coalesce(F.sum("_cr"), F.lit(0)).alias("_nr"))
+    spark = target.sparkSession
+    dense = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+    b = F.lit(n_buckets)
+    return (
+        dense.join(tc, "bucket", "left")
+        .join(rc, "bucket", "left")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nr))
+        .select(
+            "bucket",
+            round_half_up(
+                F.log(F.coalesce(F.col("_ct"), F.lit(0)) + F.lit(1))
+                - F.log(F.coalesce(F.col("_cr"), F.lit(0)) + F.lit(1))
+                + F.log(F.col("_nr") + b)
+                - F.log(F.col("_nt") + b),
+                8,
+            ).alias("weight"),
+        )
+    )
+
+
+def dsir_importance(
+    target: DataFrame,
+    raw: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 8192,
+    max_order: int = 2,
+) -> DataFrame:
+    """Per-document log importance weights ``(id_col, n_features,
+    log_weight)`` for every RAW document (gram-less documents — empty or
+    whitespace-only text — keep a row with ``n_features = 0`` and the
+    weight-neutral ``log_weight = 0.0``).
+
+    log_weight = Σ over the document's hashed grams of weight[bucket]
+    — exactly log p̂_target(doc) − log p̂_raw(doc) under the add-1
+    bag-of-hashed-ngrams models. ONE corpus-side shuffle (the per-doc
+    sum); the weight join is broadcast by construction (B rows).
+    """
+    w = dsir_bucket_weights(
+        target,
+        raw,
+        text_col=text_col,
+        n_buckets=n_buckets,
+        max_order=max_order,
+    )
+    grams = _bucketed_grams(
+        raw, text_col, n_buckets, max_order, id_cols=(id_col,)
+    )
+    agg = (
+        grams.join(F.broadcast(w), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("weight").alias("_s"),
+        )
+    )
+    return (
+        raw.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias(
+                "n_features"
+            ),
+            round_half_up(
+                F.coalesce(F.col("_s"), F.lit(0.0)), 4
+            ).alias("log_weight"),
+        )
+    )
+
+
+def dsir_resample(
+    target: DataFrame,
+    raw: DataFrame,
+    k: int,
+    *,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 8192,
+    max_order: int = 2,
+) -> DataFrame:
+    """Gumbel top-k importance resampling (the paper's without-
+    replacement sampler, made deterministic): key = log_weight + g where
+    g = −ln(−ln(u)) and u is the md5-uniform of ``(id, seed)`` — the
+    samplers' portable digit space, so reruns and engines agree. Top-k
+    by ``orderBy(desc(sample_key), id).limit(k)`` — Spark plans
+    TakeOrderedAndProject (per-partition heaps + driver merge of k·P
+    rows), never a global sort. Ties at the rounded key break by id on
+    both engines."""
+    imp = dsir_importance(
+        target,
+        raw,
+        id_col=id_col,
+        text_col=text_col,
+        n_buckets=n_buckets,
+        max_order=max_order,
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", F.col(id_col).cast("string"), F.lit(str(seed))
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(_HASH_SPACE)
+    gum = -F.log(-F.log(u))
+    return (
+        imp.select(
+            id_col,
+            "n_features",
+            "log_weight",
+            round_half_up(F.col("log_weight") + gum, 4).alias("sample_key"),
+        )
+        .orderBy(F.desc("sample_key"), F.col(id_col))
+        .limit(k)
+    )

@@ -999,3 +999,83 @@ def int8_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int"))
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-space decontamination: flag corpus vectors whose max
+    cosine against ANY benchmark vector reaches ``threshold`` — the
+    semantic sibling of the n-gram ``decontaminate`` (catches
+    paraphrased / rephrased eval leakage that token overlap misses;
+    cf. Yang et al. 2023, arXiv:2311.04850).
+
+    Output: ``(id_col, max_cosine, matched_id, contaminated)`` — one
+    row per corpus vector. ``matched_id`` is the benchmark vector
+    attaining the max (ties at the 4-decimal cosine break toward the
+    SMALLEST benchmark id, deterministically on every engine).
+    Zero-norm corpus vectors score no pair (cosine undefined — the
+    repo-wide exclusion convention): NULL max_cosine, ``contaminated``
+    false.
+
+    Scale shape: eval suites are BOUNDED (thousands of items), so the
+    benchmark side is broadcast and the corpus streams through a
+    map-only nested-loop score + ONE hash aggregate — the corpus is
+    never shuffled for the comparison itself. The argmax is carried
+    through the aggregate as one integer key, (cos4+10000)·10¹⁰ +
+    (10¹⁰−1−bench_id): lexicographic max = (max cosine, min id) —
+    portable where ``max_by`` tie behavior is not. Benchmark ids must
+    sit in [0, 10¹⁰) for the packing (asserted here).
+    """
+    b = with_vec_norm(benchmark, vec_col, id_col).select(
+        # the id-range guard rides the key column itself so it cannot be
+        # pruned: any out-of-range benchmark id fails the job loudly
+        F.when(
+            (F.col("id") >= 0) & (F.col("id") < 9999999999), F.col("id")
+        )
+        .otherwise(
+            F.raise_error(
+                "semantic_decontaminate: benchmark id out of [0, 1e10)"
+            )
+        )
+        .alias("_bid"),
+        F.col("v").alias("b_v"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    c = with_vec_norm(spread(corpus), vec_col, id_col)
+    den = F.col("nrm") * F.col("b_nrm")
+    cos4 = F.floor(
+        (_dot(F.col("v"), F.col("b_v")) / den) * F.lit(10000.0) + F.lit(0.5)
+    ).cast("long")
+    scored = (
+        c.crossJoin(F.broadcast(b))
+        .where(den > 0)
+        .select(
+            "id",
+            (
+                (cos4 + F.lit(10000)) * F.lit(10000000000)
+                + (F.lit(9999999999) - F.col("_bid"))
+            ).alias("_key"),
+        )
+    )
+    agg = scored.groupBy("id").agg(F.max("_key").alias("_key"))
+    c4max = F.expr("_key DIV 10000000000") - F.lit(10000)
+    return (
+        corpus.select(F.col(id_col).alias("id"))
+        .join(agg, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            (c4max.cast("double") / F.lit(10000.0)).alias("max_cosine"),
+            (F.lit(9999999999) - F.expr("_key % 10000000000")).alias(
+                "matched_id"
+            ),
+            F.coalesce(
+                c4max.cast("double") / F.lit(10000.0) >= F.lit(threshold),
+                F.lit(False),
+            ).alias("contaminated"),
+        )
+    )

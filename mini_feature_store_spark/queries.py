@@ -8409,6 +8409,166 @@ def multimodal_alignment_retention(
     )
 
 
+# ── training-data pipeline: DSIR data selection (operators/dsir.py) ─────────
+
+_DSIR_B = 8192
+
+#: Shared oracle fragment: hashed unigram+bigram bag models on the src0
+#: target slice vs the raw remainder, dense add-1 log-ratio weights
+#: (scale-8 fixed-point, the operator's parity convention), per-doc sums.
+_DSIR_SCORES_SQL = f"""
+WITH dt AS (SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents),
+tg AS (
+  SELECT unnest(toks) AS g FROM dt WHERE source = 'src0'
+  UNION ALL
+  SELECT unnest([toks[i] || ' ' || toks[i+1]
+                 for i in generate_series(1, len(toks) - 1)]) AS g
+  FROM dt WHERE source = 'src0' AND len(toks) >= 2
+),
+rg AS (
+  SELECT doc_id, unnest(toks) AS g FROM dt WHERE source <> 'src0'
+  UNION ALL
+  SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1]
+                 for i in generate_series(1, len(toks) - 1)]) AS g
+  FROM dt WHERE source <> 'src0' AND len(toks) >= 2
+),
+tc AS (SELECT ('0x' || substr(md5(g), 1, 8))::BIGINT % {_DSIR_B} AS bucket,
+              COUNT(*) AS ct FROM tg GROUP BY 1),
+rc AS (SELECT ('0x' || substr(md5(g), 1, 8))::BIGINT % {_DSIR_B} AS bucket,
+              COUNT(*) AS cr FROM rg GROUP BY 1),
+tot AS (SELECT (SELECT COALESCE(SUM(ct), 0) FROM tc) AS nt,
+               (SELECT COALESCE(SUM(cr), 0) FROM rc) AS nr),
+w AS (
+  SELECT b.bucket,
+         FLOOR((ln(COALESCE(ct, 0) + 1) - ln(COALESCE(cr, 0) + 1)
+                + ln(nr + {_DSIR_B}) - ln(nt + {_DSIR_B}))
+               * 100000000.0 + 0.5) / 100000000.0 AS weight
+  FROM (SELECT unnest(generate_series(0, {_DSIR_B} - 1)) AS bucket) b
+  LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket) CROSS JOIN tot
+),
+ds AS (
+  SELECT r.doc_id, COUNT(*) AS n, SUM(w.weight) AS s
+  FROM (SELECT doc_id,
+               ('0x' || substr(md5(g), 1, 8))::BIGINT % {_DSIR_B} AS bucket
+        FROM rg) r
+  JOIN w USING (bucket) GROUP BY 1
+),
+dsir_scores AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(n, 0) AS BIGINT) AS n_features,
+         FLOOR(COALESCE(s, 0.0) * 10000 + 0.5) / 10000 AS log_weight
+  FROM (SELECT doc_id FROM dt WHERE source <> 'src0') d
+  LEFT JOIN ds USING (doc_id)
+)
+"""
+
+
+@_q(
+    "doc_dsir_scores",
+    _DSIR_SCORES_SQL
+    + "SELECT doc_id, n_features, log_weight FROM dsir_scores",
+)
+def doc_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR per-document importance weights (Xie et al. 2023,
+    arXiv:2302.03169): log p̂_target − log p̂_raw under add-1
+    bag-of-hashed-ngram (uni+bi, 8192 buckets) models, target = the
+    src0 curated slice, raw = the rest — the standard pretraining
+    data-selection scorer. The weight table is bounded by construction
+    (8192 rows → broadcast at any corpus size); scoring is ONE
+    corpus-side shuffle. Oracle re-derives the whole thing: md5-bucket
+    hashing, dense smoothed log-ratios at scale-8 fixed point, per-doc
+    sums at scale 4."""
+    from mini_feature_store_spark.operators.dsir import dsir_importance
+
+    _utc(spark)
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    return dsir_importance(
+        docs.where(F.col("source") == "src0"),
+        docs.where(F.col("source") != "src0"),
+        n_buckets=_DSIR_B,
+    )
+
+
+@_q(
+    "doc_dsir_resample",
+    _DSIR_SCORES_SQL
+    + """
+SELECT doc_id, n_features, log_weight,
+       FLOOR((log_weight + -ln(-ln(
+           (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|42'), 1, 8)
+            )::BIGINT + 0.5) / 4294967296.0
+       ))) * 10000 + 0.5) / 10000 AS sample_key
+FROM dsir_scores
+ORDER BY sample_key DESC, doc_id
+LIMIT 100
+""",
+)
+def doc_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR Gumbel top-k resampling — the paper's without-replacement
+    sampler made deterministic: sample_key = log_weight − ln(−ln(u))
+    with u the md5-uniform of (doc_id, seed) in the samplers' shared
+    2³² digit space; top-100 by (key desc, doc_id) → Spark plans
+    TakeOrderedAndProject (per-partition heaps, never a global sort).
+    Both engines compute the identical key expression, so the selected
+    SET agrees exactly (ties at the rounded key break by doc_id)."""
+    from mini_feature_store_spark.operators.dsir import dsir_resample
+
+    _utc(spark)
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    return dsir_resample(
+        docs.where(F.col("source") == "src0"),
+        docs.where(F.col("source") != "src0"),
+        k=100,
+        seed=42,
+        n_buckets=_DSIR_B,
+    )
+
+
+@_q(
+    "embedding_semantic_decontamination",
+    f"""
+WITH {_UNIT_SQL},
+b AS (SELECT vec_id AS bid, unit FROM n WHERE vec_id < 25),
+c AS (SELECT vec_id, unit FROM n WHERE vec_id >= 25),
+sc AS (
+  SELECT c.vec_id,
+         MAX((CAST(FLOOR(list_dot_product(c.unit, b.unit) * 10000 + 0.5)
+                   AS BIGINT) + 10000) * 10000000000
+             + (9999999999 - b.bid)) AS key
+  FROM c CROSS JOIN b GROUP BY 1
+)
+SELECT c.vec_id,
+       CAST((key // 10000000000) - 10000 AS DOUBLE) / 10000.0 AS max_cosine,
+       9999999999 - (key % 10000000000) AS matched_id,
+       COALESCE(CAST((key // 10000000000) - 10000 AS DOUBLE) / 10000.0
+                >= 0.4, FALSE) AS contaminated
+FROM c LEFT JOIN sc USING (vec_id)
+""",
+)
+def embedding_semantic_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding-space decontamination: corpus vectors (vec_id ≥ 25)
+    flagged when their max cosine against the benchmark slice
+    (vec_id < 25 — the bounded eval suite) reaches 0.4 (binds at every
+    SF). The semantic sibling of ``doc_decontaminate``: catches
+    paraphrased eval leakage that n-gram overlap misses. Argmax is
+    carried through ONE integer key so (max cosine, min benchmark id)
+    is deterministic on both engines; benchmark broadcast, corpus
+    never shuffled for the comparison."""
+    from mini_feature_store_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    _utc(spark)
+    emb = load_testdata(spark, sf_dir, "embeddings")["embeddings"]
+    return semantic_decontaminate(
+        emb.where(F.col("vec_id") >= 25),
+        emb.where(F.col("vec_id") < 25),
+        threshold=0.4,
+    )
+
+
 # ── driver verification order ───────────────────────────────────────────────
 # The correctness driver evaluates only the FIRST 50 entries of the registry
 # dict, in insertion order. Registration order above is thematic; this list is
@@ -8422,9 +8582,13 @@ VERIFY_ORDER: list[str] = [
     # stalest-driver-row > fresh; the driver records rows for the FIRST
     # 50 entries only). Ledger going in (artifact-reconstructed):
     # {r11: 50, r10: 42, r9: 46} over 138 previously-oracled queries.
-    # tier 0 — the four r12-new queries (true-EM unigram trainer
-    # [rows-only], composed mixture-manifest funnel, order-3 LM funnel,
+    # tier 0 — the seven r12-new queries (DSIR scorer + resampler,
+    # semantic decontamination, true-EM unigram trainer [rows-only],
+    # composed mixture-manifest funnel, order-3 LM funnel,
     # split-hygiene decontamination).
+    "doc_dsir_scores",
+    "doc_dsir_resample",
+    "embedding_semantic_decontamination",
     "doc_unigram_vocab_em",
     "corpus_mixture_manifest",
     "corpus_curation_funnel_lm3",
@@ -8481,11 +8645,13 @@ VERIFY_ORDER: list[str] = [
     "shipping_priority",
     "small_quantity_revenue",
     "supplier_revenue_salted",
+    # ── below this line: not in the r12 driver window.
+    # positions 51-56 — the six spilled r9-stale greens (r13 tier 1;
+    # user_event_type_arrays / user_sessions / user_value_gap_fill
+    # spilled when the three r12 embedding/DSIR queries entered tier 0):
     "user_event_type_arrays",
     "user_sessions",
     "user_value_gap_fill",
-    # ── below this line: not in the r12 driver window.
-    # positions 51-53 — the three spilled r9-stale greens (r13 tier 1):
     "weekly_event_buckets",
     "date_dimension",
     "doc_hash_sample",

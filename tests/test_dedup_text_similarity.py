@@ -764,3 +764,54 @@ def test_cosine_zero_norm_vectors_never_crash_or_match(spark):
         emb.where(F.col("vec_id") == 0), emb, k=3, dim=4
     ).collect()
     assert all(r.neighbor_id != 2 for r in ann)
+
+
+def test_semantic_decontaminate_planted_and_tiebreak(spark):
+    from mini_feature_store_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    # benchmark 0 and 1 are the SAME direction (cosine ties at 1.0 for
+    # corpus 100) → min benchmark id must win the argmax; corpus 101 is
+    # orthogonal to both; corpus 102 is zero-norm (excluded, flag false).
+    bench = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [2.0, 0.0]), (2, [0.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    corp = spark.createDataFrame(
+        [(100, [3.0, 0.0]), (101, [0.0, -1.0]), (102, [0.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    got = {
+        r.vec_id: (r.max_cosine, r.matched_id, r.contaminated)
+        for r in semantic_decontaminate(corp, bench, threshold=0.9).collect()
+    }
+    assert got[100] == (1.0, 0, True)  # tie 0 vs 1 → min id 0
+    # vs bench2 ([0,1]): cos = -1; vs bench0/1: 0.0 → max 0.0 from min id 0
+    assert got[101] == (0.0, 0, False)
+    assert got[102] == (None, None, False)
+
+
+def test_semantic_decontaminate_orthogonal_max_is_zero(spark):
+    from mini_feature_store_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (2, [0.0, 1.0])], ["vec_id", "embedding"]
+    )
+    corp = spark.createDataFrame([(100, [0.0, -2.0])], ["vec_id", "embedding"])
+    r = semantic_decontaminate(corp, bench, threshold=0.5).collect()[0]
+    # vs bench0: 0.0, vs bench2: -1.0 → max 0.0 matched to id 0
+    assert (r.max_cosine, r.matched_id, r.contaminated) == (0.0, 0, False)
+
+
+def test_semantic_decontaminate_rejects_out_of_range_bench_id(spark):
+    from mini_feature_store_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    bench = spark.createDataFrame([(-1, [1.0, 0.0])], ["vec_id", "embedding"])
+    corp = spark.createDataFrame([(100, [1.0, 0.0])], ["vec_id", "embedding"])
+    with pytest.raises(Exception, match="benchmark id out of"):
+        semantic_decontaminate(corp, bench).collect()

@@ -1,0 +1,188 @@
+"""DSIR importance resampling: pure-Python differential + laws.
+
+The differential reference re-implements the whole algorithm (hashing,
+add-1 bag models, Gumbel keys) with hashlib/math — independent of both
+Spark and DuckDB — and the tests pin the operator to it exactly (at the
+operator's own output rounding)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+import pytest
+
+from mini_feature_store_spark.operators.dsir import (
+    dsir_bucket_weights,
+    dsir_importance,
+    dsir_resample,
+)
+
+B = 64  # small bucket space → forced collisions
+
+
+def _toks(text: str) -> list[str]:
+    t = re.sub(r"\s+", " ", text.strip().lower())
+    return t.split(" ") if t else []
+
+
+def _grams(text: str, max_order: int = 2) -> list[str]:
+    t = _toks(text)
+    out = []
+    for i in range(len(t)):
+        for k in range(1, max_order + 1):
+            if i + k <= len(t):
+                out.append(" ".join(t[i : i + k]))
+    return out
+
+
+def _bucket(g: str, n_buckets: int = B) -> int:
+    return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % n_buckets
+
+
+def _round4(x: float) -> float:
+    return math.floor(x * 10000 + 0.5) / 10000
+
+
+def _round8(x: float) -> float:
+    return math.floor(x * 1e8 + 0.5) / 1e8
+
+
+def _py_weights(target: list[str], raw: list[str]) -> dict[int, float]:
+    ct: dict[int, int] = {}
+    cr: dict[int, int] = {}
+    for txt in target:
+        for g in _grams(txt):
+            b = _bucket(g)
+            ct[b] = ct.get(b, 0) + 1
+    for txt in raw:
+        for g in _grams(txt):
+            b = _bucket(g)
+            cr[b] = cr.get(b, 0) + 1
+    nt, nr = sum(ct.values()), sum(cr.values())
+    return {
+        b: _round8(
+            math.log(ct.get(b, 0) + 1)
+            - math.log(cr.get(b, 0) + 1)
+            + math.log(nr + B)
+            - math.log(nt + B)
+        )
+        for b in range(B)
+    }
+
+
+def _py_scores(target: list[str], raw: list[str]) -> dict[int, tuple]:
+    w = _py_weights(target, raw)
+    out = {}
+    for i, txt in enumerate(raw):
+        gs = _grams(txt)
+        out[i] = (len(gs), _round4(sum(w[_bucket(g)] for g in gs)))
+    return out
+
+
+def _py_sample_key(doc_id: int, log_weight: float, seed: int = 42) -> float:
+    h = int(
+        hashlib.md5(f"{doc_id}|{seed}".encode()).hexdigest()[:8], 16
+    )
+    u = (h + 0.5) / 4294967296.0
+    return _round4(log_weight - math.log(-math.log(u)))
+
+
+TARGET = [
+    "the curated target corpus speaks plainly",
+    "plain prose the target prefers",
+    "the target corpus repeats the word target",
+]
+RAW = [
+    "the raw corpus speaks plainly too",
+    "zz xq jkl noise tokens qqq",
+    "plain prose the target prefers exactly",
+    "the the the the the",
+    "   ",  # gram-less: whitespace-only
+]
+
+
+def _frames(spark):
+    tgt = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TARGET)], ["doc_id", "text"]
+    )
+    raw = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(RAW)], ["doc_id", "text"]
+    )
+    return tgt, raw
+
+
+def test_bucket_weights_match_python(spark):
+    tgt, raw = _frames(spark)
+    got = {
+        r.bucket: r.weight
+        for r in dsir_bucket_weights(tgt, raw, n_buckets=B).collect()
+    }
+    assert got == pytest.approx(_py_weights(TARGET, RAW), abs=1e-12)
+    assert len(got) == B  # dense: every bucket present
+
+
+def test_importance_matches_python_and_keeps_gramless_docs(spark):
+    tgt, raw = _frames(spark)
+    got = {
+        r.doc_id: (r.n_features, r.log_weight)
+        for r in dsir_importance(tgt, raw, n_buckets=B).collect()
+    }
+    exp = _py_scores(TARGET, RAW)
+    assert set(got) == set(exp)
+    for i in exp:
+        assert got[i][0] == exp[i][0]
+        assert got[i][1] == pytest.approx(exp[i][1], abs=1e-9)
+    # the whitespace-only doc keeps a weight-neutral row
+    assert got[4] == (0, 0.0)
+    # the target-like doc outscores the pure-noise doc
+    assert got[2][1] > got[1][1]
+
+
+def test_resample_keys_and_topk(spark):
+    tgt, raw = _frames(spark)
+    rows = dsir_resample(tgt, raw, k=3, n_buckets=B, seed=42).collect()
+    assert len(rows) == 3
+    exp_scores = _py_scores(TARGET, RAW)
+    exp_keys = {
+        i: _py_sample_key(i, lw) for i, (_, lw) in exp_scores.items()
+    }
+    for r in rows:
+        assert r.sample_key == pytest.approx(
+            exp_keys[r.doc_id], abs=1e-9
+        )
+    # the selected set IS the top-3 by (key desc, id asc)
+    top = sorted(exp_keys.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert {r.doc_id for r in rows} == {i for i, _ in top}
+
+
+def test_resample_deterministic_and_seed_sensitive(spark):
+    tgt, raw = _frames(spark)
+    a = {r.doc_id for r in dsir_resample(tgt, raw, 3, n_buckets=B).collect()}
+    b = {r.doc_id for r in dsir_resample(tgt, raw, 3, n_buckets=B).collect()}
+    assert a == b
+    keys_s1 = {
+        r.doc_id: r.sample_key
+        for r in dsir_resample(tgt, raw, 5, n_buckets=B, seed=1).collect()
+    }
+    keys_s2 = {
+        r.doc_id: r.sample_key
+        for r in dsir_resample(tgt, raw, 5, n_buckets=B, seed=2).collect()
+    }
+    assert keys_s1 != keys_s2  # Gumbel noise moves with the seed
+
+
+def test_k_larger_than_corpus_returns_all(spark):
+    tgt, raw = _frames(spark)
+    rows = dsir_resample(tgt, raw, k=100, n_buckets=B).collect()
+    assert len(rows) == len(RAW)
+
+
+def test_weights_join_is_broadcast(spark):
+    # The B-row weight table must reach the scoring join as a broadcast:
+    # the corpus side never shuffles for the join itself.
+    tgt, raw = _frames(spark)
+    plan = dsir_importance(tgt, raw, n_buckets=B)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
