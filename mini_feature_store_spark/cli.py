@@ -169,6 +169,12 @@ def build_parser() -> argparse.ArgumentParser:
         "'{' / 'lorem ipsum'); kept pages keep their cleaned text",
     )
     cc.add_argument(
+        "--quality-model-dir", default=None,
+        help="learned quality stage: drop docs scoring below 0.5 under a "
+        "clf-train artifact (directory holding coeffs.parquet); runs "
+        "right after the heuristic quality gate",
+    )
+    cc.add_argument(
         "--lm-reference-path", default=None,
         help="CCNet-style LM filter stage: train an add-1 bigram model on "
         "this parquet and drop docs whose average bigram NLL exceeds "
@@ -240,6 +246,31 @@ def build_parser() -> argparse.ArgumentParser:
         help="weigh mixture strata by token mass (BPE-ish chunk counts) "
         "instead of document counts — the token-budgeted form",
     )
+
+    ct = sub.add_parser(
+        "clf-train",
+        help="train the logistic-regression quality classifier "
+        "(GPT-3/PaLM curated-vs-crawl recipe) distributed and write "
+        "coeffs.parquet under --output-dir for --quality-model-dir",
+    )
+    ct.add_argument(
+        "--positives-path", required=True,
+        help="curated (positive-class) documents parquet",
+    )
+    ct.add_argument(
+        "--negatives-path", required=True,
+        help="raw-crawl (negative-class) documents parquet",
+    )
+    ct.add_argument("--output-dir", required=True)
+    ct.add_argument("--n-iter", type=int, default=30)
+    ct.add_argument("--learn-rate", type=float, default=1.0)
+    ct.add_argument("--l2", type=float, default=1e-4)
+    ct.add_argument(
+        "--balanced", action="store_true",
+        help="class-balanced gradient (recommended when the curated "
+        "slice is a small fraction of the crawl)",
+    )
+    ct.add_argument("--text-col", default="text")
 
     bp = sub.add_parser(
         "bpe-train",
@@ -522,6 +553,7 @@ def main(argv: list[str] | None = None) -> int:
                     url_col=args.url_col,
                     max_per_domain=args.max_per_domain,
                     line_filter_min_lines=args.line_filter_min_lines,
+                    quality_model_dir=args.quality_model_dir,
                     lm_reference_path=args.lm_reference_path,
                     lm_max_nll=args.lm_max_nll,
                     lm_order=args.lm_order,
@@ -552,6 +584,27 @@ def main(argv: list[str] | None = None) -> int:
             print(
                 f"compacted {args.store_path}: "
                 + ", ".join(f"{k}={v}" for k, v in report.items())
+            )
+        elif args.pipeline == "clf-train":
+            from mini_feature_store_spark.operators.text import (
+                quality_classifier_train,
+                save_quality_classifier,
+            )
+
+            art = quality_classifier_train(
+                spark.read.parquet(args.positives_path),
+                spark.read.parquet(args.negatives_path),
+                n_iter=args.n_iter,
+                learn_rate=args.learn_rate,
+                l2=args.l2,
+                balanced=args.balanced,
+                text_col=args.text_col,
+            )
+            save_quality_classifier(art, args.output_dir)
+            print(
+                f"trained on {art['n_pos']}+{art['n_neg']} docs, final "
+                f"loss {art['losses'][-1]:.4f} -> "
+                f"{args.output_dir.rstrip('/')}/coeffs.parquet"
             )
         elif args.pipeline == "bpe-train":
             from pyspark.sql import functions as F

@@ -60,6 +60,20 @@ def write_csv(
     )
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] = (),
+) -> None:
+    """ORC write — the parquet contract on the other columnar format
+    (no reference analog; completes the read_orc round trip)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def insert_overwrite_table(
     df: DataFrame,
     table: str,

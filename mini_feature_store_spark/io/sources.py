@@ -57,6 +57,41 @@ def read_csv(
     return reader.csv(path)
 
 
+def read_orc(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """ORC scan — no reference analog (Fetchers.scala stops at CSV), but
+    ORC is the other columnar format a Spark-native engine must read;
+    same pushdown/pruning contract as parquet (Spark's native vectorized
+    ORC reader), same explicit-schema discipline."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def read_text(
+    spark: SparkSession,
+    path: str,
+    whole_file: bool = False,
+    line_col: str = "value",
+) -> DataFrame:
+    """Raw text scan — the corpus front door for crawl-shaped inputs
+    (one row per line, or one row per FILE with ``whole_file=True``).
+    Spark handles .gz/.zst-suffixed files transparently; a 100 TB text
+    drop arrives as many files, so parallelism comes from the file
+    listing, not from splitting (gzip is unsplittable — the per-file
+    row carries its path for provenance)."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.text(path, wholetext=whole_file)
+    out = df.select(
+        F.input_file_name().alias("path"),
+        F.col("value").alias(line_col),
+    )
+    return out
+
+
 def read_table(spark: SparkSession, name_or_path: str) -> DataFrame:
     """Managed-table scan (Fetchers.scala:122-128 reads Iceberg tables).
 

@@ -675,6 +675,205 @@ def quality_classifier_score(
     )
 
 
+#: Feature order for the trained quality classifier — matches the
+#: ``quality_classifier_score`` feature map so trained weights drop
+#: straight into the scorer.
+QUALITY_CLF_FEATURES: tuple[str, ...] = (
+    "log_tokens",
+    "stopword_ratio",
+    "punct_ratio",
+    "upper_ratio",
+    "chars_per_token",
+)
+
+
+def quality_classifier_train(
+    positives: DataFrame,
+    negatives: DataFrame,
+    *,
+    n_iter: int = 30,
+    learn_rate: float = 1.0,
+    l2: float = 1e-4,
+    balanced: bool = False,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Train the logistic-regression quality model DISTRIBUTED — the
+    GPT-3/PaLM quality-classifier recipe (Brown et al. 2020 App. A):
+    positives = a curated corpus, negatives = raw crawl; features = the
+    same ``text_stats`` projection ``quality_classifier_score`` reads,
+    so the returned weights drop straight into the scorer (which stays
+    a zero-shuffle literal-vector scan).
+
+    Full-batch gradient descent on standardized features: per iteration
+    ONE map-side-combined aggregate computes the exact d+1-dimensional
+    gradient Σ (σ(w·x) − y)·x (d = 5), so each round shuffles d+1
+    doubles per partition — never rows. The feature frame is projected
+    once, persisted for the loop, and unpersisted before returning
+    (k-means/PageRank iterative-state pattern); the artifact is a
+    BOUNDED driver object (d+1 floats + feature moments). Weights are
+    de-standardized before returning, so they apply to raw features.
+
+    ``balanced=True`` weights each class inversely to its size
+    (ω = n/2n_pos for positives, n/2n_neg for negatives, Σω = n) — the
+    standard treatment when the curated slice is a small fraction of
+    the crawl, so the decision threshold stays at 0.5 instead of the
+    prevalence. With equal classes ω ≡ 1 and the two modes coincide.
+
+    Returns ``{"weights": {feature: w}, "bias": b, "means": {…},
+    "stds": {…}, "n_pos": int, "n_neg": int, "losses": [per-iter mean
+    (weighted) log-loss]}``. Raises ``ValueError`` when either class
+    is empty.
+
+    No reference analog (the reference has no model training at all);
+    public recipe: Brown et al. 2020 §App-A, Wenzek et al. 2020.
+    """
+    import math
+
+    def feats(df: DataFrame, label: float) -> DataFrame:
+        stats = text_stats(df, text_col, id_col)
+        return stats.select(
+            F.log1p(F.col("n_tokens").cast("double")).alias("log_tokens"),
+            *[F.col(c) for c in QUALITY_CLF_FEATURES[1:]],
+            F.lit(label).alias("_y"),
+        )
+
+    data = feats(positives, 1.0).unionByName(feats(negatives, 0.0))
+    data = data.persist()
+    try:
+        d = len(QUALITY_CLF_FEATURES)
+        mom = data.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("_y").alias("_npos"),
+            *[F.sum(c).alias(f"_s{j}") for j, c in
+              enumerate(QUALITY_CLF_FEATURES)],
+            *[F.sum(F.col(c) * F.col(c)).alias(f"_q{j}") for j, c in
+              enumerate(QUALITY_CLF_FEATURES)],
+        ).collect()[0]
+        n, n_pos = int(mom["_n"]), int(mom["_npos"])
+        n_neg = n - n_pos
+        if n_pos == 0 or n_neg == 0:
+            raise ValueError(
+                "quality_classifier_train: both classes must be non-empty "
+                f"(n_pos={n_pos}, n_neg={n_neg})"
+            )
+        means = [mom[f"_s{j}"] / n for j in range(d)]
+        stds = []
+        for j in range(d):
+            var = mom[f"_q{j}"] / n - means[j] * means[j]
+            # constant feature → leave unscaled instead of dividing by 0
+            stds.append(math.sqrt(var) if var > 1e-12 else 1.0)
+
+        # standardized feature expressions, fixed for every iteration
+        xs = [
+            ((F.col(c) - F.lit(means[j])) / F.lit(stds[j]))
+            for j, c in enumerate(QUALITY_CLF_FEATURES)
+        ]
+        if balanced:
+            om = F.when(
+                F.col("_y") == 1.0, F.lit(n / (2.0 * n_pos))
+            ).otherwise(F.lit(n / (2.0 * n_neg)))
+        else:
+            om = F.lit(1.0)
+        w = [0.0] * d
+        b = 0.0
+        losses: list[float] = []
+        for _ in range(n_iter):
+            z = F.lit(b)
+            for j in range(d):
+                z = z + F.lit(w[j]) * xs[j]
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+            err = p - F.col("_y")
+            # clamp keeps the diagnostic log-loss finite when a float
+            # sigmoid saturates to exactly 0/1 (Spark ln(0) is NULL and
+            # would poison the whole sum)
+            pc = F.greatest(
+                F.least(p, F.lit(1.0 - 1e-12)), F.lit(1e-12)
+            )
+            g = data.agg(
+                *[
+                    F.sum(om * err * xs[j]).alias(f"_g{j}")
+                    for j in range(d)
+                ],
+                F.sum(om * err).alias("_gb"),
+                F.sum(
+                    om
+                    * (
+                        -F.col("_y") * F.log(pc)
+                        - (F.lit(1.0) - F.col("_y"))
+                        * F.log(F.lit(1.0) - pc)
+                    )
+                ).alias("_loss"),
+            ).collect()[0]
+            for j in range(d):
+                w[j] -= learn_rate * (g[f"_g{j}"] / n + l2 * w[j])
+            b -= learn_rate * g["_gb"] / n
+            losses.append(g["_loss"] / n)
+    finally:
+        data.unpersist()
+
+    # de-standardize: w·(x−μ)/σ + b  ≡  (w/σ)·x + (b − Σ wμ/σ)
+    raw_w = {
+        c: w[j] / stds[j] for j, c in enumerate(QUALITY_CLF_FEATURES)
+    }
+    raw_b = b - sum(w[j] * means[j] / stds[j] for j in range(d))
+    return {
+        "weights": raw_w,
+        "bias": raw_b,
+        "means": dict(zip(QUALITY_CLF_FEATURES, means)),
+        "stds": dict(zip(QUALITY_CLF_FEATURES, stds)),
+        "n_pos": n_pos,
+        "n_neg": n_neg,
+        "losses": losses,
+    }
+
+
+#: Artifact row key holding the intercept in ``coeffs.parquet``.
+_CLF_BIAS_KEY = "__bias__"
+
+
+def save_quality_classifier(art: dict, out_dir: str) -> None:
+    """Persist a ``quality_classifier_train`` artifact as
+    ``<out_dir>/coeffs.parquet`` rows ``(feature, coef)`` — the bias
+    rides as the ``__bias__`` row (same artifact discipline as
+    bpe-train's merges.parquet: a bounded parquet table, re-loadable by
+    any engine)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    Path(out_dir).mkdir(parents=True, exist_ok=True)
+    feats = list(art["weights"]) + [_CLF_BIAS_KEY]
+    coefs = [float(art["weights"][f]) for f in art["weights"]] + [
+        float(art["bias"])
+    ]
+    pq.write_table(
+        pa.table({"feature": feats, "coef": coefs}),
+        str(Path(out_dir) / "coeffs.parquet"),
+    )
+
+
+def load_quality_classifier(spark, model_dir: str) -> tuple[dict, float]:
+    """Load ``(weights, bias)`` written by ``save_quality_classifier``.
+    Bounded read (d+1 rows); validates the feature set matches
+    ``QUALITY_CLF_FEATURES`` so a stale artifact fails loudly."""
+    from pathlib import Path
+
+    rows = spark.read.parquet(
+        str(Path(model_dir) / "coeffs.parquet")
+    ).collect()
+    coefs = {r.feature: float(r.coef) for r in rows}
+    if _CLF_BIAS_KEY not in coefs or set(coefs) - {_CLF_BIAS_KEY} != set(
+        QUALITY_CLF_FEATURES
+    ):
+        raise ValueError(
+            f"quality classifier artifact at {model_dir!r} does not match "
+            f"QUALITY_CLF_FEATURES (got {sorted(coefs)})"
+        )
+    bias = coefs.pop(_CLF_BIAS_KEY)
+    return coefs, bias
+
+
 def paragraph_dedup(
     df: DataFrame,
     sep: str = "\n",

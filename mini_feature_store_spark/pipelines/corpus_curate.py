@@ -87,6 +87,11 @@ class CorpusCurationConfig:
     #: many lines survive (or on '{' / 'lorem ipsum'); kept pages carry
     #: the cleaned text into every later stage
     line_filter_min_lines: int | None = None
+    #: when set, a LEARNED quality stage (GPT-3/PaLM classifier) runs
+    #: right after the heuristic gate: docs the trained logistic model
+    #: (clf-train artifact dir holding coeffs.parquet) scores below 0.5
+    #: are dropped; scoring is a zero-shuffle literal-vector scan
+    quality_model_dir: str | None = None
     #: when set, a CCNet-style LM quality stage runs after the quality
     #: gate: docs scoring above ``lm_max_nll`` average bigram NLL under
     #: an add-1 model trained on THIS reference parquet are dropped
@@ -272,6 +277,34 @@ def run_corpus_curation(
     funnel["after_quality"] = admitted.count()
     if stage0 is not None:
         stage0.unpersist()
+
+    if cfg.quality_model_dir is not None:
+        from mini_feature_store_spark.operators.text import (
+            load_quality_classifier,
+            quality_classifier_score,
+        )
+
+        weights, bias = load_quality_classifier(
+            spark, cfg.quality_model_dir
+        )
+        clf = quality_classifier_score(
+            admitted,
+            weights=weights,
+            bias=bias,
+            text_col=cfg.text_col,
+            id_col=cfg.id_col,
+        )
+        # semi-join on the kept set is safe here (unlike the LM stage's
+        # anti-join rationale): every document gets a score row — the
+        # classifier has no unscorable class
+        prev = admitted
+        admitted = admitted.join(
+            clf.where(F.col("keep")).select(cfg.id_col),
+            cfg.id_col,
+            "left_semi",
+        ).persist()
+        funnel["after_quality_clf"] = admitted.count()
+        prev.unpersist()
 
     if cfg.lm_reference_path is not None:
         import functools

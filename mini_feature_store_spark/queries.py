@@ -44,6 +44,8 @@ list, not a default:
   via ``unigram_train``, plus its per-round vocab-bounded collects;
 - ``doc_unigram_vocab_em`` — the EM trainer's per-round vocab-bounded
   expected-count collects (rows-only query);
+- ``doc_quality_classifier_trained`` — the LR trainer's per-iteration
+  d+1-double gradient collects (rows-only query; artifact = 6 floats);
 - ``embedding_kmeans`` / ``embedding_semantic_dedup`` / IVF/PQ queries —
   centroid/codebook collects (k·d floats);
 - every collect is ``limit``-bounded or vocab-bounded by construction —
@@ -8524,6 +8526,41 @@ def doc_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q("doc_quality_classifier_trained")  # rows-only: float GD weights are
+# engine-divergent at ulp level (the doc_unigram_vocab_em precedent); the
+# trainer is pinned EXACTLY against a numpy replica in
+# tests/test_text_pipeline_ops.py::test_quality_classifier_train_matches_numpy
+def doc_quality_classifier_trained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Learned quality filter with REAL training — the GPT-3/PaLM
+    recipe end-to-end: logistic regression trained DISTRIBUTED
+    (full-batch GD, one d+1-dimensional map-side-combined gradient
+    aggregate per iteration — partitions ship 6 doubles, never rows)
+    on curated-vs-crawl labels (positives = the src0 slice, negatives
+    = the rest), then every document scored by the existing
+    zero-shuffle literal-vector scorer. Bounded-collect-at-plan-build
+    trainer class (module docstring): the artifact is 6 floats."""
+    from mini_feature_store_spark.operators.text import (
+        quality_classifier_score,
+        quality_classifier_train,
+    )
+
+    _utc(spark)
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    art = quality_classifier_train(
+        docs.where(F.col("source") == "src0"),
+        docs.where(F.col("source") != "src0"),
+        n_iter=15,
+        # the curated slice is 5% of the corpus — class-balanced
+        # weighting keeps the 0.5 decision threshold meaningful
+        balanced=True,
+    )
+    return quality_classifier_score(
+        docs, weights=art["weights"], bias=art["bias"]
+    )
+
+
 @_q(
     "embedding_semantic_decontamination",
     f"""
@@ -8582,13 +8619,14 @@ VERIFY_ORDER: list[str] = [
     # stalest-driver-row > fresh; the driver records rows for the FIRST
     # 50 entries only). Ledger going in (artifact-reconstructed):
     # {r11: 50, r10: 42, r9: 46} over 138 previously-oracled queries.
-    # tier 0 — the seven r12-new queries (DSIR scorer + resampler,
-    # semantic decontamination, true-EM unigram trainer [rows-only],
-    # composed mixture-manifest funnel, order-3 LM funnel,
-    # split-hygiene decontamination).
+    # tier 0 — the eight r12-new queries (DSIR scorer + resampler,
+    # semantic decontamination, trained quality classifier [rows-only],
+    # true-EM unigram trainer [rows-only], composed mixture-manifest
+    # funnel, order-3 LM funnel, split-hygiene decontamination).
     "doc_dsir_scores",
     "doc_dsir_resample",
     "embedding_semantic_decontamination",
+    "doc_quality_classifier_trained",
     "doc_unigram_vocab_em",
     "corpus_mixture_manifest",
     "corpus_curation_funnel_lm3",
@@ -8644,11 +8682,11 @@ VERIFY_ORDER: list[str] = [
     "set_ops_users",
     "shipping_priority",
     "small_quantity_revenue",
-    "supplier_revenue_salted",
     # ── below this line: not in the r12 driver window.
-    # positions 51-56 — the six spilled r9-stale greens (r13 tier 1;
-    # user_event_type_arrays / user_sessions / user_value_gap_fill
-    # spilled when the three r12 embedding/DSIR queries entered tier 0):
+    # positions 51-57 — the seven spilled r9-stale greens (r13 tier 1;
+    # the last four spilled when the four extension-session r12 queries
+    # [DSIR ×2, semantic decon, trained classifier] entered tier 0):
+    "supplier_revenue_salted",
     "user_event_type_arrays",
     "user_sessions",
     "user_value_gap_fill",

@@ -384,3 +384,56 @@ def test_funnel_plan_shapes_stay_tagged(spark):
         exchanges = len(set(re.findall(r"\((\d+)\) Exchange", plan)))
         assert scans <= max_scans, (name, scans)
         assert exchanges <= max_exchanges, (name, exchanges)
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from mini_feature_store_spark.io.sinks import write_orc
+    from mini_feature_store_spark.io.sources import read_orc
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0)],
+        "k long, s string, v double",
+    )
+    path = str(tmp_path / "orc")
+    write_orc(df, path, partition_by=("s",))
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.DoubleType()),
+            T.StructField("s", T.StringType()),
+        ]
+    )
+    back = read_orc(spark, path, schema)
+    assert {(r.k, r.s, r.v) for r in back.collect()} == {
+        (1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0)
+    }
+    # filter reaches the ORC scan (native vectorized reader pushdown)
+    plan = (
+        back.where("k > 1").select("k")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [IsNotNull(k), GreaterThan(k,1)]" in plan
+
+
+def test_text_source_lines_and_whole_file(spark, tmp_path):
+    import gzip
+
+    from mini_feature_store_spark.io.sources import read_text
+
+    d = tmp_path / "txt"
+    d.mkdir()
+    (d / "a.txt").write_text("line one\nline two\n")
+    with gzip.open(d / "b.txt.gz", "wt") as f:
+        f.write("zipped line\n")
+
+    lines = read_text(spark, str(d), line_col="text").collect()
+    assert {r.text for r in lines} == {"line one", "line two", "zipped line"}
+    # gz decompression is transparent; provenance rides along
+    assert all(r.path for r in lines)
+
+    whole = read_text(spark, str(d), whole_file=True).collect()
+    by_file = {r.path.rsplit("/", 1)[-1]: r.value for r in whole}
+    assert by_file["a.txt"] == "line one\nline two\n"
+    assert by_file["b.txt.gz"] == "zipped line\n"

@@ -1714,3 +1714,91 @@ def test_corpus_curate_mixture_validations(spark, tmp_path):
                 input_path=inp, output_path=out, mixture_by_tokens=True
             ),
         )
+
+
+def test_corpus_curate_trained_classifier_stage(spark, tmp_path):
+    """clf-train CLI → --quality-model-dir stage: the trained model is
+    written as coeffs.parquet, reloaded by the pipeline, and the learned
+    stage drops the crawl-like docs the heuristic gate admits."""
+    from mini_feature_store_spark import cli
+    from mini_feature_store_spark.pipelines.corpus_curate import (
+        CorpusCurationConfig,
+        run_corpus_curation,
+    )
+
+    prose = (
+        "the quick brown fox and the lazy dog of the farm went to the "
+        "market and bought a basket of apples for the winter"
+    )
+    noisy = "x1 9z $$ qq ## zz 77 !! kk 00 vv 33 ww 55 yy 88 hh 22"
+    pos_path = str(tmp_path / "pos")
+    neg_path = str(tmp_path / "neg")
+    spark.createDataFrame(
+        [(i, prose + f" batch {i}") for i in range(20)],
+        "doc_id long, text string",
+    ).write.parquet(pos_path)
+    spark.createDataFrame(
+        [(100 + i, noisy + f" {i}") for i in range(20)],
+        "doc_id long, text string",
+    ).write.parquet(neg_path)
+
+    model_dir = str(tmp_path / "clf")
+    rc = cli.main(
+        [
+            "clf-train",
+            "--positives-path", pos_path,
+            "--negatives-path", neg_path,
+            "--output-dir", model_dir,
+            "--n-iter", "25",
+            "--balanced",
+        ]
+    )
+    assert rc == 0
+    import os
+
+    assert os.path.exists(os.path.join(model_dir, "coeffs.parquet"))
+
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [
+            (1, prose),          # prose-like → classifier keeps
+            (2, noisy),          # crawl junk → classifier drops
+            (3, prose + " second prose doc with more apples and dogs"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(inp)
+    out = str(tmp_path / "clean")
+    funnel = run_corpus_curation(
+        spark,
+        CorpusCurationConfig(
+            input_path=inp,
+            output_path=out,
+            min_tokens=1,
+            min_quality=0.0,      # heuristic gate wide open:
+            jaccard_threshold=0.99,  # isolate the learned stage
+            quality_model_dir=model_dir,
+        ),
+    )
+    assert funnel["after_quality"] == 3
+    assert funnel["after_quality_clf"] == 2
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept == {1, 3}
+
+
+def test_load_quality_classifier_rejects_stale_artifact(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from mini_feature_store_spark.operators.text import (
+        load_quality_classifier,
+    )
+
+    d = tmp_path / "clf"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"feature": ["bogus", "__bias__"], "coef": [1.0, 0.0]}),
+        str(d / "coeffs.parquet"),
+    )
+    with pytest.raises(ValueError, match="does not match"):
+        load_quality_classifier(spark, str(d))

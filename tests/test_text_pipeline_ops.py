@@ -697,3 +697,153 @@ def test_bigram_lm_score_position_equals_type_strategy(spark):
 
     with _pytest.raises(ValueError, match="strategy"):
         bigram_lm_score(train, score, strategy="nope")
+
+
+# ── quality_classifier_train ────────────────────────────────────────────────
+
+
+def _clf_corpus(spark):
+    # positives: prose-like (stopwords, low punct); negatives: noisy
+    pos = spark.createDataFrame(
+        [
+            (i, "the quick brown fox and the lazy dog of the farm went "
+                "to the market and bought a basket of apples")
+            for i in range(40)
+        ],
+        ["doc_id", "text"],
+    )
+    neg = spark.createDataFrame(
+        [(100 + i, "$$$ !!! ### @@@ %%% ^^^ &&& *** ((( ))) ???")
+         for i in range(40)],
+        ["doc_id", "text"],
+    )
+    return pos, neg
+
+
+def test_quality_classifier_train_separates(spark):
+    from mini_feature_store_spark.operators.text import (
+        quality_classifier_score,
+        quality_classifier_train,
+    )
+
+    pos, neg = _clf_corpus(spark)
+    art = quality_classifier_train(pos, neg, n_iter=25)
+    assert art["n_pos"] == 40 and art["n_neg"] == 40
+    # loss decreases and the trained model separates the classes
+    assert art["losses"][-1] < art["losses"][0]
+    scored = quality_classifier_score(
+        pos.unionByName(neg), weights=art["weights"], bias=art["bias"]
+    )
+    got = {r.doc_id: r.keep for r in scored.collect()}
+    assert all(got[i] for i in range(40))
+    assert not any(got[100 + i] for i in range(40))
+
+
+def test_quality_classifier_train_matches_numpy(spark):
+    import numpy as np
+
+    from mini_feature_store_spark.operators.text import (
+        QUALITY_CLF_FEATURES,
+        quality_classifier_train,
+        text_stats,
+    )
+    from pyspark.sql import functions as F
+
+    pos, neg = _clf_corpus(spark)
+    # vary the positives so features are not all-constant
+    pos = pos.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(" extra words here"))
+            .otherwise(F.lit("")),
+        ),
+    )
+    art = quality_classifier_train(pos, neg, n_iter=10, learn_rate=0.7)
+
+    def mat(df):
+        rows = text_stats(df).orderBy("doc_id").collect()
+        return np.array(
+            [
+                [np.log1p(float(r.n_tokens)), r.stopword_ratio,
+                 r.punct_ratio, r.upper_ratio, r.chars_per_token]
+                for r in rows
+            ]
+        )
+
+    X = np.vstack([mat(pos), mat(neg)])
+    y = np.array([1.0] * 40 + [0.0] * 40)
+    mu, sd = X.mean(0), X.std(0)
+    sd[sd < 1e-6] = 1.0
+    Xs = (X - mu) / sd
+    w = np.zeros(5)
+    b = 0.0
+    for _ in range(10):
+        p = 1.0 / (1.0 + np.exp(-(Xs @ w + b)))
+        gw = Xs.T @ (p - y) / len(y)
+        gb = (p - y).mean()
+        w -= 0.7 * (gw + 1e-4 * w)
+        b -= 0.7 * gb
+    w_raw = w / sd
+    b_raw = b - float((w * mu / sd).sum())
+    got = np.array([art["weights"][c] for c in QUALITY_CLF_FEATURES])
+    assert np.allclose(got, w_raw, rtol=1e-8, atol=1e-10)
+    assert abs(art["bias"] - b_raw) < 1e-8
+
+
+def test_quality_classifier_train_empty_class_raises(spark):
+    import pytest
+
+    from mini_feature_store_spark.operators.text import (
+        quality_classifier_train,
+    )
+
+    pos, neg = _clf_corpus(spark)
+    with pytest.raises(ValueError, match="both classes"):
+        quality_classifier_train(pos, neg.where("doc_id < 0"), n_iter=2)
+
+
+def test_quality_classifier_train_leaves_no_cache(spark):
+    from mini_feature_store_spark.operators.text import (
+        quality_classifier_train,
+    )
+
+    pos, neg = _clf_corpus(spark)
+    quality_classifier_train(pos, neg, n_iter=2)
+    jcm = spark._jsparkSession.sharedState().cacheManager()
+    assert jcm.isEmpty(), "trainer leaked a CacheManager entry"
+
+
+def test_quality_classifier_train_balanced_modes(spark):
+    from mini_feature_store_spark.operators.text import (
+        quality_classifier_train,
+    )
+    from pyspark.sql import functions as F
+
+    pos, neg = _clf_corpus(spark)
+    # equal classes: balanced ≡ unbalanced (ω = 1 everywhere)
+    a = quality_classifier_train(pos, neg, n_iter=5)
+    b = quality_classifier_train(pos, neg, n_iter=5, balanced=True)
+    assert a["weights"] == pytest.approx(b["weights"])
+    assert a["bias"] == pytest.approx(b["bias"])
+
+    # 10:1 imbalance, separable: unbalanced drags the intercept toward
+    # the prior; balanced keeps separation at the 0.5 threshold
+    pos_small = pos.where(F.col("doc_id") < 4)
+    art = quality_classifier_train(
+        pos_small, neg, n_iter=25, balanced=True
+    )
+    from mini_feature_store_spark.operators.text import (
+        quality_classifier_score,
+    )
+
+    got = {
+        r.doc_id: r.keep
+        for r in quality_classifier_score(
+            pos_small.unionByName(neg),
+            weights=art["weights"],
+            bias=art["bias"],
+        ).collect()
+    }
+    assert all(got[i] for i in range(4))
+    assert not any(got[100 + i] for i in range(40))

@@ -829,6 +829,44 @@ AUDITED: dict[str, str] = {
         "in the returned plan; the production pipeline persists around "
         "its eager counts instead. Every stage is an audited operator."
     ),
+    "doc_dsir_scores": (
+        "DSIR importance scorer (r12 extension): the hashed feature "
+        "space is BOUNDED (8192 buckets), so both corpus count tables "
+        "collapse via map-side-combined hash aggregates to <=B rows, "
+        "totals are 1-row aggregates OVER those tables (no extra "
+        "corpus scan), and the dense weight table reaches the scoring "
+        "join as a BroadcastHashJoin by construction (pinned by test). "
+        "ONE corpus-side shuffle (the per-doc weight sum) at any "
+        "max_order; the doc-side gram explosion is map-only. Check: "
+        "exactly one exchange keyed on doc_id downstream of the "
+        "documents scan; no SMJ anywhere."
+    ),
+    "doc_dsir_resample": (
+        "DSIR Gumbel top-k (r12 extension): doc_dsir_scores + a "
+        "deterministic md5-Gumbel key and TakeOrderedAndProject — "
+        "per-partition top-k heaps + driver merge of k*P rows, never a "
+        "global sort exchange. Check: TakeOrderedAndProject in the "
+        "plan tail, no Sort + GlobalLimit pair."
+    ),
+    "embedding_semantic_decontamination": (
+        "Embedding-space decontamination (r12 extension): benchmark "
+        "side (bounded eval suite) broadcast into a nested-loop score "
+        "over the streaming corpus, argmax carried through ONE integer "
+        "key in a single hash aggregate keyed on vec_id — corpus never "
+        "shuffles for the comparison, one exchange for the aggregate. "
+        "Check: BroadcastNestedLoopJoin with the 25-row build side, "
+        "one exchange total."
+    ),
+    "doc_quality_classifier_trained": (
+        "Trained learned quality filter (r12 extension, rows-only "
+        "gate): training runs at plan build (bounded-collect trainer "
+        "class) — 1 moments aggregate + 15 gradient aggregates over a "
+        "persisted 6-column feature frame, each shipping d+1=6 doubles "
+        "per partition (map-side combined), unpersisted before return. "
+        "The RETURNED plan is the literal-vector scorer: one scan, "
+        "zero exchanges, zero Python. Check: returned plan is "
+        "scan+project only."
+    ),
 }
 
 

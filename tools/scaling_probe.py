@@ -985,8 +985,67 @@ def run_scale(spark, d: Path, only: set[str] | None = None) -> dict[str, float]:
             admitted, max_tokens=2048, shards=32, tokens_col="n_tokens"
         )
 
+    def _dsir_importance():
+        # r12 DSIR: 2% target slice (the LM-family reference convention);
+        # the weight table is n_buckets-bounded → broadcast at any scale,
+        # scoring is one corpus-side shuffle
+        from mini_feature_store_spark.operators.dsir import dsir_importance
+
+        return dsir_importance(
+            docs.where(F.col("doc_id") % 50 == 0),
+            docs.where(F.col("doc_id") % 50 != 0),
+        )
+
+    def _dsir_resample():
+        # Gumbel top-k at 5% of the corpus → TakeOrderedAndProject
+        from mini_feature_store_spark.operators.dsir import dsir_resample
+
+        n = docs.count()
+        return dsir_resample(
+            docs.where(F.col("doc_id") % 50 == 0),
+            docs.where(F.col("doc_id") % 50 != 0),
+            k=max(1, n // 20),
+        )
+
+    def _semantic_decontaminate():
+        # r12 embedding-space decontamination: FIXED-size benchmark (the
+        # eval-suite contract) vs the growing corpus — wall should track
+        # the corpus linearly
+        from mini_feature_store_spark.operators.similarity import (
+            semantic_decontaminate,
+        )
+
+        return semantic_decontaminate(
+            emb.where(F.col("vec_id") >= 200),
+            emb.where(F.col("vec_id") < 200),
+            threshold=0.85,
+        )
+
+    def _clf_train():
+        # r12 distributed LR trainer: 15 gradient iterations, each ONE
+        # map-side-combined d+1-double aggregate over the cached feature
+        # frame — wall should be scan-bound, iterations nearly free
+        from mini_feature_store_spark.operators.text import (
+            quality_classifier_train,
+        )
+
+        art = quality_classifier_train(
+            docs.where(F.col("doc_id") % 20 == 0),
+            docs.where(F.col("doc_id") % 20 != 0),
+            n_iter=15,
+            balanced=True,
+        )
+        return spark.createDataFrame(
+            [(k, float(v)) for k, v in art["weights"].items()],
+            "feature string, coef double",
+        )
+
     ops.update(
         {
+            "dsir_importance_2pct": _dsir_importance,
+            "dsir_resample_top5pct": _dsir_resample,
+            "semantic_decontaminate_b200": _semantic_decontaminate,
+            "clf_train_15it": _clf_train,
             "unigram_train_v2000_r1": _unigram_train,
             "unigram_tokenize_trained": _unigram_tokenize,
             "bpe_tokenize_trained": _bpe_tokenize_trained,
