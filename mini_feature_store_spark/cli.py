@@ -175,6 +175,21 @@ def build_parser() -> argparse.ArgumentParser:
         "right after the heuristic quality gate",
     )
     cc.add_argument(
+        "--dsir-target-path", default=None,
+        help="DSIR data-selection stage (Xie et al. 2023): hashed-ngram "
+        "importance against this curated target parquet, Gumbel top-k "
+        "resample keeps --dsir-keep docs (runs after the quality gates)",
+    )
+    cc.add_argument(
+        "--dsir-keep", type=int, default=None,
+        help="number of docs the DSIR stage keeps (required with "
+        "--dsir-target-path)",
+    )
+    cc.add_argument(
+        "--dsir-seed", type=int, default=42,
+        help="Gumbel seed for the DSIR resample (default 42)",
+    )
+    cc.add_argument(
         "--lm-reference-path", default=None,
         help="CCNet-style LM filter stage: train an add-1 bigram model on "
         "this parquet and drop docs whose average bigram NLL exceeds "
@@ -554,6 +569,9 @@ def main(argv: list[str] | None = None) -> int:
                     max_per_domain=args.max_per_domain,
                     line_filter_min_lines=args.line_filter_min_lines,
                     quality_model_dir=args.quality_model_dir,
+                    dsir_target_path=args.dsir_target_path,
+                    dsir_keep=args.dsir_keep,
+                    dsir_seed=args.dsir_seed,
                     lm_reference_path=args.lm_reference_path,
                     lm_max_nll=args.lm_max_nll,
                     lm_order=args.lm_order,

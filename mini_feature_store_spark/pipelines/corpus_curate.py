@@ -12,6 +12,14 @@ One command takes a raw document corpus to a training-ready one:
                            ``line_filter_min_lines`` is set); kept
                            pages carry their cleaned text forward
 1. quality gate            operators/text.py:quality_filter
+1a. learned gate (opt.)    operators/text.py:quality_classifier_score
+                           under a clf-train artifact
+                           (``quality_model_dir``) — the GPT-3/PaLM
+                           trained curated-vs-crawl classifier
+1a'. DSIR select (opt.)    operators/dsir.py:dsir_resample — importance
+                           resampling against a curated target corpus
+                           (``dsir_target_path`` / ``dsir_keep``;
+                           Xie et al. 2023)
 1b. LM filter (optional)   operators/text.py:bigram_lm_score — CCNet's
                            perplexity gate against a reference corpus
                            (``lm_reference_path`` / ``lm_max_nll``)
@@ -92,6 +100,13 @@ class CorpusCurationConfig:
     #: (clf-train artifact dir holding coeffs.parquet) scores below 0.5
     #: are dropped; scoring is a zero-shuffle literal-vector scan
     quality_model_dir: str | None = None
+    #: when set (with ``dsir_keep``), a DSIR data-selection stage (Xie
+    #: et al. 2023) runs after the quality gates: hashed-ngram importance
+    #: weights against THIS curated target parquet, Gumbel top-k resample
+    #: keeps ``dsir_keep`` docs
+    dsir_target_path: str | None = None
+    dsir_keep: int | None = None
+    dsir_seed: int = 42
     #: when set, a CCNet-style LM quality stage runs after the quality
     #: gate: docs scoring above ``lm_max_nll`` average bigram NLL under
     #: an add-1 model trained on THIS reference parquet are dropped
@@ -196,6 +211,13 @@ def run_corpus_curation(
             "pack_tokenizer_dir requires pack_max_tokens — the tokenizer "
             "only decides how bins are SIZED, the capacity enables the "
             "stage"
+        )
+    if cfg.dsir_target_path is not None and (
+        cfg.dsir_keep is None or cfg.dsir_keep <= 0
+    ):
+        raise ValueError(
+            "dsir_target_path requires a positive dsir_keep — DSIR "
+            "selects a fixed-size resample, not a filter"
         )
     if cfg.lm_reference_path is not None and cfg.lm_order not in (2, 3, 4, 5):
         raise ValueError(
@@ -304,6 +326,23 @@ def run_corpus_curation(
             "left_semi",
         ).persist()
         funnel["after_quality_clf"] = admitted.count()
+        prev.unpersist()
+
+    if cfg.dsir_target_path is not None:
+        from mini_feature_store_spark.operators.dsir import dsir_resample
+
+        target = spark.read.parquet(cfg.dsir_target_path)
+        picked = dsir_resample(
+            target,
+            admitted,
+            k=cfg.dsir_keep,
+            seed=cfg.dsir_seed,
+            id_col=cfg.id_col,
+            text_col=cfg.text_col,
+        ).select(cfg.id_col)
+        prev = admitted
+        admitted = admitted.join(picked, cfg.id_col, "left_semi").persist()
+        funnel["after_dsir_select"] = admitted.count()
         prev.unpersist()
 
     if cfg.lm_reference_path is not None:

@@ -1802,3 +1802,74 @@ def test_load_quality_classifier_rejects_stale_artifact(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="does not match"):
         load_quality_classifier(spark, str(d))
+
+
+def test_corpus_curate_dsir_stage_ties_to_operator(spark, tmp_path):
+    """--dsir-target-path/--dsir-keep: the pipeline's selected set IS
+    dsir_resample's top-k over the post-quality admitted set."""
+    import pytest
+
+    from mini_feature_store_spark.operators.dsir import dsir_resample
+    from mini_feature_store_spark.pipelines.corpus_curate import (
+        CorpusCurationConfig,
+        run_corpus_curation,
+    )
+
+    prose = (
+        "the gentle river ran through the quiet valley and the miller "
+        "ground the grain for the village every morning"
+    )
+    target_path = str(tmp_path / "target")
+    spark.createDataFrame(
+        [(900 + i, prose + f" chapter {i}") for i in range(6)],
+        "doc_id long, text string",
+    ).write.parquet(target_path)
+
+    docs = [
+        (i, prose.replace("river", w) + f" variant {i}")
+        for i, w in enumerate(
+            ["river", "stream", "brook", "canal", "creek", "torrent"]
+        )
+    ] + [
+        (10 + i, "qz vx jj ww kk pp zz mm xx nn oo " * 3 + f" junk {i}")
+        for i in range(6)
+    ]
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(inp)
+
+    out = str(tmp_path / "clean")
+    funnel = run_corpus_curation(
+        spark,
+        CorpusCurationConfig(
+            input_path=inp,
+            output_path=out,
+            min_tokens=1,
+            min_quality=0.0,
+            jaccard_threshold=0.995,
+            dsir_target_path=target_path,
+            dsir_keep=5,
+        ),
+    )
+    assert funnel["after_dsir_select"] == 5
+    expected = {
+        r.doc_id
+        for r in dsir_resample(
+            spark.read.parquet(target_path),
+            spark.read.parquet(inp),
+            k=5,
+        ).collect()
+    }
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept == expected
+    # prose-like docs dominate the selection over junk
+    assert sum(1 for d in kept if d < 10) >= 4
+
+    with pytest.raises(ValueError, match="dsir_keep"):
+        run_corpus_curation(
+            spark,
+            CorpusCurationConfig(
+                input_path=inp,
+                output_path=out,
+                dsir_target_path=target_path,
+            ),
+        )
