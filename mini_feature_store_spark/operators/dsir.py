@@ -34,7 +34,7 @@ floats are ``round_half_up(·, 4)``.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from mini_feature_store_spark.functions import round_half_up, spread
@@ -60,11 +60,19 @@ def _bucketed_grams(
     n_buckets: int,
     max_order: int,
     id_cols: tuple[str, ...] = (),
+    with_sentinel: bool = False,
 ) -> DataFrame:
     """One row per n-gram OCCURRENCE (k = 1..``max_order``, space-joined
     over the normalized whitespace tokens), carrying ``id_cols`` and the
-    hashed ``bucket``. One scan, map-only."""
+    hashed ``bucket``. One scan, map-only.
+
+    ``with_sentinel=True`` additionally emits exactly one NULL-bucket
+    row per input row (even gram-less ones) — the ``_stacked_gram_counts``
+    sentinel trick, so a downstream ``groupBy(id)`` covers EVERY document
+    without a corpus-keyed join back onto the id list (which would cost a
+    second scan and a second doc_id exchange at 100 TB)."""
     t = _tokens(normalize(F.col(text_col)))
+    lo = 0 if with_sentinel else 1
     pos = (
         spread(df)
         .select(*id_cols, t.alias("_toks"))
@@ -73,27 +81,27 @@ def _bucketed_grams(
             "_toks",
             F.explode(
                 F.when(
-                    F.size("_toks") >= 1,
-                    F.sequence(F.lit(1), F.size("_toks")),
+                    F.size("_toks") >= F.lit(1 if lo else 0),
+                    F.sequence(F.lit(lo), F.size("_toks")),
                 ).otherwise(F.array().cast("array<int>"))
             ).alias("i"),
         )
     )
-    grams = pos.select(
-        *id_cols,
-        F.explode(
-            F.transform(
-                F.sequence(
-                    F.lit(1),
-                    F.least(
-                        F.lit(max_order),
-                        F.size("_toks") - F.col("i") + F.lit(1),
-                    ),
-                ),
-                lambda k: F.array_join(F.slice("_toks", F.col("i"), k), " "),
-            )
-        ).alias("g"),
+    gram_arr = F.transform(
+        F.sequence(
+            F.lit(1),
+            F.least(
+                F.lit(max_order),
+                F.size("_toks") - F.col("i") + F.lit(1),
+            ),
+        ),
+        lambda k: F.array_join(F.slice("_toks", F.col("i"), k), " "),
     )
+    if with_sentinel:
+        gram_arr = F.when(
+            F.col("i") == 0, F.array(F.lit(None).cast("string"))
+        ).otherwise(gram_arr)
+    grams = pos.select(*id_cols, F.explode(gram_arr).alias("g"))
     return grams.select(*id_cols, _bucket(F.col("g"), n_buckets))
 
 
@@ -119,38 +127,47 @@ def dsir_bucket_weights(
     cross-engine libm ``log`` ulp differences, fine enough that document
     sums stay exact at the scale-4 output rounding.
 
-    Everything here is bounded: the two count aggregates are map-side
-    combined to ≤ B rows, totals are 1-row aggregates over those tables
-    (no second corpus scan), and the result is B rows — broadcast by
-    construction at any corpus size.
+    Everything here is bounded AND single-pass: both corpora stack into
+    ONE gram explosion with a target flag (the ``_stacked_gram_counts``
+    pattern), so one map-side-combined aggregate produces both count
+    columns (≤ B rows) — one corpus read instead of two; totals are
+    1-row aggregates over that bounded table (no second corpus scan),
+    and the result is B rows — broadcast by construction at any corpus
+    size.
     """
-    tc = (
-        _bucketed_grams(target, text_col, n_buckets, max_order)
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("_ct"))
+    both = target.select(
+        F.lit(True).alias("_t"), F.col(text_col).alias(text_col)
+    ).unionByName(
+        raw.select(F.lit(False).alias("_t"), F.col(text_col).alias(text_col))
     )
-    rc = (
-        _bucketed_grams(raw, text_col, n_buckets, max_order)
+    counts = (
+        _bucketed_grams(both, text_col, n_buckets, max_order, id_cols=("_t",))
         .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("_cr"))
+        .agg(
+            F.count(F.when(F.col("_t"), 1)).alias("_ct"),
+            F.count(F.when(~F.col("_t"), 1)).alias("_cr"),
+        )
     )
-    nt = tc.agg(F.coalesce(F.sum("_ct"), F.lit(0)).alias("_nt"))
-    nr = rc.agg(F.coalesce(F.sum("_cr"), F.lit(0)).alias("_nr"))
     spark = target.sparkSession
     dense = spark.range(n_buckets).select(F.col("id").alias("bucket"))
     b = F.lit(n_buckets)
+    # corpus totals as window sums over the B-row dense table (bounded
+    # single partition by construction) — a 1-row crossJoin aggregate
+    # would duplicate the whole counts subtree in the plan, re-scanning
+    # the corpus twice more (Catalyst gives no ReusedExchange for
+    # duplicated aggregate subtrees; the repo's standing lesson)
+    wall = Window.partitionBy()
+    ct = F.coalesce(F.col("_ct"), F.lit(0))
+    cr = F.coalesce(F.col("_cr"), F.lit(0))
     return (
-        dense.join(tc, "bucket", "left")
-        .join(rc, "bucket", "left")
-        .crossJoin(F.broadcast(nt))
-        .crossJoin(F.broadcast(nr))
+        dense.join(counts, "bucket", "left")
         .select(
             "bucket",
             round_half_up(
-                F.log(F.coalesce(F.col("_ct"), F.lit(0)) + F.lit(1))
-                - F.log(F.coalesce(F.col("_cr"), F.lit(0)) + F.lit(1))
-                + F.log(F.col("_nr") + b)
-                - F.log(F.col("_nt") + b),
+                F.log(ct + F.lit(1))
+                - F.log(cr + F.lit(1))
+                + F.log(F.sum(cr).over(wall) + b)
+                - F.log(F.sum(ct).over(wall) + b),
                 8,
             ).alias("weight"),
         )
@@ -174,7 +191,10 @@ def dsir_importance(
     log_weight = Σ over the document's hashed grams of weight[bucket]
     — exactly log p̂_target(doc) − log p̂_raw(doc) under the add-1
     bag-of-hashed-ngrams models. ONE corpus-side shuffle (the per-doc
-    sum); the weight join is broadcast by construction (B rows).
+    sum); the weight join is broadcast by construction (B rows), and a
+    per-doc NULL-bucket sentinel row keeps gram-less docs in the single
+    aggregate — no join back onto the id list (that shape costs a second
+    corpus scan plus a second doc_id exchange).
     """
     w = dsir_bucket_weights(
         target,
@@ -184,28 +204,25 @@ def dsir_importance(
         max_order=max_order,
     )
     grams = _bucketed_grams(
-        raw, text_col, n_buckets, max_order, id_cols=(id_col,)
-    )
-    agg = (
-        grams.join(F.broadcast(w), "bucket")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("_n"),
-            F.sum("weight").alias("_s"),
-        )
+        raw,
+        text_col,
+        n_buckets,
+        max_order,
+        id_cols=(id_col,),
+        with_sentinel=True,
     )
     return (
-        raw.select(id_col)
-        .join(agg, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias(
-                "n_features"
-            ),
+        grams.join(F.broadcast(w), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            # count(weight): the NULL-bucket sentinel contributes no
+            # feature and no mass, only the group
+            F.count("weight").alias("n_features"),
             round_half_up(
-                F.coalesce(F.col("_s"), F.lit(0.0)), 4
+                F.coalesce(F.sum("weight"), F.lit(0.0)), 4
             ).alias("log_weight"),
         )
+        .select(id_col, "n_features", "log_weight")
     )
 
 

@@ -218,6 +218,28 @@ _ALLOWLIST: dict[str, list[tuple[str, str]]] = {
     "cohort_retention_weekly": [
         ("AS cohort_size#", "calendar-week-keyed cohort sizes"),
     ],
+    # operators/dsir.py — the hinted side is the DENSE bucket-weight
+    # table: Range(0, 8192) LEFT-joined 1:1 onto a bucket-keyed
+    # aggregate (bucket = md5 % 8192, unique per group), so the build
+    # is ≤ n_buckets = 8192 rows BY CONSTRUCTION at any corpus size.
+    # The walker sees the corpus gram explosion feeding the aggregate
+    # and cannot prove the bound; the site marker is the add-B
+    # normalizer literal in the weight expression (the walker's subtree
+    # capture truncates before the Range node itself).
+    "doc_dsir_scores": [
+        ("cast(8192 as bigint)", "dense n_buckets-row DSIR weight table"),
+    ],
+    "doc_dsir_resample": [
+        ("cast(8192 as bigint)", "dense n_buckets-row DSIR weight table"),
+    ],
+    # operators/similarity.py:semantic_decontaminate — the hinted side
+    # is the BENCHMARK embedding set: eval suites are bounded by the
+    # eval-suite contract (same class as doc_decontaminate's shingle
+    # set) and do not grow with the corpus. The gate query's marker
+    # pins the vec_id < 25 benchmark filter site.
+    "embedding_semantic_decontamination": [
+        ("< cast(25 as bigint)", "eval-suite benchmark embedding set"),
+    ],
 }
 
 

@@ -808,6 +808,9 @@ def test_quality_classifier_train_leaves_no_cache(spark):
         quality_classifier_train,
     )
 
+    # snapshot-compare, not global isEmpty: the session is shared and
+    # other suites legitimately leave allowlisted cache entries
+    spark.catalog.clearCache()
     pos, neg = _clf_corpus(spark)
     quality_classifier_train(pos, neg, n_iter=2)
     jcm = spark._jsparkSession.sharedState().cacheManager()

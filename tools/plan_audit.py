@@ -830,16 +830,19 @@ AUDITED: dict[str, str] = {
         "its eager counts instead. Every stage is an audited operator."
     ),
     "doc_dsir_scores": (
-        "DSIR importance scorer (r12 extension): the hashed feature "
-        "space is BOUNDED (8192 buckets), so both corpus count tables "
-        "collapse via map-side-combined hash aggregates to <=B rows, "
-        "totals are 1-row aggregates OVER those tables (no extra "
-        "corpus scan), and the dense weight table reaches the scoring "
-        "join as a BroadcastHashJoin by construction (pinned by test). "
-        "ONE corpus-side shuffle (the per-doc weight sum) at any "
-        "max_order; the doc-side gram explosion is map-only. Check: "
-        "exactly one exchange keyed on doc_id downstream of the "
-        "documents scan; no SMJ anywhere."
+        "DSIR importance scorer (r12 extension): BOTH corpora stack "
+        "into ONE gram explosion with a target flag, so a single "
+        "map-side-combined aggregate yields both count columns (<=B "
+        "rows, B=8192 buckets); corpus totals are window sums over "
+        "that B-row dense table (bounded single partition — a 1-row "
+        "crossJoin would duplicate the counts subtree and re-scan the "
+        "corpus); the dense weight table reaches the scoring join as "
+        "a BroadcastHashJoin by construction (pinned by test), and a "
+        "per-doc NULL-bucket sentinel keeps gram-less docs in the one "
+        "doc-keyed aggregate (no id-list join-back). 3 scans total "
+        "(target branch, raw branch, doc grams), ONE corpus-side "
+        "shuffle at any max_order. Check: one exchange keyed on "
+        "doc_id; no SMJ anywhere."
     ),
     "doc_dsir_resample": (
         "DSIR Gumbel top-k (r12 extension): doc_dsir_scores + a "
