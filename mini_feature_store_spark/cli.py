@@ -287,6 +287,20 @@ def build_parser() -> argparse.ArgumentParser:
     )
     ct.add_argument("--text-col", default="text")
 
+    dt = sub.add_parser(
+        "dsir-train",
+        help="fit DSIR hashed-ngram importance weights (Xie et al. 2023) "
+        "from a curated target parquet vs a raw-crawl parquet; writes "
+        "the dense bounded weight table as weights.parquet under "
+        "--output-dir for incremental batch scoring",
+    )
+    dt.add_argument("--target-path", required=True)
+    dt.add_argument("--raw-path", required=True)
+    dt.add_argument("--output-dir", required=True)
+    dt.add_argument("--n-buckets", type=int, default=8192)
+    dt.add_argument("--max-order", type=int, default=2)
+    dt.add_argument("--text-col", default="text")
+
     bp = sub.add_parser(
         "bpe-train",
         help="induce a BPE tokenizer vocabulary from a documents parquet: "
@@ -602,6 +616,29 @@ def main(argv: list[str] | None = None) -> int:
             print(
                 f"compacted {args.store_path}: "
                 + ", ".join(f"{k}={v}" for k, v in report.items())
+            )
+        elif args.pipeline == "dsir-train":
+            from mini_feature_store_spark.operators.dsir import (
+                dsir_bucket_weights,
+                save_dsir_weights,
+            )
+
+            w = dsir_bucket_weights(
+                spark.read.parquet(args.target_path),
+                spark.read.parquet(args.raw_path),
+                text_col=args.text_col,
+                n_buckets=args.n_buckets,
+                max_order=args.max_order,
+            )
+            save_dsir_weights(
+                w,
+                args.output_dir,
+                n_buckets=args.n_buckets,
+                max_order=args.max_order,
+            )
+            print(
+                f"fitted {args.n_buckets}-bucket DSIR weights -> "
+                f"{args.output_dir.rstrip('/')}/weights.parquet"
             )
         elif args.pipeline == "clf-train":
             from mini_feature_store_spark.operators.text import (

@@ -174,6 +174,45 @@ def dsir_bucket_weights(
     )
 
 
+def dsir_score_with_weights(
+    weights: DataFrame,
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 8192,
+    max_order: int = 2,
+) -> DataFrame:
+    """Score ``df`` under a PREBUILT weight table (the incremental /
+    production shape: weights trained once via ``dsir_bucket_weights``
+    or loaded from a ``dsir-train`` artifact, then applied to every new
+    crawl batch without re-reading either training corpus).
+
+    ``n_buckets`` / ``max_order`` must match the table's training
+    configuration — the hash bucketing is part of the model."""
+    grams = _bucketed_grams(
+        df,
+        text_col,
+        n_buckets,
+        max_order,
+        id_cols=(id_col,),
+        with_sentinel=True,
+    )
+    return (
+        grams.join(F.broadcast(weights), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            # count(weight): the NULL-bucket sentinel contributes no
+            # feature and no mass, only the group
+            F.count("weight").alias("n_features"),
+            round_half_up(
+                F.coalesce(F.sum("weight"), F.lit(0.0)), 4
+            ).alias("log_weight"),
+        )
+        .select(id_col, "n_features", "log_weight")
+    )
+
+
 def dsir_importance(
     target: DataFrame,
     raw: DataFrame,
@@ -203,27 +242,54 @@ def dsir_importance(
         n_buckets=n_buckets,
         max_order=max_order,
     )
-    grams = _bucketed_grams(
+    return dsir_score_with_weights(
+        w,
         raw,
-        text_col,
-        n_buckets,
-        max_order,
-        id_cols=(id_col,),
-        with_sentinel=True,
+        id_col=id_col,
+        text_col=text_col,
+        n_buckets=n_buckets,
+        max_order=max_order,
     )
-    return (
-        grams.join(F.broadcast(w), "bucket", "left")
-        .groupBy(id_col)
-        .agg(
-            # count(weight): the NULL-bucket sentinel contributes no
-            # feature and no mass, only the group
-            F.count("weight").alias("n_features"),
-            round_half_up(
-                F.coalesce(F.sum("weight"), F.lit(0.0)), 4
-            ).alias("log_weight"),
+
+
+def save_dsir_weights(
+    weights: DataFrame, out_dir: str, *, n_buckets: int, max_order: int
+) -> None:
+    """Persist a weight table as ``<out_dir>/weights.parquet`` (bucket,
+    weight, n_buckets, max_order — the two config columns ride every
+    row so the artifact is self-describing without a sidecar file;
+    B rows, bounded)."""
+    base = out_dir.rstrip("/")
+    (
+        weights.select(
+            "bucket",
+            "weight",
+            F.lit(n_buckets).alias("n_buckets"),
+            F.lit(max_order).alias("max_order"),
         )
-        .select(id_col, "n_features", "log_weight")
+        .write.mode("overwrite")
+        .parquet(base + "/weights.parquet")
     )
+
+
+def load_dsir_weights(spark, model_dir: str) -> tuple[DataFrame, int, int]:
+    """Load ``(weights_df, n_buckets, max_order)`` written by
+    ``save_dsir_weights``; validates the table is dense (exactly
+    n_buckets rows) so a truncated artifact fails loudly."""
+    base = model_dir.rstrip("/")
+    df = spark.read.parquet(base + "/weights.parquet")
+    head = df.limit(1).collect()
+    if not head:
+        raise ValueError(f"empty DSIR weights artifact at {model_dir!r}")
+    n_buckets = int(head[0]["n_buckets"])
+    max_order = int(head[0]["max_order"])
+    n = df.count()
+    if n != n_buckets:
+        raise ValueError(
+            f"DSIR weights artifact at {model_dir!r} is not dense: "
+            f"{n} rows for n_buckets={n_buckets}"
+        )
+    return df.select("bucket", "weight"), n_buckets, max_order
 
 
 def dsir_resample(

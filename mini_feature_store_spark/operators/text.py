@@ -129,8 +129,16 @@ def chunk_documents(
     )
 
 
-def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Quality-scoring signal projection, one row per document."""
+def text_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Quality-scoring signal projection, one row per document.
+    ``extra_cols`` pass through unchanged (the streaming gate uses this
+    to keep the document payload without a join — the projection stays
+    map-only either way)."""
     t = F.col(text_col)
     toks = _tokens(t)
     n_chars = F.length(t).cast("long")
@@ -170,6 +178,7 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
             )
         ).alias("stopword_ratio"),
         fingerprint(t).alias("fingerprint"),
+        *[F.col(c) for c in extra_cols],
     )
 
 
@@ -637,6 +646,7 @@ def quality_classifier_score(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Model-based quality scoring: logistic regression over the
     ``text_stats`` feature projection, entirely in codegen'd expressions.
@@ -654,7 +664,7 @@ def quality_classifier_score(
     """
     w = dict(QUALITY_CLF_WEIGHTS if weights is None else weights)
     b = QUALITY_CLF_BIAS if bias is None else bias
-    stats = text_stats(df, text_col, id_col)
+    stats = text_stats(df, text_col, id_col, extra_cols=extra_cols)
     feats = {
         "log_tokens": F.log1p(F.col("n_tokens").cast("double")),
         "stopword_ratio": F.col("stopword_ratio"),
@@ -672,6 +682,7 @@ def quality_classifier_score(
         logit.alias("quality_logit"),
         prob.alias("quality_prob"),
         (prob >= threshold).alias("keep"),
+        *[F.col(c) for c in extra_cols],
     )
 
 

@@ -186,3 +186,61 @@ def test_weights_join_is_broadcast(spark):
     plan = dsir_importance(tgt, raw, n_buckets=B)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_dsir_train_artifact_roundtrip(spark, tmp_path):
+    """dsir-train CLI → load_dsir_weights → dsir_score_with_weights
+    reproduces dsir_importance exactly (the incremental batch-scoring
+    contract: train once, score new crawl batches without the corpora)."""
+    from mini_feature_store_spark import cli
+    from mini_feature_store_spark.operators.dsir import (
+        dsir_importance,
+        dsir_score_with_weights,
+        load_dsir_weights,
+    )
+
+    tgt, raw = _frames(spark)
+    tgt_path, raw_path = str(tmp_path / "t"), str(tmp_path / "r")
+    tgt.write.parquet(tgt_path)
+    raw.write.parquet(raw_path)
+    model = str(tmp_path / "dsir")
+    rc = cli.main(
+        [
+            "dsir-train",
+            "--target-path", tgt_path,
+            "--raw-path", raw_path,
+            "--output-dir", model,
+            "--n-buckets", str(B),
+        ]
+    )
+    assert rc == 0
+    w, nb, mo = load_dsir_weights(spark, model)
+    assert (nb, mo) == (B, 2)
+    scored = {
+        r.doc_id: (r.n_features, r.log_weight)
+        for r in dsir_score_with_weights(
+            w, raw, n_buckets=nb, max_order=mo
+        ).collect()
+    }
+    direct = {
+        r.doc_id: (r.n_features, r.log_weight)
+        for r in dsir_importance(tgt, raw, n_buckets=B).collect()
+    }
+    assert scored == direct
+
+
+def test_load_dsir_weights_rejects_truncated(spark, tmp_path):
+    from mini_feature_store_spark.operators.dsir import (
+        dsir_bucket_weights,
+        load_dsir_weights,
+        save_dsir_weights,
+    )
+
+    tgt, raw = _frames(spark)
+    w = dsir_bucket_weights(tgt, raw, n_buckets=B)
+    model = str(tmp_path / "bad")
+    save_dsir_weights(
+        w.where("bucket < 10"), model, n_buckets=B, max_order=2
+    )
+    with pytest.raises(ValueError, match="not dense"):
+        load_dsir_weights(spark, model)

@@ -653,3 +653,63 @@ def test_compact_store_cli(spark, tmp_path):
     )
     assert rc == 0
     assert spark.read.parquet(store).count() == 3
+
+
+def test_quality_gated_stream_trained_model(spark, tmp_path):
+    """Stateless learned-quality gate on a stream: train offline
+    (clf-train artifact), apply in-stream — prose passes, junk drops,
+    payload columns survive, and the plan needs no state store."""
+    import glob
+    import shutil
+    import tempfile
+
+    from mini_feature_store_spark.operators.text import (
+        quality_classifier_train,
+        save_quality_classifier,
+    )
+    from mini_feature_store_spark.streaming.ingest import (
+        quality_gated_stream,
+    )
+
+    prose = (
+        "the quick brown fox and the lazy dog of the farm went to the "
+        "market and bought a basket of apples for the winter"
+    )
+    noisy = "x1 9z $$ qq ## zz 77 !! kk 00 vv 33 ww 55 yy 88 hh 22"
+    pos = spark.createDataFrame(
+        [(i, prose + f" batch {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    neg = spark.createDataFrame(
+        [(100 + i, noisy + f" {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    art = quality_classifier_train(pos, neg, n_iter=25, balanced=True)
+    model_dir = str(tmp_path / "clf")
+    save_quality_classifier(art, model_dir)
+
+    doc_schema = "doc_id long, text string, source string"
+    stream_path = str(tmp_path / "docs_stream")
+    os.makedirs(stream_path, exist_ok=True)
+    with tempfile.TemporaryDirectory() as staging:
+        out = os.path.join(staging, "out")
+        spark.createDataFrame(
+            [
+                (1, prose, "a"),
+                (2, noisy, "b"),
+                (3, prose + " more prose text here", "a"),
+            ],
+            doc_schema,
+        ).coalesce(1).write.parquet(out)
+        (part,) = glob.glob(os.path.join(out, "part-*.parquet"))
+        shutil.copy(part, os.path.join(stream_path, "d1.parquet"))
+
+    stream = spark.readStream.schema(doc_schema).parquet(stream_path)
+    gated = quality_gated_stream(stream, model_dir=model_dir)
+    assert gated.isStreaming
+    _run_to_memory(gated, "quality_gated")
+    rows = spark.sql(
+        "SELECT doc_id, source, quality_prob FROM quality_gated"
+    ).collect()
+    assert sorted(r.doc_id for r in rows) == [1, 3]
+    assert all(r.source == "a" and r.quality_prob >= 0.5 for r in rows)
