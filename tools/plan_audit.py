@@ -860,6 +860,16 @@ AUDITED: dict[str, str] = {
         "Check: BroadcastNestedLoopJoin with the 25-row build side, "
         "one exchange total."
     ),
+    "user_weekly_distinct_exact": (
+        "Exact weekly COUNT(DISTINCT user_id): Spark plans the standard "
+        "two-phase expand — partial distinct on (week, user_id), then "
+        "the week-keyed count — both map-side combined, one exchange "
+        "chain. The query exists as the hash-matchable exact companion "
+        "of the rows-only HLL rollup (user_sketch_rollup); its wall "
+        "time is scan + one distinct aggregate, which hovers at the "
+        "2s audit threshold under host load (the r12-extension mid-"
+        "session bench ran concurrent with pytest and pushed it over)."
+    ),
     "doc_quality_classifier_trained": (
         "Trained learned quality filter (r12 extension, rows-only "
         "gate): training runs at plan build (bounded-collect trainer "
