@@ -438,6 +438,127 @@ def repetition_stats(
     )
 
 
+#: Gopher rule G8's stop-word list (Rae et al. 2021, §A1.2): a document
+#: must contain at least 2 of these to pass.
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+    min_stopwords: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The full Gopher document-quality rule set (Rae et al. 2021,
+    §A1.2) — the named public recipe MassiveText filtered with, and the
+    document-rule complement of ``repetition_stats`` (§A1.1):
+
+    G1 word count in [min_words, max_words]       (paper: 50..100k)
+    G2 mean word length in [3, 10]
+    G3 hash-symbol-to-word ratio ≤ 0.1
+    G4 ellipsis-to-word ratio ≤ 0.1               ('...' or '…')
+    G5 ≤ 90% of lines start with a bullet          (-, *, •)
+    G6 ≤ 30% of lines end with an ellipsis
+    G7 ≥ 80% of words contain an alphabetic char
+    G8 ≥ ``min_stopwords`` of the ``stopwords`` list present
+                                                  (paper: ≥ 2 of 8)
+
+    Output: one row per doc — the measured signals (fixed-point scale 4,
+    so rule comparisons are engine-deterministic) plus ``kept`` = all
+    eight rules. Pure codegen column arithmetic over ONE scan: token
+    and line work are higher-order array functions, no explode, no
+    shuffle, zero Python — the gate costs what the scan costs at any
+    corpus size.
+    """
+    t = F.col(text_col)
+    toks = _tokens(normalize(t))
+    n_words = F.size(toks)
+    nw = F.when(n_words > 0, n_words.cast("double"))
+    mean_wl = round_half_up(
+        F.coalesce(
+            F.aggregate(
+                toks, F.lit(0), lambda acc, w: acc + F.length(w)
+            ).cast("double")
+            / nw,
+            F.lit(0.0),
+        )
+    )
+    n_hash = F.length(t) - F.length(F.regexp_replace(t, "#", ""))
+    n_ell = (
+        (
+            F.length(t)
+            - F.length(F.regexp_replace(t, r"\.\.\.", ""))
+        )
+        / F.lit(3)
+        + F.length(t)
+        - F.length(F.regexp_replace(t, "…", ""))
+    ).cast("long")
+    hash_ratio = round_half_up(
+        F.coalesce(n_hash.cast("double") / nw, F.lit(0.0))
+    )
+    ell_ratio = round_half_up(
+        F.coalesce(n_ell.cast("double") / nw, F.lit(0.0))
+    )
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    bullet_frac = round_half_up(
+        F.size(
+            F.filter(lines, lambda line: F.trim(line).rlike(r"^[-*•]"))
+        ).cast("double")
+        / n_lines
+    )
+    ell_line_frac = round_half_up(
+        F.size(
+            F.filter(
+                lines, lambda line: F.trim(line).rlike(r"(\.\.\.|…)$")
+            )
+        ).cast("double")
+        / n_lines
+    )
+    alpha_frac = round_half_up(
+        F.coalesce(
+            F.size(F.filter(toks, lambda w: w.rlike("[a-z]"))).cast(
+                "double"
+            )
+            / nw,
+            F.lit(0.0),
+        )
+    )
+    stop_hits = None
+    for s in stopwords:
+        hit = F.when(F.array_contains(toks, s), 1).otherwise(0)
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    kept = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_wl >= 3.0)
+        & (mean_wl <= 10.0)
+        & (hash_ratio <= 0.1)
+        & (ell_ratio <= 0.1)
+        & (bullet_frac <= 0.9)
+        & (ell_line_frac <= 0.3)
+        & (alpha_frac >= 0.8)
+        & (stop_hits >= min_stopwords)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        hash_ratio.alias("hash_word_ratio"),
+        ell_ratio.alias("ellipsis_word_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ell_line_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.cast("long").alias("n_stopwords"),
+        kept.alias("kept"),
+    )
+
+
 def _hashed_shingles(df: DataFrame, text_col: str, n: int, *label_cols: str):
     """(label_cols…, shingle) rows: per-doc distinct n-gram shingles as
     8-byte xxhash64 — the one projection every decontamination path

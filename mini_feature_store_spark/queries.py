@@ -8562,6 +8562,83 @@ def doc_quality_classifier_trained(
 
 
 @_q(
+    "doc_gopher_quality",
+    f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKS_SQL} AS toks,
+         regexp_split_to_array(text, '\n') AS lines
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+    len(toks) AS nw,
+    FLOOR((CASE WHEN len(toks) > 0
+           THEN list_sum(list_transform(toks, w -> length(w))) * 1.0
+                / len(toks) ELSE 0.0 END) * 10000 + 0.5) / 10000 AS mwl,
+    FLOOR((CASE WHEN len(toks) > 0
+           THEN (length(text)
+                 - length(regexp_replace(text, '#', '', 'g'))) * 1.0
+                / len(toks) ELSE 0.0 END) * 10000 + 0.5) / 10000 AS hr,
+    FLOOR((CASE WHEN len(toks) > 0
+           THEN CAST((length(text)
+                 - length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) / 3
+                + length(text)
+                - length(regexp_replace(text, '…', '', 'g')) AS BIGINT)
+                * 1.0 / len(toks) ELSE 0.0 END) * 10000 + 0.5) / 10000 AS er,
+    FLOOR(len(list_filter(lines,
+              l -> regexp_matches(trim(l), '^[-*•]'))) * 1.0
+          / len(lines) * 10000 + 0.5) / 10000 AS bf,
+    FLOOR(len(list_filter(lines,
+              l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$'))) * 1.0
+          / len(lines) * 10000 + 0.5) / 10000 AS ef,
+    FLOOR((CASE WHEN len(toks) > 0
+           THEN len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))
+                * 1.0 / len(toks) ELSE 0.0 END) * 10000 + 0.5) / 10000 AS af,
+    ({" + ".join(
+        f"(CASE WHEN list_contains(toks, '{s}') THEN 1 ELSE 0 END)"
+        for s in (
+            "the", "be", "to", "of", "and", "that", "have", "with"
+        )
+    )}) AS sh
+  FROM t
+)
+SELECT doc_id,
+  CAST(nw AS BIGINT) AS n_words,
+  mwl AS mean_word_len,
+  hr AS hash_word_ratio,
+  er AS ellipsis_word_ratio,
+  bf AS bullet_line_frac,
+  ef AS ellipsis_line_frac,
+  af AS alpha_word_frac,
+  CAST(sh AS BIGINT) AS n_stopwords,
+  (nw >= 50 AND nw <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
+   AND hr <= 0.1 AND er <= 0.1 AND bf <= 0.9 AND ef <= 0.3
+   AND af >= 0.8 AND sh >= 1) AS kept
+FROM m
+""",
+)
+def doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Gopher document-quality rule set (Rae et al. 2021
+    §A1.2 — the MassiveText recipe): word-count bounds, mean word
+    length, hash/ellipsis symbol ratios, bullet/ellipsis line
+    fractions, alphabetic-word fraction, and the 8-stop-word presence
+    rule, as ONE codegen projection over one scan (zero shuffles, zero
+    Python). Gate knobs: the 50-word floor BINDS on testdata (median
+    56 words) and ``min_stopwords=1`` makes G8 bind on the synthetic
+    vocabulary (only 'the' from the Gopher list exists in it — the
+    paper's ≥2-of-8 stays the operator default); the oracle re-derives
+    every signal at scale-4 fixed point so the rule comparisons are
+    engine-deterministic."""
+    from mini_feature_store_spark.operators.text import (
+        gopher_quality_flags,
+    )
+
+    _utc(spark)
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    return gopher_quality_flags(docs, min_stopwords=1)
+
+
+@_q(
     "embedding_semantic_decontamination",
     f"""
 WITH {_UNIT_SQL},
@@ -8619,14 +8696,16 @@ VERIFY_ORDER: list[str] = [
     # stalest-driver-row > fresh; the driver records rows for the FIRST
     # 50 entries only). Ledger going in (artifact-reconstructed):
     # {r11: 50, r10: 42, r9: 46} over 138 previously-oracled queries.
-    # tier 0 — the eight r12-new queries (DSIR scorer + resampler,
+    # tier 0 — the nine r12-new queries (DSIR scorer + resampler,
     # semantic decontamination, trained quality classifier [rows-only],
-    # true-EM unigram trainer [rows-only], composed mixture-manifest
-    # funnel, order-3 LM funnel, split-hygiene decontamination).
+    # Gopher §A1.2 document rules, true-EM unigram trainer [rows-only],
+    # composed mixture-manifest funnel, order-3 LM funnel, split-hygiene
+    # decontamination).
     "doc_dsir_scores",
     "doc_dsir_resample",
     "embedding_semantic_decontamination",
     "doc_quality_classifier_trained",
+    "doc_gopher_quality",
     "doc_unigram_vocab_em",
     "corpus_mixture_manifest",
     "corpus_curation_funnel_lm3",
@@ -8681,11 +8760,12 @@ VERIFY_ORDER: list[str] = [
     "rollup_order_revenue",
     "set_ops_users",
     "shipping_priority",
-    "small_quantity_revenue",
     # ── below this line: not in the r12 driver window.
-    # positions 51-57 — the seven spilled r9-stale greens (r13 tier 1;
-    # the last four spilled when the four extension-session r12 queries
-    # [DSIR ×2, semantic decon, trained classifier] entered tier 0):
+    # positions 51-58 — the eight spilled r9-stale greens (r13 tier 1;
+    # the last five spilled when the five extension-session r12 queries
+    # [DSIR ×2, semantic decon, trained classifier, Gopher rules]
+    # entered tier 0):
+    "small_quantity_revenue",
     "supplier_revenue_salted",
     "user_event_type_arrays",
     "user_sessions",

@@ -850,3 +850,74 @@ def test_quality_classifier_train_balanced_modes(spark):
     }
     assert all(got[i] for i in range(4))
     assert not any(got[100 + i] for i in range(40))
+
+
+# ── gopher_quality_flags (Rae et al. 2021 §A1.2) ────────────────────────────
+
+
+def test_gopher_rules_each_bind(spark):
+    from mini_feature_store_spark.operators.text import (
+        gopher_quality_flags,
+    )
+
+    prose = (
+        "the cat and the dog have gone to the market with a basket "
+        "of fresh bread and they be happy that the day is long "
+    )
+    good = prose * 3  # ~60 words, all rules pass at defaults
+    docs = [
+        (0, good),
+        (1, "the cat sat"),                       # G1: too short
+        (2, " ".join(["pneumonoultramicroscopics"] * 60)
+            + " the of and"),                     # G2: mean word len > 10
+        (3, good + " " + "# " * 40),              # G3: hash ratio > 0.1
+        (4, good + " " + "... " * 40),            # G4: ellipsis ratio > 0.1
+        (5, "\n".join(["- bullet item the of"] * 10)
+            + "\n" + good),                       # G5: >90%? 10/11 bullets
+        (6, "\n".join(["the of and trailing..."] * 9)
+            + "\n" + good),                       # G6: 9/10 ellipsis-ended
+        (7, " ".join(["1234"] * 60) + " the of"), # G7: alpha frac < 0.8
+        (8, good.replace("the", "xx").replace("and", "yy")
+            .replace("of", "zz").replace("to", "qq")
+            .replace("have", "rr").replace("that", "ss")
+            .replace("with", "tt").replace("be", "uu")),  # G8: no stops
+    ]
+    got = {
+        r.doc_id: r
+        for r in gopher_quality_flags(
+            spark.createDataFrame(docs, "doc_id long, text string")
+        ).collect()
+    }
+    assert got[0].kept
+    assert not got[1].kept and got[1].n_words < 50
+    assert not got[2].kept and got[2].mean_word_len > 10
+    assert not got[3].kept and got[3].hash_word_ratio > 0.1
+    assert not got[4].kept and got[4].ellipsis_word_ratio > 0.1
+    assert not got[5].kept and got[5].bullet_line_frac > 0.9
+    assert not got[6].kept and got[6].ellipsis_line_frac > 0.3
+    assert not got[7].kept and got[7].alpha_word_frac < 0.8
+    assert not got[8].kept and got[8].n_stopwords < 2
+
+
+def test_gopher_flags_zero_shuffle_plan(spark):
+    from mini_feature_store_spark.operators.text import (
+        gopher_quality_flags,
+    )
+
+    df = spark.createDataFrame([(1, "the of and")], "doc_id long, text string")
+    plan = gopher_quality_flags(df)._jdf.queryExecution().executedPlan(
+    ).toString()
+    assert "Exchange" not in plan  # pure projection: the gate is free
+
+
+def test_gopher_stopword_knobs(spark):
+    from mini_feature_store_spark.operators.text import (
+        gopher_quality_flags,
+    )
+
+    doc = " ".join(["word"] * 60) + " the"
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    strict = gopher_quality_flags(df).collect()[0]
+    loose = gopher_quality_flags(df, min_stopwords=1).collect()[0]
+    assert strict.n_stopwords == 1
+    assert not strict.kept and loose.kept
