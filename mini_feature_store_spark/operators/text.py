@@ -960,6 +960,95 @@ def quality_classifier_train(
     }
 
 
+def classifier_eval(
+    scored: DataFrame,
+    label_col: str = "label",
+    prob_col: str = "quality_prob",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Distributed binary-classifier evaluation: ONE row of confusion
+    counts, precision/recall/F1 at ``threshold``, and the exact
+    tie-aware ROC AUC (Mann-Whitney rank-sum with average ranks).
+
+    Scale shape: the corpus collapses in ONE map-side-combined
+    aggregate keyed by the score value — ``prob_col`` is fixed-point
+    scale-4 (the repo's scorer convention), so the grouped table is
+    BOUNDED at ≤ 10⁴+1 rows regardless of corpus size, and the
+    rank-sum window over it is a bounded single partition by
+    construction (never a corpus-wide sort). All rank arithmetic is
+    exact (integer counts, half-integer average ranks), so the AUC is
+    deterministic across engines at its scale-6 rounding.
+
+    ``label_col`` may be boolean or 0/1. Raises no row when ``scored``
+    is empty; degenerate single-class inputs yield NULL auc (undefined)
+    and NULL precision when nothing is predicted positive.
+    """
+    p = F.col("_p")
+    g = (
+        scored.select(
+            F.col(prob_col).alias("_p"),
+            F.col(label_col).cast("int").alias("_y"),
+        )
+        .groupBy("_p")
+        .agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.sum("_y").alias("_pos"),
+        )
+    )
+    from pyspark.sql import Window
+
+    # bounded window: ≤ 10^4+1 distinct scale-4 scores
+    w = (
+        Window.orderBy(p)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = g.select(
+        "_p",
+        "_c",
+        "_pos",
+        (
+            F.coalesce(F.sum("_c").over(w), F.lit(0))
+            + (F.col("_c") + F.lit(1)) / F.lit(2.0)
+        ).alias("_avg_rank"),
+    )
+    thr = F.lit(threshold)
+    agg = ranked.agg(
+        F.sum("_c").alias("_n"),
+        F.sum("_pos").alias("_P"),
+        F.sum(F.when(p >= thr, F.col("_pos")).otherwise(0)).alias("_tp"),
+        F.sum(
+            F.when(p >= thr, F.col("_c") - F.col("_pos")).otherwise(0)
+        ).alias("_fp"),
+        F.sum(F.col("_pos") * F.col("_avg_rank")).alias("_rs"),
+    )
+    n, P, tp, fp = F.col("_n"), F.col("_P"), F.col("_tp"), F.col("_fp")
+    N = n - P
+    fn = P - tp
+    tn = N - fp
+    prec = F.when(tp + fp > 0, tp / (tp + fp))
+    rec = F.when(P > 0, tp / P)
+    f1 = F.when(
+        prec.isNotNull() & rec.isNotNull() & (prec + rec > 0),
+        F.lit(2.0) * prec * rec / (prec + rec),
+    )
+    auc = F.when(
+        (P > 0) & (N > 0),
+        (F.col("_rs") - P * (P + F.lit(1)) / F.lit(2.0)) / (P * N),
+    )
+    return agg.select(
+        n.cast("long").alias("n"),
+        P.cast("long").alias("n_pos"),
+        tp.cast("long").alias("tp"),
+        fp.cast("long").alias("fp"),
+        fn.cast("long").alias("fn"),
+        tn.cast("long").alias("tn"),
+        round_half_up(prec, 6).alias("precision"),
+        round_half_up(rec, 6).alias("recall"),
+        round_half_up(f1, 6).alias("f1"),
+        round_half_up(auc, 6).alias("auc"),
+    )
+
+
 #: Artifact row key holding the intercept in ``coeffs.parquet``.
 _CLF_BIAS_KEY = "__bias__"
 

@@ -8639,6 +8639,107 @@ def doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "doc_classifier_eval",
+    f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKS_SQL} AS toks, length(text) AS nc,
+         length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS no_punct,
+         length(regexp_replace(text, '[A-Z]', '', 'g')) AS no_upper
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+    len(toks) AS n_tokens,
+    FLOOR((CASE WHEN len(toks) > 0
+      THEN len(list_filter(toks, x -> lower(x) IN ('the','a','of','and','to')))
+           * 1.0 / len(toks) ELSE 0.0 END) * 10000 + 0.5) / 10000 AS stopword_ratio,
+    FLOOR((CASE WHEN nc > 0 THEN (nc - no_punct) * 1.0 / nc ELSE 0.0 END) * 10000 + 0.5) / 10000
+      AS punct_ratio,
+    FLOOR((CASE WHEN nc > 0 THEN (nc - no_upper) * 1.0 / nc ELSE 0.0 END) * 10000 + 0.5) / 10000
+      AS upper_ratio,
+    FLOOR((CASE WHEN len(toks) > 0 THEN nc * 1.0 / len(toks) ELSE 0.0 END) * 10000 + 0.5) / 10000
+      AS chars_per_token
+  FROM t
+),
+pl AS (
+  SELECT
+    FLOOR((1.0 / (1.0 + exp(-(
+      -0.5 + 0.35 * ln(1 + n_tokens) + 2.1 * stopword_ratio
+           + (-3.0) * punct_ratio + (-1.2) * upper_ratio
+           + (-0.15) * chars_per_token)))) * 10000 + 0.5) / 10000 AS p,
+    CASE WHEN n_tokens >= 5 AND n_tokens <= 100000
+          AND FLOOR((0.4 * LEAST(stopword_ratio * 5, 1.0)
+                   + 0.4 * (1 - punct_ratio)
+                   + 0.2 * LEAST(n_tokens / 50.0, 1.0)) * 10000 + 0.5)
+              / 10000 >= 0.7
+         THEN 1 ELSE 0 END AS y
+  FROM s
+),
+g AS (SELECT p, COUNT(*) AS c, SUM(y) AS pos FROM pl GROUP BY 1),
+r AS (
+  SELECT p, c, pos,
+         COALESCE(SUM(c) OVER (ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         + (c + 1) / 2.0 AS ar
+  FROM g
+),
+a AS (
+  SELECT SUM(c) AS n, SUM(pos) AS P,
+         SUM(CASE WHEN p >= 0.5 THEN pos ELSE 0 END) AS tp,
+         SUM(CASE WHEN p >= 0.5 THEN c - pos ELSE 0 END) AS fp,
+         SUM(pos * ar) AS rs
+  FROM r
+)
+SELECT CAST(n AS BIGINT) AS n,
+  CAST(P AS BIGINT) AS n_pos,
+  CAST(tp AS BIGINT) AS tp,
+  CAST(fp AS BIGINT) AS fp,
+  CAST(P - tp AS BIGINT) AS fn,
+  CAST(n - P - fp AS BIGINT) AS tn,
+  FLOOR((CASE WHEN tp + fp > 0 THEN tp / (tp + fp) END) * 1000000.0 + 0.5)
+    / 1000000.0 AS precision,
+  FLOOR((CASE WHEN P > 0 THEN tp / P END) * 1000000.0 + 0.5)
+    / 1000000.0 AS recall,
+  FLOOR((CASE WHEN tp + fp > 0 AND P > 0
+              AND tp / (tp + fp) + tp / P > 0
+         THEN 2.0 * (tp / (tp + fp)) * (tp / P)
+              / (tp / (tp + fp) + tp / P) END) * 1000000.0 + 0.5)
+    / 1000000.0 AS f1,
+  FLOOR((CASE WHEN P > 0 AND n - P > 0
+         THEN (rs - P * (P + 1) / 2.0) / (P * (n - P)) END)
+        * 1000000.0 + 0.5) / 1000000.0 AS auc
+FROM a
+""",
+)
+def doc_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed classifier evaluation end-to-end, fully ORACLED: the
+    frozen-weight quality classifier scored against the heuristic
+    gate's admission labels, reduced to confusion counts, precision /
+    recall / F1, and the exact tie-aware Mann-Whitney AUC
+    (``text.py:classifier_eval``). Scale shape: one corpus aggregate
+    keyed by the scale-4 score (≤ 10⁴+1 groups by construction), the
+    rank window runs over that BOUNDED table — AUC at 100 TB without
+    a corpus-wide sort. The DuckDB mirror replays sigmoid, labels,
+    average ranks, and the rank-sum identity independently."""
+    from mini_feature_store_spark.operators.text import (
+        classifier_eval,
+        quality_classifier_score,
+        quality_filter,
+    )
+
+    _utc(spark)
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    scored = quality_classifier_score(docs)
+    # min_score=0.7 sits at the testdata quality-score MEDIAN, so the
+    # label actually splits (0.3 keeps everything at the gate SFs and
+    # AUC would be NULL-degenerate)
+    labels = quality_filter(docs, min_score=0.7).select(
+        "doc_id", F.col("kept").cast("int").alias("label")
+    )
+    return classifier_eval(scored.join(labels, "doc_id"))
+
+
+@_q(
     "embedding_semantic_decontamination",
     f"""
 WITH {_UNIT_SQL},
@@ -8696,16 +8797,17 @@ VERIFY_ORDER: list[str] = [
     # stalest-driver-row > fresh; the driver records rows for the FIRST
     # 50 entries only). Ledger going in (artifact-reconstructed):
     # {r11: 50, r10: 42, r9: 46} over 138 previously-oracled queries.
-    # tier 0 — the nine r12-new queries (DSIR scorer + resampler,
+    # tier 0 — the ten r12-new queries (DSIR scorer + resampler,
     # semantic decontamination, trained quality classifier [rows-only],
-    # Gopher §A1.2 document rules, true-EM unigram trainer [rows-only],
-    # composed mixture-manifest funnel, order-3 LM funnel, split-hygiene
-    # decontamination).
+    # Gopher §A1.2 document rules, oracled classifier eval (AUC/PR),
+    # true-EM unigram trainer [rows-only], composed mixture-manifest
+    # funnel, order-3 LM funnel, split-hygiene decontamination).
     "doc_dsir_scores",
     "doc_dsir_resample",
     "embedding_semantic_decontamination",
     "doc_quality_classifier_trained",
     "doc_gopher_quality",
+    "doc_classifier_eval",
     "doc_unigram_vocab_em",
     "corpus_mixture_manifest",
     "corpus_curation_funnel_lm3",
@@ -8759,12 +8861,12 @@ VERIFY_ORDER: list[str] = [
     "purchase_value_intervals",
     "rollup_order_revenue",
     "set_ops_users",
-    "shipping_priority",
     # ── below this line: not in the r12 driver window.
-    # positions 51-58 — the eight spilled r9-stale greens (r13 tier 1;
-    # the last five spilled when the five extension-session r12 queries
-    # [DSIR ×2, semantic decon, trained classifier, Gopher rules]
-    # entered tier 0):
+    # positions 51-59 — the nine spilled r9-stale greens (r13 tier 1;
+    # the last six spilled when the six extension-session r12 queries
+    # [DSIR ×2, semantic decon, trained classifier, Gopher rules,
+    # classifier eval] entered tier 0):
+    "shipping_priority",
     "small_quantity_revenue",
     "supplier_revenue_salted",
     "user_event_type_arrays",

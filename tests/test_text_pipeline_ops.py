@@ -921,3 +921,87 @@ def test_gopher_stopword_knobs(spark):
     loose = gopher_quality_flags(df, min_stopwords=1).collect()[0]
     assert strict.n_stopwords == 1
     assert not strict.kept and loose.kept
+
+
+# ── classifier_eval ─────────────────────────────────────────────────────────
+
+
+def _py_eval(pairs, thr=0.5):
+    """(prob, y) reference: confusion + tie-aware Mann-Whitney AUC."""
+    import math
+
+    n = len(pairs)
+    P = sum(y for _, y in pairs)
+    N = n - P
+    tp = sum(1 for p, y in pairs if p >= thr and y)
+    fp = sum(1 for p, y in pairs if p >= thr and not y)
+    ranks = {}
+    i = 0
+    for p in sorted({p for p, _ in pairs}):
+        c = sum(1 for q, _ in pairs if q == p)
+        ranks[p] = i + (c + 1) / 2.0
+        i += c
+    rs = sum(ranks[p] for p, y in pairs if y)
+    auc = (rs - P * (P + 1) / 2.0) / (P * N) if P and N else None
+    prec = tp / (tp + fp) if tp + fp else None
+    rec = tp / P if P else None
+    f1 = (
+        2 * prec * rec / (prec + rec)
+        if prec is not None and rec is not None and prec + rec
+        else None
+    )
+    r4 = lambda x: None if x is None else math.floor(x * 1e6 + 0.5) / 1e6
+    return (n, P, tp, fp, P - tp, N - fp, r4(prec), r4(rec), r4(f1), r4(auc))
+
+
+def test_classifier_eval_matches_reference_with_ties(spark):
+    from mini_feature_store_spark.operators.text import classifier_eval
+
+    pairs = [
+        (0.9, 1), (0.9, 0), (0.8, 1), (0.7, 0), (0.7, 1), (0.7, 1),
+        (0.4, 0), (0.3, 0), (0.3, 1), (0.1, 0),
+    ]
+    df = spark.createDataFrame(
+        [(float(p), y) for p, y in pairs], "quality_prob double, label int"
+    )
+    r = classifier_eval(df).collect()[0]
+    exp = _py_eval(pairs)
+    got = (r.n, r.n_pos, r.tp, r.fp, r.fn, r.tn,
+           r.precision, r.recall, r.f1, r.auc)
+    assert got == exp
+
+
+def test_classifier_eval_perfect_and_degenerate(spark):
+    from mini_feature_store_spark.operators.text import classifier_eval
+
+    perfect = spark.createDataFrame(
+        [(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)],
+        "quality_prob double, label int",
+    )
+    r = classifier_eval(perfect).collect()[0]
+    assert r.auc == 1.0 and r.f1 == 1.0
+
+    one_class = spark.createDataFrame(
+        [(0.9, 1), (0.1, 1)], "quality_prob double, label int"
+    )
+    r1 = classifier_eval(one_class).collect()[0]
+    # all-positive input: AUC undefined; 0.1 falls under the threshold
+    assert r1.auc is None and r1.recall == 0.5 and r1.tn == 0
+
+    none_pred = spark.createDataFrame(
+        [(0.1, 1), (0.2, 0)], "quality_prob double, label int"
+    )
+    r2 = classifier_eval(none_pred).collect()[0]
+    assert r2.precision is None and r2.tp == 0
+
+
+def test_classifier_eval_bounded_group_plan(spark):
+    from mini_feature_store_spark.operators.text import classifier_eval
+
+    df = spark.createDataFrame(
+        [(0.5, 1), (0.6, 0)], "quality_prob double, label int"
+    )
+    plan = classifier_eval(df)._jdf.queryExecution().executedPlan().toString()
+    # one corpus-side aggregate keyed by the bounded score value; the
+    # rank window runs over the ≤10^4-row grouped table
+    assert plan.count("Window") >= 1
