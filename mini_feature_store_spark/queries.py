@@ -8739,6 +8739,93 @@ def doc_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classifier_eval(scored.join(labels, "doc_id"))
 
 
+_CLF_PL_SQL = """
+WITH t AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(regexp_replace(lower(trim(text)),
+                               '\\s+', ' ', 'g'), ' ') AS toks,
+         length(text) AS nc,
+         length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS no_punct,
+         length(regexp_replace(text, '[A-Z]', '', 'g')) AS no_upper
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+    len(toks) AS n_tokens,
+    FLOOR((CASE WHEN len(toks) > 0
+      THEN len(list_filter(toks, x -> lower(x) IN ('the','a','of','and','to')))
+           * 1.0 / len(toks) ELSE 0.0 END) * 10000 + 0.5) / 10000 AS stopword_ratio,
+    FLOOR((CASE WHEN nc > 0 THEN (nc - no_punct) * 1.0 / nc ELSE 0.0 END) * 10000 + 0.5) / 10000
+      AS punct_ratio,
+    FLOOR((CASE WHEN nc > 0 THEN (nc - no_upper) * 1.0 / nc ELSE 0.0 END) * 10000 + 0.5) / 10000
+      AS upper_ratio,
+    FLOOR((CASE WHEN len(toks) > 0 THEN nc * 1.0 / len(toks) ELSE 0.0 END) * 10000 + 0.5) / 10000
+      AS chars_per_token
+  FROM t
+),
+pl AS (
+  SELECT
+    FLOOR((1.0 / (1.0 + exp(-(
+      -0.5 + 0.35 * ln(1 + n_tokens) + 2.1 * stopword_ratio
+           + (-3.0) * punct_ratio + (-1.2) * upper_ratio
+           + (-0.15) * chars_per_token)))) * 10000 + 0.5) / 10000 AS p,
+    CASE WHEN n_tokens >= 5 AND n_tokens <= 100000
+          AND FLOOR((0.4 * LEAST(stopword_ratio * 5, 1.0)
+                   + 0.4 * (1 - punct_ratio)
+                   + 0.2 * LEAST(n_tokens / 50.0, 1.0)) * 10000 + 0.5)
+              / 10000 >= 0.7
+         THEN 1 ELSE 0 END AS y
+  FROM s
+)
+"""
+
+
+@_q(
+    "doc_classifier_calibration",
+    _CLF_PL_SQL
+    + """
+SELECT CAST(LEAST(CAST(FLOOR(p * 10) AS BIGINT), 9) AS INTEGER) AS bin,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  FLOOR(AVG(p) * 1000000.0 + 0.5) / 1000000.0 AS mean_pred,
+  FLOOR(AVG(y) * 1000000.0 + 0.5) / 1000000.0 AS frac_pos
+FROM pl GROUP BY 1
+""",
+)
+def doc_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the quality classifier: decile bins of
+    the predicted probability vs the observed positive fraction (the
+    calibration check that belongs next to ``doc_classifier_eval``
+    before anyone trusts a filter threshold). One map-side-combined
+    aggregate over ≤ 10 groups; labels = the median-threshold
+    heuristic gate (same as the eval gate)."""
+    from mini_feature_store_spark.operators.text import (
+        quality_classifier_score,
+        quality_filter,
+    )
+
+    _utc(spark)
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    scored = quality_classifier_score(docs).select(
+        "doc_id", F.col("quality_prob").alias("p")
+    )
+    labels = quality_filter(docs, min_score=0.7).select(
+        "doc_id", F.col("kept").cast("int").alias("y")
+    )
+    return (
+        scored.join(labels, "doc_id")
+        .groupBy(
+            F.least(F.floor(F.col("p") * 10).cast("long"), F.lit(9))
+            .cast("int")
+            .alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            round_half_up(F.avg("p"), 6).alias("mean_pred"),
+            round_half_up(F.avg("y"), 6).alias("frac_pos"),
+        )
+    )
+
+
 @_q(
     "embedding_semantic_decontamination",
     f"""
@@ -8797,17 +8884,19 @@ VERIFY_ORDER: list[str] = [
     # stalest-driver-row > fresh; the driver records rows for the FIRST
     # 50 entries only). Ledger going in (artifact-reconstructed):
     # {r11: 50, r10: 42, r9: 46} over 138 previously-oracled queries.
-    # tier 0 — the ten r12-new queries (DSIR scorer + resampler,
+    # tier 0 — the eleven r12-new queries (DSIR scorer + resampler,
     # semantic decontamination, trained quality classifier [rows-only],
-    # Gopher §A1.2 document rules, oracled classifier eval (AUC/PR),
-    # true-EM unigram trainer [rows-only], composed mixture-manifest
-    # funnel, order-3 LM funnel, split-hygiene decontamination).
+    # Gopher §A1.2 document rules, oracled classifier eval (AUC/PR) +
+    # calibration, true-EM unigram trainer [rows-only], composed
+    # mixture-manifest funnel, order-3 LM funnel, split-hygiene
+    # decontamination).
     "doc_dsir_scores",
     "doc_dsir_resample",
     "embedding_semantic_decontamination",
     "doc_quality_classifier_trained",
     "doc_gopher_quality",
     "doc_classifier_eval",
+    "doc_classifier_calibration",
     "doc_unigram_vocab_em",
     "corpus_mixture_manifest",
     "corpus_curation_funnel_lm3",
@@ -8860,12 +8949,12 @@ VERIFY_ORDER: list[str] = [
     "product_type_profit",
     "purchase_value_intervals",
     "rollup_order_revenue",
-    "set_ops_users",
     # ── below this line: not in the r12 driver window.
-    # positions 51-59 — the nine spilled r9-stale greens (r13 tier 1;
-    # the last six spilled when the six extension-session r12 queries
-    # [DSIR ×2, semantic decon, trained classifier, Gopher rules,
-    # classifier eval] entered tier 0):
+    # positions 51-60 — the ten spilled r9-stale greens (r13 tier 1;
+    # the last seven spilled when the seven extension-session r12
+    # queries [DSIR ×2, semantic decon, trained classifier, Gopher
+    # rules, classifier eval + calibration] entered tier 0):
+    "set_ops_users",
     "shipping_priority",
     "small_quantity_revenue",
     "supplier_revenue_salted",

@@ -1040,8 +1040,33 @@ def run_scale(spark, d: Path, only: set[str] | None = None) -> dict[str, float]:
             "feature string, coef double",
         )
 
+    def _gopher_rules():
+        # r12 Gopher §A1.2 document rules: pure codegen projection —
+        # the curve should track the text_stats scan almost exactly
+        from mini_feature_store_spark.operators.text import (
+            gopher_quality_flags,
+        )
+
+        return gopher_quality_flags(docs, min_stopwords=1)
+
+    def _classifier_eval_auc():
+        # r12 exact tie-aware AUC: one corpus aggregate keyed by the
+        # scale-4 score (bounded groups) + a bounded rank window —
+        # should be scan-dominated at every scale
+        from mini_feature_store_spark.operators.text import (
+            classifier_eval,
+            quality_classifier_score,
+        )
+
+        scored = quality_classifier_score(docs).select(
+            "quality_prob", (F.col("doc_id") % 2).cast("int").alias("label")
+        )
+        return classifier_eval(scored)
+
     ops.update(
         {
+            "gopher_rules_projection": _gopher_rules,
+            "classifier_eval_auc": _classifier_eval_auc,
             "dsir_importance_2pct": _dsir_importance,
             "dsir_resample_top5pct": _dsir_resample,
             "semantic_decontaminate_b200": _semantic_decontaminate,
