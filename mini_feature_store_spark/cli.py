@@ -656,9 +656,12 @@ def main(argv: list[str] | None = None) -> int:
                 text_col=args.text_col,
             )
             save_quality_classifier(art, args.output_dir)
+            # --n-iter 0 is legal (writes the zero-weight artifact);
+            # losses is empty then — don't fail AFTER a successful write
+            loss = f"{art['losses'][-1]:.4f}" if art["losses"] else "n/a"
             print(
                 f"trained on {art['n_pos']}+{art['n_neg']} docs, final "
-                f"loss {art['losses'][-1]:.4f} -> "
+                f"loss {loss} -> "
                 f"{args.output_dir.rstrip('/')}/coeffs.parquet"
             )
         elif args.pipeline == "bpe-train":

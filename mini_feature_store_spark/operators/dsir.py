@@ -70,8 +70,22 @@ def _bucketed_grams(
     row per input row (even gram-less ones) — the ``_stacked_gram_counts``
     sentinel trick, so a downstream ``groupBy(id)`` covers EVERY document
     without a corpus-keyed join back onto the id list (which would cost a
-    second scan and a second doc_id exchange at 100 TB)."""
-    t = _tokens(normalize(F.col(text_col)))
+    second scan and a second doc_id exchange at 100 TB).
+
+    (The positional explosion deliberately parallels
+    ``text.py:_stacked_gram_counts`` — that one counts every-order grams
+    with a token-total sentinel for the LM tier; this one carries id
+    columns, hashes to buckets, and its sentinel marks the DOCUMENT.
+    A change to the shared tokenize/window conventions must land in
+    both.)
+
+    NULL text is treated as empty (the ``paragraph_dedup`` contract:
+    degenerate docs keep their row, dropping them is a gate's decision).
+    """
+    t = F.coalesce(
+        _tokens(normalize(F.col(text_col))),
+        F.array().cast("array<string>"),
+    )
     lo = 0 if with_sentinel else 1
     pos = (
         spread(df)
@@ -283,11 +297,15 @@ def load_dsir_weights(spark, model_dir: str) -> tuple[DataFrame, int, int]:
         raise ValueError(f"empty DSIR weights artifact at {model_dir!r}")
     n_buckets = int(head[0]["n_buckets"])
     max_order = int(head[0]["max_order"])
-    n = df.count()
-    if n != n_buckets:
+    # distinct count, not just row count: a duplicated bucket would
+    # double-count every gram hashing to it in the scoring join (and a
+    # duplicate implies some other bucket is missing at the same total)
+    n = df.select("bucket").distinct().count()
+    if n != n_buckets or df.count() != n_buckets:
         raise ValueError(
             f"DSIR weights artifact at {model_dir!r} is not dense: "
-            f"{n} rows for n_buckets={n_buckets}"
+            f"{df.count()} rows / {n} distinct buckets for "
+            f"n_buckets={n_buckets}"
         )
     return df.select("bucket", "weight"), n_buckets, max_order
 

@@ -1025,11 +1025,15 @@ def semantic_decontaminate(
     Scale shape: eval suites are BOUNDED (thousands of items), so the
     benchmark side is broadcast and the corpus streams through a
     map-only nested-loop score + ONE hash aggregate — the corpus is
-    never shuffled for the comparison itself. The argmax is carried
-    through the aggregate as one integer key, (cos4+10000)·10¹⁰ +
-    (10¹⁰−1−bench_id): lexicographic max = (max cosine, min id) —
+    never shuffled for the comparison itself (degenerate pairs score a
+    NULL key rather than being filtered, so every corpus vector stays
+    in the single aggregate with no id-keyed join-back). The argmax is
+    carried through the aggregate as one integer key, (cos4+10000)·10¹⁰
+    + (10¹⁰−1−bench_id): lexicographic max = (max cosine, min id) —
     portable where ``max_by`` tie behavior is not. Benchmark ids must
-    sit in [0, 10¹⁰) for the packing (asserted here).
+    sit in [0, 10¹⁰) for the packing (asserted here); an EMPTY
+    benchmark yields an empty result (the cross join has no rows) —
+    callers own that degenerate case.
     """
     b = with_vec_norm(benchmark, vec_col, id_col).select(
         # the id-range guard rides the key column itself so it cannot be
@@ -1051,31 +1055,32 @@ def semantic_decontaminate(
     cos4 = F.floor(
         (_dot(F.col("v"), F.col("b_v")) / den) * F.lit(10000.0) + F.lit(0.5)
     ).cast("long")
-    scored = (
-        c.crossJoin(F.broadcast(b))
-        .where(den > 0)
-        .select(
-            "id",
-            (
-                (cos4 + F.lit(10000)) * F.lit(10000000000)
-                + (F.lit(9999999999) - F.col("_bid"))
-            ).alias("_key"),
-        )
+    # degenerate (zero-norm) pairs score a NULL key instead of being
+    # FILTERED: every corpus vector keeps rows in the one aggregate, so
+    # no second corpus scan / id-keyed join-back is needed (the dsir.py
+    # sentinel argument — the filtered form cost a SortMergeJoin plus
+    # two corpus-keyed exchanges). NULL keys lose every max() against a
+    # real pair and aggregate to NULL when a vector has none.
+    key = F.when(
+        den > 0,
+        (cos4 + F.lit(10000)) * F.lit(10000000000)
+        + (F.lit(9999999999) - F.col("_bid")),
     )
-    agg = scored.groupBy("id").agg(F.max("_key").alias("_key"))
+    agg = (
+        c.crossJoin(F.broadcast(b))
+        .select("id", key.alias("_key"))
+        .groupBy("id")
+        .agg(F.max("_key").alias("_key"))
+    )
     c4max = F.expr("_key DIV 10000000000") - F.lit(10000)
-    return (
-        corpus.select(F.col(id_col).alias("id"))
-        .join(agg, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            (c4max.cast("double") / F.lit(10000.0)).alias("max_cosine"),
-            (F.lit(9999999999) - F.expr("_key % 10000000000")).alias(
-                "matched_id"
-            ),
-            F.coalesce(
-                c4max.cast("double") / F.lit(10000.0) >= F.lit(threshold),
-                F.lit(False),
-            ).alias("contaminated"),
-        )
+    return agg.select(
+        F.col("id").alias(id_col),
+        (c4max.cast("double") / F.lit(10000.0)).alias("max_cosine"),
+        (F.lit(9999999999) - F.expr("_key % 10000000000")).alias(
+            "matched_id"
+        ),
+        F.coalesce(
+            c4max.cast("double") / F.lit(10000.0) >= F.lit(threshold),
+            F.lit(False),
+        ).alias("contaminated"),
     )

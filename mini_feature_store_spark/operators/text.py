@@ -129,17 +129,11 @@ def chunk_documents(
     )
 
 
-def text_stats(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    extra_cols: tuple[str, ...] = (),
-) -> DataFrame:
-    """Quality-scoring signal projection, one row per document.
-    ``extra_cols`` pass through unchanged (the streaming gate uses this
-    to keep the document payload without a join — the projection stays
-    map-only either way)."""
-    t = F.col(text_col)
+def _text_stat_exprs(t: Column) -> dict[str, Column]:
+    """The text_stats signal expressions over a raw text column — ONE
+    definition shared by the ``text_stats`` projection and the inline
+    column scorers (``quality_prob_column``), so the batch and
+    streaming paths can never drift."""
     toks = _tokens(t)
     n_chars = F.length(t).cast("long")
     n_tokens = F.size(toks).cast("long")
@@ -152,32 +146,49 @@ def text_stats(
     n_upper = (
         n_chars - F.length(F.regexp_replace(t, r"[A-Z]", ""))
     ).cast("long")
-    return df.select(
-        F.col(id_col),
-        n_chars.alias("n_chars"),
-        n_tokens.alias("n_tokens"),
-        word_chunk_count(t).alias("n_word_chunks"),
-        round_half_up(
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "n_word_chunks": word_chunk_count(t),
+        "chars_per_token": round_half_up(
             F.when(n_tokens > 0, n_chars.cast("double") / n_tokens).otherwise(
                 F.lit(0.0)
             )
-        ).alias("chars_per_token"),
-        round_half_up(
+        ),
+        "punct_ratio": round_half_up(
             F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(
                 F.lit(0.0)
             )
-        ).alias("punct_ratio"),
-        round_half_up(
+        ),
+        "upper_ratio": round_half_up(
             F.when(n_chars > 0, n_upper.cast("double") / n_chars).otherwise(
                 F.lit(0.0)
             )
-        ).alias("upper_ratio"),
-        round_half_up(
+        ),
+        "stopword_ratio": round_half_up(
             F.when(n_tokens > 0, stop_hits.cast("double") / n_tokens).otherwise(
                 F.lit(0.0)
             )
-        ).alias("stopword_ratio"),
-        fingerprint(t).alias("fingerprint"),
+        ),
+        "fingerprint": fingerprint(t),
+    }
+
+
+def text_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Quality-scoring signal projection, one row per document.
+    ``extra_cols`` pass through unchanged (callers that keep a payload
+    column alongside the signals — the projection stays map-only
+    either way). Column-name collisions between ``extra_cols`` and the
+    signal names are the caller's responsibility."""
+    fx = _text_stat_exprs(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        *[fx[name].alias(name) for name in fx],
         *[F.col(c) for c in extra_cols],
     )
 
@@ -473,9 +484,11 @@ def gopher_quality_flags(
     eight rules. Pure codegen column arithmetic over ONE scan: token
     and line work are higher-order array functions, no explode, no
     shuffle, zero Python — the gate costs what the scan costs at any
-    corpus size.
+    corpus size. NULL text is treated as empty, so such docs get a
+    loud ``kept = false`` (G1 fails) — never a NULL that would vanish
+    from BOTH sides of a kept/rejected split.
     """
-    t = F.col(text_col)
+    t = F.coalesce(F.col(text_col), F.lit(""))
     toks = _tokens(normalize(t))
     n_words = F.size(toks)
     nw = F.when(n_words > 0, n_words.cast("double"))
@@ -786,16 +799,17 @@ def quality_classifier_score(
     w = dict(QUALITY_CLF_WEIGHTS if weights is None else weights)
     b = QUALITY_CLF_BIAS if bias is None else bias
     stats = text_stats(df, text_col, id_col, extra_cols=extra_cols)
-    feats = {
-        "log_tokens": F.log1p(F.col("n_tokens").cast("double")),
-        "stopword_ratio": F.col("stopword_ratio"),
-        "punct_ratio": F.col("punct_ratio"),
-        "upper_ratio": F.col("upper_ratio"),
-        "chars_per_token": F.col("chars_per_token"),
-    }
-    z = F.lit(float(b))
-    for name, coef in w.items():
-        z = z + F.lit(float(coef)) * feats[name]
+    z = _quality_logit_expr(
+        w,
+        b,
+        {
+            "log_tokens": F.log1p(F.col("n_tokens").cast("double")),
+            "stopword_ratio": F.col("stopword_ratio"),
+            "punct_ratio": F.col("punct_ratio"),
+            "upper_ratio": F.col("upper_ratio"),
+            "chars_per_token": F.col("chars_per_token"),
+        },
+    )
     logit = round_half_up(z)
     prob = round_half_up(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
     return stats.select(
@@ -805,6 +819,46 @@ def quality_classifier_score(
         (prob >= threshold).alias("keep"),
         *[F.col(c) for c in extra_cols],
     )
+
+
+def _quality_logit_expr(
+    w: dict[str, float], b: float, feats: dict[str, Column]
+) -> Column:
+    """The z-fold shared by the projection scorer and the inline column
+    form — ONE definition so the two expression trees (and thus their
+    IEEE results) are identical by construction."""
+    z = F.lit(float(b))
+    for name, coef in w.items():
+        z = z + F.lit(float(coef)) * feats[name]
+    return z
+
+
+def quality_prob_column(
+    text: Column,
+    weights: dict[str, float] | None = None,
+    bias: float | None = None,
+) -> Column:
+    """``quality_prob`` as a single column expression over RAW text —
+    the form a STREAMING gate needs (no projection that could collide
+    with the caller's column names; ``withColumn`` + filter and done).
+    Built from the same ``_text_stat_exprs`` signals and the same
+    z-fold as ``quality_classifier_score``, and pinned equal to it by
+    test, so batch and stream scores can never drift."""
+    w = dict(QUALITY_CLF_WEIGHTS if weights is None else weights)
+    b = QUALITY_CLF_BIAS if bias is None else bias
+    fx = _text_stat_exprs(text)
+    z = _quality_logit_expr(
+        w,
+        b,
+        {
+            "log_tokens": F.log1p(fx["n_tokens"].cast("double")),
+            "stopword_ratio": fx["stopword_ratio"],
+            "punct_ratio": fx["punct_ratio"],
+            "upper_ratio": fx["upper_ratio"],
+            "chars_per_token": fx["chars_per_token"],
+        },
+    )
+    return round_half_up(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
 
 
 #: Feature order for the trained quality classifier — matches the
@@ -979,9 +1033,10 @@ def classifier_eval(
     exact (integer counts, half-integer average ranks), so the AUC is
     deterministic across engines at its scale-6 rounding.
 
-    ``label_col`` may be boolean or 0/1. Raises no row when ``scored``
-    is empty; degenerate single-class inputs yield NULL auc (undefined)
-    and NULL precision when nothing is predicted positive.
+    ``label_col`` may be boolean or 0/1. An EMPTY input yields one
+    all-NULL row (a global aggregate always emits a row); degenerate
+    single-class inputs yield NULL auc (undefined) and NULL precision
+    when nothing is predicted positive.
     """
     p = F.col("_p")
     g = (

@@ -365,43 +365,41 @@ def quality_gated_stream(
     model_dir: str | None = None,
     threshold: float = 0.5,
     text_col: str = "text",
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """Learned-quality gate on a STREAMING source: score every incoming
     document under the trained classifier (a ``clf-train`` artifact dir,
     or the frozen demo weights when ``model_dir`` is None) and keep only
     docs at/above ``threshold``.
 
-    The classifier is literal column arithmetic over the ``text_stats``
-    projection — a STATELESS map-only transform with zero aggregation,
-    so it composes on an unbounded stream with no watermark, no state
-    store, and no micro-batch cost beyond the projection itself (train
-    offline, apply in-stream: the production split). The returned frame
-    keeps the full document payload plus ``quality_prob`` for
-    observability; chain it upstream of any ingest sink, e.g.
+    The classifier is literal column arithmetic over the raw text
+    column (``text.py:quality_prob_column`` — pinned equal to the batch
+    scorer by test) — a STATELESS map-only ``withColumn`` + filter with
+    zero aggregation, so it composes on an unbounded stream with no
+    watermark, no state store, no projection that could collide with
+    the caller's column names, and no micro-batch cost beyond the
+    expression itself (train offline, apply in-stream: the production
+    split). The returned frame keeps every input column plus
+    ``quality_prob`` for observability (that one name must be free —
+    asserted); chain it upstream of any ingest sink, e.g.
     ``incremental_dedup_stream(quality_gated_stream(s, dir), ...)``."""
     from mini_feature_store_spark.operators.text import (
         load_quality_classifier,
-        quality_classifier_score,
+        quality_prob_column,
     )
 
+    if "quality_prob" in stream.columns:
+        raise ValueError(
+            "quality_gated_stream adds a 'quality_prob' column; the "
+            "input stream already has one — rename it upstream"
+        )
     weights = bias = None
     if model_dir is not None:
         weights, bias = load_quality_classifier(
             stream.sparkSession, model_dir
         )
-    passthrough = tuple(c for c in stream.columns if c != id_col)
-    scored = quality_classifier_score(
-        stream,
-        weights=weights,
-        bias=bias,
-        threshold=threshold,
-        text_col=text_col,
-        id_col=id_col,
-        extra_cols=passthrough,
-    )
-    return scored.where(F.col("keep")).select(
-        id_col, *passthrough, "quality_prob"
+    prob = quality_prob_column(F.col(text_col), weights, bias)
+    return stream.withColumn("quality_prob", prob).where(
+        F.col("quality_prob") >= threshold
     )
 
 

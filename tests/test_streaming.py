@@ -713,3 +713,78 @@ def test_quality_gated_stream_trained_model(spark, tmp_path):
     ).collect()
     assert sorted(r.doc_id for r in rows) == [1, 3]
     assert all(r.source == "a" and r.quality_prob >= 0.5 for r in rows)
+
+
+def test_quality_gated_stream_survives_column_collisions(spark, tmp_path):
+    """Payload columns named like scorer internals (keep, fingerprint,
+    n_tokens) must pass through untouched — the gate is an inline
+    expression, not a projection (r12 extension review finding)."""
+    import glob
+    import shutil
+    import tempfile
+
+    from mini_feature_store_spark.streaming.ingest import (
+        quality_gated_stream,
+    )
+
+    schema = (
+        "doc_id long, text string, keep boolean, fingerprint string, "
+        "n_tokens long"
+    )
+    path = str(tmp_path / "collide")
+    os.makedirs(path, exist_ok=True)
+    with tempfile.TemporaryDirectory() as staging:
+        out = os.path.join(staging, "out")
+        spark.createDataFrame(
+            [(1, "the a of and to the a of and to the quick brown fox",
+              False, "fp-1", 99)],
+            schema,
+        ).coalesce(1).write.parquet(out)
+        (part,) = glob.glob(os.path.join(out, "part-*.parquet"))
+        shutil.copy(part, os.path.join(path, "d1.parquet"))
+
+    stream = spark.readStream.schema(schema).parquet(path)
+    gated = quality_gated_stream(stream)  # frozen demo weights
+    _run_to_memory(gated, "quality_gated_collide")
+    rows = spark.sql("SELECT * FROM quality_gated_collide").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # payload columns intact, score appended
+    assert (r.keep, r.fingerprint, r.n_tokens) == (False, "fp-1", 99)
+    assert r.quality_prob >= 0.5
+
+    import pytest
+
+    bad = stream.withColumn("quality_prob", stream["n_tokens"] * 1.0)
+    with pytest.raises(ValueError, match="quality_prob"):
+        quality_gated_stream(bad)
+
+
+def test_quality_prob_column_equals_batch_scorer(spark):
+    from pyspark.sql import functions as F
+
+    from mini_feature_store_spark.operators.text import (
+        quality_classifier_score,
+        quality_prob_column,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox and the lazy dog of the farm"),
+            (2, "!!! ??? ### $$$"),
+            (3, ""),
+            (4, "a of to and the " * 10),
+        ],
+        "doc_id long, text string",
+    )
+    batch = {
+        r.doc_id: r.quality_prob
+        for r in quality_classifier_score(docs).collect()
+    }
+    inline = {
+        r.doc_id: r.p
+        for r in docs.select(
+            "doc_id", quality_prob_column(F.col("text")).alias("p")
+        ).collect()
+    }
+    assert batch == inline

@@ -1005,3 +1005,35 @@ def test_classifier_eval_bounded_group_plan(spark):
     # one corpus-side aggregate keyed by the bounded score value; the
     # rank window runs over the ≤10^4-row grouped table
     assert plan.count("Window") >= 1
+
+
+def test_gopher_null_text_is_kept_false_not_null(spark):
+    from mini_feature_store_spark.operators.text import (
+        gopher_quality_flags,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "the finest corpus words and prose of all " * 8)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in gopher_quality_flags(df).collect()}
+    assert got[1].kept is False and got[1].n_words == 0
+    assert got[2].kept is True
+
+
+def test_dsir_null_text_doc_keeps_weight_neutral_row(spark):
+    from mini_feature_store_spark.operators.dsir import dsir_importance
+
+    tgt = spark.createDataFrame(
+        [(0, "the target text")], "doc_id long, text string"
+    )
+    raw = spark.createDataFrame(
+        [(1, "the raw text"), (2, None), (3, "   ")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_features, r.log_weight)
+        for r in dsir_importance(tgt, raw, n_buckets=32).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[2] == (0, 0.0) and got[3] == (0, 0.0)

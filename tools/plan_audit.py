@@ -854,11 +854,13 @@ AUDITED: dict[str, str] = {
     "embedding_semantic_decontamination": (
         "Embedding-space decontamination (r12 extension): benchmark "
         "side (bounded eval suite) broadcast into a nested-loop score "
-        "over the streaming corpus, argmax carried through ONE integer "
-        "key in a single hash aggregate keyed on vec_id — corpus never "
-        "shuffles for the comparison, one exchange for the aggregate. "
-        "Check: BroadcastNestedLoopJoin with the 25-row build side, "
-        "one exchange total."
+        "over the streaming corpus; degenerate (zero-norm) pairs score "
+        "a NULL key instead of being FILTERED, so every corpus vector "
+        "stays in the ONE vec_id-keyed hash aggregate — the review-"
+        "pass rewrite removed the id-list join-back (which planned a "
+        "SortMergeJoin + two corpus-keyed exchanges). Check: "
+        "BroadcastNestedLoopJoin with the 25-row build side, ONE "
+        "corpus-keyed exchange, no SMJ."
     ),
     "user_weekly_distinct_exact": (
         "Exact weekly COUNT(DISTINCT user_id): Spark plans the standard "
