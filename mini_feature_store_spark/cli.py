@@ -190,6 +190,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="Gumbel seed for the DSIR resample (default 42)",
     )
     cc.add_argument(
+        "--dsir-model-dir", default=None,
+        help="score the DSIR stage under a frozen dsir-train artifact "
+        "(weights.parquet) instead of refitting from --dsir-target-path "
+        "(mutually exclusive with it; still needs --dsir-keep)",
+    )
+    cc.add_argument(
         "--lm-reference-path", default=None,
         help="CCNet-style LM filter stage: train an add-1 bigram model on "
         "this parquet and drop docs whose average bigram NLL exceeds "
@@ -586,6 +592,7 @@ def main(argv: list[str] | None = None) -> int:
                     dsir_target_path=args.dsir_target_path,
                     dsir_keep=args.dsir_keep,
                     dsir_seed=args.dsir_seed,
+                    dsir_model_dir=args.dsir_model_dir,
                     lm_reference_path=args.lm_reference_path,
                     lm_max_nll=args.lm_max_nll,
                     lm_order=args.lm_order,

@@ -337,6 +337,40 @@ def dsir_resample(
         n_buckets=n_buckets,
         max_order=max_order,
     )
+    return _gumbel_topk(imp, k, seed=seed, id_col=id_col)
+
+
+def dsir_resample_with_weights(
+    weights: DataFrame,
+    raw: DataFrame,
+    k: int,
+    *,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 8192,
+    max_order: int = 2,
+) -> DataFrame:
+    """``dsir_resample`` under a PREBUILT weight table (a ``dsir-train``
+    artifact): score the batch with ``dsir_score_with_weights``, then
+    the same Gumbel top-k — identical output to training in-line when
+    the weights came from the same corpora (pinned by test)."""
+    imp = dsir_score_with_weights(
+        weights,
+        raw,
+        id_col=id_col,
+        text_col=text_col,
+        n_buckets=n_buckets,
+        max_order=max_order,
+    )
+    return _gumbel_topk(imp, k, seed=seed, id_col=id_col)
+
+
+def _gumbel_topk(
+    imp: DataFrame, k: int, *, seed: int, id_col: str
+) -> DataFrame:
+    """Shared resampling tail: deterministic md5-Gumbel key over the
+    importance frame + TakeOrderedAndProject top-k."""
     h = F.conv(
         F.substring(
             F.md5(

@@ -107,6 +107,10 @@ class CorpusCurationConfig:
     dsir_target_path: str | None = None
     dsir_keep: int | None = None
     dsir_seed: int = 42
+    #: alternative to ``dsir_target_path``: a ``dsir-train`` artifact
+    #: dir (weights.parquet) — score incrementally under frozen weights
+    #: instead of refitting both bag models per run
+    dsir_model_dir: str | None = None
     #: when set, a CCNet-style LM quality stage runs after the quality
     #: gate: docs scoring above ``lm_max_nll`` average bigram NLL under
     #: an add-1 model trained on THIS reference parquet are dropped
@@ -212,12 +216,17 @@ def run_corpus_curation(
             "only decides how bins are SIZED, the capacity enables the "
             "stage"
         )
-    if cfg.dsir_target_path is not None and (
-        cfg.dsir_keep is None or cfg.dsir_keep <= 0
-    ):
+    if (
+        cfg.dsir_target_path is not None or cfg.dsir_model_dir is not None
+    ) and (cfg.dsir_keep is None or cfg.dsir_keep <= 0):
         raise ValueError(
-            "dsir_target_path requires a positive dsir_keep — DSIR "
+            "the DSIR stage requires a positive dsir_keep — DSIR "
             "selects a fixed-size resample, not a filter"
+        )
+    if cfg.dsir_target_path is not None and cfg.dsir_model_dir is not None:
+        raise ValueError(
+            "dsir_target_path and dsir_model_dir are mutually exclusive "
+            "— train in-line OR score under a frozen artifact"
         )
     if cfg.lm_reference_path is not None and cfg.lm_order not in (2, 3, 4, 5):
         raise ValueError(
@@ -328,18 +337,38 @@ def run_corpus_curation(
         funnel["after_quality_clf"] = admitted.count()
         prev.unpersist()
 
-    if cfg.dsir_target_path is not None:
-        from mini_feature_store_spark.operators.dsir import dsir_resample
+    if cfg.dsir_target_path is not None or cfg.dsir_model_dir is not None:
+        if cfg.dsir_model_dir is not None:
+            from mini_feature_store_spark.operators.dsir import (
+                dsir_resample_with_weights,
+                load_dsir_weights,
+            )
 
-        target = spark.read.parquet(cfg.dsir_target_path)
-        picked = dsir_resample(
-            target,
-            admitted,
-            k=cfg.dsir_keep,
-            seed=cfg.dsir_seed,
-            id_col=cfg.id_col,
-            text_col=cfg.text_col,
-        ).select(cfg.id_col)
+            w, nb, mo = load_dsir_weights(spark, cfg.dsir_model_dir)
+            picked = dsir_resample_with_weights(
+                w,
+                admitted,
+                k=cfg.dsir_keep,
+                seed=cfg.dsir_seed,
+                id_col=cfg.id_col,
+                text_col=cfg.text_col,
+                n_buckets=nb,
+                max_order=mo,
+            ).select(cfg.id_col)
+        else:
+            from mini_feature_store_spark.operators.dsir import (
+                dsir_resample,
+            )
+
+            target = spark.read.parquet(cfg.dsir_target_path)
+            picked = dsir_resample(
+                target,
+                admitted,
+                k=cfg.dsir_keep,
+                seed=cfg.dsir_seed,
+                id_col=cfg.id_col,
+                text_col=cfg.text_col,
+            ).select(cfg.id_col)
         prev = admitted
         admitted = admitted.join(picked, cfg.id_col, "left_semi").persist()
         funnel["after_dsir_select"] = admitted.count()

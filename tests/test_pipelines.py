@@ -1873,3 +1873,79 @@ def test_corpus_curate_dsir_stage_ties_to_operator(spark, tmp_path):
                 dsir_target_path=target_path,
             ),
         )
+
+
+def test_corpus_curate_dsir_model_dir_matches_inline_training(
+    spark, tmp_path
+):
+    """--dsir-model-dir (frozen dsir-train artifact) selects the SAME
+    set as --dsir-target-path in-line training when the artifact was
+    fitted on the same (target, post-quality admitted) pair."""
+    import pytest
+
+    from mini_feature_store_spark import cli
+    from mini_feature_store_spark.pipelines.corpus_curate import (
+        CorpusCurationConfig,
+        run_corpus_curation,
+    )
+
+    prose = (
+        "the gentle river ran through the quiet valley and the miller "
+        "ground the grain for the village every morning"
+    )
+    target_path = str(tmp_path / "target")
+    spark.createDataFrame(
+        [(900 + i, prose + f" chapter {i}") for i in range(6)],
+        "doc_id long, text string",
+    ).write.parquet(target_path)
+    docs = [
+        (i, prose.replace("river", w) + f" variant {i}")
+        for i, w in enumerate(["river", "stream", "brook", "canal"])
+    ] + [
+        (10 + i, "qz vx jj ww kk pp zz mm xx nn oo " * 3 + f" junk {i}")
+        for i in range(4)
+    ]
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(inp)
+
+    # the pipeline stage scores the POST-QUALITY admitted set; with the
+    # gate wide open that is the whole input, so train the artifact on it
+    model = str(tmp_path / "dsirm")
+    assert cli.main(
+        ["dsir-train", "--target-path", target_path, "--raw-path", inp,
+         "--output-dir", model]
+    ) == 0
+
+    common = dict(
+        input_path=inp, min_tokens=1, min_quality=0.0,
+        jaccard_threshold=0.995, dsir_keep=4,
+    )
+    out_a = str(tmp_path / "a")
+    fa = run_corpus_curation(
+        spark,
+        CorpusCurationConfig(
+            output_path=out_a, dsir_target_path=target_path, **common
+        ),
+    )
+    out_b = str(tmp_path / "b")
+    fb = run_corpus_curation(
+        spark,
+        CorpusCurationConfig(
+            output_path=out_b, dsir_model_dir=model, **common
+        ),
+    )
+    assert fa["after_dsir_select"] == fb["after_dsir_select"] == 4
+    kept_a = {r.doc_id for r in spark.read.parquet(out_a).collect()}
+    kept_b = {r.doc_id for r in spark.read.parquet(out_b).collect()}
+    assert kept_a == kept_b
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        run_corpus_curation(
+            spark,
+            CorpusCurationConfig(
+                output_path=out_a,
+                dsir_target_path=target_path,
+                dsir_model_dir=model,
+                **common,
+            ),
+        )
