@@ -8826,6 +8826,101 @@ def doc_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AGREE_FRAG, _AGREE_J = _ngram_lm_fragment(2, "refd", "scd", "Q")
+
+
+@_q(
+    "doc_quality_signal_agreement",
+    f"""
+WITH docs0 AS (
+  SELECT doc_id, source, text, {_TOKS_SQL} AS toks,
+         length(text) AS nc,
+         length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS no_punct,
+         length(regexp_replace(text, '[A-Z]', '', 'g')) AS no_upper
+  FROM documents
+),
+refd AS (SELECT toks FROM docs0 WHERE source = 'src0'),
+scd AS (SELECT doc_id, toks FROM docs0),
+{_AGREE_FRAG},
+nll AS (
+  SELECT doc_id, FLOOR(AVG(nll) * 10000 + 0.5) / 10000 AS avg_nll
+  FROM {_AGREE_J} GROUP BY 1
+),
+feats AS (
+  SELECT doc_id,
+    len(toks) AS n_tokens,
+    FLOOR((CASE WHEN len(toks) > 0
+      THEN len(list_filter(toks, x -> lower(x) IN ('the','a','of','and','to')))
+           * 1.0 / len(toks) ELSE 0.0 END) * 10000 + 0.5) / 10000 AS stopword_ratio,
+    FLOOR((CASE WHEN nc > 0 THEN (nc - no_punct) * 1.0 / nc ELSE 0.0 END) * 10000 + 0.5) / 10000
+      AS punct_ratio,
+    FLOOR((CASE WHEN nc > 0 THEN (nc - no_upper) * 1.0 / nc ELSE 0.0 END) * 10000 + 0.5) / 10000
+      AS upper_ratio,
+    FLOOR((CASE WHEN len(toks) > 0 THEN nc * 1.0 / len(toks) ELSE 0.0 END) * 10000 + 0.5) / 10000
+      AS chars_per_token
+  FROM docs0
+),
+cls AS (
+  SELECT doc_id,
+    FLOOR((1.0 / (1.0 + exp(-(
+      -0.5 + 0.35 * ln(1 + n_tokens) + 2.1 * stopword_ratio
+           + (-3.0) * punct_ratio + (-1.2) * upper_ratio
+           + (-0.15) * chars_per_token)))) * 10000 + 0.5) / 10000 AS p
+  FROM feats
+)
+SELECT d.source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  FLOOR((corr(c.p, n.avg_nll)) * 10000 + 0.5) / 10000 + 0 AS prob_nll_corr
+FROM docs0 d
+JOIN cls c USING (doc_id)
+JOIN nll n USING (doc_id)
+GROUP BY 1
+""",
+)
+def doc_quality_signal_agreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quality-signal AGREEMENT diagnostic: per-source Pearson
+    correlation between the frozen classifier's keep probability and
+    the stupid-backoff bigram NLL under the src0 reference — the check
+    a pipeline owner runs before stacking both gates (independent
+    signals compose; redundant ones just drop twice). Negative where
+    the two agree (better classifier score ↔ lower perplexity); on
+    the synthetic corpus it ranges −0.64..+0.40 across sources —
+    exactly the per-source disagreement the diagnostic exists to
+    surface. One hash aggregate with map-side partial moments over
+    the joined per-doc scores. Only LM-scorable docs (≥ 2 tokens)
+    enter the correlation — inner join, same rule on both engines."""
+    from mini_feature_store_spark.operators.text import (
+        ngram_lm_score,
+        quality_classifier_score,
+    )
+
+    _utc(spark)
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    probs = quality_classifier_score(docs).select(
+        "doc_id", F.col("quality_prob").alias("p")
+    )
+    nll = ngram_lm_score(
+        docs.where(F.col("source") == "src0"),
+        docs,
+        order=2,
+        strategy="position",
+    ).select("doc_id", "avg_nll")
+    return (
+        docs.select("doc_id", "source")
+        .join(probs, "doc_id")
+        .join(nll, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (round_half_up(F.corr("p", "avg_nll")) + F.lit(0.0)).alias(
+                "prob_nll_corr"
+            ),
+        )
+    )
+
+
 @_q(
     "embedding_semantic_decontamination",
     f"""
@@ -8884,12 +8979,12 @@ VERIFY_ORDER: list[str] = [
     # stalest-driver-row > fresh; the driver records rows for the FIRST
     # 50 entries only). Ledger going in (artifact-reconstructed):
     # {r11: 50, r10: 42, r9: 46} over 138 previously-oracled queries.
-    # tier 0 — the eleven r12-new queries (DSIR scorer + resampler,
+    # tier 0 — the twelve r12-new queries (DSIR scorer + resampler,
     # semantic decontamination, trained quality classifier [rows-only],
     # Gopher §A1.2 document rules, oracled classifier eval (AUC/PR) +
-    # calibration, true-EM unigram trainer [rows-only], composed
-    # mixture-manifest funnel, order-3 LM funnel, split-hygiene
-    # decontamination).
+    # calibration + signal-agreement corr, true-EM unigram trainer
+    # [rows-only], composed mixture-manifest funnel, order-3 LM funnel,
+    # split-hygiene decontamination).
     "doc_dsir_scores",
     "doc_dsir_resample",
     "embedding_semantic_decontamination",
@@ -8897,6 +8992,7 @@ VERIFY_ORDER: list[str] = [
     "doc_gopher_quality",
     "doc_classifier_eval",
     "doc_classifier_calibration",
+    "doc_quality_signal_agreement",
     "doc_unigram_vocab_em",
     "corpus_mixture_manifest",
     "corpus_curation_funnel_lm3",
@@ -8948,12 +9044,13 @@ VERIFY_ORDER: list[str] = [
     "price_histogram",
     "product_type_profit",
     "purchase_value_intervals",
-    "rollup_order_revenue",
     # ── below this line: not in the r12 driver window.
-    # positions 51-60 — the ten spilled r9-stale greens (r13 tier 1;
-    # the last seven spilled when the seven extension-session r12
+    # positions 51-61 — the eleven spilled r9-stale greens (r13 tier 1;
+    # the last eight spilled when the eight extension-session r12
     # queries [DSIR ×2, semantic decon, trained classifier, Gopher
-    # rules, classifier eval + calibration] entered tier 0):
+    # rules, classifier eval + calibration + signal agreement] entered
+    # tier 0):
+    "rollup_order_revenue",
     "set_ops_users",
     "shipping_priority",
     "small_quantity_revenue",
