@@ -872,6 +872,16 @@ AUDITED: dict[str, str] = {
         "2s audit threshold under host load (the r12-extension mid-"
         "session bench ran concurrent with pytest and pushed it over)."
     ),
+    "doc_quality_signal_agreement": (
+        "Quality-signal agreement corr (r12 extension): classifier "
+        "probability is a map-only projection; the bigram-NLL side is "
+        "the position-strategy LM scorer (src0 reference tables "
+        "broadcast at gate scale); the two per-doc score frames join "
+        "on doc_id and collapse in ONE source-keyed hash aggregate "
+        "with map-side partial corr moments (20 groups). Check: no "
+        "corpus shuffle beyond the doc_id join + the tiny source "
+        "aggregate; LM count tables broadcast."
+    ),
     "doc_quality_classifier_trained": (
         "Trained learned quality filter (r12 extension, rows-only "
         "gate): training runs at plan build (bounded-collect trainer "
