@@ -179,6 +179,94 @@ def test_k_larger_than_corpus_returns_all(spark):
     assert len(rows) == len(RAW)
 
 
+def _bulk_frames(spark, n_raw: int = 240):
+    """A corpus large enough that a 20% selection budget crosses the
+    threshold-selection machinery's margin floor (band + core + outside
+    all non-empty)."""
+    words = ["alpha", "beta", "gamma", "delta", "the", "target", "noise"]
+    tgt = spark.createDataFrame(
+        [(i, "the target corpus alpha beta") for i in range(3)],
+        ["doc_id", "text"],
+    )
+    raw = spark.createDataFrame(
+        [
+            (
+                i,
+                " ".join(
+                    words[(i * 7 + j * 3) % len(words)] for j in range(12)
+                ),
+            )
+            for i in range(n_raw)
+        ],
+        ["doc_id", "text"],
+    )
+    return tgt, raw
+
+
+def test_resample_threshold_selection_matches_full_sort(spark):
+    """The r13 corpus-fraction-k contract: at k = 5% / 20% / 60% / n−1 /
+    1, the threshold-selected set is EXACTLY the global top-k by
+    (sample_key desc, doc_id asc) — the set a full sort would pick."""
+    tgt, raw = _bulk_frames(spark)
+    imp = {
+        r.doc_id: r.log_weight
+        for r in dsir_importance(tgt, raw, n_buckets=B).collect()
+    }
+    keys = {i: _py_sample_key(i, lw) for i, lw in imp.items()}
+    ranked = sorted(keys.items(), key=lambda kv: (-kv[1], kv[0]))
+    for k in (1, 12, 48, 144, len(ranked) - 1):
+        got = {
+            r.doc_id
+            for r in dsir_resample(
+                tgt, raw, k=k, n_buckets=B, seed=42
+            ).collect()
+        }
+        assert got == {i for i, _ in ranked[:k]}, f"k={k}"
+
+
+def test_resample_plan_has_no_corpus_topk(spark):
+    """The selection plan must carry NO k-sized ordered limit (the
+    corpus-fraction-k heap hazard) and no global sort of the scored
+    frame. Catalyst lowers the boundary trim's row_number window to a
+    TakeOrderedAndProject — that one is FINE because its limit is
+    ``needed`` (bounded by the sketch margin, here 16), never ``k``:
+    every ordered-limit operator in the plan must carry a limit < k."""
+    tgt, raw = _bulk_frames(spark)
+    df = dsir_resample(tgt, raw, k=48, n_buckets=B)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    limits = [
+        int(m)
+        for m in re.findall(r"TakeOrderedAndProject\(limit=(\d+)", plan)
+    ]
+    assert all(lim < 48 for lim in limits), limits
+    assert len(limits) <= 1  # only the boundary trim, never the corpus
+    assert "GlobalLimit" not in plan
+    # a global sort of the keyed frame would show up as a range
+    # partitioning exchange — there must be none
+    assert "rangepartitioning" not in plan
+
+
+def test_resample_margin_retry_converges(spark, monkeypatch):
+    """Force a pathologically coarse sketch (accuracy 4 → rank error
+    n/4): the margin-doubling retry must still produce the exact
+    top-k set."""
+    import mini_feature_store_spark.operators.dsir as dsir_mod
+
+    monkeypatch.setattr(dsir_mod, "_PCT_ACCURACY", 4)
+    tgt, raw = _bulk_frames(spark, n_raw=120)
+    imp = {
+        r.doc_id: r.log_weight
+        for r in dsir_importance(tgt, raw, n_buckets=B).collect()
+    }
+    keys = {i: _py_sample_key(i, lw) for i, lw in imp.items()}
+    ranked = sorted(keys.items(), key=lambda kv: (-kv[1], kv[0]))
+    got = {
+        r.doc_id
+        for r in dsir_resample(tgt, raw, k=30, n_buckets=B).collect()
+    }
+    assert got == {i for i, _ in ranked[:30]}
+
+
 def test_weights_join_is_broadcast(spark):
     # The B-row weight table must reach the scoring join as a broadcast:
     # the corpus side never shuffles for the join itself.
