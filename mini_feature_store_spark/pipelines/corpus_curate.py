@@ -228,6 +228,19 @@ def run_corpus_curation(
             "dsir_target_path and dsir_model_dir are mutually exclusive "
             "— train in-line OR score under a frozen artifact"
         )
+    # the reverse direction of the dsir_keep check above: dsir_keep set
+    # with NEITHER corpus source would silently skip the stage — a
+    # mistyped --dsir-target-path flag must not yield an output that was
+    # never DSIR-selected (same both-directional discipline as the
+    # pack_tokenizer_dir / pack_max_tokens pair)
+    if cfg.dsir_keep is not None and (
+        cfg.dsir_target_path is None and cfg.dsir_model_dir is None
+    ):
+        raise ValueError(
+            "dsir_keep is set but neither dsir_target_path nor "
+            "dsir_model_dir is — the DSIR stage needs a target corpus "
+            "or a frozen dsir-train artifact to score under"
+        )
     if cfg.lm_reference_path is not None and cfg.lm_order not in (2, 3, 4, 5):
         raise ValueError(
             f"lm_order must be 2 (add-1 bigram) or 3-5 (stupid-backoff "
