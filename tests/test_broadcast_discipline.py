@@ -229,8 +229,27 @@ _ALLOWLIST: dict[str, list[tuple[str, str]]] = {
     "doc_dsir_scores": [
         ("cast(8192 as bigint)", "dense n_buckets-row DSIR weight table"),
     ],
+    # the r13 threshold-selection resampler unions a core filter and a
+    # boundary trim over the SAME scored frame — each union branch
+    # carries the identical bounded weight-table hint (Catalyst reuses
+    # the exchange at execution; the logical walker sees two sites):
     "doc_dsir_resample": [
         ("cast(8192 as bigint)", "dense n_buckets-row DSIR weight table"),
+        ("cast(8192 as bigint)", "same table, boundary-trim union branch"),
+    ],
+    # corpus_selection_manifest composes the SAME resampler — its two
+    # union-branch weight-table sites appear TWICE in the logical plan
+    # (the flagged domain_cap chain feeds both the stage-1/2 aggregate
+    # and the mixture→packing branch; Catalyst reuses the exchange at
+    # execution). The selected-id join itself is deliberately UNHINTED
+    # (k is a corpus fraction at scale).
+    "corpus_selection_manifest": [
+        ("cast(8192 as bigint)", "dense n_buckets-row DSIR weight table"),
+        ("cast(8192 as bigint)", "same table, boundary-trim union branch"),
+        ("cast(8192 as bigint)", "same 2 sites, mixture mass branch"),
+        ("cast(8192 as bigint)", "same 2 sites, mixture mass branch"),
+        ("cast(8192 as bigint)", "same 2 sites, packing union branch"),
+        ("cast(8192 as bigint)", "same 2 sites, packing union branch"),
     ],
     # operators/similarity.py:semantic_decontaminate — the hinted side
     # is the BENCHMARK embedding set: eval suites are bounded by the

