@@ -307,6 +307,23 @@ def build_parser() -> argparse.ArgumentParser:
     dt.add_argument("--max-order", type=int, default=2)
     dt.add_argument("--text-col", default="text")
 
+    dw = sub.add_parser(
+        "doremi-weights",
+        help="fit DoReMi mixture weights (Xie et al. 2023, Group DRO "
+        "over hashed-ngram proxy models) from a documents parquet with "
+        "a domain column; writes weights.parquet (domain, weight, "
+        "excess_r1, n_grams) under --output-dir for mixture sampling",
+    )
+    dw.add_argument("--input-path", required=True, help="documents parquet")
+    dw.add_argument("--output-dir", required=True)
+    dw.add_argument("--domain-col", default="source")
+    dw.add_argument("--text-col", default="text")
+    dw.add_argument("--n-buckets", type=int, default=2048)
+    dw.add_argument("--max-order", type=int, default=2)
+    dw.add_argument("--rounds", type=int, default=10)
+    dw.add_argument("--step", type=float, default=1.0)
+    dw.add_argument("--smoothing", type=float, default=1e-3)
+
     bp = sub.add_parser(
         "bpe-train",
         help="induce a BPE tokenizer vocabulary from a documents parquet: "
@@ -646,6 +663,39 @@ def main(argv: list[str] | None = None) -> int:
             print(
                 f"fitted {args.n_buckets}-bucket DSIR weights -> "
                 f"{args.output_dir.rstrip('/')}/weights.parquet"
+            )
+        elif args.pipeline == "doremi-weights":
+            from mini_feature_store_spark.operators.doremi import (
+                doremi_domain_weights,
+            )
+
+            art = doremi_domain_weights(
+                spark.read.parquet(args.input_path),
+                domain_col=args.domain_col,
+                text_col=args.text_col,
+                n_buckets=args.n_buckets,
+                max_order=args.max_order,
+                rounds=args.rounds,
+                step=args.step,
+                smoothing=args.smoothing,
+            )
+            out = args.output_dir.rstrip("/") + "/weights.parquet"
+            spark.createDataFrame(
+                [
+                    (
+                        d,
+                        float(art["weights"][d]),
+                        float(art["excess_r1"][d]),
+                        int(art["n_grams"][d]),
+                    )
+                    for d in art["domains"]
+                ],
+                "domain string, weight double, excess_r1 double, "
+                "n_grams long",
+            ).coalesce(1).write.mode("overwrite").parquet(out)
+            print(
+                f"fitted DoReMi weights over {len(art['domains'])} "
+                f"domains ({args.rounds} rounds) -> {out}"
             )
         elif args.pipeline == "clf-train":
             from mini_feature_store_spark.operators.text import (

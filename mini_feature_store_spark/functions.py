@@ -58,6 +58,18 @@ def round_half_up(col, scale: int = 4):
     return F.floor(col * p + F.lit(0.5)) / p
 
 
+def round_half_up_py(x: float, scale: int = 4) -> float:
+    """Driver-side twin of ``round_half_up`` — the identical
+    ``floor(x·10^scale + 0.5)/10^scale`` form in Python floats, for
+    bounded-collect trainer artifacts that surface through
+    ``createDataFrame`` (same double arithmetic as the JVM, so the two
+    paths cannot drift)."""
+    import math
+
+    m = float(10 ** scale)
+    return math.floor(x * m + 0.5) / m
+
+
 def melt(
     df: DataFrame,
     id_vars: list[str] | tuple[str, ...],

@@ -59,7 +59,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mini_feature_store_spark.functions import round_half_up
+from mini_feature_store_spark.functions import (
+    round_half_up,
+    round_half_up_py,
+)
 from mini_feature_store_spark.io import load_testdata
 from mini_feature_store_spark.operators.latest import latest_per_key
 from mini_feature_store_spark.operators.point_in_time import point_in_time_join
@@ -8807,6 +8810,122 @@ def corpus_selection_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows0.unionByName(rows1).unionByName(rows2)
 
 
+#: DoReMi knobs — a smaller bucket space than DSIR's (the proxy only
+#: has to rank domains, not score documents)
+_DOREMI_B = 2048
+
+
+@_q(
+    "doc_doremi_excess_loss",
+    f"""
+WITH dt AS (SELECT doc_id, source, {_TOKS_SQL} AS toks FROM documents),
+g AS (
+  SELECT source AS domain, unnest(toks) AS g FROM dt
+  UNION ALL
+  SELECT source, unnest([toks[i] || ' ' || toks[i+1]
+                 for i in generate_series(1, len(toks) - 1)]) AS g
+  FROM dt WHERE len(toks) >= 2
+),
+cnts AS (
+  SELECT domain,
+         ('0x' || substr(md5(g), 1, 8))::BIGINT % {_DOREMI_B} AS bucket,
+         COUNT(*) AS cnt
+  FROM g GROUP BY 1, 2
+),
+tdom AS (SELECT domain, SUM(cnt) AS t FROM cnts GROUP BY 1),
+fr AS (
+  SELECT c.domain, c.bucket, c.cnt, t.t,
+         (c.cnt::HUGEINT * 1000000000000)::HUGEINT // t.t::HUGEINT AS f
+  FROM cnts c JOIN tdom t USING (domain)
+),
+model AS (
+  SELECT bucket, CAST(SUM(f) AS BIGINT) AS s, CAST(SUM(cnt) AS BIGINT) AS r
+  FROM fr GROUP BY 1
+),
+mt AS (SELECT SUM(s) AS st, SUM(r) AS rt FROM model),
+w AS (
+  SELECT bucket,
+    FLOOR(ln((s + 1) * 1.0 / (st + {_DOREMI_B})) * 100000000.0 + 0.5)
+      / 100000000.0 AS wp,
+    FLOOR(ln((r + 1) * 1.0 / (rt + {_DOREMI_B})) * 100000000.0 + 0.5)
+      / 100000000.0 AS wr
+  FROM model CROSS JOIN mt
+),
+nd AS (
+  SELECT fr.domain,
+    CAST(MAX(fr.t) AS BIGINT) AS n_grams,
+    FLOOR((-SUM(fr.cnt * w.wp) / MAX(fr.t)) * 10000 + 0.5) / 10000
+      AS nll_proxy,
+    FLOOR((-SUM(fr.cnt * w.wr) / MAX(fr.t)) * 10000 + 0.5) / 10000
+      AS nll_reference
+  FROM fr JOIN w USING (bucket) GROUP BY 1
+)
+SELECT domain, n_grams, nll_proxy, nll_reference,
+       FLOOR(GREATEST(0.0, nll_proxy - nll_reference) * 10000 + 0.5)
+         / 10000 AS excess_loss
+FROM nd
+""",
+)
+def doc_doremi_excess_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi's per-domain excess-loss signal (Xie et al. 2023,
+    arXiv:2305.10429 — Group-DRO data mixing), round 1, fully oracled:
+    for every source domain, its avg NLL under the UNIFORM-mixture
+    hashed-ngram proxy (α₀ = 1/D, blended scale-12 integer
+    frequencies) minus under the PROPORTIONAL reference (raw corpus
+    counts), clipped at 0 — the gradient that drives the
+    exponentiated-weight update in ``doc_doremi_domain_weights``. ONE
+    corpus scan into a ≤ D·B-row (domain, bucket) table; everything
+    after is arithmetic over that bounded table, replayed exactly by
+    DuckDB (HUGEINT fixed-point frequencies, scale-8 logs, scale-4
+    domain sums)."""
+    from mini_feature_store_spark.operators.doremi import (
+        doremi_excess_loss,
+    )
+
+    _utc(spark)
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    return doremi_excess_loss(docs, n_buckets=_DOREMI_B)
+
+
+@_q("doc_doremi_domain_weights")  # rows-only: the exponentiated-weight
+# loop is iterative float work (exp/renormalize per round — the EM/GD
+# engine-divergence precedent); round 1 is pinned EXACTLY against the
+# oracled doc_doremi_excess_loss and a pure-python differential in
+# tests/test_doremi.py
+def doc_doremi_domain_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DoReMi mixture weights over the source domains — the averaged
+    exponentiated-gradient iterate (8 rounds, step 1.0): domains whose
+    uniform-mixture NLL exceeds their proportional-reference NLL (the
+    underserved ones) gain weight fastest, so the output is a
+    hardness-aware interpolation between uniform and the natural
+    mixture — the number ``temperature_mixture_sample`` otherwise sets
+    with a blind global α. Bounded-collect trainer class: the corpus
+    collapses to the D·B count table in one scan, the loop runs on
+    that bounded artifact, and the result is D floats."""
+    from mini_feature_store_spark.operators.doremi import (
+        doremi_domain_weights,
+    )
+
+    _utc(spark)
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    art = doremi_domain_weights(docs, n_buckets=_DOREMI_B, rounds=8)
+    rows = [
+        (
+            d,
+            int(art["n_grams"][d]),
+            round_half_up_py(art["excess_r1"][d], 4),
+            round_half_up_py(art["weights"][d], 6),
+        )
+        for d in art["domains"]
+    ]
+    return spark.createDataFrame(
+        rows,
+        "domain string, n_grams long, excess_r1 double, weight double",
+    )
+
+
 @_q("doc_quality_classifier_trained")  # rows-only: float GD weights are
 # engine-divergent at ulp level (the doc_unigram_vocab_em precedent); the
 # trainer is pinned EXACTLY against a numpy replica in
@@ -9261,16 +9380,17 @@ VERIFY_ORDER: list[str] = [
     # 50 entries only). Ledger going in (artifact-reconstructed):
     # {r12: 50, r11: 47, r10: 42, r9: 11} over 148 previously-oracled
     # queries + 17 rows-only.
-    # tier 0 — the two r13-new oracled queries (DSIR-composed selection
-    # manifest; exact-path curation companion), the directive-#4
-    # rows-only exception (embedding_corpus_curate: the ONE registry
-    # query with zero driver history — the r12 judge explicitly asked
-    # for a rows-recorded entry, overriding the keep-rows-only-out
-    # rule for it alone), then the five oracled queries the r13 code
-    # changes touch (threshold-selection resampler; classifier_eval
-    # scale-4 enforcement + NULL-score exclusion; gopher stop_hits
-    # init).
+    # tier 0 — the three r13-new oracled queries (DSIR-composed
+    # selection manifest; DoReMi per-domain excess loss; exact-path
+    # curation companion), the directive-#4 rows-only exception
+    # (embedding_corpus_curate: the ONE registry query with zero driver
+    # history — the r12 judge explicitly asked for a rows-recorded
+    # entry, overriding the keep-rows-only-out rule for it alone), then
+    # the five oracled queries the r13 code changes touch
+    # (threshold-selection resampler; classifier_eval scale-4
+    # enforcement + NULL-score exclusion; gopher stop_hits init).
     "corpus_selection_manifest",
+    "doc_doremi_excess_loss",
     "embedding_corpus_curate_exact",
     "embedding_corpus_curate",
     "doc_dsir_resample",
@@ -9292,7 +9412,7 @@ VERIFY_ORDER: list[str] = [
     "user_sessions",
     "user_value_gap_fill",
     "weekly_event_buckets",
-    # tier 2 — the oldest r10 rows, alphabetical; 31 fit (50 − 8 − 11).
+    # tier 2 — the oldest r10 rows, alphabetical; 30 fit (50 − 9 − 11).
     "bloom_filtered_order_revenue",
     "brand_supplier_stats",
     "cohort_retention_weekly",
@@ -9323,10 +9443,13 @@ VERIFY_ORDER: list[str] = [
     "fuzzy_part_names",
     "late_shipment_priority_counts",
     "local_supplier_volume",
-    "min_cost_supplier",
     # ── below this line: not in the r13 driver window.
-    # positions 51-61 — the eleven r10 rows that didn't fit; they lead
+    # positions 51-63 — the rows-only DoReMi loop (round 1 pinned by
+    # the oracled excess-loss twin above) and the twelve r10 rows that
+    # didn't fit; the r10 dozen lead
     # the r14 window (post-r13 ledger: nothing staler than r10).
+    "doc_doremi_domain_weights",
+    "min_cost_supplier",
     "nation_trade_volume",
     "nation_volume_shipping",
     "orders_with_late_lineitems",

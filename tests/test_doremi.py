@@ -1,0 +1,218 @@
+"""DoReMi domain reweighting: pure-Python differential + laws.
+
+The differential re-implements the whole round-1 computation (md5
+bucketing, integer scale-12 frequencies, add-1 log probs, per-domain
+NLLs) with hashlib/math — independent of Spark, DuckDB, and numpy —
+and pins the operator to it exactly at the operator's own rounding.
+The iterative loop is pinned by invariants (simplex, uniform fixed
+point for identical domains, hardness direction) plus the exact
+round-1 tie to the ORACLED ``doremi_excess_loss``."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+
+from mini_feature_store_spark.operators.doremi import (
+    FREQ_SCALE,
+    doremi_bucket_counts,
+    doremi_domain_weights,
+    doremi_excess_loss,
+)
+
+B = 64  # small bucket space → forced collisions
+
+
+def _toks(text: str) -> list[str]:
+    t = " ".join(text.strip().lower().split())
+    return t.split(" ") if t else []
+
+
+def _grams(text: str, max_order: int = 2) -> list[str]:
+    t = _toks(text)
+    out = []
+    for i in range(len(t)):
+        for k in range(1, max_order + 1):
+            if i + k <= len(t):
+                out.append(" ".join(t[i : i + k]))
+    return out
+
+
+def _bucket(g: str) -> int:
+    return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B
+
+
+def _round(x: float, s: int) -> float:
+    return math.floor(x * 10**s + 0.5) / 10**s
+
+
+CORPUS = [
+    ("big", "the quick brown fox and the lazy dog went home today"),
+    ("big", "the quick brown fox and the lazy dog went to market"),
+    ("big", "the calm brown dog and the quick fox came home again"),
+    ("big", "the quick brown fox naps and the lazy dog walks home"),
+    ("mid", "the quick brown fox likes the calm garden path at dusk"),
+    ("mid", "the calm garden path suits the quick brown fox at dawn"),
+    ("odd", "zz xq jkl noise tokens qqq strange blob of junk"),
+]
+
+
+def _py_round1(corpus) -> dict[str, tuple[int, float, float, float]]:
+    """(domain → (n_grams, nll_proxy, nll_reference, excess)) — the
+    independent reference for the oracled round-1 signal."""
+    cnts: dict[str, dict[int, int]] = {}
+    for d, text in corpus:
+        m = cnts.setdefault(d, {})
+        for g in _grams(text):
+            b = _bucket(g)
+            m[b] = m.get(b, 0) + 1
+    T = {d: sum(m.values()) for d, m in cnts.items()}
+    f = {
+        d: {b: (c * FREQ_SCALE) // T[d] for b, c in m.items()}
+        for d, m in cnts.items()
+    }
+    s: dict[int, int] = {}
+    r: dict[int, int] = {}
+    for d, m in cnts.items():
+        for b, c in m.items():
+            r[b] = r.get(b, 0) + c
+            s[b] = s.get(b, 0) + f[d][b]
+    st, rt = sum(s.values()), sum(r.values())
+    wp = {b: _round(math.log((v + 1) / (st + B)), 8) for b, v in s.items()}
+    wr = {b: _round(math.log((v + 1) / (rt + B)), 8) for b, v in r.items()}
+    out = {}
+    for d, m in cnts.items():
+        np_ = _round(-sum(c * wp[b] for b, c in m.items()) / T[d], 4)
+        nr_ = _round(-sum(c * wr[b] for b, c in m.items()) / T[d], 4)
+        out[d] = (T[d], np_, nr_, _round(max(0.0, np_ - nr_), 4))
+    return out
+
+
+def _frame(spark):
+    return spark.createDataFrame(
+        [(i, t, d) for i, (d, t) in enumerate(CORPUS)],
+        "doc_id long, text string, source string",
+    )
+
+
+def test_bucket_counts_match_python(spark):
+    got = {
+        (r.domain, r.bucket): r.cnt
+        for r in doremi_bucket_counts(_frame(spark), n_buckets=B).collect()
+    }
+    exp: dict[tuple[str, int], int] = {}
+    for d, text in CORPUS:
+        for g in _grams(text):
+            k = (d, _bucket(g))
+            exp[k] = exp.get(k, 0) + 1
+    assert got == exp
+
+
+def test_excess_loss_matches_python(spark):
+    got = {
+        r.domain: (r.n_grams, r.nll_proxy, r.nll_reference, r.excess_loss)
+        for r in doremi_excess_loss(_frame(spark), n_buckets=B).collect()
+    }
+    exp = _py_round1(CORPUS)
+    assert set(got) == set(exp)
+    for d in exp:
+        assert got[d][0] == exp[d][0]
+        for i in (1, 2, 3):
+            assert got[d][i] == pytest.approx(exp[d][i], abs=1e-12), (d, i)
+
+
+def test_loop_round1_ties_to_oracled_signal(spark):
+    """The iterative loop's round-1 excess must equal the ORACLED
+    excess-loss query exactly (same integer frequencies, same scale-8
+    logs) — the bridge that lets the rows-only loop inherit trust from
+    the hash-gated companion."""
+    df = _frame(spark)
+    art = doremi_domain_weights(df, n_buckets=B, rounds=3)
+    oracled = {
+        r.domain: r.excess_loss
+        for r in doremi_excess_loss(df, n_buckets=B).collect()
+    }
+    for d, e in art["excess_r1"].items():
+        assert _round(e, 4) == pytest.approx(oracled[d], abs=1e-12), d
+
+
+def test_weights_are_a_simplex_and_hardness_directed(spark):
+    df = _frame(spark)
+    art = doremi_domain_weights(df, n_buckets=B, rounds=6)
+    w = art["weights"]
+    assert sum(w.values()) == pytest.approx(1.0, abs=1e-9)
+    assert all(v > 0 for v in w.values())
+    # the dominant domain is underserved by the uniform mixture
+    # relative to its natural share → positive excess → it must gain
+    # weight over uniform, moving toward the proportional reference
+    assert art["excess_r1"]["big"] > 0
+    assert w["big"] > 1.0 / 3.0
+    assert w["big"] < art["n_grams"]["big"] / sum(art["n_grams"].values())
+
+
+def test_identical_domains_stay_uniform(spark):
+    text = "the quick brown fox and the lazy dog went home today"
+    df = spark.createDataFrame(
+        [(i, text, d) for i, d in enumerate(["a", "a", "b", "b"])],
+        "doc_id long, text string, source string",
+    )
+    art = doremi_domain_weights(df, n_buckets=B, rounds=5)
+    # identical distributions → zero excess everywhere → uniform is
+    # the fixed point (smoothing preserves it exactly)
+    assert art["weights"]["a"] == pytest.approx(0.5, abs=1e-12)
+    assert all(v == 0.0 for v in art["excess_r1"].values())
+
+
+def test_validations(spark):
+    df = _frame(spark)
+    with pytest.raises(ValueError, match="rounds"):
+        doremi_domain_weights(df, n_buckets=B, rounds=0)
+    with pytest.raises(ValueError, match="smoothing"):
+        doremi_domain_weights(df, n_buckets=B, smoothing=1.0)
+    one = df.where("source = 'big'")
+    with pytest.raises(ValueError, match="2 domains"):
+        doremi_domain_weights(one, n_buckets=B)
+    empty = df.where("source = 'nope'")
+    with pytest.raises(ValueError, match="no grams"):
+        doremi_domain_weights(empty, n_buckets=B)
+
+
+def test_bounded_table_shape(spark):
+    """The corpus collapses in ONE aggregate: the counts frame has at
+    most D·B rows and exactly one shuffle exchange in its plan."""
+    df = _frame(spark)
+    counts = doremi_bucket_counts(df, n_buckets=B)
+    assert counts.count() <= 3 * B
+    plan = counts._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2  # hash agg exchange (+AQE read)
+
+
+def test_doremi_weights_cli_artifact(spark, tmp_path):
+    """doremi-weights CLI writes a (domain, weight, excess_r1, n_grams)
+    artifact matching the operator on the same corpus."""
+    from mini_feature_store_spark import cli
+
+    inp = str(tmp_path / "docs")
+    _frame(spark).write.parquet(inp)
+    out = str(tmp_path / "doremi")
+    rc = cli.main(
+        [
+            "doremi-weights",
+            "--input-path", inp,
+            "--output-dir", out,
+            "--n-buckets", str(B),
+            "--rounds", "4",
+        ]
+    )
+    assert rc == 0
+    got = {
+        r.domain: (r.weight, r.n_grams)
+        for r in spark.read.parquet(out + "/weights.parquet").collect()
+    }
+    art = doremi_domain_weights(_frame(spark), n_buckets=B, rounds=4)
+    assert set(got) == set(art["domains"])
+    for d in got:
+        assert got[d][0] == pytest.approx(art["weights"][d], abs=1e-12)
+        assert got[d][1] == art["n_grams"][d]

@@ -902,6 +902,16 @@ AUDITED: dict[str, str] = {
         "selected-id join; every TakeOrderedAndProject limit << k; the "
         "weight-table joins broadcast by construction."
     ),
+    "doc_doremi_excess_loss": (
+        "DoReMi round-1 signal (r13): ONE corpus scan collapses in a "
+        "map-side-combined (domain, bucket) aggregate (<= D*B rows by "
+        "construction); frequencies, model blends, log probs, and "
+        "per-domain NLLs are window/aggregate arithmetic over that "
+        "bounded table — the single-partition window sums are the "
+        "dsir_bucket_weights totals pattern, bounded by B, not data. "
+        "Check: exactly one corpus-side exchange (the domain-bucket "
+        "aggregate); every Window input is the bounded table."
+    ),
     "embedding_corpus_curate_exact": (
         "Oracled exact-path twin of embedding_corpus_curate: "
         "cosine_pairs block-GEMM (quadratic by information-theoretic "

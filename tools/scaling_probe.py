@@ -1022,6 +1022,21 @@ def run_scale(spark, d: Path, only: set[str] | None = None) -> dict[str, float]:
             k=max(1, n // 5),
         )
 
+    def _doremi_excess():
+        # r13 DoReMi round-1 signal: one corpus scan -> bounded
+        # (domain, bucket) table; the curve should track the gram
+        # explosion scan, with everything after data-size-flat
+        from mini_feature_store_spark.operators.doremi import (
+            doremi_excess_loss,
+        )
+
+        return doremi_excess_loss(
+            docs.withColumn(
+                "source", (F.col("doc_id") % 8).cast("string")
+            ),
+            n_buckets=2048,
+        )
+
     def _semantic_decontaminate():
         # r12 embedding-space decontamination: FIXED-size benchmark (the
         # eval-suite contract) vs the growing corpus — wall should track
@@ -1085,6 +1100,7 @@ def run_scale(spark, d: Path, only: set[str] | None = None) -> dict[str, float]:
             "dsir_importance_2pct": _dsir_importance,
             "dsir_resample_top5pct": _dsir_resample,
             "dsir_resample_top20pct": _dsir_resample_20pct,
+            "doremi_excess_8dom": _doremi_excess,
             "semantic_decontaminate_b200": _semantic_decontaminate,
             "clf_train_15it": _clf_train,
             "unigram_train_v2000_r1": _unigram_train,
