@@ -267,6 +267,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="weigh mixture strata by token mass (BPE-ish chunk counts) "
         "instead of document counts — the token-budgeted form",
     )
+    cc.add_argument(
+        "--mixture-weights-dir", default=None,
+        help="realize the TARGET shares of a doremi-weights artifact "
+        "(weights.parquet under this dir) instead of the temperature "
+        "rule — pure down-sampling toward the learned mixture",
+    )
 
     ct = sub.add_parser(
         "clf-train",
@@ -622,6 +628,7 @@ def main(argv: list[str] | None = None) -> int:
                     mixture_strata_col=args.mixture_strata_col,
                     mixture_alpha=args.mixture_alpha,
                     mixture_by_tokens=args.mixture_by_tokens,
+                    mixture_weights_dir=args.mixture_weights_dir,
                 ),
             )
             for stage, n in funnel.items():

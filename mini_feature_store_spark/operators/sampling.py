@@ -19,6 +19,8 @@ The reference has no sampling surface at all; §2.11 capability add.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -284,6 +286,106 @@ def temperature_mixture_sample(
     else:
         rate = F.pow(ratio, F.lit(1.0 - alpha))
     rates = counts.select("_sk", rate.alias("_rate"))
+    joined = tagged.join(rates, "_sk")
+    return weighted_hash_sample(joined, list(keys), F.col("_rate")).drop(
+        "_rate", "_sk"
+    )
+
+
+def target_mixture_sample(
+    df: DataFrame,
+    keys: list[str] | tuple[str, ...],
+    strata_col: str,
+    weights: dict,
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Realize an ARBITRARY target mixture by pure down-sampling — the
+    consumer of a data-driven weight artifact (``doremi.py``'s averaged
+    iterate, a hand-tuned domain recipe, a compliance quota):
+
+        kept mass of stratum s  =  c · w_s,   c = min_s (m_s / w_s)
+
+    i.e. the largest corpus consistent with the target proportions
+    ``w`` that never UP-samples any stratum (the bottleneck stratum is
+    kept whole; every other stratum down-samples to its share). Rates
+    follow as ``rate_s = c · w_s / m_s ≤ 1`` and admission is the md5
+    predicate — deterministic, key-consistent, engine-portable, zero
+    RNG, zero driver collect (same guarantees as every sampler here).
+
+    ``weights``: stratum value → non-negative target share (need not
+    sum to 1 — only proportions matter; a ``None`` key addresses the
+    NULL stratum). Zero-weight strata are dropped entirely. A stratum
+    OBSERVED in the data but absent from ``weights`` raises AT
+    EXECUTION with the stratum name (lazy ``assert_true`` guard — a
+    typo'd recipe must not silently drop a domain). Strata named in
+    ``weights`` but absent from the data simply contribute nothing:
+    the realized proportions then hold over the PRESENT strata.
+
+    ``tokens_col``: as in ``temperature_mixture_sample`` — masses are
+    token sums instead of document counts, and the admission stays
+    per-document, so kept TOKEN mass tracks ``c·w_s`` in expectation.
+    """
+    if not weights:
+        raise ValueError("target_mixture_sample: weights must be non-empty")
+    for k, v in weights.items():
+        fv = float(v)
+        if not math.isfinite(fv) or fv < 0.0:
+            raise ValueError(
+                f"target_mixture_sample: weight for {k!r} must be a "
+                f"finite non-negative number, got {v!r}"
+            )
+    if not any(float(v) > 0.0 for v in weights.values()):
+        raise ValueError(
+            "target_mixture_sample: at least one weight must be positive"
+        )
+    null_key = "\x00<null-stratum>"
+    sk = F.coalesce(F.col(strata_col).cast("string"), F.lit(null_key))
+    tagged = df.withColumn("_sk", sk)
+    mass = (
+        F.count(F.lit(1))
+        if tokens_col is None
+        else F.greatest(
+            F.sum(F.coalesce(F.col(tokens_col), F.lit(0))), F.lit(1)
+        )
+    )
+    masses = tagged.groupBy("_sk").agg(mass.alias("_m"))
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [
+            (null_key if k is None else str(k), float(v))
+            for k, v in weights.items()
+        ],
+        "_sk string, _w double",
+    )
+    wall = Window.partitionBy()
+    # c over the bounded per-stratum table (stratum cardinality —
+    # domains/languages — not data volume); zero-weight strata are
+    # excluded from the bottleneck min
+    c = F.min(
+        F.when(F.col("_w") > 0.0, F.col("_m") / F.col("_w"))
+    ).over(wall)
+    rate = (
+        F.when(
+            F.col("_w").isNull(),
+            # loud lazy guard: an unweighted observed stratum fails the
+            # JOB with its name, instead of silently vanishing
+            F.assert_true(
+                F.lit(False),
+                F.concat(
+                    F.lit(
+                        "target_mixture_sample: stratum observed in the "
+                        "data but missing from weights: "
+                    ),
+                    F.col("_sk"),
+                ),
+            ).cast("double"),
+        )
+        .when(F.col("_w") > 0.0, c * F.col("_w") / F.col("_m"))
+        .otherwise(F.lit(0.0))
+    )
+    rates = masses.join(wdf, "_sk", "left").select(
+        "_sk", rate.alias("_rate")
+    )
     joined = tagged.join(rates, "_sk")
     return weighted_hash_sample(joined, list(keys), F.col("_rate")).drop(
         "_rate", "_sk"

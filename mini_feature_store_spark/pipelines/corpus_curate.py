@@ -163,6 +163,12 @@ class CorpusCurationConfig:
     #: text.py:word_chunk_count) instead of document counts — the
     #: token-budgeted form a real pretraining mixture uses
     mixture_by_tokens: bool = False
+    #: when set (with ``mixture_strata_col``), the mixture stage
+    #: realizes the TARGET weights of a ``doremi-weights`` artifact
+    #: (weights.parquet: domain → weight) via
+    #: ``sampling.py:target_mixture_sample`` instead of the blind
+    #: temperature rule — ``mixture_alpha`` is then unused
+    mixture_weights_dir: str | None = None
 
 
 def run_corpus_curation(
@@ -255,6 +261,12 @@ def run_corpus_curation(
             "mixture_by_tokens requires mixture_strata_col — token mass "
             "only decides how strata are WEIGHED, the stratum column "
             "enables the stage"
+        )
+    if cfg.mixture_weights_dir is not None and cfg.mixture_strata_col is None:
+        raise ValueError(
+            "mixture_weights_dir requires mixture_strata_col — the "
+            "weight artifact only decides the TARGET shares, the "
+            "stratum column enables the stage"
         )
     stage0 = None
     if cfg.url_col is not None:
@@ -565,9 +577,40 @@ def run_corpus_curation(
 
     if cfg.mixture_strata_col is not None:
         from mini_feature_store_spark.operators.sampling import (
+            target_mixture_sample,
             temperature_mixture_sample,
         )
         from mini_feature_store_spark.operators.text import word_chunk_count
+
+        target_weights = None
+        if cfg.mixture_weights_dir is not None:
+            # a doremi-weights artifact: bounded (domain, weight) table
+            wrows = spark.read.parquet(
+                cfg.mixture_weights_dir.rstrip("/") + "/weights.parquet"
+            ).collect()
+            if not wrows:
+                raise ValueError(
+                    "empty mixture-weights artifact at "
+                    f"{cfg.mixture_weights_dir!r}"
+                )
+            target_weights = {r["domain"]: float(r["weight"]) for r in wrows}
+
+        def _mix(frame, tokens_col=None):
+            if target_weights is not None:
+                return target_mixture_sample(
+                    frame,
+                    [cfg.id_col],
+                    cfg.mixture_strata_col,
+                    target_weights,
+                    tokens_col=tokens_col,
+                )
+            return temperature_mixture_sample(
+                frame,
+                [cfg.id_col],
+                cfg.mixture_strata_col,
+                alpha=cfg.mixture_alpha,
+                tokens_col=tokens_col,
+            )
 
         if cfg.mixture_by_tokens:
             # chunk-count mass never null: blank/NULL text weighs 0 (the
@@ -579,20 +622,11 @@ def run_corpus_curation(
                     F.lit(0).cast("long"),
                 ),
             )
-            survivors = temperature_mixture_sample(
-                sized,
-                [cfg.id_col],
-                cfg.mixture_strata_col,
-                alpha=cfg.mixture_alpha,
-                tokens_col="_mix_tokens",
-            ).drop("_mix_tokens")
-        else:
-            survivors = temperature_mixture_sample(
-                survivors,
-                [cfg.id_col],
-                cfg.mixture_strata_col,
-                alpha=cfg.mixture_alpha,
+            survivors = _mix(sized, tokens_col="_mix_tokens").drop(
+                "_mix_tokens"
             )
+        else:
+            survivors = _mix(survivors)
         funnel["after_mixture"] = survivors.count()
 
     pack_input = None

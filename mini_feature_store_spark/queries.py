@@ -8810,6 +8810,75 @@ def corpus_selection_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows0.unionByName(rows1).unionByName(rows2)
 
 
+@_q(
+    "doc_target_mixture_sample",
+    f"""
+WITH tok AS (
+  SELECT doc_id, source,
+         CAST(COALESCE(len(regexp_extract_all(text, '{_CHUNK_RE_SQL}')), 0)
+              AS BIGINT) AS n_tokens
+  FROM documents
+),
+m AS (
+  SELECT source, GREATEST(CAST(SUM(n_tokens) AS BIGINT), 1) AS m
+  FROM tok GROUP BY source
+),
+wt AS (
+  SELECT source,
+         CASE WHEN source = 'src0' THEN 0.2 ELSE 0.8 / 19 END AS w
+  FROM m
+),
+cc AS (SELECT MIN(m.m / wt.w) AS c FROM m JOIN wt USING (source)),
+k AS (
+  SELECT t.source, t.n_tokens
+  FROM tok t JOIN m USING (source) JOIN wt USING (source) CROSS JOIN cc
+  WHERE (cc.c * wt.w / m.m) >= 1.0
+     OR substring(md5(CAST(t.doc_id AS VARCHAR)), 1, 8) <
+        lpad(lower(to_hex(CAST(FLOOR((cc.c * wt.w / m.m) * 4294967296)
+                                AS BIGINT))), 8, '0')
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens
+FROM k GROUP BY source
+""",
+)
+def doc_target_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARBITRARY-target mixture realization
+    (``sampling.py:target_mixture_sample`` — the consumer of a DoReMi /
+    hand-tuned weight recipe): hold the curated src0 domain at a 20%
+    token share and split the remaining 80% evenly across the other 19
+    sources, realized as pure down-sampling — kept mass ``c·w_s`` with
+    ``c = min_s m_s/w_s`` (the bottleneck stratum is kept whole, no
+    stratum ever up-samples). Token masses via the BPE-ish chunk count;
+    md5 admission predicate, per-document. The oracle replays masses,
+    the bottleneck min, the exact ``c·w/m`` rate expression (IEEE
+    division and min are engine-exact), and the truncated-hex admission
+    threshold."""
+    from mini_feature_store_spark.operators.sampling import (
+        target_mixture_sample,
+    )
+    from mini_feature_store_spark.operators.text import word_chunk_count
+
+    _utc(spark)
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.greatest(
+            word_chunk_count(F.col("text")), F.lit(0).cast("long")
+        ).alias("n_tokens"),
+    )
+    weights = {"src0": 0.2}
+    weights.update({f"src{i}": 0.8 / 19 for i in range(1, 20)})
+    kept = target_mixture_sample(
+        base, ["doc_id"], "source", weights, tokens_col="n_tokens"
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tokens").cast("long").alias("kept_tokens"),
+    )
+
+
 #: DoReMi knobs — a smaller bucket space than DSIR's (the proxy only
 #: has to rank domains, not score documents)
 _DOREMI_B = 2048
@@ -9391,6 +9460,7 @@ VERIFY_ORDER: list[str] = [
     # enforcement + NULL-score exclusion; gopher stop_hits init).
     "corpus_selection_manifest",
     "doc_doremi_excess_loss",
+    "doc_target_mixture_sample",
     "embedding_corpus_curate_exact",
     "embedding_corpus_curate",
     "doc_dsir_resample",
@@ -9441,7 +9511,6 @@ VERIFY_ORDER: list[str] = [
     "feature_snapshot_diff",
     "features_daily",
     "fuzzy_part_names",
-    "late_shipment_priority_counts",
     "local_supplier_volume",
     # ── below this line: not in the r13 driver window.
     # positions 51-63 — the rows-only DoReMi loop (round 1 pinned by
@@ -9449,6 +9518,7 @@ VERIFY_ORDER: list[str] = [
     # didn't fit; the r10 dozen lead
     # the r14 window (post-r13 ledger: nothing staler than r10).
     "doc_doremi_domain_weights",
+    "late_shipment_priority_counts",
     "min_cost_supplier",
     "nation_trade_volume",
     "nation_volume_shipping",

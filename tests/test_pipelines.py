@@ -1819,6 +1819,86 @@ def test_corpus_curate_selection_manifest_tie(spark, tmp_path):
     assert kept == {r.doc_id for r in admitted.select("doc_id").collect()}
 
 
+def test_corpus_curate_doremi_weighted_mixture_stage(spark, tmp_path):
+    """doremi-weights CLI → --mixture-weights-dir: the mixture stage
+    realizes the artifact's target shares via target_mixture_sample —
+    funnel and written set tie to the direct operator composition."""
+    from mini_feature_store_spark import cli
+    from mini_feature_store_spark.operators.sampling import (
+        target_mixture_sample,
+    )
+    from mini_feature_store_spark.pipelines.corpus_curate import (
+        CorpusCurationConfig,
+        run_corpus_curation,
+    )
+
+    prose = "the quick brown fox jumps over the lazy dog and the cat"
+    rows = [
+        (i, prose + f" english page number {i} extra", "en")
+        for i in range(24)
+    ] + [
+        (100 + i, f"der schnelle braune fuchs springt seite {i}", "de")
+        for i in range(6)
+    ]
+    inp = str(tmp_path / "docs")
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    )
+    docs.write.parquet(inp)
+    model = str(tmp_path / "doremi")
+    assert (
+        cli.main(
+            [
+                "doremi-weights",
+                "--input-path", inp,
+                "--output-dir", model,
+                "--domain-col", "lang",
+                "--n-buckets", "256",
+                "--rounds", "4",
+            ]
+        )
+        == 0
+    )
+
+    out = str(tmp_path / "clean")
+    funnel = run_corpus_curation(
+        spark,
+        CorpusCurationConfig(
+            input_path=inp,
+            output_path=out,
+            min_tokens=1,
+            min_quality=0.0,
+            jaccard_threshold=0.99,
+            mixture_strata_col="lang",
+            mixture_weights_dir=model,
+        ),
+    )
+    weights = {
+        r.domain: float(r.weight)
+        for r in spark.read.parquet(model + "/weights.parquet").collect()
+    }
+    direct = target_mixture_sample(docs, ["doc_id"], "lang", weights)
+    assert funnel["after_mixture"] == direct.count()
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept == {r.doc_id for r in direct.select("doc_id").collect()}
+    # the stage must BIND (the learned weights differ from natural
+    # shares, so some en docs drop)
+    assert funnel["after_mixture"] < funnel["input"] == 30
+
+    # config validation: weights dir without a stratum column
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mixture_weights_dir"):
+        run_corpus_curation(
+            spark,
+            CorpusCurationConfig(
+                input_path=inp,
+                output_path=out,
+                mixture_weights_dir=model,
+            ),
+        )
+
+
 def test_corpus_curate_mixture_validations(spark, tmp_path):
     from mini_feature_store_spark.pipelines.corpus_curate import (
         CorpusCurationConfig,

@@ -373,3 +373,139 @@ def test_upsample_epochs_per_row_rate_column(spark):
     )
     out = upsample_epochs(df, ["doc_id"], F.col("r"))
     assert out.count() == 50 * 2 + 50 * 1
+
+
+# ── target_mixture_sample (r13 — the DoReMi-weight consumer) ────────────────
+
+
+def _mixture_frame(spark):
+    # strata a:60, b:30, c:10 docs
+    rows = (
+        [(i, "a") for i in range(60)]
+        + [(100 + i, "b") for i in range(30)]
+        + [(200 + i, "c") for i in range(10)]
+    )
+    return spark.createDataFrame(rows, "doc_id long, s string")
+
+
+def test_target_mixture_bottleneck_kept_whole_and_proportions(spark):
+    from mini_feature_store_spark.operators.sampling import (
+        target_mixture_sample,
+    )
+
+    df = _mixture_frame(spark)
+    # target 1:1:1 → c = min(60/1, 30/1, 10/1) = 10 → kept ≈ 10 each;
+    # the bottleneck stratum (c) has rate exactly 1.0 → kept WHOLE
+    kept = target_mixture_sample(df, ["doc_id"], "s", {"a": 1, "b": 1, "c": 1})
+    by = {
+        r.s: r.cnt
+        for r in kept.groupBy("s").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert by["c"] == 10  # rate 1.0 short-circuits: deterministic, exact
+    # md5 admission is probabilistic per key: O(sqrt(n)) noise around 10
+    assert 4 <= by["a"] <= 17 and 4 <= by["b"] <= 17
+    # determinism
+    again = target_mixture_sample(
+        df, ["doc_id"], "s", {"a": 1, "b": 1, "c": 1}
+    )
+    assert {r.doc_id for r in kept.collect()} == {
+        r.doc_id for r in again.collect()
+    }
+
+
+def test_target_mixture_zero_weight_drops_and_null_stratum(spark):
+    from mini_feature_store_spark.operators.sampling import (
+        target_mixture_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (4, None)],
+        "doc_id long, s string",
+    )
+    kept = target_mixture_sample(
+        df, ["doc_id"], "s", {"a": 1.0, None: 0.0}
+    ).collect()
+    # NULL stratum weighted 0 → dropped; 'a' is the bottleneck → whole
+    assert {r.doc_id for r in kept} == {1, 2}
+
+
+def test_target_mixture_missing_stratum_fails_loud(spark):
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from mini_feature_store_spark.operators.sampling import (
+        target_mixture_sample,
+    )
+
+    df = _mixture_frame(spark)
+    out = target_mixture_sample(df, ["doc_id"], "s", {"a": 1.0, "b": 1.0})
+    with pytest.raises(
+        (Py4JJavaError, SparkRuntimeException),
+        match="missing from weights: c",
+    ):
+        out.collect()
+
+
+def test_target_mixture_validations(spark):
+    from mini_feature_store_spark.operators.sampling import (
+        target_mixture_sample,
+    )
+
+    df = _mixture_frame(spark)
+    with pytest.raises(ValueError, match="non-empty"):
+        target_mixture_sample(df, ["doc_id"], "s", {})
+    with pytest.raises(ValueError, match="finite non-negative"):
+        target_mixture_sample(df, ["doc_id"], "s", {"a": -0.1})
+    with pytest.raises(ValueError, match="at least one weight"):
+        target_mixture_sample(df, ["doc_id"], "s", {"a": 0.0, "b": 0})
+
+
+def test_target_mixture_uniform_weights_match_balanced_sampler(spark):
+    """With equal weights and doc-count masses the realized mixture is
+    exactly balanced_mixture_sample's (c = min_s m_s, rate_s = min/m_s)
+    — pinned set-equal, since both ride the same md5 predicate."""
+    from mini_feature_store_spark.operators.sampling import (
+        balanced_mixture_sample,
+        target_mixture_sample,
+    )
+
+    df = _mixture_frame(spark)
+    a = {
+        r.doc_id
+        for r in target_mixture_sample(
+            df, ["doc_id"], "s", {"a": 1, "b": 1, "c": 1}
+        ).collect()
+    }
+    b = {
+        r.doc_id
+        for r in balanced_mixture_sample(df, ["doc_id"], "s").collect()
+    }
+    assert a == b
+
+
+def test_target_mixture_token_mass(spark):
+    """tokens_col masses: a stratum of few huge docs is the bottleneck
+    when weighed by tokens even though it has the fewest docs."""
+    from mini_feature_store_spark.operators.sampling import (
+        target_mixture_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "small", 1) for i in range(50)]
+        + [(100 + i, "huge", 100) for i in range(5)],
+        "doc_id long, s string, n long",
+    )
+    # equal token-share targets: masses are 50 vs 500 → 'small' is the
+    # bottleneck (50/1 < 500/1) → kept whole; 'huge' down-samples to
+    # rate 0.1 in token mass
+    kept = target_mixture_sample(
+        df, ["doc_id"], "s", {"small": 1, "huge": 1}, tokens_col="n"
+    )
+    by = {
+        r.s: (r.cnt, r.toks)
+        for r in kept.groupBy("s")
+        .agg(F.count("*").alias("cnt"), F.sum("n").alias("toks"))
+        .collect()
+    }
+    assert by["small"] == (50, 50)  # bottleneck kept whole
+    assert by.get("huge", (0, 0))[1] <= 300  # ~50 expected token mass
