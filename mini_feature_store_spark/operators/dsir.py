@@ -294,6 +294,21 @@ def save_dsir_weights(
     )
 
 
+def load_dsir_weight_list(
+    spark, model_dir: str
+) -> tuple[list[float], int, int]:
+    """``(weights_by_bucket, n_buckets, max_order)`` — the artifact as a
+    dense Python list indexed by bucket, for the stateless column
+    scorer (``dsir_score_column``). Bounded collect by construction
+    (exactly n_buckets rows; density validated by
+    ``load_dsir_weights``)."""
+    df, n_buckets, max_order = load_dsir_weights(spark, model_dir)
+    out = [0.0] * n_buckets
+    for r in df.collect():
+        out[int(r["bucket"])] = float(r["weight"])
+    return out, n_buckets, max_order
+
+
 def load_dsir_weights(spark, model_dir: str) -> tuple[DataFrame, int, int]:
     """Load ``(weights_df, n_buckets, max_order)`` written by
     ``save_dsir_weights``; validates the table is dense (exactly
@@ -316,6 +331,69 @@ def load_dsir_weights(spark, model_dir: str) -> tuple[DataFrame, int, int]:
             f"n_buckets={n_buckets}"
         )
     return df.select("bucket", "weight"), n_buckets, max_order
+
+
+def dsir_score_column(
+    col: Column, weights: list[float], *, max_order: int = 2
+) -> Column:
+    """STATELESS per-row DSIR log importance — the scoring model as one
+    column expression, for surfaces where the explode+aggregate shape of
+    ``dsir_score_with_weights`` can't run (streaming micro-batches
+    without state, inline gates inside another projection).
+
+    Because the weight table is DENSE by construction (one weight per
+    bucket 0..B−1), it embeds as a single ``array<double>`` LITERAL and
+    per-gram lookup is ``element_at`` — higher-order functions do the
+    gram fan-out inside the row, so the expression is pure codegen
+    column arithmetic: no explode, no shuffle, no state store, no
+    Python. ``weights`` must be the artifact's weight list indexed by
+    bucket (``load_dsir_weights`` + an ORDER BY bucket collect — B
+    values, bounded by construction).
+
+    Pinned equal to the batch scorer at the shared scale-4 rounding by
+    ``tests/test_dsir.py`` (the two sum the same scale-8 fixed-point
+    weights, only in different orders — sub-rounding noise).
+    NULL/empty text scores the weight-neutral 0.0, mirroring the batch
+    scorer's sentinel contract."""
+    n_buckets = len(weights)
+    if n_buckets == 0:
+        raise ValueError("dsir_score_column: weights must be non-empty")
+    arr = F.lit([float(w) for w in weights])
+    toks = F.coalesce(
+        _tokens(normalize(col)), F.array().cast("array<string>")
+    )
+    # Spark's sequence(1, 0) infers step -1 and yields [1, 0] — guard
+    # the gram-less case explicitly (the _bucketed_grams discipline)
+    positions = F.when(
+        F.size(toks) >= 1, F.sequence(F.lit(1), F.size(toks))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.flatten(
+        F.transform(
+            positions,
+            lambda i: F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.least(
+                        F.lit(max_order), F.size(toks) - i + F.lit(1)
+                    ),
+                ),
+                lambda k: F.array_join(F.slice(toks, i, k), " "),
+            ),
+        )
+    )
+    bucket_ix = lambda g: (  # noqa: E731 — shared by both folds
+        F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
+        % F.lit(n_buckets)
+        + F.lit(1)
+    ).cast("int")
+    return round_half_up(
+        F.aggregate(
+            grams,
+            F.lit(0.0),
+            lambda acc, g: acc + F.element_at(arr, bucket_ix(g)),
+        ),
+        4,
+    )
 
 
 def dsir_resample(

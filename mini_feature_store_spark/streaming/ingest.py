@@ -403,6 +403,56 @@ def quality_gated_stream(
     )
 
 
+def dsir_gated_stream(
+    stream: DataFrame,
+    model_dir: str,
+    min_log_weight: float = 0.0,
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR selection gate on a STREAMING source — the steady-state
+    crawl-ingest shape of the DSIR tier (Xie et al. 2023): score every
+    incoming document's log importance under a FROZEN ``dsir-train``
+    artifact and keep docs at/above ``min_log_weight`` (train once
+    offline on target-vs-crawl, apply per micro-batch forever — the
+    production split, exactly like ``quality_gated_stream``'s
+    classifier).
+
+    Streaming-safe by construction: the dense weight table embeds as
+    one array literal and the gram fan-out runs INSIDE each row
+    (``dsir.py:dsir_score_column`` — higher-order functions, no
+    explode, no aggregation), so the gate is a stateless map-only
+    ``withColumn`` + filter: no watermark, no state store, composable
+    upstream of any ingest sink, e.g.
+    ``incremental_dedup_stream(dsir_gated_stream(s, dir), ...)``.
+
+    Note the threshold semantics: batch DSIR resampling selects a
+    FIXED-SIZE top-k (``dsir_resample``), which has no streaming
+    analog — a stream admits by THRESHOLD on the same log-weight score
+    (pick it offline, e.g. the batch run's admitted-set minimum or an
+    ``approx_percentile`` of a calibration batch). The returned frame
+    keeps every input column plus ``dsir_log_weight`` for
+    observability (that name must be free — asserted)."""
+    from mini_feature_store_spark.operators.dsir import (
+        dsir_score_column,
+        load_dsir_weight_list,
+    )
+
+    if "dsir_log_weight" in stream.columns:
+        raise ValueError(
+            "dsir_gated_stream adds a 'dsir_log_weight' column; the "
+            "input stream already has one — rename it upstream"
+        )
+    weights, _nb, max_order = load_dsir_weight_list(
+        stream.sparkSession, model_dir
+    )
+    score = dsir_score_column(
+        F.col(text_col), weights, max_order=max_order
+    )
+    return stream.withColumn("dsir_log_weight", score).where(
+        F.col("dsir_log_weight") >= F.lit(min_log_weight)
+    )
+
+
 def incremental_dedup_stream(
     stream: DataFrame,
     admitted_path: str,

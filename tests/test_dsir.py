@@ -332,3 +332,72 @@ def test_load_dsir_weights_rejects_truncated(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="not dense"):
         load_dsir_weights(spark, model)
+
+
+def test_score_column_matches_batch_scorer(spark, tmp_path):
+    """The stateless column scorer (array-literal weight lookup inside
+    the row — the streaming-gate form) equals the batch
+    explode+aggregate scorer at the shared scale-4 rounding."""
+    from pyspark.sql import functions as F
+
+    from mini_feature_store_spark.operators.dsir import (
+        dsir_bucket_weights,
+        dsir_score_column,
+        dsir_score_with_weights,
+        load_dsir_weight_list,
+        save_dsir_weights,
+    )
+
+    tgt, raw = _frames(spark)
+    w = dsir_bucket_weights(tgt, raw, n_buckets=B)
+    model = str(tmp_path / "m")
+    save_dsir_weights(w, model, n_buckets=B, max_order=2)
+    wl, nb, mo = load_dsir_weight_list(spark, model)
+    assert nb == B and len(wl) == B
+    batch = {
+        r.doc_id: r.log_weight
+        for r in dsir_score_with_weights(
+            w, raw, n_buckets=B, max_order=mo
+        ).collect()
+    }
+    inline = {
+        r.doc_id: r.lw
+        for r in raw.select(
+            "doc_id",
+            dsir_score_column(F.col("text"), wl, max_order=mo).alias(
+                "lw"
+            ),
+        ).collect()
+    }
+    assert set(inline) == set(batch)
+    for d in batch:
+        assert inline[d] == pytest.approx(batch[d], abs=1e-12), d
+    # gram-less docs (whitespace-only) score the weight-neutral 0.0
+    assert inline[4] == 0.0
+
+
+def test_score_column_is_shuffle_free(spark, tmp_path):
+    """The column scorer's plan must be scan+project only — no
+    exchange, no generate (the property that makes it streaming-safe)."""
+    from pyspark.sql import functions as F
+
+    from mini_feature_store_spark.operators.dsir import (
+        dsir_bucket_weights,
+        dsir_score_column,
+        save_dsir_weights,
+        load_dsir_weight_list,
+    )
+
+    tgt, raw = _frames(spark)
+    model = str(tmp_path / "m")
+    save_dsir_weights(
+        dsir_bucket_weights(tgt, raw, n_buckets=B), model,
+        n_buckets=B, max_order=2,
+    )
+    wl, _, mo = load_dsir_weight_list(spark, model)
+    df = raw.select(
+        "doc_id", dsir_score_column(F.col("text"), wl, max_order=mo)
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Generate" not in plan

@@ -788,3 +788,81 @@ def test_quality_prob_column_equals_batch_scorer(spark):
         ).collect()
     }
     assert batch == inline
+
+
+def test_dsir_gated_stream(spark, tmp_path):
+    """Stateless DSIR gate on a stream: train the weight table offline
+    (dsir-train artifact), admit by log-weight threshold per
+    micro-batch — target-like docs pass, junk drops, payload columns
+    survive, and the plan needs no state store (the score is an
+    array-literal lookup inside the row)."""
+    import glob
+    import shutil
+    import tempfile
+
+    from mini_feature_store_spark.operators.dsir import (
+        dsir_bucket_weights,
+        dsir_score_with_weights,
+        save_dsir_weights,
+    )
+    from mini_feature_store_spark.streaming.ingest import dsir_gated_stream
+
+    prose = "the curated target corpus speaks plainly and in prose"
+    junk = "zz xq jkl noise tokens qqq blob"
+    tgt = spark.createDataFrame(
+        [(i, prose + f" page {i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [(10 + i, prose + f" copy {i}") for i in range(6)]
+        + [(50 + i, junk + f" {i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    w = dsir_bucket_weights(tgt, raw, n_buckets=256)
+    model_dir = str(tmp_path / "dsir")
+    save_dsir_weights(w, model_dir, n_buckets=256, max_order=2)
+
+    # threshold between the two score populations, picked from the
+    # batch scorer (the documented offline-calibration step)
+    scores = {
+        r.doc_id: r.log_weight
+        for r in dsir_score_with_weights(w, raw, n_buckets=256).collect()
+    }
+    thr = (
+        max(v for d, v in scores.items() if d >= 50)
+        + min(v for d, v in scores.items() if d < 50)
+    ) / 2.0
+
+    doc_schema = "doc_id long, text string, source string"
+    stream_path = str(tmp_path / "docs_stream")
+    os.makedirs(stream_path, exist_ok=True)
+    with tempfile.TemporaryDirectory() as staging:
+        out = os.path.join(staging, "out")
+        spark.createDataFrame(
+            [
+                (1, prose + " fresh batch", "a"),
+                (2, junk + " fresh", "b"),
+                (3, "", "c"),  # gram-less: scores 0.0
+            ],
+            doc_schema,
+        ).coalesce(1).write.parquet(out)
+        (part,) = glob.glob(os.path.join(out, "part-*.parquet"))
+        shutil.copy(part, os.path.join(stream_path, "d1.parquet"))
+
+    stream = spark.readStream.schema(doc_schema).parquet(stream_path)
+    gated = dsir_gated_stream(stream, model_dir, min_log_weight=thr)
+    assert gated.isStreaming
+    _run_to_memory(gated, "dsir_gated")
+    rows = spark.sql(
+        "SELECT doc_id, source, dsir_log_weight FROM dsir_gated"
+    ).collect()
+    kept = sorted(r.doc_id for r in rows)
+    assert 1 in kept and 2 not in kept
+    assert all(r.dsir_log_weight >= thr for r in rows)
+    # collision guard
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="dsir_log_weight"):
+        dsir_gated_stream(
+            stream.withColumn("dsir_log_weight", F.lit(0.0)), model_dir
+        )
