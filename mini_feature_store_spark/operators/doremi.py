@@ -139,7 +139,6 @@ def doremi_excess_loss(
     )
     wd = Window.partitionBy("domain")
     wall = Window.partitionBy()
-    wb = Window.partitionBy("bucket")
     # exact integer fixed-point normalized frequency: DECIMAL(38,0)
     # keeps cnt·10¹² exact (BIGINT would overflow past cnt ≈ 9.2e6),
     # `div` is integral division on both engines
@@ -150,23 +149,13 @@ def doremi_excess_loss(
     base = counts.withColumn(
         "_t", F.sum("cnt").over(wd)
     ).withColumn("_f", f)
-    scored = base.select(
-        "domain",
-        "bucket",
-        "cnt",
-        "_t",
-        # uniform-mixture proxy: equal-weight blend of per-domain
-        # normalized frequencies (summing f is the same distribution
-        # as averaging — the normalizer absorbs the D factor)
-        F.sum("_f").over(wb).alias("_s"),
-        # proportional reference: raw corpus counts
-        F.sum("cnt").over(wb).alias("_r"),
-    )
-    # model totals over the bounded table: Σ_b S_b needs each bucket
-    # ONCE, so aggregate the distinct per-bucket rows
+    # per-bucket model counts: ONE aggregate over the bounded table —
+    # the uniform-mixture proxy sums the per-domain normalized
+    # frequencies (same distribution as averaging: the normalizer
+    # absorbs the D factor), the proportional reference sums raw counts
     model = (
-        scored.groupBy("bucket")
-        .agg(F.first("_s").alias("_s"), F.first("_r").alias("_r"))
+        base.groupBy("bucket")
+        .agg(F.sum("_f").alias("_s"), F.sum("cnt").alias("_r"))
         .select(
             "bucket",
             "_s",
@@ -185,7 +174,7 @@ def doremi_excess_loss(
         )
     )
     per_dom = (
-        scored.select("domain", "bucket", "cnt", "_t")
+        base.select("domain", "bucket", "cnt", "_t")
         .join(model, "bucket")
         .groupBy("domain")
         .agg(
@@ -240,9 +229,12 @@ def doremi_domain_weights(
     "per_round": [[α...]...]}``. Raises ``ValueError`` on an empty
     corpus or fewer than two domains (the mixture is degenerate).
 
-    The round-1 quantities are pinned EXACTLY against the oracled
-    ``doremi_excess_loss`` (same integer fixed-point frequencies, same
-    scale-8 logs) by test; the iterative tail is engine-divergent float
+    Rounding discipline: per-domain NLLs are quantized at scale 4
+    (``round_half_up_py`` — the identical quantity the oracled
+    companion emits) and per-bucket log probs at scale 8 in EVERY
+    round, so round 1's excess ties EXACTLY to ``doremi_excess_loss``
+    (pinned by test) and later rounds stay deterministic given the
+    counts; the α updates themselves (exp / renormalize) are float
     work, so the registry gate for the full loop is rows-only — the
     EM-trainer/GD-classifier precedent."""
     if rounds < 1:
@@ -258,7 +250,12 @@ def doremi_domain_weights(
     ).collect()  # bounded: ≤ D·B rows by construction
     if not rows:
         raise ValueError("doremi_domain_weights: corpus has no grams")
-    domains = sorted({r["domain"] for r in rows})
+    # NULL domain is a first-class stratum (the sampling-tier contract)
+    # — None-safe sort keeps it deterministic, and the returned dicts
+    # keep the None key, which target_mixture_sample accepts directly
+    domains = sorted(
+        {r["domain"] for r in rows}, key=lambda d: (d is None, d or "")
+    )
     if len(domains) < 2:
         raise ValueError(
             "doremi_domain_weights: need >= 2 domains, got "
@@ -283,14 +280,18 @@ def doremi_domain_weights(
             r_counts[b] = r_counts.get(b, 0) + cnt
     r_tot = sum(r_counts.values())
 
-    def _round8(x: float) -> float:
-        return math.floor(x * 1e8 + 0.5) / 1e8
+    from mini_feature_store_spark.functions import round_half_up_py
 
     def _nll(i: int, w: dict[int, float]) -> float:
-        return -sum(cnt * w[b] for b, cnt in c[i].items()) / T[i]
+        # rounded at scale 4 — the SAME quantity doremi_excess_loss
+        # emits, so excess values (differences of rounded NLLs) tie
+        # exactly to the oracled companion at round 1
+        return round_half_up_py(
+            -sum(cnt * w[b] for b, cnt in c[i].items()) / T[i], 4
+        )
 
     w_ref = {
-        b: _round8(math.log((cnt + 1) / (r_tot + n_buckets)))
+        b: round_half_up_py(math.log((cnt + 1) / (r_tot + n_buckets)), 8)
         for b, cnt in r_counts.items()
     }
     nll_ref = [_nll(i, w_ref) for i in range(D)]
@@ -309,11 +310,14 @@ def doremi_domain_weights(
                 s[b] = s.get(b, 0.0) + a * fv
         s_tot = sum(s.values())
         w_mix = {
-            b: _round8(math.log((sv + 1) / (s_tot + n_buckets)))
+            b: round_half_up_py(
+                math.log((sv + 1) / (s_tot + n_buckets)), 8
+            )
             for b, sv in s.items()
         }
         excess = [
-            max(0.0, _nll(i, w_mix) - nll_ref[i]) for i in range(D)
+            round_half_up_py(max(0.0, _nll(i, w_mix) - nll_ref[i]), 4)
+            for i in range(D)
         ]
         if excess_r1 is None:
             excess_r1 = list(excess)

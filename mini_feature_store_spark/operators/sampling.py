@@ -215,6 +215,41 @@ def balanced_mixture_sample(
     return temperature_mixture_sample(df, keys, strata_col, alpha=0.0)
 
 
+#: sentinel shadow key for NULL strata — the ONE definition every
+#: stratum-rate sampler (temperature / balanced / target) shares
+_NULL_STRATUM = "\x00<null-stratum>"
+
+
+def _stratum_tagged(df: DataFrame, strata_col: str) -> DataFrame:
+    """Input tagged with the null-coalesced shadow stratum key ``_sk``
+    (a plain equi-join on the raw stratum column would silently DROP
+    all NULL-stratum rows while their group still sets rates)."""
+    return df.withColumn(
+        "_sk",
+        F.coalesce(F.col(strata_col).cast("string"), F.lit(_NULL_STRATUM)),
+    )
+
+
+def _stratum_mass(tokens_col: str | None):
+    """Per-stratum mass aggregate: document count, or token mass
+    (NULL counts weigh 0; clamped ≥ 1 so an all-empty stratum keeps a
+    defined rate) — shared by every stratum-rate sampler."""
+    if tokens_col is None:
+        return F.count(F.lit(1))
+    return F.greatest(
+        F.sum(F.coalesce(F.col(tokens_col), F.lit(0))), F.lit(1)
+    )
+
+
+def _admit_by_stratum_rate(tagged, keys, rates) -> DataFrame:
+    """Shared sampler tail: unhinted rate join (AQE broadcasts while
+    the stratum count allows) + md5 admission + working-column drop."""
+    joined = tagged.join(rates, "_sk")
+    return weighted_hash_sample(joined, list(keys), F.col("_rate")).drop(
+        "_rate", "_sk"
+    )
+
+
 def temperature_mixture_sample(
     df: DataFrame,
     keys: list[str] | tuple[str, ...],
@@ -263,18 +298,10 @@ def temperature_mixture_sample(
     """
     if not 0.0 <= alpha <= 1.0:
         raise ValueError(f"alpha must be in [0, 1], got {alpha}")
-    sk = F.coalesce(
-        F.col(strata_col).cast("string"), F.lit("\x00<null-stratum>")
+    tagged = _stratum_tagged(df, strata_col)
+    counts = tagged.groupBy("_sk").agg(
+        _stratum_mass(tokens_col).alias("_n")
     )
-    tagged = df.withColumn("_sk", sk)
-    mass = (
-        F.count(F.lit(1))
-        if tokens_col is None
-        else F.greatest(
-            F.sum(F.coalesce(F.col(tokens_col), F.lit(0))), F.lit(1)
-        )
-    )
-    counts = tagged.groupBy("_sk").agg(mass.alias("_n"))
     w = Window.partitionBy(F.lit(0))
     ratio = F.min("_n").over(w).cast("double") / F.col("_n")
     if alpha == 0.5:
@@ -286,10 +313,7 @@ def temperature_mixture_sample(
     else:
         rate = F.pow(ratio, F.lit(1.0 - alpha))
     rates = counts.select("_sk", rate.alias("_rate"))
-    joined = tagged.join(rates, "_sk")
-    return weighted_hash_sample(joined, list(keys), F.col("_rate")).drop(
-        "_rate", "_sk"
-    )
+    return _admit_by_stratum_rate(tagged, keys, rates)
 
 
 def target_mixture_sample(
@@ -338,21 +362,14 @@ def target_mixture_sample(
         raise ValueError(
             "target_mixture_sample: at least one weight must be positive"
         )
-    null_key = "\x00<null-stratum>"
-    sk = F.coalesce(F.col(strata_col).cast("string"), F.lit(null_key))
-    tagged = df.withColumn("_sk", sk)
-    mass = (
-        F.count(F.lit(1))
-        if tokens_col is None
-        else F.greatest(
-            F.sum(F.coalesce(F.col(tokens_col), F.lit(0))), F.lit(1)
-        )
+    tagged = _stratum_tagged(df, strata_col)
+    masses = tagged.groupBy("_sk").agg(
+        _stratum_mass(tokens_col).alias("_m")
     )
-    masses = tagged.groupBy("_sk").agg(mass.alias("_m"))
     spark = df.sparkSession
     wdf = spark.createDataFrame(
         [
-            (null_key if k is None else str(k), float(v))
+            (_NULL_STRATUM if k is None else str(k), float(v))
             for k, v in weights.items()
         ],
         "_sk string, _w double",
@@ -386,10 +403,7 @@ def target_mixture_sample(
     rates = masses.join(wdf, "_sk", "left").select(
         "_sk", rate.alias("_rate")
     )
-    joined = tagged.join(rates, "_sk")
-    return weighted_hash_sample(joined, list(keys), F.col("_rate")).drop(
-        "_rate", "_sk"
-    )
+    return _admit_by_stratum_rate(tagged, keys, rates)
 
 
 def upsample_epochs(

@@ -216,3 +216,29 @@ def test_doremi_weights_cli_artifact(spark, tmp_path):
     for d in got:
         assert got[d][0] == pytest.approx(art["weights"][d], abs=1e-12)
         assert got[d][1] == art["n_grams"][d]
+
+
+def test_null_domain_is_first_class(spark):
+    """A NULL domain is a stratum like any other (the sampling-tier
+    contract): the loop neither crashes nor drops it, and the returned
+    dict keeps the None key — which target_mixture_sample accepts
+    directly (the weight-artifact consumer path)."""
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox and the lazy dog", "a"),
+            (2, "the quick brown fox and the lazy dog too", "a"),
+            (3, "zz xq jkl noise tokens qqq blob", None),
+            (4, "zz xq jkl noise strings qqq blob", None),
+        ],
+        "doc_id long, text string, source string",
+    )
+    art = doremi_domain_weights(df, n_buckets=B, rounds=3)
+    assert set(art["domains"]) == {"a", None}
+    assert sum(art["weights"].values()) == pytest.approx(1.0, abs=1e-9)
+    # composes with the weight consumer without key translation
+    from mini_feature_store_spark.operators.sampling import (
+        target_mixture_sample,
+    )
+
+    kept = target_mixture_sample(df, ["doc_id"], "source", art["weights"])
+    assert kept.count() >= 2

@@ -164,3 +164,61 @@ class TestLmStrategyProperties:
             ).collect()
         }
         assert pos_r == typ_r
+
+
+class TestDsirThresholdSelection:
+    """Property: _gumbel_topk's threshold selection equals the full
+    sort's top-k SET for arbitrary importance frames and budgets —
+    including adversarial mass ties at a single rounded key (the case
+    the margin-doubling retry exists for)."""
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        weights=st.lists(
+            st.one_of(
+                st.floats(
+                    min_value=-50.0,
+                    max_value=50.0,
+                    allow_nan=False,
+                    allow_infinity=False,
+                ),
+                st.just(0.0),  # boost tie mass at the rounded key
+            ),
+            min_size=3,
+            max_size=120,
+        ),
+        k_frac=st.floats(min_value=0.01, max_value=0.99),
+        seed=st.integers(min_value=0, max_value=3),
+    )
+    def test_threshold_topk_equals_full_sort(self, sp, weights, k_frac, seed):
+        import hashlib
+        import math
+
+        from mini_feature_store_spark.operators.dsir import _gumbel_topk
+
+        n = len(weights)
+        k = max(1, int(n * k_frac))
+        imp = sp.createDataFrame(
+            [(i, 1, float(w)) for i, w in enumerate(weights)],
+            "doc_id long, n_features long, log_weight double",
+        )
+        got = {
+            r.doc_id
+            for r in _gumbel_topk(
+                imp, k, seed=seed, id_col="doc_id"
+            ).collect()
+        }
+
+        def key(i, w):
+            h = int(
+                hashlib.md5(f"{i}|{seed}".encode()).hexdigest()[:8], 16
+            )
+            u = (h + 0.5) / 4294967296.0
+            g = -math.log(-math.log(u))
+            return math.floor((w + g) * 1e4 + 0.5) / 1e4
+
+        ranked = sorted(
+            ((i, key(i, w)) for i, w in enumerate(weights)),
+            key=lambda t: (-t[1], t[0]),
+        )
+        assert got == {i for i, _ in ranked[:k]}, (n, k, seed)
