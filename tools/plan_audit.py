@@ -902,6 +902,17 @@ AUDITED: dict[str, str] = {
         "selected-id join; every TakeOrderedAndProject limit << k; the "
         "weight-table joins broadcast by construction."
     ),
+    "doc_classifier_eval": (
+        "Exact tie-aware AUC + confusion/PR (r12; r13 enforces the "
+        "bounded-score contract INSIDE the operator): scores round to "
+        "scale-4 fixed point and NULL scores drop before the ONE "
+        "map-side-combined aggregate keyed by the quantized score, so "
+        "the grouped table is <= 10^4+1 rows BY CONSTRUCTION and the "
+        "rank-sum window runs over that bounded table — never a "
+        "corpus-wide sort, whatever a caller passes. Check: one "
+        "corpus-side exchange (the score-group aggregate); the Window "
+        "input is the bounded grouped table."
+    ),
     "doc_doremi_excess_loss": (
         "DoReMi round-1 signal (r13): ONE corpus scan collapses in a "
         "map-side-combined (domain, bucket) aggregate (<= D*B rows by "
