@@ -193,7 +193,16 @@ def build_parser() -> argparse.ArgumentParser:
         "--dsir-model-dir", default=None,
         help="score the DSIR stage under a frozen dsir-train artifact "
         "(weights.parquet) instead of refitting from --dsir-target-path "
-        "(mutually exclusive with it; still needs --dsir-keep)",
+        "(mutually exclusive with it; needs --dsir-keep or "
+        "--dsir-min-log-weight)",
+    )
+    cc.add_argument(
+        "--dsir-min-log-weight", type=float, default=None,
+        help="DSIR threshold admission instead of the fixed-size "
+        "resample (mutually exclusive with --dsir-keep): keep docs "
+        "whose log importance is at/above this value — the batch twin "
+        "of the streaming DSIR gate, scored by the stateless "
+        "zero-shuffle column form",
     )
     cc.add_argument(
         "--lm-reference-path", default=None,
@@ -616,6 +625,7 @@ def main(argv: list[str] | None = None) -> int:
                     dsir_keep=args.dsir_keep,
                     dsir_seed=args.dsir_seed,
                     dsir_model_dir=args.dsir_model_dir,
+                    dsir_min_log_weight=args.dsir_min_log_weight,
                     lm_reference_path=args.lm_reference_path,
                     lm_max_nll=args.lm_max_nll,
                     lm_order=args.lm_order,

@@ -19,7 +19,10 @@ One command takes a raw document corpus to a training-ready one:
 1a'. DSIR select (opt.)    operators/dsir.py:dsir_resample — importance
                            resampling against a curated target corpus
                            (``dsir_target_path`` / ``dsir_keep``;
-                           Xie et al. 2023)
+                           Xie et al. 2023), or threshold admission via
+                           the stateless column scorer
+                           (``dsir_min_log_weight`` — the streaming-gate
+                           twin)
 1b. LM filter (optional)   operators/text.py:bigram_lm_score — CCNet's
                            perplexity gate against a reference corpus
                            (``lm_reference_path`` / ``lm_max_nll``)
@@ -111,6 +114,12 @@ class CorpusCurationConfig:
     #: dir (weights.parquet) — score incrementally under frozen weights
     #: instead of refitting both bag models per run
     dsir_model_dir: str | None = None
+    #: alternative to ``dsir_keep``: admit by log-weight THRESHOLD
+    #: instead of a fixed-size resample — the batch twin of
+    #: ``streaming/ingest.py:dsir_gated_stream`` (calibrate the
+    #: threshold offline, e.g. a batch run's admitted-set minimum);
+    #: scoring is the stateless zero-shuffle column form
+    dsir_min_log_weight: float | None = None
     #: when set, a CCNet-style LM quality stage runs after the quality
     #: gate: docs scoring above ``lm_max_nll`` average bigram NLL under
     #: an add-1 model trained on THIS reference parquet are dropped
@@ -222,12 +231,21 @@ def run_corpus_curation(
             "only decides how bins are SIZED, the capacity enables the "
             "stage"
         )
-    if (
+    _dsir_on = (
         cfg.dsir_target_path is not None or cfg.dsir_model_dir is not None
-    ) and (cfg.dsir_keep is None or cfg.dsir_keep <= 0):
+    )
+    if _dsir_on and cfg.dsir_keep is not None and cfg.dsir_min_log_weight is not None:
         raise ValueError(
-            "the DSIR stage requires a positive dsir_keep — DSIR "
-            "selects a fixed-size resample, not a filter"
+            "dsir_keep and dsir_min_log_weight are mutually exclusive — "
+            "fixed-size resample OR threshold admission, not both"
+        )
+    if _dsir_on and cfg.dsir_min_log_weight is None and (
+        cfg.dsir_keep is None or cfg.dsir_keep <= 0
+    ):
+        raise ValueError(
+            "the DSIR stage requires a positive dsir_keep (fixed-size "
+            "resample) or a dsir_min_log_weight (threshold admission, "
+            "the streaming-gate twin)"
         )
     if cfg.dsir_target_path is not None and cfg.dsir_model_dir is not None:
         raise ValueError(
@@ -239,13 +257,14 @@ def run_corpus_curation(
     # mistyped --dsir-target-path flag must not yield an output that was
     # never DSIR-selected (same both-directional discipline as the
     # pack_tokenizer_dir / pack_max_tokens pair)
-    if cfg.dsir_keep is not None and (
-        cfg.dsir_target_path is None and cfg.dsir_model_dir is None
-    ):
+    if (
+        cfg.dsir_keep is not None or cfg.dsir_min_log_weight is not None
+    ) and not _dsir_on:
         raise ValueError(
-            "dsir_keep is set but neither dsir_target_path nor "
-            "dsir_model_dir is — the DSIR stage needs a target corpus "
-            "or a frozen dsir-train artifact to score under"
+            "dsir_keep / dsir_min_log_weight is set but neither "
+            "dsir_target_path nor dsir_model_dir is — the DSIR stage "
+            "needs a target corpus or a frozen dsir-train artifact to "
+            "score under"
         )
     if cfg.lm_reference_path is not None and cfg.lm_order not in (2, 3, 4, 5):
         raise ValueError(
@@ -362,7 +381,41 @@ def run_corpus_curation(
         funnel["after_quality_clf"] = admitted.count()
         prev.unpersist()
 
-    if cfg.dsir_target_path is not None or cfg.dsir_model_dir is not None:
+    if (
+        cfg.dsir_target_path is not None or cfg.dsir_model_dir is not None
+    ) and cfg.dsir_min_log_weight is not None:
+        # threshold admission — the batch twin of dsir_gated_stream:
+        # score with the stateless zero-shuffle column form and filter;
+        # no resample, no probe jobs, ONE scan
+        from mini_feature_store_spark.operators.dsir import (
+            dsir_bucket_weights,
+            dsir_score_column,
+            load_dsir_weight_list,
+        )
+
+        if cfg.dsir_model_dir is not None:
+            wl, _nb, mo = load_dsir_weight_list(spark, cfg.dsir_model_dir)
+        else:
+            nb, mo = 8192, 2
+            wdf = dsir_bucket_weights(
+                spark.read.parquet(cfg.dsir_target_path),
+                admitted,
+                text_col=cfg.text_col,
+                n_buckets=nb,
+                max_order=mo,
+            )
+            wl = [0.0] * nb
+            # dense by construction: exactly nb rows (bounded collect)
+            for r in wdf.collect():
+                wl[int(r["bucket"])] = float(r["weight"])
+        score = dsir_score_column(F.col(cfg.text_col), wl, max_order=mo)
+        prev = admitted
+        admitted = admitted.where(
+            score >= F.lit(float(cfg.dsir_min_log_weight))
+        ).persist()
+        funnel["after_dsir_select"] = admitted.count()
+        prev.unpersist()
+    elif cfg.dsir_target_path is not None or cfg.dsir_model_dir is not None:
         if cfg.dsir_model_dir is not None:
             from mini_feature_store_spark.operators.dsir import (
                 dsir_resample_with_weights,

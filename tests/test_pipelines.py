@@ -1819,6 +1819,110 @@ def test_corpus_curate_selection_manifest_tie(spark, tmp_path):
     assert kept == {r.doc_id for r in admitted.select("doc_id").collect()}
 
 
+def test_corpus_curate_dsir_threshold_mode(spark, tmp_path):
+    """--dsir-min-log-weight: threshold admission (the streaming-gate
+    twin) — the admitted set is exactly the docs the batch scorer puts
+    at/above the threshold, under a frozen artifact AND with in-line
+    training; dsir_keep and the threshold are mutually exclusive."""
+    import pytest as _pytest
+
+    from mini_feature_store_spark import cli
+    from mini_feature_store_spark.operators.dsir import (
+        dsir_bucket_weights,
+        dsir_score_with_weights,
+    )
+    from mini_feature_store_spark.pipelines.corpus_curate import (
+        CorpusCurationConfig,
+        run_corpus_curation,
+    )
+
+    prose = "the curated target corpus speaks plainly and in prose"
+    junk = "zz xq jkl noise tokens qqq blob of junk"
+    rows = [(i, prose + f" page {i}") for i in range(8)] + [
+        (50 + i, junk + f" {i}") for i in range(8)
+    ]
+    inp = str(tmp_path / "docs")
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs.write.parquet(inp)
+    target_path = str(tmp_path / "target")
+    spark.createDataFrame(
+        [(100 + i, prose + " curated") for i in range(3)],
+        "doc_id long, text string",
+    ).write.parquet(target_path)
+    model = str(tmp_path / "dsir")
+    assert (
+        cli.main(
+            [
+                "dsir-train",
+                "--target-path", target_path,
+                "--raw-path", inp,
+                "--output-dir", model,
+                "--n-buckets", "512",
+            ]
+        )
+        == 0
+    )
+    # calibrate the threshold between the two score populations from
+    # the batch scorer (the documented offline step)
+    w = dsir_bucket_weights(
+        spark.read.parquet(target_path), docs, n_buckets=512
+    )
+    scores = {
+        r.doc_id: r.log_weight
+        for r in dsir_score_with_weights(w, docs, n_buckets=512).collect()
+    }
+    thr = (
+        max(v for d, v in scores.items() if d >= 50)
+        + min(v for d, v in scores.items() if d < 50)
+    ) / 2.0
+    expected = {d for d, v in scores.items() if v >= thr}
+    assert expected == set(range(8))  # prose above, junk below
+
+    out = str(tmp_path / "clean")
+    funnel = run_corpus_curation(
+        spark,
+        CorpusCurationConfig(
+            input_path=inp,
+            output_path=out,
+            min_tokens=1,
+            min_quality=0.0,
+            jaccard_threshold=0.99,
+            dsir_model_dir=model,
+            dsir_min_log_weight=thr,
+        ),
+    )
+    assert funnel["after_dsir_select"] == len(expected)
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept == expected
+
+    # in-line training variant admits the same set (same weights)
+    funnel2 = run_corpus_curation(
+        spark,
+        CorpusCurationConfig(
+            input_path=inp,
+            output_path=str(tmp_path / "clean2"),
+            min_tokens=1,
+            min_quality=0.0,
+            jaccard_threshold=0.99,
+            dsir_target_path=target_path,
+            dsir_min_log_weight=thr,
+        ),
+    )
+    assert funnel2["after_dsir_select"] == len(expected)
+
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        run_corpus_curation(
+            spark,
+            CorpusCurationConfig(
+                input_path=inp,
+                output_path=out,
+                dsir_model_dir=model,
+                dsir_keep=4,
+                dsir_min_log_weight=0.0,
+            ),
+        )
+
+
 def test_corpus_curate_doremi_weighted_mixture_stage(spark, tmp_path):
     """doremi-weights CLI → --mixture-weights-dir: the mixture stage
     realizes the artifact's target shares via target_mixture_sample —
