@@ -205,6 +205,14 @@ def build_parser() -> argparse.ArgumentParser:
         "zero-shuffle column form",
     )
     cc.add_argument(
+        "--dsir-suggested-threshold", action="store_true",
+        help="DSIR threshold admission under the --dsir-model-dir "
+        "artifact's calibrated suggested_min_log_weight (written by "
+        "`dsir-train --suggest-keep-rate`) — the probe-free steady "
+        "state; mutually exclusive with --dsir-keep and "
+        "--dsir-min-log-weight",
+    )
+    cc.add_argument(
         "--lm-reference-path", default=None,
         help="CCNet-style LM filter stage: train an add-1 bigram model on "
         "this parquet and drop docs whose average bigram NLL exceeds "
@@ -321,6 +329,15 @@ def build_parser() -> argparse.ArgumentParser:
     dt.add_argument("--n-buckets", type=int, default=8192)
     dt.add_argument("--max-order", type=int, default=2)
     dt.add_argument("--text-col", default="text")
+    dt.add_argument(
+        "--suggest-keep-rate", type=float, default=None,
+        help="also calibrate the log-weight threshold keeping this "
+        "fraction of --raw-path (one extra scoring pass at train time) "
+        "and write it into the artifact as suggested_min_log_weight — "
+        "pipelines holding the artifact can then take the probe-free "
+        "--dsir-suggested-threshold path instead of the resample's "
+        "plan-build probe jobs",
+    )
 
     dw = sub.add_parser(
         "doremi-weights",
@@ -626,6 +643,7 @@ def main(argv: list[str] | None = None) -> int:
                     dsir_seed=args.dsir_seed,
                     dsir_model_dir=args.dsir_model_dir,
                     dsir_min_log_weight=args.dsir_min_log_weight,
+                    dsir_use_suggested=args.dsir_suggested_threshold,
                     lm_reference_path=args.lm_reference_path,
                     lm_max_nll=args.lm_max_nll,
                     lm_order=args.lm_order,
@@ -662,25 +680,49 @@ def main(argv: list[str] | None = None) -> int:
             from mini_feature_store_spark.operators.dsir import (
                 dsir_bucket_weights,
                 save_dsir_weights,
+                suggest_min_log_weight,
             )
 
+            raw = spark.read.parquet(args.raw_path)
             w = dsir_bucket_weights(
                 spark.read.parquet(args.target_path),
-                spark.read.parquet(args.raw_path),
+                raw,
                 text_col=args.text_col,
                 n_buckets=args.n_buckets,
                 max_order=args.max_order,
             )
+            suggested = None
+            if args.suggest_keep_rate is not None:
+                # bounded weight table feeds two consumers (the save and
+                # the calibration scoring join) — cache it so the bag
+                # models are fitted once
+                w = w.persist()
+                suggested = suggest_min_log_weight(
+                    w,
+                    raw,
+                    args.suggest_keep_rate,
+                    text_col=args.text_col,
+                    n_buckets=args.n_buckets,
+                    max_order=args.max_order,
+                )
             save_dsir_weights(
                 w,
                 args.output_dir,
                 n_buckets=args.n_buckets,
                 max_order=args.max_order,
+                suggested_min_log_weight=suggested,
+                suggested_keep_rate=args.suggest_keep_rate,
             )
-            print(
+            msg = (
                 f"fitted {args.n_buckets}-bucket DSIR weights -> "
                 f"{args.output_dir.rstrip('/')}/weights.parquet"
             )
+            if suggested is not None:
+                msg += (
+                    f" (suggested_min_log_weight={suggested} at "
+                    f"keep_rate={args.suggest_keep_rate})"
+                )
+            print(msg)
         elif args.pipeline == "doremi-weights":
             from mini_feature_store_spark.operators.doremi import (
                 doremi_domain_weights,

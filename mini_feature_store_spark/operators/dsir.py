@@ -42,6 +42,8 @@ floats are ``round_half_up(·, 4)``.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -275,12 +277,21 @@ def dsir_importance(
 
 
 def save_dsir_weights(
-    weights: DataFrame, out_dir: str, *, n_buckets: int, max_order: int
+    weights: DataFrame,
+    out_dir: str,
+    *,
+    n_buckets: int,
+    max_order: int,
+    suggested_min_log_weight: float | None = None,
+    suggested_keep_rate: float | None = None,
 ) -> None:
     """Persist a weight table as ``<out_dir>/weights.parquet`` (bucket,
-    weight, n_buckets, max_order — the two config columns ride every
-    row so the artifact is self-describing without a sidecar file;
-    B rows, bounded)."""
+    weight, n_buckets, max_order — the config columns ride every row so
+    the artifact is self-describing without a sidecar file; B rows,
+    bounded). When ``dsir-train`` calibrated a keep-rate threshold
+    (``suggest_min_log_weight``), it rides along the same way so
+    steady-state pipelines can take the probe-free threshold path
+    without re-deriving it (r13 directive #5)."""
     base = out_dir.rstrip("/")
     (
         weights.select(
@@ -288,10 +299,72 @@ def save_dsir_weights(
             "weight",
             F.lit(n_buckets).alias("n_buckets"),
             F.lit(max_order).alias("max_order"),
+            F.lit(suggested_min_log_weight)
+            .cast("double")
+            .alias("suggested_min_log_weight"),
+            F.lit(suggested_keep_rate)
+            .cast("double")
+            .alias("suggested_keep_rate"),
         )
         .write.mode("overwrite")
         .parquet(base + "/weights.parquet")
     )
+
+
+def suggest_min_log_weight(
+    weights: DataFrame,
+    raw: DataFrame,
+    keep_rate: float,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 8192,
+    max_order: int = 2,
+) -> float:
+    """Calibrate the log-weight threshold whose ``log_weight >= t``
+    filter keeps ~``keep_rate`` of ``raw`` — the train-time twin of
+    ``_gumbel_topk``'s percentile probe, paid ONCE at ``dsir-train``
+    instead of at every pipeline plan-build. One scoring pass over the
+    calibration corpus, scalar driver traffic (``approx_percentile``'s
+    rank error is ≤ N/accuracy rows, so the realized keep-rate is within
+    ~1/--PCT_ACCURACY-- of the target)."""
+    if not 0.0 < keep_rate < 1.0:
+        raise ValueError(
+            f"suggest_min_log_weight: keep_rate must be in (0, 1), "
+            f"got {keep_rate}"
+        )
+    imp = dsir_score_with_weights(
+        weights,
+        raw,
+        id_col=id_col,
+        text_col=text_col,
+        n_buckets=n_buckets,
+        max_order=max_order,
+    )
+    t = imp.agg(
+        F.percentile_approx(
+            F.col("log_weight"), F.lit(1.0 - keep_rate), F.lit(_PCT_ACCURACY)
+        )
+    ).first()[0]
+    if t is None:
+        raise ValueError(
+            "suggest_min_log_weight: calibration corpus is empty"
+        )
+    return float(t)
+
+
+def load_dsir_suggested_threshold(spark, model_dir: str) -> float | None:
+    """The calibrated ``suggested_min_log_weight`` from a ``dsir-train``
+    artifact, or ``None`` when the artifact predates / skipped
+    calibration (head-row read — the value rides every row)."""
+    base = model_dir.rstrip("/")
+    df = spark.read.parquet(base + "/weights.parquet")
+    if "suggested_min_log_weight" not in df.columns:
+        return None
+    head = df.select("suggested_min_log_weight").limit(1).collect()
+    if not head or head[0][0] is None:
+        return None
+    return float(head[0][0])
 
 
 def load_dsir_weight_list(
@@ -354,7 +427,14 @@ def dsir_score_column(
     ``tests/test_dsir.py`` (the two sum the same scale-8 fixed-point
     weights, only in different orders — sub-rounding noise).
     NULL/empty text scores the weight-neutral 0.0, mirroring the batch
-    scorer's sentinel contract."""
+    scorer's sentinel contract.
+
+    COST CAVEAT: Spark's higher-order functions are CodegenFallback —
+    the per-gram fold runs interpreted, measured ~16× slower than the
+    explode scorer on a batch corpus scan at sf0.1
+    (BENCH_WATCH_r14_dsir_probe.json). Use this form where its
+    statelessness is the point (streaming micro-batches, inline gates);
+    batch pipelines should score with ``dsir_score_with_weights``."""
     n_buckets = len(weights)
     if n_buckets == 0:
         raise ValueError("dsir_score_column: weights must be non-empty")
@@ -413,7 +493,17 @@ def dsir_resample(
     samplers' portable digit space, so reruns and engines agree. The
     selected set is EXACTLY the global top-k by (key desc, id asc) —
     computed by ``_gumbel_topk``'s threshold selection, never a
-    corpus-fraction TakeOrderedAndProject (module docstring)."""
+    corpus-fraction TakeOrderedAndProject (module docstring).
+
+    NOT a pure transformation: building the returned plan runs Spark
+    JOBS (a count plus two bounded scalar aggregates over a persisted
+    scored frame — ``_gumbel_topk``'s threshold probe), and final
+    execution re-derives the scoring chain once more, so lazy composers
+    pay ~2 scoring passes. Steady-state pipelines holding a frozen
+    ``dsir-train`` artifact should prefer the probe-free threshold path
+    (``dsir_score_with_weights`` + a ``log_weight >= t`` filter; the
+    pipeline's ``--dsir-min-log-weight`` mode) — see ``dsir-train``'s
+    ``suggested_min_log_weight`` output."""
     imp = dsir_importance(
         target,
         raw,
@@ -439,7 +529,12 @@ def dsir_resample_with_weights(
     """``dsir_resample`` under a PREBUILT weight table (a ``dsir-train``
     artifact): score the batch with ``dsir_score_with_weights``, then
     the same Gumbel top-k — identical output to training in-line when
-    the weights came from the same corpora (pinned by test)."""
+    the weights came from the same corpora (pinned by test).
+
+    Like ``dsir_resample``, plan construction runs bounded probe jobs
+    (not a pure transformation); with a frozen artifact the probe-free
+    ``--dsir-min-log-weight`` threshold path is the steady-state
+    alternative."""
     imp = dsir_score_with_weights(
         weights,
         raw,
@@ -457,6 +552,16 @@ def dsir_resample_with_weights(
 #: of the trim, independently of k. At N = 10⁹ docs this is a ≤ 60k-row
 #: band — a single small task — while k itself may be 2·10⁸.
 _PCT_ACCURACY = 100_000
+
+
+def _band_cap(margin: float, err: float) -> float:
+    """Largest boundary band the sketch's rank guarantee can explain
+    (with 4× slack and a small-N floor); a bigger band means mass ties
+    at a single rounded sample_key — ``_gumbel_topk`` then degrades
+    loudly into the two-phase value-cut trim instead of feeding the
+    whole band to one row_number task. Module-level so tests can force
+    the fallback on small frames."""
+    return max(4.0 * (2.0 * margin + 2.0 * err), 4096.0)
 
 
 def _gumbel_topk(
@@ -561,6 +666,48 @@ def _gumbel_topk(
             if 0 <= needed <= c_band:
                 break
             margin *= 2.0
+        # band-size guard (ADVICE r13): the sketch's RANK guarantee
+        # bounds the band at ≲ 2·margin + 2·err rows unless mass ties
+        # at a single rounded sample_key inflate it. An inflated band
+        # would put a corpus-scale single task back on the trim path —
+        # degrade LOUDLY and cut the trim input down to one tie group:
+        # a cumulative count over the band's DISTINCT keys (small by
+        # the same rank argument — oversize ⇒ ties ⇒ few keys) finds
+        # the value t_cut straddling rank `needed`; everything above
+        # t_cut is admitted wholesale and only the t_cut tie group is
+        # exactly id-trimmed.
+        t_cut = cut_above = None
+        if needed > 0 and c_band > _band_cap(margin, err):
+            warnings.warn(
+                "dsir threshold selection: boundary band has "
+                f"{c_band} rows (sketch bound ~{int(2 * margin + 2 * err)}"
+                ") — mass ties at a rounded sample_key; falling back to "
+                "a two-phase value-cut trim. If one tie group holds most "
+                "of the band, its id-order trim is still a single "
+                "(tie-group-sized) task.",
+                stacklevel=2,
+            )
+            kc = (
+                keyed.where((key >= F.lit(t_lo)) & (key <= F.lit(t_hi)))
+                .groupBy("sample_key")
+                .agg(F.count(F.lit(1)).alias("_c"))
+            )
+            wk = Window.orderBy(F.desc("sample_key")).rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+            cut = (
+                kc.withColumn(
+                    "_above", F.coalesce(F.sum("_c").over(wk), F.lit(0))
+                )
+                .where(
+                    (F.col("_above") < needed)
+                    & (F.col("_above") + F.col("_c") >= needed)
+                )
+                .select("sample_key", "_above")
+                .first()
+            )
+            assert cut is not None  # 0 < needed <= c_band guarantees it
+            t_cut, cut_above = cut["sample_key"], int(cut["_above"])
     finally:
         # the returned plan re-derives the frame lazily; the cache only
         # serves the bounded scalar jobs above (2 passes total: one to
@@ -571,10 +718,25 @@ def _gumbel_topk(
     core = keyed.where(key > F.lit(t_hi))
     if needed == 0:
         return core
+    band = keyed.where((key >= F.lit(t_lo)) & (key <= F.lit(t_hi)))
+    if t_cut is not None:
+        # two-phase value-cut: the `cut_above` rows strictly above
+        # t_cut rank before every t_cut row under (key desc, id asc),
+        # so wholesale-admitting them and id-trimming the tie group to
+        # the remainder selects EXACTLY the same set as the generic
+        # band trim below (pinned by test_band_tie_fallback)
+        whole = band.where(key > F.lit(t_cut))
+        tie_w = Window.orderBy(F.col(id_col))
+        ties = (
+            band.where(key == F.lit(t_cut))
+            .withColumn("_rn", F.row_number().over(tie_w))
+            .where(F.col("_rn") <= F.lit(needed - cut_above))
+            .drop("_rn")
+        )
+        return core.unionByName(whole).unionByName(ties)
     band_w = Window.orderBy(F.desc("sample_key"), F.col(id_col))
     trimmed = (
-        keyed.where((key >= F.lit(t_lo)) & (key <= F.lit(t_hi)))
-        .withColumn("_rn", F.row_number().over(band_w))
+        band.withColumn("_rn", F.row_number().over(band_w))
         .where(F.col("_rn") <= F.lit(needed))
         .drop("_rn")
     )

@@ -367,13 +367,24 @@ def target_mixture_sample(
         _stratum_mass(tokens_col).alias("_m")
     )
     spark = df.sparkSession
-    wdf = spark.createDataFrame(
-        [
-            (_NULL_STRATUM if k is None else str(k), float(v))
-            for k, v in weights.items()
-        ],
-        "_sk string, _w double",
-    )
+    wrows = [
+        (_NULL_STRATUM if k is None else str(k), float(v))
+        for k, v in weights.items()
+    ]
+    # two weight keys that stringify identically (5 vs "5", or None vs a
+    # literal equal to the NULL sentinel) would yield duplicate _sk rows
+    # and the left join below would then DUPLICATE every document of
+    # that stratum instead of sampling it — fail loudly at build time
+    seen: dict[str, object] = {}
+    for (sk, _), orig in zip(wrows, weights):
+        if sk in seen:
+            raise ValueError(
+                "target_mixture_sample: weight keys "
+                f"{seen[sk]!r} and {orig!r} collide on stratum key "
+                f"{sk!r} after stringification"
+            )
+        seen[sk] = orig
+    wdf = spark.createDataFrame(wrows, "_sk string, _w double")
     wall = Window.partitionBy()
     # c over the bounded per-stratum table (stratum cardinality —
     # domains/languages — not data volume); zero-weight strata are

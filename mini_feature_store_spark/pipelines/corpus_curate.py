@@ -120,6 +120,15 @@ class CorpusCurationConfig:
     #: threshold offline, e.g. a batch run's admitted-set minimum);
     #: scoring is the stateless zero-shuffle column form
     dsir_min_log_weight: float | None = None
+    #: threshold admission under the ARTIFACT's calibrated threshold
+    #: (``dsir-train --suggest-keep-rate`` writes
+    #: ``suggested_min_log_weight`` into weights.parquet): the
+    #: steady-state probe-free path — same stateless scoring as
+    #: ``dsir_min_log_weight`` with the value read from the frozen
+    #: artifact instead of the flag. Requires ``dsir_model_dir``;
+    #: mutually exclusive with ``dsir_keep``/``dsir_min_log_weight``;
+    #: an artifact trained without calibration fails loudly
+    dsir_use_suggested: bool = False
     #: when set, a CCNet-style LM quality stage runs after the quality
     #: gate: docs scoring above ``lm_max_nll`` average bigram NLL under
     #: an add-1 model trained on THIS reference parquet are dropped
@@ -234,18 +243,37 @@ def run_corpus_curation(
     _dsir_on = (
         cfg.dsir_target_path is not None or cfg.dsir_model_dir is not None
     )
-    if _dsir_on and cfg.dsir_keep is not None and cfg.dsir_min_log_weight is not None:
-        raise ValueError(
-            "dsir_keep and dsir_min_log_weight are mutually exclusive — "
-            "fixed-size resample OR threshold admission, not both"
+    _dsir_modes = sum(
+        1
+        for m in (
+            cfg.dsir_keep is not None,
+            cfg.dsir_min_log_weight is not None,
+            cfg.dsir_use_suggested,
         )
-    if _dsir_on and cfg.dsir_min_log_weight is None and (
-        cfg.dsir_keep is None or cfg.dsir_keep <= 0
+        if m
+    )
+    if _dsir_on and _dsir_modes > 1:
+        raise ValueError(
+            "dsir_keep, dsir_min_log_weight and dsir_use_suggested are "
+            "mutually exclusive — fixed-size resample OR explicit "
+            "threshold OR the artifact's calibrated threshold, pick one"
+        )
+    if cfg.dsir_use_suggested and cfg.dsir_model_dir is None:
+        raise ValueError(
+            "dsir_use_suggested reads the calibrated threshold from a "
+            "dsir-train artifact — it requires dsir_model_dir"
+        )
+    if (
+        _dsir_on
+        and cfg.dsir_min_log_weight is None
+        and not cfg.dsir_use_suggested
+        and (cfg.dsir_keep is None or cfg.dsir_keep <= 0)
     ):
         raise ValueError(
             "the DSIR stage requires a positive dsir_keep (fixed-size "
-            "resample) or a dsir_min_log_weight (threshold admission, "
-            "the streaming-gate twin)"
+            "resample), a dsir_min_log_weight (threshold admission, "
+            "the streaming-gate twin), or dsir_use_suggested (the "
+            "artifact's calibrated threshold)"
         )
     if cfg.dsir_target_path is not None and cfg.dsir_model_dir is not None:
         raise ValueError(
@@ -258,13 +286,15 @@ def run_corpus_curation(
     # never DSIR-selected (same both-directional discipline as the
     # pack_tokenizer_dir / pack_max_tokens pair)
     if (
-        cfg.dsir_keep is not None or cfg.dsir_min_log_weight is not None
+        cfg.dsir_keep is not None
+        or cfg.dsir_min_log_weight is not None
+        or cfg.dsir_use_suggested
     ) and not _dsir_on:
         raise ValueError(
-            "dsir_keep / dsir_min_log_weight is set but neither "
-            "dsir_target_path nor dsir_model_dir is — the DSIR stage "
-            "needs a target corpus or a frozen dsir-train artifact to "
-            "score under"
+            "dsir_keep / dsir_min_log_weight / dsir_use_suggested is set "
+            "but neither dsir_target_path nor dsir_model_dir is — the "
+            "DSIR stage needs a target corpus or a frozen dsir-train "
+            "artifact to score under"
         )
     if cfg.lm_reference_path is not None and cfg.lm_order not in (2, 3, 4, 5):
         raise ValueError(
@@ -381,20 +411,43 @@ def run_corpus_curation(
         funnel["after_quality_clf"] = admitted.count()
         prev.unpersist()
 
+    _dsir_threshold = cfg.dsir_min_log_weight
+    if cfg.dsir_use_suggested:
+        from mini_feature_store_spark.operators.dsir import (
+            load_dsir_suggested_threshold,
+        )
+
+        _dsir_threshold = load_dsir_suggested_threshold(
+            spark, cfg.dsir_model_dir
+        )
+        if _dsir_threshold is None:
+            raise ValueError(
+                "dsir_use_suggested: artifact at "
+                f"{cfg.dsir_model_dir!r} carries no "
+                "suggested_min_log_weight — retrain with "
+                "`dsir-train --suggest-keep-rate` or pass an explicit "
+                "dsir_min_log_weight"
+            )
     if (
         cfg.dsir_target_path is not None or cfg.dsir_model_dir is not None
-    ) and cfg.dsir_min_log_weight is not None:
-        # threshold admission — the batch twin of dsir_gated_stream:
-        # score with the stateless zero-shuffle column form and filter;
-        # no resample, no probe jobs, ONE scan
+    ) and _dsir_threshold is not None:
+        # threshold admission — the batch twin of dsir_gated_stream: no
+        # resample, no plan-build probe jobs. Scoring uses the BATCH
+        # explode scorer (broadcast weight join + one map-side-combined
+        # doc_id aggregate), not the streaming gate's stateless column
+        # form: Spark's higher-order functions are CodegenFallback, so
+        # the per-gram column arithmetic runs interpreted — measured
+        # ~16× slower at sf0.1 (BENCH_WATCH_r14_dsir_probe.json). Both
+        # scorers are pinned value-equal at the shared scale-4 rounding
+        # (test_dsir.py), so the admitted set is identical.
         from mini_feature_store_spark.operators.dsir import (
             dsir_bucket_weights,
-            dsir_score_column,
-            load_dsir_weight_list,
+            dsir_score_with_weights,
+            load_dsir_weights,
         )
 
         if cfg.dsir_model_dir is not None:
-            wl, _nb, mo = load_dsir_weight_list(spark, cfg.dsir_model_dir)
+            wdf, nb, mo = load_dsir_weights(spark, cfg.dsir_model_dir)
         else:
             nb, mo = 8192, 2
             wdf = dsir_bucket_weights(
@@ -404,15 +457,20 @@ def run_corpus_curation(
                 n_buckets=nb,
                 max_order=mo,
             )
-            wl = [0.0] * nb
-            # dense by construction: exactly nb rows (bounded collect)
-            for r in wdf.collect():
-                wl[int(r["bucket"])] = float(r["weight"])
-        score = dsir_score_column(F.col(cfg.text_col), wl, max_order=mo)
+        picked = (
+            dsir_score_with_weights(
+                wdf,
+                admitted,
+                id_col=cfg.id_col,
+                text_col=cfg.text_col,
+                n_buckets=nb,
+                max_order=mo,
+            )
+            .where(F.col("log_weight") >= F.lit(float(_dsir_threshold)))
+            .select(cfg.id_col)
+        )
         prev = admitted
-        admitted = admitted.where(
-            score >= F.lit(float(cfg.dsir_min_log_weight))
-        ).persist()
+        admitted = admitted.join(picked, cfg.id_col, "left_semi").persist()
         funnel["after_dsir_select"] = admitted.count()
         prev.unpersist()
     elif cfg.dsir_target_path is not None or cfg.dsir_model_dir is not None:

@@ -267,6 +267,28 @@ def test_resample_margin_retry_converges(spark, monkeypatch):
     assert got == {i for i, _ in ranked[:30]}
 
 
+def test_band_tie_fallback(spark, monkeypatch):
+    """ADVICE r13: an oversized boundary band (mass ties at one rounded
+    sample_key) must degrade LOUDLY into the two-phase value-cut trim —
+    and that fallback must still select EXACTLY the full-sort top-k set.
+    Forced here by capping the band bound at zero."""
+    import mini_feature_store_spark.operators.dsir as dsir_mod
+
+    monkeypatch.setattr(dsir_mod, "_band_cap", lambda m, e: 0.0)
+    tgt, raw = _bulk_frames(spark)
+    imp = {
+        r.doc_id: r.log_weight
+        for r in dsir_importance(tgt, raw, n_buckets=B).collect()
+    }
+    keys = {i: _py_sample_key(i, lw) for i, lw in imp.items()}
+    ranked = sorted(keys.items(), key=lambda kv: (-kv[1], kv[0]))
+    for k in (1, 48, 144):
+        with pytest.warns(UserWarning, match="two-phase value-cut"):
+            sel = dsir_resample(tgt, raw, k=k, n_buckets=B, seed=42)
+        got = {r.doc_id for r in sel.collect()}
+        assert got == {i for i, _ in ranked[:k]}, f"k={k}"
+
+
 def test_weights_join_is_broadcast(spark):
     # The B-row weight table must reach the scoring join as a broadcast:
     # the corpus side never shuffles for the join itself.

@@ -1923,6 +1923,160 @@ def test_corpus_curate_dsir_threshold_mode(spark, tmp_path):
         )
 
 
+def test_corpus_curate_dsir_suggested_threshold(spark, tmp_path):
+    """r13 directive #5 — the probe-free steady state: `dsir-train
+    --suggest-keep-rate` calibrates and persists suggested_min_log_weight
+    in the artifact; the pipeline's --dsir-suggested-threshold mode then
+    admits EXACTLY the explicit --dsir-min-log-weight set at that value
+    (the two modes tie at the boundary, >= in both); an uncalibrated
+    artifact fails loudly instead of silently keeping everything."""
+    import pytest as _pytest
+
+    from mini_feature_store_spark import cli
+    from mini_feature_store_spark.operators.dsir import (
+        dsir_bucket_weights,
+        dsir_score_with_weights,
+        load_dsir_suggested_threshold,
+    )
+    from mini_feature_store_spark.pipelines.corpus_curate import (
+        CorpusCurationConfig,
+        run_corpus_curation,
+    )
+
+    prose = "the curated target corpus speaks plainly and in prose"
+    junk = "zz xq jkl noise tokens qqq blob of junk"
+    rows = [(i, prose + f" page {i}") for i in range(8)] + [
+        (50 + i, junk + f" {i}") for i in range(8)
+    ]
+    inp = str(tmp_path / "docs")
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs.write.parquet(inp)
+    target_path = str(tmp_path / "target")
+    spark.createDataFrame(
+        [(100 + i, prose + " curated") for i in range(3)],
+        "doc_id long, text string",
+    ).write.parquet(target_path)
+    model = str(tmp_path / "dsir")
+    assert (
+        cli.main(
+            [
+                "dsir-train",
+                "--target-path", target_path,
+                "--raw-path", inp,
+                "--output-dir", model,
+                "--n-buckets", "512",
+                "--suggest-keep-rate", "0.4",
+            ]
+        )
+        == 0
+    )
+    t = load_dsir_suggested_threshold(spark, model)
+    assert t is not None
+    # the calibrated threshold realizes ~the keep-rate: expected set is
+    # whatever the batch scorer puts at/above it (exact, engine-side).
+    # At rate 0.4 over the 8-prose/8-junk split the percentile lands in
+    # the prose band (a rank-9+ value), so the kept set is a prose
+    # subset of about the right size — near-tied junk scores make an
+    # exact count brittle, the mode TIE below is the exact contract.
+    w = dsir_bucket_weights(
+        spark.read.parquet(target_path), docs, n_buckets=512
+    )
+    scores = {
+        r.doc_id: r.log_weight
+        for r in dsir_score_with_weights(w, docs, n_buckets=512).collect()
+    }
+    expected = {d for d, v in scores.items() if v >= t}
+    assert expected <= set(range(8)) and 5 <= len(expected) <= 8
+
+    out_a = str(tmp_path / "clean_a")
+    funnel_a = run_corpus_curation(
+        spark,
+        CorpusCurationConfig(
+            input_path=inp,
+            output_path=out_a,
+            min_tokens=1,
+            min_quality=0.0,
+            jaccard_threshold=0.99,
+            dsir_model_dir=model,
+            dsir_use_suggested=True,
+        ),
+    )
+    kept_a = {r.doc_id for r in spark.read.parquet(out_a).collect()}
+    assert kept_a == expected
+    assert funnel_a["after_dsir_select"] == len(expected)
+
+    # tie: explicit --dsir-min-log-weight at the loaded value keeps the
+    # identical set (boundary docs included by >= in both modes)
+    out_b = str(tmp_path / "clean_b")
+    run_corpus_curation(
+        spark,
+        CorpusCurationConfig(
+            input_path=inp,
+            output_path=out_b,
+            min_tokens=1,
+            min_quality=0.0,
+            jaccard_threshold=0.99,
+            dsir_model_dir=model,
+            dsir_min_log_weight=t,
+        ),
+    )
+    assert {r.doc_id for r in spark.read.parquet(out_b).collect()} == kept_a
+
+    # uncalibrated artifact → loud failure, not keep-everything
+    model2 = str(tmp_path / "dsir_nocal")
+    assert (
+        cli.main(
+            [
+                "dsir-train",
+                "--target-path", target_path,
+                "--raw-path", inp,
+                "--output-dir", model2,
+                "--n-buckets", "512",
+            ]
+        )
+        == 0
+    )
+    assert load_dsir_suggested_threshold(spark, model2) is None
+    with _pytest.raises(ValueError, match="no\\b.*suggested_min_log_weight"):
+        run_corpus_curation(
+            spark,
+            CorpusCurationConfig(
+                input_path=inp,
+                output_path=str(tmp_path / "x1"),
+                dsir_model_dir=model2,
+                dsir_use_suggested=True,
+            ),
+        )
+    # pre-r14 artifact shape (no suggestion columns at all) → None too
+    model3 = str(tmp_path / "dsir_old")
+    spark.read.parquet(model2 + "/weights.parquet").select(
+        "bucket", "weight", "n_buckets", "max_order"
+    ).write.parquet(model3 + "/weights.parquet")
+    assert load_dsir_suggested_threshold(spark, model3) is None
+
+    with _pytest.raises(ValueError, match="requires dsir_model_dir"):
+        run_corpus_curation(
+            spark,
+            CorpusCurationConfig(
+                input_path=inp,
+                output_path=str(tmp_path / "x2"),
+                dsir_target_path=target_path,
+                dsir_use_suggested=True,
+            ),
+        )
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        run_corpus_curation(
+            spark,
+            CorpusCurationConfig(
+                input_path=inp,
+                output_path=str(tmp_path / "x3"),
+                dsir_model_dir=model,
+                dsir_keep=4,
+                dsir_use_suggested=True,
+            ),
+        )
+
+
 def test_corpus_curate_doremi_weighted_mixture_stage(spark, tmp_path):
     """doremi-weights CLI → --mixture-weights-dir: the mixture stage
     realizes the artifact's target shares via target_mixture_sample —

@@ -460,6 +460,19 @@ def test_target_mixture_validations(spark):
         target_mixture_sample(df, ["doc_id"], "s", {"a": 0.0, "b": 0})
 
 
+def test_target_mixture_stringified_key_collision_raises(spark):
+    """ADVICE r13: two weight keys that stringify identically (5 vs "5")
+    would duplicate every document of that stratum through the weight
+    join — must raise at build time, not sample twice."""
+    from mini_feature_store_spark.operators.sampling import (
+        target_mixture_sample,
+    )
+
+    df = _mixture_frame(spark)
+    with pytest.raises(ValueError, match="collide on stratum key"):
+        target_mixture_sample(df, ["doc_id"], "s", {5: 1.0, "5": 2.0})
+
+
 def test_target_mixture_uniform_weights_match_balanced_sampler(spark):
     """With equal weights and doc-count masses the realized mixture is
     exactly balanced_mixture_sample's (c = min_s m_s, rate_s = min/m_s)

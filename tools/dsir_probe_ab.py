@@ -1,0 +1,166 @@
+"""A/B the DSIR gate's two steady-state shapes under a FROZEN artifact.
+
+r13 directive #5: ``dsir_resample_with_weights`` (fixed-size budget)
+runs bounded probe jobs at plan-BUILD time (count + two scalar
+aggregates over a persisted scored frame) plus a second scoring pass at
+execution — the right shape when the budget k must be exact, but two
+extra corpus passes a steady-state caller shouldn't pay. The probe-free
+path calibrates the admission threshold ONCE at ``dsir-train``
+(``--suggest-keep-rate`` → ``suggested_min_log_weight`` in the
+artifact) and the pipeline then admits by the stateless zero-shuffle
+column scorer (``--dsir-suggested-threshold``): ONE scan, ZERO probe
+jobs, identical scoring model.
+
+This tool runs both variants over the same corpus and artifact and
+counts the SPARK JOBS each fires (job-group bracketed) alongside
+best-of-3 wall, writing ``BENCH_WATCH_r14_dsir_probe.json`` — the
+"probe passes gone" evidence the directive asks for.
+
+Usage: python tools/dsir_probe_ab.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> int:
+    from pyspark.sql import functions as F
+
+    from mini_feature_store_spark.io import load_testdata
+    from mini_feature_store_spark.operators.dsir import (
+        dsir_bucket_weights,
+        dsir_resample_with_weights,
+        dsir_score_column,
+        dsir_score_with_weights,
+        load_dsir_suggested_threshold,
+        load_dsir_weight_list,
+        load_dsir_weights,
+        save_dsir_weights,
+        suggest_min_log_weight,
+    )
+    from mini_feature_store_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    keep_rate = 0.2
+    spark = get_spark(app_name="dsir-probe-ab", shuffle_partitions=32)
+    sc = spark.sparkContext
+    docs = load_testdata(spark, sf_dir, "documents")["documents"]
+    target = docs.where(F.col("source") == "src0")
+    raw = docs.where(F.col("source") != "src0").persist()
+    n_raw = raw.count()
+    k = int(n_raw * keep_rate)
+
+    # one-off train-time cost (paid ONCE, amortized over every batch)
+    model_dir = tempfile.mkdtemp(prefix="dsir_probe_ab_")
+    w = dsir_bucket_weights(target, raw).persist()
+    t0 = time.monotonic()
+    suggested = suggest_min_log_weight(w, raw, keep_rate)
+    calib_sec = time.monotonic() - t0
+    save_dsir_weights(
+        w,
+        model_dir,
+        n_buckets=8192,
+        max_order=2,
+        suggested_min_log_weight=suggested,
+        suggested_keep_rate=keep_rate,
+    )
+    w.unpersist()
+
+    def run_grouped(group: str, fn) -> tuple[float, int, int]:
+        """(best-of-3 wall, jobs fired, rows kept) for one variant —
+        plan build AND execution inside the job group, so the resample
+        variant's build-time probe jobs are counted where they happen."""
+        best, jobs, kept = float("inf"), 0, 0
+        for i in range(3):
+            g = f"{group}-{i}"
+            sc.setJobGroup(g, group)
+            t0 = time.monotonic()
+            kept = fn()
+            wall = time.monotonic() - t0
+            sc.setJobGroup("idle", "idle")
+            jobs = len(sc.statusTracker().getJobIdsForGroup(g))
+            best = min(best, wall)
+        return best, jobs, kept
+
+    def resample_variant() -> int:
+        wdf, nb, mo = load_dsir_weights(spark, model_dir)
+        sel = dsir_resample_with_weights(wdf, raw, k=k, seed=42)
+        return sel.count()
+
+    def threshold_variant() -> int:
+        # the pipeline's --dsir-suggested-threshold path: batch explode
+        # scorer + filter (see corpus_curate.py for why not the
+        # streaming column form here)
+        wdf, nb, mo = load_dsir_weights(spark, model_dir)
+        t = load_dsir_suggested_threshold(spark, model_dir)
+        scored = dsir_score_with_weights(
+            wdf, raw, n_buckets=nb, max_order=mo
+        )
+        return scored.where(F.col("log_weight") >= F.lit(t)).count()
+
+    def column_form_variant() -> int:
+        # the streaming gate's stateless scorer, measured for the
+        # record: higher-order functions are CodegenFallback
+        # (interpreted per gram) — right for micro-batches without a
+        # state store, wrong for batch corpus scans
+        wl, nb, mo = load_dsir_weight_list(spark, model_dir)
+        t = load_dsir_suggested_threshold(spark, model_dir)
+        score = dsir_score_column(F.col("text"), wl, max_order=mo)
+        return raw.where(score >= F.lit(t)).count()
+
+    r_wall, r_jobs, r_kept = run_grouped("resample", resample_variant)
+    t_wall, t_jobs, t_kept = run_grouped("threshold", threshold_variant)
+    c_wall, c_jobs, c_kept = run_grouped("column", column_form_variant)
+
+    out = {
+        "protocol": (
+            "best-of-3 per variant under one frozen dsir-train artifact "
+            f"at {sf_dir} (n_raw={n_raw}, keep_rate={keep_rate}, k={k}); "
+            "jobs counted via job-group bracketing around plan build + "
+            "count. resample = dsir_resample_with_weights (plan-build "
+            "probe jobs + second scoring pass); threshold = the "
+            "probe-free --dsir-suggested-threshold path (batch explode "
+            "scorer + log_weight filter, threshold calibrated once at "
+            "train time). The artifact-loader jobs (head-row + density "
+            "checks) are common to both."
+        ),
+        "calibration_once_at_train_sec": round(calib_sec, 3),
+        "suggested_min_log_weight": suggested,
+        "resample_mode": {
+            "wall_sec": round(r_wall, 3),
+            "spark_jobs": r_jobs,
+            "kept": r_kept,
+        },
+        "suggested_threshold_mode": {
+            "wall_sec": round(t_wall, 3),
+            "spark_jobs": t_jobs,
+            "kept": t_kept,
+        },
+        "streaming_column_form_for_the_record": {
+            "wall_sec": round(c_wall, 3),
+            "spark_jobs": c_jobs,
+            "kept": c_kept,
+            "note": (
+                "higher-order functions are CodegenFallback — "
+                "interpreted per-gram arithmetic; kept for the "
+                "stateless streaming gate (micro-batch scale), NOT the "
+                "batch pipeline path"
+            ),
+        },
+    }
+    print(json.dumps(out, indent=1))
+    Path("BENCH_WATCH_r14_dsir_probe.json").write_text(
+        json.dumps(out, indent=1) + "\n"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
