@@ -138,6 +138,58 @@ def test_loop_round1_ties_to_oracled_signal(spark):
         assert _round(e, 4) == pytest.approx(oracled[d], abs=1e-12), d
 
 
+def test_round2_ties_to_loop_trajectory(spark):
+    """r13 directive #4: the oracled round-2 operator must reproduce
+    the LOOP's second step exactly — same quantized α₁ (scale-8
+    integers), same blended integer model, same scale-4 excess — so
+    the rows-only trajectory inherits trust from the hash-gated
+    round-2 companion the way round 1 inherits from round 1's."""
+    from mini_feature_store_spark.operators.doremi import (
+        ALPHA_SCALE,
+        doremi_excess_loss_round2,
+    )
+
+    df = _frame(spark)
+    got = {
+        r.domain: (r.alpha_r1, r.excess_loss, r.nll_reference)
+        for r in doremi_excess_loss_round2(df, n_buckets=B).collect()
+    }
+    art = doremi_domain_weights(df, n_buckets=B, rounds=2)
+    d_ix = {d: i for i, d in enumerate(art["domains"])}
+    assert set(got) == set(d_ix)
+    for d, i in d_ix.items():
+        a_quant = (
+            math.floor(art["per_round"][0][i] * ALPHA_SCALE + 0.5)
+            / ALPHA_SCALE
+        )
+        assert got[d][0] == pytest.approx(a_quant, abs=1e-12), d
+        assert got[d][1] == pytest.approx(
+            art["excess_per_round"][1][i], abs=1e-12
+        ), d
+
+
+def test_round2_null_domain_survives_the_blend_joins(spark):
+    """The round-2 operator joins on domain twice — both must be
+    null-safe so a NULL domain neither drops out nor crashes."""
+    from mini_feature_store_spark.operators.doremi import (
+        doremi_excess_loss_round2,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox and the lazy dog", "a"),
+            (2, "the quick brown fox and the lazy dog too", "a"),
+            (3, "zz xq jkl noise tokens qqq blob", None),
+            (4, "zz xq jkl noise strings qqq blob", None),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = doremi_excess_loss_round2(df, n_buckets=B).collect()
+    assert {r.domain for r in rows} == {"a", None}
+    assert all(r.alpha_r1 is not None for r in rows)
+    assert sum(r.alpha_r1 for r in rows) == pytest.approx(1.0, abs=1e-6)
+
+
 def test_weights_are_a_simplex_and_hardness_directed(spark):
     df = _frame(spark)
     art = doremi_domain_weights(df, n_buckets=B, rounds=6)

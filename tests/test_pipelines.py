@@ -2077,6 +2077,161 @@ def test_corpus_curate_dsir_suggested_threshold(spark, tmp_path):
         )
 
 
+def test_corpus_curate_multi_signal_stack(spark, tmp_path):
+    """r13 directive #2, pipeline side: the three quality signals a
+    production curation stacks — trained classifier probability
+    (--quality-model-dir), DSIR importance under a calibrated artifact
+    (--dsir-model-dir --dsir-suggested-threshold), and LM fluency
+    (--lm-reference-path) — run in ONE pipeline invocation, and every
+    stage's admitted set ties exactly to the independent operator
+    composition (all three are per-doc predicates, so they compose
+    order-independently)."""
+    from mini_feature_store_spark import cli
+    from mini_feature_store_spark.operators.dsir import (
+        dsir_score_with_weights,
+        load_dsir_suggested_threshold,
+        load_dsir_weights,
+    )
+    from mini_feature_store_spark.operators.text import (
+        bigram_lm_score,
+        load_quality_classifier,
+        quality_classifier_score,
+    )
+    from mini_feature_store_spark.pipelines.corpus_curate import (
+        CorpusCurationConfig,
+        run_corpus_curation,
+    )
+
+    prose = (
+        "the quick brown fox and the lazy dog of the farm went to the "
+        "market and bought a basket of apples for the winter"
+    )
+    tech = (
+        "carburetor manifold gasket torque sequence spark plug valve "
+        "clearance camshaft timing chain tensioner bolt torque spec"
+    )
+    noisy = "x1 9z $$ qq ## zz 77 !! kk 00 vv 33 ww 55 yy 88 hh 22"
+    rows = (
+        [(i, prose + f" page {i}") for i in range(6)]
+        + [(20 + i, tech + f" rev {i}") for i in range(5)]
+        + [(50 + i, noisy + f" {i}") for i in range(6)]
+    )
+    inp = str(tmp_path / "docs")
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs.write.parquet(inp)
+
+    # DSIR target covers prose AND tech (both curated); the LM
+    # reference is prose ONLY — so the two signals decorrelate: tech
+    # passes DSIR but reads as high-perplexity to the LM
+    dsir_target = str(tmp_path / "dsir_target")
+    spark.createDataFrame(
+        [(100 + i, prose + f" curated {i}") for i in range(3)]
+        + [(110 + i, tech + f" curated {i}") for i in range(3)],
+        "doc_id long, text string",
+    ).write.parquet(dsir_target)
+    lm_ref = str(tmp_path / "lm_ref")
+    spark.createDataFrame(
+        [(100 + i, prose + f" curated {i}") for i in range(3)],
+        "doc_id long, text string",
+    ).write.parquet(lm_ref)
+    neg_path = str(tmp_path / "neg")
+    spark.createDataFrame(
+        [(200 + i, noisy + f" neg {i}") for i in range(10)],
+        "doc_id long, text string",
+    ).write.parquet(neg_path)
+
+    clf_dir = str(tmp_path / "clf")
+    assert (
+        cli.main(
+            [
+                "clf-train",
+                "--positives-path", dsir_target,
+                "--negatives-path", neg_path,
+                "--output-dir", clf_dir,
+                "--n-iter", "25",
+                "--balanced",
+            ]
+        )
+        == 0
+    )
+    dsir_dir = str(tmp_path / "dsir")
+    assert (
+        cli.main(
+            [
+                "dsir-train",
+                "--target-path", dsir_target,
+                "--raw-path", inp,
+                "--output-dir", dsir_dir,
+                "--n-buckets", "512",
+                "--suggest-keep-rate", "0.4",
+            ]
+        )
+        == 0
+    )
+
+    # LM threshold: split prose from tech/noisy under the prose-only
+    # reference (assert the split exists before relying on it)
+    lm_scores = {
+        r.doc_id: r.avg_nll
+        for r in bigram_lm_score(
+            spark.read.parquet(lm_ref), docs
+        ).collect()
+    }
+    prose_max = max(v for d, v in lm_scores.items() if d < 6)
+    rest_min = min(v for d, v in lm_scores.items() if d >= 6)
+    assert prose_max < rest_min
+    lm_tau = (prose_max + rest_min) / 2.0
+
+    out = str(tmp_path / "clean")
+    funnel = run_corpus_curation(
+        spark,
+        CorpusCurationConfig(
+            input_path=inp,
+            output_path=out,
+            min_tokens=1,
+            min_quality=0.0,
+            jaccard_threshold=0.99,
+            quality_model_dir=clf_dir,
+            dsir_model_dir=dsir_dir,
+            dsir_use_suggested=True,
+            lm_reference_path=lm_ref,
+            lm_max_nll=lm_tau,
+        ),
+    )
+
+    # independent operator composition, pipeline stage order
+    weights, bias = load_quality_classifier(spark, clf_dir)
+    clf_keep = {
+        r.doc_id
+        for r in quality_classifier_score(docs, weights=weights, bias=bias)
+        .where(F.col("keep"))
+        .collect()
+    }
+    wdf, nb, mo = load_dsir_weights(spark, dsir_dir)
+    t = load_dsir_suggested_threshold(spark, dsir_dir)
+    dsir_keep = {
+        r.doc_id
+        for r in dsir_score_with_weights(wdf, docs, n_buckets=nb, max_order=mo)
+        .where(F.col("log_weight") >= F.lit(t))
+        .collect()
+    }
+    lm_drop = {d for d, v in lm_scores.items() if v > lm_tau}
+    after_clf = clf_keep
+    after_dsir = after_clf & dsir_keep
+    after_lm = after_dsir - lm_drop
+    assert funnel["after_quality_clf"] == len(after_clf)
+    assert funnel["after_dsir_select"] == len(after_dsir)
+    assert funnel["after_lm_filter"] == len(after_lm)
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept == after_lm
+    # each signal must actually bind — an always-true gate would make
+    # the tie vacuous
+    assert len(after_clf) < 17
+    assert len(after_dsir) < len(after_clf)
+    assert len(after_lm) < len(after_dsir)
+    assert kept  # and the stack keeps something
+
+
 def test_corpus_curate_doremi_weighted_mixture_stage(spark, tmp_path):
     """doremi-weights CLI → --mixture-weights-dir: the mixture stage
     realizes the artifact's target shares via target_mixture_sample —
