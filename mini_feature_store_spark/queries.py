@@ -9853,83 +9853,34 @@ def embedding_semantic_decontamination(
 # (hash-matched in r1/r2 and untouched since) rotate to the back. Keep every
 # registered name present exactly once — ordered_queries() asserts it.
 
+#: the driver round this VERIFY_ORDER cut targets — bump it when
+#: re-cutting each round. The freshness lint
+#: (tests/test_registry_lint.py::test_verify_window_freshness) judges
+#: the window against the CORRECTNESS artifacts that existed at cut
+#: time (rounds < this), so the check is deterministic no matter when
+#: the suite runs, and asserts the cut is not itself stale.
+VERIFY_ORDER_ROUND = 14
+
 VERIFY_ORDER: list[str] = [
-    # ── r13 re-cut (standing rotate rule: new > touched-this-round >
-    # stalest-driver-row > fresh; the driver records rows for the FIRST
-    # 50 entries only). Ledger going in (artifact-reconstructed):
-    # {r12: 50, r11: 47, r10: 42, r9: 11} over 148 previously-oracled
-    # queries + 17 rows-only.
-    # tier 0 — the three r13-new oracled queries (DSIR-composed
-    # selection manifest; DoReMi per-domain excess loss; exact-path
-    # curation companion), the directive-#4 rows-only exception
-    # (embedding_corpus_curate: the ONE registry query with zero driver
-    # history — the r12 judge explicitly asked for a rows-recorded
-    # entry, overriding the keep-rows-only-out rule for it alone), then
-    # the five oracled queries the r13 code changes touch
-    # (threshold-selection resampler; classifier_eval scale-4
-    # enforcement + NULL-score exclusion; gopher stop_hits init).
+    # ── r14 re-cut (r13 judge directive #1 — the rotation is now
+    # ARITHMETIC: tests/test_registry_lint.py::test_verify_window_freshness
+    # loads the committed CORRECTNESS_r*.json ledger and FAILS any cut
+    # that strands an oracled query >3 rounds stale, admits a rows-only
+    # query into the first 50, or omits a never-recorded oracled query).
+    # Ledger going in: {r13: 49, r12: 43, r11: 47, r10: 13} over 152
+    # previously-oracled queries + 18 rows-only + 2 r14-new.
+    # tier 0 — 2 r14-new oracled queries, then the 4 oracled queries
+    # the r14 code changes touch (threshold-selection band guard;
+    # sampler key-collision assert; the manifest composing both; the
+    # DoReMi refactor under the round-2 work):
     "corpus_selection_manifest_ensemble",
-    "corpus_selection_manifest",
     "doc_doremi_excess_round2",
-    "doc_doremi_excess_loss",
-    "doc_target_mixture_sample",
-    "embedding_corpus_curate_exact",
-    "embedding_corpus_curate",
     "doc_dsir_resample",
-    "doc_dsir_scores",
-    "doc_classifier_eval",
-    "doc_classifier_calibration",
-    "doc_gopher_quality",
-    # tier 1 — the eleven r9-stale greens (four driver rounds old; the
-    # r12 spillover, queued first exactly as the r12 VERIFY_ORDER
-    # comment promised).
-    "date_dimension",
-    "doc_hash_sample",
-    "rollup_order_revenue",
-    "set_ops_users",
-    "shipping_priority",
-    "small_quantity_revenue",
-    "supplier_revenue_salted",
-    "user_event_type_arrays",
-    "user_sessions",
-    "user_value_gap_fill",
-    "weekly_event_buckets",
-    # tier 2 — the oldest r10 rows, alphabetical; 30 fit (50 − 9 − 11).
-    "bloom_filtered_order_revenue",
-    "brand_supplier_stats",
-    "cohort_retention_weekly",
-    "concentrated_part_suppliers",
-    "corpus_curation_funnel",
-    "corpus_dedup_apply",
-    "customer_segment_stats",
-    "customers_with_big_orders",
-    "customers_without_orders",
-    "dedup_clusters",
-    "dedup_incremental_batch",
-    "dedup_ngram_jaccard",
-    "distinct_stats_exact",
-    "doc_dup_coverage",
-    "doc_greedy_packing",
-    "doc_lang_id",
-    "doc_line_quality_filter",
-    "doc_multi_benchmark_contamination",
-    "doc_paragraph_dedup",
-    "doc_quality_filter",
-    "doc_stratified_sample",
-    "doc_upsample_to_parity",
-    "doc_weighted_sample",
-    "dq_orders_audit",
-    "event_value_winsorized",
-    "feature_snapshot_diff",
-    "features_daily",
-    "fuzzy_part_names",
-    "local_supplier_volume",
-    # ── below this line: not in the r13 driver window.
-    # positions 51-63 — the rows-only DoReMi loop (round 1 pinned by
-    # the oracled excess-loss twin above) and the twelve r10 rows that
-    # didn't fit; the r10 dozen lead
-    # the r14 window (post-r13 ledger: nothing staler than r10).
-    "doc_doremi_domain_weights",
+    "doc_target_mixture_sample",
+    "corpus_selection_manifest",
+    "doc_doremi_excess_loss",
+    # tier 1 — the thirteen r10-stale greens (the full list the
+    # r13 verdict's directive #1 names), alphabetical:
     "late_shipment_priority_counts",
     "min_cost_supplier",
     "nation_trade_volume",
@@ -9943,36 +9894,83 @@ VERIFY_ORDER: list[str] = [
     "revenue_by_nation",
     "sole_blame_suppliers",
     "top_orders_per_priority",
-    # r11/r12-fresh greens plus rows-only queries, prior relative
-    # order preserved:
-    "embedding_semantic_decontamination",
-    "doc_quality_classifier_trained",
-    "doc_quality_signal_agreement",
-    "doc_unigram_vocab_em",
-    "corpus_mixture_manifest",
-    "corpus_curation_funnel_lm3",
-    "corpus_split_decontaminated",
-    "doc_trigram_lm_score",
-    "doc_5gram_lm_score",
-    "corpus_curation_funnel_lm",
-    "doc_lm_perplexity",
-    "doc_lm_buckets",
+    # tier 2 — the 31 oldest-r11 greens, alphabetical (50 − 6 − 13).
+    "bpe_tokenizer_metrics",
+    "doc_balanced_mixture_sample",
+    "doc_bpe_encode",
+    "doc_bpe_greedy_packing",
+    "doc_bpe_tokenize",
+    "doc_bpe_vocab",
+    "doc_chunk_windows",
+    "doc_content_centrality",
+    "doc_pii_scrub",
+    "doc_quality_classifier",
+    "doc_quality_tiers",
+    "doc_repetition_scores",
+    "doc_sequence_packing",
+    "doc_temperature_mixture_sample",
+    "doc_text_stats",
+    "doc_tfidf_top_terms",
+    "doc_token_budget_mixture",
+    "doc_token_budget_selection",
+    "doc_training_shuffle",
+    "doc_unigram_tokenize",
+    "doc_unigram_vocab",
+    "doc_winnow_fingerprints",
+    "embedding_cosine_pairs",
+    "embedding_dedup_clusters",
+    "embedding_int8_quant",
+    "embedding_topk_bruteforce",
+    "embedding_vector_stats",
+    "event_rollup_tiers",
+    "event_value_scaled",
+    "funnel_conversion",
+    "important_part_share",
+    # ── below this line: not in the r14 driver window.
+    # The 16 r11 greens that didn't fit — they LEAD the r15 window:
+    "json_props_stats",
+    "lineitem_correlations",
+    "lineitem_metrics_long",
+    "multimodal_alignment_retention",
+    "multimodal_frame_sample",
+    "multimodal_text_alignment",
+    "nation_share_of_region",
+    "order_rank_metrics",
+    "pricing_summary",
+    "quantiles_by_returnflag",
+    "tokenizer_comparison",
+    "top_supplier_revenue",
+    "user_event_patterns",
+    "user_running_value",
+    "user_value_trend",
+    "user_weekly_distinct_exact",
+    # r12-fresh greens, alphabetical:
     "brand_bracket_revenue",
+    "corpus_curation_funnel_lm",
+    "corpus_curation_funnel_lm3",
+    "corpus_mixture_manifest",
+    "corpus_split_decontaminated",
     "cube_event_counts",
     "customer_order_distribution",
     "customers_above_segment_avg",
     "daily_event_deltas",
     "dedup_exact_props",
+    "doc_5gram_lm_score",
     "doc_contamination_spans",
     "doc_cut_duplicate_spans",
     "doc_decontaminate",
     "doc_domain_hash_cap",
     "doc_duplicate_spans",
     "doc_hash_split_counts",
+    "doc_lm_buckets",
+    "doc_lm_perplexity",
+    "doc_quality_signal_agreement",
     "doc_term_frequencies",
+    "doc_trigram_lm_score",
     "doc_url_dedup",
     "domain_contribution_caps",
     "dormant_rich_customers",
+    "embedding_semantic_decontamination",
     "event_promo_attribution",
     "event_type_pivot",
     "events_capped_per_user",
@@ -9990,67 +9988,72 @@ VERIFY_ORDER: list[str] = [
     "price_histogram",
     "product_type_profit",
     "purchase_value_intervals",
-    "embedding_topk_bruteforce",
-    "embedding_cosine_pairs",
-    "bpe_tokenizer_metrics",
-    "doc_token_budget_mixture",
-    "doc_unigram_vocab",
-    "doc_unigram_tokenize",
-    "tokenizer_comparison",
-    "doc_bpe_vocab",
-    "doc_bpe_tokenize",
-    "doc_bpe_encode",
-    "doc_bpe_greedy_packing",
-    "doc_temperature_mixture_sample",
-    "multimodal_text_alignment",
-    "multimodal_alignment_retention",
-    "doc_balanced_mixture_sample",
-    "doc_chunk_windows",
-    "doc_content_centrality",
-    "doc_pii_scrub",
-    "doc_quality_classifier",
-    "doc_quality_tiers",
-    "doc_repetition_scores",
-    "doc_sequence_packing",
-    "doc_text_stats",
-    "doc_tfidf_top_terms",
-    "doc_token_budget_selection",
-    "doc_training_shuffle",
-    "doc_winnow_fingerprints",
-    "embedding_dedup_clusters",
-    "embedding_int8_quant",
-    "embedding_vector_stats",
-    "event_rollup_tiers",
-    "event_value_scaled",
-    "funnel_conversion",
-    "important_part_share",
-    "json_props_stats",
-    "lineitem_correlations",
-    "lineitem_metrics_long",
-    "multimodal_frame_sample",
-    "nation_share_of_region",
-    "order_rank_metrics",
-    "pricing_summary",
-    "quantiles_by_returnflag",
-    "top_supplier_revenue",
-    "user_event_patterns",
-    "user_running_value",
-    "user_value_trend",
-    "user_weekly_distinct_exact",
+    # r13-fresh greens, alphabetical:
+    "bloom_filtered_order_revenue",
+    "brand_supplier_stats",
+    "cohort_retention_weekly",
+    "concentrated_part_suppliers",
+    "corpus_curation_funnel",
+    "corpus_dedup_apply",
+    "customer_segment_stats",
+    "customers_with_big_orders",
+    "customers_without_orders",
+    "date_dimension",
+    "dedup_clusters",
+    "dedup_incremental_batch",
+    "dedup_ngram_jaccard",
+    "distinct_stats_exact",
+    "doc_classifier_calibration",
+    "doc_classifier_eval",
+    "doc_dsir_scores",
+    "doc_dup_coverage",
+    "doc_gopher_quality",
+    "doc_greedy_packing",
+    "doc_hash_sample",
+    "doc_lang_id",
+    "doc_line_quality_filter",
+    "doc_multi_benchmark_contamination",
+    "doc_paragraph_dedup",
+    "doc_quality_filter",
+    "doc_stratified_sample",
+    "doc_upsample_to_parity",
+    "doc_weighted_sample",
+    "dq_orders_audit",
+    "embedding_corpus_curate_exact",
+    "event_value_winsorized",
+    "feature_snapshot_diff",
+    "features_daily",
+    "fuzzy_part_names",
+    "local_supplier_volume",
+    "rollup_order_revenue",
+    "set_ops_users",
+    "shipping_priority",
+    "small_quantity_revenue",
+    "supplier_revenue_salted",
+    "user_event_type_arrays",
+    "user_sessions",
+    "user_value_gap_fill",
+    "weekly_event_buckets",
+    # rows-only queries (kept OUT of the window by lint —
+    # embedding_corpus_curate rotated back out per directive #7):
+    "approx_distinct_stats",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "doc_doremi_domain_weights",
+    "doc_quality_classifier_trained",
+    "doc_unigram_vocab_em",
+    "embedding_corpus_curate",
     "embedding_dedup_clusters_lsh",
-    "embedding_topk_lsh",
-    "embedding_topk_ivf",
-    "embedding_topk_int8",
-    "embedding_topk_pq",
     "embedding_kmeans",
     "embedding_semantic_dedup",
-    "approx_distinct_stats",
+    "embedding_topk_int8",
+    "embedding_topk_ivf",
+    "embedding_topk_lsh",
+    "embedding_topk_pq",
+    "multimodal_audio_stats",
     "multimodal_phash_pairs",
     "multimodal_video_neardup",
     "user_sketch_rollup",
-    "multimodal_audio_stats",
 ]
 
 

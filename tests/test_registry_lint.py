@@ -32,6 +32,75 @@ def test_every_oracle_has_a_query():
     assert set(ORACLE) <= set(QUERIES)
 
 
+def test_verify_window_freshness():
+    """r13 judge directive #1 — ledger rotation is ARITHMETIC, not
+    manual. The driver records correctness rows for only the FIRST 50
+    VERIFY_ORDER entries, so with 150+ oracled queries a hand-cut
+    window silently strands queries for 3+ rounds. This lint loads the
+    committed CORRECTNESS_r*.json ledger as it stood when the window
+    was cut (rounds < VERIFY_ORDER_ROUND — deterministic no matter
+    when the suite runs) and fails any cut that:
+
+    1. leaves an oracled query >3 rounds stale after the targeted
+       round runs (freshness < VERIFY_ORDER_ROUND − 3 and not in the
+       window);
+    2. spends a window slot on a rows-only query (it can never go
+       hash-green — r13 directive #7);
+    3. omits an oracled query that has NO recorded row yet (new
+       queries must take their first row immediately);
+    4. targets a round older than the newest committed artifact (a
+       stale cut — bump VERIFY_ORDER_ROUND when re-cutting).
+    """
+    import glob
+    import json
+    import pathlib
+    import re
+
+    from mini_feature_store_spark.queries import VERIFY_ORDER_ROUND
+
+    arts = {}
+    for p in glob.glob(
+        str(pathlib.Path(__file__).resolve().parent.parent
+            / "CORRECTNESS_r*.json")
+    ):
+        r = int(re.search(r"r(\d+)", pathlib.Path(p).name).group(1))
+        arts[r] = json.load(open(p))
+    assert arts, "no committed CORRECTNESS artifacts found"
+    assert VERIFY_ORDER_ROUND >= max(arts), (
+        f"VERIFY_ORDER targets r{VERIFY_ORDER_ROUND} but "
+        f"CORRECTNESS_r{max(arts)}.json exists — re-cut the window "
+        "and bump VERIFY_ORDER_ROUND"
+    )
+    fresh: dict[str, int] = {}
+    for r in sorted(a for a in arts if a < VERIFY_ORDER_ROUND):
+        for name in arts[r]:
+            if name in QUERIES:
+                fresh[name] = r
+    window = set(VERIFY_ORDER[:50])
+    rows_only_in_window = sorted(window - set(ORACLE))
+    assert not rows_only_in_window, (
+        "rows-only queries burn driver window slots: "
+        f"{rows_only_in_window}"
+    )
+    never_recorded = sorted(set(ORACLE) - set(fresh) - window)
+    assert not never_recorded, (
+        "oracled queries with no driver row must be in the window: "
+        f"{never_recorded}"
+    )
+    stranded = sorted(
+        n
+        for n in ORACLE
+        if n in fresh
+        and fresh[n] < VERIFY_ORDER_ROUND - 3
+        and n not in window
+    )
+    assert not stranded, (
+        f"window for r{VERIFY_ORDER_ROUND} strands oracled queries "
+        f">3 rounds stale: "
+        + ", ".join(f"{n} (r{fresh[n]})" for n in stranded)
+    )
+
+
 @pytest.mark.parametrize("name", sorted(ORACLE))
 def test_oracled_output_is_scalar_only(spark, name):
     df = QUERIES[name](spark, SF_DIR)
