@@ -713,6 +713,8 @@ def main(argv: list[str] | None = None) -> int:
                 suggested_min_log_weight=suggested,
                 suggested_keep_rate=args.suggest_keep_rate,
             )
+            if args.suggest_keep_rate is not None:
+                w.unpersist()
             msg = (
                 f"fitted {args.n_buckets}-bucket DSIR weights -> "
                 f"{args.output_dir.rstrip('/')}/weights.parquet"

@@ -293,11 +293,18 @@ def doremi_excess_loss_round2(
             4,
         ).alias("_e"),
     )
-    scaled = F.exp(F.lit(float(step)) * F.col("_e"))
-    z = F.sum(scaled).over(wall)
+    # association mirrors the driver loop EXACTLY (review r14): v =
+    # α₀·exp(step·e) with α₀ = 1/D, then (1−c)·(v/z) + c/D — the same
+    # float op order in engine, oracle, and loop, so the scale-8
+    # quantization below cannot flip on association noise (only on the
+    # accepted sum-order ulp band)
     dcnt = F.count(F.lit(1)).over(wall)
+    scaled = (F.lit(1.0) / dcnt.cast("double")) * F.exp(
+        F.lit(float(step)) * F.col("_e")
+    )
+    z = F.sum(scaled).over(wall)
     alpha = (
-        F.lit(1.0 - smoothing) * scaled / z
+        F.lit(1.0 - smoothing) * (scaled / z)
         + F.lit(smoothing) / dcnt.cast("double")
     )
     al = e1.select(

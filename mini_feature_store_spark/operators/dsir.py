@@ -325,9 +325,12 @@ def suggest_min_log_weight(
     filter keeps ~``keep_rate`` of ``raw`` — the train-time twin of
     ``_gumbel_topk``'s percentile probe, paid ONCE at ``dsir-train``
     instead of at every pipeline plan-build. One scoring pass over the
-    calibration corpus, scalar driver traffic (``approx_percentile``'s
-    rank error is ≤ N/accuracy rows, so the realized keep-rate is within
-    ~1/--PCT_ACCURACY-- of the target)."""
+    calibration corpus, scalar driver traffic. The sketch's rank error
+    is ≤ N/accuracy rows, so ABSENT ties the realized keep-rate is
+    within ~1/accuracy of the target; mass ties at the threshold value
+    inflate it past that (the inclusive ``>=`` admits every tied doc) —
+    a bounded follow-up count measures the realized rate and WARNS
+    loudly when it exceeds 1.5× the target."""
     if not 0.0 < keep_rate < 1.0:
         raise ValueError(
             f"suggest_min_log_weight: keep_rate must be in (0, 1), "
@@ -341,16 +344,39 @@ def suggest_min_log_weight(
         n_buckets=n_buckets,
         max_order=max_order,
     )
-    t = imp.agg(
+    stats = imp.agg(
         F.percentile_approx(
             F.col("log_weight"), F.lit(1.0 - keep_rate), F.lit(_PCT_ACCURACY)
-        )
-    ).first()[0]
+        ).alias("t"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    t = stats["t"]
     if t is None:
         raise ValueError(
             "suggest_min_log_weight: calibration corpus is empty"
         )
-    return float(t)
+    t = float(t)
+    # mass ties at one rounded log_weight (e.g. a boilerplate-heavy
+    # crawl where half the docs score the 0.0 gramless sentinel) can
+    # make the inclusive `>= t` filter keep far more than the target —
+    # the threshold twin of _gumbel_topk's band inflation. Degrade
+    # LOUDLY: one more bounded scalar job at train time checks the
+    # realized rate (the sketch alone bounds RANKS, not tie mass).
+    kept = imp.agg(
+        F.count(F.when(F.col("log_weight") >= F.lit(t), 1))
+    ).first()[0]
+    realized = kept / stats["n"]
+    if realized > 1.5 * keep_rate + 1.0 / _PCT_ACCURACY:
+        warnings.warn(
+            f"suggest_min_log_weight: threshold {t} keeps "
+            f"{realized:.3f} of the calibration corpus vs the "
+            f"{keep_rate} target — mass ties at the threshold value "
+            "(the >= filter admits every tied doc). Use the resample "
+            "path for an exact budget, or curate the calibration "
+            "corpus.",
+            stacklevel=2,
+        )
+    return t
 
 
 def load_dsir_suggested_threshold(spark, model_dir: str) -> float | None:
@@ -359,12 +385,42 @@ def load_dsir_suggested_threshold(spark, model_dir: str) -> float | None:
     calibration (head-row read — the value rides every row)."""
     base = model_dir.rstrip("/")
     df = spark.read.parquet(base + "/weights.parquet")
+    return _suggested_from(df)
+
+
+def _suggested_from(df: DataFrame) -> float | None:
     if "suggested_min_log_weight" not in df.columns:
         return None
     head = df.select("suggested_min_log_weight").limit(1).collect()
     if not head or head[0][0] is None:
         return None
     return float(head[0][0])
+
+
+def load_dsir_artifact(
+    spark, model_dir: str
+) -> tuple[DataFrame, int, int, float | None]:
+    """``(weights_df, n_buckets, max_order, suggested_min_log_weight)``
+    in ONE artifact open — the pipeline's steady-state loader (review
+    r14: ``load_dsir_suggested_threshold`` + ``load_dsir_weights``
+    back-to-back re-read and re-validated the same parquet). Density
+    validation as in ``load_dsir_weights``."""
+    base = model_dir.rstrip("/")
+    df = spark.read.parquet(base + "/weights.parquet")
+    suggested = _suggested_from(df)
+    head = df.limit(1).collect()
+    if not head:
+        raise ValueError(f"empty DSIR weights artifact at {model_dir!r}")
+    n_buckets = int(head[0]["n_buckets"])
+    max_order = int(head[0]["max_order"])
+    n = df.select("bucket").distinct().count()
+    if n != n_buckets or df.count() != n_buckets:
+        raise ValueError(
+            f"DSIR weights artifact at {model_dir!r} is not dense: "
+            f"{df.count()} rows / {n} distinct buckets for "
+            f"n_buckets={n_buckets}"
+        )
+    return df.select("bucket", "weight"), n_buckets, max_order, suggested
 
 
 def load_dsir_weight_list(

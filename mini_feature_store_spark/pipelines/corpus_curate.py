@@ -412,22 +412,28 @@ def run_corpus_curation(
         prev.unpersist()
 
     _dsir_threshold = cfg.dsir_min_log_weight
-    if cfg.dsir_use_suggested:
+    _dsir_art = None
+    if cfg.dsir_model_dir is not None and (
+        cfg.dsir_use_suggested or _dsir_threshold is not None
+    ):
+        # ONE artifact open serves both the threshold and the weight
+        # table (review r14: the two single-purpose loaders re-read and
+        # re-validated the same parquet back-to-back)
         from mini_feature_store_spark.operators.dsir import (
-            load_dsir_suggested_threshold,
+            load_dsir_artifact,
         )
 
-        _dsir_threshold = load_dsir_suggested_threshold(
-            spark, cfg.dsir_model_dir
-        )
-        if _dsir_threshold is None:
-            raise ValueError(
-                "dsir_use_suggested: artifact at "
-                f"{cfg.dsir_model_dir!r} carries no "
-                "suggested_min_log_weight — retrain with "
-                "`dsir-train --suggest-keep-rate` or pass an explicit "
-                "dsir_min_log_weight"
-            )
+        _dsir_art = load_dsir_artifact(spark, cfg.dsir_model_dir)
+        if cfg.dsir_use_suggested:
+            _dsir_threshold = _dsir_art[3]
+            if _dsir_threshold is None:
+                raise ValueError(
+                    "dsir_use_suggested: artifact at "
+                    f"{cfg.dsir_model_dir!r} carries no "
+                    "suggested_min_log_weight — retrain with "
+                    "`dsir-train --suggest-keep-rate` or pass an "
+                    "explicit dsir_min_log_weight"
+                )
     if (
         cfg.dsir_target_path is not None or cfg.dsir_model_dir is not None
     ) and _dsir_threshold is not None:
@@ -443,11 +449,10 @@ def run_corpus_curation(
         from mini_feature_store_spark.operators.dsir import (
             dsir_bucket_weights,
             dsir_score_with_weights,
-            load_dsir_weights,
         )
 
         if cfg.dsir_model_dir is not None:
-            wdf, nb, mo = load_dsir_weights(spark, cfg.dsir_model_dir)
+            wdf, nb, mo, _ = _dsir_art
         else:
             nb, mo = 8192, 2
             wdf = dsir_bucket_weights(

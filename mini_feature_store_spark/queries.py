@@ -9304,14 +9304,19 @@ e1 AS (
            / 10000 AS e
   FROM nd
 ),
-al AS (
+alv AS (
   SELECT domain, n_grams, nll_reference,
-         CAST(FLOOR(((1.0 - 0.001) * (exp(1.0 * e)
-                     / SUM(exp(1.0 * e)) OVER ())
-                     + 0.001 / (COUNT(*) OVER ()))
-                    * 100000000.0 + 0.5) AS BIGINT) AS a_int,
+         (1.0 / (COUNT(*) OVER ())) * exp(1.0 * e) AS av,
          COUNT(*) OVER () AS d_cnt
   FROM e1
+),
+al AS (
+  SELECT domain, n_grams, nll_reference,
+         CAST(FLOOR(((1.0 - 0.001) * (av / SUM(av) OVER ())
+                     + 0.001 / d_cnt)
+                    * 100000000.0 + 0.5) AS BIGINT) AS a_int,
+         d_cnt
+  FROM alv
 ),
 m2 AS (
   SELECT fr.bucket,

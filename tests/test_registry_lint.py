@@ -73,8 +73,10 @@ def test_verify_window_freshness():
     )
     fresh: dict[str, int] = {}
     for r in sorted(a for a in arts if a < VERIFY_ORDER_ROUND):
-        for name in arts[r]:
-            if name in QUERIES:
+        for name, row in arts[r].items():
+            # a FAILED row is not a recording — a red query must come
+            # straight back into the window, not rotate out for 3 rounds
+            if name in QUERIES and row.get("hash_match") is True:
                 fresh[name] = r
     window = set(VERIFY_ORDER[:50])
     rows_only_in_window = sorted(window - set(ORACLE))

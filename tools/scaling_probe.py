@@ -1150,6 +1150,52 @@ def run_scale(spark, d: Path, only: set[str] | None = None) -> dict[str, float]:
             "pit_training_multi": _pit_multi,
         }
     )
+
+    # ── r14-new probes (r13 VERDICT #6): the composed selection funnels
+    # and the single-view PIT join — the bench top-5 family that had no
+    # curve. The funnel probes run the REGISTRY QUERY functions against
+    # the synthetic dir (schema-compatible with the sf testdata), so the
+    # curve measures the shipped composition verbatim — including
+    # corpus_selection_manifest's fixed k=100 budget (which therefore
+    # SHRINKS as a corpus fraction at 3×/10×; the k-insensitivity of the
+    # threshold selector is curve-pinned separately at SCALING.md:103).
+    from mini_feature_store_spark import queries as _registry
+
+    def _registry_q(name):
+        return lambda: _registry.QUERIES[name](spark, str(d))
+
+    def _pit_single():
+        features = backfill_features_window_form(
+            events, "2024-01-01", "2024-01-30"
+        )
+        labels = (
+            events.where(F.col("event_type") == "purchase")
+            .select(
+                "user_id",
+                F.lit(1.0).alias("label"),
+                F.col("ts").alias("as_of_ts"),
+            )
+            .distinct()
+        )
+        return point_in_time_join(labels, features, feature_ts="day")
+
+    from mini_feature_store_spark.operators.point_in_time import (
+        point_in_time_join,
+    )
+
+    ops.update(
+        {
+            "selection_manifest_query": _registry_q(
+                "corpus_selection_manifest"
+            ),
+            "selection_ensemble_query": _registry_q(
+                "corpus_selection_manifest_ensemble"
+            ),
+            "funnel_lm_query": _registry_q("corpus_curation_funnel_lm"),
+            "funnel_lm3_query": _registry_q("corpus_curation_funnel_lm3"),
+            "pit_training_single": _pit_single,
+        }
+    )
     out = {}
     for name, build in ops.items():
         if only and name not in only:
