@@ -251,6 +251,32 @@ _ALLOWLIST: dict[str, list[tuple[str, str]]] = {
         ("cast(8192 as bigint)", "same 2 sites, packing union branch"),
         ("cast(8192 as bigint)", "same 2 sites, packing union branch"),
     ],
+    # the r14 multi-signal manifest scores with dsir_importance (no
+    # resampler): ONE weight-table hint per signal evaluation — the
+    # flagged chain feeds the stage-0-4 aggregate and the
+    # mixture→packing branch (2×), and the mean-threshold crossJoin
+    # re-derives the scoring chain inside each (2× more), with the
+    # packing union doubling its branch. Same dense ≤8192-row table by
+    # construction; Catalyst reuses the exchange at execution.
+    "corpus_selection_manifest_ensemble": [
+        ("cast(8192 as bigint)", "dense n_buckets-row DSIR weight table"),
+        ("cast(8192 as bigint)", "same table, threshold-mean branch"),
+        ("cast(8192 as bigint)", "same 2 sites, mixture mass branch"),
+        ("cast(8192 as bigint)", "same 2 sites, mixture mass branch"),
+        ("cast(8192 as bigint)", "same 2 sites, packing union branch"),
+        ("cast(8192 as bigint)", "same 2 sites, packing union branch"),
+    ],
+    # operators/doremi.py:doremi_excess_loss_round2 — both hinted sides
+    # are D-row per-DOMAIN aggregates (the α₁ table and the round-2
+    # per-domain NLL table): bounded by stratum cardinality, not data
+    # volume (the D·B-bounded-table contract in the module docstring).
+    # The walker sees the gram explosion feeding the aggregates and
+    # cannot prove the bound; markers pin the α-update smoothing literal
+    # and the round-2 log-prob column respectively.
+    "doc_doremi_excess_round2": [
+        ("0.999", "D-row quantized α₁ table (per-domain aggregate)"),
+        ("_wp2", "D-row round-2 NLL table (per-domain aggregate)"),
+    ],
     # operators/similarity.py:semantic_decontaminate — the hinted side
     # is the BENCHMARK embedding set: eval suites are bounded by the
     # eval-suite contract (same class as doc_decontaminate's shingle
