@@ -902,6 +902,30 @@ AUDITED: dict[str, str] = {
         "selected-id join; every TakeOrderedAndProject limit << k; the "
         "weight-table joins broadcast by construction."
     ),
+    "corpus_selection_manifest_ensemble": (
+        "The r14 multi-signal manifest: three per-doc predicates (frozen "
+        "classifier probability — a zero-shuffle projection; src0 bigram "
+        "LM avg_nll; DSIR log_weight — both one doc-keyed aggregate "
+        "each) joined back on doc_id, mean thresholds as 1-row "
+        "broadcast crossJoins, the domain-cap rank folded into the ONE "
+        "flagged chain (survivors-first window ordering), stages 0-4 "
+        "from ONE conditional aggregate, then mixture + packing. No "
+        "top-k anywhere — the DSIR gate is the probe-free threshold "
+        "form. Check: the signal joins key on doc_id (exchange-"
+        "reusable, never broadcast — doc-cardinality sides); the only "
+        "forced broadcasts are the dense weight table and the 1-row "
+        "threshold rows; no TakeOrderedAndProject at all."
+    ),
+    "doc_doremi_excess_round2": (
+        "DoReMi round-2 (r14): the round-1 chain's bounded (domain, "
+        "bucket) aggregate feeds an in-engine EG update over the D-row "
+        "excess frame (scale-8 integer quantization), the alpha table "
+        "broadcasts BY CONSTRUCTION (D rows — stratum cardinality) "
+        "into the integer blend, and the round-2 NLLs are again "
+        "arithmetic over the bounded table. Check: corpus-side "
+        "exchanges only at the domain-bucket aggregates; every Window "
+        "input is the bounded table; both domain joins broadcast."
+    ),
     "doc_classifier_eval": (
         "Exact tie-aware AUC + confusion/PR (r12; r13 enforces the "
         "bounded-score contract INSIDE the operator): scores round to "
