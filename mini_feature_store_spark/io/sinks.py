@@ -139,6 +139,45 @@ def write_parquet_clustered(
     write_parquet(clustered, path, mode=mode, partition_by=partition_by)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    buckets: int,
+    bucket_by: Sequence[str],
+    sort_by: Sequence[str] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a BUCKETED managed table — Spark's co-located-join
+    layout (``bucketBy`` + ``sortBy`` + ``saveAsTable``; bucketed
+    layout is a catalog-table feature, so this is the one sink that
+    must target a table name, not a path).
+
+    Why this matters at 100 TB (SURVEY.md's PIT-join bucketing lever):
+    a feature table bucketed on ``user_id`` is ALREADY hash-partitioned
+    on disk, so every downstream join or aggregate keyed on it — the
+    point-in-time training-set build, the online-sync latest-per-key
+    collapse, batch inference — reads the buckets and skips the
+    EXCHANGE entirely (pinned by
+    ``test_bucketed_feature_join_is_shuffle_free``): the shuffle a
+    feature store otherwise pays on every training-set materialization
+    is paid ONCE at write time. ``sort_by`` additionally pre-sorts
+    within buckets, letting sort-merge joins skip their local sort when
+    the join key prefixes the sort key. Both sides of a join must use
+    the same bucket count (or a multiple, with
+    ``spark.sql.bucketing.coalesceBucketsInJoin.enabled``) for the
+    shuffle-free plan.
+    """
+    if buckets <= 0:
+        raise ValueError(f"buckets must be positive, got {buckets}")
+    cols = list(bucket_by)
+    if not cols:
+        raise ValueError("bucket_by must name at least one column")
+    writer = df.write.mode(mode).format("parquet").bucketBy(buckets, *cols)
+    if sort_by:
+        writer = writer.sortBy(*list(sort_by))
+    writer.saveAsTable(table)
+
+
 def write_parquet_zordered(
     df: DataFrame,
     path: str,

@@ -121,13 +121,13 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
     users = spark.range(50).select(
         F.col("id").alias("user_id"), (F.col("id") * 2).alias("score")
     )
-    (
-        events.write.bucketBy(8, "user_id").sortBy("user_id")
-        .mode("overwrite").saveAsTable("b_events")
+    from mini_feature_store_spark.io.sinks import write_bucketed_table
+
+    write_bucketed_table(
+        events, "b_events", 8, ["user_id"], sort_by=["user_id"]
     )
-    (
-        users.write.bucketBy(8, "user_id").sortBy("user_id")
-        .mode("overwrite").saveAsTable("b_users")
+    write_bucketed_table(
+        users, "b_users", 8, ["user_id"], sort_by=["user_id"]
     )
     # disable broadcast so the plan would otherwise need a shuffle join
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -140,6 +140,71 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS b_events")
         spark.sql("DROP TABLE IF EXISTS b_users")
+
+
+def test_bucketed_features_make_pit_training_build_shuffle_free(spark):
+    """The feature-store payoff of the bucketed layout (SURVEY.md's
+    PIT-join bucketing lever): a features table bucketed on user_id is
+    already hash-partitioned on disk, so the point-in-time training-set
+    build — label join + per-label max_by collapse, both keyed on
+    user_id — runs with ZERO shuffle exchanges (bucketed scan output
+    partitioning satisfies the aggregate's clustered distribution; the
+    label side broadcasts). The same build from a plain frame pays at
+    least one hash exchange. Results pinned identical."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from mini_feature_store_spark.functions import plan_text
+    from mini_feature_store_spark.io.sinks import write_bucketed_table
+    from mini_feature_store_spark.operators.point_in_time import (
+        point_in_time_join,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS b_features")
+    features = spark.range(2000).select(
+        (F.col("id") % 40).alias("user_id"),
+        F.date_add(
+            F.lit("2024-01-01").cast("date"),
+            (F.col("id") % 30).cast("int"),
+        ).alias("day"),
+        (F.col("id") % 7).cast("double").alias("clicks"),
+    ).dropDuplicates(["user_id", "day"])
+    labels = spark.createDataFrame(
+        [(u, f"2024-01-{15 + (u % 10):02d} 12:00:00", float(u % 2))
+         for u in range(40)],
+        "user_id long, as_of_ts string, label double",
+    ).select(
+        "user_id", F.col("as_of_ts").cast("timestamp"), "label"
+    )
+    # broadcast off: at test scale the tiny feature table would
+    # broadcast and hide the layout story — the claim under test is the
+    # big-data SMJ regime, where only bucketing can delete the
+    # feature-side exchange
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed_table(
+            features, "b_features", 8, ["user_id"], sort_by=["user_id"]
+        )
+        bucketed = point_in_time_join(
+            labels, spark.table("b_features"), feature_ts="day"
+        )
+        plain = point_in_time_join(labels, features, feature_ts="day")
+        b_rows = {tuple(r) for r in bucketed.collect()}
+        assert b_rows == {tuple(r) for r in plain.collect()}
+        assert len(b_rows) == 40
+        b_plan, p_plan = plan_text(bucketed), plan_text(plain)
+        assert "Bucketed: true" in b_plan
+        b_ex = len(re.findall(r"hashpartitioning\(", b_plan))
+        p_ex = len(re.findall(r"hashpartitioning\(", p_plan))
+        # the feature-side shuffle is gone; every remaining exchange
+        # (label side, final collapse) is shared by both variants
+        assert b_ex < p_ex, (b_ex, p_ex)
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", "10485760"
+        )
+        spark.sql("DROP TABLE IF EXISTS b_features")
 
 
 def test_melt_roundtrip_and_no_shuffle(spark):
