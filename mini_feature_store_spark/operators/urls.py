@@ -263,6 +263,7 @@ def domain_cap(
     url_col: str = "url",
     id_col: str = "doc_id",
     keep_col: str | None = None,
+    rank_first: str | None = None,
 ) -> DataFrame:
     """Exact per-domain contribution cap: keep at most ``max_per_domain``
     documents per registrable domain, chosen by deterministic md5 hash
@@ -279,13 +280,26 @@ def domain_cap(
     ``keep_col``: when set, NO rows are dropped — every input row comes
     back with a boolean admission flag under this name instead (the
     ``quality_filter`` with-fingerprint pattern), so a funnel can count
-    input and capped in ONE conditional aggregate over one chain build."""
+    input and capped in ONE conditional aggregate over one chain build.
+
+    ``rank_first``: name of a boolean column whose TRUE rows rank
+    before all others within a domain (then the usual hash order).
+    This folds a pre-filter into the cap WITHOUT filtering: ranks on
+    the TRUE rows are identical to running the cap on the filtered
+    subset (true rows sort first, so false rows can never displace
+    them) — the single-chain funnel pattern
+    (``corpus_selection_manifest_ensemble``). A FALSE row may still
+    get rank ≤ cap when its domain has fewer than cap TRUE rows, so
+    callers must AND the admission with the predicate themselves."""
     if max_per_domain <= 0:
         raise ValueError(
             f"max_per_domain must be positive, got {max_per_domain}"
         )
     dom = registrable_domain(url_host(F.col(url_col)))
-    w = Window.partitionBy("_mfss_dom").orderBy("_mfss_adm", id_col)
+    order = [F.col(rank_first).desc()] if rank_first is not None else []
+    w = Window.partitionBy("_mfss_dom").orderBy(
+        *order, "_mfss_adm", id_col
+    )
     ranked = (
         df.withColumn("_mfss_dom", dom)
         .withColumn(

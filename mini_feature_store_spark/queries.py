@@ -9018,8 +9018,11 @@ def corpus_selection_manifest_ensemble(
     doc-keyed aggregate and rejoin on doc_id (same key — exchange-
     reusable); model tables (bigram counts, DSIR bucket weights) are
     broadcast inside the components; the two mean thresholds are 1-row
-    broadcast crossJoins (the sanctioned totals class). No top-k, no
-    window over the corpus, no Python."""
+    broadcast crossJoins (the sanctioned totals class). No top-k and
+    no Python anywhere; the one corpus-wide window is the domain-cap
+    rank, folded into the single flagged chain via
+    ``domain_cap(rank_first=...)`` — see the inline note on its
+    celebrity-domain trade."""
     from mini_feature_store_spark.operators.dsir import dsir_importance
     from mini_feature_store_spark.operators.packing import (
         pack_documents_greedy,
@@ -9075,37 +9078,26 @@ def corpus_selection_manifest_ensemble(
         f2.alias("_f2"),
         f3.alias("_f3"),
     )
-    # cap rank folded INTO the flagged chain (survivors-first ordering:
-    # within a domain every _f3 row sorts before every non-_f3 row, so
-    # ranks 1..m on the _f3 rows are IDENTICAL to domain_cap over the
-    # filtered survivor set — the oracle's ranked-over-survivors CTE is
-    # unchanged) — stages 0-4 then come out of ONE conditional
-    # aggregate over ONE chain build, halving the evaluations of the
-    # LM/DSIR signal subtrees (plan went 68 → ~half the corpus scans)
-    from pyspark.sql import Window
+    # cap rank folded INTO the flagged chain via domain_cap's
+    # rank_first mode (survivors-first ordering: _f3 rows rank before
+    # every non-_f3 row within a domain, so their ranks are IDENTICAL
+    # to capping the filtered survivor set — the operator owns the
+    # invariant, the oracle's ranked-over-survivors CTE is unchanged).
+    # Stages 0-4 then come out of ONE conditional aggregate over ONE
+    # chain build, halving the evaluations of the LM/DSIR signal
+    # subtrees (68 → 52 corpus scans). The price, stated plainly: the
+    # cap window now partitions the FULL raw pool by domain (narrow
+    # columns) instead of just the survivors — at crawl scale a
+    # celebrity domain serializes its whole row set into one
+    # row_number task (domain_cap's documented caveat; swap in
+    # domain_cap_approx when the domain distribution is crawl-shaped).
+    from mini_feature_store_spark.operators.urls import domain_cap
 
-    from mini_feature_store_spark.operators.urls import (
-        _admission_hash,
-        registrable_domain,
-        url_host,
-    )
-
-    w_cap = Window.partitionBy("_dom").orderBy(
-        F.col("_f3").desc(), "_adm", "doc_id"
-    )
-    frame = (
-        flagged.withColumn(
-            "_dom", registrable_domain(url_host(F.col("url")))
-        )
-        .withColumn(
-            "_adm", _admission_hash(F.col("_dom"), F.col("doc_id"))
-        )
-        .withColumn("_rk", F.row_number().over(w_cap))
-        .withColumn(
-            "_cap_keep", F.col("_f3") & (F.col("_rk") <= _SEL_CAP)
-        )
-        .drop("_dom", "_adm", "_rk")
-    )
+    frame = domain_cap(
+        flagged, _SEL_CAP, keep_col="_cap_rk", rank_first="_f3"
+    ).withColumn(
+        "_cap_keep", F.col("_f3") & F.col("_cap_rk")
+    ).drop("_cap_rk")
     c04 = frame.agg(
         F.count(F.lit(1)).cast("long").alias("d0"),
         F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("t0"),

@@ -147,10 +147,10 @@ def test_bucketed_features_make_pit_training_build_shuffle_free(spark):
     PIT-join bucketing lever): a features table bucketed on user_id is
     already hash-partitioned on disk, so the point-in-time training-set
     build — label join + per-label max_by collapse, both keyed on
-    user_id — runs with ZERO shuffle exchanges (bucketed scan output
-    partitioning satisfies the aggregate's clustered distribution; the
-    label side broadcasts). The same build from a plain frame pays at
-    least one hash exchange. Results pinned identical."""
+    user_id — loses the feature-side shuffle: the bucketed scan's
+    output partitioning satisfies the join distribution AND the
+    downstream aggregate's clustered distribution, so only the label
+    side exchanges. Results pinned identical to the plain path."""
     import re
 
     from pyspark.sql import functions as F
@@ -162,14 +162,18 @@ def test_bucketed_features_make_pit_training_build_shuffle_free(spark):
     )
 
     spark.sql("DROP TABLE IF EXISTS b_features")
-    features = spark.range(2000).select(
+    # a unique (user_id, day) grid with clicks a deterministic function
+    # of the key — no dropDuplicates: its First() pick is
+    # non-deterministic across executions, and the bucketed write
+    # freezes one pick while the plain path re-rolls it (review r14)
+    features = spark.range(40 * 30).select(
         (F.col("id") % 40).alias("user_id"),
         F.date_add(
             F.lit("2024-01-01").cast("date"),
-            (F.col("id") % 30).cast("int"),
+            (F.col("id") / 40).cast("int"),
         ).alias("day"),
-        (F.col("id") % 7).cast("double").alias("clicks"),
-    ).dropDuplicates(["user_id", "day"])
+        ((F.col("id") * 31) % 7).cast("double").alias("clicks"),
+    )
     labels = spark.createDataFrame(
         [(u, f"2024-01-{15 + (u % 10):02d} 12:00:00", float(u % 2))
          for u in range(40)],
@@ -180,8 +184,14 @@ def test_bucketed_features_make_pit_training_build_shuffle_free(spark):
     # broadcast off: at test scale the tiny feature table would
     # broadcast and hide the layout story — the claim under test is the
     # big-data SMJ regime, where only bucketing can delete the
-    # feature-side exchange
+    # feature-side exchange. Shuffle parallelism pinned to the bucket
+    # count: with more shuffle partitions than buckets Spark prefers
+    # re-shuffling BOTH sides for parallelism over reading the 8-way
+    # buckets (the production rule: pick the bucket count to match the
+    # target join parallelism)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         write_bucketed_table(
             features, "b_features", 8, ["user_id"], sort_by=["user_id"]
@@ -195,15 +205,29 @@ def test_bucketed_features_make_pit_training_build_shuffle_free(spark):
         assert len(b_rows) == 40
         b_plan, p_plan = plan_text(bucketed), plan_text(plain)
         assert "Bucketed: true" in b_plan
-        b_ex = len(re.findall(r"hashpartitioning\(", b_plan))
-        p_ex = len(re.findall(r"hashpartitioning\(", p_plan))
-        # the feature-side shuffle is gone; every remaining exchange
-        # (label side, final collapse) is shared by both variants
-        assert b_ex < p_ex, (b_ex, p_ex)
+        # distinct Exchange NODES in the AQE FINAL plan only (the
+        # formatted output re-lists the whole Initial Plan below it)
+        def final_exchanges(plan: str) -> int:
+            # the tree section writes "Exchange (N)"; node details
+            # ("(N) Exchange") only appear after the Initial Plan dump
+            final = plan.split("== Initial Plan ==")[0]
+            return len(set(re.findall(r"Exchange \((\d+)\)", final)))
+
+        b_ex = final_exchanges(b_plan)
+        p_ex = final_exchanges(p_plan)
+        # EXACT pin (review r14 — a relative compare would stay green
+        # if bucketed-scan exchange elimination regressed): the plain
+        # build shuffles BOTH join sides on user_id; the bucketed build
+        # pays only the label-side exchange — the feature side reads
+        # its buckets, and the post-join aggregate's clustered
+        # distribution is satisfied by the join partitioning in both
+        assert b_ex == 1, b_plan
+        assert p_ex == 2, p_plan
     finally:
         spark.conf.set(
             "spark.sql.autoBroadcastJoinThreshold", "10485760"
         )
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         spark.sql("DROP TABLE IF EXISTS b_features")
 
 

@@ -212,6 +212,37 @@ def test_domain_cap_keep_col_flag_mode(spark):
     assert kept_flag == kept_filter
 
 
+def test_domain_cap_rank_first_folds_a_prefilter(spark):
+    """rank_first mode (r14): TRUE rows of the named column rank before
+    all others within a domain, so their admissions are EXACTLY what
+    capping the filtered subset yields — the single-chain funnel fold
+    (corpus_selection_manifest_ensemble). FALSE rows may fill leftover
+    slots; callers AND the predicate themselves."""
+    from pyspark.sql import functions as F
+
+    df = _cap_corpus(spark).withColumn("_surv", F.col("doc_id") % 3 == 0)
+    cap = 3
+    folded = domain_cap(df, cap, keep_col="_k", rank_first="_surv")
+    folded_true = {
+        r["doc_id"]
+        for r in folded.where(F.col("_surv") & F.col("_k")).collect()
+    }
+    direct = {
+        r["doc_id"]
+        for r in domain_cap(df.where(F.col("_surv")), cap).collect()
+    }
+    assert folded_true == direct
+    # without rank_first the behavior is byte-identical to before
+    plain_flag = {
+        (r["doc_id"], r["_k"])
+        for r in domain_cap(df, cap, keep_col="_k").collect()
+    }
+    assert plain_flag == {
+        (r["doc_id"], r["_k"])
+        for r in domain_cap(df, cap, keep_col="_k", rank_first=None).collect()
+    }
+
+
 def test_domain_cap_preserves_user_domain_column(spark):
     """A crawl table often carries its own 'domain' column; the cap must
     not overwrite or drop it (r8 review finding)."""

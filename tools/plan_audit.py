@@ -911,7 +911,10 @@ AUDITED: dict[str, str] = {
         "flagged chain (survivors-first window ordering), stages 0-4 "
         "from ONE conditional aggregate, then mixture + packing. No "
         "top-k anywhere — the DSIR gate is the probe-free threshold "
-        "form. Check: the signal joins key on doc_id (exchange-"
+        "form. The cap window partitions the FULL pool by domain (the "
+        "single-chain trade; celebrity-domain caveat documented in the "
+        "query — domain_cap_approx is the crawl-shape alternative). "
+        "Check: the signal joins key on doc_id (exchange-"
         "reusable, never broadcast — doc-cardinality sides); the only "
         "forced broadcasts are the dense weight table and the 1-row "
         "threshold rows; no TakeOrderedAndProject at all."
