@@ -330,6 +330,14 @@ def build_parser() -> argparse.ArgumentParser:
     dt.add_argument("--max-order", type=int, default=2)
     dt.add_argument("--text-col", default="text")
     dt.add_argument(
+        "--id-col", default=None,
+        help="document id column of --raw-path for the "
+        "--suggest-keep-rate calibration grouping (plain dsir-train is "
+        "id-free — bag counts never need one); default synthesizes a "
+        "per-row id, so corpora without a doc_id column calibrate "
+        "without any flag",
+    )
+    dt.add_argument(
         "--suggest-keep-rate", type=float, default=None,
         help="also calibrate the log-weight threshold keeping this "
         "fraction of --raw-path (one extra scoring pass at train time) "
@@ -701,6 +709,7 @@ def main(argv: list[str] | None = None) -> int:
                     w,
                     raw,
                     args.suggest_keep_rate,
+                    id_col=args.id_col,
                     text_col=args.text_col,
                     n_buckets=args.n_buckets,
                     max_order=args.max_order,

@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import warnings
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -316,7 +317,7 @@ def suggest_min_log_weight(
     raw: DataFrame,
     keep_rate: float,
     *,
-    id_col: str = "doc_id",
+    id_col: str | None = "doc_id",
     text_col: str = "text",
     n_buckets: int = 8192,
     max_order: int = 2,
@@ -324,8 +325,13 @@ def suggest_min_log_weight(
     """Calibrate the log-weight threshold whose ``log_weight >= t``
     filter keeps ~``keep_rate`` of ``raw`` — the train-time twin of
     ``_gumbel_topk``'s percentile probe, paid ONCE at ``dsir-train``
-    instead of at every pipeline plan-build. One scoring pass over the
-    calibration corpus, scalar driver traffic. The sketch's rank error
+    instead of at every pipeline plan-build. The scored calibration
+    frame is persisted across the two scalar aggregates (percentile
+    probe, then realized-rate tie check), so the scan + broadcast join
+    + per-doc aggregate chain runs once, not twice. ``id_col=None``
+    synthesizes a per-row id for the calibration grouping — plain
+    ``dsir-train`` corpora are id-free (bag counts never need one) and
+    only the per-doc grouping matters here. The sketch's rank error
     is ≤ N/accuracy rows, so ABSENT ties the realized keep-rate is
     within ~1/accuracy of the target; mass ties at the threshold value
     inflate it past that (the inclusive ``>=`` admits every tied doc) —
@@ -336,6 +342,9 @@ def suggest_min_log_weight(
             f"suggest_min_log_weight: keep_rate must be in (0, 1), "
             f"got {keep_rate}"
         )
+    if id_col is None:
+        id_col = "__dsir_calib_id"
+        raw = raw.withColumn(id_col, F.monotonically_increasing_id())
     imp = dsir_score_with_weights(
         weights,
         raw,
@@ -343,28 +352,33 @@ def suggest_min_log_weight(
         text_col=text_col,
         n_buckets=n_buckets,
         max_order=max_order,
-    )
-    stats = imp.agg(
-        F.percentile_approx(
-            F.col("log_weight"), F.lit(1.0 - keep_rate), F.lit(_PCT_ACCURACY)
-        ).alias("t"),
-        F.count(F.lit(1)).alias("n"),
-    ).first()
-    t = stats["t"]
-    if t is None:
-        raise ValueError(
-            "suggest_min_log_weight: calibration corpus is empty"
-        )
-    t = float(t)
-    # mass ties at one rounded log_weight (e.g. a boilerplate-heavy
-    # crawl where half the docs score the 0.0 gramless sentinel) can
-    # make the inclusive `>= t` filter keep far more than the target —
-    # the threshold twin of _gumbel_topk's band inflation. Degrade
-    # LOUDLY: one more bounded scalar job at train time checks the
-    # realized rate (the sketch alone bounds RANKS, not tie mass).
-    kept = imp.agg(
-        F.count(F.when(F.col("log_weight") >= F.lit(t), 1))
-    ).first()[0]
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        stats = imp.agg(
+            F.percentile_approx(
+                F.col("log_weight"),
+                F.lit(1.0 - keep_rate),
+                F.lit(_PCT_ACCURACY),
+            ).alias("t"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        t = stats["t"]
+        if t is None:
+            raise ValueError(
+                "suggest_min_log_weight: calibration corpus is empty"
+            )
+        t = float(t)
+        # mass ties at one rounded log_weight (e.g. a boilerplate-heavy
+        # crawl where half the docs score the 0.0 gramless sentinel) can
+        # make the inclusive `>= t` filter keep far more than the target —
+        # the threshold twin of _gumbel_topk's band inflation. Degrade
+        # LOUDLY: one more bounded scalar job at train time checks the
+        # realized rate (the sketch alone bounds RANKS, not tie mass).
+        kept = imp.agg(
+            F.count(F.when(F.col("log_weight") >= F.lit(t), 1))
+        ).first()[0]
+    finally:
+        imp.unpersist()
     realized = kept / stats["n"]
     if realized > 1.5 * keep_rate + 1.0 / _PCT_ACCURACY:
         warnings.warn(
@@ -404,22 +418,14 @@ def load_dsir_artifact(
     in ONE artifact open — the pipeline's steady-state loader (review
     r14: ``load_dsir_suggested_threshold`` + ``load_dsir_weights``
     back-to-back re-read and re-validated the same parquet). Density
-    validation as in ``load_dsir_weights``."""
+    validation as in ``load_dsir_weights`` — one aggregate job covers
+    metadata, suggested threshold, and both density counts."""
     base = model_dir.rstrip("/")
     df = spark.read.parquet(base + "/weights.parquet")
-    suggested = _suggested_from(df)
-    head = df.limit(1).collect()
-    if not head:
-        raise ValueError(f"empty DSIR weights artifact at {model_dir!r}")
-    n_buckets = int(head[0]["n_buckets"])
-    max_order = int(head[0]["max_order"])
-    n = df.select("bucket").distinct().count()
-    if n != n_buckets or df.count() != n_buckets:
-        raise ValueError(
-            f"DSIR weights artifact at {model_dir!r} is not dense: "
-            f"{df.count()} rows / {n} distinct buckets for "
-            f"n_buckets={n_buckets}"
-        )
+    has_suggested = "suggested_min_log_weight" in df.columns
+    n_rows, n_distinct, n_buckets, max_order, suggested = (
+        _validate_dense(df, model_dir, with_suggested=has_suggested)
+    )
     return df.select("bucket", "weight"), n_buckets, max_order, suggested
 
 
@@ -438,27 +444,54 @@ def load_dsir_weight_list(
     return out, n_buckets, max_order
 
 
+def _validate_dense(
+    df: DataFrame, model_dir: str, *, with_suggested: bool = False
+) -> tuple[int, int, int, int, float | None]:
+    """One aggregate job over the weights artifact — row count, distinct
+    buckets, metadata (and optionally the suggested threshold) in a
+    single pass, with the collected values reused in the error message
+    (review r14 ADVICE: the old shape launched 2-3 separate jobs, one of
+    them re-run just to format the error). Distinct count, not just row
+    count: a duplicated bucket would double-count every gram hashing to
+    it in the scoring join (and a duplicate implies some other bucket is
+    missing at the same total)."""
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(F.col("bucket")).alias("n_distinct"),
+        F.first("n_buckets").alias("n_buckets"),
+        F.first("max_order").alias("max_order"),
+    ]
+    if with_suggested:
+        aggs.append(
+            F.first("suggested_min_log_weight").alias("suggested")
+        )
+    row = df.agg(*aggs).first()
+    if row["n_rows"] == 0:
+        raise ValueError(f"empty DSIR weights artifact at {model_dir!r}")
+    n_buckets = int(row["n_buckets"])
+    max_order = int(row["max_order"])
+    if row["n_distinct"] != n_buckets or row["n_rows"] != n_buckets:
+        raise ValueError(
+            f"DSIR weights artifact at {model_dir!r} is not dense: "
+            f"{row['n_rows']} rows / {row['n_distinct']} distinct "
+            f"buckets for n_buckets={n_buckets}"
+        )
+    suggested = (
+        float(row["suggested"])
+        if with_suggested and row["suggested"] is not None
+        else None
+    )
+    return row["n_rows"], row["n_distinct"], n_buckets, max_order, suggested
+
+
 def load_dsir_weights(spark, model_dir: str) -> tuple[DataFrame, int, int]:
     """Load ``(weights_df, n_buckets, max_order)`` written by
     ``save_dsir_weights``; validates the table is dense (exactly
-    n_buckets rows) so a truncated artifact fails loudly."""
+    n_buckets rows) so a truncated artifact fails loudly — one
+    aggregate job (``_validate_dense``)."""
     base = model_dir.rstrip("/")
     df = spark.read.parquet(base + "/weights.parquet")
-    head = df.limit(1).collect()
-    if not head:
-        raise ValueError(f"empty DSIR weights artifact at {model_dir!r}")
-    n_buckets = int(head[0]["n_buckets"])
-    max_order = int(head[0]["max_order"])
-    # distinct count, not just row count: a duplicated bucket would
-    # double-count every gram hashing to it in the scoring join (and a
-    # duplicate implies some other bucket is missing at the same total)
-    n = df.select("bucket").distinct().count()
-    if n != n_buckets or df.count() != n_buckets:
-        raise ValueError(
-            f"DSIR weights artifact at {model_dir!r} is not dense: "
-            f"{df.count()} rows / {n} distinct buckets for "
-            f"n_buckets={n_buckets}"
-        )
+    _, _, n_buckets, max_order, _ = _validate_dense(df, model_dir)
     return df.select("bucket", "weight"), n_buckets, max_order
 
 
@@ -686,8 +719,6 @@ def _gumbel_topk(
     )
     if k <= 0:
         return keyed.limit(0)
-
-    from pyspark import StorageLevel
 
     key = F.col("sample_key")
     keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)

@@ -339,6 +339,45 @@ def test_dsir_train_artifact_roundtrip(spark, tmp_path):
     assert scored == direct
 
 
+def test_suggest_keep_rate_on_id_free_corpus(spark, tmp_path):
+    """r14 ADVICE: plain dsir-train is id-free (bag counts never need a
+    doc column), so --suggest-keep-rate must not newly require doc_id.
+    The CLI's default (no --id-col) synthesizes a per-row id for the
+    calibration grouping; the threshold it calibrates equals the one
+    from an explicit id column over the same rows."""
+    from mini_feature_store_spark import cli
+    from mini_feature_store_spark.operators.dsir import (
+        dsir_bucket_weights,
+        load_dsir_suggested_threshold,
+        suggest_min_log_weight,
+    )
+
+    tgt, raw = _frames(spark)
+    tgt_path = str(tmp_path / "t")
+    raw_path = str(tmp_path / "r_noid")
+    tgt.write.parquet(tgt_path)
+    raw.select("text").write.parquet(raw_path)  # no doc_id column
+    model = str(tmp_path / "dsir_noid")
+    rc = cli.main(
+        [
+            "dsir-train",
+            "--target-path", tgt_path,
+            "--raw-path", raw_path,
+            "--output-dir", model,
+            "--n-buckets", str(B),
+            "--suggest-keep-rate", "0.25",
+        ]
+    )
+    assert rc == 0
+    t = load_dsir_suggested_threshold(spark, model)
+    assert t is not None
+    w = dsir_bucket_weights(tgt, raw, n_buckets=B)
+    t_explicit = suggest_min_log_weight(
+        w, raw, 0.25, id_col="doc_id", n_buckets=B
+    )
+    assert t == pytest.approx(t_explicit)
+
+
 def test_load_dsir_weights_rejects_truncated(spark, tmp_path):
     from mini_feature_store_spark.operators.dsir import (
         dsir_bucket_weights,
