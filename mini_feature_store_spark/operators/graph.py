@@ -218,25 +218,51 @@ def dedup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    *,
+    rank_by: DataFrame | None = None,
+    rank_col: str = "score",
 ) -> DataFrame:
     """Duplicate clusters from a near-dup pair list.
 
     Returns one row per clustered doc: ``doc_id``, ``cluster_id`` (the
-    minimum doc id in the cluster — the canonical survivor), ``cluster_size``,
-    and ``keep`` (true for the canonical doc). Anti-joining a corpus against
-    the ``keep = false`` rows is the standard "drop near-duplicates" step.
+    minimum doc id in the cluster — the canonical label), ``cluster_size``,
+    and ``keep``. Anti-joining a corpus against the ``keep = false`` rows
+    is the standard "drop near-duplicates" step.
+
+    Survivor policy:
+
+    - ``rank_by=None`` (default): keep the minimum-id member — the
+      cluster label itself, zero extra work.
+    - ``rank_by=<DataFrame with (doc_id, rank_col)>``: keep the
+      BEST-RANKED member per cluster (highest ``rank_col``; ties and
+      missing scores break to the minimum doc id — deterministic on
+      both engines when the score is already quantized, e.g. the
+      scale-4 ``quality_prob``). This is the RefinedWeb-class policy:
+      production curation keeps the best-quality copy of a near-dup
+      cluster, not an arbitrary one. The score join keys on doc_id and
+      the survivor window shares the ``cluster_size`` window's
+      Exchange(cluster_id) — one extra shuffle total vs the min-id
+      path. A degenerate giant cluster serializes its ranking into one
+      task exactly like its size count already does; near-dup clusters
+      are bounded by construction (pair generators cap shingle/band
+      frequency upstream).
     """
     comp = connected_components(pairs, src=id_a, dst=id_b)
-    return (
-        comp.select(
-            F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
-        )
-        .withColumn(
-            "cluster_size",
-            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")).cast("int"),
-        )
-        .withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
+    base = comp.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    ).withColumn(
+        "cluster_size",
+        F.count(F.lit(1)).over(Window.partitionBy("cluster_id")).cast("int"),
     )
+    if rank_by is None:
+        return base.withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
+    scored = base.join(
+        rank_by.select("doc_id", rank_col), "doc_id", "left"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(rank_col).desc_nulls_last(), F.col("doc_id").asc()
+    )
+    return scored.withColumn("keep", F.row_number().over(w) == F.lit(1))
 
 
 def apply_dedup(
@@ -246,11 +272,14 @@ def apply_dedup(
     id_a: str = "id_a",
     id_b: str = "id_b",
     broadcast_drops: bool | None = None,
+    rank_by: DataFrame | None = None,
+    rank_col: str = "score",
 ) -> DataFrame:
     """The APPLY step of near-dup dedup: cluster the pair list, keep one
     canonical survivor per cluster, anti-join the corpus against the
     dropped ids — the step a training-data pipeline actually ships (pairs
-    and clusters are diagnostics).
+    and clusters are diagnostics). ``rank_by`` switches the survivor from
+    the min-id member to the best-ranked one (see ``dedup_clusters``).
 
     Works with ANY pair generator (n-gram Jaccard, MinHash-LSH, SimHash,
     embedding cosine exact or LSH) — the 100 TB default for embeddings is
@@ -269,7 +298,9 @@ def apply_dedup(
       bounded (e.g. a capped blacklist).
     - ``False``: forbid it — pins the shuffle anti join for tests.
     """
-    clusters = dedup_clusters(pairs, id_a=id_a, id_b=id_b)
+    clusters = dedup_clusters(
+        pairs, id_a=id_a, id_b=id_b, rank_by=rank_by, rank_col=rank_col
+    )
     drops = clusters.where(~F.col("keep")).select(
         F.col("doc_id").alias(id_col)
     )

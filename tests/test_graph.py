@@ -112,6 +112,34 @@ def test_dedup_clusters_canonical_and_sizes(spark):
     assert sorted(k.doc_id for k in keepers) == [1, 7]
 
 
+def test_quality_ranked_survivor_beats_min_id(spark):
+    """rank_by switches the survivor to the best-scored cluster member
+    (RefinedWeb policy); missing scores rank last; ties break to min id;
+    exactly one keeper per cluster either way; cluster_id/size unchanged."""
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (7, 9), (11, 12)], "id_a long, id_b long"
+    )
+    # cluster {1,2,3}: best score on 3 (non-min). cluster {7,9}: tie →
+    # min id 7. cluster {11,12}: 12 unscored → NULL ranks last, 11 wins.
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.5), (3, 0.9), (7, 0.4), (9, 0.4), (11, 0.1)],
+        "doc_id long, score double",
+    )
+    rows = {
+        r.doc_id: r
+        for r in dedup_clusters(pairs, rank_by=scores).collect()
+    }
+    assert sorted(d for d, r in rows.items() if r.keep) == [3, 7, 11]
+    assert rows[3].cluster_id == 1 and rows[3].cluster_size == 3
+    assert rows[12].score is None and not rows[12].keep
+    # apply step keeps the quality winners, drops the rest of each cluster
+    corpus = spark.range(1, 14).withColumnRenamed("id", "doc_id")
+    from mini_feature_store_spark.operators.graph import apply_dedup
+
+    kept = apply_dedup(corpus, pairs, "doc_id", rank_by=scores)
+    assert sorted(r.doc_id for r in kept.collect()) == [3, 4, 5, 6, 7, 8, 10, 11, 13]
+
+
 def test_survivor_anti_join_drops_near_dups(spark):
     """The end-to-end dedup step: corpus minus non-canonical cluster members."""
     corpus = spark.range(1, 11).withColumnRenamed("id", "doc_id")

@@ -140,6 +140,10 @@ def test_oracled_output_is_scalar_only(spark, name):
 PLAN_BUILD_CACHE_ALLOWLIST = {
     "dedup_ngram_jaccard",
     "dedup_clusters",
+    # same posting-list persist inside ngram_jaccard_pairs as
+    # dedup_clusters — the quality-ranked survivor variant adds only a
+    # score join + window on top of the same pair generator
+    "dedup_best_of_cluster",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_incremental_batch",
