@@ -230,6 +230,46 @@ def build_parser() -> argparse.ArgumentParser:
         "KenLM order; default 2)",
     )
     cc.add_argument(
+        "--ensemble", action="store_true",
+        help="multi-signal admission stage (the oracled "
+        "corpus_selection_manifest_ensemble gate as a pipeline mode): "
+        "classifier prob >= --ensemble-clf-min-prob AND LM avg_nll <= "
+        "--ensemble-lm-max-nll AND DSIR log_weight >= the threshold, "
+        "then a per-domain cap over the survivors; replaces the "
+        "separate learned-gate/DSIR/LM stages. Needs "
+        "--lm-reference-path and --dsir-model-dir (or "
+        "--dsir-target-path); unset LM/DSIR thresholds degrade to the "
+        "pool mean inside the plan (no probe jobs)",
+    )
+    cc.add_argument(
+        "--ensemble-clf-min-prob", type=float, default=0.5,
+        help="classifier admission probability for --ensemble "
+        "(default 0.5; artifact weights under --quality-model-dir, "
+        "the frozen default vector otherwise)",
+    )
+    cc.add_argument(
+        "--ensemble-lm-max-nll", type=float, default=None,
+        help="LM gate bound for --ensemble; omitted = the pool-mean "
+        "relative gate of the oracled query (unscored docs drop)",
+    )
+    cc.add_argument(
+        "--ensemble-cap", type=int, default=None,
+        help="per-registrable-domain cap over the --ensemble survivors "
+        "(needs --ensemble-cap-url-col)",
+    )
+    cc.add_argument(
+        "--ensemble-cap-mode", choices=("exact", "approx"),
+        default="exact",
+        help="'exact' = survivors-first window cap; 'approx' = "
+        "scan-side hash-rate admission (crawl-shaped skew — no "
+        "per-domain order anywhere)",
+    )
+    cc.add_argument(
+        "--ensemble-cap-url-col", default=None,
+        help="URL column the --ensemble-cap groups by (independent of "
+        "--url-col, so the cap can run without stage-0 URL dedup)",
+    )
+    cc.add_argument(
         "--cut-spans-k", type=int, default=None,
         help="ExactSubstr stage: cut cross-doc duplicated spans of this "
         "window size from surviving docs (GPT-3 used 13); docs that lose "
@@ -655,6 +695,12 @@ def main(argv: list[str] | None = None) -> int:
                     lm_reference_path=args.lm_reference_path,
                     lm_max_nll=args.lm_max_nll,
                     lm_order=args.lm_order,
+                    ensemble=args.ensemble,
+                    ensemble_clf_min_prob=args.ensemble_clf_min_prob,
+                    ensemble_lm_max_nll=args.ensemble_lm_max_nll,
+                    ensemble_cap_per_domain=args.ensemble_cap,
+                    ensemble_cap_mode=args.ensemble_cap_mode,
+                    ensemble_cap_url_col=args.ensemble_cap_url_col,
                     cut_spans_k=args.cut_spans_k,
                     max_dup_share=args.max_dup_share,
                     dup_share_k=args.dup_share_k,

@@ -26,6 +26,14 @@ One command takes a raw document corpus to a training-ready one:
 1b. LM filter (optional)   operators/text.py:bigram_lm_score — CCNet's
                            perplexity gate against a reference corpus
                            (``lm_reference_path`` / ``lm_max_nll``)
+1*. ensemble (optional)    the three-signal admission of the ORACLED
+                           ``corpus_selection_manifest_ensemble`` query
+                           as one stage (``ensemble`` + the
+                           ``ensemble_*`` knobs) — clf ∩ LM ∩ DSIR
+                           cumulative gates + a per-domain cap over the
+                           survivors (exact window or crawl-shaped
+                           approx); REPLACES 1a/1a'/1b; tie-tested
+                           against the query's stage-4 set
 2. exact dedup             operators/dedup.py:exact_dedup (md5 fingerprint)
 3. near-dup dedup          ngram_jaccard_pairs → dedup_clusters → survivors
 3b. span cut (optional)    operators/dedup.py:cut_duplicate_spans — scrub
@@ -169,6 +177,34 @@ class CorpusCurationConfig:
     #: segments (operators/unigram.py:unigram_tokenize) — both feed
     #: their counts to the packer
     pack_tokenizer_dir: str | None = None
+    #: ENSEMBLE admission (r14 judge directive #2): run the three-signal
+    #: gate of the oracled ``corpus_selection_manifest_ensemble`` query
+    #: as ONE pipeline stage, replacing the separate 1a/1a'/1b gates —
+    #: classifier prob ≥ ``ensemble_clf_min_prob`` (artifact weights
+    #: when ``quality_model_dir`` is set, the frozen default vector
+    #: otherwise), LM ``avg_nll`` ≤ ``ensemble_lm_max_nll`` (model
+    #: trained on ``lm_reference_path``; UNSCORED docs DROP — absent LM
+    #: evidence is not fluency, the opposite of the standalone LM
+    #: stage's pass-through), DSIR ``log_weight`` ≥ the threshold
+    #: (``dsir_min_log_weight`` / the artifact's suggested; scored
+    #: under ``dsir_model_dir`` or trained in-line against
+    #: ``dsir_target_path``), then a per-domain cap over the SURVIVORS
+    #: (``ensemble_cap_per_domain``). A ``None`` LM/DSIR threshold
+    #: degrades to the query's data-relative pool mean, realized as a
+    #: 1-row broadcast inside the plan — no probe jobs either way.
+    ensemble: bool = False
+    ensemble_clf_min_prob: float = 0.5
+    #: LM gate bound; None → pool-mean-relative (the oracled query's form)
+    ensemble_lm_max_nll: float | None = None
+    #: per-registrable-domain cap over the three-signal survivors
+    ensemble_cap_per_domain: int | None = None
+    #: "exact" = domain_cap's survivors-first window;
+    #: "approx" = domain_cap_approx's scan-side hash-rate admission
+    #: (crawl-shaped skew — no per-domain order anywhere)
+    ensemble_cap_mode: str = "exact"
+    #: URL column for the ensemble cap (independent of ``url_col`` so
+    #: the cap can run without enabling the stage-0 URL dedup)
+    ensemble_cap_url_col: str | None = None
     #: when set, a temperature-mixture stage (mT5/PaLM) rebalances the
     #: surviving corpus across this stratum column before export:
     #: per-stratum keep rate (n_min/n_s)^(1-alpha) via deterministic md5
@@ -263,8 +299,46 @@ def run_corpus_curation(
             "dsir_use_suggested reads the calibrated threshold from a "
             "dsir-train artifact — it requires dsir_model_dir"
         )
+    if cfg.ensemble:
+        if cfg.lm_reference_path is None:
+            raise ValueError(
+                "ensemble admission needs the LM signal — set "
+                "lm_reference_path (the model trains on that frozen "
+                "reference corpus)"
+            )
+        if not _dsir_on:
+            raise ValueError(
+                "ensemble admission needs the DSIR signal — set "
+                "dsir_model_dir (frozen dsir-train artifact) or "
+                "dsir_target_path (in-line fit)"
+            )
+        if cfg.dsir_keep is not None:
+            raise ValueError(
+                "ensemble admission gates by per-doc THRESHOLD (or the "
+                "pool mean), not a fixed-size resample — dsir_keep is "
+                "incompatible with ensemble"
+            )
+        if not 0.0 < cfg.ensemble_clf_min_prob < 1.0:
+            raise ValueError(
+                f"ensemble_clf_min_prob must be in (0, 1), got "
+                f"{cfg.ensemble_clf_min_prob}"
+            )
+        if cfg.ensemble_cap_per_domain is not None and (
+            cfg.ensemble_cap_url_col is None
+        ):
+            raise ValueError(
+                "ensemble_cap_per_domain requires ensemble_cap_url_col — "
+                "the cap groups by the registrable domain parsed from "
+                "that column"
+            )
+        if cfg.ensemble_cap_mode not in ("exact", "approx"):
+            raise ValueError(
+                f"ensemble_cap_mode must be 'exact' or 'approx', got "
+                f"{cfg.ensemble_cap_mode!r}"
+            )
     if (
-        _dsir_on
+        not cfg.ensemble
+        and _dsir_on
         and cfg.dsir_min_log_weight is None
         and not cfg.dsir_use_suggested
         and (cfg.dsir_keep is None or cfg.dsir_keep <= 0)
@@ -383,7 +457,78 @@ def run_corpus_curation(
     if stage0 is not None:
         stage0.unpersist()
 
-    if cfg.quality_model_dir is not None:
+    if cfg.ensemble:
+        from mini_feature_store_spark.operators.dsir import (
+            dsir_bucket_weights,
+            load_dsir_artifact,
+        )
+
+        clf_w = clf_b = None
+        if cfg.quality_model_dir is not None:
+            from mini_feature_store_spark.operators.text import (
+                load_quality_classifier,
+            )
+
+            clf_w, clf_b = load_quality_classifier(
+                spark, cfg.quality_model_dir
+            )
+        thr = cfg.dsir_min_log_weight
+        if cfg.dsir_model_dir is not None:
+            wdf, nb, mo, suggested = load_dsir_artifact(
+                spark, cfg.dsir_model_dir
+            )
+            if cfg.dsir_use_suggested:
+                thr = suggested
+                if thr is None:
+                    raise ValueError(
+                        "dsir_use_suggested: artifact at "
+                        f"{cfg.dsir_model_dir!r} carries no "
+                        "suggested_min_log_weight — retrain with "
+                        "`dsir-train --suggest-keep-rate` or pass an "
+                        "explicit dsir_min_log_weight"
+                    )
+        else:
+            nb, mo = 8192, 2
+            wdf = dsir_bucket_weights(
+                spark.read.parquet(cfg.dsir_target_path),
+                admitted,
+                text_col=cfg.text_col,
+                n_buckets=nb,
+                max_order=mo,
+            )
+        frame = ensemble_admission(
+            spark,
+            admitted,
+            cfg,
+            lm_reference=spark.read.parquet(cfg.lm_reference_path),
+            dsir_weights=wdf,
+            dsir_n_buckets=nb,
+            dsir_max_order=mo,
+            dsir_threshold=thr,
+            clf_weights=clf_w,
+            clf_bias=clf_b,
+        )
+        # one bounded job reports all three gate counts (the oracled
+        # query's conditional-aggregate shape); the cap count comes from
+        # the persisted survivor materialization below
+        gates = frame.agg(
+            F.count(F.when(F.col("_f1"), 1)).alias("c1"),
+            F.count(F.when(F.col("_f2"), 1)).alias("c2"),
+            F.count(F.when(F.col("_f3"), 1)).alias("c3"),
+        ).first()
+        funnel["after_ensemble_clf"] = gates["c1"]
+        funnel["after_ensemble_lm"] = gates["c2"]
+        funnel["after_ensemble_dsir"] = gates["c3"]
+        prev = admitted
+        admitted = admitted.join(
+            frame.where(F.col("_cap_keep")).select(cfg.id_col),
+            cfg.id_col,
+            "left_semi",
+        ).persist()
+        funnel["after_ensemble_cap"] = admitted.count()
+        prev.unpersist()
+
+    if cfg.quality_model_dir is not None and not cfg.ensemble:
         from mini_feature_store_spark.operators.text import (
             load_quality_classifier,
             quality_classifier_score,
@@ -411,10 +556,12 @@ def run_corpus_curation(
         funnel["after_quality_clf"] = admitted.count()
         prev.unpersist()
 
-    _dsir_threshold = cfg.dsir_min_log_weight
+    _dsir_threshold = None if cfg.ensemble else cfg.dsir_min_log_weight
     _dsir_art = None
-    if cfg.dsir_model_dir is not None and (
-        cfg.dsir_use_suggested or _dsir_threshold is not None
+    if (
+        not cfg.ensemble
+        and cfg.dsir_model_dir is not None
+        and (cfg.dsir_use_suggested or _dsir_threshold is not None)
     ):
         # ONE artifact open serves both the threshold and the weight
         # table (review r14: the two single-purpose loaders re-read and
@@ -435,8 +582,13 @@ def run_corpus_curation(
                     "explicit dsir_min_log_weight"
                 )
     if (
-        cfg.dsir_target_path is not None or cfg.dsir_model_dir is not None
-    ) and _dsir_threshold is not None:
+        not cfg.ensemble
+        and (
+            cfg.dsir_target_path is not None
+            or cfg.dsir_model_dir is not None
+        )
+        and _dsir_threshold is not None
+    ):
         # threshold admission — the batch twin of dsir_gated_stream: no
         # resample, no plan-build probe jobs. Scoring uses the BATCH
         # explode scorer (broadcast weight join + one map-side-combined
@@ -478,7 +630,9 @@ def run_corpus_curation(
         admitted = admitted.join(picked, cfg.id_col, "left_semi").persist()
         funnel["after_dsir_select"] = admitted.count()
         prev.unpersist()
-    elif cfg.dsir_target_path is not None or cfg.dsir_model_dir is not None:
+    elif not cfg.ensemble and (
+        cfg.dsir_target_path is not None or cfg.dsir_model_dir is not None
+    ):
         if cfg.dsir_model_dir is not None:
             from mini_feature_store_spark.operators.dsir import (
                 dsir_resample_with_weights,
@@ -515,7 +669,7 @@ def run_corpus_curation(
         funnel["after_dsir_select"] = admitted.count()
         prev.unpersist()
 
-    if cfg.lm_reference_path is not None:
+    if cfg.lm_reference_path is not None and not cfg.ensemble:
         import functools
 
         from mini_feature_store_spark.operators.text import (
@@ -860,3 +1014,120 @@ def run_corpus_curation(
     if pack_input is not None:
         pack_input.unpersist()
     return funnel
+
+
+def ensemble_admission(
+    spark: SparkSession,
+    docs: DataFrame,
+    cfg: CorpusCurationConfig,
+    *,
+    lm_reference: DataFrame,
+    dsir_weights: DataFrame,
+    dsir_n_buckets: int,
+    dsir_max_order: int,
+    dsir_threshold: float | None,
+    clf_weights: dict[str, float] | None = None,
+    clf_bias: float | None = None,
+) -> DataFrame:
+    """The three-signal admission of the oracled
+    ``corpus_selection_manifest_ensemble`` query as a reusable pipeline
+    stage (r14 judge directive #2): returns ``docs``'s id column plus
+    cumulative gate flags ``_f1`` (classifier), ``_f2`` (+LM fluency),
+    ``_f3`` (+DSIR importance) and the stage admission ``_cap_keep``
+    (``_f3`` ∧ per-domain cap; equals ``_f3`` when no cap is
+    configured). The frame stays LAZY — callers count the funnel with
+    one conditional aggregate and semi-join the survivors, exactly the
+    query's shape (queries.py:_ensemble_flagged/_ensemble_manifest).
+
+    Signal models are FROZEN inputs: classifier weights (clf-train
+    artifact or the default vector), the LM reference corpus, and the
+    DSIR bucket-weight table — the stage itself fits nothing. A None
+    LM/DSIR threshold degrades to the pool mean realized as a 1-row
+    broadcast crossJoin inside the plan (the sanctioned totals class) —
+    no driver probe jobs in either mode. Unscored-LM docs DROP (the
+    query's coalesce-FALSE semantics), unlike the standalone LM
+    stage's anti-join pass-through — stated in the config docstring."""
+    from mini_feature_store_spark.functions import round_half_up
+    from mini_feature_store_spark.operators.dsir import (
+        dsir_score_with_weights,
+    )
+    from mini_feature_store_spark.operators.text import (
+        bigram_lm_score,
+        quality_classifier_score,
+    )
+
+    idc = cfg.id_col
+    clf = quality_classifier_score(
+        docs,
+        weights=clf_weights,
+        bias=clf_bias,
+        text_col=cfg.text_col,
+        id_col=idc,
+    ).select(idc, "quality_prob")
+    lm = bigram_lm_score(
+        lm_reference, docs, text_col=cfg.text_col, id_col=idc
+    ).select(idc, "avg_nll")
+    imp = dsir_score_with_weights(
+        dsir_weights,
+        docs,
+        id_col=idc,
+        text_col=cfg.text_col,
+        n_buckets=dsir_n_buckets,
+        max_order=dsir_max_order,
+    ).select(idc, "log_weight")
+    carry = [idc] + (
+        [cfg.ensemble_cap_url_col]
+        if cfg.ensemble_cap_url_col is not None
+        else []
+    )
+    flagged = (
+        docs.select(*carry)
+        .join(clf, idc)
+        .join(imp, idc)
+        .join(lm, idc, "left")
+    )
+    if cfg.ensemble_lm_max_nll is None:
+        lm_t = lm.agg(round_half_up(F.avg("avg_nll")).alias("_lmt"))
+        flagged = flagged.crossJoin(F.broadcast(lm_t))
+        lm_bound = F.col("_lmt")
+    else:
+        lm_bound = F.lit(float(cfg.ensemble_lm_max_nll))
+    if dsir_threshold is None:
+        ds_t = imp.agg(round_half_up(F.avg("log_weight")).alias("_dst"))
+        flagged = flagged.crossJoin(F.broadcast(ds_t))
+        ds_bound = F.col("_dst")
+    else:
+        ds_bound = F.lit(float(dsir_threshold))
+    f1 = F.col("quality_prob") >= F.lit(float(cfg.ensemble_clf_min_prob))
+    f2 = f1 & F.coalesce(F.col("avg_nll") <= lm_bound, F.lit(False))
+    f3 = f2 & F.coalesce(F.col("log_weight") >= ds_bound, F.lit(False))
+    flagged = flagged.select(
+        *carry, f1.alias("_f1"), f2.alias("_f2"), f3.alias("_f3")
+    )
+    if cfg.ensemble_cap_per_domain is None:
+        return flagged.withColumn("_cap_keep", F.col("_f3"))
+    from mini_feature_store_spark.operators.urls import (
+        domain_cap,
+        domain_cap_approx,
+    )
+
+    if cfg.ensemble_cap_mode == "approx":
+        return domain_cap_approx(
+            flagged,
+            cfg.ensemble_cap_per_domain,
+            cfg.ensemble_cap_url_col,
+            idc,
+            keep_col="_cap_keep",
+            count_if="_f3",
+        )
+    frame = domain_cap(
+        flagged,
+        cfg.ensemble_cap_per_domain,
+        cfg.ensemble_cap_url_col,
+        idc,
+        keep_col="_cap",
+        rank_first="_f3",
+    )
+    return frame.withColumn(
+        "_cap_keep", F.col("_f3") & F.col("_cap")
+    ).drop("_cap")
