@@ -32,6 +32,20 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="compute only days missing from the table (daily-cron mode)",
     )
+    b.add_argument(
+        "--bucket-table", default=None,
+        help="ALSO persist the features as this bucketed managed table "
+        "(bucketBy(--buckets, user_col) + sortBy) so downstream "
+        "user-keyed joins — the PIT training build via "
+        "`point-in-time-join --features-bucketed-table` — skip the "
+        "feature-side shuffle; the versioned table stays the source of "
+        "truth",
+    )
+    b.add_argument(
+        "--buckets", type=int, default=8,
+        help="bucket count for --bucket-table (match the target join "
+        "parallelism; default 8)",
+    )
 
     j = sub.add_parser(
         "point-in-time-join", help="labels + features → training data"
@@ -41,6 +55,13 @@ def build_parser() -> argparse.ArgumentParser:
     j.add_argument("--output-path", required=True)
     j.add_argument("--features-version", type=int, default=None)
     j.add_argument("--lookback-days", type=int, default=None)
+    j.add_argument(
+        "--features-bucketed-table", default=None,
+        help="read features from this bucketed managed table (written "
+        "by `backfill --bucket-table`) instead of the versioned table: "
+        "the training build then pays only the label-side shuffle; "
+        "mutually exclusive with --features-version (buckets track HEAD)",
+    )
 
     s = sub.add_parser("online-sync", help="features → online KV store")
     s.add_argument("--features-table", required=True)
@@ -490,6 +511,8 @@ def main(argv: list[str] | None = None) -> int:
                 user_col=args.user_col,
                 ts_col=args.ts_col,
                 type_col=args.type_col,
+                bucket_table=args.bucket_table,
+                buckets=args.buckets,
             )
             if args.incremental:
                 done = run_backfill_incremental(spark, cfg)
@@ -515,6 +538,7 @@ def main(argv: list[str] | None = None) -> int:
                     output_path=args.output_path,
                     features_version=args.features_version,
                     lookback_days=args.lookback_days,
+                    features_bucketed_table=args.features_bucketed_table,
                 ),
             )
             print(f"training data written to {args.output_path}")

@@ -37,6 +37,21 @@ class BackfillConfig:
     #: needs no type-dim scan at all. None = lazy broadcast dim (still zero
     #: plan-build jobs).
     known_event_types: list[str] | None = None
+    #: when set, the computed features are ALSO persisted as a bucketed
+    #: managed table of this name (io/sinks.py:write_bucketed_table —
+    #: bucketBy(buckets, user_col) + sortBy(user_col)): the feature-store
+    #: shuffle is paid ONCE here, and every downstream user_id-keyed
+    #: consumer (the PIT training build via
+    #: ``PointInTimeJoinConfig.features_bucketed_table``, online-sync's
+    #: latest-per-key collapse, batch inference) reads the buckets and
+    #: skips its feature-side Exchange entirely. The VersionedTable stays
+    #: the source of truth (versioning / time travel); this is the
+    #: join-optimized materialization of the SAME rows.
+    bucket_table: str | None = None
+    #: bucket count — match the target join parallelism: with more
+    #: shuffle partitions than buckets Spark prefers re-shuffling both
+    #: sides over reading the buckets (test_io_plans.py)
+    buckets: int = 8
     extra: dict = field(default_factory=dict)
 
 
@@ -91,7 +106,28 @@ def run_backfill_incremental(
         )
     mode = "append" if vt.versions() else "overwrite"
     vt.write(features, partition_by=cfg.partition_by, mode=mode)
+    if cfg.bucket_table is not None:
+        _write_bucketed(spark, features, cfg, mode=mode)
     return [d.isoformat() for d in missing]
+
+
+def _write_bucketed(
+    spark: SparkSession, features: DataFrame, cfg: BackfillConfig, mode: str
+) -> None:
+    """Materialize the features under the bucketed layout (same rows the
+    versioned write committed). Incremental appends reuse the existing
+    table's bucket spec — Spark validates it matches, so a drifted
+    ``buckets`` flag fails loudly instead of silently mixing layouts."""
+    from mini_feature_store_spark.io.sinks import write_bucketed_table
+
+    write_bucketed_table(
+        features,
+        cfg.bucket_table,
+        cfg.buckets,
+        [cfg.user_col],
+        sort_by=[cfg.user_col],
+        mode=mode,
+    )
 
 
 def run_backfill(spark: SparkSession, cfg: BackfillConfig) -> DataFrame:
@@ -113,4 +149,6 @@ def run_backfill(spark: SparkSession, cfg: BackfillConfig) -> DataFrame:
         known_types=cfg.known_event_types,
     )
     VersionedTable(cfg.output_table).write(features, partition_by=cfg.partition_by)
+    if cfg.bucket_table is not None:
+        _write_bucketed(spark, features, cfg, mode="overwrite")
     return features
