@@ -10067,30 +10067,81 @@ def embedding_semantic_decontamination(
 #: the window against the CORRECTNESS artifacts that existed at cut
 #: time (rounds < this), so the check is deterministic no matter when
 #: the suite runs, and asserts the cut is not itself stale.
-VERIFY_ORDER_ROUND = 14
+VERIFY_ORDER_ROUND = 15
 
 VERIFY_ORDER: list[str] = [
-    # ── r14 re-cut (r13 judge directive #1 — the rotation is now
-    # ARITHMETIC: tests/test_registry_lint.py::test_verify_window_freshness
-    # loads the committed CORRECTNESS_r*.json ledger and FAILS any cut
-    # that strands an oracled query >3 rounds stale, admits a rows-only
-    # query into the first 50, or omits a never-recorded oracled query).
-    # Ledger going in: {r13: 49, r12: 43, r11: 47, r10: 13} over 152
-    # previously-oracled queries + 18 rows-only + 2 r14-new.
-    # tier 0 — 2 r14-new oracled queries, then the 4 oracled queries
-    # the r14 code changes touch (threshold-selection band guard;
-    # sampler key-collision assert; the manifest composing both; the
-    # DoReMi refactor under the round-2 work):
+    # ── r15 re-cut (r14 judge directive #1; the arithmetic freshness
+    # lint in tests/test_registry_lint.py enforces the rotation).
+    # Ledger going in: {r14: 50, r13: 45, r12: 43, r11: 16} over 154
+    # previously-oracled queries + 18 rows-only + 2 r15-new.
+    # tier 0 — the 2 r15-new oracled queries (never recorded — the
+    # lint forces them in), then the 4 oracled queries the r15 code
+    # changes touch (the ensemble refactor into shared
+    # _ensemble_flagged/_ensemble_manifest helpers; dedup_clusters/
+    # apply_dedup's rank_by survivor extension; domain_cap_approx's
+    # keep_col/count_if flagged-chain mode):
     "dedup_best_of_cluster",
     "corpus_selection_manifest_ensemble_approx",
     "corpus_selection_manifest_ensemble",
+    "dedup_clusters",
+    "corpus_dedup_apply",
+    "doc_domain_hash_cap",
+    # tier 1 — the sixteen r11-stale greens the r14 verdict names
+    # (they lead so nothing oracled ends staler than r12), alphabetical:
+    "json_props_stats",
+    "lineitem_correlations",
+    "lineitem_metrics_long",
+    "multimodal_alignment_retention",
+    "multimodal_frame_sample",
+    "multimodal_text_alignment",
+    "nation_share_of_region",
+    "order_rank_metrics",
+    "pricing_summary",
+    "quantiles_by_returnflag",
+    "tokenizer_comparison",
+    "top_supplier_revenue",
+    "user_event_patterns",
+    "user_running_value",
+    "user_value_trend",
+    "user_weekly_distinct_exact",
+    # tier 2 — the oldest-r12 greens, alphabetical (50 − 6 − 16):
+    "brand_bracket_revenue",
+    "corpus_curation_funnel_lm",
+    "corpus_curation_funnel_lm3",
+    "corpus_mixture_manifest",
+    "corpus_split_decontaminated",
+    "cube_event_counts",
+    "customer_order_distribution",
+    "customers_above_segment_avg",
+    "daily_event_deltas",
+    "dedup_exact_props",
+    "doc_5gram_lm_score",
+    "doc_contamination_spans",
+    "doc_cut_duplicate_spans",
+    "doc_decontaminate",
+    "doc_duplicate_spans",
+    "doc_hash_split_counts",
+    "doc_lm_buckets",
+    "doc_lm_perplexity",
+    "doc_quality_signal_agreement",
+    "doc_term_frequencies",
+    "doc_trigram_lm_score",
+    "doc_url_dedup",
+    "domain_contribution_caps",
+    "dormant_rich_customers",
+    "embedding_semantic_decontamination",
+    "event_promo_attribution",
+    "event_type_pivot",
+    "events_capped_per_user",
+    # ── below this line: not in the r15 driver window.
+    # The 15 r12 greens that didn't fit — they LEAD the r16 window,
+    # followed by oldest-r13; r13/r14 greens and rows-only queries
+    # keep their prior relative order:
     "doc_doremi_excess_round2",
     "doc_dsir_resample",
     "doc_target_mixture_sample",
     "corpus_selection_manifest",
     "doc_doremi_excess_loss",
-    # tier 1 — the thirteen r10-stale greens (the full list the
-    # r13 verdict's directive #1 names), alphabetical:
     "late_shipment_priority_counts",
     "min_cost_supplier",
     "nation_trade_volume",
@@ -10104,7 +10155,6 @@ VERIFY_ORDER: list[str] = [
     "revenue_by_nation",
     "sole_blame_suppliers",
     "top_orders_per_priority",
-    # tier 2 — the 31 oldest-r11 greens, alphabetical (50 − 6 − 13).
     "bpe_tokenizer_metrics",
     "doc_balanced_mixture_sample",
     "doc_bpe_encode",
@@ -10136,54 +10186,6 @@ VERIFY_ORDER: list[str] = [
     "event_value_scaled",
     "funnel_conversion",
     "important_part_share",
-    # ── below this line: not in the r14 driver window.
-    # The 16 r11 greens that didn't fit — they LEAD the r15 window:
-    "json_props_stats",
-    "lineitem_correlations",
-    "lineitem_metrics_long",
-    "multimodal_alignment_retention",
-    "multimodal_frame_sample",
-    "multimodal_text_alignment",
-    "nation_share_of_region",
-    "order_rank_metrics",
-    "pricing_summary",
-    "quantiles_by_returnflag",
-    "tokenizer_comparison",
-    "top_supplier_revenue",
-    "user_event_patterns",
-    "user_running_value",
-    "user_value_trend",
-    "user_weekly_distinct_exact",
-    # r12-fresh greens, alphabetical:
-    "brand_bracket_revenue",
-    "corpus_curation_funnel_lm",
-    "corpus_curation_funnel_lm3",
-    "corpus_mixture_manifest",
-    "corpus_split_decontaminated",
-    "cube_event_counts",
-    "customer_order_distribution",
-    "customers_above_segment_avg",
-    "daily_event_deltas",
-    "dedup_exact_props",
-    "doc_5gram_lm_score",
-    "doc_contamination_spans",
-    "doc_cut_duplicate_spans",
-    "doc_decontaminate",
-    "doc_domain_hash_cap",
-    "doc_duplicate_spans",
-    "doc_hash_split_counts",
-    "doc_lm_buckets",
-    "doc_lm_perplexity",
-    "doc_quality_signal_agreement",
-    "doc_term_frequencies",
-    "doc_trigram_lm_score",
-    "doc_url_dedup",
-    "domain_contribution_caps",
-    "dormant_rich_customers",
-    "embedding_semantic_decontamination",
-    "event_promo_attribution",
-    "event_type_pivot",
-    "events_capped_per_user",
     "features_daily_typed",
     "forecast_revenue_change",
     "grouping_sets_sql",
@@ -10198,18 +10200,15 @@ VERIFY_ORDER: list[str] = [
     "price_histogram",
     "product_type_profit",
     "purchase_value_intervals",
-    # r13-fresh greens, alphabetical:
     "bloom_filtered_order_revenue",
     "brand_supplier_stats",
     "cohort_retention_weekly",
     "concentrated_part_suppliers",
     "corpus_curation_funnel",
-    "corpus_dedup_apply",
     "customer_segment_stats",
     "customers_with_big_orders",
     "customers_without_orders",
     "date_dimension",
-    "dedup_clusters",
     "dedup_incremental_batch",
     "dedup_ngram_jaccard",
     "distinct_stats_exact",
@@ -10244,8 +10243,6 @@ VERIFY_ORDER: list[str] = [
     "user_sessions",
     "user_value_gap_fill",
     "weekly_event_buckets",
-    # rows-only queries (kept OUT of the window by lint —
-    # embedding_corpus_curate rotated back out per directive #7):
     "approx_distinct_stats",
     "dedup_minhash_lsh",
     "dedup_simhash",
