@@ -251,6 +251,13 @@ def build_parser() -> argparse.ArgumentParser:
         "KenLM order; default 2)",
     )
     cc.add_argument(
+        "--dedup-keep-best-quality", action="store_true",
+        help="near-dup clusters keep their BEST-classifier-scored "
+        "member (RefinedWeb policy; artifact weights under "
+        "--quality-model-dir, frozen defaults otherwise; ties break to "
+        "min doc id) instead of the min-id one",
+    )
+    cc.add_argument(
         "--ensemble", action="store_true",
         help="multi-signal admission stage (the oracled "
         "corpus_selection_manifest_ensemble gate as a pipeline mode): "
@@ -719,6 +726,7 @@ def main(argv: list[str] | None = None) -> int:
                     lm_reference_path=args.lm_reference_path,
                     lm_max_nll=args.lm_max_nll,
                     lm_order=args.lm_order,
+                    dedup_keep_best_quality=args.dedup_keep_best_quality,
                     ensemble=args.ensemble,
                     ensemble_clf_min_prob=args.ensemble_clf_min_prob,
                     ensemble_lm_max_nll=args.ensemble_lm_max_nll,

@@ -36,6 +36,9 @@ One command takes a raw document corpus to a training-ready one:
                            against the query's stage-4 set
 2. exact dedup             operators/dedup.py:exact_dedup (md5 fingerprint)
 3. near-dup dedup          ngram_jaccard_pairs → dedup_clusters → survivors
+                           (``dedup_keep_best_quality`` switches the
+                           cluster survivor from min-id to the best-
+                           classifier-scored member — RefinedWeb policy)
 3b. span cut (optional)    operators/dedup.py:cut_duplicate_spans — scrub
                            residual verbatim cross-doc substrings from
                            KEPT docs (``cut_spans_k``; Lee et al. 2022)
@@ -177,6 +180,14 @@ class CorpusCurationConfig:
     #: segments (operators/unigram.py:unigram_tokenize) — both feed
     #: their counts to the packer
     pack_tokenizer_dir: str | None = None
+    #: near-dup SURVIVOR POLICY (r14 judge directive #6): when True, the
+    #: stage-3 cluster survivor is the BEST-quality member (classifier
+    #: score under ``quality_model_dir`` artifact weights, or the frozen
+    #: default vector; ties break to min doc id) instead of the min-id
+    #: one — the RefinedWeb-class rule (``graph.py:dedup_clusters``
+    #: ``rank_by``; the oracled operator form is
+    #: ``dedup_best_of_cluster``)
+    dedup_keep_best_quality: bool = False
     #: ENSEMBLE admission (r14 judge directive #2): run the three-signal
     #: gate of the oracled ``corpus_selection_manifest_ensemble`` query
     #: as ONE pipeline stage, replacing the separate 1a/1a'/1b gates —
@@ -717,7 +728,34 @@ def run_corpus_curation(
         text_col=cfg.text_col,
         id_col=cfg.id_col,
     )
-    drops = dedup_clusters(pairs).where(~F.col("keep")).select(
+    rank_by = None
+    if cfg.dedup_keep_best_quality:
+        from mini_feature_store_spark.operators.text import (
+            quality_classifier_score,
+        )
+
+        w = b = None
+        if cfg.quality_model_dir is not None:
+            from mini_feature_store_spark.operators.text import (
+                load_quality_classifier,
+            )
+
+            w, b = load_quality_classifier(spark, cfg.quality_model_dir)
+        # scored over the exact-dedup survivors only (the clustered set
+        # is a subset), zero-shuffle projection; the cluster window
+        # consumes it through one doc-keyed join
+        rank_by = quality_classifier_score(
+            deduped,
+            weights=w,
+            bias=b,
+            text_col=cfg.text_col,
+            id_col=cfg.id_col,
+        ).select(
+            F.col(cfg.id_col).alias("doc_id"), "quality_prob"
+        )
+    drops = dedup_clusters(
+        pairs, rank_by=rank_by, rank_col="quality_prob"
+    ).where(~F.col("keep")).select(
         F.col("doc_id").alias(cfg.id_col)
     )
     survivors: DataFrame = deduped.join(drops, cfg.id_col, "left_anti")

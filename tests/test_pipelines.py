@@ -2909,3 +2909,49 @@ def test_backfill_bucket_table_makes_pit_build_shuffle_free_e2e(
                 features_version=0,
             ),
         )
+
+
+def test_dedup_keep_best_quality_survivor_policy(spark, tmp_path):
+    """--dedup-keep-best-quality: the near-dup cluster keeps its
+    best-classifier-scored member instead of the min-id one. Fixture: a
+    near-dup pair where the HIGHER id is clearly higher quality (prose
+    with stopwords vs a shouty/punctuation-heavy variant); default
+    policy keeps id 1, the flag keeps id 2."""
+    from mini_feature_store_spark import cli
+    from mini_feature_store_spark.operators.text import (
+        quality_classifier_score,
+    )
+
+    high = "the quick brown fox jumps over a lazy dog today"
+    # same prose + appended punctuation junk: shingle overlap stays high
+    # (jaccard 0.62 — a near-dup cluster) while the punct_ratio tanks
+    # the classifier score (0.34 vs 0.51)
+    low = high + " !!! ??? ;;; !!! ??? ;;;"
+    other = "completely unrelated text about gardens and the calm weather"
+    inp = str(tmp_path / "docs")
+    docs = spark.createDataFrame(
+        [(1, low), (2, high), (5, other)], "doc_id long, text string"
+    )
+    docs.write.parquet(inp)
+    # precondition: the pair is a near-dup cluster and 2 outscores 1
+    probs = {
+        r.doc_id: r.quality_prob
+        for r in quality_classifier_score(docs).collect()
+    }
+    assert probs[2] > probs[1]
+
+    def run(flag: bool) -> set[int]:
+        out = str(tmp_path / ("out_flag" if flag else "out_plain"))
+        args = [
+            "corpus-curate",
+            "--input-path", inp,
+            "--output-path", out,
+            "--min-tokens", "1",
+            "--min-quality", "0.0",
+            "--jaccard-threshold", "0.3",
+        ] + (["--dedup-keep-best-quality"] if flag else [])
+        assert cli.main(args) == 0
+        return {r.doc_id for r in spark.read.parquet(out).collect()}
+
+    assert run(False) == {1, 5}
+    assert run(True) == {2, 5}

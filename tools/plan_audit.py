@@ -919,6 +919,37 @@ AUDITED: dict[str, str] = {
         "forced broadcasts are the dense weight table and the 1-row "
         "threshold rows; no TakeOrderedAndProject at all."
     ),
+    "corpus_selection_manifest_ensemble_approx": (
+        "The crawl-shaped ensemble variant (r15, judge directive #3): "
+        "identical flagged chain and mixture/packing tail as "
+        "corpus_selection_manifest_ensemble, stage 4 swapped from the "
+        "domain_cap window to domain_cap_approx's hash-rate admission "
+        "(count_if='_f3'): one conditional count aggregate keyed on "
+        "domain + a scan-side md5 predicate — NO per-domain total "
+        "order anywhere, so no Window is fed by the full pool "
+        "partitioned by domain (skew-proof; pinned on a skewed fixture "
+        "in test_urls.py). The price, stated plainly: the survivor-"
+        "count branch is a SECOND logical evaluation of the flagged "
+        "chain inside every consumer (~90 logical scans vs the exact "
+        "variant's 45; runtime ReuseExchange recovers 19 subtrees; "
+        "wall 11.2s vs 8.2s at sf0.1 in the same window). Check: zero "
+        "TakeOrderedAndProject; every Window input is bounded "
+        "(packing shards / dense weight-table totals), never the "
+        "domain-partitioned pool; the only forced broadcasts are the "
+        "dense weight table and 1-row thresholds."
+    ),
+    "dedup_best_of_cluster": (
+        "Quality-ranked near-dup survivors (r15, judge directive #6): "
+        "the dedup_clusters pair chain (single-shuffle posting lists, "
+        "star-contraction components) plus ONE doc-keyed join of the "
+        "zero-shuffle classifier projection and a row_number over "
+        "Exchange(cluster_id) — the same partitioning the "
+        "cluster_size window already pays, so the policy upgrade "
+        "costs one extra shuffle of the CLUSTERED rows only. Check: "
+        "the score side is a projection (no aggregate, no shuffle "
+        "before the join); both windows partition by cluster_id; no "
+        "TakeOrderedAndProject."
+    ),
     "doc_doremi_excess_round2": (
         "DoReMi round-2 (r14): the round-1 chain's bounded (domain, "
         "bucket) aggregate feeds an in-engine EG update over the D-row "
