@@ -1191,6 +1191,15 @@ def run_scale(spark, d: Path, only: set[str] | None = None) -> dict[str, float]:
             "selection_ensemble_query": _registry_q(
                 "corpus_selection_manifest_ensemble"
             ),
+            # r15-new: the crawl-shaped cap variant (hash-rate stage 4 —
+            # the doubled-chain trade measured at scale) and the
+            # quality-ranked survivor selection
+            "selection_ensemble_approx_query": _registry_q(
+                "corpus_selection_manifest_ensemble_approx"
+            ),
+            "dedup_best_of_cluster_query": _registry_q(
+                "dedup_best_of_cluster"
+            ),
             "funnel_lm_query": _registry_q("corpus_curation_funnel_lm"),
             "funnel_lm3_query": _registry_q("corpus_curation_funnel_lm3"),
             "pit_training_single": _pit_single,
