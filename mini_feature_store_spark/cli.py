@@ -69,6 +69,13 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--redis-url", default=None, help="redis:// URL (needs redis pkg)")
     s.add_argument("--as-of", default=None, help="cutoff date YYYY-MM-DD")
     s.add_argument("--lookback-days", type=int, default=7)
+    s.add_argument(
+        "--features-bucketed-table", default=None,
+        help="read features from this bucketed managed table (written "
+        "by `backfill --bucket-table`): the latest-per-key collapse is "
+        "keyed on the bucket key, so the sync aggregate runs over the "
+        "buckets with no shuffle",
+    )
 
     c = sub.add_parser(
         "consistency-check", help="audit online KV store against offline table"
@@ -571,6 +578,7 @@ def main(argv: list[str] | None = None) -> int:
                     features_table=args.features_table,
                     as_of=args.as_of,
                     lookback_days=args.lookback_days,
+                    features_bucketed_table=args.features_bucketed_table,
                 ),
                 factory,
             )

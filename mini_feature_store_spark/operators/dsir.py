@@ -423,8 +423,8 @@ def load_dsir_artifact(
     base = model_dir.rstrip("/")
     df = spark.read.parquet(base + "/weights.parquet")
     has_suggested = "suggested_min_log_weight" in df.columns
-    n_rows, n_distinct, n_buckets, max_order, suggested = (
-        _validate_dense(df, model_dir, with_suggested=has_suggested)
+    _, _, n_buckets, max_order, suggested = _validate_dense(
+        df, model_dir, with_suggested=has_suggested
     )
     return df.select("bucket", "weight"), n_buckets, max_order, suggested
 

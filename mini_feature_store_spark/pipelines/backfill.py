@@ -107,7 +107,20 @@ def run_backfill_incremental(
     mode = "append" if vt.versions() else "overwrite"
     vt.write(features, partition_by=cfg.partition_by, mode=mode)
     if cfg.bucket_table is not None:
-        _write_bucketed(spark, features, cfg, mode=mode)
+        if spark.catalog.tableExists(cfg.bucket_table):
+            # steady state: append exactly the days the versioned write
+            # appended, under the existing table's bucket spec (Spark
+            # validates it matches — a drifted --buckets fails loudly)
+            _write_bucketed(spark, features, cfg, mode="append")
+        else:
+            # first run with --bucket-table against a table that already
+            # has history: appending only the missing days would leave
+            # the bucketed materialization silently PARTIAL — bootstrap
+            # it from the committed table instead (full content, one
+            # bucketed rewrite; the same rows downstream joins expect)
+            _write_bucketed(
+                spark, vt.read(spark), cfg, mode="overwrite"
+            )
     return [d.isoformat() for d in missing]
 
 
@@ -115,9 +128,7 @@ def _write_bucketed(
     spark: SparkSession, features: DataFrame, cfg: BackfillConfig, mode: str
 ) -> None:
     """Materialize the features under the bucketed layout (same rows the
-    versioned write committed). Incremental appends reuse the existing
-    table's bucket spec — Spark validates it matches, so a drifted
-    ``buckets`` flag fails loudly instead of silently mixing layouts."""
+    versioned write committed)."""
     from mini_feature_store_spark.io.sinks import write_bucketed_table
 
     write_bucketed_table(

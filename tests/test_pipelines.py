@@ -2955,3 +2955,150 @@ def test_dedup_keep_best_quality_survivor_policy(spark, tmp_path):
 
     assert run(False) == {1, 5}
     assert run(True) == {2, 5}
+
+
+def test_backfill_incremental_bucket_table_bootstraps_full_history(
+    spark, tmp_path
+):
+    """Enabling --bucket-table AFTER a table already has history must
+    bootstrap the bucketed materialization from the FULL committed
+    table (append-only-the-delta would leave it silently partial);
+    subsequent incremental runs append just the new days and stay
+    row-identical to the versioned table."""
+    import shutil
+
+    from mini_feature_store_spark.pipelines.backfill import (
+        run_backfill_incremental,
+    )
+
+    events = str(tmp_path / "events")
+    spark.createDataFrame(
+        [
+            (f"u{u}", "click", dt.datetime(2024, 1, 1 + i, 9))
+            for u in range(6)
+            for i in range(12)
+        ],
+        "user_id string, event_type string, ts timestamp",
+    ).write.parquet(events)
+    table = str(tmp_path / "features")
+    spark.sql("DROP TABLE IF EXISTS feat_b_inc")
+    shutil.rmtree("/tmp/mfss-test-warehouse/feat_b_inc", ignore_errors=True)
+
+    def rows(df, cols):
+        return {tuple(r) for r in df.select(*cols).collect()}
+
+    try:
+        # day 1-7 committed WITHOUT bucketing
+        run_backfill(
+            spark, BackfillConfig(events, table, "2024-01-01", "2024-01-07")
+        )
+        # bucketing enabled later; incremental extends to day 10 —
+        # bootstrap path (bucketed table must carry ALL 10 days)
+        done = run_backfill_incremental(
+            spark,
+            BackfillConfig(
+                events, table, "2024-01-01", "2024-01-10",
+                bucket_table="feat_b_inc", buckets=4,
+            ),
+        )
+        assert len(done) == 3
+        cols = sorted(spark.table("feat_b_inc").columns)
+        vt = VersionedTable(table).read(spark)
+        assert rows(spark.table("feat_b_inc"), cols) == rows(vt, cols)
+        # steady state: one more incremental day appends, stays identical
+        done = run_backfill_incremental(
+            spark,
+            BackfillConfig(
+                events, table, "2024-01-01", "2024-01-11",
+                bucket_table="feat_b_inc", buckets=4,
+            ),
+        )
+        assert len(done) == 1
+        vt = VersionedTable(table).read(spark)
+        assert rows(spark.table("feat_b_inc"), cols) == rows(vt, cols)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS feat_b_inc")
+
+
+def test_online_sync_bucketed_features_collapse_without_exchange(
+    spark, tmp_path
+):
+    """online-sync --features-bucketed-table: the latest-per-key max_by
+    collapse is keyed on the bucket key, so the sync aggregate reads
+    the buckets and plans ZERO exchanges (the versioned-table path pays
+    one); synced payloads identical either way."""
+    import re
+    import shutil
+
+    from mini_feature_store_spark.functions import plan_text
+    from mini_feature_store_spark.operators.latest import latest_per_key
+
+    events = str(tmp_path / "events")
+    spark.createDataFrame(
+        [
+            (f"u{u}", "click", dt.datetime(2024, 1, 1 + i, 9))
+            for u in range(10)
+            for i in range(6)
+        ],
+        "user_id string, event_type string, ts timestamp",
+    ).write.parquet(events)
+    table = str(tmp_path / "features")
+    spark.sql("DROP TABLE IF EXISTS feat_b_sync")
+    shutil.rmtree("/tmp/mfss-test-warehouse/feat_b_sync", ignore_errors=True)
+    try:
+        run_backfill(
+            spark,
+            BackfillConfig(
+                events, table, "2024-01-01", "2024-01-06",
+                bucket_table="feat_b_sync", buckets=4,
+            ),
+        )
+        kv_b = str(tmp_path / "kv_b")
+        kv_p = str(tmp_path / "kv_p")
+        n_b = run_online_sync(
+            spark,
+            OnlineSyncConfig(
+                features_table=table,
+                features_bucketed_table="feat_b_sync",
+                as_of="2024-01-06",
+            ),
+            lambda: FileKVStore(kv_b),
+        )
+        n_p = run_online_sync(
+            spark,
+            OnlineSyncConfig(features_table=table, as_of="2024-01-06"),
+            lambda: FileKVStore(kv_p),
+        )
+        assert n_b == n_p == 10
+        sb, sp = FileKVStore(kv_b), FileKVStore(kv_p)
+        assert sb.keys() == sp.keys()
+        assert all(sb.get(k) == sp.get(k) for k in sb.keys())
+
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            def latest_plan(features):
+                return plan_text(
+                    latest_per_key(
+                        features, keys=["user_id"], order_cols=["day"],
+                        strategy="max_by",
+                    )
+                )
+
+            def final_exchanges(plan: str) -> int:
+                final = plan.split("== Initial Plan ==")[0]
+                return len(set(re.findall(r"Exchange \((\d+)\)", final)))
+
+            b_plan = latest_plan(spark.table("feat_b_sync"))
+            p_plan = latest_plan(VersionedTable(table).read(spark))
+            assert "Bucketed: true" in b_plan
+            assert final_exchanges(b_plan) == 0, b_plan
+            assert final_exchanges(p_plan) == 1, p_plan
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", "10485760"
+            )
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS feat_b_sync")
