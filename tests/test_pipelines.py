@@ -2675,6 +2675,51 @@ def test_ensemble_pipeline_mode_ties_to_oracled_query(spark, tmp_path, capsys):
     assert funnel["after_ensemble_dsir"] == stages["3_dsir_gate"]
     assert funnel["after_ensemble_cap"] == stages["4_domain_cap"]
 
+    # the APPROX cap mode ties the same way to ITS oracled query
+    # (corpus_selection_manifest_ensemble_approx — r14 directive #3's
+    # crawl-shaped stage 4): same gates, hash-rate stage-4 admission
+    from mini_feature_store_spark.queries import (
+        corpus_selection_manifest_ensemble_approx,
+    )
+
+    stages_a = {
+        r["stage"]: r["n_docs"]
+        for r in corpus_selection_manifest_ensemble_approx(
+            spark, sf
+        ).collect()
+    }
+    capsys.readouterr()
+    rc = cli.main(
+        [
+            "corpus-curate",
+            "--input-path", inp,
+            "--output-path", str(tmp_path / "clean_a"),
+            "--min-tokens", "0",
+            "--min-quality", "0.0",
+            "--jaccard-threshold", "0.99",
+            "--ensemble",
+            "--dsir-model-dir", model,
+            "--lm-reference-path", tgtp,
+            "--ensemble-cap", str(_SEL_CAP),
+            "--ensemble-cap-mode", "approx",
+            "--ensemble-cap-url-col", "url",
+        ]
+    )
+    assert rc == 0
+    funnel_a = {}
+    for line in capsys.readouterr().out.splitlines():
+        if ":" in line:
+            k, _, v = line.partition(":")
+            if v.strip().lstrip("-").isdigit():
+                funnel_a[k.strip()] = int(v.strip())
+    assert funnel_a["after_ensemble_clf"] == stages_a["1_clf_gate"]
+    assert funnel_a["after_ensemble_dsir"] == stages_a["3_dsir_gate"]
+    assert funnel_a["after_ensemble_cap"] == stages_a["4_domain_cap"]
+    # the approx cap admits a (deterministically) different stage-4 set
+    # than the exact window on this corpus only if some domain exceeds
+    # the cap; either way both modes bound it by f3
+    assert funnel_a["after_ensemble_cap"] <= funnel_a["after_ensemble_dsir"]
+
     # set-level tie: the stage's survivors vs an independent DuckDB
     # replay of the oracle's flags + survivors-first cap rank
     cfg = CorpusCurationConfig(
