@@ -407,10 +407,12 @@ def build_parser() -> argparse.ArgumentParser:
     dt.add_argument(
         "--id-col", default=None,
         help="document id column of --raw-path for the "
-        "--suggest-keep-rate calibration grouping (plain dsir-train is "
-        "id-free — bag counts never need one); default synthesizes a "
-        "per-row id, so corpora without a doc_id column calibrate "
-        "without any flag",
+        "--suggest-keep-rate calibration grouping. Default: 'doc_id' "
+        "when --raw-path has that column (the historical behavior — "
+        "multi-row documents group correctly), else a synthesized "
+        "per-row id (plain dsir-train is id-free; bag counts never "
+        "need one). An EXPLICIT --id-col naming a missing column "
+        "fails loudly rather than silently synthesizing",
     )
     dt.add_argument(
         "--suggest-keep-rate", type=float, default=None,
@@ -791,11 +793,21 @@ def main(argv: list[str] | None = None) -> int:
                 # the calibration scoring join) — cache it so the bag
                 # models are fitted once
                 w = w.persist()
+                # default calibration grouping: the corpus's doc_id when
+                # it has one (a per-row synthetic id would score each
+                # ROW of a multi-row document separately, drifting the
+                # calibrated threshold from the distribution the
+                # pipeline later applies); synthesize only for id-free
+                # corpora. An explicit --id-col passes through verbatim
+                # so a typo fails loudly instead of silently regrouping.
+                calib_id = args.id_col
+                if calib_id is None and "doc_id" in raw.columns:
+                    calib_id = "doc_id"
                 suggested = suggest_min_log_weight(
                     w,
                     raw,
                     args.suggest_keep_rate,
-                    id_col=args.id_col,
+                    id_col=calib_id,
                     text_col=args.text_col,
                     n_buckets=args.n_buckets,
                     max_order=args.max_order,

@@ -221,6 +221,7 @@ def dedup_clusters(
     *,
     rank_by: DataFrame | None = None,
     rank_col: str = "score",
+    rank_id: str = "doc_id",
 ) -> DataFrame:
     """Duplicate clusters from a near-dup pair list.
 
@@ -233,7 +234,7 @@ def dedup_clusters(
 
     - ``rank_by=None`` (default): keep the minimum-id member — the
       cluster label itself, zero extra work.
-    - ``rank_by=<DataFrame with (doc_id, rank_col)>``: keep the
+    - ``rank_by=<DataFrame with (rank_id, rank_col)>``: keep the
       BEST-RANKED member per cluster (highest ``rank_col``; ties and
       missing scores break to the minimum doc id — deterministic on
       both engines when the score is already quantized, e.g. the
@@ -245,7 +246,10 @@ def dedup_clusters(
       path. A degenerate giant cluster serializes its ranking into one
       task exactly like its size count already does; near-dup clusters
       are bounded by construction (pair generators cap shingle/band
-      frequency upstream).
+      frequency upstream). ``rank_id`` names ``rank_by``'s id column
+      (default ``doc_id`` — the output's own id name; ``apply_dedup``
+      forwards its ``id_col`` so a custom-keyed corpus needs no
+      pre-aliasing).
     """
     comp = connected_components(pairs, src=id_a, dst=id_b)
     base = comp.select(
@@ -257,7 +261,9 @@ def dedup_clusters(
     if rank_by is None:
         return base.withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
     scored = base.join(
-        rank_by.select("doc_id", rank_col), "doc_id", "left"
+        rank_by.select(F.col(rank_id).alias("doc_id"), rank_col),
+        "doc_id",
+        "left",
     )
     w = Window.partitionBy("cluster_id").orderBy(
         F.col(rank_col).desc_nulls_last(), F.col("doc_id").asc()
@@ -279,7 +285,9 @@ def apply_dedup(
     canonical survivor per cluster, anti-join the corpus against the
     dropped ids — the step a training-data pipeline actually ships (pairs
     and clusters are diagnostics). ``rank_by`` switches the survivor from
-    the min-id member to the best-ranked one (see ``dedup_clusters``).
+    the min-id member to the best-ranked one; its id column is this
+    function's ``id_col`` (forwarded as ``rank_id`` — see
+    ``dedup_clusters``).
 
     Works with ANY pair generator (n-gram Jaccard, MinHash-LSH, SimHash,
     embedding cosine exact or LSH) — the 100 TB default for embeddings is
@@ -299,7 +307,12 @@ def apply_dedup(
     - ``False``: forbid it — pins the shuffle anti join for tests.
     """
     clusters = dedup_clusters(
-        pairs, id_a=id_a, id_b=id_b, rank_by=rank_by, rank_col=rank_col
+        pairs,
+        id_a=id_a,
+        id_b=id_b,
+        rank_by=rank_by,
+        rank_col=rank_col,
+        rank_id=id_col,
     )
     drops = clusters.where(~F.col("keep")).select(
         F.col("doc_id").alias(id_col)

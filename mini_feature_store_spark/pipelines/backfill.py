@@ -86,46 +86,89 @@ def run_backfill_incremental(
     end = dt.date.fromisoformat(cfg.end_date)
     want = {start + dt.timedelta(days=i) for i in range((end - start).days + 1)}
     missing = sorted(want - have)
-    if not missing:
-        return []
-
-    events = read_parquet(spark, cfg.events_path)
-    features = backfill_features_window_form(
-        events,
-        missing[0].isoformat(),
-        missing[-1].isoformat(),
-        user_col=cfg.user_col,
-        ts_col=cfg.ts_col,
-        type_col=cfg.type_col,
-        known_types=cfg.known_event_types,
-    )
-    if len(missing) != (missing[-1] - missing[0]).days + 1:
-        # Holes (a crashed run): keep only genuinely missing days.
-        features = features.where(
-            F.col("day").isin([d.isoformat() for d in missing])
-        )
     mode = "append" if vt.versions() else "overwrite"
-    vt.write(features, partition_by=cfg.partition_by, mode=mode)
-    if cfg.bucket_table is not None:
-        if spark.catalog.tableExists(cfg.bucket_table):
-            # steady state: append exactly the days the versioned write
-            # appended, under the existing table's bucket spec (Spark
-            # validates it matches — a drifted --buckets fails loudly)
-            _write_bucketed(spark, features, cfg, mode="append")
-        else:
-            # first run with --bucket-table against a table that already
-            # has history: appending only the missing days would leave
-            # the bucketed materialization silently PARTIAL — bootstrap
-            # it from the committed table instead (full content, one
-            # bucketed rewrite; the same rows downstream joins expect)
-            _write_bucketed(
-                spark, vt.read(spark), cfg, mode="overwrite"
+    if missing:
+        events = read_parquet(spark, cfg.events_path)
+        features = backfill_features_window_form(
+            events,
+            missing[0].isoformat(),
+            missing[-1].isoformat(),
+            user_col=cfg.user_col,
+            ts_col=cfg.ts_col,
+            type_col=cfg.type_col,
+            known_types=cfg.known_event_types,
+        )
+        if len(missing) != (missing[-1] - missing[0]).days + 1:
+            # Holes (a crashed run): keep only genuinely missing days.
+            features = features.where(
+                F.col("day").isin([d.isoformat() for d in missing])
             )
+        vt.write(features, partition_by=cfg.partition_by, mode=mode)
+    # the bucketed materialization reconciles EVERY run — even a
+    # no-missing-days one — so a crash between the versioned commit and
+    # the bucket write (or enabling --bucket-table on an already-current
+    # table) self-heals on the next invocation, the same promise the
+    # versioned table makes above
+    if cfg.bucket_table is not None:
+        _sync_bucket_table(
+            spark, vt, cfg, fresh_overwrite=bool(missing) and mode == "overwrite"
+        )
     return [d.isoformat() for d in missing]
 
 
+def _sync_bucket_table(
+    spark: SparkSession,
+    vt: VersionedTable,
+    cfg: BackfillConfig,
+    *,
+    fresh_overwrite: bool,
+) -> None:
+    """Bring the bucketed materialization to parity with the COMMITTED
+    versioned table. Reads back the parquet the versioned write just
+    produced — never re-executes the window-form feature plan (the most
+    expensive plan in the pipeline; review r15).
+
+    Reconciliation by day-set diff (two distinct-scans of the partition
+    column — prunable and bounded by days elapsed, not data volume):
+
+    - ``fresh_overwrite`` (the versioned write just overwrote from
+      scratch) or no bucket table yet → full bucketed rewrite;
+    - bucket table carries days the versioned table lacks (the versioned
+      table was reset under a lingering bucket table — appending would
+      DUPLICATE history) → full rewrite;
+    - bucket table lacks committed days (steady-state append, a crashed
+      prior bucket write, or --bucket-table enabled late) → append
+      exactly the lacking days, under the existing table's bucket spec
+      (Spark validates it matches — a drifted --buckets fails loudly).
+    """
+    committed = vt.read(spark)
+    if fresh_overwrite or not spark.catalog.tableExists(cfg.bucket_table):
+        _write_bucketed(committed, cfg, mode="overwrite")
+        return
+    have_b = {
+        r["day"]
+        for r in spark.table(cfg.bucket_table)
+        .select("day")
+        .distinct()
+        .collect()
+    }
+    have_v = {
+        r["day"] for r in committed.select("day").distinct().collect()
+    }
+    if have_b - have_v:
+        _write_bucketed(committed, cfg, mode="overwrite")
+        return
+    lacking = have_v - have_b
+    if lacking:
+        _write_bucketed(
+            committed.where(F.col("day").isin(list(lacking))),
+            cfg,
+            mode="append",
+        )
+
+
 def _write_bucketed(
-    spark: SparkSession, features: DataFrame, cfg: BackfillConfig, mode: str
+    features: DataFrame, cfg: BackfillConfig, mode: str
 ) -> None:
     """Materialize the features under the bucketed layout (same rows the
     versioned write committed)."""
@@ -159,7 +202,10 @@ def run_backfill(spark: SparkSession, cfg: BackfillConfig) -> DataFrame:
         type_col=cfg.type_col,
         known_types=cfg.known_event_types,
     )
-    VersionedTable(cfg.output_table).write(features, partition_by=cfg.partition_by)
+    vt = VersionedTable(cfg.output_table)
+    vt.write(features, partition_by=cfg.partition_by)
     if cfg.bucket_table is not None:
-        _write_bucketed(spark, features, cfg, mode="overwrite")
+        # read back the committed parquet instead of re-executing the
+        # window-form feature plan a second time (review r15)
+        _write_bucketed(vt.read(spark), cfg, mode="overwrite")
     return features

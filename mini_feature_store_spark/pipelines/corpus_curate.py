@@ -469,11 +469,6 @@ def run_corpus_curation(
         stage0.unpersist()
 
     if cfg.ensemble:
-        from mini_feature_store_spark.operators.dsir import (
-            dsir_bucket_weights,
-            load_dsir_artifact,
-        )
-
         clf_w = clf_b = None
         if cfg.quality_model_dir is not None:
             from mini_feature_store_spark.operators.text import (
@@ -483,30 +478,7 @@ def run_corpus_curation(
             clf_w, clf_b = load_quality_classifier(
                 spark, cfg.quality_model_dir
             )
-        thr = cfg.dsir_min_log_weight
-        if cfg.dsir_model_dir is not None:
-            wdf, nb, mo, suggested = load_dsir_artifact(
-                spark, cfg.dsir_model_dir
-            )
-            if cfg.dsir_use_suggested:
-                thr = suggested
-                if thr is None:
-                    raise ValueError(
-                        "dsir_use_suggested: artifact at "
-                        f"{cfg.dsir_model_dir!r} carries no "
-                        "suggested_min_log_weight — retrain with "
-                        "`dsir-train --suggest-keep-rate` or pass an "
-                        "explicit dsir_min_log_weight"
-                    )
-        else:
-            nb, mo = 8192, 2
-            wdf = dsir_bucket_weights(
-                spark.read.parquet(cfg.dsir_target_path),
-                admitted,
-                text_col=cfg.text_col,
-                n_buckets=nb,
-                max_order=mo,
-            )
+        wdf, nb, mo, thr = _resolve_dsir_signal(spark, cfg, admitted)
         frame = ensemble_admission(
             spark,
             admitted,
@@ -519,25 +491,34 @@ def run_corpus_curation(
             clf_weights=clf_w,
             clf_bias=clf_b,
         )
-        # one bounded job reports all three gate counts (the oracled
-        # query's conditional-aggregate shape); the cap count comes from
-        # the persisted survivor materialization below
-        gates = frame.agg(
-            F.count(F.when(F.col("_f1"), 1)).alias("c1"),
-            F.count(F.when(F.col("_f2"), 1)).alias("c2"),
-            F.count(F.when(F.col("_f3"), 1)).alias("c3"),
-        ).first()
-        funnel["after_ensemble_clf"] = gates["c1"]
-        funnel["after_ensemble_lm"] = gates["c2"]
-        funnel["after_ensemble_dsir"] = gates["c3"]
-        prev = admitted
-        admitted = admitted.join(
-            frame.where(F.col("_cap_keep")).select(cfg.id_col),
-            cfg.id_col,
-            "left_semi",
-        ).persist()
-        funnel["after_ensemble_cap"] = admitted.count()
-        prev.unpersist()
+        # the narrow flag frame (id + flags) feeds TWO actions — the
+        # gate-count aggregate and the survivor semi-join — so persist
+        # it like every other double-consumed stage result: without
+        # this, the LM scoring and DSIR gram chains over the full pool
+        # execute twice (review r15)
+        frame = frame.persist()
+        try:
+            # one bounded job reports all three gate counts (the
+            # oracled query's conditional-aggregate shape); the cap
+            # count comes from the persisted survivor materialization
+            gates = frame.agg(
+                F.count(F.when(F.col("_f1"), 1)).alias("c1"),
+                F.count(F.when(F.col("_f2"), 1)).alias("c2"),
+                F.count(F.when(F.col("_f3"), 1)).alias("c3"),
+            ).first()
+            funnel["after_ensemble_clf"] = gates["c1"]
+            funnel["after_ensemble_lm"] = gates["c2"]
+            funnel["after_ensemble_dsir"] = gates["c3"]
+            prev = admitted
+            admitted = admitted.join(
+                frame.where(F.col("_cap_keep")).select(cfg.id_col),
+                cfg.id_col,
+                "left_semi",
+            ).persist()
+            funnel["after_ensemble_cap"] = admitted.count()
+            prev.unpersist()
+        finally:
+            frame.unpersist()
 
     if cfg.quality_model_dir is not None and not cfg.ensemble:
         from mini_feature_store_spark.operators.text import (
@@ -567,38 +548,10 @@ def run_corpus_curation(
         funnel["after_quality_clf"] = admitted.count()
         prev.unpersist()
 
-    _dsir_threshold = None if cfg.ensemble else cfg.dsir_min_log_weight
-    _dsir_art = None
     if (
         not cfg.ensemble
-        and cfg.dsir_model_dir is not None
-        and (cfg.dsir_use_suggested or _dsir_threshold is not None)
-    ):
-        # ONE artifact open serves both the threshold and the weight
-        # table (review r14: the two single-purpose loaders re-read and
-        # re-validated the same parquet back-to-back)
-        from mini_feature_store_spark.operators.dsir import (
-            load_dsir_artifact,
-        )
-
-        _dsir_art = load_dsir_artifact(spark, cfg.dsir_model_dir)
-        if cfg.dsir_use_suggested:
-            _dsir_threshold = _dsir_art[3]
-            if _dsir_threshold is None:
-                raise ValueError(
-                    "dsir_use_suggested: artifact at "
-                    f"{cfg.dsir_model_dir!r} carries no "
-                    "suggested_min_log_weight — retrain with "
-                    "`dsir-train --suggest-keep-rate` or pass an "
-                    "explicit dsir_min_log_weight"
-                )
-    if (
-        not cfg.ensemble
-        and (
-            cfg.dsir_target_path is not None
-            or cfg.dsir_model_dir is not None
-        )
-        and _dsir_threshold is not None
+        and _dsir_on
+        and (cfg.dsir_min_log_weight is not None or cfg.dsir_use_suggested)
     ):
         # threshold admission — the batch twin of dsir_gated_stream: no
         # resample, no plan-build probe jobs. Scoring uses the BATCH
@@ -610,21 +563,12 @@ def run_corpus_curation(
         # scorers are pinned value-equal at the shared scale-4 rounding
         # (test_dsir.py), so the admitted set is identical.
         from mini_feature_store_spark.operators.dsir import (
-            dsir_bucket_weights,
             dsir_score_with_weights,
         )
 
-        if cfg.dsir_model_dir is not None:
-            wdf, nb, mo, _ = _dsir_art
-        else:
-            nb, mo = 8192, 2
-            wdf = dsir_bucket_weights(
-                spark.read.parquet(cfg.dsir_target_path),
-                admitted,
-                text_col=cfg.text_col,
-                n_buckets=nb,
-                max_order=mo,
-            )
+        wdf, nb, mo, _dsir_threshold = _resolve_dsir_signal(
+            spark, cfg, admitted
+        )
         picked = (
             dsir_score_with_weights(
                 wdf,
@@ -750,11 +694,10 @@ def run_corpus_curation(
             bias=b,
             text_col=cfg.text_col,
             id_col=cfg.id_col,
-        ).select(
-            F.col(cfg.id_col).alias("doc_id"), "quality_prob"
-        )
+        ).select(cfg.id_col, "quality_prob")
     drops = dedup_clusters(
-        pairs, rank_by=rank_by, rank_col="quality_prob"
+        pairs, rank_by=rank_by, rank_col="quality_prob",
+        rank_id=cfg.id_col,
     ).where(~F.col("keep")).select(
         F.col("doc_id").alias(cfg.id_col)
     )
@@ -1052,6 +995,57 @@ def run_corpus_curation(
     if pack_input is not None:
         pack_input.unpersist()
     return funnel
+
+
+def _resolve_dsir_signal(
+    spark: SparkSession,
+    cfg: CorpusCurationConfig,
+    pool: DataFrame,
+) -> tuple[DataFrame, int, int, float | None]:
+    """``(weights_df, n_buckets, max_order, threshold)`` for
+    threshold-mode DSIR scoring under ``cfg`` — ONE resolution shared by
+    the standalone threshold stage and the ensemble stage (review r15:
+    two hand-synced copies, byte-identical error message included).
+
+    Frozen artifact (``dsir_model_dir``; one ``load_dsir_artifact`` open
+    serves threshold and weight table — review r14) with
+    ``dsir_use_suggested`` honored, or an in-line fit against
+    ``dsir_target_path`` over ``pool``. ``threshold`` is None when
+    neither an explicit nor a suggested threshold applies (the
+    ensemble's pool-mean mode)."""
+    thr = cfg.dsir_min_log_weight
+    if cfg.dsir_model_dir is not None:
+        from mini_feature_store_spark.operators.dsir import (
+            load_dsir_artifact,
+        )
+
+        wdf, nb, mo, suggested = load_dsir_artifact(
+            spark, cfg.dsir_model_dir
+        )
+        if cfg.dsir_use_suggested:
+            thr = suggested
+            if thr is None:
+                raise ValueError(
+                    "dsir_use_suggested: artifact at "
+                    f"{cfg.dsir_model_dir!r} carries no "
+                    "suggested_min_log_weight — retrain with "
+                    "`dsir-train --suggest-keep-rate` or pass an "
+                    "explicit dsir_min_log_weight"
+                )
+    else:
+        from mini_feature_store_spark.operators.dsir import (
+            dsir_bucket_weights,
+        )
+
+        nb, mo = 8192, 2
+        wdf = dsir_bucket_weights(
+            spark.read.parquet(cfg.dsir_target_path),
+            pool,
+            text_col=cfg.text_col,
+            n_buckets=nb,
+            max_order=mo,
+        )
+    return wdf, nb, mo, thr
 
 
 def ensemble_admission(

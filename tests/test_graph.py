@@ -138,6 +138,12 @@ def test_quality_ranked_survivor_beats_min_id(spark):
 
     kept = apply_dedup(corpus, pairs, "doc_id", rank_by=scores)
     assert sorted(r.doc_id for r in kept.collect()) == [3, 4, 5, 6, 7, 8, 10, 11, 13]
+    # custom id column: rank_by carries the CALLER's id name — no
+    # pre-aliasing to 'doc_id' required (review r15)
+    corpus2 = corpus.withColumnRenamed("doc_id", "page_id")
+    scores2 = scores.withColumnRenamed("doc_id", "page_id")
+    kept2 = apply_dedup(corpus2, pairs, "page_id", rank_by=scores2)
+    assert sorted(r.page_id for r in kept2.collect()) == [3, 4, 5, 6, 7, 8, 10, 11, 13]
 
 
 def test_survivor_anti_join_drops_near_dups(spark):
