@@ -3061,6 +3061,36 @@ def test_backfill_incremental_bucket_table_bootstraps_full_history(
         assert len(done) == 1
         vt = VersionedTable(table).read(spark)
         assert rows(spark.table("feat_b_inc"), cols) == rows(vt, cols)
+        # crash-between-writes / enable-on-current: the bucket table is
+        # gone but the versioned table is CURRENT (missing = []) — the
+        # run must still reconcile, not early-return past it
+        spark.sql("DROP TABLE feat_b_inc")
+        shutil.rmtree(
+            "/tmp/mfss-test-warehouse/feat_b_inc", ignore_errors=True
+        )
+        done = run_backfill_incremental(
+            spark,
+            BackfillConfig(
+                events, table, "2024-01-01", "2024-01-11",
+                bucket_table="feat_b_inc", buckets=4,
+            ),
+        )
+        assert done == []
+        assert rows(spark.table("feat_b_inc"), cols) == rows(vt, cols)
+        # versioned table reset under a LINGERING bucket table: the
+        # fresh overwrite must not append duplicate history
+        shutil.rmtree(table)
+        run_backfill_incremental(
+            spark,
+            BackfillConfig(
+                events, table, "2024-01-01", "2024-01-11",
+                bucket_table="feat_b_inc", buckets=4,
+            ),
+        )
+        vt = VersionedTable(table).read(spark)
+        b = spark.table("feat_b_inc")
+        assert rows(b, cols) == rows(vt, cols)
+        assert b.count() == vt.count()  # set-equal AND no duplicates
     finally:
         spark.sql("DROP TABLE IF EXISTS feat_b_inc")
 
