@@ -109,7 +109,10 @@ def run_backfill_incremental(
     # the bucket write (or enabling --bucket-table on an already-current
     # table) self-heals on the next invocation, the same promise the
     # versioned table makes above
-    if cfg.bucket_table is not None:
+    # (vt.versions() guard: an empty requested range against a
+    # never-written table has nothing to reconcile FROM — vt.read would
+    # raise on the version-less table)
+    if cfg.bucket_table is not None and vt.versions():
         _sync_bucket_table(
             spark, vt, cfg, fresh_overwrite=bool(missing) and mode == "overwrite"
         )
