@@ -84,6 +84,12 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--kv-dir", required=True, help="FileKVStore directory")
     c.add_argument("--key-col", default="user_id")
     c.add_argument("--order-col", default="day")
+    c.add_argument(
+        "--features-bucketed-table", default=None,
+        help="audit against this bucketed managed table instead of the "
+        "versioned table (the latest-per-key collapse reads the "
+        "buckets shuffle-free)",
+    )
 
     q = sub.add_parser(
         "dq-audit", help="data-quality gate over a parquet path (exit 1 on failure)"
@@ -134,6 +140,14 @@ def build_parser() -> argparse.ArgumentParser:
     bi.add_argument("--output-path", required=True)
     bi.add_argument("--as-of", required=True, help="cutoff date YYYY-MM-DD")
     bi.add_argument("--features-version", type=int, default=None)
+    bi.add_argument(
+        "--features-bucketed-table", default=None,
+        help="read features from this bucketed managed table (written "
+        "by `backfill --bucket-table`): the latest-per-key collapse and "
+        "the users join are both keyed on the bucket key, so the "
+        "feature side never shuffles; mutually exclusive with "
+        "--features-version (buckets track HEAD)",
+    )
 
     x = sub.add_parser(
         "delete-keys",
@@ -592,8 +606,13 @@ def main(argv: list[str] | None = None) -> int:
                 online_offline_diff,
             )
 
+            offline_features = (
+                spark.table(args.features_bucketed_table)
+                if args.features_bucketed_table
+                else VersionedTable(args.features_table).read(spark)
+            )
             offline = latest_per_key(
-                VersionedTable(args.features_table).read(spark),
+                offline_features,
                 keys=[args.key_col],
                 order_cols=[args.order_col],
             )
@@ -692,6 +711,7 @@ def main(argv: list[str] | None = None) -> int:
                     output_path=args.output_path,
                     as_of=args.as_of,
                     features_version=args.features_version,
+                    features_bucketed_table=args.features_bucketed_table,
                 ),
             )
             print(f"scoring input written to {args.output_path}")

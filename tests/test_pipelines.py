@@ -3177,3 +3177,77 @@ def test_online_sync_bucketed_features_collapse_without_exchange(
             spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     finally:
         spark.sql("DROP TABLE IF EXISTS feat_b_sync")
+
+
+def test_batch_inference_bucketed_features_tie_and_version_guard(
+    spark, tmp_path
+):
+    """batch-inference --features-bucketed-table produces the same
+    scoring input as the versioned-table path (cold-start users keep
+    their null-feature row), and rejects a features_version pin."""
+    import shutil
+
+    from mini_feature_store_spark.pipelines import (
+        BatchInferenceConfig,
+        run_batch_inference,
+    )
+
+    events = str(tmp_path / "events")
+    spark.createDataFrame(
+        [
+            (f"u{u}", "click", dt.datetime(2024, 1, 1 + i, 9))
+            for u in range(8)
+            for i in range(5)
+        ],
+        "user_id string, event_type string, ts timestamp",
+    ).write.parquet(events)
+    table = str(tmp_path / "features")
+    spark.sql("DROP TABLE IF EXISTS feat_b_bi")
+    shutil.rmtree("/tmp/mfss-test-warehouse/feat_b_bi", ignore_errors=True)
+    users = str(tmp_path / "users")
+    spark.createDataFrame(
+        [(f"u{u}",) for u in range(10)], "user_id string"  # u8/u9 cold
+    ).write.parquet(users)
+    try:
+        run_backfill(
+            spark,
+            BackfillConfig(
+                events, table, "2024-01-01", "2024-01-05",
+                bucket_table="feat_b_bi", buckets=4,
+            ),
+        )
+
+        def run(bucketed: bool):
+            out = str(tmp_path / ("bi_b" if bucketed else "bi_p"))
+            run_batch_inference(
+                spark,
+                BatchInferenceConfig(
+                    users_path=users,
+                    features_table=table,
+                    output_path=out,
+                    as_of="2024-01-05",
+                    features_bucketed_table=(
+                        "feat_b_bi" if bucketed else None
+                    ),
+                ),
+            )
+            df = spark.read.parquet(out)
+            return {tuple(r) for r in df.select(*sorted(df.columns)).collect()}
+
+        got_b, got_p = run(True), run(False)
+        assert got_b == got_p and len(got_b) == 10
+
+        with pytest.raises(ValueError, match="tracks HEAD only"):
+            run_batch_inference(
+                spark,
+                BatchInferenceConfig(
+                    users_path=users,
+                    features_table=table,
+                    output_path=str(tmp_path / "bi_x"),
+                    as_of="2024-01-05",
+                    features_bucketed_table="feat_b_bi",
+                    features_version=0,
+                ),
+            )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS feat_b_bi")
