@@ -260,8 +260,18 @@ def dedup_clusters(
     )
     if rank_by is None:
         return base.withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
+    # Collapse rank_by to ONE row per id before the join (max score —
+    # the policy's "best member" reading): a duplicate-id rank frame
+    # would otherwise multiply cluster rows, and since only ONE copy of
+    # the survivor gets keep=true, apply_dedup's anti-join against the
+    # keep=false rows would drop the survivor too — an entire cluster
+    # vanishing silently. Internal callers pass one-row-per-doc scores,
+    # for which the aggregate is identity and its exchange is reused by
+    # the doc_id join.
     scored = base.join(
-        rank_by.select(F.col(rank_id).alias("doc_id"), rank_col),
+        rank_by.select(F.col(rank_id).alias("doc_id"), rank_col)
+        .groupBy("doc_id")
+        .agg(F.max(rank_col).alias(rank_col)),
         "doc_id",
         "left",
     )

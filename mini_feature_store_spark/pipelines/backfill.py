@@ -131,37 +131,51 @@ def _sync_bucket_table(
     produced — never re-executes the window-form feature plan (the most
     expensive plan in the pipeline; review r15).
 
-    Reconciliation by day-set diff (two distinct-scans of the partition
-    column — prunable and bounded by days elapsed, not data volume):
+    Reconciliation by per-day ROW-COUNT diff (two day-keyed count
+    aggregates — prunable and bounded by days elapsed, not data
+    volume; day PRESENCE alone would mark a crashed PARTIAL bucket
+    append as done and never repair it — the parquet fallback write is
+    explicitly non-atomic, io/sinks.py):
 
     - ``fresh_overwrite`` (the versioned write just overwrote from
       scratch) or no bucket table yet → full bucketed rewrite;
-    - bucket table carries days the versioned table lacks (the versioned
-      table was reset under a lingering bucket table — appending would
-      DUPLICATE history) → full rewrite;
-    - bucket table lacks committed days (steady-state append, a crashed
-      prior bucket write, or --bucket-table enabled late) → append
-      exactly the lacking days, under the existing table's bucket spec
-      (Spark validates it matches — a drifted --buckets fails loudly).
+    - column sets differ (VersionedTable append supports schema
+      evolution via unionByName null-padding — after a version adds a
+      feature column, appending new-day rows to the old-schema bucket
+      table raises AnalysisException forever) → full rewrite;
+    - bucket table carries days the versioned table lacks (the
+      versioned table was reset under a lingering bucket table —
+      appending would DUPLICATE history), or a shared day's row counts
+      disagree (crashed partial bucket append) → full rewrite;
+    - bucket table lacks committed days (steady-state append, a
+      crashed prior bucket write, or --bucket-table enabled late) →
+      append exactly the lacking days, under the existing table's
+      bucket spec (Spark validates it matches — a drifted --buckets
+      fails loudly).
     """
     committed = vt.read(spark)
     if fresh_overwrite or not spark.catalog.tableExists(cfg.bucket_table):
         _write_bucketed(committed, cfg, mode="overwrite")
         return
-    have_b = {
-        r["day"]
-        for r in spark.table(cfg.bucket_table)
-        .select("day")
-        .distinct()
-        .collect()
-    }
-    have_v = {
-        r["day"] for r in committed.select("day").distinct().collect()
-    }
-    if have_b - have_v:
+    bucket = spark.table(cfg.bucket_table)
+    if set(bucket.columns) != set(committed.columns):
         _write_bucketed(committed, cfg, mode="overwrite")
         return
-    lacking = have_v - have_b
+
+    def day_counts(df: DataFrame) -> dict:
+        return {
+            r["day"]: r["n"]
+            for r in df.groupBy("day")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    cnt_b = day_counts(bucket)
+    cnt_v = day_counts(committed)
+    if any(cnt_v.get(d) != n for d, n in cnt_b.items()):
+        _write_bucketed(committed, cfg, mode="overwrite")
+        return
+    lacking = set(cnt_v) - set(cnt_b)
     if lacking:
         _write_bucketed(
             committed.where(F.col("day").isin(list(lacking))),
@@ -174,11 +188,23 @@ def _write_bucketed(
     features: DataFrame, cfg: BackfillConfig, mode: str
 ) -> None:
     """Materialize the features under the bucketed layout (same rows the
-    versioned write committed)."""
+    versioned write committed).
+
+    The repartition by the bucket key is load-bearing at scale (guide
+    §6 file sizing; r15 VERDICT "What's wrong" #1): Spark's bucketed
+    writer emits one file per (task × bucket touched), so writing
+    straight from an N-partition upstream produces up to N × buckets
+    files PER WRITE — a daily append at production task counts grows
+    files-per-bucket without bound, and Spark only treats a bucket as
+    SORTED (SMJ local-sort elision) while it holds exactly one file.
+    ``repartition(buckets, key)`` uses the same Murmur3 hash the bucket
+    assignment does, so each task holds exactly one bucket's rows →
+    one file per bucket per write, and the overwrite path keeps the
+    sorted-bucket property."""
     from mini_feature_store_spark.io.sinks import write_bucketed_table
 
     write_bucketed_table(
-        features,
+        features.repartition(cfg.buckets, F.col(cfg.user_col)),
         cfg.bucket_table,
         cfg.buckets,
         [cfg.user_col],

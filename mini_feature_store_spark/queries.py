@@ -19,16 +19,31 @@ Each Spark callable takes ``(spark, sf_dir)`` and returns a lazy DataFrame.
 
 REGISTRY PLANS STAY LAZY — no ``.collect()``, no ``.persist()``, no
 ``.localCheckpoint()`` inside a registered callable. Eager evaluation hides
-the plan from the broadcast-discipline walker and the plan audits, and a
-lazily-returned ``persist()`` pins a CacheManager entry for the driver's
-whole session. When a subtree feeds two consumers (Catalyst gives zero
-ReusedExchange for duplicated aggregate subtrees), accept the recompute —
-measured costs here are sub-second (``top_supplier_revenue``: +0.04 s at
-sf0.1; ``corpus_curation_funnel``: +0.8 s for 4× recompute). Pipelines that
-MATERIALIZE results (``pipelines/``) may persist-then-unpersist around the
-action — that is the production shape, not the registry's.
+the plan from the plan audits, and a lazily-returned ``persist()`` pins a
+CacheManager entry for the driver's whole session. When a subtree feeds two
+consumers (Catalyst gives zero ReusedExchange for duplicated aggregate
+subtrees), accept the recompute WHEN IT IS CHEAP — measured costs
+(``top_supplier_revenue``: +0.04 s at sf0.1). Pipelines that MATERIALIZE
+results (``pipelines/``) may persist-then-unpersist around the action —
+that is the production shape.
 
-ONE sanctioned exception — the BOUNDED-COLLECT-AT-PLAN-BUILD class: a
+SANCTIONED exception #1 — the SHARED-SUBTREE PERSIST class (r16): when a
+registered callable composes several operators over ONE expensive
+corpus-scale intermediate (a flagged/score frame consumed by a conditional
+aggregate AND a sampler AND a packer), recomputing that subtree per
+consumer multiplies O(corpus) scans and shuffles — at sf0.1 the ensemble
+manifests re-evaluated their LM+DSIR admission chain 4-6× (180 logical
+parquet scans, 12-14 s wall), and at 100 TB each re-evaluation is a full
+corpus pass. Such a callable may ``persist()`` the shared NARROW frame
+(ids/flags/counts — never raw text) inside the returned plan. The guide's
+§5 caching rule decides membership: reused ≥ 2× AND recompute ≫ memory
+pressure. Every such query must be listed in
+``tests/test_registry_lint.py:PLAN_BUILD_CACHE_ALLOWLIST`` with the shared
+frame named; the broadcast-discipline walker is unaffected (it walks the
+ANALYZED plan, which predates cache substitution). The bench's
+``clearCache()`` between queries bounds accumulation.
+
+Sanctioned exception #2 — the BOUNDED-COLLECT-AT-PLAN-BUILD class: a
 TRAINER whose model artifact is a bounded driver-side table may run its
 training jobs when the callable builds the plan, because the returned
 plan consumes the artifact as a literal/driver-built frame (the gate
@@ -3328,10 +3343,10 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     contaminated-survivors ⊆ survivors — both stages flag per-doc
     independently), combined by arithmetic in a single stack:
     after_near_dedup = |deduped| − |drops|, after_decontamination =
-    |deduped| − |drops| − |contaminated ∩ survivors|. Still fully
-    declarative — no collect, no persist in the returned plan; the
-    production pipeline (run_corpus_curate) persists around its eager
-    counts instead."""
+    |deduped| − |drops| − |contaminated ∩ survivors|. r16: the flag
+    frame is persisted (shared-subtree class — see module docstring
+    exception #1); the production pipeline (run_corpus_curate)
+    persists around its eager counts the same way."""
     from mini_feature_store_spark.operators.dedup import ngram_jaccard_pairs
     from mini_feature_store_spark.operators.graph import dedup_clusters
     from mini_feature_store_spark.operators.text import (
@@ -3344,9 +3359,16 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.where(F.col("source") != "src0")
     bench = docs.where(F.col("source") == "src0")
 
+    # SHARED-SUBTREE PERSIST (module docstring exception #1): the flag
+    # frame feeds the three-count aggregate and the keep_ids derivation,
+    # and the deduped document set feeds BOTH shingling stages (near-dup
+    # pair mining and decontamination) — unpersisted, the quality chain
+    # built 3× and the corpus semi-join 2× per run (the docstring's old
+    # "+0.8 s for 4× recompute" price, no longer accepted in the
+    # optimization rounds).
     flags = quality_filter(
         corpus, min_tokens=5, min_score=0.3, with_fingerprint=True
-    ).select("doc_id", "kept", "fingerprint")
+    ).select("doc_id", "kept", "fingerprint").persist()
     # same keep rule as exact_dedup (min id per fingerprint group), but
     # derived from the flag frame so no second gate build feeds it
     keep_ids = (
@@ -3355,6 +3377,9 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
+    # deduped itself stays unpersisted: it carries text (outside the
+    # narrow-frame class) and its recompute on top of the cached flags
+    # is one scan + semi-join per consumer, not a chain rebuild
     deduped = corpus.join(keep_ids, "doc_id", "left_semi")
     pairs = ngram_jaccard_pairs(deduped, threshold=0.5, max_shingle_freq=1000)
     drops = dedup_clusters(pairs).where(~F.col("keep")).select("doc_id")
@@ -7288,6 +7313,12 @@ def _lm_funnel_counts(
                 & F.coalesce(F.col("avg_nll") <= max_nll, F.lit(True))
             ).alias("lm_ok"),
         )
+        # SHARED-SUBTREE PERSIST (module docstring exception #1): the
+        # flag frame feeds the four-count conditional aggregate AND the
+        # near-dup subtree's keep_ids derivation; unpersisted, the
+        # quality+LM chain (an O(corpus) n-gram scoring pass) built
+        # twice per run. Narrow: id + 2 flags + fingerprint.
+        .persist()
     )
     # same keep rule as exact_dedup (min id per fingerprint group),
     # derived from the flag frame — no second gate+LM build feeds it.
@@ -7909,6 +7940,12 @@ def doc_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "n_tokens", F.coalesce(F.col("n_tokens"), F.lit(0).cast("long"))
         )
+        # SHARED-SUBTREE PERSIST (module docstring exception #1): the
+        # sampler consumes this frame twice (mass aggregate + admission
+        # join); unpersisted, the full-corpus BPE ENCODE — an Arrow-UDF
+        # merge replay over every document — ran twice per run. Narrow:
+        # id/lang/token-count.
+        .persist()
     )
     kept = temperature_mixture_sample(
         base, ["doc_id"], "lang", alpha=0.5, tokens_col="n_tokens"
@@ -8850,7 +8887,14 @@ def corpus_selection_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         _doc_url().alias("url"),
         toks.alias("n_tokens"),
     )
-    flagged = domain_cap(with_url, _SEL_CAP, keep_col="_cap_keep")
+    # SHARED-SUBTREE PERSIST (module docstring exception #1): the
+    # flagged frame — DSIR-selected ids joined back to the corpus plus
+    # the domain-cap window — feeds the stage-1/2 conditional aggregate,
+    # the mixture sampler (mass aggregate + admission join) and the
+    # packer; unpersisted, each consumer re-ran the DSIR scoring join
+    # and the cap window (44 logical scans / 114 exchanges at sf0.1).
+    # Narrow frame: id/lang/token-count/keep flag, no text.
+    flagged = domain_cap(with_url, _SEL_CAP, keep_col="_cap_keep").persist()
     c1 = flagged.agg(
         F.count(F.lit(1)).cast("long").alias("sel_docs"),
         F.coalesce(F.sum("n_tokens"), F.lit(0))
@@ -9131,7 +9175,18 @@ def _ensemble_flagged(spark: SparkSession, sf_dir: str) -> DataFrame:
         f2.alias("_f2"),
         f3.alias("_f3"),
     )
-    return flagged
+    # SHARED-SUBTREE PERSIST (module docstring exception #1): every
+    # consumer of this frame — the exact variant's domain-cap window,
+    # the approx variant's survivor-count aggregate AND its scan-side
+    # admission, the stage-0..4 conditional aggregate, the mixture
+    # sampler's mass aggregate + admission join, the packer — used to
+    # re-evaluate the FULL LM+DSIR admission chain (guide §2.4: remove
+    # shuffles outright; measured 180 logical parquet scans / 556
+    # exchanges and 12-14 s at sf0.1 for the approx manifest). The
+    # frame is narrow (id/lang/url/token-count/3 bools — no text), so
+    # caching it is O(corpus × ~100 B) spillable state vs 4-6 full
+    # corpus re-scores per run at 100 TB.
+    return flagged.persist()
 
 
 def _ensemble_manifest(frame: DataFrame) -> DataFrame:
@@ -9146,6 +9201,12 @@ def _ensemble_manifest(frame: DataFrame) -> DataFrame:
         temperature_mixture_sample,
     )
 
+    # second shared frame of the chain (exception #1): the CAPPED flag
+    # frame feeds the stage-0..4 aggregate, the sampler (2 consumers
+    # inside) and the packer — persisting it keeps the domain-cap
+    # window/aggregate, like the admission chain below it, at ONE
+    # evaluation per run
+    frame = frame.persist()
     c04 = frame.agg(
         F.count(F.lit(1)).cast("long").alias("d0"),
         F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("t0"),

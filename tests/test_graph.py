@@ -146,6 +146,29 @@ def test_quality_ranked_survivor_beats_min_id(spark):
     assert sorted(r.page_id for r in kept2.collect()) == [3, 4, 5, 6, 7, 8, 10, 11, 13]
 
 
+def test_quality_ranked_survivor_duplicate_score_rows(spark):
+    """A rank_by frame with DUPLICATE ids must not multiply cluster rows
+    (r15 ADVICE): pre-r16, the second copy of the survivor's row got
+    keep=false, so apply_dedup's anti-join silently dropped the whole
+    cluster's survivor. The operator now collapses rank_by to max-score
+    per id before joining."""
+    pairs = spark.createDataFrame([(2, 1), (2, 3)], "id_a long, id_b long")
+    # doc 3 scored TWICE (e.g. a re-run appended scores); max wins
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.5), (3, 0.9), (3, 0.1)],
+        "doc_id long, score double",
+    )
+    rows = dedup_clusters(pairs, rank_by=scores).collect()
+    assert len(rows) == 3  # one row per clustered doc, not 4
+    assert sorted(r.doc_id for r in rows if r.keep) == [3]
+    from mini_feature_store_spark.operators.graph import apply_dedup
+
+    corpus = spark.range(1, 5).withColumnRenamed("id", "doc_id")
+    kept = apply_dedup(corpus, pairs, "doc_id", rank_by=scores)
+    # survivor 3 retained; 1 and 2 dropped; 4 untouched
+    assert sorted(r.doc_id for r in kept.collect()) == [3, 4]
+
+
 def test_survivor_anti_join_drops_near_dups(spark):
     """The end-to-end dedup step: corpus minus non-canonical cluster members."""
     corpus = spark.range(1, 11).withColumnRenamed("id", "doc_id")

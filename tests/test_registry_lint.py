@@ -162,6 +162,18 @@ PLAN_BUILD_CACHE_ALLOWLIST = {
     # driver-compile the merge table and need no entry)
     "doc_bpe_tokenize",
     "doc_bpe_greedy_packing",
+    # class (c), r16 — the SHARED-SUBTREE PERSIST exception (queries.py
+    # module docstring #1): one narrow flagged/score frame consumed by a
+    # conditional aggregate AND a sampler AND a packer; unpersisted, the
+    # LM+DSIR admission chain re-evaluated per consumer (ensemble approx:
+    # 180 logical parquet scans / 556 exchanges → 2 scans of the corpus
+    # after the persist; measured 13.6 s → see OPTIMIZATION_r16.md)
+    "corpus_selection_manifest",
+    "corpus_selection_manifest_ensemble",
+    "corpus_selection_manifest_ensemble_approx",
+    # same class: the sampler's two consumers over the BPE-encoded
+    # token-count frame
+    "doc_token_budget_mixture",
 }
 
 

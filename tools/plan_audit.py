@@ -938,6 +938,18 @@ AUDITED: dict[str, str] = {
         "domain-partitioned pool; the only forced broadcasts are the "
         "dense weight table and 1-row thresholds."
     ),
+    "dedup_clusters": (
+        "Near-dup clusters (r16 audit — crossed the 2 s line only in a "
+        "host-loaded bench window; ~1.8 s in the driver's r15 run): "
+        "ngram_jaccard_pairs' single-shuffle posting lists (explode → "
+        "ONE groupBy(shingle hash) → double Generate over each sorted "
+        "posting list — no index self-join, no df/sizes passes) feeding "
+        "alternating large-star/small-star CC, then one cluster_size "
+        "window on Exchange(cluster_id). Check: one corpus-side "
+        "exchange for pair mining; CC iterations work on the PAIR set "
+        "only; the lone Window partitions by cluster_id (never "
+        "unpartitioned); no TakeOrderedAndProject."
+    ),
     "dedup_best_of_cluster": (
         "Quality-ranked near-dup survivors (r15, judge directive #6): "
         "the dedup_clusters pair chain (single-shuffle posting lists, "
@@ -959,6 +971,28 @@ AUDITED: dict[str, str] = {
         "arithmetic over the bounded table. Check: corpus-side "
         "exchanges only at the domain-bucket aggregates; every Window "
         "input is the bounded table; both domain joins broadcast."
+    ),
+    "doc_doremi_domain_weights": (
+        "DoReMi averaged EG weights, 8 rounds (r16 audit — crossed 2 s "
+        "only in a host-loaded bench window; ~1.3 s in the driver's r15 "
+        "run): bounded-collect trainer class — ONE corpus scan collapses "
+        "to the map-side-combined (domain, bucket) count table (<= D*B "
+        "rows by construction), the exp/renormalize loop runs driver-"
+        "side on that bounded artifact, and the RETURNED plan is a "
+        "D-row createDataFrame literal. Check: one corpus-side exchange "
+        "(the domain-bucket aggregate); the returned plan is a local "
+        "scan of D rows — zero corpus work at execution time."
+    ),
+    "embedding_topk_lsh": (
+        "Hyperplane-LSH top-k with multi-probe + exact re-rank (r16 "
+        "audit — crossed 2 s only in a host-loaded bench window; ~1.5 s "
+        "in the driver's r15 run): one Arrow matmul signs all tables' "
+        "codes per vector, memberships explode narrowly (base + 1-bit "
+        "probes), candidates form ONLY inside matching (table, bucket) "
+        "groups — never a query x corpus product — and the shortlist "
+        "re-ranks exactly. Check: shuffle volume is n*L*(1+probes) "
+        "bucket rows plus the sparse shortlist; the final top-k window "
+        "partitions by query id; no crossJoin anywhere."
     ),
     "doc_classifier_eval": (
         "Exact tie-aware AUC + confusion/PR (r12; r13 enforces the "
