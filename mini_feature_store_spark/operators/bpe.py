@@ -482,6 +482,35 @@ def _chunk_positions(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _chunk_stream(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, word) — the chunk stream WITHOUT positions, for consumers
+    that only aggregate per-chunk values and never reorder (the
+    ``counts_only`` paths)."""
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(CHUNK_RE), 0)
+        ).alias("word"),
+    )
+
+
+def _count_tokens(per_chunk: DataFrame, id_col: str) -> DataFrame:
+    """``(id, _n)`` per chunk occurrence → ``(id_col, n_tokens)``.
+
+    The counts-only twin of ``_reassemble`` (r16, guide §2.3 "aggregate
+    before you shuffle"): a consumer that reads ONLY ``n_tokens`` does
+    not need the position-ordered symbol reassembly, but Catalyst
+    cannot prune it — ``n_tokens = size(_toks)`` keeps the
+    ``collect_list(struct(pos, syms))`` alive, so every chunk
+    occurrence crossed the doc-keyed exchange carrying its symbol
+    ARRAY. Here each occurrence contributes one pre-computed int and
+    the sum partial-aggregates map-side, so the exchange moves
+    O(docs × 8 B) instead of O(tokens × syms)."""
+    return per_chunk.groupBy(id_col).agg(
+        F.sum("_n").cast("long").alias("n_tokens")
+    )
+
+
 def _reassemble(per_chunk: DataFrame, id_col: str) -> DataFrame:
     """Position-ordered per-document reassembly of per-chunk symbol
     arrays → ``(id_col, n_tokens, tokens)`` with ``tokens`` the
@@ -510,6 +539,7 @@ def bpe_tokenize(
     vocab: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    counts_only: bool = False,
 ) -> DataFrame:
     """Tokenize documents with a trained vocabulary TABLE: pre-tokenize
     to chunks, look each chunk's final symbol split up in ``vocab``
@@ -523,7 +553,24 @@ def bpe_tokenize(
     equi-join against the vocab on ``word`` (vocab is small — AQE
     broadcasts it when it fits; never hinted, the discipline contract),
     one groupBy(doc) reassembly. The corpus is never shuffled by
-    symbol."""
+    symbol.
+
+    ``counts_only=True`` returns just ``(id_col, n_tokens)`` without
+    materializing the symbol stream: each chunk occurrence contributes
+    ``size(syms)`` (or ``length(word)`` for the char-split fallback —
+    one symbol per character, by construction) and the per-doc sum
+    partial-aggregates map-side, so the doc-keyed exchange moves one
+    long per doc instead of every position's symbol array
+    (guide §2.3)."""
+    if counts_only:
+        chunks = _chunk_stream(df, text_col, id_col)
+        joined = chunks.join(
+            vocab.select("word", "syms"), "word", "left"
+        ).select(
+            F.col(id_col),
+            F.coalesce(F.size("syms"), F.length("word")).alias("_n"),
+        )
+        return _count_tokens(joined, id_col)
     chunks = _chunk_positions(df, text_col, id_col)
     joined = chunks.join(
         vocab.select("word", "syms"), "word", "left"
@@ -542,6 +589,7 @@ def bpe_encode(
     id_col: str = "doc_id",
     strategy: str = "auto",
     fold_max_merges: int = FOLD_MAX_MERGES,
+    counts_only: bool = False,
 ) -> DataFrame:
     """The OPEN-vocabulary tokenizer: encode arbitrary text by replaying
     the learned merge table in rank order — the canonical BPE encode
@@ -580,14 +628,22 @@ def bpe_encode(
     the lesser evil only when the input isn't already cached).
 
     Output: ``(id_col, n_tokens, tokens)`` — identical contract to
-    ``bpe_tokenize``."""
+    ``bpe_tokenize``. ``counts_only=True`` returns just
+    ``(id_col, n_tokens)``: the replay still runs once per DISTINCT
+    word, but only its symbol COUNT joins back to the occurrence
+    stream, so the doc-keyed exchange moves one long per doc instead
+    of every position's symbol array (guide §2.3)."""
     if strategy not in ("auto", "fold", "replay"):
         raise ValueError(f"unknown bpe_encode strategy: {strategy!r}")
     rules = [
         (r["left_sym"], r["right_sym"])
         for r in merges.orderBy("merge_rank").collect()
     ]
-    chunks = _chunk_positions(df, text_col, id_col)
+    chunks = (
+        _chunk_stream(df, text_col, id_col)
+        if counts_only
+        else _chunk_positions(df, text_col, id_col)
+    )
     distinct_words = chunks.select(F.col("word")).distinct()
     if strategy == "fold" or (
         strategy == "auto" and len(rules) <= fold_max_merges
@@ -598,6 +654,11 @@ def bpe_encode(
         encoded = distinct_words.select(F.col("word"), syms.alias("syms"))
     else:
         encoded = _with_replayed_syms(distinct_words, rules)
+    if counts_only:
+        sizes = encoded.select("word", F.size("syms").alias("_n"))
+        return _count_tokens(
+            chunks.join(sizes, "word").select(F.col(id_col), "_n"), id_col
+        )
     joined = chunks.join(encoded, "word").select(
         F.col(id_col), "pos", "syms"
     )

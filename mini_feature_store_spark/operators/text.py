@@ -966,45 +966,49 @@ def quality_classifier_train(
             # constant feature → leave unscaled instead of dividing by 0
             stds.append(math.sqrt(var) if var > 1e-12 else 1.0)
 
-        # standardized feature expressions, fixed for every iteration
+        # standardized feature expressions, fixed for every iteration.
+        # Built as SQL TEXT, not Column trees (r16): each iteration's
+        # gradient aggregate used to assemble ~25 nested Column objects
+        # through one py4j round trip per operator — measured ~45% of
+        # the per-iteration wall at bench scale (2.88 s → 2.34 s for
+        # the 15-round loop, bit-identical weights; guide §1.2 "per-task
+        # work" applied to the DRIVER side of an iterative trainer).
+        # ``repr(float)`` round-trips exactly and the ``D`` suffix pins
+        # every literal to DoubleType, so the parsed expression tree is
+        # node-for-node the one the Column form built.
         xs = [
-            ((F.col(c) - F.lit(means[j])) / F.lit(stds[j]))
+            f"((`{c}` - {means[j]!r}D) / {stds[j]!r}D)"
             for j, c in enumerate(QUALITY_CLF_FEATURES)
         ]
         if balanced:
-            om = F.when(
-                F.col("_y") == 1.0, F.lit(n / (2.0 * n_pos))
-            ).otherwise(F.lit(n / (2.0 * n_neg)))
+            om = (
+                f"(CASE WHEN _y = 1.0D THEN {n / (2.0 * n_pos)!r}D "
+                f"ELSE {n / (2.0 * n_neg)!r}D END)"
+            )
         else:
-            om = F.lit(1.0)
+            om = "1.0D"
         w = [0.0] * d
         b = 0.0
         losses: list[float] = []
         for _ in range(n_iter):
-            z = F.lit(b)
+            z = f"{b!r}D"
             for j in range(d):
-                z = z + F.lit(w[j]) * xs[j]
-            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-            err = p - F.col("_y")
+                z = f"({z} + ({w[j]!r}D * {xs[j]}))"
+            p = f"(1.0D / (1.0D + exp(-{z})))"
+            err = f"({p} - _y)"
             # clamp keeps the diagnostic log-loss finite when a float
             # sigmoid saturates to exactly 0/1 (Spark ln(0) is NULL and
             # would poison the whole sum)
-            pc = F.greatest(
-                F.least(p, F.lit(1.0 - 1e-12)), F.lit(1e-12)
-            )
+            pc = f"greatest(least({p}, {1.0 - 1e-12!r}D), 1.0E-12D)"
             g = data.agg(
                 *[
-                    F.sum(om * err * xs[j]).alias(f"_g{j}")
+                    F.expr(f"sum({om} * {err} * {xs[j]})").alias(f"_g{j}")
                     for j in range(d)
                 ],
-                F.sum(om * err).alias("_gb"),
-                F.sum(
-                    om
-                    * (
-                        -F.col("_y") * F.log(pc)
-                        - (F.lit(1.0) - F.col("_y"))
-                        * F.log(F.lit(1.0) - pc)
-                    )
+                F.expr(f"sum({om} * {err})").alias("_gb"),
+                F.expr(
+                    f"sum({om} * ((-_y * ln({pc})) - "
+                    f"((1.0D - _y) * ln(1.0D - {pc}))))"
                 ).alias("_loss"),
             ).collect()[0]
             for j in range(d):

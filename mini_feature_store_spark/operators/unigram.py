@@ -45,6 +45,8 @@ from pyspark.sql import functions as F
 
 from mini_feature_store_spark.operators.bpe import (
     _chunk_positions,
+    _chunk_stream,
+    _count_tokens,
     _reassemble,
     map_word_syms,
     word_table,
@@ -494,6 +496,7 @@ def unigram_tokenize(
     vocab: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    counts_only: bool = False,
 ) -> DataFrame:
     """Tokenize documents with a trained piece vocabulary — identical
     output contract to ``bpe.py:bpe_tokenize``:
@@ -508,8 +511,18 @@ def unigram_tokenize(
     — columns ``piece, logprob``; maximize Σ logp, the real Kudo
     decoding rule, rows-only like its trainer). The pipeline's
     ``--pack-tokenizer-dir`` auto-detection therefore works with both
-    families' ``pieces.parquet``."""
-    chunks = _chunk_positions(df, text_col, id_col)
+    families' ``pieces.parquet``.
+
+    ``counts_only=True`` returns just ``(id_col, n_tokens)``: the
+    Viterbi segmentation still runs once per DISTINCT word, but only
+    its piece COUNT joins back to the occurrence stream, so the
+    doc-keyed exchange moves one long per doc instead of every
+    position's piece array (guide §2.3)."""
+    chunks = (
+        _chunk_stream(df, text_col, id_col)
+        if counts_only
+        else _chunk_positions(df, text_col, id_col)
+    )
     distinct_words = chunks.select("word").distinct()
     if "logprob" in vocab.columns:
         logp_of = {
@@ -526,5 +539,10 @@ def unigram_tokenize(
         seg = map_word_syms(distinct_words, factory)
     else:
         seg = _with_segmented_syms(distinct_words, vocab)
+    if counts_only:
+        sizes = seg.select("word", F.size("syms").alias("_n"))
+        return _count_tokens(
+            chunks.join(sizes, "word").select(F.col(id_col), "_n"), id_col
+        )
     joined = chunks.join(seg, "word").select(F.col(id_col), "pos", "syms")
     return _reassemble(joined, id_col)

@@ -944,7 +944,8 @@ def run_corpus_curation(
                     merges,
                     text_col=cfg.text_col,
                     id_col=cfg.id_col,
-                ).select(cfg.id_col, "n_tokens")
+                    counts_only=True,
+                )
             else:
                 from mini_feature_store_spark.operators.unigram import (
                     unigram_tokenize,
@@ -956,7 +957,8 @@ def run_corpus_curation(
                     pieces,
                     text_col=cfg.text_col,
                     id_col=cfg.id_col,
-                ).select(cfg.id_col, "n_tokens")
+                    counts_only=True,
+                )
             sized = survivors.select(cfg.id_col).join(
                 counts, cfg.id_col, "left"
             ).select(

@@ -7757,7 +7757,7 @@ def doc_bpe_greedy_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     docs = load_testdata(spark, sf_dir, "documents")["documents"]
     _, vocab = bpe_train(docs, n_merges=_BPE_N_MERGES)
-    counts = bpe_tokenize(docs, vocab).select("doc_id", "n_tokens")
+    counts = bpe_tokenize(docs, vocab, counts_only=True)
     return pack_documents_greedy(
         counts, max_tokens=192, shards=8, tokens_col="n_tokens"
     )
@@ -7835,7 +7835,7 @@ def bpe_tokenizer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_testdata(spark, sf_dir, "documents")["documents"]
     merges, vocab = bpe_train(docs, n_merges=_BPE_N_MERGES)
     vocab.unpersist()
-    enc = bpe_encode(docs, merges).select("doc_id", "n_tokens")
+    enc = bpe_encode(docs, merges, counts_only=True)
     langs = lang_id(docs).select("doc_id", "lang_guess")
     base = (
         docs.select(
@@ -7933,7 +7933,7 @@ def doc_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_testdata(spark, sf_dir, "documents")["documents"]
     merges, vocab = bpe_train(docs, n_merges=_BPE_N_MERGES)
     vocab.unpersist()
-    counts = bpe_encode(docs, merges).select("doc_id", "n_tokens")
+    counts = bpe_encode(docs, merges, counts_only=True)
     base = (
         docs.select("doc_id", "lang")
         .join(counts, "doc_id", "left")
@@ -8433,14 +8433,14 @@ def tokenizer_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_testdata(spark, sf_dir, "documents")["documents"]
     merges, vocab = bpe_train(docs, n_merges=_BPE_N_MERGES)
     vocab.unpersist()
-    enc_b = bpe_encode(docs, merges).select("doc_id", "n_tokens")
+    enc_b = bpe_encode(docs, merges, counts_only=True)
     pieces = unigram_train(
         docs,
         vocab_size=_UNI_VOCAB,
         max_piece_len=_UNI_PLEN,
         refine_rounds=1,
     )
-    enc_u = unigram_tokenize(docs, pieces).select("doc_id", "n_tokens")
+    enc_u = unigram_tokenize(docs, pieces, counts_only=True)
     base = docs.select(
         "doc_id",
         F.size(
@@ -10128,27 +10128,140 @@ def embedding_semantic_decontamination(
 #: the window against the CORRECTNESS artifacts that existed at cut
 #: time (rounds < this), so the check is deterministic no matter when
 #: the suite runs, and asserts the cut is not itself stale.
-VERIFY_ORDER_ROUND = 15
+VERIFY_ORDER_ROUND = 16
 
 VERIFY_ORDER: list[str] = [
-    # ── r15 re-cut (r14 judge directive #1; the arithmetic freshness
+    # ── r16 re-cut (r15 judge directive #1; the arithmetic freshness
     # lint in tests/test_registry_lint.py enforces the rotation).
-    # Ledger going in: {r14: 50, r13: 45, r12: 43, r11: 16} over 154
-    # previously-oracled queries + 18 rows-only + 2 r15-new.
-    # tier 0 — the 2 r15-new oracled queries (never recorded — the
-    # lint forces them in), then the 4 oracled queries the r15 code
-    # changes touch (the ensemble refactor into shared
-    # _ensemble_flagged/_ensemble_manifest helpers; dedup_clusters/
-    # apply_dedup's rank_by survivor extension; domain_cap_approx's
-    # keep_col/count_if flagged-chain mode):
+    # Ledger going in: {r15: 50, r14: 49, r13: 43, r12: 14} over 156
+    # oracled queries + 18 rows-only.
+    # tier 0 — the 4 oracled queries the r16 counts_only tokenizer
+    # optimization touches (bpe_tokenize/bpe_encode/unigram_tokenize
+    # count paths; same values, driver re-pins them first):
+    "tokenizer_comparison",
+    "bpe_tokenizer_metrics",
+    "doc_bpe_greedy_packing",
+    "doc_token_budget_mixture",
+    # tier 1 — the fourteen r12-stale greens the r15 verdict names
+    # (staleness 4 == the ⌈156/50⌉ pigeonhole bound — they must lead),
+    # alphabetical:
+    "features_daily_typed",
+    "forecast_revenue_change",
+    "grouping_sets_sql",
+    "large_volume_customers",
+    "latest_event_per_user",
+    "lineitem_profile",
+    "multimodal_decode",
+    "nation_market_share",
+    "nearest_click_to_purchase",
+    "next_click_after_purchase",
+    "pit_training_typed",
+    "price_histogram",
+    "product_type_profit",
+    "purchase_value_intervals",
+    # tier 2 — oldest-r13 greens; the three classifier-adjacent ones
+    # first (doc_classifier_calibration/eval + corpus_curation_funnel
+    # sit on code the r16 classifier/persist changes touch), then
+    # alphabetical (32 of 43 fit):
+    "corpus_curation_funnel",
+    "doc_classifier_calibration",
+    "doc_classifier_eval",
+    "bloom_filtered_order_revenue",
+    "brand_supplier_stats",
+    "cohort_retention_weekly",
+    "concentrated_part_suppliers",
+    "customer_segment_stats",
+    "customers_with_big_orders",
+    "customers_without_orders",
+    "date_dimension",
+    "dedup_incremental_batch",
+    "dedup_ngram_jaccard",
+    "distinct_stats_exact",
+    "doc_dsir_scores",
+    "doc_dup_coverage",
+    "doc_gopher_quality",
+    "doc_greedy_packing",
+    "doc_hash_sample",
+    "doc_lang_id",
+    "doc_line_quality_filter",
+    "doc_multi_benchmark_contamination",
+    "doc_paragraph_dedup",
+    "doc_quality_filter",
+    "doc_stratified_sample",
+    "doc_upsample_to_parity",
+    "doc_weighted_sample",
+    "dq_orders_audit",
+    "embedding_corpus_curate_exact",
+    "event_value_winsorized",
+    "feature_snapshot_diff",
+    "features_daily",
+    # ── below this line: not in the r16 driver window.
+    # The 11 r13 greens that didn't fit — they LEAD the r17 window,
+    # followed by oldest-r14; r15 greens and rows-only queries keep
+    # their prior relative order:
+    "fuzzy_part_names",
+    "local_supplier_volume",
+    "rollup_order_revenue",
+    "set_ops_users",
+    "shipping_priority",
+    "small_quantity_revenue",
+    "supplier_revenue_salted",
+    "user_event_type_arrays",
+    "user_sessions",
+    "user_value_gap_fill",
+    "weekly_event_buckets",
+    "doc_doremi_excess_round2",
+    "doc_dsir_resample",
+    "doc_target_mixture_sample",
+    "corpus_selection_manifest",
+    "doc_doremi_excess_loss",
+    "late_shipment_priority_counts",
+    "min_cost_supplier",
+    "nation_trade_volume",
+    "nation_volume_shipping",
+    "orders_with_late_lineitems",
+    "parts_supplier_relationship",
+    "pit_training_data",
+    "pit_training_multi",
+    "promo_revenue_share",
+    "returned_item_customers",
+    "revenue_by_nation",
+    "sole_blame_suppliers",
+    "top_orders_per_priority",
+    "doc_balanced_mixture_sample",
+    "doc_bpe_encode",
+    "doc_bpe_tokenize",
+    "doc_bpe_vocab",
+    "doc_chunk_windows",
+    "doc_content_centrality",
+    "doc_pii_scrub",
+    "doc_quality_classifier",
+    "doc_quality_tiers",
+    "doc_repetition_scores",
+    "doc_sequence_packing",
+    "doc_temperature_mixture_sample",
+    "doc_text_stats",
+    "doc_tfidf_top_terms",
+    "doc_token_budget_selection",
+    "doc_training_shuffle",
+    "doc_unigram_tokenize",
+    "doc_unigram_vocab",
+    "doc_winnow_fingerprints",
+    "embedding_cosine_pairs",
+    "embedding_dedup_clusters",
+    "embedding_int8_quant",
+    "embedding_topk_bruteforce",
+    "embedding_vector_stats",
+    "event_rollup_tiers",
+    "event_value_scaled",
+    "funnel_conversion",
+    "important_part_share",
     "dedup_best_of_cluster",
     "corpus_selection_manifest_ensemble_approx",
     "corpus_selection_manifest_ensemble",
     "dedup_clusters",
     "corpus_dedup_apply",
     "doc_domain_hash_cap",
-    # tier 1 — the sixteen r11-stale greens the r14 verdict names
-    # (they lead so nothing oracled ends staler than r12), alphabetical:
     "json_props_stats",
     "lineitem_correlations",
     "lineitem_metrics_long",
@@ -10159,13 +10272,11 @@ VERIFY_ORDER: list[str] = [
     "order_rank_metrics",
     "pricing_summary",
     "quantiles_by_returnflag",
-    "tokenizer_comparison",
     "top_supplier_revenue",
     "user_event_patterns",
     "user_running_value",
     "user_value_trend",
     "user_weekly_distinct_exact",
-    # tier 2 — the oldest-r12 greens, alphabetical (50 − 6 − 16):
     "brand_bracket_revenue",
     "corpus_curation_funnel_lm",
     "corpus_curation_funnel_lm3",
@@ -10194,116 +10305,6 @@ VERIFY_ORDER: list[str] = [
     "event_promo_attribution",
     "event_type_pivot",
     "events_capped_per_user",
-    # ── below this line: not in the r15 driver window.
-    # The 15 r12 greens that didn't fit — they LEAD the r16 window,
-    # followed by oldest-r13; r13/r14 greens and rows-only queries
-    # keep their prior relative order:
-    "doc_doremi_excess_round2",
-    "doc_dsir_resample",
-    "doc_target_mixture_sample",
-    "corpus_selection_manifest",
-    "doc_doremi_excess_loss",
-    "late_shipment_priority_counts",
-    "min_cost_supplier",
-    "nation_trade_volume",
-    "nation_volume_shipping",
-    "orders_with_late_lineitems",
-    "parts_supplier_relationship",
-    "pit_training_data",
-    "pit_training_multi",
-    "promo_revenue_share",
-    "returned_item_customers",
-    "revenue_by_nation",
-    "sole_blame_suppliers",
-    "top_orders_per_priority",
-    "bpe_tokenizer_metrics",
-    "doc_balanced_mixture_sample",
-    "doc_bpe_encode",
-    "doc_bpe_greedy_packing",
-    "doc_bpe_tokenize",
-    "doc_bpe_vocab",
-    "doc_chunk_windows",
-    "doc_content_centrality",
-    "doc_pii_scrub",
-    "doc_quality_classifier",
-    "doc_quality_tiers",
-    "doc_repetition_scores",
-    "doc_sequence_packing",
-    "doc_temperature_mixture_sample",
-    "doc_text_stats",
-    "doc_tfidf_top_terms",
-    "doc_token_budget_mixture",
-    "doc_token_budget_selection",
-    "doc_training_shuffle",
-    "doc_unigram_tokenize",
-    "doc_unigram_vocab",
-    "doc_winnow_fingerprints",
-    "embedding_cosine_pairs",
-    "embedding_dedup_clusters",
-    "embedding_int8_quant",
-    "embedding_topk_bruteforce",
-    "embedding_vector_stats",
-    "event_rollup_tiers",
-    "event_value_scaled",
-    "funnel_conversion",
-    "important_part_share",
-    "features_daily_typed",
-    "forecast_revenue_change",
-    "grouping_sets_sql",
-    "large_volume_customers",
-    "latest_event_per_user",
-    "lineitem_profile",
-    "multimodal_decode",
-    "nation_market_share",
-    "nearest_click_to_purchase",
-    "next_click_after_purchase",
-    "pit_training_typed",
-    "price_histogram",
-    "product_type_profit",
-    "purchase_value_intervals",
-    "bloom_filtered_order_revenue",
-    "brand_supplier_stats",
-    "cohort_retention_weekly",
-    "concentrated_part_suppliers",
-    "corpus_curation_funnel",
-    "customer_segment_stats",
-    "customers_with_big_orders",
-    "customers_without_orders",
-    "date_dimension",
-    "dedup_incremental_batch",
-    "dedup_ngram_jaccard",
-    "distinct_stats_exact",
-    "doc_classifier_calibration",
-    "doc_classifier_eval",
-    "doc_dsir_scores",
-    "doc_dup_coverage",
-    "doc_gopher_quality",
-    "doc_greedy_packing",
-    "doc_hash_sample",
-    "doc_lang_id",
-    "doc_line_quality_filter",
-    "doc_multi_benchmark_contamination",
-    "doc_paragraph_dedup",
-    "doc_quality_filter",
-    "doc_stratified_sample",
-    "doc_upsample_to_parity",
-    "doc_weighted_sample",
-    "dq_orders_audit",
-    "embedding_corpus_curate_exact",
-    "event_value_winsorized",
-    "feature_snapshot_diff",
-    "features_daily",
-    "fuzzy_part_names",
-    "local_supplier_volume",
-    "rollup_order_revenue",
-    "set_ops_users",
-    "shipping_priority",
-    "small_quantity_revenue",
-    "supplier_revenue_salted",
-    "user_event_type_arrays",
-    "user_sessions",
-    "user_value_gap_fill",
-    "weekly_event_buckets",
     "approx_distinct_stats",
     "dedup_minhash_lsh",
     "dedup_simhash",

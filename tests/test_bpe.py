@@ -371,3 +371,58 @@ def test_bpe_train_cli(spark, tmp_path):
     }
     vocab = spark.read.parquet(out + "/vocab.parquet")
     assert {r.word for r in vocab.collect()} >= {"the", "cat", "sat"}
+
+
+def test_counts_only_equals_full_path(spark):
+    """counts_only=True must return exactly the (id, n_tokens) pairs of
+    the full reassembly path for every tokenizer family — the r16
+    shuffle-thinning contract: same numbers, no position/symbol arrays
+    crossing the doc-keyed exchange. Covers the vocab-lookup fallback
+    (OOV chunk) and a blank doc (no chunks -> absent from BOTH)."""
+    from mini_feature_store_spark.operators.bpe import (
+        bpe_encode,
+        bpe_tokenize,
+        bpe_train,
+    )
+    from mini_feature_store_spark.operators.unigram import (
+        unigram_tokenize,
+        unigram_train,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (0, "low low low lower lowest wide wider"),
+            (1, "new newer newest low wide"),
+        ],
+        "doc_id long, text string",
+    )
+    merges, vocab = bpe_train(train, n_merges=5)
+    sample = spark.createDataFrame(
+        [(7, "low lower unseen"), (8, "  "), (9, "widest newest")],
+        "doc_id long, text string",
+    )
+
+    def pairs(df):
+        return {(r.doc_id, r.n_tokens) for r in df.collect()}
+
+    full_tok = bpe_tokenize(sample, vocab).select("doc_id", "n_tokens")
+    fast_tok = bpe_tokenize(sample, vocab, counts_only=True)
+    assert set(fast_tok.columns) == {"doc_id", "n_tokens"}
+    assert pairs(fast_tok) == pairs(full_tok)
+    assert 8 not in {d for d, _ in pairs(fast_tok)}  # blank doc absent
+
+    for strategy in ("fold", "replay"):
+        full_enc = bpe_encode(sample, merges, strategy=strategy).select(
+            "doc_id", "n_tokens"
+        )
+        fast_enc = bpe_encode(
+            sample, merges, strategy=strategy, counts_only=True
+        )
+        assert pairs(fast_enc) == pairs(full_enc), strategy
+
+    pieces = unigram_train(train, vocab_size=8, max_piece_len=4)
+    full_uni = unigram_tokenize(sample, pieces).select("doc_id", "n_tokens")
+    fast_uni = unigram_tokenize(sample, pieces, counts_only=True)
+    assert pairs(fast_uni) == pairs(full_uni)
+    assert fast_uni.schema["n_tokens"].dataType.simpleString() == "bigint"
+    vocab.unpersist()
