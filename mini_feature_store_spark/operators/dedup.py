@@ -797,67 +797,58 @@ def cut_duplicate_spans(
     ``text_cut`` is normalized-token text (lowercased, single-spaced) —
     the same rebuilt-text contract as ``paragraph_dedup``.
 
-    Plan shape — the span-detection subtree is consumed exactly ONCE:
-    spans explode to (doc, span_id, pos) covered rows — bounded by the
-    corpus token count, not quadratic; one posexplode of the corpus
-    tokens (``posexplode_outer`` so null/empty-text docs keep a row and
-    every input doc survives the final aggregate without a third scan);
-    a LEFT join on (doc, pos) tags each token with its covering span;
-    one groupBy(doc) then produces the rebuilt text (sorted structs over
-    the UNcovered tokens — collect_list drops the nulls the ``when``
-    emits for covered/missing tokens), ``n_spans`` (sum of the
-    span-START flags the explode carries — cheaper than a distinct
-    aggregate over span ids, which would add a (doc, span) keyed
-    pre-aggregate phase over every corpus token) and ``n_tokens_cut``
-    (covered-position count — spans are disjoint after the interval
-    merge, so this equals Σ span_len).
+    Plan shape (r16 rewrite — guide §8 "decide with small rows, move
+    big rows once", §2.3 "shuffle keys and metadata instead of
+    payloads"): the span-detection subtree is consumed exactly ONCE and
+    aggregated to one NARROW row per spanned doc (its disjoint
+    ``[start, end]`` interval list + the two counts — interval count is
+    bounded by tokens/k, and real cut policies touch a small fraction
+    of docs); that plan table LEFT-joins the corpus ON THE DOC ID
+    (AQE-broadcastable) and the rebuilt text is a higher-order
+    ``filter`` over the token array in place — position ∉ any covered
+    interval, O(tokens × spans-per-doc) per doc with NO corpus-side
+    exchange at all. The previous form exploded every corpus token,
+    shuffled them by (doc, pos) into a tag join and again into a
+    collect_list rebuild — two corpus-token-level exchanges carrying
+    token text, just to delete a few covered positions.
+    ``n_tokens_cut`` = Σ span_len (spans are disjoint after the
+    interval merge); null/empty-text docs keep their row via the
+    coalesce-to-empty token array (text_cut = '', zero counts).
     """
     spans = duplicate_spans(df, k, min_docs, text_col, id_col)
-    covered = spans.select(
-        F.col(id_col).alias("id"),
-        "span_id",
-        "span_start",
-        F.explode(F.sequence("span_start", "span_end")).alias("pos"),
-    ).select(
-        "id",
-        "span_id",
-        "pos",
-        (F.col("pos") == F.col("span_start")).cast("long").alias("_is_start"),
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans"),
+        F.count(F.lit(1)).alias("_n_spans"),
+        F.sum("span_len").alias("_n_cut"),
     )
     toks = spread(df).select(
-        F.col(id_col).alias("id"),
-        F.posexplode_outer(_tokens(normalize(F.col(text_col)))).alias(
-            "_p0", "tok"
+        F.col(id_col),
+        F.coalesce(
+            _tokens(normalize(F.col(text_col))),
+            F.array().cast("array<string>"),
+        ).alias("_toks"),
+    )
+    tagged = toks.join(per_doc, id_col, "left")
+    cov = F.coalesce(
+        F.col("_spans"),
+        F.array().cast("array<struct<span_start:long,span_end:long>>"),
+    )
+    kept = F.filter(
+        "_toks",
+        lambda tok, i: ~F.exists(
+            cov,
+            lambda s: (i + 1 >= s["span_start"]) & (i + 1 <= s["span_end"]),
         ),
-    ).select("id", (F.col("_p0") + 1).alias("pos"), "tok")
-    tagged = toks.join(covered, ["id", "pos"], "left")
-    return (
-        tagged.groupBy("id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col("span_id").isNull()
-                                & F.col("tok").isNotNull(),
-                                F.struct("pos", "tok"),
-                            )
-                        )
-                    ),
-                    lambda s: s["tok"],
-                ),
-                " ",
-            ).alias("text_cut"),
-            F.coalesce(F.sum("_is_start"), F.lit(0)).alias("n_spans"),
-            F.count(F.col("span_id")).alias("n_tokens_cut"),
-        )
-        .select(
-            F.col("id").alias(id_col),
-            "text_cut",
-            F.col("n_spans").cast("long").alias("n_spans"),
-            F.col("n_tokens_cut").cast("long").alias("n_tokens_cut"),
-        )
+    )
+    return tagged.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("text_cut"),
+        F.coalesce(F.col("_n_spans"), F.lit(0)).cast("long").alias(
+            "n_spans"
+        ),
+        F.coalesce(F.col("_n_cut"), F.lit(0)).cast("long").alias(
+            "n_tokens_cut"
+        ),
     )
 
 

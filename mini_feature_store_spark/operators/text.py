@@ -1749,8 +1749,22 @@ def _ngram_lm_types(
     text_col: str,
     id_col: str,
 ) -> DataFrame:
-    """Type-level strategy (see ``ngram_lm_score``)."""
-    counts = _stacked_gram_counts(train, order, text_col)
+    """Type-level strategy (see ``ngram_lm_score``).
+
+    Join keys are 8-byte ``xxhash64`` digests of the gram strings (r16,
+    guide §2.3 "shuffle keys and metadata instead of payloads"): the
+    count aggregate itself still groups by the EXACT gram string — no
+    collision can merge two counts — and only the three type-level
+    exchanges downstream (lookup join, per-type pivot, per-position
+    join-back) carry the digest instead of up-to-order-token text,
+    cutting their shuffled bytes several-fold at order 5. A 64-bit
+    join-level collision (two distinct grams, equal digest) is the same
+    accepted hash-mode equivalence class as ``duplicate_spans`` /
+    ``paragraph_dedup(exact=False)``; the DuckDB oracle keys by text
+    and the 3-SF matrix pins the results equal."""
+    counts = _stacked_gram_counts(train, order, text_col).select(
+        F.xxhash64("g").alias("gh"), "_c"
+    )
 
     wcols = [f"w{j + 1}" for j in range(order)]
     pos = _exploded_ngrams(df, order, text_col, id_col)
@@ -1773,21 +1787,24 @@ def _ngram_lm_types(
         pos.select(*wcols)
         .distinct()
         .select(
-            key.alias("_g"),
+            F.xxhash64(key).alias("_gh"),
             F.explode(
                 F.array(
                     *[
-                        F.struct(F.lit(s).alias("slot"), g.alias("g"))
+                        F.struct(
+                            F.lit(s).alias("slot"),
+                            F.xxhash64(g).alias("gh"),
+                        )
                         for s, g in slots
                     ]
                 )
             ).alias("_lk"),
         )
-        .select("_g", "_lk.slot", "_lk.g")
+        .select("_gh", "_lk.slot", "_lk.gh")
     )
     typed = (
-        lookups.join(counts, "g", "left")
-        .groupBy("_g")
+        lookups.join(counts, "gh", "left")
+        .groupBy("_gh")
         .agg(
             *[
                 F.max(F.when(F.col("slot") == s, F.col("_c"))).alias(
@@ -1810,11 +1827,13 @@ def _ngram_lm_types(
     )
     s = _backoff_case(order, backoff, n_checked)
     scored_types = typed.select(
-        "_g",
+        "_gh",
         (-F.log(s)).alias("_nll"),
         F.col(f"_c{order}").isNull().alias("_oov"),
     )
-    scored = pos.select("id", key.alias("_g")).join(scored_types, "_g")
+    scored = pos.select("id", F.xxhash64(key).alias("_gh")).join(
+        scored_types, "_gh"
+    )
     return _lm_doc_aggregate(scored, id_col, F.col("_nll"))
 
 

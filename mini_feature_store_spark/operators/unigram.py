@@ -152,6 +152,7 @@ def unigram_train(
     max_piece_len: int = 4,
     refine_rounds: int = 0,
     text_col: str = "text",
+    local_max_words: int | None = None,
 ) -> DataFrame:
     """Train a unigram-LM piece vocabulary: seed + select, then
     ``refine_rounds`` usage-re-estimation rounds (the integer EM step).
@@ -176,6 +177,52 @@ def unigram_train(
     # the ONE corpus pass; persisted when refinement re-reads it (the
     # bpe_train cache contract — released before returning)
     words = word_table(df, text_col).select("word", "freq")
+    # r16 driver-local fast path (the bpe_train LOCAL_MAX_WORDS
+    # pattern, guide §1.2 applied to the driver side of an iterative
+    # trainer): when the distinct-word table fits the same bound the
+    # BPE trainer collects at, run seeding + every refinement round
+    # in-process over the collected (word, freq) pairs — all sums are
+    # INTEGER (associative), so the result is bit-identical to the
+    # distributed form while paying one Spark job instead of
+    # ~4 per refinement round.
+    from mini_feature_store_spark.operators.bpe import LOCAL_MAX_WORDS
+
+    if local_max_words is None:
+        local_max_words = LOCAL_MAX_WORDS
+    probe = words.limit(local_max_words + 1).collect()
+    if len(probe) <= local_max_words:
+        wf = {r["word"]: int(r["freq"]) for r in probe}
+        pieces_l: dict[str, int] = {}
+        for w, f in wf.items():
+            n = len(w)
+            for i in range(n):
+                for ln in range(1, min(max_piece_len, n - i) + 1):
+                    p = w[i : i + ln]
+                    pieces_l[p] = pieces_l.get(p, 0) + f
+        chars_l = {p: f for p, f in pieces_l.items() if len(p) == 1}
+        top_l = dict(
+            sorted(pieces_l.items(), key=lambda t: (-t[1], t[0]))[
+                :vocab_size
+            ]
+        )
+        vocab_l = {**top_l, **chars_l}
+        for _ in range(refine_rounds):
+            window = max((len(p) for p in vocab_l), default=1)
+            usage: dict[str, int] = {}
+            for w, f in wf.items():
+                for piece in _segment_word(w, vocab_l, window):
+                    usage[piece] = usage.get(piece, 0) + f
+            top_l = dict(
+                sorted(usage.items(), key=lambda t: (-t[1], t[0]))[
+                    :vocab_size
+                ]
+            )
+            vocab_l = {**top_l, **{c: usage.get(c, 0) for c in chars_l}}
+        rows = sorted(vocab_l.items())
+        spark = df.sparkSession
+        return spark.createDataFrame(rows, PIECES_SCHEMA).limit(
+            len(rows) or 1
+        )
     if refine_rounds > 0:
         words = words.persist()
     try:
@@ -216,19 +263,65 @@ def unigram_train(
     return spark.createDataFrame(rows, PIECES_SCHEMA).limit(len(rows) or 1)
 
 
+def _em_word_counts(
+    word: str,
+    freq,
+    lp: dict[str, float],
+    window: int,
+    acc: dict[str, float],
+) -> None:
+    """Per-word E-step: forward-backward over the segmentation lattice
+    (log domain — piece probabilities are small and chunk length is
+    unbounded, so plain products would underflow), accumulating each
+    piece's expected occurrence count weighted by word frequency into
+    ``acc``. The ONE copy of the lattice math — shared verbatim by the
+    distributed ``mapInPandas`` path and the r16 driver-local path, so
+    the two can never drift."""
+    import numpy as np
+
+    n = len(word)
+    if n == 0:
+        return
+    # forward
+    la = [-np.inf] * (n + 1)
+    la[0] = 0.0
+    arcs: list[tuple[int, int, str, float]] = []
+    for i in range(1, n + 1):
+        for j in range(max(0, i - window), i):
+            piece = word[j:i]
+            w_lp = lp.get(piece)
+            if w_lp is None:
+                continue
+            arcs.append((j, i, piece, w_lp))
+            if la[j] > -np.inf:
+                la[i] = np.logaddexp(la[i], la[j] + w_lp)
+    total = la[n]
+    if total == -np.inf:
+        return  # unsegmentable (char missing) — skip
+    # backward
+    lb = [-np.inf] * (n + 1)
+    lb[n] = 0.0
+    for j in range(n - 1, -1, -1):
+        for i in range(j + 1, min(n, j + window) + 1):
+            piece = word[j:i]
+            w_lp = lp.get(piece)
+            if w_lp is not None and lb[i] > -np.inf:
+                lb[j] = np.logaddexp(lb[j], w_lp + lb[i])
+    f = float(freq)
+    for j, i, piece, w_lp in arcs:
+        post = la[j] + w_lp + lb[i] - total
+        if post > -60.0:  # exp underflow guard
+            acc[piece] = acc.get(piece, 0.0) + f * float(np.exp(post))
+
+
 def _em_expected_counts(
     words: DataFrame, logp: dict[str, float]
 ) -> DataFrame:
-    """E-step of Kudo's EM over a ``(word, freq)`` table: per distinct
-    word, forward-backward over the segmentation lattice (log domain —
-    piece probabilities are small and chunk length is unbounded, so
-    plain products would underflow), emitting each piece's expected
-    occurrence count weighted by word frequency. Arrow ``mapInPandas``
+    """E-step of Kudo's EM over a ``(word, freq)`` table (see
+    ``_em_word_counts`` for the lattice math). Arrow ``mapInPandas``
     partials → one vocab-keyed hash aggregate; the vocabulary ships by
     broadcast (the ``map_word_syms`` contract). Output:
     ``(piece, c: double)`` — O(vocab) rows."""
-    import numpy as np
-
     window = max((len(p) for p in logp), default=1)
     bc = words.sparkSession.sparkContext.broadcast(logp)
 
@@ -237,41 +330,7 @@ def _em_expected_counts(
         for pdf in batches:
             acc: dict[str, float] = {}
             for word, freq in zip(pdf["word"], pdf["freq"]):
-                n = len(word)
-                if n == 0:
-                    continue
-                # forward
-                la = [-np.inf] * (n + 1)
-                la[0] = 0.0
-                arcs: list[tuple[int, int, str, float]] = []
-                for i in range(1, n + 1):
-                    for j in range(max(0, i - window), i):
-                        piece = word[j:i]
-                        w_lp = lp.get(piece)
-                        if w_lp is None:
-                            continue
-                        arcs.append((j, i, piece, w_lp))
-                        if la[j] > -np.inf:
-                            la[i] = np.logaddexp(la[i], la[j] + w_lp)
-                total = la[n]
-                if total == -np.inf:
-                    continue  # unsegmentable (char missing) — skip
-                # backward
-                lb = [-np.inf] * (n + 1)
-                lb[n] = 0.0
-                for j in range(n - 1, -1, -1):
-                    for i in range(j + 1, min(n, j + window) + 1):
-                        piece = word[j:i]
-                        w_lp = lp.get(piece)
-                        if w_lp is not None and lb[i] > -np.inf:
-                            lb[j] = np.logaddexp(lb[j], w_lp + lb[i])
-                f = float(freq)
-                for j, i, piece, w_lp in arcs:
-                    post = la[j] + w_lp + lb[i] - total
-                    if post > -60.0:  # exp underflow guard
-                        acc[piece] = acc.get(piece, 0.0) + f * float(
-                            np.exp(post)
-                        )
+                _em_word_counts(word, freq, lp, window, acc)
             if acc:
                 yield pd.DataFrame(
                     {"piece": list(acc), "c": list(acc.values())}
@@ -316,6 +375,7 @@ def unigram_train_em(
     em_iters: int = 2,
     shrink: float = 0.75,
     text_col: str = "text",
+    local_max_words: int | None = None,
 ) -> DataFrame:
     """TRUE Kudo (2018) unigram-LM training with FLOAT probabilities —
     the algorithmically complete sibling of ``unigram_train`` (whose
@@ -363,24 +423,69 @@ def unigram_train_em(
         raise ValueError(f"shrink must be in (0, 1), got {shrink}")
     import math
 
-    words = word_table(df, text_col).select("word", "freq").persist()
+    words = word_table(df, text_col).select("word", "freq")
+    # r16 driver-local fast path (same bound and rationale as
+    # ``unigram_train``): every EM round is otherwise one Arrow
+    # mapInPandas job + a vocab-keyed aggregate + a collect, and the
+    # seed/prune loop runs ``em_iters`` rounds per shrink step — a
+    # dozen Spark jobs over a vocab-bounded state. Below the bound the
+    # identical lattice math (``_em_word_counts`` — ONE shared copy)
+    # runs in-process over the collected word table, iterated in
+    # sorted-word order (deterministic; the distributed form's
+    # cross-partition float sum order is scheduler-dependent, which is
+    # why this trainer is rows-only in the first place).
+    from mini_feature_store_spark.operators.bpe import LOCAL_MAX_WORDS
+
+    if local_max_words is None:
+        local_max_words = LOCAL_MAX_WORDS
+    probe = words.limit(local_max_words + 1).collect()
+    local = len(probe) <= local_max_words
+    if local:
+        wf = {r["word"]: int(r["freq"]) for r in probe}
+        words_sorted = sorted(wf)
+
+        def _em_counts_local(cur: dict[str, float]) -> dict[str, float]:
+            window = max((len(p) for p in cur), default=1)
+            acc: dict[str, float] = {}
+            for w in words_sorted:
+                _em_word_counts(w, wf[w], cur, window, acc)
+            return acc
+
+    else:
+        words = words.persist()
     try:
-        pieces = _pieces_from_words(words, max_piece_len)
-        chars = {
-            r["piece"]: int(r["freq"])
-            for r in pieces.where(F.length("piece") == 1).collect()
-        }
+        if local:
+            pieces_l: dict[str, int] = {}
+            for w, f in wf.items():
+                n = len(w)
+                for i in range(n):
+                    for ln in range(1, min(max_piece_len, n - i) + 1):
+                        p = w[i : i + ln]
+                        pieces_l[p] = pieces_l.get(p, 0) + f
+            chars = {p: f for p, f in pieces_l.items() if len(p) == 1}
+            seed_n = seed_multiplier * vocab_size
+            top = dict(
+                sorted(pieces_l.items(), key=lambda t: (-t[1], t[0]))[
+                    :seed_n
+                ]
+            )
+        else:
+            pieces = _pieces_from_words(words, max_piece_len)
+            chars = {
+                r["piece"]: int(r["freq"])
+                for r in pieces.where(F.length("piece") == 1).collect()
+            }
+            seed_n = seed_multiplier * vocab_size
+            top = {
+                r["piece"]: int(r["freq"])
+                for r in pieces.orderBy(F.col("freq").desc(), "piece")
+                .limit(seed_n)
+                .collect()
+            }
         if not chars:
             raise ValueError(
                 "unigram_train_em: corpus has no chunks to train on"
             )
-        seed_n = seed_multiplier * vocab_size
-        top = {
-            r["piece"]: int(r["freq"])
-            for r in pieces.orderBy(F.col("freq").desc(), "piece")
-            .limit(seed_n)
-            .collect()
-        }
         freq0 = {**top, **chars}
         z0 = float(sum(freq0.values()))
         logp = {p: math.log(f / z0) for p, f in freq0.items() if f > 0}
@@ -389,10 +494,14 @@ def unigram_train_em(
             cur = dict(logp)
             counts: dict[str, float] = {}
             for _ in range(rounds):
-                counts = {
-                    r["piece"]: float(r["c"])
-                    for r in _em_expected_counts(words, cur).collect()
-                }
+                counts = (
+                    _em_counts_local(cur)
+                    if local
+                    else {
+                        r["piece"]: float(r["c"])
+                        for r in _em_expected_counts(words, cur).collect()
+                    }
+                )
                 z = sum(counts.values())
                 floor = z * 1e-12
                 nxt = {}
@@ -436,7 +545,8 @@ def unigram_train_em(
             }
             logp = run_em(em_iters)
     finally:
-        words.unpersist()
+        if not local:
+            words.unpersist()
 
     rows = sorted((p, float(v)) for p, v in logp.items())
     spark = df.sparkSession

@@ -77,6 +77,15 @@ def get_spark(
             "org.apache.spark.sql.delta.catalog.DeltaCatalog",
         )
         builder = configure_spark_with_delta_pip(builder)
+    # Deployment-specific overrides without code changes (r16): semicolon-
+    # separated k=v pairs, e.g. SPARK_GRAFT_EXTRA_CONF="spark.sql.join.
+    # preferSortMergeJoin=false;spark.io.compression.codec=zstd". Applied
+    # before ``extra_conf`` so an explicit caller still wins.
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for pair in env_conf.split(";"):
+        if "=" in pair:
+            k, _, v = pair.partition("=")
+            builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -257,13 +257,18 @@ _LIMIT_ALLOWLIST: dict[tuple[str, str], tuple[str, int]] = {
         "vocab-bounded piece table",
         2,
     ),
+    ("operators/unigram.py", "local_max_words + 1"): (
+        "config-bounded local-trainer dispatch probe (the bpe_train "
+        "pattern — r16 driver-local unigram trainers)",
+        2,
+    ),
     ("operators/unigram.py", "seed_n"): (
         "vocab-bounded EM seed vocabulary (seed_multiplier * vocab_size)",
         1,
     ),
     ("operators/unigram.py", "len(rows) or 1"): (
         "driver-local vocab-bounded createDataFrame carrier",
-        2,
+        3,
     ),
     ("operators/similarity.py", "n_cells"): (
         "config-bounded IVF centroid table",

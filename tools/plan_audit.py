@@ -396,6 +396,17 @@ AUDITED: dict[str, str] = {
         "is |deduped| - |drops| by arithmetic. Tied to the pipeline "
         "by test_corpus_curate_lm_funnel_matches_oracled_query."
     ),
+    "multimodal_alignment_retention": (
+        "Per-source retention of the cross-modal gate (r16 audit — "
+        "crossed the 2 s line only in a host-loaded bench window; "
+        "~0.7 s in the r16 committed run): the multimodal_text_"
+        "alignment chain (one Arrow mapInPandas image tower, 1-1 "
+        "by-id pair join, zero-shuffle cosine gate) topped by ONE "
+        "tiny hash aggregate keyed on source (per-source counts + "
+        "floor-rounded ratio). Check: no all-pairs product, no "
+        "TakeOrderedAndProject, no window; the only Python boundary "
+        "is the sanctioned batched decode."
+    ),
     "multimodal_text_alignment": (
         "LAION-style cross-modal pair gate (r10): the stub image tower "
         "is one Arrow mapInPandas over the synthesized media (the "
