@@ -20,6 +20,34 @@ def plan_text(df: DataFrame, mode: str = "formatted") -> str:
     return buf.getvalue()
 
 
+def strip_initial_plans(plan: str) -> str:
+    """Drop embedded ``== Initial Plan ==`` sections from an explain dump.
+
+    An executed ``AdaptiveSparkPlan`` nested inside the plan (an
+    ``InMemoryRelation``'s cached child, materialized by a plan-build
+    probe) prints BOTH its Final Plan and its pre-AQE Initial Plan, each
+    with freshly numbered operators — so a flat node-count over the text
+    counts every cached exchange twice even though the Initial copy never
+    executes. Tests/audits that pin exchange/scan ceilings should count on
+    the stripped text (tree-line syntax ``Exchange (n)``), which reflects
+    the operators a run can actually execute."""
+    out: list[str] = []
+    skip_indent: int | None = None
+    for line in plan.splitlines(keepends=True):
+        stripped = line.lstrip()
+        indent = len(line) - len(stripped)
+        if skip_indent is not None:
+            if stripped and indent <= skip_indent:
+                skip_indent = None
+            else:
+                continue
+        if "== Initial Plan ==" in stripped:
+            skip_indent = indent
+            continue
+        out.append(line)
+    return "".join(out)
+
+
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition iff the plan is under-parallel.
 

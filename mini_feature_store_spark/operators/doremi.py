@@ -171,7 +171,18 @@ def _freq_base(
     """``(domain, bucket, cnt, _t, _f)`` — the bounded count table with
     per-domain totals and exact scale-12 integer normalized
     frequencies. ONE corpus scan; everything downstream is arithmetic
-    over these ≤ D·B rows."""
+    over these ≤ D·B rows.
+
+    The table is ``persist()``ed (r16): both excess-loss operators
+    reference it from several join/aggregate branches (round 1: the
+    blended-model aggregate plus the per-domain join-back; round 2:
+    those plus the α-blend and the round-2 NLL join-back), and Catalyst
+    plans duplicated aggregate subtrees with zero ReusedExchange — so
+    unpersisted, the corpus scan + gram explosion + (domain, bucket)
+    hash aggregate executed up to 4× per run. The cached frame is ≤ D·B
+    narrow rows — bounded by construction at any corpus size. Registry
+    consumers carry PLAN_BUILD_CACHE_ALLOWLIST entries; the bench's
+    clearCache() bounds accumulation."""
     counts = doremi_bucket_counts(
         df,
         domain_col=domain_col,
@@ -187,9 +198,11 @@ def _freq_base(
         f"CAST((CAST(cnt AS DECIMAL(38,0)) * {FREQ_SCALE}) "
         f"DIV _t AS BIGINT)"
     )
-    return counts.withColumn(
-        "_t", F.sum("cnt").over(wd)
-    ).withColumn("_f", f)
+    return (
+        counts.withColumn("_t", F.sum("cnt").over(wd))
+        .withColumn("_f", f)
+        .persist()
+    )
 
 
 def _round1_stats(base: DataFrame, n_buckets: int) -> DataFrame:

@@ -586,10 +586,12 @@ def dsir_resample(
 
     NOT a pure transformation: building the returned plan runs Spark
     JOBS (a count plus two bounded scalar aggregates over a persisted
-    scored frame — ``_gumbel_topk``'s threshold probe), and final
-    execution re-derives the scoring chain once more, so lazy composers
-    pay ~2 scoring passes. Steady-state pipelines holding a frozen
-    ``dsir-train`` artifact should prefer the probe-free threshold path
+    scored frame — ``_gumbel_topk``'s threshold probe). The scored frame
+    STAYS cached so final execution reads it instead of re-deriving the
+    chain (one scoring pass per invocation, r16); callers that finish
+    with the result may drop the entry via ``spark.catalog.clearCache``.
+    Steady-state pipelines holding a frozen ``dsir-train`` artifact
+    should prefer the probe-free threshold path
     (``dsir_score_with_weights`` + a ``log_weight >= t`` filter; the
     pipeline's ``--dsir-min-log-weight`` mode) — see ``dsir-train``'s
     ``suggested_min_log_weight`` output."""
@@ -621,7 +623,8 @@ def dsir_resample_with_weights(
     the weights came from the same corpora (pinned by test).
 
     Like ``dsir_resample``, plan construction runs bounded probe jobs
-    (not a pure transformation); with a frozen artifact the probe-free
+    (not a pure transformation) and leaves the scored frame cached for
+    the final execution; with a frozen artifact the probe-free
     ``--dsir-min-log-weight`` threshold path is the steady-state
     alternative."""
     imp = dsir_score_with_weights(
@@ -795,13 +798,19 @@ def _gumbel_topk(
             )
             assert cut is not None  # 0 < needed <= c_band guarantees it
             t_cut, cut_above = cut["sample_key"], int(cut["_above"])
-    finally:
-        # the returned plan re-derives the frame lazily; the cache only
-        # serves the bounded scalar jobs above (2 passes total: one to
-        # build+probe, one at final execution, where Catalyst reuses the
-        # scoring exchange across the core and band branches)
+    except BaseException:
         keyed.unpersist()
+        raise
 
+    # r16: the cache STAYS — the returned plan's core/band branches read
+    # the frame the probes already materialized, so the whole selection
+    # is ONE scoring pass (previously the unpersist here made final
+    # execution re-derive the chain: a second full corpus scan + score
+    # per run). Same operator-internal multi-pass-state class as the
+    # dedup posting-list persists: registry consumers are allowlisted in
+    # test_registry_lint.PLAN_BUILD_CACHE_ALLOWLIST, the bench's
+    # clearCache() bounds accumulation, and the frame is 4 narrow
+    # columns per raw doc (ids/counts/keys — never text).
     core = keyed.where(key > F.lit(t_hi))
     if needed == 0:
         return core

@@ -174,6 +174,19 @@ PLAN_BUILD_CACHE_ALLOWLIST = {
     # same class: the sampler's two consumers over the BPE-encoded
     # token-count frame
     "doc_token_budget_mixture",
+    # r16 — operator-internal multi-pass state, dedup-posting-list
+    # pattern: _gumbel_topk's keyed/scored frame (4 narrow columns per
+    # raw doc) is materialized by its bounded threshold probes and now
+    # STAYS cached so the returned core/band branches read it instead of
+    # re-deriving the full scoring chain (one corpus pass per run, was
+    # two)
+    "doc_dsir_resample",
+    # r16 — doremi _freq_base's ≤ D·B-row (domain, bucket) count table
+    # is referenced by 2 (round 1) / 4 (round 2) join/aggregate branches
+    # with zero ReusedExchange; persisting it collapses up to 4 corpus
+    # scans + gram explosions per run into one
+    "doc_doremi_excess_loss",
+    "doc_doremi_excess_round2",
 }
 
 
