@@ -120,26 +120,103 @@ def _local_contract(e: DataFrame) -> DataFrame:
     return e.mapInPandas(uf, "u long, v long")
 
 
+#: driver-local fast-path bound on the EDGE LIST (the ``bpe_train``
+#: ``LOCAL_MAX_WORDS`` pattern): near-dup pair lists at bench/test scale
+#: are a few hundred rows, yet every star round costs a fixed driver toll
+#: (plan analysis + codegen + 2 jobs — measured ~1 s warm / ~3 s cold even
+#: on 200 edges), paid PER INVOCATION because the loop localCheckpoints.
+#: Under the bound the checkpointed edges are collected (≤ ~200k×2 ids, a
+#: few MB) and a union-find labels components in-process — bit-identical
+#: output (min-id component, integer/string ids) with zero star rounds.
+#: Above the bound the distributed path is unchanged; the probe is one
+#: early-terminating take over the already-materialized checkpoint.
+LOCAL_MAX_EDGES = 200_000
+
+
+def _local_components(spark, rows, id_type) -> DataFrame:
+    """Driver-side union-find over a bounded collected edge list —
+    exactly the distributed contract: one row per DISTINCT endpoint,
+    ``component`` = the component's minimum id; a NULL endpoint is an
+    isolated NULL node (its edge never joins — the ``_canon`` null
+    semantics); self-loops add the node, never an edge."""
+    from pyspark.sql import types as T
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    nodes = set()
+    saw_null = False
+    for r in rows:
+        u, v = r[0], r[1]
+        for x in (u, v):
+            if x is None:
+                saw_null = True
+            else:
+                nodes.add(x)
+        if u is None or v is None or u == v:
+            continue
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    out = [(n, find(n)) for n in nodes]
+    if saw_null:
+        out.append((None, None))
+    schema = T.StructType(
+        [
+            T.StructField("node", id_type),
+            T.StructField("component", id_type),
+        ]
+    )
+    return spark.createDataFrame(out, schema)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "u",
     dst: str = "v",
     max_iter: int = 25,
+    local_max_edges: int | None = None,
 ) -> DataFrame:
     """Component id (= minimum node id in the component) for every node that
     appears in ``edges``. Returns columns ``node``, ``component``.
 
     Node ids must be an orderable type (long / string). Undirected; edge
-    direction and duplicates are ignored.
-    """
+    direction and duplicates are ignored. ``local_max_edges`` overrides
+    ``LOCAL_MAX_EDGES`` (0 forces the distributed star path — tests of the
+    distributed mechanics use this)."""
     # Materialize the raw edge list ONCE: both the canonical edge set and
     # the node set derive from this checkpoint, so the upstream
     # pair-generation plan (e.g. the n-gram Jaccard join — the expensive
     # part) executes exactly one time. Checkpointing only `e` and deriving
     # nodes lazily from `edges` would run pair generation twice.
+    from pyspark.sql import types as T
+
     el = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).localCheckpoint()
+    bound = LOCAL_MAX_EDGES if local_max_edges is None else local_max_edges
+    if (
+        bound > 0
+        and el.schema["u"].dataType == el.schema["v"].dataType
+        and isinstance(
+            el.schema["u"].dataType,
+            (T.LongType, T.IntegerType, T.StringType),
+        )
+    ):
+        head = el.limit(bound + 1).collect()
+        if len(head) <= bound:
+            return _local_components(
+                el.sparkSession, head, el.schema["u"].dataType
+            )
     e = _canon(el)
     # Integer node ids take the two-phase path (per-partition union-find
     # contraction, then star rounds across partitions); other orderable id

@@ -10038,7 +10038,11 @@ def doc_quality_signal_agreement(
     exactly the per-source disagreement the diagnostic exists to
     surface. One hash aggregate with map-side partial moments over
     the joined per-doc scores. Only LM-scorable docs (≥ 2 tokens)
-    enter the correlation — inner join, same rule on both engines."""
+    enter the correlation — inner join, same rule on both engines.
+    r16: ``source`` rides the classifier projection (``extra_cols``)
+    instead of a third corpus frame — the old ``docs ⋈ probs`` self-join
+    on doc_id shuffled the corpus twice to re-attach a column the
+    zero-shuffle scorer already had in hand (guide §2.4)."""
     from mini_feature_store_spark.operators.text import (
         ngram_lm_score,
         quality_classifier_score,
@@ -10046,8 +10050,8 @@ def doc_quality_signal_agreement(
 
     _utc(spark)
     docs = load_testdata(spark, sf_dir, "documents")["documents"]
-    probs = quality_classifier_score(docs).select(
-        "doc_id", F.col("quality_prob").alias("p")
+    probs = quality_classifier_score(docs, extra_cols=("source",)).select(
+        "doc_id", "source", F.col("quality_prob").alias("p")
     )
     nll = ngram_lm_score(
         docs.where(F.col("source") == "src0"),
@@ -10056,9 +10060,7 @@ def doc_quality_signal_agreement(
         strategy="position",
     ).select("doc_id", "avg_nll")
     return (
-        docs.select("doc_id", "source")
-        .join(probs, "doc_id")
-        .join(nll, "doc_id")
+        probs.join(nll, "doc_id")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

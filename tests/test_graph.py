@@ -31,10 +31,10 @@ def _uf_components(edges):
     return {x: find(x) for x in list(parent)}
 
 
-def _check(spark, edges):
+def _check(spark, edges, **kw):
     df = spark.createDataFrame(edges, "u long, v long")
     got = {
-        r.node: r.component for r in connected_components(df).collect()
+        r.node: r.component for r in connected_components(df, **kw).collect()
     }
     want = _uf_components(edges)
     # union-find parent-compression may not leave min at root; normalize
@@ -48,8 +48,11 @@ def _check(spark, edges):
 
 def test_chain_collapses_to_one_component(spark):
     """A 60-node chain: naive label propagation would need 60 rounds; the
-    star algorithm must converge well inside max_iter=25."""
-    got = _check(spark, [(i, i + 1) for i in range(1, 60)])
+    star algorithm must converge well inside max_iter=25 (distributed
+    path forced — the r16 driver-local fast path would absorb it)."""
+    got = _check(
+        spark, [(i, i + 1) for i in range(1, 60)], local_max_edges=0
+    )
     assert set(got.values()) == {1}
 
 
@@ -92,7 +95,7 @@ def test_two_sink_parents_keep_iterating(spark):
     df = spark.createDataFrame(
         [("j", "a"), ("j", "e"), ("t", "b"), ("t", "e")], "u string, v string"
     )
-    rows = connected_components(df).collect()
+    rows = connected_components(df, local_max_edges=0).collect()
     # exactly one row per node, all in the single component rooted at "a"
     assert len(rows) == len({r.node for r in rows}) == 5
     assert {r.component for r in rows} == {"a"}
@@ -186,7 +189,7 @@ def test_local_contract_preserves_cross_partition_connectivity(spark):
 
     chain = [(i, i + 1) for i in range(40)]  # 0-1-2-...-40, one component
     edges = spark.createDataFrame(chain, "u long, v long").repartition(8)
-    comp = connected_components(edges).collect()
+    comp = connected_components(edges, local_max_edges=0).collect()
     assert {r.component for r in comp} == {0}
     assert {r.node for r in comp} == set(range(41))
 
@@ -197,8 +200,46 @@ def test_local_contract_string_ids_fall_back(spark):
     edges = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("x", "y")], "u string, v string"
     )
-    comp = {r.node: r.component for r in connected_components(edges).collect()}
+    comp = {
+        r.node: r.component
+        for r in connected_components(edges, local_max_edges=0).collect()
+    }
     assert comp == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_local_cc_fast_path_equals_distributed(spark):
+    """r16 driver-local union-find fast path (LOCAL_MAX_EDGES class):
+    bit-identical (node, component) mapping to the distributed star
+    rounds on a messy random multigraph — self-loops, duplicate and
+    reversed edges, several components — for long AND string ids, and
+    the dispatch boundary (bound exceeded → distributed) agrees too."""
+    rng = random.Random(7)
+    edges = [(rng.randint(1, 120), rng.randint(1, 120)) for _ in range(250)]
+    edges += [(5, 5), (119, 118), (118, 119)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    local = {
+        r.node: r.component for r in connected_components(df).collect()
+    }
+    dist = {
+        r.node: r.component
+        for r in connected_components(df, local_max_edges=0).collect()
+    }
+    assert local == dist
+    # boundary: bound smaller than the edge count → distributed path,
+    # same answer
+    near = {
+        r.node: r.component
+        for r in connected_components(df, local_max_edges=10).collect()
+    }
+    assert near == dist
+    sdf = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("z", "z"), ("q", "r")],
+        "u string, v string",
+    )
+    slocal = {
+        r.node: r.component for r in connected_components(sdf).collect()
+    }
+    assert slocal == {"a": "a", "b": "a", "c": "a", "z": "z", "q": "q", "r": "q"}
 
 
 def test_pagerank_matches_dense_power_iteration(spark):

@@ -262,6 +262,11 @@ _LIMIT_ALLOWLIST: dict[tuple[str, str], tuple[str, int]] = {
         "config-bounded local-trainer dispatch probe",
         1,
     ),
+    ("operators/graph.py", "bound + 1"): (
+        "config-bounded local-CC dispatch probe (LOCAL_MAX_EDGES rows "
+        "collected at most; above the bound the star rounds run)",
+        1,
+    ),
     ("operators/bpe.py", "n_merges"): (
         "vocab-bounded merge table (the BPE model itself)",
         2,
