@@ -864,11 +864,13 @@ AUDITED: dict[str, str] = {
         "boundary band is rank-trimmed (Catalyst lowers that trim to a "
         "TakeOrderedAndProject whose limit is needed = k - |core|, "
         "bounded by the sketch margin — NEVER k). Scalar driver "
-        "traffic only; the scored frame is persisted for the bounded "
-        "probe jobs and re-derived lazily at execution (exchange "
-        "reused across the union branches). Check: every "
-        "TakeOrderedAndProject limit << k, no rangepartitioning "
-        "exchange, no GlobalLimit over the corpus."
+        "traffic only; the scored frame the probes materialize STAYS "
+        "cached (r16) so the returned core/band branches read it — one "
+        "scoring pass per invocation (was two: the old unpersist made "
+        "execution re-derive the whole chain; 6 scans → 3, 10 "
+        "exchanges → 5). Check: every TakeOrderedAndProject limit << "
+        "k, no rangepartitioning exchange, no GlobalLimit over the "
+        "corpus; core/band branches read InMemoryTableScan."
     ),
     "embedding_semantic_decontamination": (
         "Embedding-space decontamination (r12 extension): benchmark "
@@ -893,19 +895,23 @@ AUDITED: dict[str, str] = {
     ),
     "doc_quality_signal_agreement": (
         "Quality-signal agreement corr (r12 extension): classifier "
-        "probability is a map-only projection; the bigram-NLL side is "
-        "the position-strategy LM scorer (src0 reference tables "
-        "broadcast at gate scale); the two per-doc score frames join "
-        "on doc_id and collapse in ONE source-keyed hash aggregate "
-        "with map-side partial corr moments (20 groups). Check: no "
-        "corpus shuffle beyond the doc_id join + the tiny source "
+        "probability is a map-only projection CARRYING source via "
+        "extra_cols (r16 — the old docs ⋈ probs self-join re-attached "
+        "a column the zero-shuffle scorer already had; 7 scans → 6); "
+        "the bigram-NLL side is the position-strategy LM scorer (src0 "
+        "reference tables broadcast at gate scale); the two per-doc "
+        "score frames join on doc_id and collapse in ONE source-keyed "
+        "hash aggregate with map-side partial corr moments (20 "
+        "groups). Check: ONE corpus doc_id join + the tiny source "
         "aggregate; LM count tables broadcast."
     ),
     "corpus_selection_manifest": (
         "The r13 DSIR-composed funnel (selection FIRST, the real "
         "pretraining order): DSIR threshold selection runs its bounded "
-        "probe jobs at plan build (dsir.py:_gumbel_topk); the returned "
-        "plan is three stage aggregates — ONE over the raw pool, ONE "
+        "probe jobs at plan build (dsir.py:_gumbel_topk; r16 — the "
+        "scored frame they materialize stays cached, so the selected-id "
+        "subtree reads InMemoryTableScan instead of re-scoring the "
+        "pool); the returned plan is three stage aggregates — ONE over the raw pool, ONE "
         "conditional aggregate over ONE flagged domain_cap chain, ONE "
         "over the packed frame. The selected-id join is UNHINTED (k is "
         "a corpus fraction at scale; AQE decides — the apply_dedup "
@@ -955,16 +961,21 @@ AUDITED: dict[str, str] = {
         "ngram_jaccard_pairs' single-shuffle posting lists (explode → "
         "ONE groupBy(shingle hash) → double Generate over each sorted "
         "posting list — no index self-join, no df/sizes passes) feeding "
-        "alternating large-star/small-star CC, then one cluster_size "
-        "window on Exchange(cluster_id). Check: one corpus-side "
-        "exchange for pair mining; CC iterations work on the PAIR set "
-        "only; the lone Window partitions by cluster_id (never "
-        "unpartitioned); no TakeOrderedAndProject."
+        "connected components, then one cluster_size window on "
+        "Exchange(cluster_id). r16: under LOCAL_MAX_EDGES (200k) the "
+        "checkpointed pair list is collected and a driver union-find "
+        "labels components in-process — bit-identical min-id mapping, "
+        "zero star rounds (each round was ~1 s of fixed toll at any "
+        "edge count); above the bound the large/small-star path is "
+        "unchanged. Check: one corpus-side exchange for pair mining; "
+        "CC work is on the PAIR set only; the lone Window partitions "
+        "by cluster_id (never unpartitioned); no TakeOrderedAndProject."
     ),
     "dedup_best_of_cluster": (
         "Quality-ranked near-dup survivors (r15, judge directive #6): "
-        "the dedup_clusters pair chain (single-shuffle posting lists, "
-        "star-contraction components) plus ONE doc-keyed join of the "
+        "the dedup_clusters pair chain (single-shuffle posting lists; "
+        "components via the r16 bounded driver union-find / star "
+        "rounds above the bound) plus ONE doc-keyed join of the "
         "zero-shuffle classifier projection and a row_number over "
         "Exchange(cluster_id) — the same partitioning the "
         "cluster_size window already pays, so the policy upgrade "
@@ -979,9 +990,13 @@ AUDITED: dict[str, str] = {
         "excess frame (scale-8 integer quantization), the alpha table "
         "broadcasts BY CONSTRUCTION (D rows — stratum cardinality) "
         "into the integer blend, and the round-2 NLLs are again "
-        "arithmetic over the bounded table. Check: corpus-side "
-        "exchanges only at the domain-bucket aggregates; every Window "
-        "input is the bounded table; both domain joins broadcast."
+        "arithmetic over the bounded table. r16: that <= D*B-row table "
+        "(_freq_base) is persisted — its four join/aggregate consumers "
+        "previously re-ran the corpus scan + gram explosion each "
+        "(6 corpus scans → 1, 26 exchanges → 13). Check: ONE corpus-"
+        "side exchange (the domain-bucket aggregate, then "
+        "InMemoryTableScan everywhere); every Window input is the "
+        "bounded table; both domain joins broadcast."
     ),
     "doc_doremi_domain_weights": (
         "DoReMi averaged EG weights, 8 rounds (r16 audit — crossed 2 s "
@@ -1023,17 +1038,21 @@ AUDITED: dict[str, str] = {
         "per-domain NLLs are window/aggregate arithmetic over that "
         "bounded table — the single-partition window sums are the "
         "dsir_bucket_weights totals pattern, bounded by B, not data. "
-        "Check: exactly one corpus-side exchange (the domain-bucket "
-        "aggregate); every Window input is the bounded table."
+        "r16: the bounded table is persisted (_freq_base) so its two "
+        "consumers (model aggregate + per-domain join-back) share one "
+        "corpus pass (2 scans → 1). Check: exactly one corpus-side "
+        "exchange (the domain-bucket aggregate); every Window input is "
+        "the bounded table."
     ),
     "embedding_corpus_curate_exact": (
         "Oracled exact-path twin of embedding_corpus_curate: "
         "cosine_pairs block-GEMM (quadratic by information-theoretic "
         "necessity at threshold 0.4 — the LSH variant is the 100 TB "
-        "path), connected components (large/small-star, checkpointed), "
-        "UNHINTED anti-join (drops grow with the corpus), one label "
-        "aggregate. Check: anti-join strategy left to AQE; no driver "
-        "materialization beyond the CC iteration's localCheckpoint."
+        "path), connected components (r16: driver union-find under "
+        "LOCAL_MAX_EDGES, large/small-star above), UNHINTED anti-join "
+        "(drops grow with the corpus), one label aggregate. Check: "
+        "anti-join strategy left to AQE; no driver materialization "
+        "beyond the CC edge checkpoint/bounded collect."
     ),
     "doc_quality_classifier_trained": (
         "Trained learned quality filter (r12 extension, rows-only "
