@@ -9,6 +9,7 @@ touches every row without collecting them to the driver).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import sys
@@ -135,10 +136,21 @@ def main() -> None:
     # BENCH_r08.json "tail" is exactly 2000 chars and "parsed" has been
     # null every round because the verbose line's opening brace is cut
     # off). Print a final COMPACT line sized to survive that window: the
-    # headline numbers plus per-query milliseconds as a list in registry
-    # (insertion) order — ~6 bytes/query instead of ~31, so 132 queries
-    # fit with room to spare. Names → ms mapping lives in
-    # bench_results.json (committed) and in the verbose line above.
+    # headline numbers plus per-query milliseconds as a list — ~6
+    # bytes/query instead of ~31, so 174 queries fit with room to spare.
+    #
+    # r17 measurement-contract fix (r16 verdict directive #1): the list
+    # used to follow registry (VERIFY_ORDER) insertion order, which is
+    # re-cut every round, so cross-round positional pairing broke
+    # (PERF_r16 `n_common: 0`). The list is now SORTED BY QUERY NAME —
+    # a round-stable order as long as the name set is unchanged — with
+    # an explicit `order` marker and a names-set fingerprint
+    # (sha256 of '\n'.join(sorted names), first 8 hex chars) so a
+    # consumer can verify two rounds' lists pair before zipping them.
+    # The full name → ms map still lives in bench_results.json
+    # (committed) and in the verbose line above; timing methodology is
+    # untouched.
+    names_sorted = sorted(timings)
     compact = {
         "metric": "total_query_wall_seconds",
         "value": total,
@@ -147,12 +159,19 @@ def main() -> None:
         "calib_sec": calib,
         "calib_sec_end": payload["calib_sec_end"],
         "n_queries": len(timings),
-        "queries_ms": [int(round(v * 1000)) for v in timings.values()],
-        # full runs point at the committed artifact for the name order;
-        # subset runs (which skip writing bench_results.json) carry their
-        # few names inline so the ms list is never paired with a stale map
+        "order": "sorted-names",
+        "names_sha256": hashlib.sha256(
+            "\n".join(names_sorted).encode()
+        ).hexdigest()[:8],
+        "queries_ms": [
+            int(round(timings[n] * 1000)) for n in names_sorted
+        ],
+        # full runs point at the committed artifact for the name → ms
+        # map; subset runs (which skip writing bench_results.json) carry
+        # their few names inline so the ms list is never paired with a
+        # stale map
         **(
-            {"names": list(timings)}
+            {"names": names_sorted}
             if subset
             else {"names_in": "bench_results.json"}
         ),

@@ -299,7 +299,9 @@ def bpe_train(
     strategy: str = "auto",
     local_max_words: int = LOCAL_MAX_WORDS,
     prune_min_freq: int | None = None,
-) -> tuple[DataFrame, DataFrame]:
+    words: DataFrame | None = None,
+    build_vocab: bool = True,
+) -> tuple[DataFrame, DataFrame | None]:
     """Induce a BPE merge table from a document corpus.
 
     Returns ``(merges, vocab)``:
@@ -345,6 +347,22 @@ def bpe_train(
       requested prune.
     - ``"auto"`` (default) — local when the (optionally pruned) word
       table fits ``local_max_words``, else distributed (still pruned).
+
+    r17 composition knobs (guide §2.4 — one corpus pass per
+    composition, not one per trainer):
+
+    - ``words`` — a precomputed ``word_table(df, text_col)`` frame
+      (``word, freq, syms``). When given, the corpus pass is SKIPPED
+      and ``df``/``text_col`` are ignored for counting; the caller
+      owns the frame's persist lifecycle (pass it persisted — the
+      trainer reads it 1–2×) and this function never unpersists it.
+      Compositions that train several tokenizers over the same corpus
+      (``tokenizer_comparison``) share ONE word-count pass this way.
+    - ``build_vocab=False`` — skip building/materializing the
+      ``vocab`` frame entirely and return ``(merges, None)``. For
+      merge-table-only consumers (``bpe_encode`` replays merges and
+      never reads the vocab) the replay pass + its materialization
+      were pure waste.
     """
     if n_merges <= 0:
         raise ValueError(f"n_merges must be positive, got {n_merges}")
@@ -352,7 +370,9 @@ def bpe_train(
         raise ValueError(f"unknown bpe_train strategy: {strategy!r}")
     spark = df.sparkSession
 
-    words = word_table(df, text_col).persist()
+    owns_words = words is None
+    if owns_words:
+        words = word_table(df, text_col).persist()
 
     if strategy != "distributed":
         candidates = words
@@ -370,13 +390,21 @@ def bpe_train(
         except Exception:
             # a failed corpus read must not pin the word-table cache for
             # the driver session (same contract as the distributed loop)
-            words.unpersist()
+            if owns_words:
+                words.unpersist()
             raise
         if len(head) <= local_max_words:
             merge_rows = _local_merge_loop(
                 [(r["word"], int(r["freq"])) for r in head], n_merges
             )
             rules = [(p1, p2) for _, p1, p2, _ in merge_rows]
+            merges_df = spark.createDataFrame(
+                merge_rows, MERGES_SCHEMA
+            ).limit(n_merges)
+            if not build_vocab:
+                if owns_words:
+                    words.unpersist()
+                return merges_df, None
             vocab = _with_replayed_syms(words, rules).persist()
             try:
                 vocab.count()  # materialize before releasing the parent
@@ -384,13 +412,12 @@ def bpe_train(
                 vocab.unpersist()
                 raise
             finally:
-                words.unpersist()
-            merges_df = spark.createDataFrame(
-                merge_rows, MERGES_SCHEMA
-            ).limit(n_merges)
+                if owns_words:
+                    words.unpersist()
             return merges_df, vocab
         if strategy == "local":
-            words.unpersist()
+            if owns_words:
+                words.unpersist()
             raise ValueError(
                 f"bpe_train(strategy='local'): word table exceeds "
                 f"local_max_words={local_max_words}; prune with "
@@ -429,9 +456,11 @@ def bpe_train(
             # the collect just materialized `words`' cache — the parent
             # it was rewritten from is now safe to release (released any
             # earlier and a cache-miss rebuild of `words` would recompute
-            # every prior round's chain from the corpus)
+            # every prior round's chain from the corpus); round 1's
+            # parent IS ``words`` itself — released only when we own it
             if prev is not None:
-                prev.unpersist()
+                if owns_words or prev is not words:
+                    prev.unpersist()
                 prev = None
             if not best:
                 break  # vocabulary fully merged — no adjacent pairs left
@@ -444,19 +473,30 @@ def bpe_train(
         # (one job total, replacing the removed per-round count())
         if prev is not None:
             cur.count()
-            prev.unpersist()
+            if owns_words or prev is not words:
+                prev.unpersist()
     except Exception:
-        # release EVERY handle: the in-flight round's table is persisted
-        # but possibly unmaterialized, and leaving any behind pins a
-        # CacheManager entry for the driver session lifetime (unpersist
-        # is idempotent, so the overlap when cur/prev IS words is safe)
-        if prev is not None:
+        # release EVERY handle WE persisted: the in-flight round's table
+        # is persisted but possibly unmaterialized, and leaving any
+        # behind pins a CacheManager entry for the driver session
+        # lifetime (unpersist is idempotent, so the overlap when
+        # cur/prev IS words is safe) — but never release a
+        # caller-provided ``words`` frame (the caller owns its cache)
+        if prev is not None and (owns_words or prev is not words):
             prev.unpersist()
-        cur.unpersist()
-        words.unpersist()
+        if owns_words or cur is not words:
+            cur.unpersist()
+        if owns_words:
+            words.unpersist()
         raise
 
     merges_df = spark.createDataFrame(merges, MERGES_SCHEMA).limit(n_merges)
+    if not build_vocab:
+        if cur is not words:
+            cur.unpersist()
+        if owns_words:
+            words.unpersist()
+        return merges_df, None
     if pruned:
         rules = [(p1, p2) for _, p1, p2, _ in merges]
         vocab = _with_replayed_syms(words, rules).persist()
@@ -467,7 +507,8 @@ def bpe_train(
             raise
         finally:
             cur.unpersist()
-            words.unpersist()
+            if owns_words:
+                words.unpersist()
         return merges_df, vocab
     return merges_df, cur
 

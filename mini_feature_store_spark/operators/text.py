@@ -1751,19 +1751,29 @@ def _ngram_lm_types(
 ) -> DataFrame:
     """Type-level strategy (see ``ngram_lm_score``).
 
-    Join keys are 8-byte ``xxhash64`` digests of the gram strings (r16,
-    guide §2.3 "shuffle keys and metadata instead of payloads"): the
-    count aggregate itself still groups by the EXACT gram string — no
-    collision can merge two counts — and only the three type-level
-    exchanges downstream (lookup join, per-type pivot, per-position
-    join-back) carry the digest instead of up-to-order-token text,
-    cutting their shuffled bytes several-fold at order 5. A 64-bit
-    join-level collision (two distinct grams, equal digest) is the same
-    accepted hash-mode equivalence class as ``duplicate_spans`` /
-    ``paragraph_dedup(exact=False)``; the DuckDB oracle keys by text
-    and the 3-SF matrix pins the results equal."""
+    Join keys are 16-byte digests of the gram strings — a PAIR of
+    independently-seeded ``xxhash64`` columns (r16 introduced the
+    single 64-bit digest per guide §2.3 "shuffle keys and metadata
+    instead of payloads"; r17 widened it to 128 bits per the r16
+    verdict: this digest keys a SCORE join, and at the 100 TB design
+    scale distinct gram types plausibly reach 10^10–10^11, where
+    expected 64-bit join collisions ≈ n²/2^65 are no longer
+    negligible — a collision double-matches a lookup row and the
+    slot-pivot ``max`` can pick the wrong count). The second column
+    hashes a literal discriminator BEFORE the gram (``xxhash64(1L,
+    g)``), which re-seeds the gram-byte hashing — hashing the literal
+    AFTER the gram would make column 2 a pure function of column 1 and
+    add zero collision resistance. Expected joint collisions at
+    n = 10^11 types: n²/2^129 ≈ 1.5e-17 < 1e-9. The count aggregate
+    itself still groups by the EXACT gram string — no collision can
+    merge two counts — and only the three type-level exchanges
+    downstream (lookup join, per-type pivot, per-position join-back)
+    carry the 16-byte digest instead of up-to-order-token text, still
+    several-fold fewer bytes at order 5."""
     counts = _stacked_gram_counts(train, order, text_col).select(
-        F.xxhash64("g").alias("gh"), "_c"
+        F.xxhash64("g").alias("gh"),
+        F.xxhash64(F.lit(1), "g").alias("gh2"),
+        "_c",
     )
 
     wcols = [f"w{j + 1}" for j in range(order)]
@@ -1788,23 +1798,25 @@ def _ngram_lm_types(
         .distinct()
         .select(
             F.xxhash64(key).alias("_gh"),
+            F.xxhash64(F.lit(1), key).alias("_gh2"),
             F.explode(
                 F.array(
                     *[
                         F.struct(
                             F.lit(s).alias("slot"),
                             F.xxhash64(g).alias("gh"),
+                            F.xxhash64(F.lit(1), g).alias("gh2"),
                         )
                         for s, g in slots
                     ]
                 )
             ).alias("_lk"),
         )
-        .select("_gh", "_lk.slot", "_lk.gh")
+        .select("_gh", "_gh2", "_lk.slot", "_lk.gh", "_lk.gh2")
     )
     typed = (
-        lookups.join(counts, "gh", "left")
-        .groupBy("_gh")
+        lookups.join(counts, ["gh", "gh2"], "left")
+        .groupBy("_gh", "_gh2")
         .agg(
             *[
                 F.max(F.when(F.col("slot") == s, F.col("_c"))).alias(
@@ -1828,12 +1840,15 @@ def _ngram_lm_types(
     s = _backoff_case(order, backoff, n_checked)
     scored_types = typed.select(
         "_gh",
+        "_gh2",
         (-F.log(s)).alias("_nll"),
         F.col(f"_c{order}").isNull().alias("_oov"),
     )
-    scored = pos.select("id", F.xxhash64(key).alias("_gh")).join(
-        scored_types, "_gh"
-    )
+    scored = pos.select(
+        "id",
+        F.xxhash64(key).alias("_gh"),
+        F.xxhash64(F.lit(1), key).alias("_gh2"),
+    ).join(scored_types, ["_gh", "_gh2"])
     return _lm_doc_aggregate(scored, id_col, F.col("_nll"))
 
 

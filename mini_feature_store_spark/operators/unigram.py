@@ -153,6 +153,7 @@ def unigram_train(
     refine_rounds: int = 0,
     text_col: str = "text",
     local_max_words: int | None = None,
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """Train a unigram-LM piece vocabulary: seed + select, then
     ``refine_rounds`` usage-re-estimation rounds (the integer EM step).
@@ -175,8 +176,16 @@ def unigram_train(
             f"refine_rounds must be non-negative, got {refine_rounds}"
         )
     # the ONE corpus pass; persisted when refinement re-reads it (the
-    # bpe_train cache contract — released before returning)
-    words = word_table(df, text_col).select("word", "freq")
+    # bpe_train cache contract — released before returning). A caller
+    # that already holds a ``word_table`` frame passes it via ``words``
+    # (r17, guide §2.4): the corpus pass is skipped, the caller owns
+    # the frame's persist lifecycle, and this trainer never
+    # persists/unpersists it — ``tokenizer_comparison`` shares ONE
+    # word-count pass between both tokenizer families this way.
+    owns_words = words is None
+    words = (
+        word_table(df, text_col) if owns_words else words
+    ).select("word", "freq")
     # r16 driver-local fast path (the bpe_train LOCAL_MAX_WORDS
     # pattern, guide §1.2 applied to the driver side of an iterative
     # trainer): when the distinct-word table fits the same bound the
@@ -223,7 +232,7 @@ def unigram_train(
         return spark.createDataFrame(rows, PIECES_SCHEMA).limit(
             len(rows) or 1
         )
-    if refine_rounds > 0:
+    if refine_rounds > 0 and owns_words:
         words = words.persist()
     try:
         pieces = _pieces_from_words(words, max_piece_len)
@@ -257,7 +266,7 @@ def unigram_train(
             for r in vocab.select("piece", "freq").collect()
         ]
     finally:
-        if refine_rounds > 0:
+        if refine_rounds > 0 and owns_words:
             words.unpersist()
     spark = df.sparkSession
     return spark.createDataFrame(rows, PIECES_SCHEMA).limit(len(rows) or 1)

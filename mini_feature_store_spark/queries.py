@@ -7572,10 +7572,10 @@ def doc_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _utc(spark)
     docs = load_testdata(spark, sf_dir, "documents")["documents"]
-    merges, vocab = bpe_train(docs, n_merges=_BPE_N_MERGES)
     # the merge table is already driver-materialized (bounded: one row
-    # per round); the vocab cache is only needed by the tokenizer query
-    vocab.unpersist()
+    # per round); the vocab is only needed by the tokenizer query —
+    # skip building it entirely (r17, build_vocab=False)
+    merges, _ = bpe_train(docs, n_merges=_BPE_N_MERGES, build_vocab=False)
     return merges
 
 
@@ -7680,8 +7680,10 @@ def doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _utc(spark)
     docs = load_testdata(spark, sf_dir, "documents")["documents"]
-    merges, vocab = bpe_train(docs, n_merges=_BPE_N_MERGES)
-    vocab.unpersist()
+    # merge-table-only consumer: skip the vocab replay pass entirely
+    # (r17, bpe_train build_vocab=False — the replay + its
+    # materialization job fed a frame this query never read)
+    merges, _ = bpe_train(docs, n_merges=_BPE_N_MERGES, build_vocab=False)
     sample = docs.where(F.col("doc_id") % 13 == 0).select(
         "doc_id",
         F.when(
@@ -7833,8 +7835,10 @@ def bpe_tokenizer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _utc(spark)
     docs = load_testdata(spark, sf_dir, "documents")["documents"]
-    merges, vocab = bpe_train(docs, n_merges=_BPE_N_MERGES)
-    vocab.unpersist()
+    # merge-table-only consumer: skip the vocab replay pass entirely
+    # (r17, bpe_train build_vocab=False — the replay + its
+    # materialization job fed a frame this query never read)
+    merges, _ = bpe_train(docs, n_merges=_BPE_N_MERGES, build_vocab=False)
     enc = bpe_encode(docs, merges, counts_only=True)
     langs = lang_id(docs).select("doc_id", "lang_guess")
     base = (
@@ -7931,8 +7935,10 @@ def doc_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _utc(spark)
     docs = load_testdata(spark, sf_dir, "documents")["documents"]
-    merges, vocab = bpe_train(docs, n_merges=_BPE_N_MERGES)
-    vocab.unpersist()
+    # merge-table-only consumer: skip the vocab replay pass entirely
+    # (r17, bpe_train build_vocab=False — the replay + its
+    # materialization job fed a frame this query never read)
+    merges, _ = bpe_train(docs, n_merges=_BPE_N_MERGES, build_vocab=False)
     counts = bpe_encode(docs, merges, counts_only=True)
     base = (
         docs.select("doc_id", "lang")
@@ -8423,6 +8429,7 @@ def tokenizer_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
         CHUNK_RE,
         bpe_encode,
         bpe_train,
+        word_table,
     )
     from mini_feature_store_spark.operators.unigram import (
         unigram_tokenize,
@@ -8431,15 +8438,29 @@ def tokenizer_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _utc(spark)
     docs = load_testdata(spark, sf_dir, "documents")["documents"]
-    merges, vocab = bpe_train(docs, n_merges=_BPE_N_MERGES)
-    vocab.unpersist()
+    # ONE corpus word-count pass shared by both trainers (r17, guide
+    # §2.4): each trainer used to run its own word_table job over the
+    # corpus. The frame is persisted for the trainers' bounded driver
+    # collects (both eager, both inside this build) and released before
+    # the lazy plan is returned — no cache entry survives plan build.
+    words = word_table(docs).persist()
+    try:
+        # merge-table-only consumer: skip the vocab replay pass
+        # entirely (r17, bpe_train build_vocab=False — the replay +
+        # its materialization job fed a frame this query never read)
+        merges, _ = bpe_train(
+            docs, n_merges=_BPE_N_MERGES, words=words, build_vocab=False
+        )
+        pieces = unigram_train(
+            docs,
+            vocab_size=_UNI_VOCAB,
+            max_piece_len=_UNI_PLEN,
+            refine_rounds=1,
+            words=words,
+        )
+    finally:
+        words.unpersist()
     enc_b = bpe_encode(docs, merges, counts_only=True)
-    pieces = unigram_train(
-        docs,
-        vocab_size=_UNI_VOCAB,
-        max_piece_len=_UNI_PLEN,
-        refine_rounds=1,
-    )
     enc_u = unigram_tokenize(docs, pieces, counts_only=True)
     base = docs.select(
         "doc_id",
