@@ -55,9 +55,21 @@ MERGES_SCHEMA = (
 #: depth ∝ n_merges (one interpreted ``F.aggregate`` per merge), so
 #: analysis/codegen cost grows superlinearly and a real 32k-merge
 #: vocabulary is unplannable; past the knee the Arrow merge-replay path
-#: (flat cost per distinct word) takes over. 48 sits well inside the
-#: measured-fine region (SCALING.md: fold vs replay plan-build curve).
-FOLD_MAX_MERGES = 48
+#: (flat cost per distinct word) takes over.
+#:
+#: r17: default 48 → 0, i.e. ``auto`` now always takes the replay path.
+#: The r16 default assumed the fold was cheap "at a few dozen merges";
+#: measured at the registry's own parameters (10 merges, sf0.1) it is
+#: not: EXECUTION of the interpreted per-merge ``F.aggregate`` chain is
+#: O(n_merges × word_len) per word with a large constant — 4.8 s warm
+#: vs the replay's 1.2 s on doc_bpe_encode's OOV sample (224 distinct
+#: words, avg 211 chars), and 1.43 s vs 1.14 s even on the short-word
+#: full corpus (guide §4.2: batched Arrow beating an interpreted JVM
+#: expression chain is the normal case, not the exception). The fold
+#: form remains available as ``strategy="fold"`` (it is the shape the
+#: DuckDB oracle mirrors) and via this knob; results are pinned
+#: identical by ``test_bpe_encode_fold_equals_replay``.
+FOLD_MAX_MERGES = 0
 
 #: ``bpe_train(strategy="auto")`` collects the distinct-word table and
 #: runs the merge loop driver-side when it fits in this many rows
@@ -556,22 +568,42 @@ def _reassemble(per_chunk: DataFrame, id_col: str) -> DataFrame:
     """Position-ordered per-document reassembly of per-chunk symbol
     arrays → ``(id_col, n_tokens, tokens)`` with ``tokens`` the
     space-joined symbol string (serialized — the driver gate cannot
-    hash array columns)."""
+    hash array columns).
+
+    r17 payload narrowing (guide §2.3 — shuffle fewer bytes): each
+    chunk occurrence is collapsed to its space-joined symbol STRING
+    plus its symbol COUNT *before* the doc-keyed exchange, instead of
+    carrying the ``array<string>`` of per-symbol elements (8 B of
+    offset/size per element on top of the bytes in Spark's unsafe array
+    layout — pure overhead the final ``array_join`` was about to erase
+    anyway). Equivalence is exact:
+    ``array_join(flatten([a…]), ' ') == array_join([join(a,' ')…], ' ')``
+    for non-empty arrays (every chunk's symbol split is non-empty by
+    construction — chunks match a non-empty regex and every splitter
+    emits ≥ 1 symbol per non-empty word), and
+    ``size(flatten) == sum(size)``; pinned by
+    ``test_reassemble_narrowed_equals_flatten_form`` and the tokenizer
+    oracles. Post-shuffle work also drops (one sort + join, no flatten
+    over per-symbol elements)."""
+    narrowed = per_chunk.select(
+        F.col(id_col),
+        "pos",
+        F.array_join("syms", " ").alias("_s"),
+        F.size("syms").alias("_n"),
+    )
     return (
-        per_chunk.groupBy(id_col)
+        narrowed.groupBy(id_col)
         .agg(
-            F.flatten(
+            F.sum("_n").cast("long").alias("n_tokens"),
+            F.array_join(
                 F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "syms"))),
-                    lambda s: s["syms"],
-                )
-            ).alias("_toks")
+                    F.array_sort(F.collect_list(F.struct("pos", "_s"))),
+                    lambda s: s["_s"],
+                ),
+                " ",
+            ).alias("tokens"),
         )
-        .select(
-            F.col(id_col),
-            F.size("_toks").cast("long").alias("n_tokens"),
-            F.array_join("_toks", " ").alias("tokens"),
-        )
+        .select(F.col(id_col), "n_tokens", "tokens")
     )
 
 

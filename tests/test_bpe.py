@@ -426,3 +426,48 @@ def test_counts_only_equals_full_path(spark):
     assert pairs(fast_uni) == pairs(full_uni)
     assert fast_uni.schema["n_tokens"].dataType.simpleString() == "bigint"
     vocab.unpersist()
+
+
+def test_reassemble_narrowed_equals_flatten_form(spark):
+    """r17 §2.3 payload narrowing: _reassemble collapses each chunk
+    occurrence to (joined string, count) BEFORE the doc-keyed exchange.
+    Pin it against the naive flatten-of-arrays form on a frame with
+    out-of-order positions, multi-symbol chunks, and several docs —
+    byte-identical tokens and exact n_tokens."""
+    from pyspark.sql import functions as F
+
+    from mini_feature_store_spark.operators.bpe import _reassemble
+
+    per_chunk = spark.createDataFrame(
+        [
+            (1, 2, ["c"]),
+            (1, 0, ["ab", "x"]),
+            (1, 1, ["y"]),
+            (2, 0, ["zz", "q", "r"]),
+            (3, 5, ["single"]),
+        ],
+        "doc_id long, pos int, syms array<string>",
+    )
+    naive = (
+        per_chunk.groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "syms"))),
+                    lambda s: s["syms"],
+                )
+            ).alias("_toks")
+        )
+        .select(
+            "doc_id",
+            F.size("_toks").cast("long").alias("n_tokens"),
+            F.array_join("_toks", " ").alias("tokens"),
+        )
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.tokens)
+        for r in _reassemble(per_chunk, "doc_id").collect()
+    }
+    want = {r.doc_id: (r.n_tokens, r.tokens) for r in naive.collect()}
+    assert got == want
+    assert got[1] == (4, "ab x y c")
