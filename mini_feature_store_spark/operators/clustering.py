@@ -50,6 +50,74 @@ def _unit(mat: np.ndarray) -> np.ndarray:
     return mat / n
 
 
+#: driver-local fast-path bound on the VECTOR COUNT (the ``bpe_train``
+#: ``LOCAL_MAX_WORDS`` / ``graph.py LOCAL_MAX_EDGES`` dispatch pattern,
+#: r16 verdict "Next round" #7): every Lloyd iteration costs one Spark
+#: job over the cached input — a fixed driver toll regardless of data
+#: size — and bench/test-scale embedding tables are a few thousand rows.
+#: Under the bound the ``(pid, hash, v, nrm)`` rows are collected once
+#: (≤ 65 536 × (dim+2) doubles — ~10 MB at dim 16) and every iteration
+#: replays IN PROCESS the exact distributed arithmetic: the same
+#: per-partition batch splits (``spark.sql.execution.arrow.
+#: maxRecordsPerBatch``), the same per-batch GEMM/bincount partials
+#: (``_batch_partials`` — one shared function, so the two paths cannot
+#: drift), and the same sorted-(cluster, pid) fold (``_fold_partials``).
+#: Bit-equal centroid trajectories are pinned by
+#: ``test_kmeans_local_equals_distributed``. Above the bound the
+#: distributed combiner path runs unchanged.
+LOCAL_MAX_VECTORS = 65_536
+
+
+def _batch_partials(vs, nrms, cent_t, k: int, dim: int):
+    """ONE copy of the per-batch Lloyd partial math, used verbatim by
+    the distributed combiner and the driver-local replay: normalize,
+    GEMM-assign (argmax — ties break toward the lower cluster id,
+    deterministically), per-dim bincount partial sums."""
+    mat = np.array(vs, dtype=np.float64)
+    mat /= np.maximum(nrms, 1e-30)[:, None]
+    assign = np.argmax(mat @ cent_t, axis=1)
+    # per-dim bincount: k·dim partial sums without the unbuffered
+    # np.add.at slow path
+    sums = np.stack(
+        [
+            np.bincount(assign, weights=mat[:, d], minlength=k)
+            for d in range(dim)
+        ],
+        axis=1,
+    )
+    counts = np.bincount(assign, minlength=k)
+    return sums, counts
+
+
+def _fold_partials(cent: np.ndarray, parts, k: int, dim: int) -> np.ndarray:
+    """Fold ``(pid, cluster, s, n)`` partials in SORTED (cluster, pid)
+    order — the one deterministic cross-partition reduction both paths
+    share (r17: the old ``collect_list`` + ``zip_with`` fold summed in
+    shuffle-arrival order, which is not guaranteed stable run to run).
+    Empty clusters keep their previous centroid."""
+    sums = np.zeros((k, dim))
+    counts = np.zeros(k, dtype=np.int64)
+    for pid, cl, s, n in sorted(parts, key=lambda t: (t[1], t[0])):
+        sums[cl] += np.asarray(s, dtype=np.float64)
+        counts[cl] += n
+    new = cent.copy()
+    for cl in np.flatnonzero(counts):
+        new[cl] = sums[cl] / counts[cl]
+    return _unit(new)
+
+
+def _maxmin_init(sample: np.ndarray, k: int) -> np.ndarray:
+    """Deterministic farthest-point (maxmin) sweep over the unit-
+    normalized, hash-ordered seed sample — shared by both fit paths."""
+    chosen = [0]  # hash-first row seeds the sweep
+    best = sample @ sample[0]  # max cosine to any chosen seed
+    for _ in range(1, k):
+        nxt = int(np.argmin(best))  # farthest = least-similar
+        chosen.append(nxt)
+        best = np.maximum(best, sample @ sample[nxt])
+    return sample[chosen]
+
+
 def kmeans_fit(
     df: DataFrame,
     k: int = 16,
@@ -58,6 +126,7 @@ def kmeans_fit(
     sample_size: int = 2048,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    local_max_vectors: int | None = None,
 ) -> np.ndarray:
     """Spherical k-means (cosine assignment) → ``(k, dim)`` centroid matrix.
 
@@ -70,31 +139,60 @@ def kmeans_fit(
     the combiner output only (≤ partitions·k rows of ``dim`` doubles).
     Empty clusters keep their previous centroid. The input is cached for
     the duration of the fit and unpersisted before returning.
+
+    r17 (guide §1.2, the ``LOCAL_MAX_VECTORS`` dispatch — see the
+    constant's docstring): under the bound the fit runs entirely on the
+    driver, replaying the distributed path's arithmetic bit-for-bit
+    (same partition/batch structure, same shared per-batch kernel, same
+    sorted fold), so the 1 + ``iters`` Spark jobs collapse to one
+    bounded collect. ``local_max_vectors`` overrides the bound (0
+    forces the distributed path — the equivalence test uses this).
+    The cross-partition reduction itself was ALSO made deterministic
+    this round on both paths: partials carry their partition id and the
+    driver folds them in sorted (cluster, pid) order, where the old
+    ``collect_list``+``zip_with`` fold summed in shuffle-arrival order
+    (stable in practice on static local data, but not a contract).
     """
     # spread(…, 8), not full defaultParallelism: this only fires on narrow
     # (single-split → small) inputs, where 32 Python workers per Lloyd
     # iteration cost more in task overhead than they parallelize; wide
     # production inputs skip the exchange entirely.
-    c = with_vec_norm(spread(df, 8), vec_col, id_col).persist()
+    base = with_vec_norm(spread(df, 8), vec_col, id_col)
+    hash_col = F.xxhash64(F.col("id").cast("string"), F.lit(seed))
+    bound = LOCAL_MAX_VECTORS if local_max_vectors is None else local_max_vectors
+    if bound > 0:
+        head = (
+            base.select(
+                F.spark_partition_id().alias("_pid"),
+                hash_col.alias("_h"),
+                "v",
+                "nrm",
+            )
+            .limit(bound + 1)
+            .collect()
+        )
+        if len(head) <= bound:
+            spark = df.sparkSession
+            arrow_max = int(
+                spark.conf.get(
+                    "spark.sql.execution.arrow.maxRecordsPerBatch", "10000"
+                )
+            )
+            return _kmeans_fit_local(
+                head, k, iters, sample_size, arrow_max
+            )
+
+    c = base.persist()
     try:
         init_rows = (
-            c.orderBy(F.xxhash64(F.col("id").cast("string"), F.lit(seed)))
-            .limit(max(sample_size, k))
-            .select("v")
-            .collect()
+            c.orderBy(hash_col).limit(max(sample_size, k)).select("v").collect()
         )
         if len(init_rows) < k:
             raise ValueError(f"corpus has fewer than k={k} rows")
         sample = _unit(
             np.array([r["v"] for r in init_rows], dtype=np.float64)
         )
-        chosen = [0]  # hash-first row seeds the sweep
-        best = sample @ sample[0]  # max cosine to any chosen seed
-        for _ in range(1, k):
-            nxt = int(np.argmin(best))  # farthest = least-similar
-            chosen.append(nxt)
-            best = np.maximum(best, sample @ sample[nxt])
-        cent = sample[chosen]
+        cent = _maxmin_init(sample, k)
         dim = cent.shape[1]
 
         for _ in range(iters):
@@ -103,61 +201,100 @@ def kmeans_fit(
             def partials(
                 batches: Iterator[pd.DataFrame],
             ) -> Iterator[pd.DataFrame]:
+                from pyspark import TaskContext
+
+                pid = TaskContext.get().partitionId()
                 sums = np.zeros((k, dim))
                 counts = np.zeros(k, dtype=np.int64)
                 for pdf in batches:
-                    mat = np.array(pdf["v"].tolist(), dtype=np.float64)
-                    mat /= np.maximum(
-                        pdf["nrm"].to_numpy(dtype=np.float64), 1e-30
-                    )[:, None]
-                    # argmax returns the FIRST maximal index → ties break
-                    # toward the lower cluster id, deterministically.
-                    assign = np.argmax(mat @ cent_t, axis=1)
-                    # per-dim bincount: k·dim partial sums without the
-                    # unbuffered np.add.at slow path
-                    sums += np.stack(
-                        [
-                            np.bincount(assign, weights=mat[:, d], minlength=k)
-                            for d in range(dim)
-                        ],
-                        axis=1,
+                    s, n = _batch_partials(
+                        pdf["v"].tolist(),
+                        pdf["nrm"].to_numpy(dtype=np.float64),
+                        cent_t,
+                        k,
+                        dim,
                     )
-                    counts += np.bincount(assign, minlength=k)
+                    sums += s
+                    counts += n
                 nz = np.flatnonzero(counts)
                 if len(nz):  # empty partition: an empty 's' column comes
                     # out float64-typed and Arrow refuses float64→list
                     yield pd.DataFrame(
                         {
+                            "pid": np.full(len(nz), pid, dtype=np.int32),
                             "cluster": nz.astype(np.int32),
                             "s": list(sums[nz]),
                             "n": counts[nz],
                         }
                     )
 
+            # the combiner output is ≤ partitions·k rows — a bounded
+            # driver collect (the sanctioned iterative-trainer class);
+            # folding it HERE in sorted (cluster, pid) order replaces
+            # the old groupBy+zip_with reduce stage (one exchange fewer
+            # per iteration) and pins the summation order.
             rows = (
                 c.select("v", "nrm")
-                .mapInPandas(partials, "cluster int, s array<double>, n long")
-                .groupBy("cluster")
-                # the final reduce is tiny (≤ partitions·k rows): elementwise
-                # vector sum via zip_with-fold, counts via plain sum
-                .agg(
-                    F.aggregate(
-                        F.collect_list("s"),
-                        F.array_repeat(F.lit(0.0), dim),
-                        lambda acc, s: F.zip_with(acc, s, lambda a, b: a + b),
-                    ).alias("s"),
-                    F.sum("n").alias("n"),
+                .mapInPandas(
+                    partials, "pid int, cluster int, s array<double>, n long"
                 )
                 .collect()
             )
-            new = cent.copy()
-            for r in rows:
-                if r["n"]:
-                    new[r["cluster"]] = np.array(r["s"]) / r["n"]
-            cent = _unit(new)
+            cent = _fold_partials(
+                cent,
+                [(r["pid"], r["cluster"], r["s"], r["n"]) for r in rows],
+                k,
+                dim,
+            )
         return cent
     finally:
         c.unpersist()
+
+
+def _kmeans_fit_local(
+    rows, k: int, iters: int, sample_size: int, arrow_max: int
+) -> np.ndarray:
+    """Driver-local Lloyd replay over collected ``(_pid, _h, v, nrm)``
+    rows — the distributed path's arithmetic reproduced exactly:
+    hash-ordered init sample, per-partition accumulation over
+    ``arrow_max``-row batch splits via the shared ``_batch_partials``,
+    sorted-(cluster, pid) fold via the shared ``_fold_partials``."""
+    if len(rows) < k:
+        raise ValueError(f"corpus has fewer than k={k} rows")
+    init_rows = sorted(rows, key=lambda r: r["_h"])[: max(sample_size, k)]
+    sample = _unit(np.array([r["v"] for r in init_rows], dtype=np.float64))
+    cent = _maxmin_init(sample, k)
+    dim = cent.shape[1]
+
+    # group by partition id, preserving within-partition row order
+    # (collect returns partitions in index order, rows in order)
+    parts: dict[int, list] = {}
+    for r in rows:
+        parts.setdefault(r["_pid"], []).append(r)
+    step = arrow_max if arrow_max > 0 else None
+
+    for _ in range(iters):
+        cent_t = cent.T.copy()
+        partials = []
+        for pid, prows in parts.items():
+            sums = np.zeros((k, dim))
+            counts = np.zeros(k, dtype=np.int64)
+            chunk = step or len(prows)
+            for i in range(0, len(prows), chunk):
+                batch = prows[i : i + chunk]
+                s, n = _batch_partials(
+                    [r["v"] for r in batch],
+                    np.array([r["nrm"] for r in batch], dtype=np.float64),
+                    cent_t,
+                    k,
+                    dim,
+                )
+                sums += s
+                counts += n
+            for cl in np.flatnonzero(counts):
+                partials.append((pid, int(cl), sums[cl], int(counts[cl])))
+        cent = _fold_partials(cent, partials, k, dim)
+    return cent
 
 
 def kmeans_assign(

@@ -463,6 +463,12 @@ def pagerank(
     # identical to the naive form the differential test mirrors) and a
     # static per-node dangling flag, each computed once and checkpointed.
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    # (r17 negative result, kept for the record: swapping these two
+    # localCheckpoints for lazy persist() — to save two eager driver
+    # jobs — measured SLOWER on the bench graph (build 2.9 → 3.4 s,
+    # exec 0.41 → 0.58 s warm): the InMemoryRelation columnar
+    # serialization plus per-iteration cache reads cost more than the
+    # two small checkpoint jobs. Reverted; do not re-try.)
     w_edges = e.join(out_deg, "src").localCheckpoint()
     carrier = (
         nodes.join(out_deg.withColumnRenamed("src", "node"), "node", "left")

@@ -181,3 +181,30 @@ def test_semantic_dedup_threshold_excludes_non_dups(spark):
     )
     out = semantic_dedup(df, k=4, threshold=0.9999, iters=6, seed=1).toPandas()
     assert out.is_survivor.all()  # no exact dups planted -> nothing dropped
+
+
+def test_kmeans_local_equals_distributed(spark, blobs):
+    """r17 §1.2 driver-local fast path: under LOCAL_MAX_VECTORS the fit
+    replays the distributed arithmetic exactly — same hash-ordered init
+    sample, same per-partition/per-batch partial kernel
+    (_batch_partials, one shared function), same sorted-(cluster, pid)
+    fold (_fold_partials). The centroid TRAJECTORY must be bit-equal,
+    not approximately equal (local_max_vectors=0 forces the distributed
+    path on the same data)."""
+    df, _ = blobs
+    local = kmeans_fit(df, k=4, iters=5, seed=3)
+    dist = kmeans_fit(df, k=4, iters=5, seed=3, local_max_vectors=0)
+    assert local.shape == dist.shape == (4, len(df.first()["embedding"]))
+    assert np.array_equal(local, dist)
+
+    # and the tiny-batch regime: force multi-batch partition replay by
+    # shrinking the Arrow batch size so batch-split accumulation order
+    # is exercised on both paths
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        local_b = kmeans_fit(df, k=4, iters=3, seed=11)
+        dist_b = kmeans_fit(df, k=4, iters=3, seed=11, local_max_vectors=0)
+        assert np.array_equal(local_b, dist_b)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)

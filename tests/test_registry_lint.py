@@ -258,6 +258,12 @@ _LIMIT_ALLOWLIST: dict[tuple[str, str], tuple[str, int]] = {
         "config-bounded k-means seed sample",
         1,
     ),
+    ("operators/clustering.py", "bound + 1"): (
+        "config-bounded driver-local k-means dispatch probe "
+        "(LOCAL_MAX_VECTORS rows collected at most; above the bound "
+        "the distributed combiner path runs)",
+        1,
+    ),
     ("operators/bpe.py", "local_max_words + 1"): (
         "config-bounded local-trainer dispatch probe",
         1,
