@@ -29,7 +29,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from mini_feature_store_spark.functions import round_half_up, spread
+from mini_feature_store_spark.functions import (
+    round_half_up,
+    spread,
+    track_cache,
+)
 from mini_feature_store_spark.operators.text import _tokens, normalize
 
 
@@ -136,7 +140,7 @@ def ngram_jaccard_pairs(
         # so the shingling regex pass + the one wide shuffle run once. The
         # postings are the compact form of the inverted index — at 100 TB
         # this is the artifact you'd materialize.
-        posting = posting.persist()
+        posting = track_cache(posting.persist())
         retained = posting.where(F.size("docs") <= max_shingle_freq)
         hot_cnt = (
             posting.where(F.size("docs") > max_shingle_freq)
@@ -250,7 +254,9 @@ def minhash_lsh_pairs(
     r = num_hashes // bands
     # Read 3× (banding + two candidate-pair joins); signatures are ~512 B/doc
     # vs the raw text they derive from — persist the small thing.
-    sigs = minhash_signatures(df, num_hashes, n, text_col, id_col).persist()
+    sigs = track_cache(
+        minhash_signatures(df, num_hashes, n, text_col, id_col).persist()
+    )
 
     # Band join carries only (id, band, bucket) — 24 bytes/row — through the
     # candidate shuffle; the 512-byte signatures are joined back onto the
@@ -365,7 +371,7 @@ def simhash(
         # the tokenize/normalize/explode pass feeds BOTH the df-frequency
         # aggregate and the weighting join — persist so the regex scan
         # over the corpus runs once (same rule as the posting-list index)
-        base = base.persist()
+        base = track_cache(base.persist())
         dfreq = base.distinct().groupBy("tok").agg(F.expr("count(1) AS df_t"))
         n_docs = df.select(
             F.count(F.lit(1)).cast("long").alias("n_docs")
@@ -437,7 +443,9 @@ def simhash_pairs(
     if max_hamming >= blocks:
         raise ValueError("need max_hamming < blocks for pigeonhole guarantee")
     # 8 bytes/doc, read by both self-join sides — persist, don't re-derive.
-    sims = simhash(df, bits, text_col, id_col, idf_weighted=idf_weighted).persist()
+    sims = track_cache(
+        simhash(df, bits, text_col, id_col, idf_weighted=idf_weighted).persist()
+    )
     return hamming_blocked_pairs(sims, max_hamming, bits, blocks)
 
 
@@ -558,7 +566,7 @@ def ngram_jaccard_against(
 
     hot_new = hot_corp = None
     if max_shingle_freq is not None:
-        posting = posting.persist()
+        posting = track_cache(posting.persist())
         df_combined = F.size("new_docs") + F.size("corpus_docs")
         retained = posting.where(df_combined <= max_shingle_freq)
         hot = posting.where(df_combined > max_shingle_freq)

@@ -58,7 +58,7 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from mini_feature_store_spark.functions import round_half_up
+from mini_feature_store_spark.functions import round_half_up, track_cache
 from mini_feature_store_spark.operators.dsir import _bucketed_grams
 
 #: integer fixed-point scale for per-domain normalized bucket
@@ -198,7 +198,9 @@ def _freq_base(
         f"CAST((CAST(cnt AS DECIMAL(38,0)) * {FREQ_SCALE}) "
         f"DIV _t AS BIGINT)"
     )
-    return (
+    # lifecycle: see functions.track_cache — released by
+    # release_operator_caches() / clearCache(), never by this operator
+    return track_cache(
         counts.withColumn("_t", F.sum("cnt").over(wd))
         .withColumn("_f", f)
         .persist()

@@ -48,7 +48,11 @@ from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from mini_feature_store_spark.functions import round_half_up, spread
+from mini_feature_store_spark.functions import (
+    round_half_up,
+    spread,
+    track_cache,
+)
 from mini_feature_store_spark.operators.text import _tokens, normalize
 
 #: 2^32 — the md5-prefix digit space shared with the samplers.
@@ -724,7 +728,9 @@ def _gumbel_topk(
         return keyed.limit(0)
 
     key = F.col("sample_key")
-    keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
+    # lifecycle: see functions.track_cache — released by
+    # release_operator_caches() / clearCache(), never by this operator
+    keyed = track_cache(keyed.persist(StorageLevel.MEMORY_AND_DISK))
     try:
         n = keyed.count()
         if k >= n:

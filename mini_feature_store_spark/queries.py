@@ -41,7 +41,12 @@ pressure. Every such query must be listed in
 ``tests/test_registry_lint.py:PLAN_BUILD_CACHE_ALLOWLIST`` with the shared
 frame named; the broadcast-discipline walker is unaffected (it walks the
 ANALYZED plan, which predates cache substitution). The bench's
-``clearCache()`` between queries bounds accumulation.
+``clearCache()`` between queries bounds accumulation. LIFECYCLE (r17):
+every frame in this class is registered via ``functions.track_cache``,
+so a long-lived session composing several such queries can release them
+selectively with ``functions.release_operator_caches()`` instead of a
+global ``clearCache()`` — the persists live for ONE invocation's plan
+and are always recomputed from the parquet inputs on the next call.
 
 Sanctioned exception #2 — the BOUNDED-COLLECT-AT-PLAN-BUILD class: a
 TRAINER whose model artifact is a bounded driver-side table may run its
@@ -77,6 +82,7 @@ from pyspark.sql import functions as F
 from mini_feature_store_spark.functions import (
     round_half_up,
     round_half_up_py,
+    track_cache,
 )
 from mini_feature_store_spark.io import load_testdata
 from mini_feature_store_spark.operators.latest import latest_per_key
@@ -3366,9 +3372,11 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # built 3× and the corpus semi-join 2× per run (the docstring's old
     # "+0.8 s for 4× recompute" price, no longer accepted in the
     # optimization rounds).
-    flags = quality_filter(
-        corpus, min_tokens=5, min_score=0.3, with_fingerprint=True
-    ).select("doc_id", "kept", "fingerprint").persist()
+    flags = track_cache(
+        quality_filter(
+            corpus, min_tokens=5, min_score=0.3, with_fingerprint=True
+        ).select("doc_id", "kept", "fingerprint").persist()
+    )
     # same keep rule as exact_dedup (min id per fingerprint group), but
     # derived from the flag frame so no second gate build feeds it
     keep_ids = (
@@ -7319,7 +7327,9 @@ def _lm_funnel_counts(
         # quality+LM chain (an O(corpus) n-gram scoring pass) built
         # twice per run. Narrow: id + 2 flags + fingerprint.
         .persist()
+        # lifecycle: functions.track_cache (scoped release)
     )
+    flags = track_cache(flags)
     # same keep rule as exact_dedup (min id per fingerprint group),
     # derived from the flag frame — no second gate+LM build feeds it.
     # INVARIANT (same as corpus_curation_funnel): lm_ok ⇒ kept ⇒
@@ -7952,7 +7962,9 @@ def doc_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         # merge replay over every document — ran twice per run. Narrow:
         # id/lang/token-count.
         .persist()
+        # lifecycle: functions.track_cache (scoped release)
     )
+    base = track_cache(base)
     kept = temperature_mixture_sample(
         base, ["doc_id"], "lang", alpha=0.5, tokens_col="n_tokens"
     )
@@ -8915,7 +8927,9 @@ def corpus_selection_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # packer; unpersisted, each consumer re-ran the DSIR scoring join
     # and the cap window (44 logical scans / 114 exchanges at sf0.1).
     # Narrow frame: id/lang/token-count/keep flag, no text.
-    flagged = domain_cap(with_url, _SEL_CAP, keep_col="_cap_keep").persist()
+    flagged = track_cache(
+        domain_cap(with_url, _SEL_CAP, keep_col="_cap_keep").persist()
+    )
     c1 = flagged.agg(
         F.count(F.lit(1)).cast("long").alias("sel_docs"),
         F.coalesce(F.sum("n_tokens"), F.lit(0))
@@ -9207,7 +9221,7 @@ def _ensemble_flagged(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frame is narrow (id/lang/url/token-count/3 bools — no text), so
     # caching it is O(corpus × ~100 B) spillable state vs 4-6 full
     # corpus re-scores per run at 100 TB.
-    return flagged.persist()
+    return track_cache(flagged.persist())
 
 
 def _ensemble_manifest(frame: DataFrame) -> DataFrame:
@@ -9227,7 +9241,7 @@ def _ensemble_manifest(frame: DataFrame) -> DataFrame:
     # inside) and the packer — persisting it keeps the domain-cap
     # window/aggregate, like the admission chain below it, at ONE
     # evaluation per run
-    frame = frame.persist()
+    frame = track_cache(frame.persist())
     c04 = frame.agg(
         F.count(F.lit(1)).cast("long").alias("d0"),
         F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("t0"),

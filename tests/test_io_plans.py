@@ -475,7 +475,11 @@ def test_funnel_plan_shapes_stay_tagged(spark):
         ("corpus_curation_funnel_lm", 7, 16),
     ):
         plan = strip_initial_plans(plan_text(QUERIES[name](spark, sf_dir)))
-        scans = len(set(re.findall(r"Scan parquet\s+\((\d+)\)", plan)))
+        # \S* admits an optional catalog-table identifier ('Scan parquet
+        # spark_catalog.db.t (1)') so the ceiling survives a switch to
+        # catalog-backed reads instead of silently undercounting (r16
+        # ADVICE)
+        scans = len(set(re.findall(r"Scan parquet\S*\s+\((\d+)\)", plan)))
         exchanges = len(
             set(re.findall(r"(?<!\w)Exchange \((\d+)\)", plan))
         )
