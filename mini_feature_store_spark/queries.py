@@ -10165,23 +10165,71 @@ def embedding_semantic_decontamination(
 #: the window against the CORRECTNESS artifacts that existed at cut
 #: time (rounds < this), so the check is deterministic no matter when
 #: the suite runs, and asserts the cut is not itself stale.
-VERIFY_ORDER_ROUND = 16
+VERIFY_ORDER_ROUND = 17
 
 VERIFY_ORDER: list[str] = [
-    # ── r16 re-cut (r15 judge directive #1; the arithmetic freshness
-    # lint in tests/test_registry_lint.py enforces the rotation).
-    # Ledger going in: {r15: 50, r14: 49, r13: 43, r12: 14} over 156
-    # oracled queries + 18 rows-only.
-    # tier 0 — the 4 oracled queries the r16 counts_only tokenizer
-    # optimization touches (bpe_tokenize/bpe_encode/unigram_tokenize
-    # count paths; same values, driver re-pins them first):
-    "tokenizer_comparison",
+    # ── r17 re-cut (same arithmetic-freshness rotation as r16; the
+    # lint in tests/test_registry_lint.py enforces it).
+    # tier 0 — the oracled queries r17 optimizations touch (gram
+    # digest widening, local-CC broadcast, tokenizer fold→replay +
+    # reassembly narrowing, shared word table / build_vocab=False,
+    # track_cache wiring on dsir/doremi/dedup persists); the driver
+    # re-pins these first:
+    "doc_5gram_lm_score",
+    "doc_bpe_encode",
+    "doc_bpe_tokenize",
+    "doc_unigram_tokenize",
+    "doc_bpe_vocab",
     "bpe_tokenizer_metrics",
-    "doc_bpe_greedy_packing",
     "doc_token_budget_mixture",
-    # tier 1 — the fourteen r12-stale greens the r15 verdict names
-    # (staleness 4 == the ⌈156/50⌉ pigeonhole bound — they must lead),
-    # alphabetical:
+    "tokenizer_comparison",
+    "doc_bpe_greedy_packing",
+    "dedup_clusters",
+    "corpus_dedup_apply",
+    "dedup_best_of_cluster",
+    "embedding_corpus_curate_exact",
+    "corpus_curation_funnel",
+    "corpus_curation_funnel_lm",
+    "corpus_curation_funnel_lm3",
+    "dedup_ngram_jaccard",
+    "dedup_incremental_batch",
+    "doc_unigram_vocab",
+    "doc_dsir_resample",
+    "doc_doremi_excess_round2",
+    # tier 1 — remaining window slots by staleness (oldest recorded
+    # green first: the 11 r13 greens the r16 cut could not fit,
+    # then oldest-r14), alphabetical within a round:
+    "fuzzy_part_names",
+    "local_supplier_volume",
+    "rollup_order_revenue",
+    "set_ops_users",
+    "shipping_priority",
+    "small_quantity_revenue",
+    "supplier_revenue_salted",
+    "user_event_type_arrays",
+    "user_sessions",
+    "user_value_gap_fill",
+    "weekly_event_buckets",
+    "corpus_selection_manifest",
+    "doc_balanced_mixture_sample",
+    "doc_chunk_windows",
+    "doc_content_centrality",
+    "doc_doremi_excess_loss",
+    "doc_pii_scrub",
+    "doc_quality_classifier",
+    "doc_quality_tiers",
+    "doc_repetition_scores",
+    "doc_sequence_packing",
+    "doc_target_mixture_sample",
+    "doc_temperature_mixture_sample",
+    "doc_text_stats",
+    "doc_tfidf_top_terms",
+    "doc_token_budget_selection",
+    "doc_training_shuffle",
+    "doc_winnow_fingerprints",
+    "embedding_cosine_pairs",
+    # ── below this line: not in the r17 driver window; prior
+    # relative order preserved.
     "features_daily_typed",
     "forecast_revenue_change",
     "grouping_sets_sql",
@@ -10196,11 +10244,6 @@ VERIFY_ORDER: list[str] = [
     "price_histogram",
     "product_type_profit",
     "purchase_value_intervals",
-    # tier 2 — oldest-r13 greens; the three classifier-adjacent ones
-    # first (doc_classifier_calibration/eval + corpus_curation_funnel
-    # sit on code the r16 classifier/persist changes touch), then
-    # alphabetical (32 of 43 fit):
-    "corpus_curation_funnel",
     "doc_classifier_calibration",
     "doc_classifier_eval",
     "bloom_filtered_order_revenue",
@@ -10211,8 +10254,6 @@ VERIFY_ORDER: list[str] = [
     "customers_with_big_orders",
     "customers_without_orders",
     "date_dimension",
-    "dedup_incremental_batch",
-    "dedup_ngram_jaccard",
     "distinct_stats_exact",
     "doc_dsir_scores",
     "doc_dup_coverage",
@@ -10228,30 +10269,9 @@ VERIFY_ORDER: list[str] = [
     "doc_upsample_to_parity",
     "doc_weighted_sample",
     "dq_orders_audit",
-    "embedding_corpus_curate_exact",
     "event_value_winsorized",
     "feature_snapshot_diff",
     "features_daily",
-    # ── below this line: not in the r16 driver window.
-    # The 11 r13 greens that didn't fit — they LEAD the r17 window,
-    # followed by oldest-r14; r15 greens and rows-only queries keep
-    # their prior relative order:
-    "fuzzy_part_names",
-    "local_supplier_volume",
-    "rollup_order_revenue",
-    "set_ops_users",
-    "shipping_priority",
-    "small_quantity_revenue",
-    "supplier_revenue_salted",
-    "user_event_type_arrays",
-    "user_sessions",
-    "user_value_gap_fill",
-    "weekly_event_buckets",
-    "doc_doremi_excess_round2",
-    "doc_dsir_resample",
-    "doc_target_mixture_sample",
-    "corpus_selection_manifest",
-    "doc_doremi_excess_loss",
     "late_shipment_priority_counts",
     "min_cost_supplier",
     "nation_trade_volume",
@@ -10265,26 +10285,6 @@ VERIFY_ORDER: list[str] = [
     "revenue_by_nation",
     "sole_blame_suppliers",
     "top_orders_per_priority",
-    "doc_balanced_mixture_sample",
-    "doc_bpe_encode",
-    "doc_bpe_tokenize",
-    "doc_bpe_vocab",
-    "doc_chunk_windows",
-    "doc_content_centrality",
-    "doc_pii_scrub",
-    "doc_quality_classifier",
-    "doc_quality_tiers",
-    "doc_repetition_scores",
-    "doc_sequence_packing",
-    "doc_temperature_mixture_sample",
-    "doc_text_stats",
-    "doc_tfidf_top_terms",
-    "doc_token_budget_selection",
-    "doc_training_shuffle",
-    "doc_unigram_tokenize",
-    "doc_unigram_vocab",
-    "doc_winnow_fingerprints",
-    "embedding_cosine_pairs",
     "embedding_dedup_clusters",
     "embedding_int8_quant",
     "embedding_topk_bruteforce",
@@ -10293,11 +10293,8 @@ VERIFY_ORDER: list[str] = [
     "event_value_scaled",
     "funnel_conversion",
     "important_part_share",
-    "dedup_best_of_cluster",
     "corpus_selection_manifest_ensemble_approx",
     "corpus_selection_manifest_ensemble",
-    "dedup_clusters",
-    "corpus_dedup_apply",
     "doc_domain_hash_cap",
     "json_props_stats",
     "lineitem_correlations",
@@ -10315,8 +10312,6 @@ VERIFY_ORDER: list[str] = [
     "user_value_trend",
     "user_weekly_distinct_exact",
     "brand_bracket_revenue",
-    "corpus_curation_funnel_lm",
-    "corpus_curation_funnel_lm3",
     "corpus_mixture_manifest",
     "corpus_split_decontaminated",
     "cube_event_counts",
@@ -10324,7 +10319,6 @@ VERIFY_ORDER: list[str] = [
     "customers_above_segment_avg",
     "daily_event_deltas",
     "dedup_exact_props",
-    "doc_5gram_lm_score",
     "doc_contamination_spans",
     "doc_cut_duplicate_spans",
     "doc_decontaminate",
